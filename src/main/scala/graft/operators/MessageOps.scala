@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+/** The reference's per-message dataflow operators (SURVEY.md §2A),
+  * re-expressed as Catalyst-native transformations over the canonical
+  * message schema (FIXTURES.md §1). All pure projections/dispatches — no
+  * UDFs, everything stays inside whole-stage codegen.
+  *
+  * Reference behaviors reproduced:
+  *  - metadata projection (A12): PulsarUtils.java:121-130
+  *  - properties→JSON array of single-entry objects (A12): PulsarUtils.java:144-157
+  *  - content-type dispatch with `;`-param strip and raw fallback (A13):
+  *    PulsarMessageConsumer.java:505-529
+  *  - DLQ split at maxRedeliverCount, default 5 (A17):
+  *    PulsarMessageConsumer.java:295-304
+  *  - compacted read = latest message per key (A21):
+  *    PulsarMessageConsumer.java:346-352
+  */
+object MessageOps {
+
+  /** Canonical message schema (FIXTURES.md §1). */
+  val schema: StructType = StructType(Seq(
+    StructField("topic", StringType, nullable = false),
+    StructField("message_id", StringType, nullable = false),
+    StructField("key", StringType, nullable = true),
+    StructField("value", BinaryType, nullable = false),
+    StructField("value_str", StringType, nullable = true),
+    StructField("properties", MapType(StringType, StringType, valueContainsNull = false), nullable = false),
+    StructField("publish_time", TimestampType, nullable = false),
+    StructField("event_time", TimestampType, nullable = true),
+    StructField("redelivery_count", IntegerType, nullable = false),
+    StructField("content_type", StringType, nullable = true)))
+
+  /** Content types cycled deterministically over the events fixture;
+    * index 1 carries `; charset=utf-8` to exercise the reference's
+    * parameter strip (PulsarMessageConsumer.java:518-519). */
+  private val contentTypes = Seq(
+    "application/json", "application/json; charset=utf-8",
+    "application/xml", "text/csv", "text/plain")
+
+  /** Publish the `events` table into the canonical message shape — the
+    * deterministic fixture used by message-op queries and the topic store.
+    * `redelivery_count = event_id % 8` is a synthetic stand-in so DLQ
+    * routing has non-trivial input (a real stream starts at 0 and the
+    * source's requeue state increments it). */
+  def fromEvents(events: DataFrame): DataFrame = {
+    val payload = concat(
+      lit("""{"event_id":"""), col("event_id"),
+      lit(""","event_type":""""), col("event_type"),
+      lit("""","value":"""), col("value").cast("string"),
+      lit("}"))
+    val xmlPayload = concat(
+      lit("<e><event_id>"), col("event_id"),
+      lit("</event_id><event_type>"), col("event_type"),
+      lit("</event_type><value>"), col("value").cast("string"),
+      lit("</value></e>"))
+    val csvPayload = concat(
+      col("event_id"), lit(","), col("event_type"), lit(","),
+      col("value").cast("string"))
+    val mode = pmod(col("event_id"), lit(5))
+    val body = when(mode.isin(0, 1), payload)
+      .when(mode === 2, xmlPayload)
+      .when(mode === 3, csvPayload)
+      .otherwise(concat(col("event_type"), lit(" "), col("value").cast("string")))
+    events.select(
+      lit("events").as("topic"),
+      concat(lit("0:"), col("event_id"), lit(":0:0")).as("message_id"),
+      col("user_id").cast("string").as("key"),
+      body.cast("binary").as("value"),
+      body.as("value_str"),
+      map(lit("k"), get_json_object(col("props"), "$.k")).as("properties"),
+      col("ts").as("publish_time"),
+      col("ts").as("event_time"),
+      pmod(col("event_id"), lit(8)).cast("int").as("redelivery_count"),
+      element_at(
+        typedLit(contentTypes), (pmod(col("event_id"), lit(5)) + 1).cast("int"))
+        .as("content_type"))
+  }
+
+  /** A12 — metadata projection. Reproduces the reference's message-context
+    * population, including the properties map serialized as a JSON array
+    * of single-entry objects: `[{"k1":"v1"},{"k2":"v2"}]`
+    * (PulsarUtils.java:144-157). Built-ins only:
+    * map → entries → one single-key map per entry → to_json. */
+  def metadataProjection(messages: DataFrame): DataFrame =
+    messages.select(
+      col("topic"), col("message_id"), col("key"), col("redelivery_count"),
+      to_json(transform(map_entries(col("properties")),
+        e => map(e.getField("key"), e.getField("value"))))
+        .as("properties_json"))
+
+  /** A13 — content-type-dispatched parse. MIME parameters after `;` are
+    * stripped (reference: `contentType.split(";")[0].trim()`), the base
+    * type selects the parser, and unknown types fall through to a raw
+    * passthrough (our analog of the reference's SOAPBuilder fallback).
+    * Returns the messages with a `base_type` and a parsed struct per
+    * supported type. */
+  def contentTypeDispatch(messages: DataFrame, payloadSchema: StructType): DataFrame = {
+    val base = trim(split_part(col("content_type"), lit(";"), lit(1)))
+    val csvOpts = Map[String, String]()
+    messages
+      .withColumn("base_type", base)
+      .withColumn("parsed",
+        when(col("base_type") === "application/json",
+          from_json(col("value_str"), payloadSchema))
+        .when(col("base_type") === "application/xml",
+          from_xml(col("value_str"), payloadSchema))
+        .when(col("base_type") === "text/csv",
+          from_csv(col("value_str"), payloadSchema, csvOpts)))
+  }
+
+  /** A17 — DLQ routing: messages at or past `maxRedeliverCount` (reference
+    * default 5) go to the dead-letter sink, the rest stay live. One pass,
+    * no shuffle — the split is a pair of complementary filters over the
+    * same scan (Spark reuses the exchange under AQE). */
+  def dlqSplit(messages: DataFrame, maxRedeliverCount: Int = 5): (DataFrame, DataFrame) = {
+    val dead = messages.filter(col("redelivery_count") >= maxRedeliverCount)
+    val live = messages.filter(col("redelivery_count") < maxRedeliverCount)
+    (dead, live)
+  }
+
+  /** A21 — readCompacted snapshot: latest message per key. Keyed window,
+    * one shuffle on `key`; ties broken by message_id for determinism.
+    * At 100 TB prefer `max_by` aggregation (partial agg, no full sort) —
+    * both forms are provided. */
+  def compacted(messages: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("publish_time").desc, col("message_id").desc)
+    messages
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** A21 scale variant — aggregation form of `compacted`: partial
+    * (map-side) max_by per key, no per-partition sort of the full data. */
+  def compactedAgg(messages: DataFrame): DataFrame = {
+    val ordering = struct(col("publish_time"), col("message_id"))
+    messages.groupBy(col("key"))
+      .agg(max_by(struct(messages.columns.map(col): _*), ordering).as("m"))
+      .select(col("m.*"))
+  }
+}

@@ -1,0 +1,143 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.MessageOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Batch-expressible forms of the reference's message operators
+  * (SURVEY.md §2A) over the deterministic message fixture derived from
+  * the `events` table, each with a DuckDB oracle that recomputes the same
+  * semantics directly from `events`. The streaming forms live in
+  * graft.sources / graft.streaming; these queries are the correctness
+  * gate for the shared projection/dispatch/routing logic.
+  */
+object MessageQueries {
+
+  private val payloadSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------
+    // m01 — A12 metadata projection, incl. the reference's properties→
+    // JSON "array of single-entry objects" shape (PulsarUtils.java:144-157).
+    Q(
+      "m01_metadata_projection",
+      """SELECT 'events' AS topic,
+        |  '0:' || CAST(event_id AS VARCHAR) || ':0:0' AS message_id,
+        |  CAST(user_id AS VARCHAR) AS key,
+        |  CAST(event_id % 8 AS INTEGER) AS redelivery_count,
+        |  '[{"k":"' || json_extract_string(props, '$.k') || '"}]' AS properties_json
+        |FROM events
+        |ORDER BY message_id""".stripMargin
+    ) { (s, dir) =>
+      MessageOps.metadataProjection(
+          MessageOps.fromEvents(Tables(s, dir, "events")))
+        .orderBy(col("message_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // m02 — A13 content-type dispatch: the payload is serialized into
+    // json / xml / csv by content type (with a `; charset` variant to
+    // exercise the parameter strip), parsed back by the dispatcher, and
+    // the typed fields must round-trip. The oracle reads the original
+    // rows straight from events — a payload that failed to round-trip
+    // hash-mismatches.
+    Q(
+      "m02_content_type_dispatch",
+      """SELECT event_id, event_type, value,
+        |  CASE WHEN event_id % 5 IN (0, 1) THEN 'application/json'
+        |       WHEN event_id % 5 = 2 THEN 'application/xml'
+        |       ELSE 'text/csv' END AS base_type
+        |FROM events
+        |WHERE event_id % 5 <> 4
+        |ORDER BY event_id""".stripMargin
+    ) { (s, dir) =>
+      MessageOps.contentTypeDispatch(
+          MessageOps.fromEvents(Tables(s, dir, "events")), payloadSchema)
+        .filter(col("parsed").isNotNull)
+        .select(
+          col("parsed.event_id").as("event_id"),
+          col("parsed.event_type").as("event_type"),
+          col("parsed.value").as("value"),
+          col("base_type"))
+        .orderBy(col("event_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // m03 — A17 DLQ routing at the reference default maxRedeliverCount=5.
+    Q(
+      "m03_dlq_split",
+      """SELECT '0:' || CAST(event_id AS VARCHAR) || ':0:0' AS message_id,
+        |  CAST(user_id AS VARCHAR) AS key,
+        |  CAST(event_id % 8 AS INTEGER) AS redelivery_count,
+        |  CASE WHEN event_id % 8 >= 5 THEN 'dlq' ELSE 'live' END AS route
+        |FROM events
+        |ORDER BY message_id""".stripMargin
+    ) { (s, dir) =>
+      val msgs = MessageOps.fromEvents(Tables(s, dir, "events"))
+      val (dead, live) = MessageOps.dlqSplit(msgs, maxRedeliverCount = 5)
+      dead.withColumn("route", lit("dlq"))
+        .unionByName(live.withColumn("route", lit("live")))
+        .select(col("message_id"), col("key"), col("redelivery_count"),
+          col("route"))
+        .orderBy(col("message_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // m04 — A21 readCompacted: latest message per key (aggregation form —
+    // partial max_by, no sort). Oracle: window in DuckDB.
+    Q(
+      "m04_read_compacted",
+      """SELECT key, message_id, publish_time FROM (
+        |  SELECT CAST(user_id AS VARCHAR) AS key,
+        |    '0:' || CAST(event_id AS VARCHAR) || ':0:0' AS message_id,
+        |    ts AS publish_time,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, '0:' || CAST(event_id AS VARCHAR) || ':0:0' DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1
+        |ORDER BY key""".stripMargin
+    ) { (s, dir) =>
+      MessageOps.compactedAgg(MessageOps.fromEvents(Tables(s, dir, "events")))
+        .select(col("key"), col("message_id"), col("publish_time"))
+        .orderBy(col("key"))
+    },
+
+    // ---------------------------------------------------------------
+    // m05 — A19 chunk reassembly (batch form): documents are split into
+    // 100-char chunks (simulating Pulsar chunked messages), shuffled to
+    // their reassembly key, stitched in chunk order, and must equal the
+    // original text. The streaming form (out-of-order arrival + expiry)
+    // lives in graft.streaming.ChunkReassembly with its own spec.
+    Q(
+      "m05_chunk_reassembly",
+      """SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(string_agg(chunk, '' ORDER BY chunk_id) =
+        |       min(text) AS BOOLEAN) AS ok
+        |FROM (
+        |  SELECT doc_id, text, i AS chunk_id, substr(text, CAST((i - 1) * 100 + 1 AS INTEGER), 100) AS chunk
+        |  FROM documents CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS i) g
+        |  WHERE i <= ceil(length(text) / 100.0))
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val chunks = docs
+        .withColumn("chunk_id", explode(sequence(lit(1L),
+          ceil(length(col("text")) / 100.0).cast("long"))))
+        .withColumn("chunk",
+          expr("substr(text, CAST((chunk_id - 1) * 100 + 1 AS INT), 100)"))
+      chunks.groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          (concat_ws("",
+            array_sort(collect_list(struct(col("chunk_id"), col("chunk"))))
+              .getField("chunk")) === first(col("text"))).as("ok"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}
