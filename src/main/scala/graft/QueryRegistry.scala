@@ -7,7 +7,11 @@ import graft.queries._
 object QueryRegistry {
   val all: Seq[Q] =
     RelationalQueries.all ++
-    MessageQueries.all
+    MessageQueries.all ++
+    DedupQueries.all ++
+    SimilarityQueries.all ++
+    TextQueries.all ++
+    MultimodalQueries.all
 
   lazy val byName: Map[String, Q] = {
     val m = all.map(q => q.name -> q).toMap

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators: media payloads ride as opaque `binary`
+  * columns with typed metadata; decode / feature-extraction runs as a
+  * typed Dataset mapPartitions (the shape a real codec-backed decoder
+  * takes — one partition = one batch of media, decoded executor-side,
+  * never collected to the driver).
+  *
+  * The decode itself is a clearly-marked DETERMINISTIC FAKE (this
+  * container has no image/audio codecs): "brightness" is the byte-sum
+  * mod 256 and the perceptual hash is md5 of the payload. The Spark-side
+  * plumbing — schema, encoders, partition-batch decode, frame sampling —
+  * is real and is what the specs/oracle verify.
+  *
+  * Scale posture (100 TB): media bytes stay in executor memory one
+  * partition at a time; metadata-only queries prune the binary column at
+  * the parquet scan (column pruning — verify ReadSchema excludes `data`);
+  * frame sampling is generate+explode, no shuffle.
+  */
+object MultimodalOps {
+
+  /** A media payload with typed metadata. */
+  final case class ImageRow(
+      image_id: Long, data: Array[Byte],
+      width: Int, height: Int, format: String)
+
+  /** Features extracted by the (stub) decoder. */
+  final case class DecodedImage(
+      image_id: Long, width: Int, height: Int, format: String,
+      n_bytes: Long, brightness: Long, phash: String)
+
+  /** Deterministic fixture: wrap each document's text bytes as an image
+    * payload with metadata derived from stable columns. */
+  def imagesFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("image_id"),
+      col("text").cast("binary").as("data"),
+      (col("n_chars") % 32 + 1).cast("int").as("width"),
+      (col("doc_id") % 24 + 1).cast("int").as("height"),
+      when(col("doc_id") % 3 === 0, "png")
+        .when(col("doc_id") % 3 === 1, "jpg")
+        .otherwise("webp").as("format"))
+
+  /** STUB DECODER — stands in for a codec call; everything around it
+    * (typed encoder, per-partition batch decode) is the real plumbing. */
+  private def fakeDecode(r: ImageRow): DecodedImage = {
+    var s = 0L
+    var i = 0
+    while (i < r.data.length) { s += (r.data(i) & 0xff); i += 1 }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(r.data).map(b => f"$b%02x").mkString
+    DecodedImage(r.image_id, r.width, r.height, r.format,
+      r.data.length.toLong, s % 256, hex)
+  }
+
+  /** Decode/feature-extract as a typed per-partition pass. */
+  def decodeImages(spark: SparkSession, images: DataFrame): Dataset[DecodedImage] = {
+    import spark.implicits._
+    images.as[ImageRow].mapPartitions(_.map(fakeDecode))
+  }
+
+  /** Frame sampling over a "video" payload: fixed-size frames, keep every
+    * `stride`-th. Pure generate+explode — no shuffle, no driver loop. */
+  def sampleFrames(media: DataFrame, idCol: String, payloadStrCol: String,
+      frameLen: Int, stride: Int): DataFrame =
+    media
+      .withColumn("frame_idx", explode(sequence(lit(0L),
+        ceil(length(col(payloadStrCol)) / frameLen.toDouble).cast("long") - 1)))
+      .filter(col("frame_idx") % stride === 0)
+      .withColumn("frame",
+        col(payloadStrCol).substr(
+          (col("frame_idx") * frameLen + 1).cast("int"), lit(frameLen)))
+      .select(col(idCol), col("frame_idx"),
+        md5(col("frame")).as("frame_md5"),
+        length(col("frame")).cast("long").as("frame_bytes"))
+}

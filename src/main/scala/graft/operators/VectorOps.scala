@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector primitives over embedding columns (array<float>), built on
+  * Catalyst higher-order functions (zip_with / aggregate) so everything
+  * stays codegen-friendly — no UDFs, no driver-side math.
+  *
+  * Determinism: elements are cast to DOUBLE before any arithmetic and
+  * folded in index order (aggregate() is an ordered left fold; the DuckDB
+  * oracle unnests with ordinality and sums in the same order), so Spark
+  * and DuckDB produce bit-identical doubles.
+  *
+  * Scale posture (100 TB): brute-force cosine top-k broadcasts the small
+  * query set and scans the corpus once (per-partition heaps via
+  * row_number window over a bounded candidate set); the scale path is
+  * sign-random-projection LSH bucketing — an equi-join on bucket keys
+  * that turns O(n·q) into O(candidates).
+  */
+object VectorOps {
+
+  /** Ordered left-fold sum of an array<double>. */
+  private def fsum(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x)
+
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product in index order; inputs must be array<double>. */
+  def dot(a: Column, b: Column): Column = fsum(zip_with(a, b, _ * _))
+
+  def norm(a: Column): Column = sqrt(fsum(transform(a, x => x * x)))
+
+  /** Cosine similarity, rounded to 6 decimals — the rounding is part of
+    * the contract (both engines round the same double, so threshold
+    * comparisons on the rounded value agree bit-for-bit). */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** Sign-random-projection LSH bucket: `bits` pseudo-random hyperplanes,
+    * where hyperplane b's weight for dimension i is ±1 from the low bit
+    * of the first hex digit of md5(b:i) — reproducible in any engine with
+    * md5. Bucket = the '0'/'1' sign string of the projections. */
+  def srpBucket(v: Column, dims: Int, bits: Int): Column = {
+    val oddHex = Set("1", "3", "5", "7", "9", "b", "d", "f")
+    // weights are decided at plan time (constant-folded), not per row
+    def weight(b: Int, i: Int): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$b:$i".getBytes("UTF-8"))
+      if (oddHex.contains(f"${h(0) & 0xff}%02x".substring(0, 1))) 1 else -1
+    }
+    val bitCols = (0 until bits).map { b =>
+      val proj = (0 until dims).map { i =>
+        element_at(v, i + 1) * lit(weight(b, i).toDouble)
+      }.reduce(_ + _)
+      when(proj > 0, "1").otherwise("0")
+    }
+    concat(bitCols: _*)
+  }
+}

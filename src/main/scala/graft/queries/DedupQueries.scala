@@ -1,0 +1,295 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.{DedupOps, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication suite over the `documents` / `embeddings` tables:
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+  *
+  * The synthetic tables contain no true near-duplicates, so the dedup
+  * queries first augment the corpus with DETERMINISTIC near-dup copies
+  * (drop-first-word text copies; last-dim-perturbed vectors) — the same
+  * augmentation is in each oracle, so the dedup machinery is verified on
+  * input that actually contains duplicates.
+  *
+  * Scale posture (100 TB): no O(n²) pair enumeration anywhere — pairs
+  * come from equi-joins on LSH band keys / SimHash bands / blocking keys;
+  * exact similarity runs on candidates only.
+  */
+object DedupQueries {
+
+  /** documents + near-dup copies (first word dropped) of every 10th doc. */
+  private def corpusWithNearDups(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val dups = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        expr("substr(text, instr(text, ' ') + 1)").as("text"))
+    base.unionByName(dups)
+  }
+
+  private val corpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, substr(text, strpos(text, ' ') + 1) AS text
+      |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------
+    // d01 — exact dedup: hash-groupBy on md5(text); canonical = min id.
+    Q(
+      "d01_exact_dedup",
+      s"""WITH $corpusSql,
+        |dup AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+        |  count(*) AS n_copies
+        |FROM dup GROUP BY 1 ORDER BY text_hash""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val withCopies = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      DedupOps.exactDedup(withCopies, "doc_id", "text")
+        .orderBy(col("text_hash"))
+    },
+
+    // ---------------------------------------------------------------
+    // d02 — MinHash + LSH: 8 minhashes over word-3-gram shingles, 4 bands
+    // of 2; candidates from the band-key equi-join; exact Jaccard ≥ 0.5
+    // on candidates only.
+    Q(
+      "d02_minhash_lsh",
+      s"""WITH $corpusSql,
+        |toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM corpus),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM toks),
+        |hs AS (SELECT doc_id, sh,
+        |  list_transform(sh, x -> md5('a:' || x)) AS hs0,
+        |  list_transform(sh, x -> md5('b:' || x)) AS hs1 FROM sh),
+        |sig AS (SELECT doc_id, sh,
+        |  list_min(list_transform(hs0, h -> substr(h, 1, 8))) AS mh0,
+        |  list_min(list_transform(hs0, h -> substr(h, 9, 8))) AS mh1,
+        |  list_min(list_transform(hs0, h -> substr(h, 17, 8))) AS mh2,
+        |  list_min(list_transform(hs0, h -> substr(h, 25, 8))) AS mh3,
+        |  list_min(list_transform(hs1, h -> substr(h, 1, 8))) AS mh4,
+        |  list_min(list_transform(hs1, h -> substr(h, 9, 8))) AS mh5,
+        |  list_min(list_transform(hs1, h -> substr(h, 17, 8))) AS mh6,
+        |  list_min(list_transform(hs1, h -> substr(h, 25, 8))) AS mh7
+        |  FROM hs),
+        |bands AS (SELECT doc_id, unnest([
+        |    md5(concat_ws('|', '0', mh0, mh1)),
+        |    md5(concat_ws('|', '1', mh2, mh3)),
+        |    md5(concat_ws('|', '2', mh4, mh5)),
+        |    md5(concat_ws('|', '3', mh6, mh7))]) AS band_key FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b
+        |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id,
+        |  round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |    / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+        |FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id
+        |WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |    / len(list_distinct(sa.sh || sb.sh)), 6) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin
+    ) { (s, dir) =>
+      val corpus = corpusWithNearDups(Tables(s, dir, "documents"))
+      // materialize `ws` as its own projection first: referencing the
+      // words expression inside the shingle lambda would re-evaluate
+      // split+filter per element (no CSE across lambda bodies — measured
+      // 13× slower)
+      val sh = corpus.withColumn("ws", DedupOps.words(col("text")))
+        .select(col("doc_id"),
+          array_distinct(DedupOps.shingles(col("ws"), 3)).as("sh"))
+      val sig = sh.select(col("doc_id") +: col("sh") +:
+        DedupOps.minhashSignature(col("sh")): _*)
+      val bandKeys = (0 until 4).map(b =>
+        DedupOps.bandKey(b, Seq(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))))
+      val bands = sig.select(col("doc_id"), col("sh"),
+        explode(array(bandKeys: _*)).as("band_key"))
+      // Carry the shingle arrays through the band join (groupBy dedups
+      // multi-band hits) — the signature subtree is computed once per
+      // side, not re-joined (Spark has no CTE materialization to reuse).
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(first(col("a.sh")).as("a_sh"), first(col("b.sh")).as("b_sh"))
+      val jac = round(
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+        size(array_distinct(concat(col("a_sh"), col("b_sh")))), 6)
+      cand
+        .select(col("a_id"), col("b_id"), jac.as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // d03 — SimHash: 64-bit signatures from word unigrams (2 md5s per
+    // word, hex-digit parity bits); candidates share at least one of
+    // four 16-bit bands (narrow bands keep the candidate join sparse on
+    // low-entropy corpora); keep hamming ≤ 6.
+    Q(
+      "d03_simhash",
+      s"""WITH $corpusSql,
+        |w AS (SELECT doc_id, md5('0:' || w) AS h0, md5('1:' || w) AS h1 FROM (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |  FROM corpus)),
+        |votes AS (SELECT doc_id, b,
+        |    sum(CASE WHEN substr(CASE WHEN b < 32 THEN h0 ELSE h1 END, (b % 32) + 1, 1)
+        |      IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS v
+        |  FROM w CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bits
+        |  GROUP BY doc_id, b),
+        |sigs AS (SELECT doc_id,
+        |    string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+        |  FROM votes GROUP BY doc_id),
+        |bands AS (SELECT doc_id, simhash,
+        |    unnest([ '0' || substr(simhash, 1, 16), '1' || substr(simhash, 17, 16),
+        |             '2' || substr(simhash, 33, 16), '3' || substr(simhash, 49, 16)]) AS band
+        |  FROM sigs),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    a.simhash AS a_sig, b.simhash AS b_sig
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, CAST(list_aggregate(list_transform(generate_series(1, 64),
+        |    i -> CASE WHEN substr(a_sig, i, 1) <> substr(b_sig, i, 1) THEN 1 ELSE 0 END),
+        |    'sum') AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE list_aggregate(list_transform(generate_series(1, 64),
+        |    i -> CASE WHEN substr(a_sig, i, 1) <> substr(b_sig, i, 1) THEN 1 ELSE 0 END),
+        |    'sum') <= 6
+        |ORDER BY a_id, b_id""".stripMargin
+    ) { (s, dir) =>
+      val corpus = corpusWithNearDups(Tables(s, dir, "documents"))
+      val sigs = DedupOps.simhash64(corpus, "doc_id", "text")
+      val bands = sigs.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          concat(lit(b.toString), substring(col("simhash"), b * 16 + 1, 16))): _*))
+          .as("band"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(first(col("a.simhash")).as("a_sig"),
+          first(col("b.simhash")).as("b_sig"))
+      // hamming via 4× (16-bit conv → xor → bit_count) — integer ops,
+      // not 64 per-character compares; same exact distance as the
+      // oracle's character-wise sum
+      val ham = (0 until 4).map { b =>
+        bit_count(
+          conv(substring(col("a_sig"), b * 16 + 1, 16), 2, 10).cast("long")
+            .bitwiseXOR(
+              conv(substring(col("b_sig"), b * 16 + 1, 16), 2, 10).cast("long")))
+      }.reduce(_ + _)
+      cand.select(col("a_id"), col("b_id"), ham.cast("long").as("hamming"))
+        .filter(col("hamming") <= 6)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // d04 — blocked n-gram Jaccard: exact unigram-set Jaccard for pairs
+    // within the same `source` block (blocking keeps the join an
+    // equi-join; no global cross product).
+    Q(
+      "d04_ngram_jaccard",
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS ts
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.source AS source, a.doc_id AS a_id, b.doc_id AS b_id,
+        |    len(list_intersect(a.ts, b.ts)) AS i,
+        |    len(a.ts) AS na, len(b.ts) AS nb
+        |  FROM toks a JOIN toks b
+        |    ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT source, a_id, b_id,
+        |  round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
+        |FROM pairs
+        |WHERE round(CAST(i AS DOUBLE) / (na + nb - i), 6) >= 0.8
+        |ORDER BY source, a_id, b_id""".stripMargin
+    ) { (s, dir) =>
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          array_distinct(DedupOps.words(col("text"))).as("ts"))
+      // |A∪B| = |A|+|B|−|A∩B| for sets: one intersect pass per pair
+      // instead of intersect + distinct-union
+      toks.as("a")
+        .join(broadcast(toks.as("b")),
+          col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.source").as("source"), col("a.doc_id").as("a_id"),
+          col("b.doc_id").as("b_id"),
+          size(array_intersect(col("a.ts"), col("b.ts"))).as("i"),
+          size(col("a.ts")).as("na"), size(col("b.ts")).as("nb"))
+        .select(col("source"), col("a_id"), col("b_id"),
+          round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6)
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy(col("source"), col("a_id"), col("b_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // d05 — embedding-cosine near-dup: corpus + perturbed copies; SRP-LSH
+    // buckets (8 bits) bound the candidate set; exact cosine ≥ 0.9.
+    Q(
+      "d05_embedding_neardup",
+      s"""WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |corpus AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000, v[1:63] || [CAST(0.25 AS DOUBLE)]
+        |  FROM base WHERE vec_id % 25 = 0),
+        |bucketed AS (SELECT vec_id, v, ${srpBucketSql("v", 64, 8)} AS bucket FROM corpus),
+        |cand AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.v AS av, b.v AS bv
+        |  FROM bucketed a JOIN bucketed b
+        |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT a_id, b_id, ${cosineSql("av", "bv", 64)} AS cos
+        |FROM cand
+        |WHERE ${cosineSql("av", "bv", 64)} >= 0.9
+        |ORDER BY a_id, b_id""".stripMargin
+    ) { (s, dir) =>
+      val base = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      val corpus = base.unionByName(
+        base.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            concat(slice(col("v"), 1, 63), array(lit(0.25))).as("v")))
+      val bucketed = corpus.withColumn("bucket",
+        VectorOps.srpBucket(col("v"), 64, 8))
+      val cand = bucketed.as("a")
+        .join(bucketed.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          col("a.v").as("av"), col("b.v").as("bv"))
+      cand.select(col("a_id"), col("b_id"),
+          VectorOps.cosine(col("av"), col("bv")).as("cos"))
+        .filter(col("cos") >= 0.9)
+        .orderBy(col("a_id"), col("b_id"))
+    }
+  )
+
+  /** DuckDB rendering of VectorOps.srpBucket (same md5-parity weights). */
+  private def srpBucketSql(v: String, dims: Int, bits: Int): String =
+    (0 until bits).map { b =>
+      s"""(CASE WHEN list_aggregate(list_transform(generate_series(1, $dims),
+         | i -> $v[i] * (CASE WHEN substr(md5('$b:' || (i - 1)), 1, 1)
+         |   IN ('1','3','5','7','9','b','d','f') THEN 1.0 ELSE -1.0 END)),
+         | 'sum') > 0 THEN '1' ELSE '0' END)""".stripMargin.replace("\n", " ")
+    }.mkString(" || ")
+
+  /** DuckDB rendering of VectorOps.cosine (double math, index order,
+    * rounded to 6 decimals). */
+  private[queries] def cosineSql(a: String, b: String, dims: Int): String =
+    s"""round(list_aggregate(list_transform(generate_series(1, $dims), i -> $a[i] * $b[i]), 'sum')
+       | / (sqrt(list_aggregate(list_transform($a, x -> x * x), 'sum'))
+       |    * sqrt(list_aggregate(list_transform($b, x -> x * x), 'sum'))), 6)"""
+      .stripMargin.replace("\n", " ")
+}

@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.MultimodalOps
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column suite: media as opaque binary columns + typed
+  * metadata, decoded executor-side via a typed mapPartitions pass (the
+  * decode itself is a clearly-marked deterministic stub — no codecs in
+  * this container; the oracle recomputes the same arithmetic from the
+  * source text bytes).
+  */
+object MultimodalQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------
+    // mm01 — binary payload + metadata → per-partition typed decode.
+    // brightness := byte-sum mod 256; phash := md5(payload) (stub
+    // features; real plumbing: encoder, mapPartitions, schema).
+    Q(
+      "mm01_image_decode",
+      """SELECT doc_id AS image_id,
+        |  CAST(n_chars % 32 + 1 AS INTEGER) AS width,
+        |  CAST(doc_id % 24 + 1 AS INTEGER) AS height,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |       WHEN doc_id % 3 = 1 THEN 'jpg' ELSE 'webp' END AS format,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(list_aggregate(list_transform(generate_series(1, length(text)),
+        |    i -> ascii(substr(text, i, 1))), 'sum') % 256 AS BIGINT) AS brightness,
+        |  md5(text) AS phash
+        |FROM documents ORDER BY image_id""".stripMargin
+    ) { (s, dir) =>
+      val images = MultimodalOps.imagesFromDocuments(Tables(s, dir, "documents"))
+      MultimodalOps.decodeImages(s, images)
+        .toDF()
+        .orderBy(col("image_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // mm02 — frame sampling over a "video" payload: 32-byte frames,
+    // every 2nd frame kept. Generate + explode, no shuffle.
+    Q(
+      "mm02_frame_sample",
+      """SELECT doc_id,
+        |  CAST(f AS BIGINT) AS frame_idx,
+        |  md5(substr(text, CAST(f * 32 + 1 AS INTEGER), 32)) AS frame_md5,
+        |  CAST(length(substr(text, CAST(f * 32 + 1 AS INTEGER), 32)) AS BIGINT) AS frame_bytes
+        |FROM documents
+        |CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS f) g
+        |WHERE f < ceil(length(text) / 32.0) AND f % 2 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin
+    ) { (s, dir) =>
+      MultimodalOps.sampleFrames(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          frameLen = 32, stride = 2)
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }
+  )
+}

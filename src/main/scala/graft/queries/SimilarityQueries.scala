@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.VectorOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (array<float> column).
+  *
+  * s01 is the brute-force baseline: broadcast the (small) query set and
+  * scan the corpus once — correct-by-construction, O(q·n), the thing you
+  * run to evaluate recall. s02 is the scale path: sign-random-projection
+  * LSH buckets turn the search into an equi-join on bucket keys — at
+  * 100 TB the corpus is bucketed once (written bucket-partitioned), and a
+  * query touches only its bucket's partitions.
+  */
+object SimilarityQueries {
+
+  import DedupQueries.cosineSql
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------
+    // s01 — brute-force cosine top-k (k=5) for query vectors vec_id<10.
+    Q(
+      "s01_ann_bruteforce",
+      s"""WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM base WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q_id, c.vec_id AS neighbor_id, ${cosineSql("qv", "c.v", 64)} AS cos
+        |  FROM q CROSS JOIN base c WHERE c.vec_id <> q_id),
+        |ranked AS (
+        |  SELECT q_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT q_id, neighbor_id, cos, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    ) { (s, dir) =>
+      val base = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      broadcast(q).join(base, col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          VectorOps.cosine(col("qv"), col("v")).as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .orderBy(col("q_id"), col("rank"))
+    },
+
+    // ---------------------------------------------------------------
+    // s02 — LSH-bucketed ANN: 6-bit SRP bucket (64 buckets); candidates
+    // are same-bucket vectors; top-3 by exact cosine within the bucket.
+    Q(
+      "s02_ann_lsh",
+      s"""WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |bucketed AS (SELECT vec_id, v, ${srpBucketSql6("v")} AS bucket FROM base),
+        |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bucketed WHERE vec_id < 50),
+        |scored AS (
+        |  SELECT q_id, c.vec_id AS neighbor_id, ${cosineSql("qv", "c.v", 64)} AS cos
+        |  FROM q JOIN bucketed c ON c.bucket = q.bucket AND c.vec_id <> q_id),
+        |ranked AS (
+        |  SELECT q_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT q_id, neighbor_id, cos, rank FROM ranked
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+    ) { (s, dir) =>
+      val base = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      val bucketed = base.withColumn("bucket",
+        VectorOps.srpBucket(col("v"), 64, 6))
+      val q = bucketed.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      q.join(bucketed.as("c"),
+          col("c.bucket") === q("bucket") && col("c.vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("c.vec_id").as("neighbor_id"),
+          VectorOps.cosine(col("qv"), col("c.v")).as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .orderBy(col("q_id"), col("rank"))
+    }
+  )
+
+  /** DuckDB rendering of VectorOps.srpBucket(v, 64, 6). */
+  private def srpBucketSql6(v: String): String =
+    (0 until 6).map { b =>
+      s"""(CASE WHEN list_aggregate(list_transform(generate_series(1, 64),
+         | i -> $v[i] * (CASE WHEN substr(md5('$b:' || (i - 1)), 1, 1)
+         |   IN ('1','3','5','7','9','b','d','f') THEN 1.0 ELSE -1.0 END)),
+         | 'sum') > 0 THEN '1' ELSE '0' END)""".stripMargin.replace("\n", " ")
+    }.mkString(" || ")
+}

@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.{DedupOps, TextOps}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-analysis suite over `documents`: language-ID (character-trigram
+  * profiles), quality scoring, token counting, fingerprinting.
+  *
+  * Scale posture (100 TB): language profiles are trained with one
+  * explode + two-level aggregation (map-side partial agg), the profile
+  * table is tiny and broadcast for classification; everything else is a
+  * single stateless projection pass per document.
+  */
+object TextQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------
+    // t01 — language ID: per-lang top-20 character trigrams (count desc,
+    // trigram asc), weight 21-rank; a doc's score per lang sums weights
+    // of its distinct trigrams; argmax (ties → lang asc).
+    Q(
+      "t01_langid_ngram",
+      """WITH tri AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, length(text) - 2),
+        |      i -> substr(text, i, 3))) AS g
+        |  FROM documents),
+        |counts AS (SELECT lang, g, count(*) AS c FROM tri GROUP BY lang, g),
+        |profile AS (
+        |  SELECT lang AS p_lang, g, 21 - rank AS weight FROM (
+        |    SELECT lang, g, c, row_number() OVER (PARTITION BY lang
+        |      ORDER BY c DESC, g ASC) AS rank FROM counts) r
+        |  WHERE rank <= 20),
+        |doc_tri AS (SELECT DISTINCT doc_id, lang, g FROM tri),
+        |scores AS (
+        |  SELECT d.doc_id, d.lang, p.p_lang, sum(p.weight) AS score
+        |  FROM doc_tri d JOIN profile p ON d.g = p.g
+        |  GROUP BY d.doc_id, d.lang, p.p_lang)
+        |SELECT doc_id, lang, p_lang AS predicted, CAST(score AS BIGINT) AS score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, p_lang ASC) AS rn FROM scores) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val tri = docs.select(col("doc_id"), col("lang"),
+        explode(TextOps.charNgrams(col("text"), 3)).as("g"))
+      val counts = tri.groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c"))
+      val wRank = Window.partitionBy(col("lang"))
+        .orderBy(col("c").desc, col("g").asc)
+      val profile = counts.withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 20)
+        .select(col("lang").as("p_lang"), col("g"),
+          (lit(21) - col("rank")).as("weight"))
+      val docTri = tri.select(col("doc_id"), col("lang"), col("g")).distinct()
+      val scores = docTri.join(broadcast(profile), "g")
+        .groupBy(col("doc_id"), col("lang"), col("p_lang"))
+        .agg(sum(col("weight")).as("score"))
+      val wBest = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("p_lang").asc)
+      scores.withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("p_lang").as("predicted"),
+          col("score").cast("long").as("score"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // t02 — quality scoring: deterministic ratio features + linear blend.
+    Q(
+      "t02_quality_score",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ts,
+        |    CAST(length(text) AS DOUBLE) AS n_chars
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(ts) AS BIGINT) AS n_tokens,
+        |  round(CAST(len(list_filter(ts, x -> x = 'a' OR x = 'the')) AS DOUBLE) / len(ts), 6) AS stopword_ratio,
+        |  round(CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts), 6) AS unique_ratio,
+        |  round((n_chars - (len(ts) - 1)) / len(ts), 6) AS mean_token_len,
+        |  round(0.25 * (1.0 - CAST(len(list_filter(ts, x -> x = 'a' OR x = 'the')) AS DOUBLE) / len(ts))
+        |      + 0.5 * (CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts))
+        |      + 0.25 * least((n_chars - (len(ts) - 1)) / len(ts) / 8.0, 1.0), 6) AS quality
+        |FROM f ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      TextOps.qualityScore(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // t03 — token counting: whitespace tokens, BPE-ish regex tokens
+    // (letter runs / digit runs / single punctuation), chars, and the
+    // ~4-chars-per-token BPE estimate.
+    Q(
+      "t03_token_counts",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_regex_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(floor((length(text) + 3) / 4.0) AS BIGINT) AS est_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        size(DedupOps.words(col("text"))).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
+          .as("n_regex_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        floor((length(col("text")) + 3) / 4.0).cast("long").as("est_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // t04 — document fingerprinting: md5 over the whitespace-normalized
+    // text, plus the minimum character-8-gram hash (a 1-permutation
+    // winnowing fingerprint — robust to local edits).
+    Q(
+      "t04_fingerprint",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_filter(string_split(text, ' '), x -> x <> ''), ' ') AS norm,
+        |    text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  md5(norm) AS fp_norm,
+        |  list_min(list_transform(generate_series(1, length(text) - 7),
+        |    i -> md5(substr(text, i, 8)))) AS fp_min8
+        |FROM f ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        md5(concat_ws(" ", DedupOps.words(col("text")))).as("fp_norm"),
+        array_min(transform(TextOps.charNgrams(col("text"), 8), g => md5(g)))
+          .as("fp_min8"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}
