@@ -1,0 +1,152 @@
+package graft.model
+
+/** Validated configuration for the `pulsarlike` source — the case-class
+  * mirror of the reference's config POJO graph, with the same validation
+  * rules and error behaviors:
+  *
+  *  - `serviceUrl` is the single mandatory connection parameter
+  *    (reference: pojo/PulsarConnectionConfig.java:36-43);
+  *  - TLS is inferred from the URL scheme — `pulsar+ssl://`/`https` force
+  *    it on, `pulsar://` forces it off, otherwise the explicit `useTLS`
+  *    flag decides (pojo/ConnectionConfiguration.java:25-34);
+  *  - either `topicNames` (comma-separated) or `topicsPattern` must be
+  *    set (PulsarMessageConsumer.java:259-261);
+  *  - enum-valued parameters throw listing the valid values
+  *    (PulsarMessageConsumer.java:368-397);
+  *  - when batch receive is enabled, at least one of batchingMaxMessages /
+  *    batchingMaxBytes / batchingTimeout must be set
+  *    (PulsarMessageConsumer.java:307-309).
+  *
+  * TLS/auth knobs validate but are functional no-ops against the local
+  * file-backed store (no broker — SURVEY.md §7 non-goals).
+  */
+final case class PulsarLikeConf(
+    serviceUrl: String,
+    useTLS: Boolean,
+    topicNames: Seq[String],
+    topicsPattern: Option[String],
+    subscriptionTopicsMode: SubscriptionTopicsMode,
+    subscriptionName: String,
+    subscriptionType: SubscriptionType,
+    initialPosition: InitialPosition,
+    processingMode: ProcessingMode,
+    batchReceiveEnabled: Boolean,
+    batchingMaxMessages: Option[Long],
+    batchingMaxBytes: Option[Long],
+    batchingTimeoutMs: Option[Long],
+    receiverQueueSize: Option[Long],
+    dlqMaxRedeliverCount: Int,
+    dlqTopic: Option[String],
+    nackRedeliveryDelayMs: Option[Long],
+    ackTimeoutMs: Option[Long],
+    readCompacted: Boolean)
+
+sealed abstract class SubscriptionType(val name: String)
+object SubscriptionType {
+  case object Exclusive extends SubscriptionType("Exclusive")
+  case object Shared extends SubscriptionType("Shared")
+  case object Failover extends SubscriptionType("Failover")
+  case object KeyShared extends SubscriptionType("Key_Shared")
+  val all: Seq[SubscriptionType] = Seq(Exclusive, Shared, Failover, KeyShared)
+}
+
+sealed abstract class InitialPosition(val name: String)
+object InitialPosition {
+  case object Latest extends InitialPosition("Latest")
+  case object Earliest extends InitialPosition("Earliest")
+  val all: Seq[InitialPosition] = Seq(Latest, Earliest)
+}
+
+sealed abstract class ProcessingMode(val name: String)
+object ProcessingMode {
+  case object Sync extends ProcessingMode("Sync")
+  case object Async extends ProcessingMode("Async")
+  val all: Seq[ProcessingMode] = Seq(Sync, Async)
+}
+
+sealed abstract class SubscriptionTopicsMode(val name: String)
+object SubscriptionTopicsMode {
+  case object AllTopics extends SubscriptionTopicsMode("AllTopics")
+  case object PersistentOnly extends SubscriptionTopicsMode("PersistentOnly")
+  case object NonPersistentOnly extends SubscriptionTopicsMode("NonPersistentOnly")
+  val all: Seq[SubscriptionTopicsMode] = Seq(AllTopics, PersistentOnly, NonPersistentOnly)
+}
+
+object PulsarLikeConf {
+
+  /** Build + validate from a DSv2 options map. Throws
+    * IllegalArgumentException with reference-parity messages. */
+  def fromOptions(opts: Map[String, String]): PulsarLikeConf = {
+    def get(k: String): Option[String] =
+      opts.get(k).map(_.trim).filter(_.nonEmpty)
+
+    val serviceUrl = get("serviceUrl").getOrElse(fail(
+      "Mandatory parameter 'serviceUrl' is not set."))
+
+    // scheme => TLS inference (ConnectionConfiguration.java:25-34)
+    val useTLS =
+      if (serviceUrl.startsWith("pulsar+ssl://") || serviceUrl.startsWith("https")) true
+      else if (serviceUrl.startsWith("pulsar://")) false
+      else get("useTLS").exists(_.toBoolean)
+
+    val topics = get("topicNames")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val pattern = get("topicsPattern")
+    if (topics.isEmpty && pattern.isEmpty)
+      fail("Either 'topicNames' or 'topicsPattern' must be provided.")
+
+    def enum_[T](key: String, all: Seq[T], nameOf: T => String, default: T): T =
+      get(key) match {
+        case None => default
+        case Some(v) => all.find(t => nameOf(t).equalsIgnoreCase(v)).getOrElse(fail(
+          s"Invalid value '$v' for parameter '$key'. Valid values are: " +
+            all.map(nameOf).mkString(", ") + "."))
+      }
+
+    def long_(key: String): Option[Long] = get(key).map { v =>
+      try v.toLong
+      catch { case _: NumberFormatException =>
+        fail(s"Invalid numeric value '$v' for parameter '$key'.") }
+    }
+
+    val batchEnabled = get("batchReceiveEnabled").forall(_.toBoolean) // default true
+    val maxMsgs = long_("batchingMaxMessages").filter(_ > 0)
+    val maxBytes = long_("batchingMaxBytes").filter(_ > 0)
+    val timeout = long_("batchingTimeout").filter(_ > 0)
+    if (batchEnabled && maxMsgs.isEmpty && maxBytes.isEmpty && timeout.isEmpty)
+      fail("Batch receive is enabled but none of 'batchingMaxMessages', " +
+        "'batchingMaxBytes', 'batchingTimeout' is set. At least one bound " +
+        "is required.")
+
+    PulsarLikeConf(
+      serviceUrl = serviceUrl,
+      useTLS = useTLS,
+      topicNames = topics,
+      topicsPattern = pattern,
+      subscriptionTopicsMode = enum_("subscriptionTopicsMode",
+        SubscriptionTopicsMode.all, (_: SubscriptionTopicsMode).name,
+        SubscriptionTopicsMode.AllTopics),
+      subscriptionName = get("subscriptionName").getOrElse("sub-default"),
+      subscriptionType = enum_("subscriptionType", SubscriptionType.all,
+        (_: SubscriptionType).name, SubscriptionType.Exclusive),
+      initialPosition = enum_("subscriptionInitialPosition",
+        InitialPosition.all, (_: InitialPosition).name, InitialPosition.Latest),
+      processingMode = enum_("processingMode", ProcessingMode.all,
+        (_: ProcessingMode).name, ProcessingMode.Sync),
+      batchReceiveEnabled = batchEnabled,
+      batchingMaxMessages = maxMsgs,
+      batchingMaxBytes = maxBytes,
+      batchingTimeoutMs = timeout,
+      receiverQueueSize = long_("receiverQueueSize"),
+      dlqMaxRedeliverCount =
+        long_("dlqMaxRedeliverCount").map(_.toInt).getOrElse(5),
+      dlqTopic = get("dlqTopic"),
+      nackRedeliveryDelayMs = long_("nackRedeliveryDelay"),
+      ackTimeoutMs = long_("ackTimeoutMillis"),
+      readCompacted = get("readCompacted").exists(_.toBoolean))
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(msg)
+}

@@ -1,0 +1,306 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util.Base64
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.model._
+
+/** `pulsarlike` — DataSource V2 source reproducing the reference consumer's
+  * delivery semantics over the file-backed [[TopicStore]] (SURVEY.md §2A):
+  *
+  *  - A1 topic-list / A2 regex-pattern subscribe (incl. persistent-only /
+  *    non-persistent-only filtering by the `np-` naming convention);
+  *  - A4 initial position Latest/Earliest at first subscribe (the
+  *    checkpoint — ≙ the durable subscription cursor — wins afterwards);
+  *  - A6 poll loop ≙ micro-batch trigger; A9 batch receive ≙ one trigger's
+  *    batch; A11 batch admission via SupportsAdmissionControl
+  *    (batchingMaxMessages → ReadLimit.maxRows, batchingMaxBytes →
+  *    byte-budget rows estimate from store meta);
+  *  - A15 ack ≙ offset commit: `commit(end)` fires only after the batch
+  *    (incl. foreachBatch) succeeds; a failed batch replays = redelivery;
+  *  - A18 receiver-queue bound ≙ per-trigger read limits;
+  *  - A20 partition discovery: the topic set and partition counts are
+  *    re-resolved in every latestOffset() call;
+  *  - A21 readCompacted: the first batch from a fresh subscription serves
+  *    the latest-message-per-key snapshot (key-hash routing makes per-key
+  *    state partition-local, so compaction is a partition-local pass);
+  *  - A22 option surface validated in [[PulsarLikeConf]] at table
+  *    creation (analysis time), TLS/auth being validated no-ops locally.
+  *
+  * Scale posture: one InputPartition per store partition slice — a
+  * 1000-executor cluster reads partitions in parallel; latestOffset uses
+  * O(partitions) meta reads, never data scans; admission control bounds a
+  * trigger so executors can't be flooded (backpressure ≙ receiver queues).
+  */
+class PulsarLikeSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "pulsarlike"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PulsarLikeSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val opts = properties.asScala.toMap
+    val conf = PulsarLikeConf.fromOptions(opts)   // validation: analysis time
+    val root = opts.getOrElse("path",
+      throw new IllegalArgumentException(
+        "Mandatory parameter 'path' (topic store root) is not set."))
+    new PulsarLikeTable(conf, root)
+  }
+}
+
+object PulsarLikeSource {
+  /** Canonical message schema (SURVEY.md §1.4, FIXTURES.md). */
+  val schema: StructType = StructType(Seq(
+    StructField("topic", StringType, nullable = false),
+    StructField("message_id", StringType, nullable = false),
+    StructField("key", StringType, nullable = true),
+    StructField("value", BinaryType, nullable = false),
+    StructField("value_str", StringType, nullable = true),
+    StructField("properties",
+      MapType(StringType, StringType, valueContainsNull = false), nullable = false),
+    StructField("publish_time", TimestampType, nullable = false),
+    StructField("event_time", TimestampType, nullable = true),
+    StructField("redelivery_count", IntegerType, nullable = false),
+    StructField("content_type", StringType, nullable = true)))
+
+  /** Resolve the subscribed topic set against the store (A1/A2/A20). */
+  def resolveTopics(conf: PulsarLikeConf, root: String): Seq[String] = {
+    val base = if (conf.topicNames.nonEmpty) {
+      conf.topicNames.filter(t =>
+        Files.isDirectory(Paths.get(root, t)))
+    } else {
+      val p = conf.topicsPattern.get.r
+      TopicStore.listTopics(root).filter(t => p.pattern.matcher(t).matches())
+    }
+    conf.subscriptionTopicsMode match {
+      case SubscriptionTopicsMode.AllTopics => base
+      case SubscriptionTopicsMode.PersistentOnly =>
+        base.filterNot(_.startsWith("np-"))
+      case SubscriptionTopicsMode.NonPersistentOnly =>
+        base.filter(_.startsWith("np-"))
+    }
+  }
+}
+
+class PulsarLikeTable(conf: PulsarLikeConf, root: String)
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"pulsarlike(${conf.topicNames.mkString(",")}${conf.topicsPattern.getOrElse("")})"
+  override def schema(): StructType = PulsarLikeSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = PulsarLikeSource.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new PulsarLikeMicroBatchStream(conf, root)
+        override def toBatch: Batch = new PulsarLikeBatch(conf, root)
+      }
+    }
+}
+
+/** Offset = per topic-partition next-line-to-read. */
+case class PulsarLikeOffset(cursors: Map[String, Long]) extends Offset {
+  override def json(): String = {
+    val m = TopicStore.mapper.createObjectNode()
+    cursors.toSeq.sortBy(_._1).foreach { case (k, v) => m.put(k, v) }
+    TopicStore.mapper.writeValueAsString(m)
+  }
+}
+object PulsarLikeOffset {
+  def fromJson(s: String): PulsarLikeOffset = {
+    val n = TopicStore.mapper.readTree(s)
+    PulsarLikeOffset(n.fields().asScala
+      .map(e => e.getKey -> e.getValue.asLong()).toMap)
+  }
+  def key(topic: String, p: Int): String = s"$topic/$p"
+}
+
+class PulsarLikeMicroBatchStream(conf: PulsarLikeConf, root: String)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+  import PulsarLikeOffset.key
+
+  /** Current end offsets; re-lists topics/partitions (A20). */
+  private def endCursors(): Map[String, Long] = {
+    PulsarLikeSource.resolveTopics(conf, root).flatMap { t =>
+      TopicStore.partitionIds(root, t).map { p =>
+        key(t, p) -> TopicStore.partitionMeta(root, t, p)._1
+      }
+    }.toMap
+  }
+
+  // Trigger.AvailableNow support: pin the end offsets at query start so
+  // repeated admission-limited batches drain exactly to that point
+  private var availableNowEnd: Option[Map[String, Long]] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowEnd = Some(endCursors())
+  }
+
+  override def initialOffset(): Offset = conf.initialPosition match {
+    case InitialPosition.Earliest =>
+      PulsarLikeOffset(endCursors().map { case (k, _) => k -> 0L })
+    case InitialPosition.Latest => PulsarLikeOffset(endCursors())
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    (conf.batchingMaxMessages, conf.batchingMaxBytes) match {
+      case (Some(n), _) => ReadLimit.maxRows(n)
+      case (None, Some(_)) => ReadLimit.allAvailable() // bytes applied in latestOffset
+      case _ => ReadLimit.allAvailable()
+    }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  /** A11 batch admission: cap the rows admitted this trigger. maxBytes is
+    * applied as a rows budget from the partition's observed bytes/row. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startCur = start.asInstanceOf[PulsarLikeOffset].cursors
+    val end = availableNowEnd.getOrElse(endCursors())
+    val maxRows: Long = limit match {
+      case r: ReadMaxRows => r.maxRows()
+      case _ => conf.batchingMaxMessages.getOrElse(Long.MaxValue)
+    }
+    val maxBytes: Long = conf.batchingMaxBytes.getOrElse(Long.MaxValue)
+    var rowBudget = maxRows
+    var byteBudget = maxBytes
+    // deterministic partition order; budget consumed in that order
+    val admitted = end.toSeq.sortBy(_._1).map { case (k, endOff) =>
+      val s = startCur.getOrElse(k, 0L)
+      val avail = math.max(0L, endOff - s)
+      val Array(t, pStr) = k.split("/")
+      val (cnt, bytes) = TopicStore.partitionMeta(root, t, pStr.toInt)
+      val bytesPerRow = if (cnt > 0) math.max(1L, bytes / cnt) else 1L
+      val byByte = if (byteBudget == Long.MaxValue) avail
+        else math.min(avail, byteBudget / bytesPerRow)
+      val take = math.min(avail, math.min(rowBudget, byByte))
+      rowBudget -= take
+      byteBudget -= take * bytesPerRow
+      k -> (s + take)
+    }.toMap
+    // keep cursors for partitions that vanished from the store listing
+    PulsarLikeOffset(startCur ++ admitted)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PulsarLikeOffset].cursors
+    val e = end.asInstanceOf[PulsarLikeOffset].cursors
+    // A21: a fresh subscription (all-zero start) with readCompacted serves
+    // the latest-per-key snapshot as its first batch
+    val fresh = s.values.forall(_ == 0L)
+    e.toSeq.sortBy(_._1).flatMap { case (k, endOff) =>
+      val startOff = s.getOrElse(k, 0L)
+      if (endOff <= startOff) None
+      else {
+        val Array(t, pStr) = k.split("/")
+        Some(PulsarLikeInputPartition(root, t, pStr.toInt, startOff, endOff,
+          compacted = conf.readCompacted && fresh))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PulsarLikeReaderFactory()
+
+  /** A15: ack ≙ offset commit. Only reached after the whole batch —
+    * including the user's foreachBatch — succeeded; a failure replays
+    * from the checkpoint (redelivery). Cursor durability lives in the
+    * checkpoint (≙ the durable subscription), so this is a no-op. */
+  override def commit(end: Offset): Unit = ()
+
+  override def deserializeOffset(json: String): Offset =
+    PulsarLikeOffset.fromJson(json)
+  override def stop(): Unit = ()
+}
+
+/** Batch read of the same store (full current range). */
+class PulsarLikeBatch(conf: PulsarLikeConf, root: String) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] = {
+    PulsarLikeSource.resolveTopics(conf, root).flatMap { t =>
+      TopicStore.partitionIds(root, t).map { p =>
+        val (cnt, _) = TopicStore.partitionMeta(root, t, p)
+        PulsarLikeInputPartition(root, t, p, 0L, cnt,
+          compacted = conf.readCompacted)
+      }
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PulsarLikeReaderFactory()
+}
+
+case class PulsarLikeInputPartition(root: String, topic: String, p: Int,
+    startOff: Long, endOff: Long, compacted: Boolean) extends InputPartition
+
+class PulsarLikeReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val ip = partition.asInstanceOf[PulsarLikeInputPartition]
+    new PulsarLikePartitionReader(ip)
+  }
+}
+
+class PulsarLikePartitionReader(ip: PulsarLikeInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val iter: Iterator[TopicStore.Msg] = {
+    val f = TopicStore.topicDir(ip.root, ip.topic).resolve(s"part-${ip.p}.jsonl")
+    val all =
+      if (!Files.exists(f)) Iterator.empty
+      else Files.lines(f).iterator().asScala
+        .slice(ip.startOff.toInt, ip.endOff.toInt)
+        .map(TopicStore.decode)
+    if (!ip.compacted) all
+    else {
+      // latest per key within the slice — correct globally because key
+      // routing pins a key to one partition; keyless messages pass through
+      val seen = new java.util.LinkedHashMap[String, TopicStore.Msg]()
+      val keyless = Vector.newBuilder[TopicStore.Msg]
+      all.foreach { m =>
+        if (m.key == null) keyless += m else seen.put(m.key, m)
+      }
+      (seen.values().asScala ++ keyless.result()).iterator
+    }
+  }
+
+  private var cur: TopicStore.Msg = _
+
+  override def next(): Boolean = {
+    if (iter.hasNext) { cur = iter.next(); true } else false
+  }
+
+  override def get(): InternalRow = {
+    val value = Base64.getDecoder.decode(cur.valueB64)
+    val props = cur.properties.toSeq
+    InternalRow(
+      UTF8String.fromString(ip.topic),
+      UTF8String.fromString(cur.messageId),
+      if (cur.key == null) null else UTF8String.fromString(cur.key),
+      value,
+      UTF8String.fromBytes(value),
+      ArrayBasedMapData(
+        props.map(p => UTF8String.fromString(p._1)).toArray,
+        props.map(p => UTF8String.fromString(p._2)).toArray),
+      cur.publishTimeUs,
+      if (cur.eventTimeUs == 0L) null else java.lang.Long.valueOf(cur.eventTimeUs),
+      cur.redeliveryCount,
+      if (cur.contentType == null) null else UTF8String.fromString(cur.contentType))
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,211 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.util.Base64
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-backed topic store — the local stand-in for the external broker
+  * (SURVEY.md §7: the broker is out of scope; its *semantics* are
+  * reproduced over this store).
+  *
+  * Layout: `<root>/<topic>/part-<p>.jsonl` (one JSON message per line,
+  * line number = offset) + `part-<p>.meta` (`{"count":N,"bytes":B}`) so
+  * the streaming source's `latestOffset()` never scans data files.
+  *
+  * Messages are routed to partitions by key hash (Pulsar's key routing):
+  * a key lives in exactly one partition, which is what makes per-key
+  * operations (compacted reads A21, Key_Shared ordering A3) local to a
+  * partition. Null/empty keys round-robin via a message hash.
+  *
+  * Topics whose name starts with `np-` are treated as non-persistent for
+  * `subscriptionTopicsMode` filtering (A2) — a naming convention standing
+  * in for Pulsar's persistent:// / non-persistent:// schemes.
+  */
+object TopicStore {
+
+  val mapper = new ObjectMapper()
+
+  final case class Msg(
+      messageId: String, key: String, valueB64: String,
+      properties: Map[String, String], publishTimeUs: Long,
+      eventTimeUs: Long, redeliveryCount: Int, contentType: String)
+
+  def topicDir(root: String, topic: String): Path = Paths.get(root, topic)
+
+  def listTopics(root: String): Seq[String] = {
+    val r = Paths.get(root)
+    if (!Files.isDirectory(r)) Seq.empty
+    else Files.list(r).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(_.getFileName.toString)
+      .filterNot(_.startsWith("."))
+      .toSeq.sorted
+  }
+
+  /** Existing partition ids (sparse — a partition file only exists once
+    * something was routed to it). */
+  def partitionIds(root: String, topic: String): Seq[Int] = {
+    val d = topicDir(root, topic)
+    if (!Files.isDirectory(d)) Seq.empty
+    else Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("part-\\d+\\.jsonl") =>
+        s.stripPrefix("part-").stripSuffix(".jsonl").toInt }
+      .toSeq.sorted
+  }
+
+  /** (count, bytes) per partition from the meta sidecar (O(1), no scan). */
+  def partitionMeta(root: String, topic: String, p: Int): (Long, Long) = {
+    val m = topicDir(root, topic).resolve(s"part-$p.meta")
+    if (!Files.exists(m)) (0L, 0L)
+    else {
+      val n = mapper.readTree(Files.readString(m))
+      (n.get("count").asLong(), n.get("bytes").asLong())
+    }
+  }
+
+  def encode(m: Msg): String = {
+    val o = mapper.createObjectNode()
+    o.put("message_id", m.messageId)
+    if (m.key != null) o.put("key", m.key) else o.putNull("key")
+    o.put("value", m.valueB64)
+    val props = o.putObject("properties")
+    m.properties.foreach { case (k, v) => props.put(k, v) }
+    o.put("publish_time", m.publishTimeUs)
+    o.put("event_time", m.eventTimeUs)
+    o.put("redelivery_count", m.redeliveryCount)
+    if (m.contentType != null) o.put("content_type", m.contentType)
+    else o.putNull("content_type")
+    mapper.writeValueAsString(o)
+  }
+
+  def decode(line: String): Msg = {
+    val n = mapper.readTree(line)
+    val props = n.get("properties").asInstanceOf[ObjectNode]
+    val pm = props.fields().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap
+    Msg(
+      messageId = n.get("message_id").asText(),
+      key = if (n.get("key").isNull) null else n.get("key").asText(),
+      valueB64 = n.get("value").asText(),
+      properties = pm,
+      publishTimeUs = n.get("publish_time").asLong(),
+      eventTimeUs = n.get("event_time").asLong(),
+      redeliveryCount = n.get("redelivery_count").asInt(),
+      contentType =
+        if (n.get("content_type").isNull) null else n.get("content_type").asText())
+  }
+
+  /** Publish a DataFrame into a topic. Expected columns (missing ones are
+    * defaulted): key:string, value_str:string (or value:binary),
+    * properties:map<string,string>, publish_time/event_time:timestamp,
+    * redelivery_count:int, content_type:string, message_id:string
+    * (preserved if present — redelivery keeps the original id).
+    *
+    * Appends after existing data; offsets stay contiguous per partition.
+    */
+  def publish(spark: SparkSession, df: DataFrame, root: String, topic: String,
+      numPartitions: Int): Unit = {
+    val dir = topicDir(root, topic)
+    Files.createDirectories(dir)
+    val cols = df.columns.toSet
+    def orElse(name: String, default: org.apache.spark.sql.Column) =
+      if (cols.contains(name)) col(name) else default
+
+    val canon = df.select(
+      orElse("message_id", lit(null).cast("string")).as("message_id"),
+      orElse("key", lit(null).cast("string")).as("key"),
+      (if (cols.contains("value_str")) col("value_str").cast("binary")
+       else orElse("value", lit(Array.empty[Byte]))).as("value"),
+      orElse("properties",
+        map().cast("map<string,string>")).as("properties"),
+      orElse("publish_time", current_timestamp()).as("publish_time"),
+      orElse("event_time", lit(null).cast("timestamp")).as("event_time"),
+      orElse("redelivery_count", lit(0)).cast("int").as("redelivery_count"),
+      orElse("content_type", lit(null).cast("string")).as("content_type"))
+
+    // Pulsar key routing: hash(key) → partition; keyless rows spread by
+    // value hash. xxhash64 is stable across executors/runs.
+    val routed = canon.withColumn("__p",
+      pmod(xxhash64(coalesce(col("key"), base64(col("value")))),
+        lit(numPartitions)).cast("int"))
+
+    val rootStr = root
+    val topicStr = topic
+    // one writer task per store partition — offsets are assigned inside
+    // the single task that owns the partition file (contiguous, ordered)
+    routed.repartition(numPartitions, col("__p"))
+      .sortWithinPartitions(col("publish_time"), col("message_id"))
+      .foreachPartition { (it: Iterator[Row]) =>
+        writePartition(rootStr, topicStr, it)
+      }
+  }
+
+  private def writePartition(root: String, topic: String, it: Iterator[Row]): Unit = {
+    // a task may receive rows of several store partitions (hash
+    // co-location) — group and write each partition file separately
+    it.toVector.groupBy(_.getAs[Int]("__p")).foreach { case (p, rows) =>
+      writeGroup(root, topic, p, rows)
+    }
+  }
+
+  private def writeGroup(root: String, topic: String, p: Int,
+      rows: Vector[Row]): Unit = {
+    if (rows.isEmpty) return
+    val dir = topicDir(root, topic)
+    val dataFile = dir.resolve(s"part-$p.jsonl")
+    val metaFile = dir.resolve(s"part-$p.meta")
+    // single-writer-per-partition: coordinate appends via file lock so
+    // concurrent publishes (redelivery + new data) stay consistent
+    val lockFile = dir.resolve(s"part-$p.lock")
+    val ch = java.nio.channels.FileChannel.open(lockFile,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try {
+      val (base, bytes0) =
+        if (Files.exists(metaFile)) {
+          val n = mapper.readTree(Files.readString(metaFile))
+          (n.get("count").asLong(), n.get("bytes").asLong())
+        } else (0L, 0L)
+      val sb = new StringBuilder
+      var off = base
+      var bytes = bytes0
+      rows.foreach { r =>
+        val value = r.getAs[Array[Byte]]("value")
+        val mid = Option(r.getAs[String]("message_id"))
+          .getOrElse(s"0:$off:$p:0")
+        val pubTs = Option(r.getAs[java.sql.Timestamp]("publish_time"))
+          .map(t => t.getTime * 1000L + (t.getNanos / 1000) % 1000).getOrElse(0L)
+        val evtTs = Option(r.getAs[java.sql.Timestamp]("event_time"))
+          .map(t => t.getTime * 1000L + (t.getNanos / 1000) % 1000).getOrElse(pubTs)
+        val props = Option(r.getAs[Map[String, String]]("properties"))
+          .getOrElse(Map.empty)
+        val line = encode(Msg(
+          messageId = mid,
+          key = r.getAs[String]("key"),
+          valueB64 = Base64.getEncoder.encodeToString(
+            if (value == null) Array.empty[Byte] else value),
+          properties = props,
+          publishTimeUs = pubTs,
+          eventTimeUs = evtTs,
+          redeliveryCount = r.getAs[Int]("redelivery_count"),
+          contentType = r.getAs[String]("content_type")))
+        sb.append(line).append('\n')
+        bytes += line.length + 1
+        off += 1
+      }
+      Files.writeString(dataFile, sb.toString,
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      Files.writeString(metaFile,
+        s"""{"count":$off,"bytes":$bytes}""",
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    } finally { lock.release(); ch.close() }
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A19 — chunked-message reassembly (reference:
+  * PulsarMessageConsumer.java:325-336, delegated there to pulsar-client):
+  * large messages split into chunks arrive out of order; buffer per
+  * chunk-uuid, emit when all `total_chunks` fragments are present, expire
+  * incomplete groups once the watermark passes last-arrival + `expiry`
+  * (≙ expiryTimeOfIncompleteChunkedMessageMillis), and drop groups that
+  * exceed `maxChunks` buffered fragments (≙ maxPendingChunkedMessage
+  * state cap).
+  *
+  * Implemented on flatMapGroupsWithState with EventTimeTimeout (public
+  * stateful API — SURVEY.md §4: no Catalyst internals). Event-time expiry
+  * (vs the reference's wall-clock) is the Spark-idiomatic choice: it is
+  * deterministic under replay, which wall-clock expiry is not.
+  * (ProcessingTimeTimeout also hits a planner NPE in Spark 4.1.2.)
+  *
+  * Scale posture: state is shuffled by chunk_uuid, so memory scales with
+  * in-flight chunked messages per executor, not corpus size; the
+  * watermark bounds state lifetime.
+  */
+object ChunkReassembly {
+
+  final case class Chunk(
+      chunk_uuid: String, chunk_id: Int, total_chunks: Int,
+      fragment: String, ts: Timestamp)
+
+  final case class Assembled(
+      chunk_uuid: String, payload: String, n_chunks: Int)
+
+  final case class ChunkState(total: Int, fragments: Map[Int, String])
+
+  /** @param watermarkDelay max out-of-orderness of chunk arrival
+    * @param expiryMs incomplete-group expiry measured in event time */
+  def reassemble(spark: SparkSession, chunks: Dataset[Chunk],
+      watermarkDelay: String = "10 seconds",
+      expiryMs: Long = 60000L, maxChunks: Int = 64): Dataset[Assembled] = {
+    import spark.implicits._
+    chunks
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.chunk_uuid)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uuid: String, it: Iterator[Chunk], state: GroupState[ChunkState]) => {
+          if (state.hasTimedOut) {
+            // expiry of an incomplete chunked message: drop buffered state
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = it.toSeq
+            val prev = state.getOption
+            val all = prev.map(_.fragments).getOrElse(Map.empty) ++
+              batch.map(c => c.chunk_id -> c.fragment)
+            val expected = batch.headOption.map(_.total_chunks)
+              .orElse(prev.map(_.total))
+              .getOrElse(0)
+            if (all.size > maxChunks) {
+              // state cap: drop the oversized group entirely
+              state.remove()
+              Iterator.empty
+            } else if (expected > 0 && all.size == expected &&
+                (0 until expected).forall(all.contains)) {
+              state.remove()
+              Iterator.single(Assembled(uuid,
+                (0 until expected).map(all).mkString, expected))
+            } else {
+              state.update(ChunkState(expected, all))
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + expiryMs)
+              Iterator.empty
+            }
+          }
+        })
+  }
+}

@@ -1,0 +1,72 @@
+package graft.model
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Option-parsing/validation parity with the reference's error behaviors
+  * (SURVEY.md §5 item 1). */
+class PulsarLikeConfSpec extends AnyFunSuite {
+
+  private val valid = Map(
+    "serviceUrl" -> "pulsar://localhost:6650",
+    "topicNames" -> "events",
+    "batchingMaxMessages" -> "1000")
+
+  test("serviceUrl is mandatory (PulsarConnectionConfig.java:36-43)") {
+    val e = intercept[IllegalArgumentException] {
+      PulsarLikeConf.fromOptions(valid - "serviceUrl")
+    }
+    assert(e.getMessage.contains("serviceUrl"))
+  }
+
+  test("topics or pattern required (PulsarMessageConsumer.java:259-261)") {
+    val e = intercept[IllegalArgumentException] {
+      PulsarLikeConf.fromOptions(valid - "topicNames")
+    }
+    assert(e.getMessage.contains("topicNames"))
+    assert(e.getMessage.contains("topicsPattern"))
+  }
+
+  test("TLS inferred from URL scheme (ConnectionConfiguration.java:25-34)") {
+    assert(PulsarLikeConf.fromOptions(
+      valid + ("serviceUrl" -> "pulsar+ssl://h:6651")).useTLS)
+    assert(!PulsarLikeConf.fromOptions(
+      valid + ("serviceUrl" -> "pulsar://h:6650")).useTLS)
+    // non-pulsar scheme: explicit flag decides
+    assert(PulsarLikeConf.fromOptions(
+      valid + ("serviceUrl" -> "file:///x", "useTLS" -> "true")).useTLS)
+    assert(!PulsarLikeConf.fromOptions(
+      valid + ("serviceUrl" -> "file:///x")).useTLS)
+  }
+
+  test("enum validation lists valid values (PulsarMessageConsumer.java:368-397)") {
+    val e = intercept[IllegalArgumentException] {
+      PulsarLikeConf.fromOptions(valid + ("subscriptionType" -> "Banana"))
+    }
+    assert(e.getMessage.contains("Banana"))
+    Seq("Exclusive", "Shared", "Failover", "Key_Shared").foreach(v =>
+      assert(e.getMessage.contains(v)))
+    // valid values parse case-insensitively
+    assert(PulsarLikeConf.fromOptions(valid + ("subscriptionType" -> "key_shared"))
+      .subscriptionType == SubscriptionType.KeyShared)
+  }
+
+  test("batch policy needs >=1 bound when batch receive on (PulsarMessageConsumer.java:307-309)") {
+    val e = intercept[IllegalArgumentException] {
+      PulsarLikeConf.fromOptions(valid - "batchingMaxMessages")
+    }
+    assert(e.getMessage.contains("batchingMaxMessages"))
+    // disabled batch receive needs no bounds
+    val c = PulsarLikeConf.fromOptions(
+      valid - "batchingMaxMessages" + ("batchReceiveEnabled" -> "false"))
+    assert(!c.batchReceiveEnabled)
+  }
+
+  test("defaults match the reference (uischema.json)") {
+    val c = PulsarLikeConf.fromOptions(valid)
+    assert(c.initialPosition == InitialPosition.Latest)       // uischema.json:727
+    assert(c.processingMode == ProcessingMode.Sync)           // uischema.json:742
+    assert(c.batchReceiveEnabled)                             // uischema.json:804
+    assert(c.dlqMaxRedeliverCount == 5)                       // uischema.json:792
+    assert(c.subscriptionType == SubscriptionType.Exclusive)
+  }
+}

@@ -1,0 +1,170 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** End-to-end source semantics over the file-backed topic store
+  * (SURVEY.md §5 item 2): batch + micro-batch reads, Earliest/Latest,
+  * pattern subscribe with persistent filtering, admission control,
+  * ack=commit (restart without reprocessing), readCompacted. */
+class PulsarLikeSourceSpec extends SparkSpec {
+
+  private def publishEvents(root: String, topic: String, n: Int,
+      parts: Int = 2): Unit = {
+    import spark.implicits._
+    val df = (0 until n).map { i =>
+      (s"k${i % 5}", s"payload-$i", Map("seq" -> i.toString),
+        new java.sql.Timestamp(1700000000000L + i * 1000L), "text/plain")
+    }.toDF("key", "value_str", "properties", "publish_time", "content_type")
+    TopicStore.publish(spark, df, root, topic, parts)
+  }
+
+  private def readBatch(root: String, extra: (String, String)*) = {
+    val base = spark.read.format("pulsarlike")
+      .option("path", root)
+      .option("serviceUrl", "pulsar://local")
+      .option("batchingMaxMessages", "100000")
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  test("batch read returns all published messages with canonical schema") {
+    val root = tmpDir("store")
+    publishEvents(root, "events", 20)
+    val df = readBatch(root, "topicNames" -> "events")
+    assert(df.count() == 20)
+    assert(df.schema.fieldNames.toSeq == Seq("topic", "message_id", "key",
+      "value", "value_str", "properties", "publish_time", "event_time",
+      "redelivery_count", "content_type"))
+    val row = df.filter(col("value_str") === "payload-7").collect()(0)
+    assert(row.getAs[String]("key") == "k2")
+    assert(row.getAs[Map[String, String]]("properties")("seq") == "7")
+    assert(row.getAs[String]("topic") == "events")
+    assert(row.getAs[Int]("redelivery_count") == 0)
+  }
+
+  test("key routing: all messages of one key land in one partition") {
+    val root = tmpDir("store")
+    publishEvents(root, "events", 40, parts = 4)
+    val df = readBatch(root, "topicNames" -> "events")
+      .select(col("key"), expr("split(message_id, ':')[2]").as("p"))
+      .distinct()
+    val perKey = df.groupBy("key").count().collect()
+    assert(perKey.forall(_.getLong(1) == 1L),
+      s"keys straddle partitions: ${perKey.mkString(",")}")
+  }
+
+  test("pattern subscribe + persistent-only filter (A2)") {
+    val root = tmpDir("store")
+    publishEvents(root, "ev-a", 5)
+    publishEvents(root, "ev-b", 5)
+    publishEvents(root, "np-ev-c", 5)
+    val all = readBatch(root, "topicsPattern" -> ".*ev.*")
+    assert(all.select("topic").distinct().count() == 3)
+    val persistent = readBatch(root, "topicsPattern" -> ".*ev.*",
+      "subscriptionTopicsMode" -> "PersistentOnly")
+    assert(persistent.select("topic").distinct().collect()
+      .map(_.getString(0)).toSet == Set("ev-a", "ev-b"))
+    val np = readBatch(root, "topicsPattern" -> ".*ev.*",
+      "subscriptionTopicsMode" -> "NonPersistentOnly")
+    assert(np.select("topic").distinct().collect()
+      .map(_.getString(0)).toSet == Set("np-ev-c"))
+  }
+
+  test("readCompacted serves latest message per key (A21)") {
+    val root = tmpDir("store")
+    publishEvents(root, "events", 20)  // keys k0..k4, 4 messages each
+    val df = readBatch(root, "topicNames" -> "events",
+      "readCompacted" -> "true")
+    val rows = df.select("key", "value_str").collect()
+    assert(rows.length == 5)
+    // latest payload for k2 is payload-17 (publish_time ordered)
+    assert(rows.find(_.getString(0) == "k2").get.getString(1) == "payload-17")
+  }
+
+  test("streaming: Earliest reads all; ack=commit means restart reprocesses nothing (A4/A15)") {
+    val root = tmpDir("store")
+    val ckpt = tmpDir("ckpt")
+    publishEvents(root, "events", 30)
+    import spark.implicits._
+
+    def run(): Long = {
+      val seen = new java.util.concurrent.atomic.AtomicLong
+      val q = spark.readStream.format("pulsarlike")
+        .option("path", root)
+        .option("serviceUrl", "pulsar://local")
+        .option("topicNames", "events")
+        .option("subscriptionInitialPosition", "Earliest")
+        .option("batchingMaxMessages", "10")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.addAndGet(df.count()): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      seen.get()
+    }
+    assert(run() == 30)       // first run: everything
+    assert(run() == 0)        // restart on same checkpoint: acked, nothing
+    publishEvents(root, "events", 5)
+    assert(run() == 5)        // only the new tail
+  }
+
+  test("admission control caps rows per micro-batch (A11)") {
+    val root = tmpDir("store")
+    val ckpt = tmpDir("ckpt")
+    publishEvents(root, "events", 25)
+    val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("pulsarlike")
+      .option("path", root)
+      .option("serviceUrl", "pulsar://local")
+      .option("topicNames", "events")
+      .option("subscriptionInitialPosition", "Earliest")
+      .option("batchingMaxMessages", "10")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        sizes.add(df.count()): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = sizes.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+    assert(batches.sum == 25)
+    assert(batches.forall(_ <= 10), s"batch over cap: ${batches.mkString(",")}")
+    assert(batches.length >= 3)
+  }
+
+  test("Latest initial position skips the backlog (A4)") {
+    val root = tmpDir("store")
+    val ckpt = tmpDir("ckpt")
+    publishEvents(root, "events", 10)
+    import spark.implicits._
+    def run(): Long = {
+      val seen = new java.util.concurrent.atomic.AtomicLong
+      val q = spark.readStream.format("pulsarlike")
+        .option("path", root)
+        .option("serviceUrl", "pulsar://local")
+        .option("topicNames", "events")
+        .option("subscriptionInitialPosition", "Latest")
+        .option("batchingMaxMessages", "1000")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.addAndGet(df.count()): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(); seen.get()
+    }
+    assert(run() == 0)        // Latest: backlog invisible
+    publishEvents(root, "events", 3)
+    assert(run() == 3)        // the durable cursor then tails
+  }
+}

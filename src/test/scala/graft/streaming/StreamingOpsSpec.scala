@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.TopicStore
+
+/** A19 chunk reassembly + A15/A16/A17 nack/redelivery/DLQ semantics. */
+class StreamingOpsSpec extends SparkSpec {
+  import ChunkReassembly._
+
+  private def ts(ms: Long) = new Timestamp(ms)
+
+  test("chunk reassembly: out-of-order fragments reassemble exactly (A19)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Chunk]
+    val out = reassemble(spark, input.toDS(), watermarkDelay = "1 second")
+    val q = out.writeStream.format("memory").queryName("asm")
+      .outputMode("append").start()
+    try {
+      // two messages, fragments interleaved and out of order
+      input.addData(
+        Chunk("m1", 2, 3, "C", ts(1000)), Chunk("m2", 0, 2, "X", ts(1000)),
+        Chunk("m1", 0, 3, "A", ts(1100)))
+      q.processAllAvailable()
+      assert(spark.table("asm").count() == 0)   // both incomplete
+      input.addData(Chunk("m1", 1, 3, "B", ts(1200)),
+        Chunk("m2", 1, 2, "Y", ts(1300)))
+      q.processAllAvailable()
+      val rows = spark.table("asm").orderBy("chunk_uuid").collect()
+      assert(rows.map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq ==
+        Seq(("m1", "ABC", 3), ("m2", "XY", 2)))
+    } finally q.stop()
+  }
+
+  test("chunk reassembly: duplicate fragments don't corrupt (at-least-once input)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Chunk]
+    val out = reassemble(spark, input.toDS())
+    val q = out.writeStream.format("memory").queryName("asm2")
+      .outputMode("append").start()
+    try {
+      input.addData(Chunk("m", 0, 2, "A", ts(1000)), Chunk("m", 0, 2, "A", ts(1001)))
+      q.processAllAvailable()
+      input.addData(Chunk("m", 1, 2, "B", ts(1002)))
+      q.processAllAvailable()
+      val rows = spark.table("asm2").collect()
+      assert(rows.length == 1 && rows(0).getString(1) == "AB")
+    } finally q.stop()
+  }
+
+  test("chunk reassembly: incomplete group expires after event-time expiry (A19)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Chunk]
+    val out = reassemble(spark, input.toDS(),
+      watermarkDelay = "1 second", expiryMs = 5000L)
+    val q = out.writeStream.format("memory").queryName("asm3")
+      .outputMode("append").start()
+    try {
+      input.addData(Chunk("mx", 0, 2, "A", ts(1000)))
+      q.processAllAvailable()
+      // push the watermark far past the expiry timestamp (two steps: the
+      // watermark used by a batch is the one computed at its start)
+      input.addData(Chunk("adv1", 0, 2, "z", ts(60000)))
+      q.processAllAvailable()
+      input.addData(Chunk("adv2", 0, 2, "z", ts(120000)))
+      q.processAllAvailable()
+      // the late completing fragment now re-opens an empty group rather
+      // than completing the expired one — nothing is emitted for mx
+      input.addData(Chunk("mx", 1, 2, "B", ts(121000)))
+      q.processAllAvailable()
+      assert(spark.table("asm3").filter(col("chunk_uuid") === "mx").count() == 0)
+    } finally q.stop()
+  }
+
+  test("nack republishes below threshold, DLQs at threshold (A15/A16/A17)") {
+    import spark.implicits._
+    val root = tmpDir("store")
+    // failed rows: one fresh (rc=0), one at the edge (rc=4, default max 5)
+    val failed = Seq(
+      ("0:0:0:0", "k1", "bad-1", 0),
+      ("0:1:0:0", "k2", "bad-2", 4)
+    ).toDF("message_id", "key", "value_str", "redelivery_count")
+      .withColumn("properties", map().cast("map<string,string>"))
+      .withColumn("publish_time",
+        lit(new java.sql.Timestamp(1700000000000L)))
+      .withColumn("content_type", lit("text/plain"))
+
+    val (live, dead) = AckingSink.nack(spark, failed, root, "events",
+      maxRedeliverCount = 5, nackDelayMs = 0L)
+    assert((live, dead) == (1L, 1L))
+
+    def read(topic: String) = spark.read.format("pulsarlike")
+      .option("path", root).option("serviceUrl", "pulsar://local")
+      .option("topicNames", topic).option("batchingMaxMessages", "100")
+      .load()
+
+    val redelivered = read("events").collect()
+    assert(redelivered.length == 1)
+    assert(redelivered(0).getAs[String]("message_id") == "0:0:0:0") // id preserved
+    assert(redelivered(0).getAs[Int]("redelivery_count") == 1)
+    assert(redelivered(0).getAs[Map[String, String]]("properties")
+      .contains("retry_at"))
+
+    val dlq = read("events-dlq").collect()
+    assert(dlq.length == 1)
+    assert(dlq(0).getAs[String]("message_id") == "0:1:0:0")
+    assert(dlq(0).getAs[Int]("redelivery_count") == 5)
+  }
+}
