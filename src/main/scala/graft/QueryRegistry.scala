@@ -11,7 +11,8 @@ object QueryRegistry {
     DedupQueries.all ++
     SimilarityQueries.all ++
     TextQueries.all ++
-    MultimodalQueries.all
+    MultimodalQueries.all ++
+    StreamingQueries.all
 
   lazy val byName: Map[String, Q] = {
     val m = all.map(q => q.name -> q).toMap

@@ -570,6 +570,77 @@ object RelationalQueries {
         .filter(dec(col("p_retailprice")) > col("avg_price") * 1.03)
         .select(col("p_partkey"), col("p_type"))
         .orderBy(col("p_partkey"))
+    },
+
+    // ---------------------------------------------------------------
+    // q21: GROUPING SETS through the SQL surface (one-pass multi-level
+    // aggregate, same Expand-based plan as rollup/cube).
+    Q(
+      "q21_grouping_sets",
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+          |  coalesce(l_linestatus, 'ALL') AS ls,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY rf, ls""".stripMargin)
+    },
+
+    // ---------------------------------------------------------------
+    // q22: typed Aggregator UDAF (the §2B UDAF surface) — exact decimal
+    // weighted average: sum(price·qty)/sum(qty), both sums exact, one
+    // deterministic double division at the end.
+    Q(
+      "q22_weighted_avg_udaf",
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      val wavg = udaf(WeightedAvgAggregator,
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.DECIMAL,
+          org.apache.spark.sql.Encoders.DECIMAL))
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(wavg(dec(col("l_extendedprice")), dec(col("l_quantity")))
+          .as("wavg_price"))
+        .orderBy(col("l_returnflag"))
     }
   )
+}
+
+/** §2B UDAF surface: a typed Aggregator — partial aggregation (reduce)
+  * map-side, merge on the reducer, exact BigDecimal arithmetic so the
+  * result is order-independent. */
+object WeightedAvgAggregator extends org.apache.spark.sql.expressions.Aggregator[
+    (java.math.BigDecimal, java.math.BigDecimal),
+    (java.math.BigDecimal, java.math.BigDecimal), Double] {
+  private val Z = java.math.BigDecimal.ZERO
+  override def zero: (java.math.BigDecimal, java.math.BigDecimal) = (Z, Z)
+  override def reduce(b: (java.math.BigDecimal, java.math.BigDecimal),
+      a: (java.math.BigDecimal, java.math.BigDecimal)): (java.math.BigDecimal, java.math.BigDecimal) =
+    (b._1.add(a._1.multiply(a._2)), b._2.add(a._2))
+  override def merge(x: (java.math.BigDecimal, java.math.BigDecimal),
+      y: (java.math.BigDecimal, java.math.BigDecimal)): (java.math.BigDecimal, java.math.BigDecimal) =
+    (x._1.add(y._1), x._2.add(y._2))
+  override def finish(b: (java.math.BigDecimal, java.math.BigDecimal)): Double =
+    b._1.doubleValue() / b._2.doubleValue()
+  override def bufferEncoder: org.apache.spark.sql.Encoder[(java.math.BigDecimal, java.math.BigDecimal)] =
+    org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.DECIMAL, org.apache.spark.sql.Encoders.DECIMAL)
+  override def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+    org.apache.spark.sql.Encoders.scalaDouble
 }

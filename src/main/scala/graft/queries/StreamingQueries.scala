@@ -1,0 +1,148 @@
+package graft.queries
+
+import java.util.UUID
+
+import graft.{Q, Tables}
+import graft.operators.MessageOps
+import graft.sources.TopicStore
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Streaming surface under the oracle gate:
+  *
+  *  - ps01 runs the WHOLE ingest loop — publish `events` into a topic
+  *    store, consume it back through the `pulsarlike` DSv2 micro-batch
+  *    source (Trigger.AvailableNow, admission-limited batches), parse by
+  *    content type, and the result must hash-match the original rows in
+  *    DuckDB. The streaming machinery itself is thereby
+  *    correctness-gated, not just spec'd.
+  *  - w01-w03: event-time windowing (tumbling / sliding / session) in
+  *    their batch-equivalent form, each with an exact DuckDB oracle.
+  *    Watermarked streaming forms of the same aggregations are covered
+  *    by specs; the aggregation semantics verified here are identical.
+  */
+object StreamingQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------
+    // ps01 — full publish → pulsarlike stream-consume → parse loop.
+    Q(
+      "ps01_stream_ingest",
+      """SELECT event_id, event_type, value,
+        |  CASE WHEN event_id % 5 IN (0, 1) THEN 'application/json'
+        |       WHEN event_id % 5 = 2 THEN 'application/xml'
+        |       ELSE 'text/csv' END AS base_type
+        |FROM events
+        |WHERE event_id % 5 <> 4
+        |ORDER BY event_id""".stripMargin
+    ) { (s, dir) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-stream").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-ckpt").toString
+      val qname = "ps01_" + UUID.randomUUID().toString.replace("-", "")
+      TopicStore.publish(s,
+        MessageOps.fromEvents(Tables(s, dir, "events")), root, "events", 4)
+      val q = s.readStream.format("pulsarlike")
+        .option("path", root)
+        .option("serviceUrl", "pulsar://local")
+        .option("topicNames", "events")
+        .option("subscriptionInitialPosition", "Earliest")
+        .option("batchingMaxMessages", "4096")
+        .load()
+        .writeStream
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .format("memory")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val payloadSchema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      MessageOps.contentTypeDispatch(s.table(qname), payloadSchema)
+        .filter(col("parsed").isNotNull)
+        .select(
+          col("parsed.event_id").as("event_id"),
+          col("parsed.event_type").as("event_type"),
+          col("parsed.value").as("value"),
+          col("base_type"))
+        .orderBy(col("event_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // w01 — tumbling event-time window (1 hour) per event type.
+    Q(
+      "w01_tumbling_window",
+      """SELECT make_timestamp((epoch_ms(ts) // 3600000) * 3600000 * 1000) AS window_start,
+        |  event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+
+    // ---------------------------------------------------------------
+    // w02 — sliding window (1 hour, 30-minute slide): each event lands in
+    // two windows; oracle replicates via a 2-offset cross join.
+    Q(
+      "w02_sliding_window",
+      """SELECT make_timestamp(((epoch_ms(ts) // 1800000) - k) * 1800000 * 1000) AS window_start,
+        |  count(*) AS n
+        |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) offs
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("n"))
+        .orderBy(col("window_start"))
+    },
+
+    // ---------------------------------------------------------------
+    // w03 — session windows (5-minute gap) per user: gaps-and-islands in
+    // the oracle, session_window in Spark. Session end = last event + gap
+    // (Spark's definition).
+    Q(
+      "w03_session_window",
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           <= INTERVAL 5 MINUTE THEN 0 ELSE 1 END AS new_session
+        |  FROM events),
+        |ids AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 5 MINUTE AS session_end,
+        |  count(*) AS n_events
+        |FROM ids GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }
+  )
+}
