@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+import graft.{QueryRegistry, SparkSpec, Tables}
+
+/** Physical-plan audits (the 100 TB posture is in the plan, not the
+  * output): filters reach the parquet scan, small sides broadcast,
+  * global top-k never materializes a full sort, metadata-only reads
+  * prune payload columns. Run at sf0.001 — plan shape, not timing. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = QueryRegistry.byName(name).run(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filters are pushed to the parquet scan") {
+    val p = planOf("q02_forecast_revenue")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate") && p.contains("l_discount"), p)
+  }
+
+  test("q03: dimension join is a broadcast hash join") {
+    val p = planOf("q03_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q09: global top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q09_top100_lineitems")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q04/q06: semi and anti joins plan as such") {
+    assert(planOf("q04_order_priority").contains("LeftSemi"))
+    assert(planOf("q06_customers_without_open_orders").contains("LeftAnti"))
+  }
+
+  test("metadata-only projection prunes unread columns at the scan") {
+    val df = Tables(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema"), scan)
+    assert(!scan.contains("text"), s"payload column not pruned:\n$scan")
+  }
+
+  test("every registered query stays off RDD fallbacks (no collect-driven loops)") {
+    // structural smoke: building each plan succeeds and none mention
+    // 'Scan ExistingRDD' (a sign of driver-side materialization)
+    QueryRegistry.all.filterNot(_.name.startsWith("ps")).foreach { q =>
+      val plan = q.run(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("Scan ExistingRDD"),
+        s"${q.name} materializes on the driver:\n$plan")
+    }
+  }
+}
