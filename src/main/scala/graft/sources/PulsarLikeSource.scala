@@ -104,14 +104,99 @@ class PulsarLikeTable(conf: PulsarLikeConf, root: String)
     Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new Scan {
-        override def readSchema(): StructType = PulsarLikeSource.schema
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new PulsarLikeMicroBatchStream(conf, root)
-        override def toBatch: Batch = new PulsarLikeBatch(conf, root)
-      }
+    new PulsarLikeScanBuilder(conf, root)
+}
+
+/** Column pruning + filter pushdown (SURVEY.md §4): pruned columns are
+  * never materialized into rows, and pushed predicates are evaluated on
+  * the decoded message before row assembly — at scale this skips both
+  * the base64 payload decode for metadata-only queries and row
+  * construction for filtered-out messages. */
+class PulsarLikeScanBuilder(conf: PulsarLikeConf, root: String)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
+  private var prunedSchema: StructType = PulsarLikeSource.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve canonical field order; an empty projection (count(*))
+    // keeps zero fields
+    val wanted = requiredSchema.fieldNames.toSet
+    prunedSchema = StructType(
+      PulsarLikeSource.schema.fields.filter(f => wanted.contains(f.name)))
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, unsup) = filters.partition(PulsarLikeFilters.supported)
+    pushed = sup
+    unsup // Spark re-applies these above the scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new Scan {
+    override def readSchema(): StructType = prunedSchema
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new PulsarLikeMicroBatchStream(conf, root, prunedSchema, pushed)
+    override def toBatch: Batch =
+      new PulsarLikeBatch(conf, root, prunedSchema, pushed)
+    override def description(): String =
+      s"pulsarlike pushedFilters=[${pushed.mkString(", ")}] " +
+        s"readSchema=[${prunedSchema.fieldNames.mkString(",")}]"
+  }
+}
+
+/** The predicate subset evaluable on a decoded message (metadata fields
+  * only — payload predicates stay in Spark). */
+object PulsarLikeFilters {
+  import org.apache.spark.sql.sources._
+
+  private val cols = Set("topic", "message_id", "key", "redelivery_count",
+    "content_type")
+
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => cols.contains(a)
+    case In(a, _) => cols.contains(a)
+    case GreaterThan(a, _) => cols.contains(a)
+    case GreaterThanOrEqual(a, _) => cols.contains(a)
+    case LessThan(a, _) => cols.contains(a)
+    case LessThanOrEqual(a, _) => cols.contains(a)
+    case IsNull(a) => cols.contains(a)
+    case IsNotNull(a) => cols.contains(a)
+    case And(l, r) => supported(l) && supported(r)
+    case Or(l, r) => supported(l) && supported(r)
+    case _ => false
+  }
+
+  def eval(f: Filter, topic: String, m: TopicStore.Msg): Boolean = {
+    def v(col: String): Any = col match {
+      case "topic" => topic
+      case "message_id" => m.messageId
+      case "key" => m.key
+      case "redelivery_count" => m.redeliveryCount
+      case "content_type" => m.contentType
     }
+    def cmp(col: String, x: Any): Int = (v(col), x) match {
+      case (a: Int, b: Number) => java.lang.Integer.compare(a, b.intValue())
+      case (a: String, b) => a.compareTo(String.valueOf(b))
+      case _ => 0
+    }
+    f match {
+      case EqualTo(a, x) => v(a) != null && v(a) == x
+      case In(a, xs) => v(a) != null && xs.contains(v(a))
+      case GreaterThan(a, x) => v(a) != null && cmp(a, x) > 0
+      case GreaterThanOrEqual(a, x) => v(a) != null && cmp(a, x) >= 0
+      case LessThan(a, x) => v(a) != null && cmp(a, x) < 0
+      case LessThanOrEqual(a, x) => v(a) != null && cmp(a, x) <= 0
+      case IsNull(a) => v(a) == null
+      case IsNotNull(a) => v(a) != null
+      case And(l, r) => eval(l, topic, m) && eval(r, topic, m)
+      case Or(l, r) => eval(l, topic, m) || eval(r, topic, m)
+      case _ => true
+    }
+  }
 }
 
 /** Offset = per topic-partition next-line-to-read. */
@@ -131,7 +216,9 @@ object PulsarLikeOffset {
   def key(topic: String, p: Int): String = s"$topic/$p"
 }
 
-class PulsarLikeMicroBatchStream(conf: PulsarLikeConf, root: String)
+class PulsarLikeMicroBatchStream(conf: PulsarLikeConf, root: String,
+    schema: StructType = PulsarLikeSource.schema,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
   import PulsarLikeOffset.key
@@ -217,7 +304,7 @@ class PulsarLikeMicroBatchStream(conf: PulsarLikeConf, root: String)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PulsarLikeReaderFactory()
+    new PulsarLikeReaderFactory(schema.fieldNames, filters)
 
   /** A15: ack ≙ offset commit. Only reached after the whole batch —
     * including the user's foreachBatch — succeeded; a failure replays
@@ -231,7 +318,9 @@ class PulsarLikeMicroBatchStream(conf: PulsarLikeConf, root: String)
 }
 
 /** Batch read of the same store (full current range). */
-class PulsarLikeBatch(conf: PulsarLikeConf, root: String) extends Batch {
+class PulsarLikeBatch(conf: PulsarLikeConf, root: String,
+    schema: StructType = PulsarLikeSource.schema,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     PulsarLikeSource.resolveTopics(conf, root).flatMap { t =>
       TopicStore.partitionIds(root, t).map { p =>
@@ -242,21 +331,28 @@ class PulsarLikeBatch(conf: PulsarLikeConf, root: String) extends Batch {
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new PulsarLikeReaderFactory()
+    new PulsarLikeReaderFactory(schema.fieldNames, filters)
 }
 
 case class PulsarLikeInputPartition(root: String, topic: String, p: Int,
     startOff: Long, endOff: Long, compacted: Boolean) extends InputPartition
 
-class PulsarLikeReaderFactory extends PartitionReaderFactory {
+class PulsarLikeReaderFactory(fields: Array[String],
+    filters: Array[org.apache.spark.sql.sources.Filter])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val ip = partition.asInstanceOf[PulsarLikeInputPartition]
-    new PulsarLikePartitionReader(ip)
+    new PulsarLikePartitionReader(ip, fields, filters)
   }
 }
 
-class PulsarLikePartitionReader(ip: PulsarLikeInputPartition)
+class PulsarLikePartitionReader(ip: PulsarLikeInputPartition,
+    fields: Array[String],
+    filters: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReader[InternalRow] {
+
+  private val needsValue =
+    fields.contains("value") || fields.contains("value_str")
 
   private val iter: Iterator[TopicStore.Msg] = {
     val f = TopicStore.topicDir(ip.root, ip.topic).resolve(s"part-${ip.p}.jsonl")
@@ -265,13 +361,17 @@ class PulsarLikePartitionReader(ip: PulsarLikeInputPartition)
       else Files.lines(f).iterator().asScala
         .slice(ip.startOff.toInt, ip.endOff.toInt)
         .map(TopicStore.decode)
-    if (!ip.compacted) all
+    val filtered =
+      if (filters.isEmpty) all
+      else all.filter(m => filters.forall(f =>
+        PulsarLikeFilters.eval(f, ip.topic, m)))
+    if (!ip.compacted) filtered
     else {
       // latest per key within the slice — correct globally because key
       // routing pins a key to one partition; keyless messages pass through
       val seen = new java.util.LinkedHashMap[String, TopicStore.Msg]()
       val keyless = Vector.newBuilder[TopicStore.Msg]
-      all.foreach { m =>
+      filtered.foreach { m =>
         if (m.key == null) keyless += m else seen.put(m.key, m)
       }
       (seen.values().asScala ++ keyless.result()).iterator
@@ -285,21 +385,31 @@ class PulsarLikePartitionReader(ip: PulsarLikeInputPartition)
   }
 
   override def get(): InternalRow = {
-    val value = Base64.getDecoder.decode(cur.valueB64)
-    val props = cur.properties.toSeq
-    InternalRow(
-      UTF8String.fromString(ip.topic),
-      UTF8String.fromString(cur.messageId),
-      if (cur.key == null) null else UTF8String.fromString(cur.key),
-      value,
-      UTF8String.fromBytes(value),
-      ArrayBasedMapData(
-        props.map(p => UTF8String.fromString(p._1)).toArray,
-        props.map(p => UTF8String.fromString(p._2)).toArray),
-      cur.publishTimeUs,
-      if (cur.eventTimeUs == 0L) null else java.lang.Long.valueOf(cur.eventTimeUs),
-      cur.redeliveryCount,
-      if (cur.contentType == null) null else UTF8String.fromString(cur.contentType))
+    // pruned assembly: only requested fields are materialized, and the
+    // base64 payload decode is skipped entirely for metadata-only reads
+    lazy val value = Base64.getDecoder.decode(cur.valueB64)
+    val cells: Array[Any] = fields.map {
+      case "topic" => UTF8String.fromString(ip.topic)
+      case "message_id" => UTF8String.fromString(cur.messageId)
+      case "key" =>
+        if (cur.key == null) null else UTF8String.fromString(cur.key)
+      case "value" => value
+      case "value_str" => if (needsValue) UTF8String.fromBytes(value) else null
+      case "properties" =>
+        val props = cur.properties.toSeq
+        ArrayBasedMapData(
+          props.map(p => UTF8String.fromString(p._1)).toArray,
+          props.map(p => UTF8String.fromString(p._2)).toArray)
+      case "publish_time" => cur.publishTimeUs
+      case "event_time" =>
+        if (cur.eventTimeUs == 0L) null
+        else java.lang.Long.valueOf(cur.eventTimeUs)
+      case "redelivery_count" => cur.redeliveryCount
+      case "content_type" =>
+        if (cur.contentType == null) null
+        else UTF8String.fromString(cur.contentType)
+    }
+    InternalRow(cells: _*)
   }
 
   override def close(): Unit = ()

@@ -140,6 +140,24 @@ class PulsarLikeSourceSpec extends SparkSpec {
     assert(batches.length >= 3)
   }
 
+  test("filter pushdown + column pruning reach the source scan") {
+    val root = tmpDir("store")
+    publishEvents(root, "events", 30)
+    val df = readBatch(root, "topicNames" -> "events")
+      .filter(col("key") === "k3")
+      .select(col("message_id"), col("key"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedFilters=[") && plan.contains("key"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("readSchema=[message_id,key]"),
+      s"columns not pruned:\n$plan")
+    assert(df.count() == 6)   // keys cycle 0..4 over 30 msgs
+    // unsupported predicates (payload) still evaluate correctly above
+    val viaPayload = readBatch(root, "topicNames" -> "events")
+      .filter(col("value_str").endsWith("-7"))
+    assert(viaPayload.count() == 1)
+  }
+
   test("Latest initial position skips the backlog (A4)") {
     val root = tmpDir("store")
     val ckpt = tmpDir("ckpt")
