@@ -70,7 +70,13 @@ object ChunkReassembly {
                 (0 until expected).map(all).mkString, expected))
             } else {
               state.update(ChunkState(expected, all))
-              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + expiryMs)
+              // expiry anchored to the latest fragment's EVENT time (not
+              // the watermark: in the first batch the watermark is still
+              // 0/epoch, and a timeout derived from it would be wiped as
+              // already-expired the moment real timestamps advance it)
+              val lastTs = batch.map(_.ts.getTime).max
+              state.setTimeoutTimestamp(
+                math.max(lastTs + expiryMs, state.getCurrentWatermarkMs() + 1))
               Iterator.empty
             }
           }
