@@ -12,7 +12,8 @@ object QueryRegistry {
     SimilarityQueries.all ++
     TextQueries.all ++
     MultimodalQueries.all ++
-    StreamingQueries.all
+    StreamingQueries.all ++
+    MiscQueries.all
 
   lazy val byName: Map[String, Q] = {
     val m = all.map(q => q.name -> q).toMap

@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Remaining surface-area queries: the pivot() API, HLL approximate
+  * distinct, spark.ml LSH as an alternative ANN provider, and
+  * VariantType-style semi-structured JSON access. */
+object MiscQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------
+    // q23 — the relational pivot() API (q17 is the conditional-agg form;
+    // this is the dedicated operator, fixed pivot values so the plan is
+    // a single pass, no value-discovery job).
+    Q(
+      "q23_pivot_api",
+      """SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy((col("user_id") % 10).cast("bigint").as("user_bucket"))
+        .pivot("event_type", Seq("click", "view", "purchase", "error"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("user_bucket"))
+    },
+
+    // ---------------------------------------------------------------
+    // q24 — approx_count_distinct (HLL++, built-in — SURVEY.md §2B).
+    // Approximate ⇒ no cross-engine oracle; the driver's rows-only check
+    // applies, and the spec asserts the estimate is within HLL's rsd.
+    Q.noOracle("q24_approx_distinct") { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---------------------------------------------------------------
+    // s03 — spark.ml BucketedRandomProjectionLSH as an alternative ANN
+    // provider (seeded ⇒ deterministic within Spark, but the hash family
+    // is Spark-internal ⇒ no DuckDB oracle; rows-only check + spec).
+    Q.noOracle("s03_ann_ml_lsh") { (s, dir) =>
+      import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+      import org.apache.spark.ml.linalg.Vectors
+      val toVec = udf((a: Seq[Float]) =>
+        Vectors.dense(a.map(_.toDouble).toArray))
+      val df = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), toVec(col("embedding")).as("features"))
+      val lsh = new BucketedRandomProjectionLSH()
+        .setBucketLength(1.0).setNumHashTables(3).setSeed(42L)
+        .setInputCol("features").setOutputCol("hashes")
+      val model = lsh.fit(df)
+      model.approxSimilarityJoin(df, df, 1.2, "dist")
+        .select(
+          col("datasetA.vec_id").as("a_id"),
+          col("datasetB.vec_id").as("b_id"),
+          round(col("dist"), 6).as("dist"))
+        .filter(col("a_id") < col("b_id"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // v01 — semi-structured JSON access over the events props column
+    // (the VariantType path for heterogeneous payloads: parse once,
+    // extract typed fields lazily).
+    Q(
+      "v01_variant_json",
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS k_mod
+        |FROM events
+        |WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
+        |ORDER BY event_id""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+          variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
+        .withColumn("k_mod", col("k") % 7)
+        .filter(col("k") > 50)
+        .orderBy(col("event_id"))
+    }
+  )
+}

@@ -55,6 +55,36 @@ object MultimodalQueries {
           Tables(s, dir, "documents"), "doc_id", "text",
           frameLen = 32, stride = 2)
         .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // ---------------------------------------------------------------
+    // mm03 — "audio" feature extraction stub: bytes as a waveform,
+    // 16-byte frames, per-frame RMS-style energy (sum of squared byte
+    // values — exact integer math, deterministic across engines). The
+    // real plumbing is the frame explode + per-frame aggregation shape.
+    Q(
+      "mm03_audio_energy",
+      """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(list_aggregate(list_transform(
+        |    generate_series(CAST(f * 16 + 1 AS BIGINT), CAST(least(f * 16 + 16, length(text)) AS BIGINT)),
+        |    i -> ascii(substr(text, CAST(i AS INTEGER), 1)) * ascii(substr(text, CAST(i AS INTEGER), 1))),
+        |    'sum') AS BIGINT) AS energy
+        |FROM documents
+        |CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS f) g
+        |WHERE f < ceil(length(text) / 16.0)
+        |ORDER BY doc_id, frame_idx""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("frame_idx", explode(sequence(lit(0L),
+          ceil(length(col("text")) / 16.0).cast("long") - 1)))
+        .withColumn("frame",
+          col("text").substr((col("frame_idx") * 16 + 1).cast("int"), lit(16)))
+        .select(col("doc_id"), col("frame_idx"),
+          aggregate(
+            transform(split(col("frame"), ""),
+              c => ascii(c) * ascii(c)),
+            lit(0L), (acc, x) => acc + x).as("energy"))
+        .orderBy(col("doc_id"), col("frame_idx"))
     }
   )
 }
