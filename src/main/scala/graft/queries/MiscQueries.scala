@@ -59,13 +59,17 @@ object MiscQueries {
         .setBucketLength(1.0).setNumHashTables(3).setSeed(42L)
         .setInputCol("features").setOutputCol("hashes")
       val model = lsh.fit(df)
-      model.approxSimilarityJoin(df, df, 1.2, "dist")
+      // query-subset vs corpus (the s01/s02 shape) — the corpus-side
+      // bucketing is what scales; the query set stays bounded
+      val queries = df.filter(col("vec_id") < 100)
+        .withColumnRenamed("vec_id", "q_id")
+      model.approxSimilarityJoin(queries, df, 1.2, "dist")
         .select(
-          col("datasetA.vec_id").as("a_id"),
-          col("datasetB.vec_id").as("b_id"),
+          col("datasetA.q_id").as("q_id"),
+          col("datasetB.vec_id").as("neighbor_id"),
           round(col("dist"), 6).as("dist"))
-        .filter(col("a_id") < col("b_id"))
-        .orderBy(col("a_id"), col("b_id"))
+        .filter(col("q_id") =!= col("neighbor_id"))
+        .orderBy(col("q_id"), col("neighbor_id"))
     },
 
     // ---------------------------------------------------------------

@@ -90,6 +90,62 @@ object SimilarityQueries {
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .orderBy(col("q_id"), col("rank"))
+    },
+
+    // ---------------------------------------------------------------
+    // s04 — IVF-style ANN: a coarse quantizer (8 deterministic pivot
+    // vectors) partitions the corpus into cells; a query searches only
+    // its own cell. At 100 TB the corpus is written cell-partitioned, so
+    // a query touches 1/K of the data — the classic inverted-file layout.
+    Q(
+      "s04_ann_ivf",
+      s"""WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |pivots AS (SELECT vec_id AS pivot_id, v AS pv FROM base WHERE vec_id < 8),
+        |assigned AS (
+        |  SELECT vec_id, v, pivot_id FROM (
+        |    SELECT b.vec_id, b.v, p.pivot_id,
+        |      row_number() OVER (PARTITION BY b.vec_id
+        |        ORDER BY ${cosineSql("b.v", "p.pv", 64)} DESC, p.pivot_id ASC) AS rn
+        |    FROM base b CROSS JOIN pivots p) t
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, v AS qv, pivot_id FROM assigned
+        |      WHERE vec_id >= 100 AND vec_id < 120),
+        |scored AS (
+        |  SELECT q_id, c.vec_id AS neighbor_id, ${cosineSql("qv", "c.v", 64)} AS cos
+        |  FROM q JOIN assigned c ON c.pivot_id = q.pivot_id AND c.vec_id <> q_id),
+        |ranked AS (
+        |  SELECT q_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT q_id, neighbor_id, cos, rank FROM ranked
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+    ) { (s, dir) =>
+      val base = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      val pivots = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("pivot_id"), col("v").as("pv"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("pcos").desc, col("pivot_id").asc)
+      val assigned = base.join(broadcast(pivots))
+        .withColumn("pcos", VectorOps.cosine(col("v"), col("pv")))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("pivot_id"))
+      val q = assigned.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("pivot_id").as("q_pivot"))
+      val wRank = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      q.join(assigned.as("c"),
+          col("c.pivot_id") === col("q_pivot") && col("c.vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("c.vec_id").as("neighbor_id"),
+          VectorOps.cosine(col("qv"), col("c.v")).as("cos"))
+        .withColumn("rank", row_number().over(wRank).cast("long"))
+        .filter(col("rank") <= 3)
+        .orderBy(col("q_id"), col("rank"))
     }
   )
 
