@@ -140,6 +140,36 @@ class PulsarLikeSourceSpec extends SparkSpec {
     assert(batches.length >= 3)
   }
 
+  test("pattern subscribe discovers topics created mid-stream (A20)") {
+    val root = tmpDir("store")
+    val ckpt = tmpDir("ckpt")
+    publishEvents(root, "disc-a", 5)
+    def run(): Set[String] = {
+      val topics = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val q = spark.readStream.format("pulsarlike")
+        .option("path", root)
+        .option("serviceUrl", "pulsar://local")
+        .option("topicsPattern", "disc-.*")
+        .option("subscriptionInitialPosition", "Earliest")
+        .option("batchingMaxMessages", "100")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("topic").distinct().collect()
+            .foreach(r => topics.add(r.getString(0))): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      topics.toArray(Array.empty[String]).toSet
+    }
+    assert(run() == Set("disc-a"))
+    // a topic that did not exist when the subscription started
+    publishEvents(root, "disc-b", 5)
+    assert(run() == Set("disc-b"))   // discovered; disc-a already acked
+  }
+
   test("filter pushdown + column pruning reach the source scan") {
     val root = tmpDir("store")
     publishEvents(root, "events", 30)
