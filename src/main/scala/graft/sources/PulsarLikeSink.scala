@@ -1,0 +1,128 @@
+package graft.sources
+
+import java.util.Base64
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types.StructType
+
+import graft.model.PulsarLikeConf
+
+/** DSv2 write path — the producer half of the source/sink pair
+  * (SURVEY.md §7): `df.write.format("pulsarlike")` and
+  * `ds.writeStream.format("pulsarlike")` publish rows into the topic
+  * store with the same key-hash routing as the consumer expects.
+  *
+  * Delivery contract: each task buffers its rows and appends them
+  * per-partition under the store's file lock in `commit()` — so a failed
+  * task writes nothing, and a retried one appends again (at-least-once,
+  * the reference's own delivery level; exactly-once composes from the
+  * streaming checkpoint + idempotent downstream, SURVEY.md §2A
+  * `enableTransaction` note).
+  *
+  * Scale posture: writers are executor-side and buffer only their task's
+  * rows; the append is O(task rows) with one lock acquisition per store
+  * partition touched.
+  */
+class PulsarLikeWriteBuilder(conf: PulsarLikeConf, root: String,
+    info: LogicalWriteInfo) extends WriteBuilder {
+
+  private val topic = conf.topicNames.headOption.getOrElse(
+    throw new IllegalArgumentException(
+      "Writing requires 'topicNames' to name the target topic."))
+  private val numPartitions = 4
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new BatchWrite {
+      override def createBatchWriterFactory(
+          info: PhysicalWriteInfo): DataWriterFactory =
+        new PulsarLikeWriterFactory(root, topic, numPartitions,
+          PulsarLikeSink.fieldIndexes(PulsarLikeWriteBuilder.this.info.schema()))
+      override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    }
+    override def toStreaming: StreamingWrite = new StreamingWrite {
+      override def createStreamingWriterFactory(
+          info: PhysicalWriteInfo): StreamingDataWriterFactory =
+        new PulsarLikeStreamingWriterFactory(root, topic, numPartitions,
+          PulsarLikeSink.fieldIndexes(PulsarLikeWriteBuilder.this.info.schema()))
+      override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+      override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+    }
+  }
+}
+
+object PulsarLikeSink {
+  /** Map the incoming schema's fields onto canonical message fields
+    * (absent ones default). */
+  def fieldIndexes(schema: StructType): Map[String, Int] =
+    schema.fieldNames.zipWithIndex.toMap
+
+  case class CommitDone(count: Long) extends WriterCommitMessage
+}
+
+class PulsarLikeWriterFactory(root: String, topic: String, parts: Int,
+    idx: Map[String, Int]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new PulsarLikeDataWriter(root, topic, parts, idx)
+}
+
+class PulsarLikeStreamingWriterFactory(root: String, topic: String, parts: Int,
+    idx: Map[String, Int]) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new PulsarLikeDataWriter(root, topic, parts, idx)
+}
+
+/** Buffers rows, appends per store partition on commit (under the file
+  * lock), so an aborted task publishes nothing. */
+class PulsarLikeDataWriter(root: String, topic: String, parts: Int,
+    idx: Map[String, Int]) extends DataWriter[InternalRow] {
+
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[TopicStore.Msg]
+
+  private def str(row: InternalRow, f: String): String =
+    idx.get(f).filterNot(row.isNullAt).map(row.getUTF8String(_).toString).orNull
+
+  override def write(row: InternalRow): Unit = {
+    val valueB64 = idx.get("value").filterNot(row.isNullAt)
+      .map(i => Base64.getEncoder.encodeToString(row.getBinary(i)))
+      .orElse(idx.get("value_str").filterNot(row.isNullAt)
+        .map(i => Base64.getEncoder.encodeToString(
+          row.getUTF8String(i).getBytes)))
+      .getOrElse("")
+    val props = idx.get("properties").filterNot(row.isNullAt).map { i =>
+      val m = row.getMap(i)
+      (0 until m.numElements()).map { j =>
+        m.keyArray().getUTF8String(j).toString ->
+          m.valueArray().getUTF8String(j).toString
+      }.toMap
+    }.getOrElse(Map.empty[String, String])
+    def ts(f: String, default: Long): Long =
+      idx.get(f).filterNot(row.isNullAt).map(row.getLong).getOrElse(default)
+    val pub = ts("publish_time", System.currentTimeMillis() * 1000L)
+    buf += TopicStore.Msg(
+      messageId = str(row, "message_id"),
+      key = str(row, "key"),
+      valueB64 = valueB64,
+      properties = props,
+      publishTimeUs = pub,
+      eventTimeUs = ts("event_time", pub),
+      redeliveryCount = idx.get("redelivery_count").filterNot(row.isNullAt)
+        .map(row.getInt).getOrElse(0),
+      contentType = str(row, "content_type"))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    buf.groupBy(m => TopicStore.route(m.key, m.valueB64, parts))
+      .foreach { case (p, msgs) =>
+        TopicStore.append(root, topic, p, msgs.toSeq)
+      }
+    PulsarLikeSink.CommitDone(buf.size.toLong)
+  }
+
+  override def abort(): Unit = buf.clear()
+  override def close(): Unit = ()
+}

@@ -96,15 +96,23 @@ object PulsarLikeSource {
 }
 
 class PulsarLikeTable(conf: PulsarLikeConf, root: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
     s"pulsarlike(${conf.topicNames.mkString(",")}${conf.topicsPattern.getOrElse("")})"
   override def schema(): StructType = PulsarLikeSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PulsarLikeScanBuilder(conf, root)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new PulsarLikeWriteBuilder(conf, root, info)
 }
 
 /** Column pruning + filter pushdown (SURVEY.md §4): pruned columns are

@@ -156,15 +156,39 @@ object TopicStore {
     }
   }
 
-  private def writeGroup(root: String, topic: String, p: Int,
-      rows: Vector[Row]): Unit = {
-    if (rows.isEmpty) return
+  /** Route a key (or payload base64 for keyless messages) to a partition.
+    * Must agree EXACTLY with the DataFrame publish path's
+    * `pmod(xxhash64(coalesce(key, base64(value))), n)` — same key, same
+    * partition, regardless of which write path delivered the message
+    * (per-key order and compaction depend on it). */
+  def route(key: String, valueB64: String, numPartitions: Int): Int = {
+    val s = org.apache.spark.unsafe.types.UTF8String
+      .fromString(if (key != null) key else valueB64)
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(s, org.apache.spark.sql.types.StringType, 42L)
+    (((h % numPartitions) + numPartitions) % numPartitions).toInt
+  }
+
+  /** Append pre-encoded messages to one partition file under the lock;
+    * offsets/meta stay contiguous. Null messageIds are assigned from the
+    * partition offset. Executor-side API (DSv2 writer + publish). */
+  // JVM-level monitor per partition file: java FileLock throws (not
+  // blocks) on overlap within one JVM, and local[n] runs all tasks in
+  // one JVM — so serialize in-process first, then take the file lock
+  // for cross-process safety.
+  private val monitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  def append(root: String, topic: String, p: Int, msgs: Seq[Msg]): Unit = {
+    if (msgs.isEmpty) return
     val dir = topicDir(root, topic)
+    Files.createDirectories(dir)
     val dataFile = dir.resolve(s"part-$p.jsonl")
     val metaFile = dir.resolve(s"part-$p.meta")
-    // single-writer-per-partition: coordinate appends via file lock so
-    // concurrent publishes (redelivery + new data) stay consistent
     val lockFile = dir.resolve(s"part-$p.lock")
+    val monitor = monitors.computeIfAbsent(
+      lockFile.toAbsolutePath.toString, _ => new Object)
+    monitor.synchronized {
     val ch = java.nio.channels.FileChannel.open(lockFile,
       StandardOpenOption.CREATE, StandardOpenOption.WRITE)
     val lock = ch.lock()
@@ -177,26 +201,10 @@ object TopicStore {
       val sb = new StringBuilder
       var off = base
       var bytes = bytes0
-      rows.foreach { r =>
-        val value = r.getAs[Array[Byte]]("value")
-        val mid = Option(r.getAs[String]("message_id"))
-          .getOrElse(s"0:$off:$p:0")
-        val pubTs = Option(r.getAs[java.sql.Timestamp]("publish_time"))
-          .map(t => t.getTime * 1000L + (t.getNanos / 1000) % 1000).getOrElse(0L)
-        val evtTs = Option(r.getAs[java.sql.Timestamp]("event_time"))
-          .map(t => t.getTime * 1000L + (t.getNanos / 1000) % 1000).getOrElse(pubTs)
-        val props = Option(r.getAs[Map[String, String]]("properties"))
-          .getOrElse(Map.empty)
-        val line = encode(Msg(
-          messageId = mid,
-          key = r.getAs[String]("key"),
-          valueB64 = Base64.getEncoder.encodeToString(
-            if (value == null) Array.empty[Byte] else value),
-          properties = props,
-          publishTimeUs = pubTs,
-          eventTimeUs = evtTs,
-          redeliveryCount = r.getAs[Int]("redelivery_count"),
-          contentType = r.getAs[String]("content_type")))
+      msgs.foreach { m0 =>
+        val m = if (m0.messageId != null) m0
+          else m0.copy(messageId = s"0:$off:$p:0")
+        val line = encode(m)
         sb.append(line).append('\n')
         bytes += line.length + 1
         off += 1
@@ -207,5 +215,29 @@ object TopicStore {
         s"""{"count":$off,"bytes":$bytes}""",
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     } finally { lock.release(); ch.close() }
+    }
+  }
+
+  private def writeGroup(root: String, topic: String, p: Int,
+      rows: Vector[Row]): Unit = {
+    val msgs = rows.map { r =>
+      val value = r.getAs[Array[Byte]]("value")
+      val pubTs = Option(r.getAs[java.sql.Timestamp]("publish_time"))
+        .map(t => t.getTime * 1000L + (t.getNanos / 1000) % 1000).getOrElse(0L)
+      val evtTs = Option(r.getAs[java.sql.Timestamp]("event_time"))
+        .map(t => t.getTime * 1000L + (t.getNanos / 1000) % 1000).getOrElse(pubTs)
+      Msg(
+        messageId = r.getAs[String]("message_id"), // null => assigned in append
+        key = r.getAs[String]("key"),
+        valueB64 = Base64.getEncoder.encodeToString(
+          if (value == null) Array.empty[Byte] else value),
+        properties = Option(r.getAs[Map[String, String]]("properties"))
+          .getOrElse(Map.empty),
+        publishTimeUs = pubTs,
+        eventTimeUs = evtTs,
+        redeliveryCount = r.getAs[Int]("redelivery_count"),
+        contentType = r.getAs[String]("content_type"))
+    }
+    append(root, topic, p, msgs)
   }
 }
