@@ -39,7 +39,39 @@ final case class PulsarLikeConf(
     dlqTopic: Option[String],
     nackRedeliveryDelayMs: Option[Long],
     ackTimeoutMs: Option[Long],
-    readCompacted: Boolean)
+    readCompacted: Boolean,
+    chunking: ChunkingConf,
+    client: ClientConf)
+
+/** A19 chunked-message knobs (PulsarMessageConsumer.java:325-336). */
+final case class ChunkingConf(
+    maxPendingChunkedMessage: Option[Long],
+    expiryTimeOfIncompleteChunkedMessageMillis: Option[Long],
+    autoAckOldestChunkedMessageOnQueueFull: Boolean)
+
+/** A22 client/TLS knobs — validated pass-throughs: the reference sends
+  * these to the broker client (PulsarConnectionSetup.java:78-156); with
+  * no broker they are parse-checked and carried, affecting nothing
+  * locally (SURVEY.md §4 "option-validated no-ops"). */
+final case class ClientConf(
+    consumerName: Option[String],
+    priorityLevel: Option[Long],
+    maxTotalReceiverQueueSizeAcrossPartitions: Option[Long],
+    autoUpdatePartitions: Boolean,
+    autoUpdatePartitionsIntervalSeconds: Option[Long],
+    replicateSubscriptionState: Boolean,
+    enableTransaction: Boolean,
+    operationTimeoutMs: Option[Long],
+    connectionTimeoutMs: Option[Long],
+    numIoThreads: Option[Long],
+    numListenerThreads: Option[Long],
+    keepAliveIntervalSeconds: Option[Long],
+    memoryLimitBytes: Option[Long],
+    tlsAllowInsecureConnection: Boolean,
+    tlsHostnameVerificationEnable: Boolean,
+    tlsTrustCertsFilePath: Option[String],
+    tlsProtocols: Seq[String],
+    tlsCiphers: Seq[String])
 
 sealed abstract class SubscriptionType(val name: String)
 object SubscriptionType {
@@ -144,7 +176,41 @@ object PulsarLikeConf {
       dlqTopic = get("dlqTopic"),
       nackRedeliveryDelayMs = long_("nackRedeliveryDelay"),
       ackTimeoutMs = long_("ackTimeoutMillis"),
-      readCompacted = get("readCompacted").exists(_.toBoolean))
+      readCompacted = get("readCompacted").exists(_.toBoolean),
+      chunking = ChunkingConf(
+        maxPendingChunkedMessage = long_("maxPendingChunkedMessage"),
+        expiryTimeOfIncompleteChunkedMessageMillis =
+          long_("expiryTimeOfIncompleteChunkedMessageMillis"),
+        autoAckOldestChunkedMessageOnQueueFull =
+          get("autoAckOldestChunkedMessageOnQueueFull").exists(_.toBoolean)),
+      client = ClientConf(
+        consumerName = get("consumerName"),
+        priorityLevel = long_("priorityLevel"),
+        maxTotalReceiverQueueSizeAcrossPartitions =
+          long_("maxTotalReceiverQueueSizeAcrossPartitions"),
+        autoUpdatePartitions = get("autoUpdatePartitions").forall(_.toBoolean),
+        autoUpdatePartitionsIntervalSeconds =
+          long_("autoUpdatePartitionsIntervalSeconds"),
+        replicateSubscriptionState =
+          get("replicateSubscriptionState").exists(_.toBoolean),
+        enableTransaction = get("enableTransaction").exists(_.toBoolean),
+        operationTimeoutMs = long_("operationTimeout"),
+        connectionTimeoutMs = long_("connectionTimeout"),
+        numIoThreads = long_("numIoThreads"),
+        numListenerThreads = long_("numListenerThreads"),
+        keepAliveIntervalSeconds = long_("keepAliveIntervalSeconds"),
+        memoryLimitBytes = long_("memoryLimit"),
+        tlsAllowInsecureConnection =
+          get("tlsAllowInsecureConnection").exists(_.toBoolean),
+        tlsHostnameVerificationEnable =
+          get("tlsHostnameVerificationEnable").exists(_.toBoolean),
+        tlsTrustCertsFilePath = get("tlsTrustCertsFilePath"),
+        tlsProtocols = get("tlsProtocols")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty),
+        tlsCiphers = get("tlsCiphers")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty)))
   }
 
   private def fail(msg: String): Nothing =

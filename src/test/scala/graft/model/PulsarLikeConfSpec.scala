@@ -61,6 +61,35 @@ class PulsarLikeConfSpec extends AnyFunSuite {
     assert(!c.batchReceiveEnabled)
   }
 
+  test("full client/TLS/chunking option surface parses and validates (A22)") {
+    val c = PulsarLikeConf.fromOptions(valid ++ Map(
+      "consumerName" -> "c1", "priorityLevel" -> "3",
+      "maxTotalReceiverQueueSizeAcrossPartitions" -> "50000",
+      "autoUpdatePartitions" -> "true",
+      "autoUpdatePartitionsIntervalSeconds" -> "60",
+      "replicateSubscriptionState" -> "true", "enableTransaction" -> "true",
+      "operationTimeout" -> "30000", "connectionTimeout" -> "10000",
+      "numIoThreads" -> "4", "numListenerThreads" -> "2",
+      "keepAliveIntervalSeconds" -> "30", "memoryLimit" -> "67108864",
+      "maxPendingChunkedMessage" -> "100",
+      "expiryTimeOfIncompleteChunkedMessageMillis" -> "60000",
+      "autoAckOldestChunkedMessageOnQueueFull" -> "true",
+      "tlsAllowInsecureConnection" -> "false",
+      "tlsHostnameVerificationEnable" -> "true",
+      "tlsTrustCertsFilePath" -> "/certs/ca.pem",
+      "tlsProtocols" -> "TLSv1.3, TLSv1.2", "tlsCiphers" -> "a,b"))
+    assert(c.client.priorityLevel.contains(3L))
+    assert(c.client.numIoThreads.contains(4L))
+    assert(c.client.tlsProtocols == Seq("TLSv1.3", "TLSv1.2"))
+    assert(c.chunking.maxPendingChunkedMessage.contains(100L))
+    assert(c.chunking.autoAckOldestChunkedMessageOnQueueFull)
+    // malformed numerics throw with the parameter name
+    val e = intercept[IllegalArgumentException] {
+      PulsarLikeConf.fromOptions(valid + ("operationTimeout" -> "fast"))
+    }
+    assert(e.getMessage.contains("operationTimeout"))
+  }
+
   test("defaults match the reference (uischema.json)") {
     val c = PulsarLikeConf.fromOptions(valid)
     assert(c.initialPosition == InitialPosition.Latest)       // uischema.json:727
