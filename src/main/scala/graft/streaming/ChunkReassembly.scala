@@ -35,6 +35,16 @@ object ChunkReassembly {
 
   final case class ChunkState(total: Int, fragments: Map[Int, String])
 
+  /** Knobs taken from the validated source config (A19:
+    * expiryTimeOfIncompleteChunkedMessageMillis / maxPendingChunkedMessage). */
+  def reassemble(spark: SparkSession, chunks: Dataset[Chunk],
+      conf: graft.model.PulsarLikeConf): Dataset[Assembled] =
+    reassemble(spark, chunks,
+      expiryMs = conf.chunking
+        .expiryTimeOfIncompleteChunkedMessageMillis.getOrElse(60000L),
+      maxChunks = conf.chunking
+        .maxPendingChunkedMessage.map(_.toInt).getOrElse(64))
+
   /** @param watermarkDelay max out-of-orderness of chunk arrival
     * @param expiryMs incomplete-group expiry measured in event time */
   def reassemble(spark: SparkSession, chunks: Dataset[Chunk],
