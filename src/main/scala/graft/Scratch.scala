@@ -20,17 +20,12 @@ object Scratch {
       println(f"STAGE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
     val docs = Tables(spark, dir, "documents")
-    val corpus = docs.select(col("doc_id"), col("text"))
-      .unionByName(docs.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
-          expr("substr(text, instr(text, ' ') + 1)").as("text")))
-
-
-    // d04 variants
     val toks = docs.select(col("doc_id"), col("source"),
       array_distinct(DedupOps.words(col("text"))).as("ts"))
-    def d04(joined: org.apache.spark.sql.DataFrame): Long =
-      joined
+
+    time("d04_string_arrays") {
+      toks.as("a").join(broadcast(toks.as("b")),
+          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.source").as("source"), col("a.doc_id").as("a_id"),
           col("b.doc_id").as("b_id"),
           size(array_intersect(col("a.ts"), col("b.ts"))).as("i"),
@@ -38,22 +33,29 @@ object Scratch {
         .select(col("source"), col("a_id"), col("b_id"),
           round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.8).count()
-    time("d04_smj") {
-      d04(toks.as("a").join(toks.as("b"),
-        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id")))
-    }
-    time("d04_bhj") {
-      d04(toks.as("a").join(broadcast(toks.as("b")),
-        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id")))
     }
 
-    time("d04_bhj_prefilter") {
-      val tn = toks.withColumn("n", size(col("ts")))
-      d04(tn.as("a").join(broadcast(tn.as("b")),
-        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id") &&
-        least(col("a.n"), col("b.n")) * 179 >= (col("a.n") + col("b.n")) * 79))
+    // dictionary-encode tokens -> int ids (tiny vocab broadcast), then
+    // int-array intersection
+    time("d04_dict_encoded") {
+      val vocab = toks.select(explode(col("ts")).as("w")).distinct()
+        .withColumn("wid", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("w")))
+      val enc = toks.select(col("doc_id"), col("source"), explode(col("ts")).as("w"))
+        .join(broadcast(vocab), "w")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sort_array(collect_list(col("wid"))).as("ts"))
+        .localCheckpoint(true)
+      enc.as("a").join(broadcast(enc.as("b")),
+          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.source").as("source"), col("a.doc_id").as("a_id"),
+          col("b.doc_id").as("b_id"),
+          size(array_intersect(col("a.ts"), col("b.ts"))).as("i"),
+          size(col("a.ts")).as("na"), size(col("b.ts")).as("nb"))
+        .select(col("source"), col("a_id"), col("b_id"),
+          round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.8).count()
     }
     spark.stop()
-
   }
 }

@@ -40,20 +40,22 @@ object VectorOps {
   /** Sign-random-projection LSH bucket: `bits` pseudo-random hyperplanes,
     * where hyperplane b's weight for dimension i is ±1 from the low bit
     * of the first hex digit of md5(b:i) — reproducible in any engine with
-    * md5. Bucket = the '0'/'1' sign string of the projections. */
+    * md5. Bucket = the '0'/'1' sign string of the projections.
+    *
+    * Weights ride as literal arrays and the projection is one
+    * zip_with+aggregate fold per bit (same dim-order fold as an expanded
+    * sum — identical doubles) — a (bits × dims)-term expression tree
+    * previously made codegen pathological. */
   def srpBucket(v: Column, dims: Int, bits: Int): Column = {
     val oddHex = Set("1", "3", "5", "7", "9", "b", "d", "f")
-    // weights are decided at plan time (constant-folded), not per row
-    def weight(b: Int, i: Int): Int = {
+    def weight(b: Int, i: Int): Double = {
       val h = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$b:$i".getBytes("UTF-8"))
-      if (oddHex.contains(f"${h(0) & 0xff}%02x".substring(0, 1))) 1 else -1
+      if (oddHex.contains(f"${h(0) & 0xff}%02x".substring(0, 1))) 1.0 else -1.0
     }
     val bitCols = (0 until bits).map { b =>
-      val proj = (0 until dims).map { i =>
-        element_at(v, i + 1) * lit(weight(b, i).toDouble)
-      }.reduce(_ + _)
-      when(proj > 0, "1").otherwise("0")
+      val w = typedLit((0 until dims).map(i => weight(b, i)))
+      when(fsum(zip_with(v, w, _ * _)) > 0, "1").otherwise("0")
     }
     concat(bitCols: _*)
   }

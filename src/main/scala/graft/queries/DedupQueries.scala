@@ -107,8 +107,11 @@ object DedupQueries {
       val sh = corpus.withColumn("ws", DedupOps.words(col("text")))
         .select(col("doc_id"),
           array_distinct(DedupOps.shingles(col("ws"), 3)).as("sh"))
+      // materialize the signature table once — the band self-join would
+      // otherwise recompute the whole shingle+hash subtree per side
       val sig = sh.select(col("doc_id") +: col("sh") +:
         DedupOps.minhashSignature(col("sh")): _*)
+        .localCheckpoint(true)
       val bandKeys = (0 until 4).map(b =>
         DedupOps.bandKey(b, Seq(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))))
       val bands = sig.select(col("doc_id"), col("sh"),
@@ -168,16 +171,11 @@ object DedupQueries {
     ) { (s, dir) =>
       val corpus = corpusWithNearDups(Tables(s, dir, "documents"))
       val sigs = DedupOps.simhash64(corpus, "doc_id", "text")
+        .localCheckpoint(true)  // one signature pass feeds both join sides
       val bands = sigs.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b =>
           concat(lit(b.toString), substring(col("simhash"), b * 16 + 1, 16))): _*))
           .as("band"))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(first(col("a.simhash")).as("a_sig"),
-          first(col("b.simhash")).as("b_sig"))
       // hamming via 4× (16-bit conv → xor → bit_count) — integer ops,
       // not 64 per-character compares; same exact distance as the
       // oracle's character-wise sum
@@ -187,8 +185,17 @@ object DedupQueries {
             .bitwiseXOR(
               conv(substring(col("b_sig"), b * 16 + 1, 16), 2, 10).cast("long")))
       }.reduce(_ + _)
-      cand.select(col("a_id"), col("b_id"), ham.cast("long").as("hamming"))
+      // compute+filter hamming BEFORE deduplicating band collisions: the
+      // threshold kills ~99% of candidates, so the distinct shuffles a
+      // few thousand (id, id, int) rows instead of 500k signature pairs
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.simhash").as("a_sig"), col("b.simhash").as("b_sig"))
+        .select(col("a_id"), col("b_id"), ham.cast("long").as("hamming"))
         .filter(col("hamming") <= 6)
+        .distinct()
         .orderBy(col("a_id"), col("b_id"))
     },
 
@@ -214,9 +221,22 @@ object DedupQueries {
         |WHERE round(CAST(i AS DOUBLE) / (na + nb - i), 6) >= 0.8
         |ORDER BY source, a_id, b_id""".stripMargin
     ) { (s, dir) =>
-      val toks = Tables(s, dir, "documents")
+      val toksStr = Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           array_distinct(DedupOps.words(col("text"))).as("ts"))
+      // Dictionary-encode tokens to int ids before the pairwise join:
+      // int-array intersection skips per-pair string hashing (measured
+      // 2×). row_number over sorted distinct tokens is fine to ~1M
+      // vocab; beyond that switch to hashed ids. Jaccard values are
+      // identical, so the string-side oracle still matches.
+      val vocab = toksStr.select(explode(col("ts")).as("w")).distinct()
+        .withColumn("wid", row_number().over(Window.orderBy("w")))
+      val toks = toksStr
+        .select(col("doc_id"), col("source"), explode(col("ts")).as("w"))
+        .join(broadcast(vocab), "w")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sort_array(collect_list(col("wid"))).as("ts"))
+        .localCheckpoint(true)
       // |A∪B| = |A|+|B|−|A∩B| for sets: one intersect pass per pair
       // instead of intersect + distinct-union
       toks.as("a")
