@@ -50,7 +50,7 @@ object StreamingQueries {
         .option("serviceUrl", "pulsar://local")
         .option("topicNames", "events")
         .option("subscriptionInitialPosition", "Earliest")
-        .option("batchingMaxMessages", "4096")
+        .option("batchingMaxMessages", "32768")
         .load()
         .writeStream
         .queryName(qname)

@@ -47,14 +47,22 @@ object TextQueries {
       val docs = Tables(s, dir, "documents")
       val tri = docs.select(col("doc_id"), col("lang"),
         explode(TextOps.charNgrams(col("text"), 3)).as("g"))
-      val counts = tri.groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c"))
+      // one explode + one aggregation: per-doc trigram counts serve both
+      // the training counts (sum) and the distinct doc-trigram sets
+      // (they are already distinct) — checkpointed so profile building
+      // and classification don't re-explode the corpus
+      val docCounts = tri.groupBy(col("doc_id"), col("lang"), col("g"))
+        .agg(count(lit(1)).as("dc"))
+        .localCheckpoint(true)
+      val counts = docCounts.groupBy(col("lang"), col("g"))
+        .agg(sum(col("dc")).as("c"))
       val wRank = Window.partitionBy(col("lang"))
         .orderBy(col("c").desc, col("g").asc)
       val profile = counts.withColumn("rank", row_number().over(wRank))
         .filter(col("rank") <= 20)
         .select(col("lang").as("p_lang"), col("g"),
           (lit(21) - col("rank")).as("weight"))
-      val docTri = tri.select(col("doc_id"), col("lang"), col("g")).distinct()
+      val docTri = docCounts.select(col("doc_id"), col("lang"), col("g"))
       val scores = docTri.join(broadcast(profile), "g")
         .groupBy(col("doc_id"), col("lang"), col("p_lang"))
         .agg(sum(col("weight")).as("score"))

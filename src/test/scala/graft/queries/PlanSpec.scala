@@ -51,7 +51,8 @@ class PlanSpec extends SparkSpec {
     // 'Scan ExistingRDD' (a sign of driver-side materialization).
     // Exempt: queries that deliberately localCheckpoint a reused
     // intermediate (executor-side caching, not a driver collect).
-    val checkpoints = Set("d02_minhash_lsh", "d03_simhash", "d04_ngram_jaccard")
+    val checkpoints = Set("d02_minhash_lsh", "d03_simhash", "d04_ngram_jaccard",
+      "t01_langid_ngram")
     QueryRegistry.all
       .filterNot(q => q.name.startsWith("ps") || checkpoints.contains(q.name))
       .foreach { q =>
