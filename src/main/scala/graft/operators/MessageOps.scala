@@ -113,6 +113,17 @@ object MessageOps {
           from_csv(col("value_str"), payloadSchema, csvOpts)))
   }
 
+  /** A16 — redelivery pacing: keep only messages that are due — fresh
+    * deliveries (no `retry_at` property) or redeliveries whose
+    * `retry_at` (epoch millis, stamped by AckingSink.nack with the
+    * nackRedeliveryDelay) has passed `asOf`. The not-yet-due complement
+    * stays on the topic for a later trigger — the consumer-side half of
+    * negativeAckRedeliveryDelay (PulsarMessageConsumer.java:354-356). */
+  def dueOnly(messages: DataFrame, asOf: Column = current_timestamp()): DataFrame =
+    messages.filter(
+      col("properties").getItem("retry_at").isNull ||
+      col("properties").getItem("retry_at").cast("long") <= unix_millis(asOf))
+
   /** A17 — DLQ routing: messages at or past `maxRedeliverCount` (reference
     * default 5) go to the dead-letter sink, the rest stay live. One pass,
     * no shuffle — the split is a pair of complementary filters over the

@@ -79,6 +79,27 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("redelivery pacing: retry_at gates a nacked message until due (A16)") {
+    import spark.implicits._
+    val root = tmpDir("store")
+    val failed = Seq(("0:0:0:0", "k1", "later", 0))
+      .toDF("message_id", "key", "value_str", "redelivery_count")
+      .withColumn("properties", map().cast("map<string,string>"))
+      .withColumn("publish_time", lit(new java.sql.Timestamp(1700000000000L)))
+      .withColumn("content_type", lit("text/plain"))
+    AckingSink.nack(spark, failed, root, "t", nackDelayMs = 3600000L) // 1h
+    val msgs = spark.read.format("pulsarlike")
+      .option("path", root).option("serviceUrl", "pulsar://local")
+      .option("topicNames", "t").option("batchingMaxMessages", "100")
+      .load()
+    import graft.operators.MessageOps
+    assert(msgs.count() == 1)
+    assert(MessageOps.dueOnly(msgs).count() == 0)   // not yet due
+    assert(MessageOps.dueOnly(msgs,
+      org.apache.spark.sql.functions.lit(new java.sql.Timestamp(
+        System.currentTimeMillis() + 7200000L))).count() == 1) // due in 2h
+  }
+
   test("nack republishes below threshold, DLQs at threshold (A15/A16/A17)") {
     import spark.implicits._
     val root = tmpDir("store")
