@@ -145,6 +145,41 @@ object TextQueries {
         array_min(transform(TextOps.charNgrams(col("text"), 8), g => md5(g)))
           .as("fp_min8"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // t05 — PII redaction: emails and URLs replaced by placeholder
+    // tokens, with per-doc match counts (the scrub pass every
+    // training-data pipeline runs). The fixture deterministically
+    // injects PII since the corpus has none; patterns are kept in the
+    // Java∩RE2 regex subset so both engines agree.
+    Q(
+      "t05_pii_redaction",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id ||
+        |    '@example.com or https://site' || doc_id || '.example/p' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(t, 'https?://[a-z0-9./]+', '<URL>', 'g'),
+        |    '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, 'https?://[a-z0-9./]+')) AS BIGINT) AS n_urls
+        |FROM aug ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("t", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or https://site"),
+          col("doc_id"), lit(".example/p")))
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("t"), lit("https?://[a-z0-9./]+"), lit("<URL>")),
+            lit("[a-z0-9]+@[a-z0-9.]+"), lit("<EMAIL>")).as("redacted"),
+          size(regexp_extract_all(col("t"),
+            lit("[a-z0-9]+@[a-z0-9.]+"), lit(0))).cast("long").as("n_emails"),
+          size(regexp_extract_all(col("t"),
+            lit("https?://[a-z0-9./]+"), lit(0))).cast("long").as("n_urls"))
+        .orderBy(col("doc_id"))
     }
   )
 }
