@@ -73,6 +73,32 @@ object MiscQueries {
     },
 
     // ---------------------------------------------------------------
+    // q25 — salted aggregation: the skew pattern. A hot grouping key is
+    // split across 16 salt shards (partial agg per (key, salt)), then
+    // the shards are re-combined — two small shuffles instead of one
+    // skewed one. Same result as a plain groupBy, which is what the
+    // oracle computes.
+    Q(
+      "q25_salted_aggregation",
+      """SELECT CAST(user_id % 3 AS BIGINT) AS hot_key,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val salted = Tables(s, dir, "events")
+        .withColumn("hot_key", (col("user_id") % 3).cast("bigint"))
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+      val partial = salted.groupBy(col("hot_key"), col("salt"))
+        .agg(count(lit(1)).as("pn"),
+          sum(col("value").cast(DecimalType(18, 2))).as("psum"))
+      partial.groupBy(col("hot_key"))
+        .agg(sum(col("pn")).as("n"),
+          sum(col("psum")).cast("double").as("sum_value"))
+        .orderBy(col("hot_key"))
+    },
+
+    // ---------------------------------------------------------------
     // v01 — semi-structured JSON access over the events props column
     // (the VariantType path for heterogeneous payloads: parse once,
     // extract typed fields lazily).

@@ -180,6 +180,42 @@ object TextQueries {
           size(regexp_extract_all(col("t"),
             lit("https?://[a-z0-9./]+"), lit(0))).cast("long").as("n_urls"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // t06 — repetition ratios (Gopher/C4-style quality signals): the
+    // fraction of duplicate word bigrams and duplicate words — high
+    // values flag boilerplate/spam for filtering.
+    Q(
+      "t06_repetition_ratio",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, ws,
+        |    CASE WHEN len(ws) >= 2 THEN list_transform(generate_series(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1]) ELSE [] END AS bg
+        |  FROM f)
+        |SELECT doc_id,
+        |  round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS dup_word_ratio,
+        |  round(CASE WHEN len(bg) > 0
+        |    THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+        |    ELSE 0.0 END, 6) AS dup_bigram_ratio
+        |FROM g ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("ws", DedupOps.words(col("text")))
+        .withColumn("bg", DedupOps.shingles(col("ws"), 2))
+        .select(col("doc_id"),
+          round(lit(1.0) -
+            size(array_distinct(col("ws"))).cast("double") / size(col("ws")), 6)
+            .as("dup_word_ratio"),
+          round(when(size(col("bg")) > 0,
+            lit(1.0) - size(array_distinct(col("bg"))).cast("double") /
+              size(col("bg"))).otherwise(0.0), 6)
+            .as("dup_bigram_ratio"))
+        .orderBy(col("doc_id"))
     }
   )
 }
