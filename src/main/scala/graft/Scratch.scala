@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.operators.DedupOps
 
 /** Ad-hoc profiling main (not part of the driver contract). */
 object Scratch {
@@ -18,24 +19,36 @@ object Scratch {
       val n = f
       println(f"STAGE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
-    val ev = Tables(spark, dir, "events")
-    time("warm") { ev.count() }
-    time("v01_variant") {
-      ev.select(col("event_id"),
-        variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
-        .filter(col("k") > 50).count()
+    val docs = Tables(spark, dir, "documents")
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          expr("substr(text, instr(text, ' ') + 1)").as("text")))
+    time("warm") { corpus.count() }
+    time("simhash_sigs") {
+      DedupOps.simhash64(corpus, "doc_id", "text").count()
     }
-    time("v01_get_json_object") {
-      ev.select(col("event_id"),
-        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
-        .filter(col("k") > 50).count()
+    val sigs = DedupOps.simhash64(corpus, "doc_id", "text").localCheckpoint(true)
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        concat(lit(b.toString), substring(col("simhash"), b * 16 + 1, 16))): _*))
+        .as("band"))
+    time("band_join_count") {
+      bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id")).count()
     }
-    time("v01_from_json") {
-      ev.select(col("event_id"),
-        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("k",
-            org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
-        .filter(col("k") > 50).count()
+    val ham = (0 until 4).map { b =>
+      bit_count(
+        conv(substring(col("a_sig"), b * 16 + 1, 16), 2, 10).cast("long")
+          .bitwiseXOR(conv(substring(col("b_sig"), b * 16 + 1, 16), 2, 10).cast("long")))
+    }.reduce(_ + _)
+    time("full_tail") {
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.simhash").as("a_sig"), col("b.simhash").as("b_sig"))
+        .select(col("a_id"), col("b_id"), ham.cast("long").as("hamming"))
+        .filter(col("hamming") <= 6).distinct().count()
     }
     spark.stop()
   }

@@ -170,20 +170,21 @@ object DedupQueries {
         |ORDER BY a_id, b_id""".stripMargin
     ) { (s, dir) =>
       val corpus = corpusWithNearDups(Tables(s, dir, "documents"))
+      // decode each 16-bit band to an int ONCE per doc (conv on 500k
+      // candidate rows was the hot spot); the join then carries 4 ints
+      // and hamming is pure xor+bit_count
       val sigs = DedupOps.simhash64(corpus, "doc_id", "text")
+        .select(col("doc_id") +: col("simhash") +: (0 until 4).map(b =>
+          conv(substring(col("simhash"), b * 16 + 1, 16), 2, 10)
+            .cast("long").as(s"w$b")): _*)
         .localCheckpoint(true)  // one signature pass feeds both join sides
-      val bands = sigs.select(col("doc_id"), col("simhash"),
+      val bands = sigs.select(col("doc_id") +:
+        (0 until 4).map(b => col(s"w$b")) :+
         explode(array((0 until 4).map(b =>
           concat(lit(b.toString), substring(col("simhash"), b * 16 + 1, 16))): _*))
-          .as("band"))
-      // hamming via 4× (16-bit conv → xor → bit_count) — integer ops,
-      // not 64 per-character compares; same exact distance as the
-      // oracle's character-wise sum
+          .as("band"): _*)
       val ham = (0 until 4).map { b =>
-        bit_count(
-          conv(substring(col("a_sig"), b * 16 + 1, 16), 2, 10).cast("long")
-            .bitwiseXOR(
-              conv(substring(col("b_sig"), b * 16 + 1, 16), 2, 10).cast("long")))
+        bit_count(col(s"a.w$b").bitwiseXOR(col(s"b.w$b")))
       }.reduce(_ + _)
       // compute+filter hamming BEFORE deduplicating band collisions: the
       // threshold kills ~99% of candidates, so the distinct shuffles a
@@ -192,8 +193,7 @@ object DedupQueries {
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          col("a.simhash").as("a_sig"), col("b.simhash").as("b_sig"))
-        .select(col("a_id"), col("b_id"), ham.cast("long").as("hamming"))
+          ham.cast("long").as("hamming"))
         .filter(col("hamming") <= 6)
         .distinct()
         .orderBy(col("a_id"), col("b_id"))
