@@ -40,6 +40,8 @@ final case class PulsarLikeConf(
     nackRedeliveryDelayMs: Option[Long],
     ackTimeoutMs: Option[Long],
     readCompacted: Boolean,
+    readRetries: Boolean,
+    numPartitions: Option[Int],
     chunking: ChunkingConf,
     client: ClientConf)
 
@@ -177,6 +179,11 @@ object PulsarLikeConf {
       nackRedeliveryDelayMs = long_("nackRedeliveryDelay"),
       ackTimeoutMs = long_("ackTimeoutMillis"),
       readCompacted = get("readCompacted").exists(_.toBoolean),
+      // local-store extensions (no reference analog): batch-read the
+      // subscription's pending-redelivery queue (A16 observability), and
+      // the partition count used if a write creates the topic
+      readRetries = get("readRetries").exists(_.toBoolean),
+      numPartitions = long_("numPartitions").filter(_ > 0).map(_.toInt),
       chunking = ChunkingConf(
         maxPendingChunkedMessage = long_("maxPendingChunkedMessage"),
         expiryTimeOfIncompleteChunkedMessageMillis =

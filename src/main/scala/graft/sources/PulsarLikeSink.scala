@@ -32,7 +32,11 @@ class PulsarLikeWriteBuilder(conf: PulsarLikeConf, root: String,
   private val topic = conf.topicNames.headOption.getOrElse(
     throw new IllegalArgumentException(
       "Writing requires 'topicNames' to name the target topic."))
-  private val numPartitions = 4
+  // the topic's persisted partition count always wins (routing is mod N
+  // — a second writer with a different N would split keys across
+  // partitions); a new topic takes the `numPartitions` option (default 4)
+  private val numPartitions =
+    TopicStore.ensureNumPartitions(root, topic, conf.numPartitions.getOrElse(4))
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new BatchWrite {

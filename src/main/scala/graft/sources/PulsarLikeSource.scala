@@ -207,7 +207,10 @@ object PulsarLikeFilters {
   }
 }
 
-/** Offset = per topic-partition next-line-to-read. */
+/** Offset = per topic-partition next-line-to-read. Two cursor families:
+  * `topic/p` into the main log and `topic/p/retry` into this
+  * subscription's retry log (A16) — redelivery progress is subscription
+  * state, exactly like a broker cursor, and both advance monotonically. */
 case class PulsarLikeOffset(cursors: Map[String, Long]) extends Offset {
   override def json(): String = {
     val m = TopicStore.mapper.createObjectNode()
@@ -222,6 +225,13 @@ object PulsarLikeOffset {
       .map(e => e.getKey -> e.getValue.asLong()).toMap)
   }
   def key(topic: String, p: Int): String = s"$topic/$p"
+  def retryKey(topic: String, p: Int): String = s"$topic/$p/retry"
+  /** (topic, partition, isRetry) */
+  def parse(k: String): (String, Int, Boolean) = {
+    val parts = k.split("/")
+    if (parts.length == 3 && parts(2) == "retry") (parts(0), parts(1).toInt, true)
+    else (parts(0), parts(1).toInt, false)
+  }
 }
 
 class PulsarLikeMicroBatchStream(conf: PulsarLikeConf, root: String,
@@ -229,15 +239,38 @@ class PulsarLikeMicroBatchStream(conf: PulsarLikeConf, root: String,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
-  import PulsarLikeOffset.key
+  import PulsarLikeOffset.{key, retryKey, parse}
 
-  /** Current end offsets; re-lists topics/partitions (A20). */
+  /** Current end offsets; re-lists topics/partitions (A20). Includes the
+    * subscription's retry-log cursors (A16) so nacked messages are
+    * re-served through `planInputPartitions` — the main log never grows
+    * from a redelivery. */
   private def endCursors(): Map[String, Long] = {
     PulsarLikeSource.resolveTopics(conf, root).flatMap { t =>
-      TopicStore.partitionIds(root, t).map { p =>
+      val main = TopicStore.partitionIds(root, t).map { p =>
         key(t, p) -> TopicStore.partitionMeta(root, t, p)._1
       }
+      val rdir = TopicStore.retryDir(root, t, conf.subscriptionName)
+      val retry = TopicStore.partitionIdsIn(rdir).map { p =>
+        retryKey(t, p) -> TopicStore.partitionMetaIn(rdir, p)._1
+      }
+      main ++ retry
     }.toMap
+  }
+
+  /** How far into a retry partition delivery may advance at `nowMs`:
+    * consecutive entries whose `retry_at` has passed. Entries append in
+    * nack order, so with a consumer's (constant) nackRedeliveryDelay
+    * `retry_at` ascends and the cursor never head-of-line blocks a due
+    * entry behind a not-yet-due one. Driver-side, O(pending retries). */
+  private def dueRetryEnd(topic: String, p: Int, from: Long, until: Long,
+      nowMs: Long): Long = {
+    if (until <= from) return from
+    val dir = TopicStore.retryDir(root, topic, conf.subscriptionName)
+    from + TopicStore.readEntries(dir, p, from, until)
+      .iterator
+      .takeWhile(_.properties.get("retry_at").forall(_.toLong <= nowMs))
+      .size
   }
 
   // Trigger.AvailableNow support: pin the end offsets at query start so
@@ -276,12 +309,19 @@ class PulsarLikeMicroBatchStream(conf: PulsarLikeConf, root: String,
     val maxBytes: Long = conf.batchingMaxBytes.getOrElse(Long.MaxValue)
     var rowBudget = maxRows
     var byteBudget = maxBytes
+    val nowMs = System.currentTimeMillis()
     // deterministic partition order; budget consumed in that order
-    val admitted = end.toSeq.sortBy(_._1).map { case (k, endOff) =>
+    val admitted = end.toSeq.sortBy(_._1).map { case (k, endRaw) =>
       val s = startCur.getOrElse(k, 0L)
+      val (t, p, isRetry) = parse(k)
+      // A16: a retry entry is only admissible once its retry_at has
+      // passed — the due decision is frozen into the offset here, so
+      // replaying the batch from the checkpoint is deterministic
+      val endOff = if (isRetry) dueRetryEnd(t, p, s, endRaw, nowMs) else endRaw
       val avail = math.max(0L, endOff - s)
-      val Array(t, pStr) = k.split("/")
-      val (cnt, bytes) = TopicStore.partitionMeta(root, t, pStr.toInt)
+      val dir = if (isRetry) TopicStore.retryDir(root, t, conf.subscriptionName)
+        else TopicStore.topicDir(root, t)
+      val (cnt, bytes) = TopicStore.partitionMetaIn(dir, p)
       val bytesPerRow = if (cnt > 0) math.max(1L, bytes / cnt) else 1L
       val byByte = if (byteBudget == Long.MaxValue) avail
         else math.min(avail, byteBudget / bytesPerRow)
@@ -304,9 +344,10 @@ class PulsarLikeMicroBatchStream(conf: PulsarLikeConf, root: String,
       val startOff = s.getOrElse(k, 0L)
       if (endOff <= startOff) None
       else {
-        val Array(t, pStr) = k.split("/")
-        Some(PulsarLikeInputPartition(root, t, pStr.toInt, startOff, endOff,
-          compacted = conf.readCompacted && fresh))
+        val (t, p, isRetry) = parse(k)
+        Some(PulsarLikeInputPartition(root, t, p, startOff, endOff,
+          compacted = !isRetry && conf.readCompacted && fresh,
+          retrySub = if (isRetry) conf.subscriptionName else null))
       }
     }.toArray
   }
@@ -325,16 +366,23 @@ class PulsarLikeMicroBatchStream(conf: PulsarLikeConf, root: String,
   override def stop(): Unit = ()
 }
 
-/** Batch read of the same store (full current range). */
+/** Batch read of the same store (full current range). With
+  * `readRetries=true` the batch targets the subscription's retry log
+  * instead — the pending-redelivery queue as a DataFrame (A16
+  * observability; pair with [[graft.operators.MessageOps.dueOnly]]). */
 class PulsarLikeBatch(conf: PulsarLikeConf, root: String,
     schema: StructType = PulsarLikeSource.schema,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     PulsarLikeSource.resolveTopics(conf, root).flatMap { t =>
-      TopicStore.partitionIds(root, t).map { p =>
-        val (cnt, _) = TopicStore.partitionMeta(root, t, p)
+      val dir = if (conf.readRetries)
+        TopicStore.retryDir(root, t, conf.subscriptionName)
+      else TopicStore.topicDir(root, t)
+      TopicStore.partitionIdsIn(dir).map { p =>
+        val (cnt, _) = TopicStore.partitionMetaIn(dir, p)
         PulsarLikeInputPartition(root, t, p, 0L, cnt,
-          compacted = conf.readCompacted)
+          compacted = !conf.readRetries && conf.readCompacted,
+          retrySub = if (conf.readRetries) conf.subscriptionName else null)
       }
     }.toArray
   }
@@ -342,8 +390,10 @@ class PulsarLikeBatch(conf: PulsarLikeConf, root: String,
     new PulsarLikeReaderFactory(schema.fieldNames, filters)
 }
 
+/** `retrySub == null` → main log; else that subscription's retry log. */
 case class PulsarLikeInputPartition(root: String, topic: String, p: Int,
-    startOff: Long, endOff: Long, compacted: Boolean) extends InputPartition
+    startOff: Long, endOff: Long, compacted: Boolean,
+    retrySub: String = null) extends InputPartition
 
 class PulsarLikeReaderFactory(fields: Array[String],
     filters: Array[org.apache.spark.sql.sources.Filter])
@@ -362,28 +412,68 @@ class PulsarLikePartitionReader(ip: PulsarLikeInputPartition,
   private val needsValue =
     fields.contains("value") || fields.contains("value_str")
 
-  private val iter: Iterator[TopicStore.Msg] = {
-    val f = TopicStore.topicDir(ip.root, ip.topic).resolve(s"part-${ip.p}.jsonl")
-    val all =
-      if (!Files.exists(f)) Iterator.empty
-      else Files.lines(f).iterator().asScala
-        .slice(ip.startOff.toInt, ip.endOff.toInt)
-        .map(TopicStore.decode)
-    val filtered =
-      if (filters.isEmpty) all
-      else all.filter(m => filters.forall(f =>
-        PulsarLikeFilters.eval(f, ip.topic, m)))
-    if (!ip.compacted) filtered
-    else {
-      // latest per key within the slice — correct globally because key
-      // routing pins a key to one partition; keyless messages pass through
-      val seen = new java.util.LinkedHashMap[String, TopicStore.Msg]()
-      val keyless = Vector.newBuilder[TopicStore.Msg]
-      filtered.foreach { m =>
-        if (m.key == null) keyless += m else seen.put(m.key, m)
+  // held open for the slice; released in close() (and on exhaustion)
+  private var channel: java.nio.channels.FileChannel = _
+
+  /** Lines [startOff, endOff) of the partition file: seek to the nearest
+    * indexed line ≤ startOff via the meta sidecar's sparse byte index,
+    * skip the remainder — O(slice + IndexStride) I/O per micro-batch
+    * instead of O(offset), and Long-safe past 2^31 lines. */
+  private def openLines(): Iterator[String] = {
+    val dir = if (ip.retrySub != null)
+      TopicStore.retryDir(ip.root, ip.topic, ip.retrySub)
+    else TopicStore.topicDir(ip.root, ip.topic)
+    val f = dir.resolve(s"part-${ip.p}.jsonl")
+    if (!Files.exists(f) || ip.endOff <= ip.startOff) return Iterator.empty
+    val (idxLine, idxByte) = TopicStore.partitionIndexIn(dir, ip.p)
+      .takeWhile(_._1 <= ip.startOff).lastOption.getOrElse((0L, 0L))
+    channel = java.nio.channels.FileChannel.open(f,
+      java.nio.file.StandardOpenOption.READ)
+    channel.position(idxByte)
+    val reader = new java.io.BufferedReader(
+      java.nio.channels.Channels.newReader(channel, "UTF-8"), 1 << 16)
+    var line = idxLine
+    while (line < ip.startOff && reader.readLine() != null) line += 1
+    val remaining = ip.endOff - ip.startOff
+    new Iterator[String] {
+      private var served = 0L
+      private var nextLine: String = if (remaining > 0) reader.readLine() else null
+      override def hasNext: Boolean = nextLine != null
+      override def next(): String = {
+        val s = nextLine
+        served += 1
+        nextLine = if (served < remaining) reader.readLine() else null
+        if (nextLine == null) closeChannel()
+        s
       }
-      (seen.values().asScala ++ keyless.result()).iterator
     }
+  }
+
+  private def closeChannel(): Unit = {
+    if (channel != null && channel.isOpen) channel.close()
+  }
+
+  private val iter: Iterator[TopicStore.Msg] = {
+    val decoded = openLines().map(TopicStore.decode)
+    // A21 before filters: compaction must see every message so a pushed
+    // predicate can't drop a key's latest and resurrect a superseded one
+    // (Spark trusts pushed filters — they are evaluated on the compacted
+    // snapshot, exactly what a broker's compacted read would serve)
+    val compacted =
+      if (!ip.compacted) decoded
+      else {
+        // latest per key within the slice — correct globally because key
+        // routing pins a key to one partition; keyless messages pass through
+        val seen = new java.util.LinkedHashMap[String, TopicStore.Msg]()
+        val keyless = Vector.newBuilder[TopicStore.Msg]
+        decoded.foreach { m =>
+          if (m.key == null) keyless += m else seen.put(m.key, m)
+        }
+        (seen.values().asScala ++ keyless.result()).iterator
+      }
+    if (filters.isEmpty) compacted
+    else compacted.filter(m => filters.forall(f =>
+      PulsarLikeFilters.eval(f, ip.topic, m)))
   }
 
   private var cur: TopicStore.Msg = _
@@ -420,5 +510,5 @@ class PulsarLikePartitionReader(ip: PulsarLikeInputPartition,
     InternalRow(cells: _*)
   }
 
-  override def close(): Unit = ()
+  override def close(): Unit = closeChannel()
 }

@@ -32,12 +32,26 @@ object TopicStore {
 
   val mapper = new ObjectMapper()
 
+  /** Every `IndexStride`-th line's byte offset is recorded in the meta
+    * sidecar, so a reader starting at offset N seeks to the nearest
+    * indexed line and skips at most `IndexStride - 1` lines — O(slice)
+    * per read instead of O(offset), and safe past 2^31 lines. */
+  val IndexStride: Long = 4096L
+
   final case class Msg(
       messageId: String, key: String, valueB64: String,
       properties: Map[String, String], publishTimeUs: Long,
       eventTimeUs: Long, redeliveryCount: Int, contentType: String)
 
   def topicDir(root: String, topic: String): Path = Paths.get(root, topic)
+
+  /** Per-subscription redelivery queue (A16) — lives beside the topic's
+    * partition files, same layout, never listed as a topic. A nacked
+    * message is appended here (with `retry_at` in properties) instead of
+    * re-published to the main log: the log holds each message once, like
+    * the broker, and redelivery is subscription state. */
+  def retryDir(root: String, topic: String, sub: String): Path =
+    topicDir(root, topic).resolve(s".retry-$sub")
 
   def listTopics(root: String): Seq[String] = {
     val r = Paths.get(root)
@@ -51,8 +65,9 @@ object TopicStore {
 
   /** Existing partition ids (sparse — a partition file only exists once
     * something was routed to it). */
-  def partitionIds(root: String, topic: String): Seq[Int] = {
-    val d = topicDir(root, topic)
+  def partitionIds(root: String, topic: String): Seq[Int] = partitionIdsIn(topicDir(root, topic))
+
+  def partitionIdsIn(d: Path): Seq[Int] = {
     if (!Files.isDirectory(d)) Seq.empty
     else Files.list(d).iterator().asScala
       .map(_.getFileName.toString)
@@ -62,13 +77,57 @@ object TopicStore {
   }
 
   /** (count, bytes) per partition from the meta sidecar (O(1), no scan). */
-  def partitionMeta(root: String, topic: String, p: Int): (Long, Long) = {
-    val m = topicDir(root, topic).resolve(s"part-$p.meta")
+  def partitionMeta(root: String, topic: String, p: Int): (Long, Long) =
+    partitionMetaIn(topicDir(root, topic), p)
+
+  def partitionMetaIn(dir: Path, p: Int): (Long, Long) = {
+    val m = dir.resolve(s"part-$p.meta")
     if (!Files.exists(m)) (0L, 0L)
     else {
       val n = mapper.readTree(Files.readString(m))
       (n.get("count").asLong(), n.get("bytes").asLong())
     }
+  }
+
+  /** Sparse (line, byteOffset) index for a partition file — ascending,
+    * one entry per `IndexStride` lines (empty for pre-index metas). */
+  def partitionIndexIn(dir: Path, p: Int): IndexedSeq[(Long, Long)] = {
+    val m = dir.resolve(s"part-$p.meta")
+    if (!Files.exists(m)) Vector.empty
+    else {
+      val n = mapper.readTree(Files.readString(m))
+      val idx = n.get("index")
+      if (idx == null || !idx.isArray) Vector.empty
+      else idx.elements().asScala
+        .map(e => (e.get(0).asLong(), e.get(1).asLong())).toVector
+    }
+  }
+
+  /** The topic-level partition count, persisted in `<topic>/topic.meta`
+    * the first time the topic is written. Key-hash routing is mod this
+    * value in EVERY write path — a second writer with a different count
+    * would split one key across partitions and silently break the
+    * per-key invariants (compaction A21, Key_Shared order A3), so the
+    * persisted count always wins over the caller's request. */
+  def ensureNumPartitions(root: String, topic: String, requested: Int): Int = {
+    val dir = topicDir(root, topic)
+    val m = dir.resolve("topic.meta")
+    if (Files.exists(m)) mapper.readTree(Files.readString(m)).get("numPartitions").asInt()
+    else {
+      Files.createDirectories(dir)
+      // pre-topic.meta topics: infer a floor from existing part files
+      val n = math.max(requested, partitionIdsIn(dir).maxOption.map(_ + 1).getOrElse(0))
+      Files.writeString(m, s"""{"numPartitions":$n}""",
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      n
+    }
+  }
+
+  /** Read the persisted partition count without creating the topic. */
+  def numPartitions(root: String, topic: String, default: Int = 4): Int = {
+    val m = topicDir(root, topic).resolve("topic.meta")
+    if (Files.exists(m)) mapper.readTree(Files.readString(m)).get("numPartitions").asInt()
+    else math.max(default, partitionIds(root, topic).maxOption.map(_ + 1).getOrElse(0))
   }
 
   def encode(m: Msg): String = {
@@ -112,8 +171,21 @@ object TopicStore {
     * Appends after existing data; offsets stay contiguous per partition.
     */
   def publish(spark: SparkSession, df: DataFrame, root: String, topic: String,
-      numPartitions: Int): Unit = {
-    val dir = topicDir(root, topic)
+      numPartitions: Int): Unit =
+    publishTo(spark, df, root, topic, numPartitions, retrySub = None)
+
+  /** Append a DataFrame of already-bumped redeliveries to a
+    * subscription's retry log (A16). Same routing/ordering as `publish`
+    * — a key's retries land in the retry log's partition p, matching the
+    * main log's p, so merged delivery keeps per-key locality. */
+  def publishRetries(spark: SparkSession, df: DataFrame, root: String,
+      topic: String, sub: String, numPartitions: Int): Unit =
+    publishTo(spark, df, root, topic, numPartitions, retrySub = Some(sub))
+
+  private def publishTo(spark: SparkSession, df: DataFrame, root: String,
+      topic: String, requestedPartitions: Int, retrySub: Option[String]): Unit = {
+    val numPartitions = ensureNumPartitions(root, topic, requestedPartitions)
+    val dir = retrySub.map(retryDir(root, topic, _)).getOrElse(topicDir(root, topic))
     Files.createDirectories(dir)
     val cols = df.columns.toSet
     def orElse(name: String, default: org.apache.spark.sql.Column) =
@@ -137,22 +209,21 @@ object TopicStore {
       pmod(xxhash64(coalesce(col("key"), base64(col("value")))),
         lit(numPartitions)).cast("int"))
 
-    val rootStr = root
-    val topicStr = topic
+    val dirStr = dir.toAbsolutePath.toString
     // one writer task per store partition — offsets are assigned inside
     // the single task that owns the partition file (contiguous, ordered)
     routed.repartition(numPartitions, col("__p"))
       .sortWithinPartitions(col("publish_time"), col("message_id"))
       .foreachPartition { (it: Iterator[Row]) =>
-        writePartition(rootStr, topicStr, it)
+        writePartition(dirStr, it)
       }
   }
 
-  private def writePartition(root: String, topic: String, it: Iterator[Row]): Unit = {
+  private def writePartition(dir: String, it: Iterator[Row]): Unit = {
     // a task may receive rows of several store partitions (hash
     // co-location) — group and write each partition file separately
     it.toVector.groupBy(_.getAs[Int]("__p")).foreach { case (p, rows) =>
-      writeGroup(root, topic, p, rows)
+      writeGroup(dir, p, rows)
     }
   }
 
@@ -179,9 +250,16 @@ object TopicStore {
   private val monitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  def append(root: String, topic: String, p: Int, msgs: Seq[Msg]): Unit = {
+  def append(root: String, topic: String, p: Int, msgs: Seq[Msg]): Unit =
+    appendIn(topicDir(root, topic).toAbsolutePath.toString, p, msgs)
+
+  def appendRetries(root: String, topic: String, sub: String, p: Int,
+      msgs: Seq[Msg]): Unit =
+    appendIn(retryDir(root, topic, sub).toAbsolutePath.toString, p, msgs)
+
+  def appendIn(dirStr: String, p: Int, msgs: Seq[Msg]): Unit = {
     if (msgs.isEmpty) return
-    val dir = topicDir(root, topic)
+    val dir = Paths.get(dirStr)
     Files.createDirectories(dir)
     val dataFile = dir.resolve(s"part-$p.jsonl")
     val metaFile = dir.resolve(s"part-$p.meta")
@@ -198,27 +276,33 @@ object TopicStore {
           val n = mapper.readTree(Files.readString(metaFile))
           (n.get("count").asLong(), n.get("bytes").asLong())
         } else (0L, 0L)
+      val index = Vector.newBuilder[(Long, Long)]
+      index ++= partitionIndexIn(dir, p)
       val sb = new StringBuilder
       var off = base
       var bytes = bytes0
       msgs.foreach { m0 =>
         val m = if (m0.messageId != null) m0
           else m0.copy(messageId = s"0:$off:$p:0")
+        if (off % IndexStride == 0L) index += ((off, bytes))
         val line = encode(m)
         sb.append(line).append('\n')
-        bytes += line.length + 1
+        // byte (not char) length — the reader seeks by byte position
+        bytes += line.getBytes(StandardCharsets.UTF_8).length + 1
         off += 1
       }
       Files.writeString(dataFile, sb.toString,
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      val idxJson = index.result()
+        .map { case (l, b) => s"[$l,$b]" }.mkString("[", ",", "]")
       Files.writeString(metaFile,
-        s"""{"count":$off,"bytes":$bytes}""",
+        s"""{"count":$off,"bytes":$bytes,"index":$idxJson}""",
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     } finally { lock.release(); ch.close() }
     }
   }
 
-  private def writeGroup(root: String, topic: String, p: Int,
+  private def writeGroup(dir: String, p: Int,
       rows: Vector[Row]): Unit = {
     val msgs = rows.map { r =>
       val value = r.getAs[Array[Byte]]("value")
@@ -238,6 +322,33 @@ object TopicStore {
         redeliveryCount = r.getAs[Int]("redelivery_count"),
         contentType = r.getAs[String]("content_type"))
     }
-    append(root, topic, p, msgs)
+    appendIn(dir, p, msgs)
+  }
+
+  /** Decode a closed range of lines from one partition file, seeking via
+    * the sparse index — O(slice + IndexStride) work, Long-safe. Caller
+    * side: driver-side retry scans and tests; the DSv2 reader keeps its
+    * own streaming variant so it can close lazily. */
+  def readEntries(dir: Path, p: Int, from: Long, until: Long): Vector[Msg] = {
+    val f = dir.resolve(s"part-$p.jsonl")
+    if (!Files.exists(f) || until <= from) return Vector.empty
+    val (idxLine, idxByte) = partitionIndexIn(dir, p)
+      .takeWhile(_._1 <= from).lastOption.getOrElse((0L, 0L))
+    val ch = java.nio.channels.FileChannel.open(f, StandardOpenOption.READ)
+    try {
+      ch.position(idxByte)
+      val r = new java.io.BufferedReader(
+        java.nio.channels.Channels.newReader(ch, StandardCharsets.UTF_8.name()), 1 << 16)
+      var line = idxLine
+      while (line < from && r.readLine() != null) line += 1
+      val out = Vector.newBuilder[Msg]
+      var s = r.readLine()
+      while (s != null && line < until) {
+        out += decode(s)
+        line += 1
+        s = if (line < until) r.readLine() else null
+      }
+      out.result()
+    } finally ch.close()
   }
 }

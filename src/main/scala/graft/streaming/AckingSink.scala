@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.sources.TopicStore
 
@@ -12,11 +13,17 @@ import graft.sources.TopicStore
   *    (≙ SET_ROLLBACK_ONLY, PulsarMessageConsumer.java:548-573) and the
   *    batch replays — at-least-once, exactly like nack-and-redeliver.
   *  - Row-level failures (A15 nack): the user marks failed rows; `nack`
-  *    re-publishes them to the topic with redelivery_count+1 after the
-  *    nack delay — the broker-side redelivery loop, reproduced on the
-  *    store. The original message_id is preserved across redeliveries.
+  *    appends them to the subscription's retry log with
+  *    redelivery_count+1 and a `retry_at` stamp. The source merges due
+  *    entries back into delivery (PulsarLikeMicroBatchStream) — the
+  *    broker-side negativeAckRedeliveryDelay loop
+  *    (PulsarMessageConsumer.java:354-356), with the main log holding
+  *    each message exactly once (no growth per retry). The original
+  *    message_id is preserved across redeliveries.
   *  - A17 DLQ: a nacked row at redelivery_count ≥ maxRedeliverCount
-  *    (default 5) routes to `<topic>-dlq` instead of back onto the topic.
+  *    (default 5, PulsarMessageConsumer.java:295-304) routes to the
+  *    configured dlqTopic (default `<topic>-dlq`) instead of the retry
+  *    log.
   *
   * Unlike the reference (which learns of mediation failure
   * asynchronously), foreachBatch knows row outcomes synchronously, so
@@ -25,28 +32,44 @@ import graft.sources.TopicStore
 object AckingSink {
 
   /** Split a processed batch by a failure predicate and route: failures
-    * below the DLQ threshold go back to the topic (delayed redelivery);
-    * at/above it they go to the DLQ topic. Returns (redelivered, dead)
-    * counts. Call from inside foreachBatch. */
+    * below the DLQ threshold go to the subscription's retry log (delayed
+    * redelivery via the source's cursor merge); at/above it they go to
+    * the DLQ topic. Returns (redelivered, dead) counts. Call from inside
+    * foreachBatch.
+    *
+    * One evaluation of the failed lineage: the bumped frame is persisted,
+    * `retry_at` is stamped from a single driver-side literal (every
+    * routed row carries the same stamp), and counts come from the same
+    * persisted data the publishes read. */
   def nack(spark: SparkSession, failed: DataFrame, root: String,
-      topic: String, maxRedeliverCount: Int = 5,
-      nackDelayMs: Long = 0L, numPartitions: Int = 4): (Long, Long) = {
+      topic: String, subscription: String = "sub-default",
+      maxRedeliverCount: Int = 5, nackDelayMs: Long = 0L,
+      dlqTopic: Option[String] = None): (Long, Long) = {
+    val retryAtMs = System.currentTimeMillis() + nackDelayMs
     val bumped = failed
       .withColumn("redelivery_count", col("redelivery_count") + 1)
-      // retry_at rides in properties so the consumer can filter
-      // not-yet-due redeliveries without a schema change
+      // retry_at rides in properties so the due check (source-side merge
+      // or MessageOps.dueOnly) needs no schema change
       .withColumn("properties", map_concat(
         col("properties"),
-        map(lit("retry_at"),
-          (unix_millis(current_timestamp()) + nackDelayMs).cast("string"))))
-    val dead = bumped.filter(col("redelivery_count") >= maxRedeliverCount)
-    val live = bumped.filter(col("redelivery_count") < maxRedeliverCount)
-    val deadN = dead.count()
-    val liveN = live.count()
-    if (deadN > 0)
-      TopicStore.publish(spark, dead, root, s"$topic-dlq", numPartitions)
-    if (liveN > 0)
-      TopicStore.publish(spark, live, root, topic, numPartitions)
-    (liveN, deadN)
+        map(lit("retry_at"), lit(retryAtMs.toString))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dead = bumped.filter(col("redelivery_count") >= maxRedeliverCount)
+      val live = bumped.filter(col("redelivery_count") < maxRedeliverCount)
+      val counts = bumped
+        .groupBy((col("redelivery_count") >= maxRedeliverCount).as("dead"))
+        .count().collect()
+        .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+      val deadN = counts.getOrElse(true, 0L)
+      val liveN = counts.getOrElse(false, 0L)
+      val parts = TopicStore.numPartitions(root, topic)
+      if (deadN > 0)
+        TopicStore.publish(spark, dead, root,
+          dlqTopic.getOrElse(s"$topic-dlq"), parts)
+      if (liveN > 0)
+        TopicStore.publishRetries(spark, live, root, topic, subscription, parts)
+      (liveN, deadN)
+    } finally { bumped.unpersist(); () }
   }
 }

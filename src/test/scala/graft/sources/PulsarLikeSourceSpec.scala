@@ -188,6 +188,75 @@ class PulsarLikeSourceSpec extends SparkSpec {
     assert(viaPayload.count() == 1)
   }
 
+  test("compacted read applies pushed filters AFTER compaction (A21)") {
+    val root = tmpDir("store")
+    // k0: two versions; the LATEST (payload-B) would be excluded by the
+    // filter — the superseded payload-A must NOT resurface
+    import spark.implicits._
+    val df = Seq(
+      ("m-a", "k0", "payload-A", "text/plain"),
+      ("m-b", "k0", "payload-B", "application/json"),
+      ("m-c", "k1", "payload-C", "text/plain")
+    ).zipWithIndex.map { case ((id, k, v, ct), i) =>
+      (id, k, v, ct, new java.sql.Timestamp(1700000000000L + i * 1000L))
+    }.toDF("message_id", "key", "value_str", "content_type", "publish_time")
+    TopicStore.publish(spark, df, root, "c", 2)
+    val out = readBatch(root, "topicNames" -> "c", "readCompacted" -> "true")
+      .filter(col("content_type") === "text/plain")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedFilters=[") && plan.contains("content_type"),
+      s"filter not pushed:\n$plan")
+    val rows = out.select("key", "value_str").collect()
+    // k0's snapshot row (payload-B) fails the filter → k0 absent entirely
+    assert(rows.map(_.getString(0)).toSet == Set("k1"), rows.mkString(","))
+  }
+
+  test("reader seeks via the byte index instead of re-scanning the prefix") {
+    val root = tmpDir("store")
+    // two appends of 5000 single-partition messages → 10000 lines, well
+    // past IndexStride (4096), so a tail slice must use index entries
+    val msgs = (0 until 5000).map { i =>
+      TopicStore.Msg(null, "k", java.util.Base64.getEncoder
+        .encodeToString(s"v-$i".getBytes), Map.empty, 1700000000000000L + i, 0L, 0, "text/plain")
+    }
+    TopicStore.append(root, "big", 0, msgs)
+    TopicStore.append(root, "big", 0, msgs)
+    val idx = TopicStore.partitionIndexIn(TopicStore.topicDir(root, "big"), 0)
+    assert(idx.map(_._1) == Vector(0L, 4096L, 8192L), s"index: $idx")
+    // a slice starting deep in the file decodes exactly those lines
+    val slice = TopicStore.readEntries(
+      TopicStore.topicDir(root, "big"), 0, 9995L, 10000L)
+    assert(slice.map(_.messageId) ==
+      (9995 until 10000).map(i => s"0:$i:0:0").toVector)
+    // and the DSv2 reader resolves offsets > the first index entry
+    val reader = new PulsarLikePartitionReader(
+      PulsarLikeInputPartition(root, "big", 0, 9990L, 10000L,
+        compacted = false), Array("message_id"), Array.empty)
+    val got = Iterator.continually(reader)
+      .takeWhile(_.next()).map(_.get().getUTF8String(0).toString).toVector
+    reader.close()
+    assert(got == (9990 until 10000).map(i => s"0:$i:0:0").toVector)
+  }
+
+  test("DSv2 write honors the topic's persisted partition count") {
+    val root = tmpDir("store")
+    publishEvents(root, "t6", 10, parts = 6)   // creates topic.meta: 6
+    import spark.implicits._
+    // a DSv2 write (which defaults to 4) must route mod 6, not mod 4
+    Seq(("kX", "late-row")).toDF("key", "value_str")
+      .write.format("pulsarlike")
+      .option("path", root).option("serviceUrl", "pulsar://local")
+      .option("topicNames", "t6").option("batchingMaxMessages", "100")
+      .mode("append").save()
+    assert(TopicStore.numPartitions(root, "t6") == 6)
+    val expected = TopicStore.route("kX",
+      java.util.Base64.getEncoder.encodeToString("late-row".getBytes), 6)
+    val p = readBatch(root, "topicNames" -> "t6")
+      .filter(col("key") === "kX")
+      .select(expr("CAST(split(message_id, ':')[2] AS INT)")).collect()(0).getInt(0)
+    assert(p == expected, s"routed to $p, expected $expected")
+  }
+
   test("Latest initial position skips the backlog (A4)") {
     val root = tmpDir("store")
     val ckpt = tmpDir("ckpt")

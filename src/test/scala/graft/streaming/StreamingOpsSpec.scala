@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -88,19 +89,23 @@ class StreamingOpsSpec extends SparkSpec {
       .withColumn("publish_time", lit(new java.sql.Timestamp(1700000000000L)))
       .withColumn("content_type", lit("text/plain"))
     AckingSink.nack(spark, failed, root, "t", nackDelayMs = 3600000L) // 1h
-    val msgs = spark.read.format("pulsarlike")
+    def read(retries: Boolean) = spark.read.format("pulsarlike")
       .option("path", root).option("serviceUrl", "pulsar://local")
       .option("topicNames", "t").option("batchingMaxMessages", "100")
+      .option("readRetries", retries.toString)
       .load()
     import graft.operators.MessageOps
-    assert(msgs.count() == 1)
-    assert(MessageOps.dueOnly(msgs).count() == 0)   // not yet due
-    assert(MessageOps.dueOnly(msgs,
+    // the nack went to the retry log, NOT the main topic log
+    assert(read(retries = false).count() == 0)
+    val pending = read(retries = true)
+    assert(pending.count() == 1)
+    assert(MessageOps.dueOnly(pending).count() == 0)   // not yet due
+    assert(MessageOps.dueOnly(pending,
       org.apache.spark.sql.functions.lit(new java.sql.Timestamp(
         System.currentTimeMillis() + 7200000L))).count() == 1) // due in 2h
   }
 
-  test("nack republishes below threshold, DLQs at threshold (A15/A16/A17)") {
+  test("nack queues redelivery below threshold, DLQs at threshold (A15/A16/A17)") {
     import spark.implicits._
     val root = tmpDir("store")
     // failed rows: one fresh (rc=0), one at the edge (rc=4, default max 5)
@@ -114,24 +119,85 @@ class StreamingOpsSpec extends SparkSpec {
       .withColumn("content_type", lit("text/plain"))
 
     val (live, dead) = AckingSink.nack(spark, failed, root, "events",
-      maxRedeliverCount = 5, nackDelayMs = 0L)
+      subscription = "s1", maxRedeliverCount = 5, nackDelayMs = 0L,
+      dlqTopic = Some("events-dead"))
     assert((live, dead) == (1L, 1L))
 
-    def read(topic: String) = spark.read.format("pulsarlike")
+    def read(topic: String, retries: Boolean = false) = spark.read
+      .format("pulsarlike")
       .option("path", root).option("serviceUrl", "pulsar://local")
       .option("topicNames", topic).option("batchingMaxMessages", "100")
+      .option("readRetries", retries.toString)
+      .option("subscriptionName", "s1")
       .load()
 
-    val redelivered = read("events").collect()
+    // main log does not grow from a nack
+    assert(read("events").count() == 0)
+
+    val redelivered = read("events", retries = true).collect()
     assert(redelivered.length == 1)
     assert(redelivered(0).getAs[String]("message_id") == "0:0:0:0") // id preserved
     assert(redelivered(0).getAs[Int]("redelivery_count") == 1)
     assert(redelivered(0).getAs[Map[String, String]]("properties")
       .contains("retry_at"))
 
-    val dlq = read("events-dlq").collect()
+    // the configured dlqTopic is honored (not the default <topic>-dlq)
+    val dlq = read("events-dead").collect()
     assert(dlq.length == 1)
     assert(dlq(0).getAs[String]("message_id") == "0:1:0:0")
     assert(dlq(0).getAs[Int]("redelivery_count") == 5)
+  }
+
+  test("source merges due retries into delivery; log does not grow (A16)") {
+    import spark.implicits._
+    val root = tmpDir("store")
+    val ckpt = tmpDir("ckpt")
+    // publish 6 keyed messages to the main log
+    val rows = (0 until 6).map(i => (s"0:$i:0:0", s"k$i", s"v$i", 0))
+      .toDF("message_id", "key", "value_str", "redelivery_count")
+      .withColumn("properties", map().cast("map<string,string>"))
+      .withColumn("publish_time", lit(new java.sql.Timestamp(1700000000000L)))
+      .withColumn("content_type", lit("text/plain"))
+    TopicStore.publish(spark, rows, root, "t", 2)
+    def logLines: Long = (0 until 2).map(p =>
+      TopicStore.partitionMeta(root, "t", p)._1).sum
+
+    def stream = spark.readStream.format("pulsarlike")
+      .option("path", root).option("serviceUrl", "pulsar://local")
+      .option("topicNames", "t").option("batchingMaxMessages", "100")
+      .option("subscriptionInitialPosition", "Earliest")
+      .load()
+
+    // pass 1: consume all, nack v1 and v3 — v1 immediately due, v3 in 1h
+    val q1 = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val failedNow = df.filter(col("value_str").cast("string") === "v1")
+        val failedLater = df.filter(col("value_str").cast("string") === "v3")
+        AckingSink.nack(spark, failedNow, root, "t", nackDelayMs = 0L)
+        AckingSink.nack(spark, failedLater, root, "t", nackDelayMs = 3600000L)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q1.awaitTermination()
+    assert(logLines == 6)   // nack did not append to the main log
+
+    // pass 2, same checkpoint: only the due retry (v1) is redelivered,
+    // with redelivery_count bumped and the original message_id
+    val sink2 = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val q2 = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.collect().foreach(sink2.add); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val got = sink2.toArray(Array.empty[org.apache.spark.sql.Row])
+    assert(got.length == 1, s"expected only the due retry, got ${got.toSeq}")
+    assert(got(0).getAs[String]("message_id") == "0:1:0:0")
+    assert(got(0).getAs[Int]("redelivery_count") == 1)
+    assert(logLines == 6)   // still no growth
   }
 }
