@@ -74,6 +74,96 @@ object StreamingQueries {
     },
 
     // ---------------------------------------------------------------
+    // m06 — A16 negative-ack redelivery through the source's retry-log
+    // merge (reference: negativeAckRedeliveryDelay,
+    // PulsarMessageConsumer.java:354-356): consume the topic once and
+    // nack event_id%7==0 with no delay, event_id%7==1 with a 10 h delay.
+    // A second pass on the SAME checkpoint must deliver exactly the due
+    // retries — original message_id, redelivery_count+1 — while the
+    // not-yet-due ones stay queued and rows crossing maxRedeliverCount=5
+    // land in the DLQ topic. The main log must not grow from a nack.
+    Q(
+      "m06_retry_pacing",
+      """SELECT message_id, key, redelivery_count, src FROM (
+        |  SELECT '0:' || CAST(event_id AS VARCHAR) || ':0:0' AS message_id,
+        |    CAST(user_id AS VARCHAR) AS key,
+        |    CAST(event_id % 8 + 1 AS INTEGER) AS redelivery_count,
+        |    'retry' AS src
+        |  FROM events WHERE event_id % 7 = 0 AND event_id % 8 < 4
+        |  UNION ALL
+        |  SELECT '0:' || CAST(event_id AS VARCHAR) || ':0:0',
+        |    CAST(user_id AS VARCHAR),
+        |    CAST(event_id % 8 + 1 AS INTEGER),
+        |    'dlq'
+        |  FROM events WHERE event_id % 7 IN (0, 1) AND event_id % 8 >= 4) t
+        |ORDER BY message_id, src""".stripMargin
+    ) { (s, dir) =>
+      import graft.streaming.AckingSink
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-retry").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-retry-ckpt").toString
+      TopicStore.publish(s,
+        MessageOps.fromEvents(Tables(s, dir, "events")), root, "events", 4)
+      val preLines = (0 until 4).map(p =>
+        TopicStore.partitionMeta(root, "events", p)._1).sum
+
+      def stream = s.readStream.format("pulsarlike")
+        .option("path", root)
+        .option("serviceUrl", "pulsar://local")
+        .option("topicNames", "events")
+        .option("subscriptionInitialPosition", "Earliest")
+        .option("batchingMaxMessages", "1000000")
+        .load()
+      val eid = expr("CAST(split(message_id, ':')[1] AS BIGINT)")
+
+      // pass 1: every message acked except the two nacked families
+      val q1 = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          AckingSink.nack(s, df.filter(eid % 7 === 0), root, "events",
+            nackDelayMs = 0L)
+          AckingSink.nack(s, df.filter(eid % 7 === 1), root, "events",
+            nackDelayMs = 36000000L)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q1.awaitTermination()
+      require((0 until 4).map(p =>
+        TopicStore.partitionMeta(root, "events", p)._1).sum == preLines,
+        "nack must not grow the main log")
+
+      // pass 2, same checkpoint: the source merges due retries back in
+      val buf = new scala.collection.mutable.ArrayBuffer[(String, String, Int)]()
+      val q2 = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.select("message_id", "key", "redelivery_count").collect()
+          buf.synchronized {
+            rows.foreach(r => buf += ((r.getString(0), r.getString(1), r.getInt(2))))
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+
+      import s.implicits._
+      val retries = buf.toSeq.toDF("message_id", "key", "redelivery_count")
+        .withColumn("src", lit("retry"))
+      val dlq = s.read.format("pulsarlike")
+        .option("path", root)
+        .option("serviceUrl", "pulsar://local")
+        .option("topicNames", "events-dlq")
+        .option("batchingMaxMessages", "1000000")
+        .load()
+        .select(col("message_id"), col("key"), col("redelivery_count"))
+        .withColumn("src", lit("dlq"))
+      retries.unionByName(dlq).orderBy(col("message_id"), col("src"))
+    },
+
+    // ---------------------------------------------------------------
     // w01 — tumbling event-time window (1 hour) per event type.
     Q(
       "w01_tumbling_window",
