@@ -59,4 +59,56 @@ object VectorOps {
     }
     concat(bitCols: _*)
   }
+
+  /** IVF coarse quantizer trained by spherical k-means (Lloyd): init =
+    * the `k` lowest vec_ids' vectors, `iters` assignment/recenter rounds.
+    * Centroid components are `round(avg, 6)` — cross-row float sums are
+    * the one place engines could diverge in the last ulp, and the
+    * rounding pins the quantizer so any engine reproduces it exactly
+    * (the DuckDB oracle unrolls the same rounds).
+    *
+    * Each round's centroids (k × dims doubles) are collected to the
+    * driver — the standard iterative-trainer shape (spark.ml KMeans does
+    * the same): the model is tiny, and materializing it truncates the
+    * lineage so round i+1's assignment is one scan + one broadcast, not
+    * a recursive recompute. Input: (vec_id, v); output: (pivot_id, pv). */
+  def kmeansCentroids(spark: org.apache.spark.sql.SparkSession,
+      base: org.apache.spark.sql.DataFrame, k: Int, iters: Int)
+      : org.apache.spark.sql.DataFrame = {
+    var c = base.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("long").as("pivot_id"), col("v").as("pv"))
+    for (_ <- 0 until iters) {
+      val next = assignCells(base, c, 1)
+        .select(col("pivot_id"), posexplode(col("v")).as(Seq("dim", "val")))
+        .groupBy(col("pivot_id"), col("dim"))
+        .agg(round(avg(col("val")), 6).as("av"))
+        .groupBy(col("pivot_id"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("av"))))
+          .getField("av").as("pv"))
+      c = materialize(spark, next)
+    }
+    c
+  }
+
+  /** Route each vector to its `nprobe` nearest centroids by cosine
+    * (ties: lowest pivot_id). The centroid table is k rows — always
+    * broadcast. Output: input columns + pivot_id (nprobe rows/vector). */
+  def assignCells(vecs: org.apache.spark.sql.DataFrame,
+      centroids: org.apache.spark.sql.DataFrame, nprobe: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("pcos").desc, col("pivot_id").asc)
+    vecs.join(broadcast(centroids))
+      .withColumn("pcos", cosine(col("v"), col("pv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+      .select(vecs.columns.map(col) :+ col("pivot_id"): _*)
+  }
+
+  /** Collect a tiny model table and rebuild it as a LocalRelation. */
+  private def materialize(spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    spark.createDataFrame(rows, df.schema)
+  }
 }

@@ -221,26 +221,23 @@ object DedupQueries {
         |WHERE round(CAST(i AS DOUBLE) / (na + nb - i), 6) >= 0.8
         |ORDER BY source, a_id, b_id""".stripMargin
     ) { (s, dir) =>
-      val toksStr = Tables(s, dir, "documents")
+      // Dictionary-encode tokens to 64-bit hashed ids BEFORE the
+      // pairwise join: long-array intersection skips per-pair string
+      // hashing (measured 2×), and xxhash64 inside a transform lambda
+      // needs no vocab table at all — no global sort, no broadcast,
+      // nothing that caps the corpus size. Collisions (~|V|²/2⁶⁴) are
+      // negligible; Jaccard values are identical, so the string-side
+      // oracle still matches.
+      val toks = Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"),
-          array_distinct(DedupOps.words(col("text"))).as("ts"))
-      // Dictionary-encode tokens to int ids before the pairwise join:
-      // int-array intersection skips per-pair string hashing (measured
-      // 2×). row_number over sorted distinct tokens is fine to ~1M
-      // vocab; beyond that switch to hashed ids. Jaccard values are
-      // identical, so the string-side oracle still matches.
-      val vocab = toksStr.select(explode(col("ts")).as("w")).distinct()
-        .withColumn("wid", row_number().over(Window.orderBy("w")))
-      val toks = toksStr
-        .select(col("doc_id"), col("source"), explode(col("ts")).as("w"))
-        .join(broadcast(vocab), "w")
-        .groupBy(col("doc_id"), col("source"))
-        .agg(sort_array(collect_list(col("wid"))).as("ts"))
-        .localCheckpoint(true)
+          transform(array_distinct(DedupOps.words(col("text"))),
+            w => xxhash64(w)).as("ts"))
       // |A∪B| = |A|+|B|−|A∩B| for sets: one intersect pass per pair
-      // instead of intersect + distinct-union
+      // instead of intersect + distinct-union. The pair join shuffles
+      // both sides on the `source` blocking key (equi-join) — at 100 TB
+      // this stays a partitioned join; nothing is broadcast.
       toks.as("a")
-        .join(broadcast(toks.as("b")),
+        .join(toks.as("b"),
           col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.source").as("source"), col("a.doc_id").as("a_id"),

@@ -93,28 +93,32 @@ object SimilarityQueries {
     },
 
     // ---------------------------------------------------------------
-    // s04 — IVF-style ANN: a coarse quantizer (8 deterministic pivot
-    // vectors) partitions the corpus into cells; a query searches only
-    // its own cell. At 100 TB the corpus is written cell-partitioned, so
-    // a query touches 1/K of the data — the classic inverted-file layout.
+    // s04 — IVF ANN with a TRAINED coarse quantizer: spherical k-means
+    // (init = 8 lowest vec_ids, 2 Lloyd rounds, centroids rounded to 6
+    // decimals so the oracle reproduces them exactly), corpus assigned
+    // to its nearest cell, queries probe their nprobe=2 nearest cells.
+    // At 100 TB the corpus is written cell-partitioned, so a query
+    // touches nprobe/K of the data — the classic inverted-file layout;
+    // training is the standard driver-iterated Lloyd loop over a k×dims
+    // model (the corpus itself never leaves the executors).
     Q(
       "s04_ann_ivf",
       s"""WITH base AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
-        |pivots AS (SELECT vec_id AS pivot_id, v AS pv FROM base WHERE vec_id < 8),
-        |assigned AS (
-        |  SELECT vec_id, v, pivot_id FROM (
-        |    SELECT b.vec_id, b.v, p.pivot_id,
-        |      row_number() OVER (PARTITION BY b.vec_id
-        |        ORDER BY ${cosineSql("b.v", "p.pv", 64)} DESC, p.pivot_id ASC) AS rn
-        |    FROM base b CROSS JOIN pivots p) t
-        |  WHERE rn = 1),
-        |q AS (SELECT vec_id AS q_id, v AS qv, pivot_id FROM assigned
-        |      WHERE vec_id >= 100 AND vec_id < 120),
+        |c0 AS (SELECT CAST(vec_id AS BIGINT) AS pivot_id, v AS pv
+        |       FROM base WHERE vec_id < 8),
+        |a1 AS (${assignSql("base", "c0", 1)}),
+        |c1 AS (${centroidSql("a1")}),
+        |a2 AS (${assignSql("base", "c1", 1)}),
+        |c2 AS (${centroidSql("a2")}),
+        |af AS (${assignSql("base", "c2", 1)}),
+        |qa AS (SELECT vec_id AS q_id, v AS qv, pivot_id
+        |       FROM (${assignSql("base", "c2", 2)}) pq
+        |       WHERE vec_id >= 100 AND vec_id < 120),
         |scored AS (
         |  SELECT q_id, c.vec_id AS neighbor_id, ${cosineSql("qv", "c.v", 64)} AS cos
-        |  FROM q JOIN assigned c ON c.pivot_id = q.pivot_id AND c.vec_id <> q_id),
+        |  FROM qa JOIN af c ON c.pivot_id = qa.pivot_id AND c.vec_id <> q_id),
         |ranked AS (
         |  SELECT q_id, neighbor_id, cos,
         |    row_number() OVER (PARTITION BY q_id
@@ -125,16 +129,10 @@ object SimilarityQueries {
     ) { (s, dir) =>
       val base = Tables(s, dir, "embeddings")
         .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
-      val pivots = base.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("pivot_id"), col("v").as("pv"))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("pcos").desc, col("pivot_id").asc)
-      val assigned = base.join(broadcast(pivots))
-        .withColumn("pcos", VectorOps.cosine(col("v"), col("pv")))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("pivot_id"))
-      val q = assigned.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+      val centroids = VectorOps.kmeansCentroids(s, base, k = 8, iters = 2)
+      val assigned = VectorOps.assignCells(base, centroids, nprobe = 1)
+      val q = VectorOps.assignCells(base, centroids, nprobe = 2)
+        .filter(col("vec_id") >= 100 && col("vec_id") < 120)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("pivot_id").as("q_pivot"))
       val wRank = Window.partitionBy(col("q_id"))
@@ -148,6 +146,25 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     }
   )
+
+  /** DuckDB rendering of VectorOps.assignCells: each vector's `nprobe`
+    * nearest centroids by (rounded) cosine, ties to the lowest pivot. */
+  private def assignSql(baseT: String, cT: String, nprobe: Int): String =
+    s"""SELECT vec_id, v, pivot_id FROM (
+       |    SELECT b.vec_id, b.v, p.pivot_id,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${cosineSql("b.v", "p.pv", 64)} DESC, p.pivot_id ASC) AS rn
+       |    FROM $baseT b CROSS JOIN $cT p) t
+       |  WHERE rn <= $nprobe""".stripMargin
+
+  /** DuckDB rendering of one Lloyd recenter: per-cell, per-dimension
+    * round(avg, 6), reassembled in dimension order. */
+  private def centroidSql(aT: String): String =
+    s"""SELECT pivot_id, list(av ORDER BY dim) AS pv FROM (
+       |    SELECT pivot_id, i AS dim, round(avg(v[i]), 6) AS av
+       |    FROM $aT CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+       |    GROUP BY pivot_id, i) s
+       |  GROUP BY pivot_id""".stripMargin
 
   /** DuckDB rendering of VectorOps.srpBucket(v, 64, 6). */
   private def srpBucketSql6(v: String): String =

@@ -46,15 +46,31 @@ class PlanSpec extends SparkSpec {
     assert(!scan.contains("text"), s"payload column not pruned:\n$scan")
   }
 
+  test("d04: no forced broadcast of the corpus side, no global-window vocab") {
+    // at 100 TB the corpus token table is not broadcastable and a
+    // partition-less window is a single-task sort — neither may appear
+    // in the logical plan (a tiny-SF auto-broadcast chosen by stats is
+    // fine; a hint forcing one is not)
+    val df = QueryRegistry.byName("d04_ngram_jaccard").run(spark, dir)
+    val logical = df.queryExecution.optimizedPlan
+    assert(!logical.toString.toLowerCase.contains("broadcast"),
+      s"forced broadcast in d04:\n$logical")
+    val windows = logical.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.isEmpty, s"window in d04 vocab path:\n$logical")
+  }
+
   test("every registered query stays off RDD fallbacks (no collect-driven loops)") {
     // structural smoke: building each plan succeeds and none mention
     // 'Scan ExistingRDD' (a sign of driver-side materialization).
     // Exempt: queries that deliberately localCheckpoint a reused
-    // intermediate (executor-side caching, not a driver collect).
-    val checkpoints = Set("d02_minhash_lsh", "d03_simhash", "d04_ngram_jaccard",
+    // intermediate (executor-side caching, not a driver collect), and
+    // the streaming loops (ps01/m06) whose run() executes a stream.
+    val checkpoints = Set("d02_minhash_lsh", "d03_simhash",
       "t01_langid_ngram")
     QueryRegistry.all
-      .filterNot(q => q.name.startsWith("ps") || checkpoints.contains(q.name))
+      .filterNot(q => q.name.startsWith("ps") || q.name.startsWith("m06") ||
+        checkpoints.contains(q.name))
       .foreach { q =>
         val plan = q.run(spark, dir).queryExecution.executedPlan.toString
         assert(!plan.contains("Scan ExistingRDD"),
