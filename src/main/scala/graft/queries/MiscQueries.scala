@@ -33,22 +33,54 @@ object MiscQueries {
 
     // ---------------------------------------------------------------
     // q24 — approx_count_distinct (HLL++, built-in — SURVEY.md §2B).
-    // Approximate ⇒ no cross-engine oracle; the driver's rows-only check
-    // applies, and the spec asserts the estimate is within HLL's rsd.
-    Q.noOracle("q24_approx_distinct") { (s, dir) =>
+    // Bound-style oracle: DuckDB recomputes the exact distinct count per
+    // group and a TRUE flag; Spark outputs its exact count (hash-checked
+    // against DuckDB's) plus whether the HLL estimate landed within 3×
+    // the requested rsd — an estimate outside the bound hash-mismatches.
+    Q(
+      "q24_approx_distinct",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  CAST(TRUE AS BOOLEAN) AS within_rsd
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
       Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts"))
+            <= col("exact_parts") * (3 * 0.02)).as("within_rsd"))
         .orderBy(col("l_returnflag"))
     },
 
     // ---------------------------------------------------------------
     // s03 — spark.ml BucketedRandomProjectionLSH as an alternative ANN
-    // provider (seeded ⇒ deterministic within Spark, but the hash family
-    // is Spark-internal ⇒ no DuckDB oracle; rows-only check + spec).
-    Q.noOracle("s03_ann_ml_lsh") { (s, dir) =>
+    // provider. The hash family is Spark-internal, but the JOIN's output
+    // is exactly-checkable: approxSimilarityJoin post-filters candidates
+    // by true Euclidean distance, so with enough hash tables (15 here —
+    // seeded, deterministic) every same-radius pair collides in some
+    // table and the result EQUALS the exact neighbor set, which DuckDB
+    // computes brute-force. ml's sqdist and DuckDB's list fold both sum
+    // in dimension order, so the distance doubles are bit-identical and
+    // the radius cut agrees. A recall miss would hash-mismatch.
+    Q(
+      "s03_ann_ml_lsh",
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM base WHERE vec_id < 100),
+        |scored AS (
+        |  SELECT q_id, c.vec_id AS neighbor_id,
+        |    sqrt(list_aggregate(list_transform(generate_series(1, 64),
+        |      i -> (qv[i] - c.v[i]) * (qv[i] - c.v[i])), 'sum')) AS dist
+        |  FROM q CROSS JOIN base c WHERE c.vec_id <> q_id)
+        |SELECT q_id, neighbor_id, round(dist, 6) AS dist
+        |FROM scored WHERE dist < 1.2
+        |ORDER BY q_id, neighbor_id""".stripMargin
+    ) { (s, dir) =>
       import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
       import org.apache.spark.ml.linalg.Vectors
       val toVec = udf((a: Seq[Float]) =>
@@ -56,7 +88,7 @@ object MiscQueries {
       val df = Tables(s, dir, "embeddings")
         .select(col("vec_id"), toVec(col("embedding")).as("features"))
       val lsh = new BucketedRandomProjectionLSH()
-        .setBucketLength(1.0).setNumHashTables(3).setSeed(42L)
+        .setBucketLength(8.0).setNumHashTables(15).setSeed(42L)
         .setInputCol("features").setOutputCol("hashes")
       val model = lsh.fit(df)
       // query-subset vs corpus (the s01/s02 shape) — the corpus-side
