@@ -43,13 +43,30 @@ final case class PulsarLikeConf(
     readRetries: Boolean,
     numPartitions: Option[Int],
     chunking: ChunkingConf,
-    client: ClientConf)
+    client: ClientConf) {
 
-/** A19 chunked-message knobs (PulsarMessageConsumer.java:325-336). */
+  /** A11's third leg: `batchingTimeout` ≙ the poll deadline of the
+    * reference's BatchReceivePolicy (PulsarMessageConsumer.java:306-324).
+    * In micro-batch execution batch-formation latency is the trigger
+    * interval, so the validated timeout maps onto
+    * Trigger.ProcessingTime — pass this to `writeStream.trigger(...)`
+    * to complete the end-to-end mapping (rows/bytes bounds are enforced
+    * in-source via admission control). */
+  def suggestedTrigger: Option[org.apache.spark.sql.streaming.Trigger] =
+    batchingTimeoutMs.map(
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(_))
+}
+
+/** A19 chunked-message knobs (PulsarMessageConsumer.java:325-336).
+  * `expiryWallClock` selects the reference's processing-time expiry
+  * semantics for incomplete chunked messages (RocksDB-backed
+  * transformWithState); the default is event-time, which is
+  * deterministic under checkpoint replay. */
 final case class ChunkingConf(
     maxPendingChunkedMessage: Option[Long],
     expiryTimeOfIncompleteChunkedMessageMillis: Option[Long],
-    autoAckOldestChunkedMessageOnQueueFull: Boolean)
+    autoAckOldestChunkedMessageOnQueueFull: Boolean,
+    expiryWallClock: Boolean = false)
 
 /** A22 client/TLS knobs — validated pass-throughs: the reference sends
   * these to the broker client (PulsarConnectionSetup.java:78-156); with
@@ -148,10 +165,9 @@ object PulsarLikeConf {
     val maxMsgs = long_("batchingMaxMessages").filter(_ > 0)
     val maxBytes = long_("batchingMaxBytes").filter(_ > 0)
     val timeout = long_("batchingTimeout").filter(_ > 0)
+    // reference-parity error text (PulsarMessageConsumer.java:306-309)
     if (batchEnabled && maxMsgs.isEmpty && maxBytes.isEmpty && timeout.isEmpty)
-      fail("Batch receive is enabled but none of 'batchingMaxMessages', " +
-        "'batchingMaxBytes', 'batchingTimeout' is set. At least one bound " +
-        "is required.")
+      fail("At least one of maxNumMessages, maxNumBytes, timeout must be specified.")
 
     PulsarLikeConf(
       serviceUrl = serviceUrl,
@@ -189,7 +205,8 @@ object PulsarLikeConf {
         expiryTimeOfIncompleteChunkedMessageMillis =
           long_("expiryTimeOfIncompleteChunkedMessageMillis"),
         autoAckOldestChunkedMessageOnQueueFull =
-          get("autoAckOldestChunkedMessageOnQueueFull").exists(_.toBoolean)),
+          get("autoAckOldestChunkedMessageOnQueueFull").exists(_.toBoolean),
+        expiryWallClock = get("chunkExpiryWallClock").exists(_.toBoolean)),
       client = ClientConf(
         consumerName = get("consumerName"),
         priorityLevel = long_("priorityLevel"),

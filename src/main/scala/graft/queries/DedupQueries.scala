@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.operators.{DedupOps, VectorOps}
+import graft.operators.{DedupOps, Stage, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -111,7 +111,7 @@ object DedupQueries {
       // otherwise recompute the whole shingle+hash subtree per side
       val sig = sh.select(col("doc_id") +: col("sh") +:
         DedupOps.minhashSignature(col("sh")): _*)
-        .localCheckpoint(true)
+        .transform(Stage.stage)
       val bandKeys = (0 until 4).map(b =>
         DedupOps.bandKey(b, Seq(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))))
       val bands = sig.select(col("doc_id"), col("sh"),
@@ -177,7 +177,7 @@ object DedupQueries {
         .select(col("doc_id") +: col("simhash") +: (0 until 4).map(b =>
           conv(substring(col("simhash"), b * 16 + 1, 16), 2, 10)
             .cast("long").as(s"w$b")): _*)
-        .localCheckpoint(true)  // one signature pass feeds both join sides
+        .transform(Stage.stage)  // one signature pass feeds both join sides
       val bands = sigs.select(col("doc_id") +:
         (0 until 4).map(b => col(s"w$b")) :+
         explode(array((0 until 4).map(b =>

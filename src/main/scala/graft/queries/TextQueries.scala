@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.operators.{DedupOps, TextOps}
+import graft.operators.{DedupOps, Stage, TextOps}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -53,7 +53,7 @@ object TextQueries {
       // and classification don't re-explode the corpus
       val docCounts = tri.groupBy(col("doc_id"), col("lang"), col("g"))
         .agg(count(lit(1)).as("dc"))
-        .localCheckpoint(true)
+        .transform(Stage.stage)
       val counts = docCounts.groupBy(col("lang"), col("g"))
         .agg(sum(col("dc")).as("c"))
       val wRank = Window.partitionBy(col("lang"))

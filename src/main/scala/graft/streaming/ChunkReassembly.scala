@@ -2,8 +2,8 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** A19 — chunked-message reassembly (reference:
   * PulsarMessageConsumer.java:325-336, delegated there to pulsar-client):
@@ -36,14 +36,20 @@ object ChunkReassembly {
   final case class ChunkState(total: Int, fragments: Map[Int, String])
 
   /** Knobs taken from the validated source config (A19:
-    * expiryTimeOfIncompleteChunkedMessageMillis / maxPendingChunkedMessage). */
+    * expiryTimeOfIncompleteChunkedMessageMillis / maxPendingChunkedMessage).
+    * `chunkExpiryWallClock=true` selects the reference's wall-clock expiry
+    * semantics (transformWithState, RocksDB store); default stays
+    * event-time (deterministic under replay). */
   def reassemble(spark: SparkSession, chunks: Dataset[Chunk],
-      conf: graft.model.PulsarLikeConf): Dataset[Assembled] =
-    reassemble(spark, chunks,
-      expiryMs = conf.chunking
-        .expiryTimeOfIncompleteChunkedMessageMillis.getOrElse(60000L),
-      maxChunks = conf.chunking
-        .maxPendingChunkedMessage.map(_.toInt).getOrElse(64))
+      conf: graft.model.PulsarLikeConf): Dataset[Assembled] = {
+    val expiryMs = conf.chunking
+      .expiryTimeOfIncompleteChunkedMessageMillis.getOrElse(60000L)
+    val maxChunks = conf.chunking
+      .maxPendingChunkedMessage.map(_.toInt).getOrElse(64)
+    if (conf.chunking.expiryWallClock)
+      reassembleWallClock(spark, chunks, expiryMs, maxChunks)
+    else reassemble(spark, chunks, expiryMs = expiryMs, maxChunks = maxChunks)
+  }
 
   /** @param watermarkDelay max out-of-orderness of chunk arrival
     * @param expiryMs incomplete-group expiry measured in event time */
@@ -91,5 +97,79 @@ object ChunkReassembly {
             }
           }
         })
+  }
+
+  /** Group metadata: expected fragment count + the processing-time of
+    * the last arrival (the stale-timer guard). Fragments themselves live
+    * in a MapState — the state encoder supports scalar/product values,
+    * and per-fragment map entries mean an arrival writes one entry, not
+    * the whole buffer. */
+  final case class WallMeta(total: Int, lastSeenMs: Long)
+
+  /** A19 with the reference's WALL-CLOCK expiry semantics
+    * (expiryTimeOfIncompleteChunkedMessageMillis is processing-time in
+    * pulsar-client): arbitrary-state v2 (`transformWithState`,
+    * requires the RocksDB state store provider) with a processing-time
+    * timer per group. Each arrival re-arms the deadline by registering a
+    * new timer; an expired timer only clears state if the group has been
+    * quiet for the full expiry (older timers are recognized as stale
+    * against `lastSeenMs`). Non-deterministic under replay by nature —
+    * which is why event-time expiry stays the default. */
+  def reassembleWallClock(spark: SparkSession, chunks: Dataset[Chunk],
+      expiryMs: Long = 60000L, maxChunks: Int = 64): Dataset[Assembled] = {
+    import spark.implicits._
+    chunks
+      .groupByKey(_.chunk_uuid)
+      .transformWithState(new WallClockReassembler(expiryMs, maxChunks),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  class WallClockReassembler(expiryMs: Long, maxChunks: Int)
+      extends StatefulProcessor[String, Chunk, Assembled] {
+    @transient private var meta: ValueState[WallMeta] = _
+    @transient private var fragments: MapState[Int, String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      meta = getHandle.getValueState[WallMeta]("meta",
+        Encoders.product[WallMeta], TTLConfig.NONE)
+      fragments = getHandle.getMapState[Int, String]("fragments",
+        Encoders.scalaInt, Encoders.STRING, TTLConfig.NONE)
+    }
+
+    private def drop(): Unit = { meta.clear(); fragments.clear() }
+
+    override def handleInputRows(uuid: String, rows: Iterator[Chunk],
+        timerValues: TimerValues): Iterator[Assembled] = {
+      val batch = rows.toSeq
+      val prev = if (meta.exists()) Some(meta.get()) else None
+      batch.foreach(c => fragments.updateValue(c.chunk_id, c.fragment))
+      val expected = batch.headOption.map(_.total_chunks)
+        .orElse(prev.map(_.total)).getOrElse(0)
+      val have = fragments.keys().size
+      if (have > maxChunks) {
+        drop()
+        Iterator.empty
+      } else if (expected > 0 && have == expected &&
+          (0 until expected).forall(fragments.containsKey)) {
+        val payload = (0 until expected).map(fragments.getValue).mkString
+        drop()
+        Iterator.single(Assembled(uuid, payload, expected))
+      } else {
+        val now = timerValues.getCurrentProcessingTimeInMs()
+        meta.update(WallMeta(expected, now))
+        getHandle.registerTimer(now + expiryMs)
+        Iterator.empty
+      }
+    }
+
+    override def handleExpiredTimer(uuid: String, timerValues: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[Assembled] = {
+      // a fragment arriving after this timer was armed re-armed the
+      // deadline — only expire when the group stayed quiet the full window
+      if (meta.exists() &&
+          expired.getExpiryTimeInMs() >= meta.get().lastSeenMs + expiryMs)
+        drop()
+      Iterator.empty
+    }
   }
 }

@@ -66,18 +66,19 @@ class PropertySpec extends SparkSpec {
     })
   }
 
-  test("chunk reassembly over random splits is identity") {
+  // random payloads split at random points, shuffled arrival order
+  private val docGen = for {
+    payload <- Gen.asciiPrintableStr.map(_.take(120)).suchThat(_.length >= 8)
+    nCuts <- Gen.choose(1, 5)
+    cuts <- Gen.listOfN(nCuts, Gen.choose(1, payload.length - 1))
+  } yield (payload, (cuts.distinct.sorted :+ payload.length)
+    .foldLeft((0, List.empty[String])) { case ((s, acc), e) =>
+      (e, acc :+ payload.substring(s, e))
+    }._2.filter(_.nonEmpty))
+
+  private def reassemblyIdentityProp(wallClock: Boolean, runs: Int): Unit = {
     import spark.implicits._
     implicit val sql = spark.sqlContext
-    // random payloads split at random points, shuffled arrival order
-    val docGen = for {
-      payload <- Gen.asciiPrintableStr.map(_.take(120)).suchThat(_.length >= 8)
-      nCuts <- Gen.choose(1, 5)
-      cuts <- Gen.listOfN(nCuts, Gen.choose(1, payload.length - 1))
-    } yield (payload, (cuts.distinct.sorted :+ payload.length)
-      .foldLeft((0, List.empty[String])) { case ((s, acc), e) =>
-        (e, acc :+ payload.substring(s, e))
-      }._2.filter(_.nonEmpty))
     check(Prop.forAllNoShrink(Gen.listOfN(8, docGen), Gen.long) { (docs, seed) =>
       val chunks = scala.util.Random.javaRandomToRandom(
         new java.util.Random(seed)).shuffle(
@@ -89,22 +90,54 @@ class PropertySpec extends SparkSpec {
         })
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[ChunkReassembly.Chunk]
-      val name = "prop_asm_" + math.abs(seed).toString
-      val q = ChunkReassembly.reassemble(spark, input.toDS())
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
+      val name = s"prop_asm_${wallClock}_" + math.abs(seed).toString
+      val ds =
+        if (wallClock)
+          ChunkReassembly.reassembleWallClock(spark, input.toDS(),
+            expiryMs = 3600000L)
+        else ChunkReassembly.reassemble(spark, input.toDS())
+      val writer = ds.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+      // processing-time timers keep the engine triggering, so
+      // processAllAvailable never settles on the wall-clock backend —
+      // poll for the expected count instead
+      val q = (if (wallClock)
+          writer.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(200L))
+        else writer).start()
       try {
         // deliver in two waves to exercise cross-batch state
         val (w1, w2) = chunks.splitAt(chunks.size / 2)
-        if (w1.nonEmpty) { input.addData(w1); q.processAllAvailable() }
-        if (w2.nonEmpty) { input.addData(w2); q.processAllAvailable() }
+        if (w1.nonEmpty) { input.addData(w1); if (!wallClock) q.processAllAvailable() }
+        if (w2.nonEmpty) { input.addData(w2); if (!wallClock) q.processAllAvailable() }
+        val deadline = System.currentTimeMillis() + 30000L
+        while (spark.table(name).count() < docs.size &&
+            System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
         val out = spark.table(name).collect()
           .map(r => r.getString(0) -> r.getString(1)).toMap
         docs.zipWithIndex.forall { case ((payload, _), d) =>
           out.get(s"doc$d").contains(payload)
         }
       } finally q.stop()
-    }, minSuccessful = 10)
+    }, minSuccessful = runs)
+  }
+
+  test("chunk reassembly over random splits is identity") {
+    reassemblyIdentityProp(wallClock = false, runs = 10)
+  }
+
+  test("chunk reassembly over random splits is identity (wall-clock/RocksDB backend)") {
+    // fileChecksum off: its async upload pool deadlocks under concurrent
+    // RocksDB snapshot zips (Spark 4.1.2, local fs)
+    val overrides = Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")
+    val prev = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try reassemblyIdentityProp(wallClock = true, runs = 3)
+    finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
   test("at-least-once accounting: redelivered + dead == nacked; threshold exact") {

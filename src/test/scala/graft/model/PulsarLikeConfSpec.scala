@@ -54,11 +54,41 @@ class PulsarLikeConfSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       PulsarLikeConf.fromOptions(valid - "batchingMaxMessages")
     }
-    assert(e.getMessage.contains("batchingMaxMessages"))
+    // reference-parity error text
+    assert(e.getMessage ==
+      "At least one of maxNumMessages, maxNumBytes, timeout must be specified.")
     // disabled batch receive needs no bounds
     val c = PulsarLikeConf.fromOptions(
       valid - "batchingMaxMessages" + ("batchReceiveEnabled" -> "false"))
     assert(!c.batchReceiveEnabled)
+  }
+
+  test("batchingTimeout alone satisfies the batch policy and maps to the trigger (A11)") {
+    val c = PulsarLikeConf.fromOptions(
+      valid - "batchingMaxMessages" + ("batchingTimeout" -> "5000"))
+    assert(c.batchingTimeoutMs.contains(5000L))
+    assert(c.suggestedTrigger.contains(
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(5000L)))
+    // without a timeout there is no suggested trigger
+    assert(PulsarLikeConf.fromOptions(valid).suggestedTrigger.isEmpty)
+    // non-positive values don't count as a bound
+    val e = intercept[IllegalArgumentException] {
+      PulsarLikeConf.fromOptions(
+        valid - "batchingMaxMessages" + ("batchingTimeout" -> "0"))
+    }
+    assert(e.getMessage.contains("At least one"))
+  }
+
+  test("local-store extensions parse (readRetries / numPartitions / chunkExpiryWallClock)") {
+    val c = PulsarLikeConf.fromOptions(valid ++ Map(
+      "readRetries" -> "true", "numPartitions" -> "8",
+      "chunkExpiryWallClock" -> "true"))
+    assert(c.readRetries)
+    assert(c.numPartitions.contains(8))
+    assert(c.chunking.expiryWallClock)
+    val d = PulsarLikeConf.fromOptions(valid)
+    assert(!d.readRetries && d.numPartitions.isEmpty &&
+      !d.chunking.expiryWallClock)
   }
 
   test("full client/TLS/chunking option surface parses and validates (A22)") {

@@ -80,6 +80,79 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  private def withRocksDB[T](body: => T): T = {
+    // fileChecksum off: the checksum checkpoint manager's async uploads
+    // deadlock under many concurrent RocksDB snapshot zips (Spark 4.1.2,
+    // local fs) — every task parks in ChecksumCheckpointFileManager
+    // .awaitResult forever
+    val overrides = Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")
+    val prev = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  // processing-time timers make the engine run batches continuously, so
+  // processAllAvailable never settles — wall-clock tests poll instead
+  private def awaitCount(name: String, n: Long, timeoutMs: Long = 30000L): Unit = {
+    val end = System.currentTimeMillis() + timeoutMs
+    while (spark.table(name).count() < n && System.currentTimeMillis() < end)
+      Thread.sleep(100)
+  }
+
+  test("chunk reassembly (wall-clock backend): out-of-order completion on RocksDB (A19)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    withRocksDB {
+      val input = MemoryStream[Chunk]
+      val out = reassembleWallClock(spark, input.toDS(), expiryMs = 3600000L)
+      val q = out.writeStream.format("memory").queryName("asmwc1")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(200L))
+        .start()
+      try {
+        input.addData(Chunk("m1", 1, 2, "B", ts(1000)),
+          Chunk("m2", 0, 2, "X", ts(1000)))
+        input.addData(Chunk("m1", 0, 2, "A", ts(1100)),
+          Chunk("m2", 1, 2, "Y", ts(1200)))
+        awaitCount("asmwc1", 2)
+        val rows = spark.table("asmwc1").orderBy("chunk_uuid").collect()
+        assert(rows.map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq ==
+          Seq(("m1", "AB", 2), ("m2", "XY", 2)))
+      } finally q.stop()
+    }
+  }
+
+  test("chunk reassembly (wall-clock backend): incomplete group expires on processing time (A19)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    withRocksDB {
+      val input = MemoryStream[Chunk]
+      val out = reassembleWallClock(spark, input.toDS(), expiryMs = 1000L)
+      val q = out.writeStream.format("memory").queryName("asmwc2")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(200L))
+        .start()
+      try {
+        // control group my: completed promptly — proves the emit path
+        input.addData(Chunk("mx", 0, 2, "A", ts(1000)),
+          Chunk("my", 0, 2, "C", ts(1000)), Chunk("my", 1, 2, "D", ts(1001)))
+        awaitCount("asmwc2", 1)
+        assert(spark.table("asmwc2").collect().map(_.getString(0)).toSeq == Seq("my"))
+        Thread.sleep(3000)   // wall clock passes mx's expiry; timer fires
+        // mx expired: its late completing fragment re-opens an empty
+        // group instead of emitting
+        input.addData(Chunk("mx", 1, 2, "B", ts(2100)))
+        Thread.sleep(2000)
+        assert(spark.table("asmwc2").filter(col("chunk_uuid") === "mx").count() == 0)
+      } finally q.stop()
+    }
+  }
+
   test("redelivery pacing: retry_at gates a nacked message until due (A16)") {
     import spark.implicits._
     val root = tmpDir("store")
