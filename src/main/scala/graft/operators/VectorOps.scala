@@ -67,48 +67,56 @@ object VectorOps {
     * rounding pins the quantizer so any engine reproduces it exactly
     * (the DuckDB oracle unrolls the same rounds).
     *
-    * Each round's centroids (k × dims doubles) are collected to the
-    * driver — the standard iterative-trainer shape (spark.ml KMeans does
-    * the same): the model is tiny, and materializing it truncates the
-    * lineage so round i+1's assignment is one scan + one broadcast, not
-    * a recursive recompute. Input: (vec_id, v); output: (pivot_id, pv). */
-  def kmeansCentroids(spark: org.apache.spark.sql.SparkSession,
-      base: org.apache.spark.sql.DataFrame, k: Int, iters: Int)
-      : org.apache.spark.sql.DataFrame = {
-    var c = base.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("long").as("pivot_id"), col("v").as("pv"))
+    * The model (k × dims doubles) lives on the driver — the standard
+    * iterative-trainer shape (spark.ml KMeans does the same). Each round
+    * is ONE scan: cell assignment is a shuffle-free projection (the
+    * centroids ride as literals), and recentering is `dims` columnar
+    * partial-aggregated avg()s — no explode, no window, no join.
+    * Input: (vec_id, v: array<double>); output: (pivot_id, centroid). */
+  def kmeansCentroids(base: org.apache.spark.sql.DataFrame, k: Int,
+      iters: Int, dims: Int): Seq[(Long, Seq[Double])] = {
+    var c: Seq[(Long, Seq[Double])] = base.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("long"), col("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq.sortBy(_._1)
     for (_ <- 0 until iters) {
-      val next = assignCells(base, c, 1)
-        .select(col("pivot_id"), posexplode(col("v")).as(Seq("dim", "val")))
-        .groupBy(col("pivot_id"), col("dim"))
-        .agg(round(avg(col("val")), 6).as("av"))
+      val avgs = (0 until dims).map(i =>
+        round(avg(col("v").getItem(i)), 6).as(s"c$i"))
+      c = assignCells(base, c, 1)
         .groupBy(col("pivot_id"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("av"))))
-          .getField("av").as("pv"))
-      c = materialize(spark, next)
+        .agg(avgs.head, avgs.tail: _*)
+        .collect()
+        .map(r => r.getLong(0) -> (1 to dims).map(r.getDouble).toSeq)
+        .toSeq.sortBy(_._1)
     }
     c
   }
 
   /** Route each vector to its `nprobe` nearest centroids by cosine
-    * (ties: lowest pivot_id). The centroid table is k rows — always
-    * broadcast. Output: input columns + pivot_id (nprobe rows/vector). */
+    * (ties: lowest pivot_id) — one codegen'd projection per row, no
+    * join/shuffle/window: the k candidate (cosine, pivot) structs sort
+    * in-row and the top nprobe explode out. Negating the pivot id makes
+    * the single array_sort order exactly (pcos DESC, pivot_id ASC)
+    * after reversal. Output: input columns + pivot_id. */
   def assignCells(vecs: org.apache.spark.sql.DataFrame,
-      centroids: org.apache.spark.sql.DataFrame, nprobe: Int)
+      centroids: Seq[(Long, Seq[Double])], nprobe: Int)
       : org.apache.spark.sql.DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("pcos").desc, col("pivot_id").asc)
-    vecs.join(broadcast(centroids))
-      .withColumn("pcos", cosine(col("v"), col("pv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= nprobe)
+    // higher-order-function folds run interpreted — keep them minimal:
+    // the row norm folds ONCE per row, each centroid costs one dot fold
+    // (its own norm is a driver-side constant; same left-fold order, so
+    // the double is bit-identical to an in-plan norm())
+    val vnorm = norm(col("v"))
+    val scored = array(centroids.map { case (pid, pv) =>
+      val cnorm = math.sqrt(pv.foldLeft(0.0)((acc, x) => acc + x * x))
+      struct(
+        round(dot(col("v"), typedLit(pv)) / (col("__vnorm") * lit(cnorm)), 6)
+          .as("pcos"),
+        lit(-pid).as("neg_pivot"))
+    }: _*)
+    val top = slice(reverse(array_sort(scored)), 1, nprobe)
+    vecs.withColumn("__vnorm", vnorm)
+      .withColumn("__cell", explode(top))
+      .withColumn("pivot_id", -col("__cell.neg_pivot"))
       .select(vecs.columns.map(col) :+ col("pivot_id"): _*)
-  }
-
-  /** Collect a tiny model table and rebuild it as a LocalRelation. */
-  private def materialize(spark: org.apache.spark.sql.SparkSession,
-      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val rows = java.util.Arrays.asList(df.collect(): _*)
-    spark.createDataFrame(rows, df.schema)
   }
 }

@@ -129,7 +129,7 @@ object SimilarityQueries {
     ) { (s, dir) =>
       val base = Tables(s, dir, "embeddings")
         .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
-      val centroids = VectorOps.kmeansCentroids(s, base, k = 8, iters = 2)
+      val centroids = VectorOps.kmeansCentroids(base, k = 8, iters = 2, dims = 64)
       val assigned = VectorOps.assignCells(base, centroids, nprobe = 1)
       val q = VectorOps.assignCells(base, centroids, nprobe = 2)
         .filter(col("vec_id") >= 100 && col("vec_id") < 120)

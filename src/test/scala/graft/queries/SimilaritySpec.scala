@@ -29,7 +29,7 @@ class SimilaritySpec extends SparkSpec {
     }
     val base = vecs.toDF("vec_id", "v")
 
-    val centroids = VectorOps.kmeansCentroids(spark, base, k = 8, iters = 3)
+    val centroids = VectorOps.kmeansCentroids(base, k = 8, iters = 3, dims = dims)
     val assigned = VectorOps.assignCells(base, centroids, nprobe = 1)
     val queries = VectorOps.assignCells(base, centroids, nprobe = 2)
       .filter(col("vec_id") < 30)
