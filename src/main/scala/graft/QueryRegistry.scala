@@ -13,7 +13,8 @@ object QueryRegistry {
     TextQueries.all ++
     MultimodalQueries.all ++
     StreamingQueries.all ++
-    MiscQueries.all
+    MiscQueries.all ++
+    PipelineQueries.all
 
   lazy val byName: Map[String, Q] = {
     val m = all.map(q => q.name -> q).toMap

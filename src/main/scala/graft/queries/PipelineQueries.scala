@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.DedupOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond the reference's surface —
+  * the batch-shaping stages an LLM pretraining corpus goes through
+  * after dedup/quality filtering (each with an exact DuckDB oracle):
+  *
+  *  - p01 sequence packing: greedy in-order packing of documents into
+  *    fixed token-budget training sequences (cumulative-sum binning —
+  *    the standard streaming approximation of first-fit).
+  *  - p02 source mixing: deterministic weighted subsampling per source
+  *    via an md5-threshold coin — reproducible across engines/runs, no
+  *    RNG state, exactly the "keep p% of source X" mixing step.
+  *  - p03 stratified sampling: exact k-per-stratum sample with an
+  *    md5-ranked order — a seeded shuffle both engines reproduce.
+  *
+  * Scale posture: p01 is one window over (source, doc order) — a single
+  * shuffle by source; p02 is a pure filter (no shuffle at all); p03 is
+  * one shuffle by stratum with an early rank cutoff. All are
+  * hash-routable at 100 TB; nothing is collected or iterated.
+  */
+object PipelineQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------
+    // p01 — pack documents into 2048-token training sequences per
+    // source, in doc_id order: bin = floor(tokens-before-me / budget).
+    Q(
+      "p01_sequence_packing",
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |packed AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+        |      / 2048.0) AS BIGINT) AS bin_id
+        |  FROM toks)
+        |SELECT source, bin_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM packed GROUP BY source, bin_id
+        |ORDER BY source, bin_id""".stripMargin
+    ) { (s, dir) =>
+      val toks = Tables(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        size(DedupOps.words(col("text"))).cast("long").as("n_tokens"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      toks
+        .withColumn("bin_id",
+          floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / 2048.0)
+            .cast("long"))
+        .groupBy(col("source"), col("bin_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source"), col("bin_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // p02 — weighted source mixing: even-numbered sources keep 75%,
+    // odd-numbered 25%. The coin is md5(doc_id) compared against the
+    // weight rendered as a 32-hex-char threshold — lexicographic hex
+    // compare IS the numeric compare, so both engines flip the same
+    // coin for every row (0xc000… / 16^32 = 0.75, 0x4000… = 0.25).
+    Q(
+      "p02_source_mix",
+      """SELECT doc_id, source FROM documents
+        |WHERE md5(CAST(doc_id AS VARCHAR)) <
+        |  CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+        |       THEN 'c0000000000000000000000000000000'
+        |       ELSE '40000000000000000000000000000000'
+        |  END
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .filter(md5(col("doc_id").cast("string")) <
+          when(expr("CAST(substring(source, 4) AS INT)") % 2 === 0,
+            lit("c0000000000000000000000000000000"))
+          .otherwise(lit("40000000000000000000000000000000")))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // p03 — stratified sample: exactly 20 docs per language, chosen by
+    // the md5-ranked order (a seedless deterministic shuffle), doc_id
+    // as the tiebreak.
+    Q(
+      "p03_stratified_sample",
+      """SELECT lang, doc_id, rn FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 20
+        |ORDER BY lang, rn""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 20)
+        .orderBy(col("lang"), col("rn"))
+    }
+  )
+}
