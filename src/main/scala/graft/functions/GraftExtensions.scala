@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the native vector
+  * folds as SQL functions, so `spark.sql("SELECT dot_double(a, b)")`
+  * works next to the Column API. Activate with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * (or SparkSessionExtensionsProvider injection in tests). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_double"),
+      new ExpressionInfo(classOf[DotProductDouble].getName, "dot_double"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_double(a, b) takes two arguments")
+        DotProductDouble(args(0), args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sum_squares_double"),
+      new ExpressionInfo(classOf[SumSquaresDouble].getName, "sum_squares_double"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "sum_squares_double(a) takes one argument")
+        SumSquaresDouble(args.head)
+      }))
+  }
+}
