@@ -22,7 +22,7 @@ import org.apache.spark.sql.expressions.Window
 object DedupQueries {
 
   /** documents + near-dup copies (first word dropped) of every 10th doc. */
-  private def corpusWithNearDups(docs: DataFrame): DataFrame = {
+  private[queries] def corpusWithNearDups(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
     val dups = docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 100000).as("doc_id"),
@@ -30,7 +30,7 @@ object DedupQueries {
     base.unionByName(dups)
   }
 
-  private val corpusSql =
+  private[queries] val corpusSql =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.operators.DedupOps
+import graft.operators.{DedupOps, TextOps}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -109,6 +109,101 @@ object PipelineQueries {
           row_number().over(w).cast("long").as("rn"))
         .filter(col("rn") <= 20)
         .orderBy(col("lang"), col("rn"))
+    },
+
+    // ---------------------------------------------------------------
+    // p04 — duplicate-CLUSTER consolidation: exact and near dups form
+    // chains (A ≡ A+200000 by normalized-text hash, A ≈ A+100000 by
+    // min-8-gram fingerprint); picking one canonical doc per connected
+    // component is the consolidation step after pairwise dedup. Labels
+    // propagate as GROUP minimums (two windows per round, three
+    // rounds) — connected components without ever materializing pairs,
+    // which is what survives at 100 TB (a pairwise closure would be
+    // quadratic in cluster size). Both engines run exactly the same 3
+    // rounds, so results agree even on an unconverged pathological
+    // chain.
+    Q(
+      "p04_dup_clusters",
+      s"""WITH ${DedupQueries.corpusSql},
+        |dup AS (
+        |  SELECT doc_id, text FROM corpus
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 10 = 0),
+        |nodes AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_filter(string_split(text, ' '), x -> x <> ''), ' ')) AS k1,
+        |    list_min(list_transform(generate_series(1, length(text) - 7),
+        |      i -> md5(substr(text, i, 8)))) AS k2,
+        |    doc_id AS lab
+        |  FROM dup),
+        |i1 AS (SELECT doc_id, k1, k2, least(
+        |    min(lab) OVER (PARTITION BY k1),
+        |    min(lab) OVER (PARTITION BY k2)) AS lab FROM nodes),
+        |i2 AS (SELECT doc_id, k1, k2, least(
+        |    min(lab) OVER (PARTITION BY k1),
+        |    min(lab) OVER (PARTITION BY k2)) AS lab FROM i1),
+        |i3 AS (SELECT doc_id, k1, k2, least(
+        |    min(lab) OVER (PARTITION BY k1),
+        |    min(lab) OVER (PARTITION BY k2)) AS lab FROM i2)
+        |SELECT lab AS cluster_id, count(*) AS n_docs,
+        |  min(doc_id) AS canonical_id, max(doc_id) AS max_id
+        |FROM i3 GROUP BY lab ORDER BY cluster_id""".stripMargin
+    ) { (s, dir) =>
+      val base = Tables(s, dir, "documents")
+      val dup = DedupQueries.corpusWithNearDups(base)
+        .unionByName(base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      var labeled = dup.select(
+        col("doc_id"),
+        md5(concat_ws(" ", DedupOps.words(col("text")))).as("k1"),
+        array_min(transform(TextOps.charNgrams(col("text"), 8), g => md5(g)))
+          .as("k2"),
+        col("doc_id").as("lab"))
+      for (_ <- 0 until 3) {
+        labeled = labeled.withColumn("lab", least(
+          min(col("lab")).over(Window.partitionBy(col("k1"))),
+          min(col("lab")).over(Window.partitionBy(col("k2")))))
+      }
+      labeled.groupBy(col("lab").as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("canonical_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("cluster_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // p05 — eval-set decontamination: drop training documents sharing
+    // any 13-word-gram with the held-out eval slice (doc_id % 7 = 0).
+    // One distinct-gram build per side + a semi-join on the gram —
+    // the standard n-gram-overlap decontamination pass, hash-joinable
+    // at any scale.
+    Q(
+      "p05_decontaminate",
+      s"""WITH ${DedupQueries.corpusSql},
+        |ws AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |       FROM corpus),
+        |grams AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 13
+        |    THEN list_transform(generate_series(1, len(w) - 12),
+        |      i -> array_to_string(w[i:i+12], ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END) AS g
+        |  FROM ws)
+        |SELECT DISTINCT doc_id FROM grams
+        |WHERE NOT (doc_id % 7 = 0 AND doc_id < 100000)
+        |  AND g IN (SELECT g FROM grams WHERE doc_id % 7 = 0 AND doc_id < 100000)
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val corpus = DedupQueries.corpusWithNearDups(Tables(s, dir, "documents"))
+      val grams = corpus
+        .withColumn("w", DedupOps.words(col("text")))
+        .select(col("doc_id"),
+          explode(DedupOps.shingles(col("w"), 13)).as("g"))
+      val isEval = col("doc_id") % 7 === 0 && col("doc_id") < 100000
+      val evalG = grams.filter(isEval).select(col("g")).distinct()
+      grams.filter(!isEval)
+        .join(evalG, Seq("g"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .orderBy(col("doc_id"))
     }
   )
 }
