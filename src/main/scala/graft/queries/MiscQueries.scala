@@ -131,6 +131,31 @@ object MiscQueries {
     },
 
     // ---------------------------------------------------------------
+    // q26 — the custom GroupTopK operator (LogicalPlan + Strategy +
+    // partial/final SparkPlan, graft.plans): top-3 lineitems per order
+    // by price. The window form shuffles and sorts whole groups; this
+    // shuffles at most k rows per (group, input partition). The oracle
+    // computes the identical semantics with a window.
+    Q(
+      "q26_group_topk",
+      """SELECT l_orderkey, l_linenumber, price FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(l_extendedprice AS DOUBLE) AS price,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3
+        |ORDER BY l_orderkey, price DESC, l_linenumber""".stripMargin
+    ) { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").cast("double").as("price"))
+      graft.plans.GroupTopK.topK(li, Seq(col("l_orderkey")), 3,
+          col("price").desc, col("l_linenumber").asc)
+        .orderBy(col("l_orderkey"), col("price").desc, col("l_linenumber"))
+    },
+
+    // ---------------------------------------------------------------
     // v01 — semi-structured JSON access over the events props column
     // (the VariantType path for heterogeneous payloads: parse once,
     // extract typed fields lazily).
