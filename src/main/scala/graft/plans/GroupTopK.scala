@@ -63,6 +63,19 @@ object GroupTopK {
       df.queryExecution.analyzed)
     ColumnBridge.ofRows(session, node)
   }
+
+  /** topK + a 1-based rank column: the rank window runs over the ≤ k
+    * survivors per group (already clustered by the final stage), not
+    * the full input — ranks are identical to a full window-rank filter
+    * because the survivors are exactly ranks 1..k. */
+  def topKRanked(df: DataFrame, groupCols: Seq[Column], k: Int,
+      rankName: String, orderCols: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val w = Window.partitionBy(groupCols: _*).orderBy(orderCols: _*)
+    topK(df, groupCols, k, orderCols: _*)
+      .withColumn(rankName, row_number().over(w).cast("long"))
+  }
 }
 
 object GroupTopKStrategy extends SparkStrategy {

@@ -229,12 +229,13 @@ object RelationalQueries {
         |WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin
     ) { (s, dir) =>
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      Tables(s, dir, "orders")
-        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 3)
+      // custom GroupTopK operator: k rows per (group, partition) reach
+      // the exchange instead of every order of every customer
+      graft.plans.GroupTopK.topKRanked(
+          Tables(s, dir, "orders")
+            .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+          Seq(col("o_custkey")), 3, "rn",
+          col("o_totalprice").desc, col("o_orderkey").asc)
         .orderBy(col("o_custkey"), col("rn"))
     },
 

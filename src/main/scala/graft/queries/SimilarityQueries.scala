@@ -44,13 +44,13 @@ object SimilarityQueries {
         .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
       val q = base.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("neighbor_id").asc)
-      broadcast(q).join(base, col("vec_id") =!= col("q_id"))
+      val scored = broadcast(q).join(base, col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
           VectorOps.cosine(col("qv"), col("v")).as("cos"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 5)
+      // GroupTopK: per-partition heaps — the q·n scored stream never
+      // reaches an exchange; only 5 rows per (query, partition) do
+      graft.plans.GroupTopK.topKRanked(scored, Seq(col("q_id")), 5, "rank",
+          col("cos").desc, col("neighbor_id").asc)
         .orderBy(col("q_id"), col("rank"))
     },
 
@@ -81,14 +81,12 @@ object SimilarityQueries {
         VectorOps.srpBucket(col("v"), 64, 6))
       val q = bucketed.filter(col("vec_id") < 50)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("neighbor_id").asc)
-      q.join(bucketed.as("c"),
+      val scored = q.join(bucketed.as("c"),
           col("c.bucket") === q("bucket") && col("c.vec_id") =!= col("q_id"))
         .select(col("q_id"), col("c.vec_id").as("neighbor_id"),
           VectorOps.cosine(col("qv"), col("c.v")).as("cos"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
+      graft.plans.GroupTopK.topKRanked(scored, Seq(col("q_id")), 3, "rank",
+          col("cos").desc, col("neighbor_id").asc)
         .orderBy(col("q_id"), col("rank"))
     },
 
@@ -135,14 +133,12 @@ object SimilarityQueries {
         .filter(col("vec_id") >= 100 && col("vec_id") < 120)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("pivot_id").as("q_pivot"))
-      val wRank = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("neighbor_id").asc)
-      q.join(assigned.as("c"),
+      val scored = q.join(assigned.as("c"),
           col("c.pivot_id") === col("q_pivot") && col("c.vec_id") =!= col("q_id"))
         .select(col("q_id"), col("c.vec_id").as("neighbor_id"),
           VectorOps.cosine(col("qv"), col("c.v")).as("cos"))
-        .withColumn("rank", row_number().over(wRank).cast("long"))
-        .filter(col("rank") <= 3)
+      graft.plans.GroupTopK.topKRanked(scored, Seq(col("q_id")), 3, "rank",
+          col("cos").desc, col("neighbor_id").asc)
         .orderBy(col("q_id"), col("rank"))
     }
   )
