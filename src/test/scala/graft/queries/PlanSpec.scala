@@ -60,6 +60,13 @@ class PlanSpec extends SparkSpec {
     assert(windows.isEmpty, s"window in d04 vocab path:\n$logical")
   }
 
+  test("q07/s01: rank-filter paths plan through the custom GroupTopK operator") {
+    val q07 = planOf("q07_top_orders_per_customer")
+    assert(q07.contains("GroupTopKPartial") && q07.contains("GroupTopKFinal"), q07)
+    val s01 = planOf("s01_ann_bruteforce")
+    assert(s01.contains("GroupTopKPartial") && s01.contains("GroupTopKFinal"), s01)
+  }
+
   test("every registered query stays off RDD fallbacks (no collect-driven loops)") {
     // structural smoke: building each plan succeeds and none mention
     // 'Scan ExistingRDD' (a sign of driver-side materialization).

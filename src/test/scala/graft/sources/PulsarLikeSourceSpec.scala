@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -236,6 +238,36 @@ class PulsarLikeSourceSpec extends SparkSpec {
       .takeWhile(_.next()).map(_.get().getUTF8String(0).toString).toVector
     reader.close()
     assert(got == (9990 until 10000).map(i => s"0:$i:0:0").toVector)
+  }
+
+  test("concurrent appends to one partition keep offsets/meta/index consistent") {
+    val root = tmpDir("store")
+    val threads = (0 until 8).map { t =>
+      new Thread(() => (0 until 25).foreach { i =>
+        TopicStore.append(root, "c", 0, (0 until 10).map { j =>
+          TopicStore.Msg(null, "k", java.util.Base64.getEncoder
+            .encodeToString(s"$t-$i-$j".getBytes), Map.empty,
+            1700000000000000L, 0L, 0, null)
+        })
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val (cnt, bytes) = TopicStore.partitionMeta(root, "c", 0)
+    assert(cnt == 2000, s"count=$cnt")
+    val dir = TopicStore.topicDir(root, "c")
+    val lines = java.nio.file.Files.readAllLines(dir.resolve("part-0.jsonl"))
+    assert(lines.size == 2000)
+    assert(bytes == lines.asScala.map(_.getBytes("UTF-8").length + 1).sum)
+    // offsets assigned contiguously under the lock: ids 0..1999 unique
+    val ids = lines.asScala.map(l => TopicStore.decode(l).messageId).toSet
+    assert(ids == (0 until 2000).map(i => s"0:$i:0:0").toSet)
+    // sparse index entries point at real line starts
+    val idx = TopicStore.partitionIndexIn(dir, 0)
+    assert(idx.nonEmpty)
+    idx.foreach { case (line, _) =>
+      val got = TopicStore.readEntries(dir, 0, line, line + 1)
+      assert(got.size == 1 && got.head.messageId == s"0:$line:0:0")
+    }
   }
 
   test("DSv2 write honors the topic's persisted partition count") {

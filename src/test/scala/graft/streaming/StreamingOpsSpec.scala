@@ -221,6 +221,31 @@ class StreamingOpsSpec extends SparkSpec {
     assert(dlq(0).getAs[Int]("redelivery_count") == 5)
   }
 
+  test("retry-log entries keep the main log's key->partition affinity (A3/A16)") {
+    import spark.implicits._
+    val root = tmpDir("store")
+    val rows = (0 until 12).map(i => (s"0:$i:0:0", s"k$i", s"v$i", 0))
+      .toDF("message_id", "key", "value_str", "redelivery_count")
+      .withColumn("properties", map().cast("map<string,string>"))
+      .withColumn("publish_time", lit(new java.sql.Timestamp(1700000000000L)))
+      .withColumn("content_type", lit("text/plain"))
+    TopicStore.publish(spark, rows, root, "t", 3)
+    AckingSink.nack(spark, rows, root, "t", subscription = "s")
+    // every key's retry entry sits in the same partition index the main
+    // log routed it to — Key_Shared order and compaction stay per-key
+    // local across redeliveries
+    val rdir = TopicStore.retryDir(root, "t", "s")
+    val retryByKey = TopicStore.partitionIdsIn(rdir).flatMap { p =>
+      TopicStore.readEntries(rdir, p, 0L,
+        TopicStore.partitionMetaIn(rdir, p)._1).map(m => m.key -> p)
+    }.toMap
+    (0 until 12).foreach { i =>
+      val expected = TopicStore.route(s"k$i", "", 3)
+      assert(retryByKey(s"k$i") == expected,
+        s"k$i retry in ${retryByKey(s"k$i")}, main in $expected")
+    }
+  }
+
   test("source merges due retries into delivery; log does not grow (A16)") {
     import spark.implicits._
     val root = tmpDir("store")
