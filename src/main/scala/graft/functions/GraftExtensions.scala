@@ -26,5 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "sum_squares_double(a) takes one argument")
         SumSquaresDouble(args.head)
       }))
+    // the GroupTopK operator: planner strategy + the window-rank-filter
+    // rewrite rule (graft.plans)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToGroupTopK)
   }
 }

@@ -47,6 +47,24 @@ class GroupTopKSpec extends SparkSpec {
     assert(out.count() == 10)
   }
 
+  test("optimizer rule rewrites window-rank filters into GroupTopK (same results)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = (0 until 2000).map(i => (rnd.nextInt(50), i, rnd.nextDouble()))
+      .toDF("g", "id", "score").repartition(5)
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    def ranked = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    val expected = ranked.collect().map(_.toString).sorted.toSeq  // rule off
+    GroupTopKRewrite.enable(spark)
+    try {
+      val plan = ranked.queryExecution.executedPlan.toString
+      assert(plan.contains("GroupTopKPartial"), plan)
+      assert(ranked.collect().map(_.toString).sorted.toSeq == expected)
+    } finally GroupTopKRewrite.disable(spark)
+    // rule off again: back to the plain window plan
+    assert(!ranked.queryExecution.executedPlan.toString.contains("GroupTopK"))
+  }
+
   test("emits each group's rows in sort order") {
     import spark.implicits._
     val df = Seq((1, 30), (1, 10), (1, 20), (2, 5)).toDF("g", "x")
