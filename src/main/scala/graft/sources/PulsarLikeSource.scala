@@ -317,7 +317,16 @@ class PulsarLikeMicroBatchStream(conf: PulsarLikeConf, root: String,
       // A16: a retry entry is only admissible once its retry_at has
       // passed — the due decision is frozen into the offset here, so
       // replaying the batch from the checkpoint is deterministic
-      val endOff = if (isRetry) dueRetryEnd(t, p, s, endRaw, nowMs) else endRaw
+      val endOff = if (isRetry) {
+        // GC: the committed cursor start means everything below was
+        // delivered — reclaim the prefix once a full stride accumulated
+        // (offsets stay absolute; only storage shrinks)
+        if (s - TopicStore.partitionBaseIn(
+            TopicStore.retryDir(root, t, conf.subscriptionName), p)
+            >= TopicStore.IndexStride)
+          TopicStore.truncateRetries(root, t, conf.subscriptionName, p, s)
+        dueRetryEnd(t, p, s, endRaw, nowMs)
+      } else endRaw
       val avail = math.max(0L, endOff - s)
       val dir = if (isRetry) TopicStore.retryDir(root, t, conf.subscriptionName)
         else TopicStore.topicDir(root, t)
@@ -426,7 +435,8 @@ class PulsarLikePartitionReader(ip: PulsarLikeInputPartition,
     val f = dir.resolve(s"part-${ip.p}.jsonl")
     if (!Files.exists(f) || ip.endOff <= ip.startOff) return Iterator.empty
     val (idxLine, idxByte) = TopicStore.partitionIndexIn(dir, ip.p)
-      .takeWhile(_._1 <= ip.startOff).lastOption.getOrElse((0L, 0L))
+      .takeWhile(_._1 <= ip.startOff).lastOption
+      .getOrElse((TopicStore.partitionBaseIn(dir, ip.p), 0L))
     channel = java.nio.channels.FileChannel.open(f,
       java.nio.file.StandardOpenOption.READ)
     channel.position(idxByte)

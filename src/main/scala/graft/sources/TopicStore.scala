@@ -90,7 +90,9 @@ object TopicStore {
   }
 
   /** Sparse (line, byteOffset) index for a partition file — ascending,
-    * one entry per `IndexStride` lines (empty for pre-index metas). */
+    * one entry per `IndexStride` lines (empty for pre-index metas).
+    * Line numbers are ABSOLUTE offsets; byte offsets are positions in
+    * the current file (a truncated file starts at `partitionBaseIn`). */
   def partitionIndexIn(dir: Path, p: Int): IndexedSeq[(Long, Long)] = {
     val m = dir.resolve(s"part-$p.meta")
     if (!Files.exists(m)) Vector.empty
@@ -100,6 +102,17 @@ object TopicStore {
       if (idx == null || !idx.isArray) Vector.empty
       else idx.elements().asScala
         .map(e => (e.get(0).asLong(), e.get(1).asLong())).toVector
+    }
+  }
+
+  /** Absolute offset of the partition file's first line — non-zero once
+    * the delivered prefix has been reclaimed (retry-log GC). */
+  def partitionBaseIn(dir: Path, p: Int): Long = {
+    val m = dir.resolve(s"part-$p.meta")
+    if (!Files.exists(m)) 0L
+    else {
+      val b = mapper.readTree(Files.readString(m)).get("base")
+      if (b == null) 0L else b.asLong()
     }
   }
 
@@ -293,12 +306,61 @@ object TopicStore {
       }
       Files.writeString(dataFile, sb.toString,
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      val lineBase = partitionBaseIn(dir, p)
       val idxJson = index.result()
         .map { case (l, b) => s"[$l,$b]" }.mkString("[", ",", "]")
       Files.writeString(metaFile,
-        s"""{"count":$off,"bytes":$bytes,"index":$idxJson}""",
+        s"""{"count":$off,"bytes":$bytes,"base":$lineBase,"index":$idxJson}""",
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     } finally { lock.release(); ch.close() }
+    }
+  }
+
+  /** Reclaim the delivered prefix of a retry partition: drop all lines
+    * with absolute offset < `upTo`, record the new `base`, rebuild the
+    * byte index. Offsets stay ABSOLUTE (cursor math is untouched) — only
+    * the storage shrinks. Safe when `upTo` ≤ the subscription's
+    * committed cursor: the stream never re-reads below it (only a
+    * checkpoint older than the committed one would, and micro-batch
+    * recovery always resumes from the latest commit). */
+  def truncateRetries(root: String, topic: String, sub: String, p: Int,
+      upTo: Long): Unit = {
+    val dir = retryDir(root, topic, sub)
+    val dataFile = dir.resolve(s"part-$p.jsonl")
+    val metaFile = dir.resolve(s"part-$p.meta")
+    val lockFile = dir.resolve(s"part-$p.lock")
+    if (!Files.exists(dataFile)) return
+    val monitor = monitors.computeIfAbsent(
+      lockFile.toAbsolutePath.toString, _ => new Object)
+    monitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(lockFile,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      val lock = ch.lock()
+      try {
+        val (count, _) = partitionMetaIn(dir, p)
+        val base = partitionBaseIn(dir, p)
+        val newBase = math.min(math.max(upTo, base), count)
+        if (newBase == base) return
+        val keep = Files.readAllLines(dataFile).asScala
+          .drop(java.lang.Math.toIntExact(newBase - base))
+        val sb = new StringBuilder
+        val index = Vector.newBuilder[(Long, Long)]
+        var off = newBase
+        var bytes = 0L
+        keep.foreach { line =>
+          if (off % IndexStride == 0L) index += ((off, bytes))
+          sb.append(line).append('\n')
+          bytes += line.getBytes(StandardCharsets.UTF_8).length + 1
+          off += 1
+        }
+        Files.writeString(dataFile, sb.toString,
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        val idxJson = index.result()
+          .map { case (l, b) => s"[$l,$b]" }.mkString("[", ",", "]")
+        Files.writeString(metaFile,
+          s"""{"count":$count,"bytes":$bytes,"base":$newBase,"index":$idxJson}""",
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      } finally { lock.release(); ch.close() }
     }
   }
 
@@ -333,7 +395,8 @@ object TopicStore {
     val f = dir.resolve(s"part-$p.jsonl")
     if (!Files.exists(f) || until <= from) return Vector.empty
     val (idxLine, idxByte) = partitionIndexIn(dir, p)
-      .takeWhile(_._1 <= from).lastOption.getOrElse((0L, 0L))
+      .takeWhile(_._1 <= from).lastOption
+      .getOrElse((partitionBaseIn(dir, p), 0L))
     val ch = java.nio.channels.FileChannel.open(f, StandardOpenOption.READ)
     try {
       ch.position(idxByte)
