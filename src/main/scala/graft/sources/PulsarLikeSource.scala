@@ -280,9 +280,20 @@ class PulsarLikeMicroBatchStream(conf: PulsarLikeConf, root: String,
     availableNowEnd = Some(endCursors())
   }
 
+  /** Retention-aware earliest offset of a partition (the retained base
+    * — 0 unless a prefix was truncated). */
+  private def baseOf(k: String): Long = {
+    val (t, p, isRetry) = parse(k)
+    val dir = if (isRetry) TopicStore.retryDir(root, t, conf.subscriptionName)
+      else TopicStore.topicDir(root, t)
+    TopicStore.partitionBaseIn(dir, p)
+  }
+
   override def initialOffset(): Offset = conf.initialPosition match {
     case InitialPosition.Earliest =>
-      PulsarLikeOffset(endCursors().map { case (k, _) => k -> 0L })
+      // Earliest = the retained base (a truncated prefix is gone, like
+      // broker retention)
+      PulsarLikeOffset(endCursors().map { case (k, _) => k -> baseOf(k) })
     case InitialPosition.Latest => PulsarLikeOffset(endCursors())
   }
 
@@ -346,9 +357,9 @@ class PulsarLikeMicroBatchStream(conf: PulsarLikeConf, root: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[PulsarLikeOffset].cursors
     val e = end.asInstanceOf[PulsarLikeOffset].cursors
-    // A21: a fresh subscription (all-zero start) with readCompacted serves
-    // the latest-per-key snapshot as its first batch
-    val fresh = s.values.forall(_ == 0L)
+    // A21: a fresh subscription (start at the retained earliest) with
+    // readCompacted serves the latest-per-key snapshot as its first batch
+    val fresh = s.forall { case (k, v) => v == 0L || v == baseOf(k) }
     e.toSeq.sortBy(_._1).flatMap { case (k, endOff) =>
       val startOff = s.getOrElse(k, 0L)
       if (endOff <= startOff) None
@@ -389,7 +400,8 @@ class PulsarLikeBatch(conf: PulsarLikeConf, root: String,
       else TopicStore.topicDir(root, t)
       TopicStore.partitionIdsIn(dir).map { p =>
         val (cnt, _) = TopicStore.partitionMetaIn(dir, p)
-        PulsarLikeInputPartition(root, t, p, 0L, cnt,
+        PulsarLikeInputPartition(root, t, p,
+          TopicStore.partitionBaseIn(dir, p), cnt,
           compacted = !conf.readRetries && conf.readCompacted,
           retrySub = if (conf.readRetries) conf.subscriptionName else null)
       }

@@ -324,8 +324,18 @@ object TopicStore {
     * checkpoint older than the committed one would, and micro-batch
     * recovery always resumes from the latest commit). */
   def truncateRetries(root: String, topic: String, sub: String, p: Int,
-      upTo: Long): Unit = {
-    val dir = retryDir(root, topic, sub)
+      upTo: Long): Unit =
+    truncateIn(retryDir(root, topic, sub), p, upTo)
+
+  /** Topic retention (admin op — the broker-side knob in the reference
+    * deployment): drop the prefix of a MAIN log partition below `upTo`.
+    * Offsets stay absolute; readers with cursors at or past `upTo` are
+    * unaffected, a fresh Earliest subscription starts at the retained
+    * base — exactly a broker's retention semantics. */
+  def truncateTopic(root: String, topic: String, p: Int, upTo: Long): Unit =
+    truncateIn(topicDir(root, topic), p, upTo)
+
+  private def truncateIn(dir: Path, p: Int, upTo: Long): Unit = {
     val dataFile = dir.resolve(s"part-$p.jsonl")
     val metaFile = dir.resolve(s"part-$p.meta")
     val lockFile = dir.resolve(s"part-$p.lock")

@@ -289,6 +289,33 @@ class PulsarLikeSourceSpec extends SparkSpec {
     assert(p == expected, s"routed to $p, expected $expected")
   }
 
+  test("topic retention: truncated prefix is gone; offsets stay absolute") {
+    val root = tmpDir("store")
+    publishEvents(root, "r", 30, parts = 1)
+    TopicStore.truncateTopic(root, "r", 0, 20L)
+    // batch read serves only the retained tail, original offsets intact
+    val rows = readBatch(root, "topicNames" -> "r")
+      .select(expr("CAST(split(message_id, ':')[1] AS BIGINT)").as("off"))
+      .collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == (20L until 30L))
+    // an Earliest subscription starts at the retained base
+    val ckpt = tmpDir("ckpt")
+    val seen = new java.util.concurrent.atomic.AtomicLong
+    val q = spark.readStream.format("pulsarlike")
+      .option("path", root).option("serviceUrl", "pulsar://local")
+      .option("topicNames", "r")
+      .option("subscriptionInitialPosition", "Earliest")
+      .option("batchingMaxMessages", "100")
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.addAndGet(df.count()): Unit
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(seen.get() == 10)
+  }
+
   test("Latest initial position skips the backlog (A4)") {
     val root = tmpDir("store")
     val ckpt = tmpDir("ckpt")
