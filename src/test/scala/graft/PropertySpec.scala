@@ -140,6 +140,26 @@ class PropertySpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("GroupTopK == window-rank for arbitrary k and group shapes") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    check(Prop.forAllNoShrink(
+      Gen.choose(1, 8),
+      Gen.listOfN(300, Gen.zip(Gen.choose(0, 20), Gen.choose(0, 1000)))) { (k, data) =>
+      val df = data.zipWithIndex.map { case ((g, v), i) =>
+        (g.toLong, i.toLong, v.toLong)
+      }.toDF("g", "id", "v").repartition(5)
+      val viaOp = graft.plans.GroupTopK.topK(df, Seq(col("g")), k,
+          col("v").desc, col("id").asc)
+        .select("g", "id").collect().map(_.toString).sorted.toSeq
+      val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+      val viaW = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select("g", "id").collect().map(_.toString).sorted.toSeq
+      viaOp == viaW
+    }, minSuccessful = 10)
+  }
+
   test("at-least-once accounting: redelivered + dead == nacked; threshold exact") {
     import spark.implicits._
     check(Prop.forAllNoShrink(
