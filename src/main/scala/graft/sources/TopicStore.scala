@@ -351,20 +351,33 @@ object TopicStore {
         val base = partitionBaseIn(dir, p)
         val newBase = math.min(math.max(upTo, base), count)
         if (newBase == base) return
-        val keep = Files.readAllLines(dataFile).asScala
-          .drop(java.lang.Math.toIntExact(newBase - base))
-        val sb = new StringBuilder
+        // streamed rewrite (never loads the log in memory) into a temp
+        // file, then an atomic move — a reader racing the rename sees
+        // either file complete
+        val tmp = dir.resolve(s"part-$p.jsonl.tmp")
         val index = Vector.newBuilder[(Long, Long)]
-        var off = newBase
         var bytes = 0L
-        keep.foreach { line =>
-          if (off % IndexStride == 0L) index += ((off, bytes))
-          sb.append(line).append('\n')
-          bytes += line.getBytes(StandardCharsets.UTF_8).length + 1
-          off += 1
-        }
-        Files.writeString(dataFile, sb.toString,
-          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        val in = Files.newBufferedReader(dataFile, StandardCharsets.UTF_8)
+        try {
+          var skip = newBase - base
+          while (skip > 0 && in.readLine() != null) skip -= 1
+          val out = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8,
+            StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+          try {
+            var off = newBase
+            var line = in.readLine()
+            while (line != null) {
+              if (off % IndexStride == 0L) index += ((off, bytes))
+              out.write(line); out.newLine()
+              bytes += line.getBytes(StandardCharsets.UTF_8).length + 1
+              off += 1
+              line = in.readLine()
+            }
+          } finally out.close()
+        } finally in.close()
+        Files.move(tmp, dataFile,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         val idxJson = index.result()
           .map { case (l, b) => s"[$l,$b]" }.mkString("[", ",", "]")
         Files.writeString(metaFile,
