@@ -67,6 +67,18 @@ class PlanSpec extends SparkSpec {
     assert(s01.contains("GroupTopKPartial") && s01.contains("GroupTopKFinal"), s01)
   }
 
+  test("no CartesianProduct in any registered query plan") {
+    // a broadcast nested-loop against a bounded side is fine (s01's
+    // query set); an unbroadcast cartesian of two big sides never is
+    QueryRegistry.all
+      .filterNot(q => q.name.startsWith("ps") || q.name.startsWith("m06"))
+      .foreach { q =>
+        val plan = q.run(spark, dir).queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"),
+          s"${q.name} plans a cartesian product:\n$plan")
+      }
+  }
+
   test("every registered query stays off RDD fallbacks (no collect-driven loops)") {
     // structural smoke: building each plan succeeds and none mention
     // 'Scan ExistingRDD' (a sign of driver-side materialization).
