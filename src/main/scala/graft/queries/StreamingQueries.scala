@@ -172,6 +172,77 @@ object StreamingQueries {
     },
 
     // ---------------------------------------------------------------
+    // m07 — A19 end-to-end through the source: documents are split into
+    // 100-char chunked messages (uuid/index/total in properties, like
+    // pulsar-client chunking metadata), published through the topic
+    // store, consumed back via the pulsarlike stream, and reassembled by
+    // the stateful operator. The reassembled payload must md5-match the
+    // original document — transport + chunk state machine gated in one
+    // oracle. Bounded to 2000 docs (the operator math is also oracled
+    // at full volume by m05; this gates the composition).
+    Q(
+      "m07_chunked_ingest",
+      """SELECT doc_id, md5(text) AS payload_md5 FROM documents
+        |WHERE doc_id < 2000
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      import graft.streaming.ChunkReassembly
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-chunks").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-chunks-ckpt").toString
+      val docs = Tables(s, dir, "documents").filter(col("doc_id") < 2000)
+      val chunks = docs
+        .withColumn("total",
+          ceil(length(col("text")) / 100.0).cast("int"))
+        .withColumn("chunk_id", explode(sequence(lit(0), col("total") - 1)))
+        .select(
+          col("doc_id").cast("string").as("key"),
+          expr("substr(text, chunk_id * 100 + 1, 100)").as("value_str"),
+          map(
+            lit("uuid"), col("doc_id").cast("string"),
+            lit("chunk_id"), col("chunk_id").cast("string"),
+            lit("total"), col("total").cast("string")).as("properties"),
+          lit(new java.sql.Timestamp(1700000000000L)).as("publish_time"))
+      TopicStore.publish(s, chunks, root, "chunks", 4)
+
+      val buf = new scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      val stream = s.readStream.format("pulsarlike")
+        .option("path", root)
+        .option("serviceUrl", "pulsar://local")
+        .option("topicNames", "chunks")
+        .option("subscriptionInitialPosition", "Earliest")
+        .option("batchingMaxMessages", "1000000")
+        .load()
+      import s.implicits._
+      val asChunks = stream.select(
+          col("properties").getItem("uuid").as("chunk_uuid"),
+          col("properties").getItem("chunk_id").cast("int").as("chunk_id"),
+          col("properties").getItem("total").cast("int").as("total_chunks"),
+          col("value_str").as("fragment"),
+          col("event_time").as("ts"))
+        .as[ChunkReassembly.Chunk]
+      val q = ChunkReassembly.reassemble(s, asChunks,
+          watermarkDelay = "1 second")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[ChunkReassembly.Assembled], _: Long) =>
+          val rows = ds.collect()
+          buf.synchronized {
+            rows.foreach(a => buf += ((a.chunk_uuid.toLong, a.payload)))
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      buf.toSeq.toDF("doc_id", "payload")
+        .select(col("doc_id"), md5(col("payload")).as("payload_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
     // w01 — tumbling event-time window (1 hour) per event type.
     Q(
       "w01_tumbling_window",

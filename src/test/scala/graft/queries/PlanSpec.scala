@@ -71,7 +71,8 @@ class PlanSpec extends SparkSpec {
     // a broadcast nested-loop against a bounded side is fine (s01's
     // query set); an unbroadcast cartesian of two big sides never is
     QueryRegistry.all
-      .filterNot(q => q.name.startsWith("ps") || q.name.startsWith("m06"))
+      .filterNot(q => q.name.startsWith("ps") || q.name.startsWith("m06") ||
+        q.name.startsWith("m07"))
       .foreach { q =>
         val plan = q.run(spark, dir).queryExecution.executedPlan.toString
         assert(!plan.contains("CartesianProduct"),
@@ -89,6 +90,7 @@ class PlanSpec extends SparkSpec {
       "t01_langid_ngram")
     QueryRegistry.all
       .filterNot(q => q.name.startsWith("ps") || q.name.startsWith("m06") ||
+        q.name.startsWith("m07") ||
         checkpoints.contains(q.name))
       .foreach { q =>
         val plan = q.run(spark, dir).queryExecution.executedPlan.toString
