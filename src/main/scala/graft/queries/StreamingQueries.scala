@@ -206,7 +206,7 @@ object StreamingQueries {
           lit(new java.sql.Timestamp(1700000000000L)).as("publish_time"))
       TopicStore.publish(s, chunks, root, "chunks", 4)
 
-      val buf = new scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      val outDir = root + "/reassembled"
       val stream = s.readStream.format("pulsarlike")
         .option("path", root)
         .option("serviceUrl", "pulsar://local")
@@ -227,19 +227,18 @@ object StreamingQueries {
         .writeStream
         .option("checkpointLocation", ckpt)
         .foreachBatch {
+          // hash + project executor-side; only (doc_id, md5) land on disk
           (ds: org.apache.spark.sql.Dataset[ChunkReassembly.Assembled], _: Long) =>
-          val rows = ds.collect()
-          buf.synchronized {
-            rows.foreach(a => buf += ((a.chunk_uuid.toLong, a.payload)))
-          }
+          ds.select(
+              col("chunk_uuid").cast("long").as("doc_id"),
+              md5(col("payload")).as("payload_md5"))
+            .write.mode("append").parquet(outDir)
           ()
         }
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      buf.toSeq.toDF("doc_id", "payload")
-        .select(col("doc_id"), md5(col("payload")).as("payload_md5"))
-        .orderBy(col("doc_id"))
+      s.read.parquet(outDir).orderBy(col("doc_id"))
     },
 
     // ---------------------------------------------------------------
