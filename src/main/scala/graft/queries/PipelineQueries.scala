@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.operators.{DedupOps, TextOps}
+import graft.operators.{DedupOps, Stage, TextOps}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -204,6 +205,80 @@ object PipelineQueries {
         .join(evalG, Seq("g"), "left_semi")
         .select(col("doc_id")).distinct()
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // p06 — connected components to a FIXPOINT: where p04 runs a fixed
+    // round count (both engines agree even unconverged), p06 is the
+    // real closure — iterate min-label propagation with pointer
+    // jumping (lab := lab(lab)) until no label moves. Pointer jumping
+    // halves the remaining path each round, so convergence is
+    // O(log diameter) rounds, not O(diameter) — the difference between
+    // 30 and 2^30 rounds on a long dup chain at 100 TB. Each round is
+    // two equi-joins + a min-aggregation, lineage truncated via
+    // Stage.stage; the convergence probe is a single driver-side
+    // scalar (limit(1).count on changed labels), never row data.
+    // The edge set is a deterministic benchmark graph over documents
+    // (16-doc chains cross-linked every 23 ids — stand-in for any
+    // blocking-key edge list, e.g. d02's band pairs); the oracle is a
+    // DuckDB recursive CTE computing the same transitive closure.
+    Q(
+      "p06_connected_components",
+      """WITH RECURSIVE
+        |ids AS (SELECT doc_id AS id FROM documents),
+        |fwd AS (
+        |  SELECT id AS src, id + 1 AS dst FROM ids WHERE id % 16 <> 15
+        |    AND id + 1 IN (SELECT id FROM ids)
+        |  UNION ALL
+        |  SELECT id, id + 5 FROM ids WHERE id % 23 = 0
+        |    AND id + 5 IN (SELECT id FROM ids)),
+        |edges AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+        |walk(id, lab) AS (
+        |  SELECT id, id FROM ids
+        |  UNION
+        |  SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id
+        |    WHERE w.lab < e.dst),
+        |cc AS (SELECT id, min(lab) AS cluster_id FROM walk GROUP BY id)
+        |SELECT cluster_id, count(*) AS n_docs, max(id) AS max_id
+        |FROM cc GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+    ) { (s, dir) =>
+      val ids = Tables(s, dir, "documents").select(col("doc_id").as("id"))
+      val chain = ids.select(col("id").as("src"))
+        .filter(col("src") % 16 =!= 15)
+        .join(ids.select(col("id").as("dst")), col("dst") === col("src") + 1)
+      val cross = ids.select(col("id").as("src"))
+        .filter(col("src") % 23 === 0)
+        .join(ids.select(col("id").as("dst")), col("dst") === col("src") + 5)
+      val fwd = chain.unionByName(cross)
+      val edges = Stage.stage(fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst"))))
+
+      var lab: DataFrame = ids.select(col("id"), col("id").as("lab"))
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        // lab'(v) = min(lab(v), lab(u) over neighbors u)
+        val viaEdges = edges
+          .join(lab, col("src") === col("id"))
+          .select(col("dst").as("id"), col("lab"))
+        val prop = lab.unionByName(viaEdges)
+          .groupBy(col("id")).agg(min(col("lab")).as("lab"))
+        // pointer jump: lab''(v) = lab'(lab'(v)) — every label is a
+        // node id, so the lookup is an equi-join against prop itself
+        val next = Stage.stage(prop
+          .join(prop.select(col("id").as("lid"), col("lab").as("llab")),
+            col("lab") === col("lid"))
+          .select(col("id"), col("llab").as("lab")))
+        converged = next.as("n")
+          .join(lab.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.lab") =!= col("o.lab"))
+          .limit(1).count() == 0
+        lab = next
+        rounds += 1
+      }
+      lab.groupBy(col("lab").as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_id"))
+        .orderBy(col("cluster_id"))
     }
   )
 }
