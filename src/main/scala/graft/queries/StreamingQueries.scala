@@ -311,6 +311,77 @@ object StreamingQueries {
           col("session_window.end").as("session_end"),
           col("n_events"))
         .orderBy(col("user_id"), col("session_start"))
+    },
+
+    // ---------------------------------------------------------------
+    // w04 — stream-stream interval join, end-to-end through the source:
+    // two pulsarlike streams over the same published topic (clicks /
+    // purchases), joined on user with a 1-hour attribution interval
+    // (click within the hour before the purchase). Both sides carry
+    // watermarks — the state-cleanup contract a production join needs —
+    // with a delay past the data horizon so the oracle comparison is
+    // exact (no late drops regardless of how admission slices batches).
+    // Join results are written executor-side per micro-batch. Oracle:
+    // the same interval join in plain SQL (mode-4 rows are raw payloads
+    // the dispatcher can't parse, excluded on both sides, as in ps01).
+    Q(
+      "w04_stream_interval_join",
+      """SELECT a.event_id AS click_id, b.event_id AS buy_id,
+        |  a.user_id, a.ts AS click_ts, b.ts AS buy_ts
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        |  AND a.ts BETWEEN b.ts - INTERVAL 1 HOUR AND b.ts
+        |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        |  AND a.event_id % 5 <> 4 AND b.event_id % 5 <> 4
+        |ORDER BY click_id, buy_id""".stripMargin
+    ) { (s, dir) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sj").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-sj-ckpt").toString
+      val outDir = root + "/joined"
+      TopicStore.publish(s,
+        MessageOps.fromEvents(Tables(s, dir, "events")), root, "events", 4)
+
+      val payloadSchema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      def side(eventType: String, idAs: String, tsAs: String) = {
+        val raw = s.readStream.format("pulsarlike")
+          .option("path", root)
+          .option("serviceUrl", "pulsar://local")
+          .option("topicNames", "events")
+          .option("subscriptionInitialPosition", "Earliest")
+          .option("batchingMaxMessages", "1000000")
+          .load()
+        MessageOps.contentTypeDispatch(raw, payloadSchema)
+          .filter(col("parsed.event_type") === eventType)
+          .select(
+            col("parsed.event_id").as(idAs),
+            col("key").cast("long").as(s"${idAs}_user"),
+            col("event_time").as(tsAs))
+          .withWatermark(tsAs, "60 days")
+      }
+      val clicks = side("click", "click_id", "click_ts")
+      val buys = side("purchase", "buy_id", "buy_ts")
+      val q = clicks.join(buys,
+          col("click_id_user") === col("buy_id_user") &&
+          col("click_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR") &&
+          col("click_ts") <= col("buy_ts"))
+        .select(col("click_id"), col("buy_id"),
+          col("click_id_user").as("user_id"),
+          col("click_ts"), col("buy_ts"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (ds: org.apache.spark.sql.DataFrame, _: Long) =>
+          ds.write.mode("append").parquet(outDir)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir).orderBy(col("click_id"), col("buy_id"))
     }
   )
 }

@@ -72,7 +72,7 @@ class PlanSpec extends SparkSpec {
     // query set); an unbroadcast cartesian of two big sides never is
     QueryRegistry.all
       .filterNot(q => q.name.startsWith("ps") || q.name.startsWith("m06") ||
-        q.name.startsWith("m07"))
+        q.name.startsWith("m07") || q.name.startsWith("w04"))
       .foreach { q =>
         val plan = q.run(spark, dir).queryExecution.executedPlan.toString
         assert(!plan.contains("CartesianProduct"),
@@ -90,7 +90,7 @@ class PlanSpec extends SparkSpec {
       "t01_langid_ngram", "p06_connected_components")
     QueryRegistry.all
       .filterNot(q => q.name.startsWith("ps") || q.name.startsWith("m06") ||
-        q.name.startsWith("m07") ||
+        q.name.startsWith("m07") || q.name.startsWith("w04") ||
         checkpoints.contains(q.name))
       .foreach { q =>
         val plan = q.run(spark, dir).queryExecution.executedPlan.toString
