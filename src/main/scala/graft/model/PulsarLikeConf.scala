@@ -41,6 +41,7 @@ final case class PulsarLikeConf(
     ackTimeoutMs: Option[Long],
     readCompacted: Boolean,
     readRetries: Boolean,
+    startingTimeUs: Option[Long],
     numPartitions: Option[Int],
     chunking: ChunkingConf,
     client: ClientConf) {
@@ -199,6 +200,19 @@ object PulsarLikeConf {
       // subscription's pending-redelivery queue (A16 observability), and
       // the partition count used if a write creates the topic
       readRetries = get("readRetries").exists(_.toBoolean),
+      // time-based seek (the public Reader#seek(timestamp) surface;
+      // no reference analog): position the subscription at the first
+      // message with publish_time >= T. Takes precedence over
+      // subscriptionInitialPosition; epoch millis or ISO-8601 instant.
+      startingTimeUs = get("startingTime").map { v =>
+        val ms =
+          if (v.forall(_.isDigit)) v.toLong
+          else try java.time.Instant.parse(v).toEpochMilli
+          catch { case _: Exception => fail(
+            s"Invalid value '$v' for parameter 'startingTime'. " +
+              "Use epoch milliseconds or an ISO-8601 instant.") }
+        ms * 1000L
+      },
       numPartitions = long_("numPartitions").filter(_ > 0).map(_.toInt),
       chunking = ChunkingConf(
         maxPendingChunkedMessage = long_("maxPendingChunkedMessage"),

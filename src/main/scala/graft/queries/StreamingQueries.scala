@@ -242,6 +242,38 @@ object StreamingQueries {
     },
 
     // ---------------------------------------------------------------
+    // m08 — time-based seek (the public Reader#seek(timestamp) surface):
+    // a batch read with startingTime serves exactly the suffix of each
+    // partition from the first message with publish_time >= T. The
+    // cursor is found by binary search over the sparse byte index (one
+    // decoded message per probe + at most one stride of scan) — never a
+    // data scan, so a seek into a year-long topic stays O(log n). The
+    // same seek positions a fresh streaming subscription (spec'd in
+    // PulsarLikeSourceSpec).
+    Q(
+      "m08_seek_by_time",
+      """SELECT '0:' || CAST(event_id AS VARCHAR) || ':0:0' AS message_id,
+        |  CAST(user_id AS VARCHAR) AS key, ts AS publish_time
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY message_id""".stripMargin
+    ) { (s, dir) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-seek").toString
+      TopicStore.publish(s,
+        MessageOps.fromEvents(Tables(s, dir, "events")), root, "events", 4)
+      s.read.format("pulsarlike")
+        .option("path", root)
+        .option("serviceUrl", "pulsar://local")
+        .option("topicNames", "events")
+        .option("startingTime", "2024-01-15T00:00:00Z")
+        .option("batchingMaxMessages", "1000000")
+        .load()
+        .select(col("message_id"), col("key"), col("publish_time"))
+        .orderBy(col("message_id"))
+    },
+
+    // ---------------------------------------------------------------
     // w01 — tumbling event-time window (1 hour) per event type.
     Q(
       "w01_tumbling_window",

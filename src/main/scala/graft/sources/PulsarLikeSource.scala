@@ -289,12 +289,24 @@ class PulsarLikeMicroBatchStream(conf: PulsarLikeConf, root: String,
     TopicStore.partitionBaseIn(dir, p)
   }
 
-  override def initialOffset(): Offset = conf.initialPosition match {
-    case InitialPosition.Earliest =>
-      // Earliest = the retained base (a truncated prefix is gone, like
-      // broker retention)
-      PulsarLikeOffset(endCursors().map { case (k, _) => k -> baseOf(k) })
-    case InitialPosition.Latest => PulsarLikeOffset(endCursors())
+  override def initialOffset(): Offset = conf.startingTimeUs match {
+    // time-based seek (Reader#seek(timestamp)): main cursors land on
+    // the first message with publish_time >= T via the index-guided
+    // binary search; a fresh subscription has no retry backlog, so
+    // retry cursors start at their base. Overrides initialPosition.
+    case Some(t) =>
+      PulsarLikeOffset(endCursors().map { case (k, _) =>
+        val (topic, p, isRetry) = parse(k)
+        if (isRetry) k -> baseOf(k)
+        else k -> TopicStore.seekByTimeIn(TopicStore.topicDir(root, topic), p, t)
+      })
+    case None => conf.initialPosition match {
+      case InitialPosition.Earliest =>
+        // Earliest = the retained base (a truncated prefix is gone, like
+        // broker retention)
+        PulsarLikeOffset(endCursors().map { case (k, _) => k -> baseOf(k) })
+      case InitialPosition.Latest => PulsarLikeOffset(endCursors())
+    }
   }
 
   override def getDefaultReadLimit: ReadLimit =
@@ -400,8 +412,12 @@ class PulsarLikeBatch(conf: PulsarLikeConf, root: String,
       else TopicStore.topicDir(root, t)
       TopicStore.partitionIdsIn(dir).map { p =>
         val (cnt, _) = TopicStore.partitionMetaIn(dir, p)
-        PulsarLikeInputPartition(root, t, p,
-          TopicStore.partitionBaseIn(dir, p), cnt,
+        // startingTime bounds a batch read the same way it seeks a
+        // stream: slice from the first message at-or-after T
+        val start = conf.startingTimeUs.filter(_ => !conf.readRetries)
+          .map(TopicStore.seekByTimeIn(dir, p, _))
+          .getOrElse(TopicStore.partitionBaseIn(dir, p))
+        PulsarLikeInputPartition(root, t, p, start, cnt,
           compacted = !conf.readRetries && conf.readCompacted,
           retrySub = if (conf.readRetries) conf.subscriptionName else null)
       }

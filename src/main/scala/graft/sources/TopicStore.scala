@@ -437,4 +437,48 @@ object TopicStore {
       out.result()
     } finally ch.close()
   }
+
+  /** First offset whose publish_time >= tUs, assuming per-partition
+    * publish-time monotonicity (a broker stamps publish time in append
+    * order): binary-search the sparse index reading ONE message per
+    * probe, then scan forward at most one stride — O(log(n/stride) +
+    * stride) line reads, never a data scan. Returns the partition end
+    * when every retained message is older, the base when none is. */
+  def seekByTimeIn(dir: Path, p: Int, tUs: Long): Long = {
+    val f = dir.resolve(s"part-$p.jsonl")
+    val base = partitionBaseIn(dir, p)
+    val (cnt, _) = partitionMetaIn(dir, p)
+    if (!Files.exists(f) || cnt <= base) return base
+    val entries = ((base, 0L) +: partitionIndexIn(dir, p))
+      .filter(_._1 >= base).distinct.sortBy(_._1)
+    val ch = java.nio.channels.FileChannel.open(f, StandardOpenOption.READ)
+    try {
+      def reader(bytePos: Long): java.io.BufferedReader = {
+        ch.position(bytePos)
+        new java.io.BufferedReader(java.nio.channels.Channels.newReader(
+          ch, StandardCharsets.UTF_8.name()), 1 << 16)
+      }
+      def ptAt(bytePos: Long): Long = {
+        val s = reader(bytePos).readLine()
+        if (s == null) Long.MaxValue else decode(s).publishTimeUs
+      }
+      if (ptAt(entries.head._2) >= tUs) return entries.head._1
+      // invariant: publish_time at entries(lo) < tUs
+      var lo = 0
+      var hi = entries.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) / 2
+        if (ptAt(entries(mid)._2) < tUs) lo = mid else hi = mid - 1
+      }
+      val (startLine, startByte) = entries(lo)
+      val r = reader(startByte)
+      var line = startLine
+      var s = r.readLine()
+      while (s != null && decode(s).publishTimeUs < tUs) {
+        line += 1
+        s = r.readLine()
+      }
+      line
+    } finally ch.close()
+  }
 }

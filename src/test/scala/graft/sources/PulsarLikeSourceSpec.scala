@@ -85,6 +85,38 @@ class PulsarLikeSourceSpec extends SparkSpec {
     assert(rows.find(_.getString(0) == "k2").get.getString(1) == "payload-17")
   }
 
+  test("startingTime seeks batch and stream to the first message at-or-after T") {
+    val root = tmpDir("store")
+    publishEvents(root, "events", 40) // publish times t0 .. t0+39s
+    val t0 = 1700000000000L
+    val cut = t0 + 25 * 1000L
+    def seqsOf(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+      df.select(expr("int(properties['seq'])")).collect().map(_.getInt(0))
+        .sorted.toSeq
+    val batch = readBatch(root, "topicNames" -> "events",
+      "startingTime" -> cut.toString)
+    assert(seqsOf(batch) == (25 until 40))
+    // seek past the last message → empty; before the first → everything
+    assert(readBatch(root, "topicNames" -> "events",
+      "startingTime" -> (t0 + 3600000L).toString).count() == 0)
+    assert(readBatch(root, "topicNames" -> "events",
+      "startingTime" -> "2001-01-01T00:00:00Z").count() == 40)
+    // a fresh streaming subscription lands on the same cursor
+    val ckpt = tmpDir("ckpt")
+    val q = spark.readStream.format("pulsarlike")
+      .option("path", root).option("serviceUrl", "pulsar://local")
+      .option("topicNames", "events")
+      .option("startingTime", cut.toString)
+      .option("batchingMaxMessages", "1000")
+      .option("checkpointLocation", ckpt)
+      .load()
+      .writeStream.queryName("seekq").format("memory")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(seqsOf(spark.table("seekq")) == (25 until 40))
+  }
+
   test("streaming: Earliest reads all; ack=commit means restart reprocesses nothing (A4/A15)") {
     val root = tmpDir("store")
     val ckpt = tmpDir("ckpt")
