@@ -57,6 +57,42 @@ object MiscQueries {
     },
 
     // ---------------------------------------------------------------
+    // q27 — percentile/quantile aggregates: exact linear-interpolation
+    // percentiles per group (Spark `percentile` ≡ DuckDB
+    // `quantile_cont`, same type-7 interpolation; round(6) absorbs the
+    // last-ulp formula difference) plus a q24-style bound flag for the
+    // mergeable approx_percentile sketch (the 100 TB path — the exact
+    // form sorts each group, the sketch is a fixed-size partial
+    // aggregate): the estimate must land within 5% of the exact
+    // median or the flag hash-mismatches.
+    Q(
+      "q27_percentiles",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.90), 6) AS p90,
+        |  CAST(TRUE AS BOOLEAN) AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.9))")
+            .as("exact"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("amed"))
+        .select(col("l_returnflag"),
+          round(col("exact").getItem(0), 6).as("p25"),
+          round(col("exact").getItem(1), 6).as("p50"),
+          round(col("exact").getItem(2), 6).as("p75"),
+          round(col("exact").getItem(3), 6).as("p90"),
+          (abs(col("amed") - col("exact").getItem(1))
+            <= col("exact").getItem(1) * 0.05).as("approx_ok"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---------------------------------------------------------------
     // s03 — spark.ml BucketedRandomProjectionLSH as an alternative ANN
     // provider. The hash family is Spark-internal, but the JOIN's output
     // is exactly-checkable: approxSimilarityJoin post-filters candidates
