@@ -216,6 +216,57 @@ object TextQueries {
               size(col("bg"))).otherwise(0.0), 6)
             .as("dup_bigram_ratio"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // t07 — TF-IDF keyword extraction: top-5 terms per document by
+    // tf·ln(N/df), ties to the lexicographically smaller term. Shape at
+    // 100 TB: term frequencies are a two-level hash aggregation,
+    // document frequency is a second aggregation joined back on the
+    // term (equi-key, shuffled hash join — the vocabulary is NOT
+    // assumed broadcastable), the corpus size N rides along as a
+    // one-row broadcast, and the per-doc top-5 runs through GroupTopK
+    // (at most 5 rows per (doc, partition) reach the exchange, never
+    // the full scored list). Ranking uses the round(6) score so both
+    // engines order identically (Math.log vs libm log differ in the
+    // last ulp).
+    Q(
+      "t07_tfidf_keywords",
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tf.term,
+        |    round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, term ASC) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, tfidf, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val w = docs.select(col("doc_id"),
+        explode(DedupOps.words(col("text"))).as("term"))
+      val tf = w.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = w.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val scored = tf.join(df, Seq("term"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log(col("n").cast("double") / col("df")), 6)
+            .as("tfidf"))
+      graft.plans.GroupTopK.topKRanked(scored, Seq(col("doc_id")), 5, "rank",
+          col("tfidf").desc, col("term").asc)
+        .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
+        .orderBy(col("doc_id"), col("rank"))
     }
   )
 }
