@@ -20,17 +20,30 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * Deliberately narrow: a single row_number window expression with the
   * default row frame, a non-empty PARTITION BY, and an un-cast rank
   * comparison against an integer literal. Anything else is left alone.
+  *
+  * Memory guard: the partial stage holds k rows per (group, input
+  * partition) on-heap, so the rewrite is skipped when k exceeds
+  * `spark.graft.groupTopK.maxK` (default 10000) — past that the window
+  * form's sort-and-spill is the safer plan. `spark.graft.groupTopK
+  * .rewrite=false` turns the rewrite off entirely (session-level
+  * escape hatch; the explicit GroupTopK.topKRanked API is unaffected).
   */
 object RewriteRankFilterToGroupTopK extends Rule[LogicalPlan] with PredicateHelper {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  private def sqlConf = org.apache.spark.sql.internal.SQLConf.get
+
+  override def apply(plan: LogicalPlan): LogicalPlan = if (!sqlConf
+      .getConfString("spark.graft.groupTopK.rewrite", "true").toBoolean) {
+    plan
+  } else plan.transformUp {
     case f @ Filter(cond, w @ Window(Seq(alias @ Alias(
           WindowExpression(_: RowNumber, WindowSpecDefinition(part, order,
             SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)),
         _, _, child, _))
         if part.nonEmpty && order.nonEmpty && !child.isInstanceOf[GroupTopK] =>
       rankLimit(splitConjunctivePredicates(cond), alias.toAttribute) match {
-        case Some(k) if k > 0 =>
+        case Some(k) if k > 0 && k <= sqlConf
+            .getConfString("spark.graft.groupTopK.maxK", "10000").toInt =>
           f.copy(child = w.withNewChildren(
             Seq(GroupTopK(part, order, k, child))))
         case _ => f

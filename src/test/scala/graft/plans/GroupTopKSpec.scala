@@ -65,6 +65,35 @@ class GroupTopKSpec extends SparkSpec {
     assert(!ranked.queryExecution.executedPlan.toString.contains("GroupTopK"))
   }
 
+  test("rewrite honors the conf escape hatch and the maxK memory guard") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (i % 5, i, i * 1.5))
+      .toDF("g", "id", "score")
+    val w = Window.partitionBy("g").orderBy(col("score").desc)
+    def ranked(k: Int) =
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    GroupTopKRewrite.enable(spark)
+    try {
+      assert(ranked(3).queryExecution.executedPlan.toString
+        .contains("GroupTopKPartial"))
+      // k past the guard: partial heaps would hold k rows per (group,
+      // partition) — fall back to the window form, which spills
+      spark.conf.set("spark.graft.groupTopK.maxK", "10")
+      assert(!ranked(11).queryExecution.executedPlan.toString
+        .contains("GroupTopK"))
+      assert(ranked(10).queryExecution.executedPlan.toString
+        .contains("GroupTopKPartial"))
+      spark.conf.unset("spark.graft.groupTopK.maxK")
+      // session-level off switch
+      spark.conf.set("spark.graft.groupTopK.rewrite", "false")
+      assert(!ranked(3).queryExecution.executedPlan.toString
+        .contains("GroupTopK"))
+    } finally {
+      spark.conf.unset("spark.graft.groupTopK.rewrite")
+      GroupTopKRewrite.disable(spark)
+    }
+  }
+
   test("emits each group's rows in sort order") {
     import spark.implicits._
     val df = Seq((1, 30), (1, 10), (1, 20), (2, 5)).toDF("g", "x")
