@@ -42,6 +42,14 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 6)
 
+  /** Cosine against norms precomputed BEFORE a join: inside an n×q
+    * candidate join, `cosine` would refold each side's norm once per
+    * PAIR; carrying `norm(v)` as a column on each side computes it once
+    * per ROW (n + q folds instead of n·q). Same doubles — the norm fold
+    * is the identical index-order loop wherever it runs. */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    round(dot(a, b) / (na * nb), 6)
+
   /** Sign-random-projection LSH bucket: `bits` pseudo-random hyperplanes,
     * where hyperplane b's weight for dimension i is ±1 from the low bit
     * of the first hex digit of md5(b:i) — reproducible in any engine with

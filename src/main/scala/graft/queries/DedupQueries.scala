@@ -280,14 +280,17 @@ object DedupQueries {
           .select((col("vec_id") + 100000).as("vec_id"),
             concat(slice(col("v"), 1, 63), array(lit(0.25))).as("v")))
       val bucketed = corpus.withColumn("bucket",
-        VectorOps.srpBucket(col("v"), 64, 8))
+          VectorOps.srpBucket(col("v"), 64, 8))
+        .withColumn("nv", VectorOps.norm(col("v"))) // once per row, pre-join
       val cand = bucketed.as("a")
         .join(bucketed.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          col("a.v").as("av"), col("b.v").as("bv"))
+          col("a.v").as("av"), col("b.v").as("bv"),
+          col("a.nv").as("na"), col("b.nv").as("nb"))
       cand.select(col("a_id"), col("b_id"),
-          VectorOps.cosine(col("av"), col("bv")).as("cos"))
+          VectorOps.cosineWithNorms(col("av"), col("bv"),
+            col("na"), col("nb")).as("cos"))
         .filter(col("cos") >= 0.9)
         .orderBy(col("a_id"), col("b_id"))
     }

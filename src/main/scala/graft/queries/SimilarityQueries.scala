@@ -42,11 +42,14 @@ object SimilarityQueries {
     ) { (s, dir) =>
       val base = Tables(s, dir, "embeddings")
         .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        .withColumn("nv", VectorOps.norm(col("v"))) // per row, not per pair
       val q = base.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nv").as("nq"))
       val scored = broadcast(q).join(base, col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          VectorOps.cosine(col("qv"), col("v")).as("cos"))
+          VectorOps.cosineWithNorms(col("qv"), col("v"),
+            col("nq"), col("nv")).as("cos"))
       // GroupTopK: per-partition heaps — the q·n scored stream never
       // reaches an exchange; only 5 rows per (query, partition) do
       graft.plans.GroupTopK.topKRanked(scored, Seq(col("q_id")), 5, "rank",
@@ -78,13 +81,16 @@ object SimilarityQueries {
       val base = Tables(s, dir, "embeddings")
         .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
       val bucketed = base.withColumn("bucket",
-        VectorOps.srpBucket(col("v"), 64, 6))
+          VectorOps.srpBucket(col("v"), 64, 6))
+        .withColumn("nv", VectorOps.norm(col("v"))) // per row, not per pair
       val q = bucketed.filter(col("vec_id") < 50)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"),
+          col("nv").as("nq"))
       val scored = q.join(bucketed.as("c"),
           col("c.bucket") === q("bucket") && col("c.vec_id") =!= col("q_id"))
         .select(col("q_id"), col("c.vec_id").as("neighbor_id"),
-          VectorOps.cosine(col("qv"), col("c.v")).as("cos"))
+          VectorOps.cosineWithNorms(col("qv"), col("c.v"),
+            col("nq"), col("c.nv")).as("cos"))
       graft.plans.GroupTopK.topKRanked(scored, Seq(col("q_id")), 3, "rank",
           col("cos").desc, col("neighbor_id").asc)
         .orderBy(col("q_id"), col("rank"))
@@ -128,15 +134,17 @@ object SimilarityQueries {
       val base = Tables(s, dir, "embeddings")
         .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
       val centroids = VectorOps.kmeansCentroids(base, k = 8, iters = 2, dims = 64)
-      val assigned = VectorOps.assignCells(base, centroids, nprobe = 1)
-      val q = VectorOps.assignCells(base, centroids, nprobe = 2)
+      val withNorm = base.withColumn("nv", VectorOps.norm(col("v")))
+      val assigned = VectorOps.assignCells(withNorm, centroids, nprobe = 1)
+      val q = VectorOps.assignCells(withNorm, centroids, nprobe = 2)
         .filter(col("vec_id") >= 100 && col("vec_id") < 120)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("pivot_id").as("q_pivot"))
+          col("nv").as("nq"), col("pivot_id").as("q_pivot"))
       val scored = q.join(assigned.as("c"),
           col("c.pivot_id") === col("q_pivot") && col("c.vec_id") =!= col("q_id"))
         .select(col("q_id"), col("c.vec_id").as("neighbor_id"),
-          VectorOps.cosine(col("qv"), col("c.v")).as("cos"))
+          VectorOps.cosineWithNorms(col("qv"), col("c.v"),
+            col("nq"), col("c.nv")).as("cos"))
       graft.plans.GroupTopK.topKRanked(scored, Seq(col("q_id")), 3, "rank",
           col("cos").desc, col("neighbor_id").asc)
         .orderBy(col("q_id"), col("rank"))
