@@ -279,6 +279,60 @@ object PipelineQueries {
       lab.groupBy(col("lab").as("cluster_id"))
         .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_id"))
         .orderBy(col("cluster_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // p07 — token-budget rebalancing: where p02 applies FIXED mixture
+    // weights, p07 derives them from the data — each language is
+    // subsampled toward an equal share of the total token budget
+    // (keep fraction = target/lang_tokens, capped at 1), applied with
+    // the same deterministic md5 coin (the fraction becomes an 8-hex
+    // threshold; lexicographic compare ≡ numeric compare). Shape at
+    // 100 TB: one aggregation to per-language totals (a LANGUAGES-sized
+    // table), a broadcast join back, and a stateless filter — no
+    // shuffle of the corpus itself.
+    Q(
+      "p07_token_rebalance",
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |per_lang AS (
+        |  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens
+        |  FROM toks GROUP BY lang),
+        |tot AS (SELECT CAST(sum(lang_tokens) AS DOUBLE) / count(*) AS target
+        |        FROM per_lang),
+        |thr AS (
+        |  SELECT lang,
+        |    CASE WHEN lang_tokens <= target THEN 'ffffffffffffffffffffffffffffffff'
+        |         ELSE printf('%08x',
+        |           CAST(floor(target / lang_tokens * 4294967296.0) AS BIGINT))
+        |    END AS keep_thr
+        |  FROM per_lang CROSS JOIN tot)
+        |SELECT t.lang, t.doc_id, t.n_tokens
+        |FROM toks t JOIN thr ON t.lang = thr.lang
+        |WHERE substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) < keep_thr
+        |ORDER BY t.lang, t.doc_id""".stripMargin
+    ) { (s, dir) =>
+      val toks = Tables(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        size(DedupOps.words(col("text"))).cast("long").as("n_tokens"))
+      val perLang = toks.groupBy(col("lang"))
+        .agg(sum(col("n_tokens")).as("lang_tokens"))
+      val tot = perLang.agg(
+        (sum(col("lang_tokens")).cast("double") / count(lit(1))).as("target"))
+      val thr = perLang.crossJoin(broadcast(tot))
+        .select(col("lang"),
+          when(col("lang_tokens") <= col("target"), lit("f" * 32))
+            .otherwise(format_string("%08x",
+              floor(col("target") / col("lang_tokens") * 4294967296.0)
+                .cast("long")))
+            .as("keep_thr"))
+      toks.join(broadcast(thr), Seq("lang"))
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 8)
+          < col("keep_thr"))
+        .select(col("lang"), col("doc_id"), col("n_tokens"))
+        .orderBy(col("lang"), col("doc_id"))
     }
   )
 }

@@ -148,6 +148,78 @@ object SimilarityQueries {
       graft.plans.GroupTopK.topKRanked(scored, Seq(col("q_id")), 3, "rank",
           col("cos").desc, col("neighbor_id").asc)
         .orderBy(col("q_id"), col("rank"))
+    },
+
+    // ---------------------------------------------------------------
+    // s05 — ANN recall evaluation: recall@3 of the SRP-LSH pipeline
+    // (s02's exact plan) against brute-force ground truth (s01's), per
+    // query — the eval loop a similarity-search deployment runs before
+    // trusting its index. Both sides are deterministic and exact, so
+    // recall itself is oracle-checkable. Scale: ground truth is the
+    // O(q·n) scan over the (small, broadcast) query set — the same cost
+    // discipline as s01 — and the intersection is an equi-join on
+    // (q_id, neighbor_id).
+    Q(
+      "s05_ann_recall",
+      s"""WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |bucketed AS (SELECT vec_id, v, ${srpBucketSql6("v")} AS bucket FROM base),
+        |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bucketed WHERE vec_id < 50),
+        |truth AS (
+        |  SELECT q_id, neighbor_id FROM (
+        |    SELECT q_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY ${cosineSql("qv", "c.v", 64)} DESC, c.vec_id ASC) AS rank
+        |    FROM q CROSS JOIN base c WHERE c.vec_id <> q_id) t
+        |  WHERE rank <= 3),
+        |approx AS (
+        |  SELECT q_id, neighbor_id FROM (
+        |    SELECT q_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY ${cosineSql("qv", "c.v", 64)} DESC, c.vec_id ASC) AS rank
+        |    FROM q JOIN bucketed c ON c.bucket = q.bucket AND c.vec_id <> q_id) t
+        |  WHERE rank <= 3),
+        |hits AS (
+        |  SELECT t.q_id, count(*) AS n_hits
+        |  FROM truth t JOIN approx a
+        |    ON t.q_id = a.q_id AND t.neighbor_id = a.neighbor_id
+        |  GROUP BY t.q_id)
+        |SELECT qq.q_id AS q_id, COALESCE(n_hits, 0) AS n_hits,
+        |  round(COALESCE(n_hits, 0) / 3.0, 6) AS recall
+        |FROM (SELECT DISTINCT q_id FROM q) qq LEFT JOIN hits ON qq.q_id = hits.q_id
+        |ORDER BY qq.q_id""".stripMargin
+    ) { (s, dir) =>
+      val base = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        .withColumn("nv", VectorOps.norm(col("v")))
+      val bucketed = base.withColumn("bucket",
+        VectorOps.srpBucket(col("v"), 64, 6))
+      val q = bucketed.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nv").as("nq"), col("bucket"))
+      def top3(cands: org.apache.spark.sql.DataFrame) =
+        graft.plans.GroupTopK.topKRanked(cands, Seq(col("q_id")), 3, "rank",
+            col("cos").desc, col("neighbor_id").asc)
+          .select(col("q_id"), col("neighbor_id"))
+      val truth = top3(broadcast(q.drop("bucket"))
+        .join(base, col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          VectorOps.cosineWithNorms(col("qv"), col("v"),
+            col("nq"), col("nv")).as("cos")))
+      val approx = top3(q.join(bucketed.as("c"),
+          col("c.bucket") === q("bucket") && col("c.vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("c.vec_id").as("neighbor_id"),
+          VectorOps.cosineWithNorms(col("qv"), col("c.v"),
+            col("nq"), col("c.nv")).as("cos")))
+      val hits = truth.join(approx, Seq("q_id", "neighbor_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      q.select(col("q_id")).distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)) / 3.0, 6).as("recall"))
+        .orderBy(col("q_id"))
     }
   )
 
