@@ -67,6 +67,21 @@ class PlanSpec extends SparkSpec {
     assert(s01.contains("GroupTopKPartial") && s01.contains("GroupTopKFinal"), s01)
   }
 
+  test("t07/s05: per-group top-k paths plan through GroupTopK") {
+    val t07 = planOf("t07_tfidf_keywords")
+    assert(t07.contains("GroupTopKPartial") && t07.contains("GroupTopKFinal"), t07)
+    val s05 = planOf("s05_ann_recall")
+    assert(s05.contains("GroupTopKPartial"), s05)
+  }
+
+  test("p07: the per-language threshold table broadcasts; the corpus never shuffles") {
+    val p = planOf("p07_token_rebalance")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the corpus side of the final join must not hash-exchange (only
+    // the LANGUAGES-sized aggregates may)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("no CartesianProduct in any registered query plan") {
     // a broadcast nested-loop against a bounded side is fine (s01's
     // query set); an unbroadcast cartesian of two big sides never is
