@@ -117,6 +117,31 @@ class PulsarLikeSourceSpec extends SparkSpec {
     assert(seqsOf(spark.table("seekq")) == (25 until 40))
   }
 
+  test("seekByTime binary-searches the sparse index across stride boundaries") {
+    // one partition, > 2 strides of messages, so the search actually
+    // probes indexed lines instead of scanning from byte 0
+    val root = tmpDir("store")
+    import spark.implicits._
+    val n = 10000 // IndexStride = 4096 → index entries at 0, 4096, 8192
+    val df = (0 until n).map { i =>
+      ("k", s"p-$i", Map.empty[String, String],
+        new java.sql.Timestamp(1700000000000L + i * 100L), "text/plain")
+    }.toDF("key", "value_str", "properties", "publish_time", "content_type")
+    TopicStore.publish(spark, df, root, "big", 1)
+    val dir = TopicStore.topicDir(root, "big")
+    assert(TopicStore.partitionIndexIn(dir, 0).length >= 2)
+    // cut points around stride boundaries, interior, and the extremes
+    for (cut <- Seq(0L, 1L, 4095L, 4096L, 4097L, 8192L, 9999L, 10000L)) {
+      val tUs = (1700000000000L + cut * 100L) * 1000L
+      assert(TopicStore.seekByTimeIn(dir, 0, tUs) == cut,
+        s"seek to message $cut returned ${TopicStore.seekByTimeIn(dir, 0, tUs)}")
+      // a time strictly between messages lands on the next one
+      val between = tUs - 50L * 1000L
+      val expect = if (cut == 0L) 0L else cut
+      assert(TopicStore.seekByTimeIn(dir, 0, between) == expect)
+    }
+  }
+
   test("streaming: Earliest reads all; ack=commit means restart reprocesses nothing (A4/A15)") {
     val root = tmpDir("store")
     val ckpt = tmpDir("ckpt")
