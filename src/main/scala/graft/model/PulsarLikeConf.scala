@@ -206,9 +206,10 @@ object PulsarLikeConf {
       // subscriptionInitialPosition; epoch millis or ISO-8601 instant.
       startingTimeUs = get("startingTime").map { v =>
         val ms =
-          if (v.forall(_.isDigit)) v.toLong
-          else try java.time.Instant.parse(v).toEpochMilli
-          catch { case _: Exception => fail(
+          try {
+            if (v.forall(c => c >= '0' && c <= '9')) v.toLong
+            else java.time.Instant.parse(v).toEpochMilli
+          } catch { case _: Exception => fail(
             s"Invalid value '$v' for parameter 'startingTime'. " +
               "Use epoch milliseconds or an ISO-8601 instant.") }
         ms * 1000L

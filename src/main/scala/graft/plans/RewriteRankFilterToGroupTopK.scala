@@ -32,8 +32,15 @@ object RewriteRankFilterToGroupTopK extends Rule[LogicalPlan] with PredicateHelp
 
   private def sqlConf = org.apache.spark.sql.internal.SQLConf.get
 
-  override def apply(plan: LogicalPlan): LogicalPlan = if (!sqlConf
-      .getConfString("spark.graft.groupTopK.rewrite", "true").toBoolean) {
+  private def confOrFail[T](key: String, default: String, parse: String => T): T = {
+    val v = sqlConf.getConfString(key, default)
+    try parse(v)
+    catch { case _: Exception => throw new IllegalArgumentException(
+      s"Invalid value '$v' for conf '$key'.") }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = if (!confOrFail(
+      "spark.graft.groupTopK.rewrite", "true", _.toBoolean)) {
     plan
   } else plan.transformUp {
     case f @ Filter(cond, w @ Window(Seq(alias @ Alias(
@@ -42,8 +49,8 @@ object RewriteRankFilterToGroupTopK extends Rule[LogicalPlan] with PredicateHelp
         _, _, child, _))
         if part.nonEmpty && order.nonEmpty && !child.isInstanceOf[GroupTopK] =>
       rankLimit(splitConjunctivePredicates(cond), alias.toAttribute) match {
-        case Some(k) if k > 0 && k <= sqlConf
-            .getConfString("spark.graft.groupTopK.maxK", "10000").toInt =>
+        case Some(k) if k > 0 &&
+            k <= confOrFail("spark.graft.groupTopK.maxK", "10000", _.toInt) =>
           f.copy(child = w.withNewChildren(
             Seq(GroupTopK(part, order, k, child))))
         case _ => f

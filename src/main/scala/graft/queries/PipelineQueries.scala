@@ -264,7 +264,10 @@ object PipelineQueries {
         val prop = lab.unionByName(viaEdges)
           .groupBy(col("id")).agg(min(col("lab")).as("lab"))
         // pointer jump: lab''(v) = lab'(lab'(v)) — every label is a
-        // node id, so the lookup is an equi-join against prop itself
+        // node id, so the lookup is an equi-join against prop itself.
+        // Superseded generations are dereferenced on rebind below; the
+        // ContextCleaner reclaims their checkpoint blocks, so live
+        // storage stays O(one generation)
         val next = Stage.stage(prop
           .join(prop.select(col("id").as("lid"), col("lab").as("llab")),
             col("lab") === col("lid"))
@@ -314,9 +317,12 @@ object PipelineQueries {
         |WHERE substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) < keep_thr
         |ORDER BY t.lang, t.doc_id""".stripMargin
     ) { (s, dir) =>
-      val toks = Tables(s, dir, "documents").select(
+      // staged: the tokenization feeds both the per-language totals and
+      // the final filter — one pass over `text`, and the staged table
+      // carries only (doc_id, lang, n_tokens), never the text itself
+      val toks = Stage.stage(Tables(s, dir, "documents").select(
         col("doc_id"), col("lang"),
-        size(DedupOps.words(col("text"))).cast("long").as("n_tokens"))
+        size(DedupOps.words(col("text"))).cast("long").as("n_tokens")))
       val perLang = toks.groupBy(col("lang"))
         .agg(sum(col("n_tokens")).as("lang_tokens"))
       val tot = perLang.agg(

@@ -183,7 +183,7 @@ object StreamingQueries {
     Q(
       "m07_chunked_ingest",
       """SELECT doc_id, md5(text) AS payload_md5 FROM documents
-        |WHERE doc_id < 2000
+        |WHERE doc_id < 2000 AND length(text) > 0
         |ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
       import graft.streaming.ChunkReassembly
@@ -191,7 +191,10 @@ object StreamingQueries {
         .createTempDirectory("graft-chunks").toString
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft-chunks-ckpt").toString
-      val docs = Tables(s, dir, "documents").filter(col("doc_id") < 2000)
+      // empty text excluded on BOTH sides: zero chunks can't be
+      // published (and sequence(0, -1) would count down)
+      val docs = Tables(s, dir, "documents")
+        .filter(col("doc_id") < 2000 && length(col("text")) > 0)
       val chunks = docs
         .withColumn("total",
           ceil(length(col("text")) / 100.0).cast("int"))
@@ -222,8 +225,12 @@ object StreamingQueries {
           col("value_str").as("fragment"),
           col("event_time").as("ts"))
         .as[ChunkReassembly.Chunk]
+      // maxChunks must cover the 100-char split of the longest doc —
+      // 4096 chunks ≙ 400 KB of text, far past the fixture ceiling (a
+      // doc over the cap would be dropped by the state guard and
+      // hash-mismatch the oracle, which has no such bound)
       val q = ChunkReassembly.reassemble(s, asChunks,
-          watermarkDelay = "1 second")
+          watermarkDelay = "1 second", maxChunks = 4096)
         .writeStream
         .option("checkpointLocation", ckpt)
         .foreachBatch {

@@ -253,10 +253,12 @@ object TextQueries {
       val docs = Tables(s, dir, "documents")
       val w = docs.select(col("doc_id"),
         explode(DedupOps.words(col("text"))).as("term"))
-      val tf = w.groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-      val df = w.groupBy(col("term"))
-        .agg(countDistinct(col("doc_id")).as("df"))
+      val tf = Stage.stage(w.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")))
+      // tf already holds one row per (doc, term), so document frequency
+      // is a plain count over it — no second corpus tokenization and no
+      // count(DISTINCT) expansion
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
       val scored = tf.join(df, Seq("term"))
         .crossJoin(broadcast(n))

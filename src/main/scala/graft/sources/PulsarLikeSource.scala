@@ -289,17 +289,27 @@ class PulsarLikeMicroBatchStream(conf: PulsarLikeConf, root: String,
     TopicStore.partitionBaseIn(dir, p)
   }
 
+  // initialOffset() only runs for a BRAND-NEW subscription (a resumed
+  // query restores offsets from the checkpoint instead) — remembering
+  // the seeked cursors lets planInputPartitions recognize the first
+  // batch of a startingTime subscription as fresh, so readCompacted
+  // serves its snapshot there exactly as it does from Earliest (and as
+  // the batch path does with the same option pair)
+  private var initialSeek: Option[Map[String, Long]] = None
+
   override def initialOffset(): Offset = conf.startingTimeUs match {
     // time-based seek (Reader#seek(timestamp)): main cursors land on
     // the first message with publish_time >= T via the index-guided
     // binary search; a fresh subscription has no retry backlog, so
     // retry cursors start at their base. Overrides initialPosition.
     case Some(t) =>
-      PulsarLikeOffset(endCursors().map { case (k, _) =>
+      val cur = endCursors().map { case (k, _) =>
         val (topic, p, isRetry) = parse(k)
         if (isRetry) k -> baseOf(k)
         else k -> TopicStore.seekByTimeIn(TopicStore.topicDir(root, topic), p, t)
-      })
+      }
+      initialSeek = Some(cur)
+      PulsarLikeOffset(cur)
     case None => conf.initialPosition match {
       case InitialPosition.Earliest =>
         // Earliest = the retained base (a truncated prefix is gone, like
@@ -369,9 +379,11 @@ class PulsarLikeMicroBatchStream(conf: PulsarLikeConf, root: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[PulsarLikeOffset].cursors
     val e = end.asInstanceOf[PulsarLikeOffset].cursors
-    // A21: a fresh subscription (start at the retained earliest) with
-    // readCompacted serves the latest-per-key snapshot as its first batch
-    val fresh = s.forall { case (k, v) => v == 0L || v == baseOf(k) }
+    // A21: a fresh subscription (start at the retained earliest, or at
+    // this query's own startingTime seek) with readCompacted serves the
+    // latest-per-key snapshot as its first batch
+    val fresh = s.forall { case (k, v) => v == 0L || v == baseOf(k) } ||
+      initialSeek.contains(s)
     e.toSeq.sortBy(_._1).flatMap { case (k, endOff) =>
       val startOff = s.getOrElse(k, 0L)
       if (endOff <= startOff) None

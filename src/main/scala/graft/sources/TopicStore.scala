@@ -442,8 +442,11 @@ object TopicStore {
     * publish-time monotonicity (a broker stamps publish time in append
     * order): binary-search the sparse index reading ONE message per
     * probe, then scan forward at most one stride — O(log(n/stride) +
-    * stride) line reads, never a data scan. Returns the partition end
-    * when every retained message is older, the base when none is. */
+    * stride) line reads. A pre-index prefix (meta written before the
+    * index feature) has no entries, so a seek landing inside it scans
+    * that prefix linearly — correct, just O(prefix); appends index
+    * forward from where the log stands. Returns the partition end when
+    * every retained message is older, the base when none is. */
   def seekByTimeIn(dir: Path, p: Int, tUs: Long): Long = {
     val f = dir.resolve(s"part-$p.jsonl")
     val base = partitionBaseIn(dir, p)

@@ -83,12 +83,15 @@ class GroupTopKSpec extends SparkSpec {
         .contains("GroupTopK"))
       assert(ranked(10).queryExecution.executedPlan.toString
         .contains("GroupTopKPartial"))
-      spark.conf.unset("spark.graft.groupTopK.maxK")
       // session-level off switch
+      spark.conf.unset("spark.graft.groupTopK.maxK")
       spark.conf.set("spark.graft.groupTopK.rewrite", "false")
       assert(!ranked(3).queryExecution.executedPlan.toString
         .contains("GroupTopK"))
     } finally {
+      // unset BOTH confs here — an assertion failure above must not
+      // leak a 10-row cap into the shared session
+      spark.conf.unset("spark.graft.groupTopK.maxK")
       spark.conf.unset("spark.graft.groupTopK.rewrite")
       GroupTopKRewrite.disable(spark)
     }

@@ -102,7 +102,8 @@ class PlanSpec extends SparkSpec {
     // intermediate (executor-side caching, not a driver collect), and
     // the streaming loops (ps01/m06) whose run() executes a stream.
     val checkpoints = Set("d02_minhash_lsh", "d03_simhash",
-      "t01_langid_ngram", "p06_connected_components")
+      "t01_langid_ngram", "p06_connected_components",
+      "t07_tfidf_keywords", "p07_token_rebalance")
     QueryRegistry.all
       .filterNot(q => q.name.startsWith("ps") || q.name.startsWith("m06") ||
         q.name.startsWith("m07") || q.name.startsWith("w04") ||

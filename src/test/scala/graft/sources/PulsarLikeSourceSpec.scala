@@ -117,6 +117,34 @@ class PulsarLikeSourceSpec extends SparkSpec {
     assert(seqsOf(spark.table("seekq")) == (25 until 40))
   }
 
+  test("readCompacted + startingTime: the stream's first batch compacts the seeked slice, like batch") {
+    val root = tmpDir("store")
+    publishEvents(root, "events", 40) // keys k0..k4, times t0..t0+39s
+    val cut = (1700000000000L + 20 * 1000L).toString
+    val batch = readBatch(root, "topicNames" -> "events",
+      "readCompacted" -> "true", "startingTime" -> cut)
+      .select("key", "value_str").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(batch.size == 5 && batch("k2") == "payload-37")
+    val ckpt = tmpDir("ckpt")
+    val q = spark.readStream.format("pulsarlike")
+      .option("path", root).option("serviceUrl", "pulsar://local")
+      .option("topicNames", "events")
+      .option("readCompacted", "true")
+      .option("startingTime", cut)
+      .option("batchingMaxMessages", "1000")
+      .load()
+      .writeStream.queryName("seekcq").format("memory")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("seekcq")
+      .select("key", "value_str").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(streamed == batch,
+      s"stream served $streamed but batch served $batch")
+  }
+
   test("seekByTime binary-searches the sparse index across stride boundaries") {
     // one partition, > 2 strides of messages, so the search actually
     // probes indexed lines instead of scanning from byte 0
