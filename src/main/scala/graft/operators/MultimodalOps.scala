@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column operators: media payloads ride as opaque `binary`
@@ -76,4 +76,36 @@ object MultimodalOps {
       .select(col(idCol), col("frame_idx"),
         md5(col("frame")).as("frame_md5"),
         length(col("frame")).cast("long").as("frame_bytes"))
+
+  /** (format name, magic-byte prefix) — the real file signatures. */
+  private val magics: Seq[(String, Array[Byte])] = Seq(
+    "png" -> Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte),
+    "jpeg" -> Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte),
+    "gif" -> "GIF89a".getBytes("US-ASCII"),
+    "riff" -> "RIFF".getBytes("US-ASCII"),
+    "unknown" -> Array.empty[Byte])
+
+  /** Mixed-modality payloads: doc_id%5 selects a format whose real
+    * magic bytes are prepended to the text bytes (stub payloads; the
+    * real plumbing — binary concat, array<binary> literal dispatch —
+    * is what scales). */
+  def mixedPayloads(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(
+        element_at(typedLit(magics.map(_._2)),
+          (pmod(col("doc_id"), lit(5)) + 1).cast("int")),
+        col("text").cast("binary")).as("payload"))
+
+  /** Sniff the modality from the payload's leading bytes — the ingest
+    * router for a mixed media stream (never trusts metadata). One
+    * codegen'd projection; binary prefix compare via hex. Word-soup
+    * text can't collide with the uppercase/control-byte signatures. */
+  def sniffModality(payload: Column): Column =
+    magics.filter(_._2.nonEmpty).foldRight(lit("unknown"): Column) {
+      case ((name, magic), rest) =>
+        val hexSig = magic.map(b => f"$b%02X").mkString
+        when(hex(substring(payload, 1, magic.length)) === hexSig, name)
+          .otherwise(rest)
+    }
 }

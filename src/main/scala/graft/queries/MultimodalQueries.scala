@@ -85,6 +85,32 @@ object MultimodalQueries {
               c => ascii(c) * ascii(c)),
             lit(0L), (acc, x) => acc + x).as("energy"))
         .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // ---------------------------------------------------------------
+    // mm04 — modality sniffing/routing: payloads carry REAL magic bytes
+    // (PNG/JPEG/GIF89a/RIFF, injected by doc_id%5 — the ground truth),
+    // and the operator must recover the format from the leading bytes
+    // alone, the way an ingest router classifies a mixed media stream
+    // without trusting metadata. The oracle knows the injection rule;
+    // a sniff miss (or a text byte-collision) hash-mismatches. Also
+    // checks the routed per-format byte accounting.
+    Q(
+      "mm04_modality_sniff",
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INTEGER)
+        |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+        |    WHEN 3 THEN 'riff' ELSE 'unknown' END AS fmt,
+        |  CAST(length(text) + CASE CAST(doc_id % 5 AS INTEGER)
+        |    WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 6 WHEN 3 THEN 4
+        |    ELSE 0 END AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val payloads = MultimodalOps.mixedPayloads(Tables(s, dir, "documents"))
+      payloads.select(col("doc_id"),
+          MultimodalOps.sniffModality(col("payload")).as("fmt"),
+          length(col("payload")).cast("long").as("n_bytes"))
+        .orderBy(col("doc_id"))
     }
   )
 }
