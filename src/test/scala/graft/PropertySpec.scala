@@ -177,4 +177,29 @@ class PropertySpec extends SparkSpec {
       live + dead == counts.size && dead == expectedDead
     }, minSuccessful = 10)
   }
+
+  test("seekByTime == linear-scan reference on random monotonic publish times") {
+    import spark.implicits._
+    // random inter-arrival gaps (0 allowed — equal timestamps) and
+    // random probe times, including exact hits and the extremes
+    val gapsGen = Gen.listOfN(40, Gen.choose(0L, 5000L))
+    check(Prop.forAllNoShrink(gapsGen, Gen.choose(0, 41)) { (gaps, probe) =>
+      val root = tmpDir("prop-seek")
+      val times = gaps.scanLeft(1700000000000L)(_ + _) // n+1 ascending ms
+      val df = times.zipWithIndex.map { case (t, i) =>
+        (s"k", s"v$i", new Timestamp(t))
+      }.toDF("key", "value_str", "publish_time")
+        .withColumn("properties", map().cast("map<string,string>"))
+        .withColumn("content_type", lit("text/plain"))
+      TopicStore.publish(spark, df, root, "t", 1)
+      val dir = TopicStore.topicDir(root, "t")
+      // probe at an exact message time, or just before/after one
+      val tMs = if (probe > 40) times.last + 1 else times(probe)
+      (-1L to 1L).forall { off =>
+        val tUs = (tMs + off) * 1000L
+        val expected = times.count(_ * 1000L < tUs).toLong
+        TopicStore.seekByTimeIn(dir, 0, tUs) == expected
+      }
+    }, minSuccessful = 10)
+  }
 }

@@ -91,6 +91,22 @@ class PulsarLikeConfSpec extends AnyFunSuite {
       !d.chunking.expiryWallClock)
   }
 
+  test("startingTime parses epoch millis and ISO-8601; rejects the rest with the named error") {
+    assert(PulsarLikeConf.fromOptions(valid ++
+      Map("startingTime" -> "1700000000000")).startingTimeUs
+      .contains(1700000000000000L))
+    assert(PulsarLikeConf.fromOptions(valid ++
+      Map("startingTime" -> "2023-11-14T22:13:20Z")).startingTimeUs
+      .contains(1700000000000000L))
+    assert(PulsarLikeConf.fromOptions(valid).startingTimeUs.isEmpty)
+    for (bad <- Seq("yesterday", "99999999999999999999", "2023-13-99")) {
+      val e = intercept[IllegalArgumentException] {
+        PulsarLikeConf.fromOptions(valid ++ Map("startingTime" -> bad))
+      }
+      assert(e.getMessage.contains("startingTime"), e.getMessage)
+    }
+  }
+
   test("full client/TLS/chunking option surface parses and validates (A22)") {
     val c = PulsarLikeConf.fromOptions(valid ++ Map(
       "consumerName" -> "c1", "priorityLevel" -> "3",
