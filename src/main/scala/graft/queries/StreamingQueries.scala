@@ -228,7 +228,11 @@ object StreamingQueries {
       // maxChunks must cover the 100-char split of the longest doc —
       // 4096 chunks ≙ 400 KB of text, far past the fixture ceiling (a
       // doc over the cap would be dropped by the state guard and
-      // hash-mismatch the oracle, which has no such bound)
+      // hash-mismatch the oracle, which has no such bound). State
+      // instances = shuffle partitions; right-sized to the bounded
+      // slice (restored after the stream drains)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val q = ChunkReassembly.reassemble(s, asChunks,
           watermarkDelay = "1 second", maxChunks = 4096)
         .writeStream
@@ -245,6 +249,7 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.read.parquet(outDir).orderBy(col("doc_id"))
     },
 
@@ -402,6 +407,13 @@ object StreamingQueries {
             col("event_time").as(tsAs))
           .withWatermark(tsAs, "60 days")
       }
+      // stream-stream join state instances scale with shuffle
+      // partitions (4 stores per partition); right-size them to the
+      // bounded slice this query processes — a cluster deployment
+      // sizes this to its core count instead
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       val clicks = side("click", "click_id", "click_ts")
       val buys = side("purchase", "buy_id", "buy_ts")
       val q = clicks.join(buys,
@@ -420,6 +432,7 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.read.parquet(outDir).orderBy(col("click_id"), col("buy_id"))
     }
   )
