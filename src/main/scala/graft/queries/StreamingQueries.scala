@@ -233,6 +233,7 @@ object StreamingQueries {
       // slice (restored after the stream drains)
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       val q = ChunkReassembly.reassemble(s, asChunks,
           watermarkDelay = "1 second", maxChunks = 4096)
         .writeStream
@@ -249,7 +250,7 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.read.parquet(outDir).orderBy(col("doc_id"))
     },
 
