@@ -212,6 +212,11 @@ object PulsarLikeConf {
           } catch { case _: Exception => fail(
             s"Invalid value '$v' for parameter 'startingTime'. " +
               "Use epoch milliseconds or an ISO-8601 instant.") }
+        // ms→µs must not wrap (epoch-NANOS by unit confusion would
+        // silently seek to a garbage position otherwise)
+        if (ms > Long.MaxValue / 1000L) fail(
+          s"Invalid value '$v' for parameter 'startingTime'. " +
+            "Epoch value out of millisecond range.")
         ms * 1000L
       },
       numPartitions = long_("numPartitions").filter(_ > 0).map(_.toInt),

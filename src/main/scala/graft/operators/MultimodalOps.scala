@@ -99,8 +99,9 @@ object MultimodalOps {
 
   /** Sniff the modality from the payload's leading bytes — the ingest
     * router for a mixed media stream (never trusts metadata). One
-    * codegen'd projection; binary prefix compare via hex. Word-soup
-    * text can't collide with the uppercase/control-byte signatures. */
+    * codegen'd projection; binary prefix compare via hex. A raw
+    * payload that genuinely LEADS with a signature is classified as
+    * that format — that's the router's contract (it has only bytes). */
   def sniffModality(payload: Column): Column =
     magics.filter(_._2.nonEmpty).foldRight(lit("unknown"): Column) {
       case ((name, magic), rest) =>

@@ -112,13 +112,15 @@ object VectorOps {
     * the single array_sort order exactly (pcos DESC, pivot_id ASC)
     * after reversal. Output: input columns + pivot_id. */
   def assignCells(vecs: org.apache.spark.sql.DataFrame,
-      centroids: Seq[(Long, Seq[Double])], nprobe: Int)
+      centroids: Seq[(Long, Seq[Double])], nprobe: Int,
+      normCol: Option[String] = None)
       : org.apache.spark.sql.DataFrame = {
     // higher-order-function folds run interpreted — keep them minimal:
-    // the row norm folds ONCE per row, each centroid costs one dot fold
-    // (its own norm is a driver-side constant; same left-fold order, so
-    // the double is bit-identical to an in-plan norm())
-    val vnorm = norm(col("v"))
+    // the row norm folds ONCE per row (or rides in via `normCol` when
+    // the caller already carries it — same index-order fold, identical
+    // double), each centroid costs one dot fold (its own norm is a
+    // driver-side constant)
+    val vnorm = normCol.map(col).getOrElse(norm(col("v")))
     val scored = array(centroids.map { case (pid, pv) =>
       val cnorm = math.sqrt(pv.foldLeft(0.0)((acc, x) => acc + x * x))
       struct(

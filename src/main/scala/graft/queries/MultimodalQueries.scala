@@ -100,8 +100,14 @@ object MultimodalQueries {
       """SELECT doc_id,
         |  CASE CAST(doc_id % 5 AS INTEGER)
         |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
-        |    WHEN 3 THEN 'riff' ELSE 'unknown' END AS fmt,
-        |  CAST(length(text) + CASE CAST(doc_id % 5 AS INTEGER)
+        |    WHEN 3 THEN 'riff'
+        |    -- a raw payload that happens to LEAD with an ASCII
+        |    -- signature sniffs as that format — mirror it (the binary
+        |    -- png/jpeg magics can't be a UTF-8 text prefix)
+        |    ELSE CASE WHEN text LIKE 'GIF89a%' THEN 'gif'
+        |              WHEN text LIKE 'RIFF%' THEN 'riff'
+        |              ELSE 'unknown' END END AS fmt,
+        |  CAST(octet_length(encode(text)) + CASE CAST(doc_id % 5 AS INTEGER)
         |    WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 6 WHEN 3 THEN 4
         |    ELSE 0 END AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin

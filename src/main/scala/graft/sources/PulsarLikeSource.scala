@@ -226,6 +226,12 @@ object PulsarLikeOffset {
   }
   def key(topic: String, p: Int): String = s"$topic/$p"
   def retryKey(topic: String, p: Int): String = s"$topic/$p/retry"
+  /** Marker cursor carried in a startingTime initial offset: flags the
+    * first batch as a fresh subscription DURABLY (the checkpointed
+    * offset, not driver memory), so a crash-restarted batch 0 still
+    * serves the compacted snapshot even if the store changed between
+    * runs. Stripped from every subsequent offset by latestOffset. */
+  val FreshKey: String = "__fresh"
   /** (topic, partition, isRetry) */
   def parse(k: String): (String, Int, Boolean) = {
     val parts = k.split("/")
@@ -289,27 +295,21 @@ class PulsarLikeMicroBatchStream(conf: PulsarLikeConf, root: String,
     TopicStore.partitionBaseIn(dir, p)
   }
 
-  // initialOffset() only runs for a BRAND-NEW subscription (a resumed
-  // query restores offsets from the checkpoint instead) — remembering
-  // the seeked cursors lets planInputPartitions recognize the first
-  // batch of a startingTime subscription as fresh, so readCompacted
-  // serves its snapshot there exactly as it does from Earliest (and as
-  // the batch path does with the same option pair)
-  private var initialSeek: Option[Map[String, Long]] = None
-
   override def initialOffset(): Offset = conf.startingTimeUs match {
     // time-based seek (Reader#seek(timestamp)): main cursors land on
     // the first message with publish_time >= T via the index-guided
     // binary search; a fresh subscription has no retry backlog, so
     // retry cursors start at their base. Overrides initialPosition.
+    // The FreshKey marker rides in the checkpointed offset so the
+    // first batch is recognized as fresh (readCompacted parity with
+    // Earliest and with the batch path) across crash-restarts too.
     case Some(t) =>
       val cur = endCursors().map { case (k, _) =>
         val (topic, p, isRetry) = parse(k)
         if (isRetry) k -> baseOf(k)
         else k -> TopicStore.seekByTimeIn(TopicStore.topicDir(root, topic), p, t)
       }
-      initialSeek = Some(cur)
-      PulsarLikeOffset(cur)
+      PulsarLikeOffset(cur + (PulsarLikeOffset.FreshKey -> 1L))
     case None => conf.initialPosition match {
       case InitialPosition.Earliest =>
         // Earliest = the retained base (a truncated prefix is gone, like
@@ -372,18 +372,21 @@ class PulsarLikeMicroBatchStream(conf: PulsarLikeConf, root: String,
       byteBudget -= take * bytesPerRow
       k -> (s + take)
     }.toMap
-    // keep cursors for partitions that vanished from the store listing
-    PulsarLikeOffset(startCur ++ admitted)
+    // keep cursors for partitions that vanished from the store listing;
+    // the freshness marker must not outlive batch 0
+    PulsarLikeOffset((startCur - PulsarLikeOffset.FreshKey) ++ admitted)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[PulsarLikeOffset].cursors
     val e = end.asInstanceOf[PulsarLikeOffset].cursors
     // A21: a fresh subscription (start at the retained earliest, or at
-    // this query's own startingTime seek) with readCompacted serves the
+    // a startingTime seek — flagged durably by the FreshKey marker in
+    // the checkpointed initial offset) with readCompacted serves the
     // latest-per-key snapshot as its first batch
-    val fresh = s.forall { case (k, v) => v == 0L || v == baseOf(k) } ||
-      initialSeek.contains(s)
+    val fresh = s.get(PulsarLikeOffset.FreshKey).contains(1L) ||
+      s.view.filterKeys(_ != PulsarLikeOffset.FreshKey)
+        .forall { case (k, v) => v == 0L || v == baseOf(k) }
     e.toSeq.sortBy(_._1).flatMap { case (k, endOff) =>
       val startOff = s.getOrElse(k, 0L)
       if (endOff <= startOff) None
