@@ -61,6 +61,45 @@ object DedupQueries {
     },
 
     // ---------------------------------------------------------------
+    // d06 — dedup APPLY: where d01 reports the duplicate groups, d06
+    // emits the cleaned corpus — keep the lowest doc_id per content
+    // hash, drop the rest. Written as the canonical rank-filter idiom
+    // (row_number = 1 over the hash), which the
+    // RewriteRankFilterToGroupTopK optimizer rule turns into the
+    // GroupTopK operator: at most ONE row per (hash, input partition)
+    // reaches the exchange — the keep-set shuffle is O(kept), not
+    // O(corpus).
+    Q(
+      "d06_dedup_apply",
+      """WITH dup AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 10 = 0),
+        |ranked AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM dup)
+        |SELECT doc_id FROM ranked WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      // sessions built with GraftExtensions get the rule from
+      // spark.sql.extensions; enable() covers plain sessions (Verify/
+      // Bench) — idempotent, and the rewrite is semantics-preserving
+      // (property-tested across arbitrary k)
+      graft.plans.GroupTopKRewrite.enable(s)
+      val docs = Tables(s, dir, "documents")
+      val withCopies = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      withCopies
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 1)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
     // d02 — MinHash + LSH: 8 minhashes over word-3-gram shingles, 4 bands
     // of 2; candidates from the band-key equi-join; exact Jaccard ≥ 0.5
     // on candidates only.

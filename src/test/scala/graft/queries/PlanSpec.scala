@@ -67,11 +67,15 @@ class PlanSpec extends SparkSpec {
     assert(s01.contains("GroupTopKPartial") && s01.contains("GroupTopKFinal"), s01)
   }
 
-  test("t07/s05: per-group top-k paths plan through GroupTopK") {
+  test("t07/s05/d06: per-group top-k paths plan through GroupTopK") {
     val t07 = planOf("t07_tfidf_keywords")
     assert(t07.contains("GroupTopKPartial") && t07.contains("GroupTopKFinal"), t07)
     val s05 = planOf("s05_ann_recall")
     assert(s05.contains("GroupTopKPartial"), s05)
+    // d06 is written as the window-rank idiom — the optimizer rule, not
+    // the explicit API, must produce the GroupTopK plan
+    val d06 = planOf("d06_dedup_apply")
+    assert(d06.contains("GroupTopKPartial"), d06)
   }
 
   test("p07: the per-language threshold table broadcasts; the corpus never shuffles") {
