@@ -170,6 +170,16 @@ object PulsarLikeConf {
     if (batchEnabled && maxMsgs.isEmpty && maxBytes.isEmpty && timeout.isEmpty)
       fail("At least one of maxNumMessages, maxNumBytes, timeout must be specified.")
 
+    // chunking is mutually exclusive with batch receive — the reference
+    // only configures the chunking knobs when batch receive is off
+    // (PulsarMessageConsumer.java:325; uischema conditional enablement)
+    val chunkKnobs = Seq("maxPendingChunkedMessage",
+      "expiryTimeOfIncompleteChunkedMessageMillis",
+      "autoAckOldestChunkedMessageOnQueueFull").filter(get(_).isDefined)
+    if (batchEnabled && chunkKnobs.nonEmpty)
+      fail(s"Chunking parameters (${chunkKnobs.mkString(", ")}) require " +
+        "'batchReceiveEnabled' to be false.")
+
     PulsarLikeConf(
       serviceUrl = serviceUrl,
       useTLS = useTLS,

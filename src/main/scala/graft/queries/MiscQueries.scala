@@ -118,11 +118,11 @@ object MiscQueries {
         |ORDER BY q_id, neighbor_id""".stripMargin
     ) { (s, dir) =>
       import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-      import org.apache.spark.ml.linalg.Vectors
-      val toVec = udf((a: Seq[Float]) =>
-        Vectors.dense(a.map(_.toDouble).toArray))
+      import org.apache.spark.ml.functions.array_to_vector
+      // built-in array->vector conversion (float widens to double) —
+      // no UDF, the projection stays codegen-friendly
       val df = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), toVec(col("embedding")).as("features"))
+        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
       val lsh = new BucketedRandomProjectionLSH()
         .setBucketLength(8.0).setNumHashTables(15).setSeed(42L)
         .setInputCol("features").setOutputCol("hashes")

@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.util.UUID
-
 import graft.{Q, Tables}
 import graft.operators.MessageOps
 import graft.sources.TopicStore
@@ -42,9 +40,16 @@ object StreamingQueries {
         .createTempDirectory("graft-stream").toString
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft-ckpt").toString
-      val qname = "ps01_" + UUID.randomUUID().toString.replace("-", "")
+      val outDir = root + "/consumed"
       TopicStore.publish(s,
         MessageOps.fromEvents(Tables(s, dir, "events")), root, "events", 4)
+      val payloadSchema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      // parse + project inside foreachBatch and land parquet
+      // executor-side — the consumed topic never touches the driver
+      // (the memory sink would be a driver OOM at 100× the volume)
       val q = s.readStream.format("pulsarlike")
         .option("path", root)
         .option("serviceUrl", "pulsar://local")
@@ -53,24 +58,22 @@ object StreamingQueries {
         .option("batchingMaxMessages", "32768")
         .load()
         .writeStream
-        .queryName(qname)
         .option("checkpointLocation", ckpt)
-        .format("memory")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          MessageOps.contentTypeDispatch(df, payloadSchema)
+            .filter(col("parsed").isNotNull)
+            .select(
+              col("parsed.event_id").as("event_id"),
+              col("parsed.event_type").as("event_type"),
+              col("parsed.value").as("value"),
+              col("base_type"))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      val payloadSchema = StructType(Seq(
-        StructField("event_id", LongType),
-        StructField("event_type", StringType),
-        StructField("value", DoubleType)))
-      MessageOps.contentTypeDispatch(s.table(qname), payloadSchema)
-        .filter(col("parsed").isNotNull)
-        .select(
-          col("parsed.event_id").as("event_id"),
-          col("parsed.event_type").as("event_type"),
-          col("parsed.value").as("value"),
-          col("base_type"))
-        .orderBy(col("event_id"))
+      s.read.parquet(outDir).orderBy(col("event_id"))
     },
 
     // ---------------------------------------------------------------
@@ -142,23 +145,22 @@ object StreamingQueries {
         TopicStore.partitionMeta(root, "events", p)._1).sum == preLines,
         "nack must not grow the main log")
 
-      // pass 2, same checkpoint: the source merges due retries back in
-      val buf = new scala.collection.mutable.ArrayBuffer[(String, String, Int)]()
+      // pass 2, same checkpoint: the source merges due retries back in.
+      // Redelivered rows land as parquet executor-side (retry volume is
+      // unbounded in general — a driver buffer would not scale)
+      val redeliveredDir = root + "/redelivered"
       val q2 = stream.writeStream
         .option("checkpointLocation", ckpt)
         .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-          val rows = df.select("message_id", "key", "redelivery_count").collect()
-          buf.synchronized {
-            rows.foreach(r => buf += ((r.getString(0), r.getString(1), r.getInt(2))))
-          }
+          df.select("message_id", "key", "redelivery_count")
+            .write.mode("append").parquet(redeliveredDir)
           ()
         }
         .trigger(Trigger.AvailableNow())
         .start()
       q2.awaitTermination()
 
-      import s.implicits._
-      val retries = buf.toSeq.toDF("message_id", "key", "redelivery_count")
+      val retries = s.read.parquet(redeliveredDir)
         .withColumn("src", lit("retry"))
       val dlq = s.read.format("pulsarlike")
         .option("path", root)

@@ -107,8 +107,21 @@ class PulsarLikeConfSpec extends AnyFunSuite {
     }
   }
 
+  test("chunking knobs are rejected while batch receive is on (PulsarMessageConsumer.java:325)") {
+    val e = intercept[IllegalArgumentException] {
+      PulsarLikeConf.fromOptions(valid + ("maxPendingChunkedMessage" -> "100"))
+    }
+    assert(e.getMessage.contains("maxPendingChunkedMessage"))
+    assert(e.getMessage.contains("batchReceiveEnabled"))
+    // with batch receive off they parse
+    val c = PulsarLikeConf.fromOptions(valid - "batchingMaxMessages" ++ Map(
+      "batchReceiveEnabled" -> "false", "maxPendingChunkedMessage" -> "100"))
+    assert(c.chunking.maxPendingChunkedMessage.contains(100L))
+  }
+
   test("full client/TLS/chunking option surface parses and validates (A22)") {
     val c = PulsarLikeConf.fromOptions(valid ++ Map(
+      "batchReceiveEnabled" -> "false",
       "consumerName" -> "c1", "priorityLevel" -> "3",
       "maxTotalReceiverQueueSizeAcrossPartitions" -> "50000",
       "autoUpdatePartitions" -> "true",

@@ -99,6 +99,23 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("no registry query materializes rows on the driver (memory sink / collect)") {
+    // the registry is the 100 TB surface: a `memory` sink or a
+    // row-data collect() in a query body is a driver OOM at scale.
+    // (Benign collects live outside queries/: AckingSink's 2-row
+    // aggregate count and VectorOps' kxdims k-means model.)
+    val qdir = java.nio.file.Paths.get("src/main/scala/graft/queries")
+    val sources = java.nio.file.Files.list(qdir).iterator()
+    val banned = Seq("format(\"memory\")", ".collect()", "collectAsList",
+      "toLocalIterator")
+    sources.forEachRemaining { f =>
+      val text = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      banned.foreach { pat =>
+        assert(!text.contains(pat), s"$f contains driver materialization: $pat")
+      }
+    }
+  }
+
   test("every registered query stays off RDD fallbacks (no collect-driven loops)") {
     // structural smoke: building each plan succeeds and none mention
     // 'Scan ExistingRDD' (a sign of driver-side materialization).
