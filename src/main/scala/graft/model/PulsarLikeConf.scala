@@ -170,9 +170,15 @@ object PulsarLikeConf {
     if (batchEnabled && maxMsgs.isEmpty && maxBytes.isEmpty && timeout.isEmpty)
       fail("At least one of maxNumMessages, maxNumBytes, timeout must be specified.")
 
-    // chunking is mutually exclusive with batch receive — the reference
-    // only configures the chunking knobs when batch receive is off
-    // (PulsarMessageConsumer.java:325; uischema conditional enablement)
+    // chunking knobs only take effect when batch receive is off: the
+    // reference SILENTLY IGNORES them otherwise (the else-branch at
+    // PulsarMessageConsumer.java:325-336 never reads them). We harden
+    // beyond parity and reject the contradictory config outright — a
+    // user who set chunking knobs expects chunking, and silently
+    // dropping them (batchReceiveEnabled defaults to true) hides that.
+    // Deliberate asymmetry: batching knobs with batch receive OFF are
+    // still accepted-and-ignored, as in the reference, because they are
+    // on-by-default knobs a config template commonly carries.
     val chunkKnobs = Seq("maxPendingChunkedMessage",
       "expiryTimeOfIncompleteChunkedMessageMillis",
       "autoAckOldestChunkedMessageOnQueueFull").filter(get(_).isDefined)

@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import graft.operators.MessageOps
 import graft.sources.TopicStore
+import graft.streaming.BatchLanding
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -59,21 +60,22 @@ object StreamingQueries {
         .load()
         .writeStream
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-          MessageOps.contentTypeDispatch(df, payloadSchema)
-            .filter(col("parsed").isNotNull)
-            .select(
-              col("parsed.event_id").as("event_id"),
-              col("parsed.event_type").as("event_type"),
-              col("parsed.value").as("value"),
-              col("base_type"))
-            .write.mode("append").parquet(outDir)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+          BatchLanding.land(
+            MessageOps.contentTypeDispatch(df, payloadSchema)
+              .filter(col("parsed").isNotNull)
+              .select(
+                col("parsed.event_id").as("event_id"),
+                col("parsed.event_type").as("event_type"),
+                col("parsed.value").as("value"),
+                col("base_type")),
+            outDir, bid)
           ()
         }
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(outDir).orderBy(col("event_id"))
+      BatchLanding.read(s, outDir).orderBy(col("event_id"))
     },
 
     // ---------------------------------------------------------------
@@ -151,16 +153,17 @@ object StreamingQueries {
       val redeliveredDir = root + "/redelivered"
       val q2 = stream.writeStream
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-          df.select("message_id", "key", "redelivery_count")
-            .write.mode("append").parquet(redeliveredDir)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+          BatchLanding.land(
+            df.select("message_id", "key", "redelivery_count"),
+            redeliveredDir, bid)
           ()
         }
         .trigger(Trigger.AvailableNow())
         .start()
       q2.awaitTermination()
 
-      val retries = s.read.parquet(redeliveredDir)
+      val retries = BatchLanding.read(s, redeliveredDir)
         .withColumn("src", lit("retry"))
       val dlq = s.read.format("pulsarlike")
         .option("path", root)
@@ -242,18 +245,19 @@ object StreamingQueries {
         .option("checkpointLocation", ckpt)
         .foreachBatch {
           // hash + project executor-side; only (doc_id, md5) land on disk
-          (ds: org.apache.spark.sql.Dataset[ChunkReassembly.Assembled], _: Long) =>
-          ds.select(
+          (ds: org.apache.spark.sql.Dataset[ChunkReassembly.Assembled], bid: Long) =>
+          BatchLanding.land(
+            ds.select(
               col("chunk_uuid").cast("long").as("doc_id"),
-              md5(col("payload")).as("payload_md5"))
-            .write.mode("append").parquet(outDir)
+              md5(col("payload")).as("payload_md5")),
+            outDir, bid)
           ()
         }
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      s.read.parquet(outDir).orderBy(col("doc_id"))
+      BatchLanding.read(s, outDir).orderBy(col("doc_id"))
     },
 
     // ---------------------------------------------------------------
@@ -428,15 +432,108 @@ object StreamingQueries {
           col("click_ts"), col("buy_ts"))
         .writeStream
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (ds: org.apache.spark.sql.DataFrame, _: Long) =>
-          ds.write.mode("append").parquet(outDir)
+        .foreachBatch { (ds: org.apache.spark.sql.DataFrame, bid: Long) =>
+          BatchLanding.land(ds, outDir, bid)
           ()
         }
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      s.read.parquet(outDir).orderBy(col("click_id"), col("buy_id"))
+      BatchLanding.read(s, outDir).orderBy(col("click_id"), col("buy_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // ws01 — WATERMARKED tumbling-window aggregation end-to-end through
+    // the source, with real late-row drops, under the oracle gate. The
+    // reference is a streaming ingest loop (PulsarMessageConsumer
+    // .java:124-138); this is its windowed-aggregation form with the
+    // state-cleanup contract a production job needs (withWatermark +
+    // append mode), not the batch-equivalent shape of w01.
+    //
+    // Determinism regardless of admission slicing comes from the
+    // m06-style two-pass-on-one-checkpoint structure, with each pass
+    // admitted as a single micro-batch:
+    //  - pass 1 publishes the on-time rows (event_id % 3 <> 0) plus a
+    //    far-future watermark sentinel; the batch runs with watermark=0
+    //    (fresh checkpoint), so nothing drops and nothing emits — all
+    //    windows enter state; after the batch the watermark advances to
+    //    sentinel − 1 h, past every real window.
+    //  - pass 2 publishes the remaining rows (event_id % 3 = 0), ALL of
+    //    which are now below the watermark: the streaming aggregation
+    //    drops every one of them, and the finalized phase-1 windows are
+    //    emitted in append mode (in whichever pass the engine chose to
+    //    flush them — output is the union either way).
+    // The sentinel itself sits in a window that never finalizes, so it
+    // never reaches the output; no filter is needed (a key filter above
+    // the watermark node could be pushed below it by Catalyst and stop
+    // the sentinel from advancing the watermark at all).
+    // Oracle: the same tumbling aggregation over exactly the on-time
+    // subset — the dropped pass-2 rows must be absent.
+    Q(
+      "ws01_watermarked_window",
+      """SELECT make_timestamp((epoch_ms(ts) // 3600000) * 3600000 * 1000) AS window_start,
+        |  count(*) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS user_sum
+        |FROM events
+        |WHERE event_id % 3 <> 0
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-wm").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-wm-ckpt").toString
+      val outDir = root + "/windows"
+      val events = Tables(s, dir, "events")
+      val sentinel = events.limit(1).select(
+        lit("wm-sentinel").as("key"),
+        lit("flush").as("value_str"),
+        lit(java.sql.Timestamp.valueOf("2035-01-01 00:00:00")).as("publish_time"),
+        lit(java.sql.Timestamp.valueOf("2035-01-01 00:00:00")).as("event_time"))
+
+      def runPass(): Unit = {
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = s.readStream.format("pulsarlike")
+            .option("path", root)
+            .option("serviceUrl", "pulsar://local")
+            .option("topicNames", "events")
+            .option("subscriptionInitialPosition", "Earliest")
+            .option("batchingMaxMessages", "1000000")
+            .load()
+            .withWatermark("event_time", "1 hour")
+            .groupBy(window(col("event_time"), "1 hour"))
+            .agg(count(lit(1)).as("n"),
+              // try_cast: the sentinel's non-numeric key must not trip
+              // ANSI cast (its row is watermark fuel, never output)
+              sum(expr("try_cast(key AS BIGINT)")).as("user_sum"))
+            .select(col("window.start").as("window_start"),
+              col("n"), col("user_sum"))
+            .writeStream
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+              BatchLanding.land(df, outDir, bid)
+              ()
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+
+      TopicStore.publish(s,
+        MessageOps.fromEvents(events.filter(pmod(col("event_id"), lit(3)) =!= 0)),
+        root, "events", 4)
+      TopicStore.publish(s, sentinel, root, "events", 4)
+      runPass()
+      TopicStore.publish(s,
+        MessageOps.fromEvents(events.filter(pmod(col("event_id"), lit(3)) === 0)),
+        root, "events", 4)
+      runPass()
+      BatchLanding.read(s, outDir).orderBy(col("window_start"))
     }
   )
 }

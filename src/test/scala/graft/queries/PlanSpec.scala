@@ -13,6 +13,14 @@ class PlanSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  // queries whose run() executes a stream end-to-end (publish + consume
+  // + landed parquet) — their executed plan is the final parquet read,
+  // not the streaming pipeline, so plan-shape assertions don't apply
+  private def isStreamLoop(name: String): Boolean =
+    name.startsWith("ps") || name.startsWith("m06") ||
+    name.startsWith("m07") || name.startsWith("w04") ||
+    name.startsWith("ws")
+
   private def planOf(name: String): String = {
     val df = QueryRegistry.byName(name).run(spark, dir)
     df.queryExecution.executedPlan.toString
@@ -90,8 +98,7 @@ class PlanSpec extends SparkSpec {
     // a broadcast nested-loop against a bounded side is fine (s01's
     // query set); an unbroadcast cartesian of two big sides never is
     QueryRegistry.all
-      .filterNot(q => q.name.startsWith("ps") || q.name.startsWith("m06") ||
-        q.name.startsWith("m07") || q.name.startsWith("w04"))
+      .filterNot(q => isStreamLoop(q.name))
       .foreach { q =>
         val plan = q.run(spark, dir).queryExecution.executedPlan.toString
         assert(!plan.contains("CartesianProduct"),
@@ -104,16 +111,24 @@ class PlanSpec extends SparkSpec {
     // row-data collect() in a query body is a driver OOM at scale.
     // (Benign collects live outside queries/: AckingSink's 2-row
     // aggregate count and VectorOps' kxdims k-means model.)
-    val qdir = java.nio.file.Paths.get("src/main/scala/graft/queries")
-    val sources = java.nio.file.Files.list(qdir).iterator()
+    // anchor on user.dir but verify it actually IS the repo root (sbt
+    // forks with the project as CWD; any other runner gets a clear
+    // failure instead of a silent empty scan)
+    val qdir = java.nio.file.Paths
+      .get(sys.props("user.dir"), "src/main/scala/graft/queries")
+    assert(java.nio.file.Files.isDirectory(qdir),
+      s"cannot locate query sources at $qdir — run tests from the repo root")
     val banned = Seq("format(\"memory\")", ".collect()", "collectAsList",
       "toLocalIterator")
-    sources.forEachRemaining { f =>
-      val text = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
-      banned.foreach { pat =>
-        assert(!text.contains(pat), s"$f contains driver materialization: $pat")
+    val sources = java.nio.file.Files.list(qdir)
+    try {
+      sources.iterator().forEachRemaining { f =>
+        val text = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        banned.foreach { pat =>
+          assert(!text.contains(pat), s"$f contains driver materialization: $pat")
+        }
       }
-    }
+    } finally sources.close()
   }
 
   test("every registered query stays off RDD fallbacks (no collect-driven loops)") {
@@ -126,9 +141,7 @@ class PlanSpec extends SparkSpec {
       "t01_langid_ngram", "p06_connected_components",
       "t07_tfidf_keywords", "p07_token_rebalance")
     QueryRegistry.all
-      .filterNot(q => q.name.startsWith("ps") || q.name.startsWith("m06") ||
-        q.name.startsWith("m07") || q.name.startsWith("w04") ||
-        checkpoints.contains(q.name))
+      .filterNot(q => isStreamLoop(q.name) || checkpoints.contains(q.name))
       .foreach { q =>
         val plan = q.run(spark, dir).queryExecution.executedPlan.toString
         assert(!plan.contains("Scan ExistingRDD"),
