@@ -49,9 +49,12 @@ object AckingSink {
     val bumped = failed
       .withColumn("redelivery_count", col("redelivery_count") + 1)
       // retry_at rides in properties so the due check (source-side merge
-      // or MessageOps.dueOnly) needs no schema change
+      // or MessageOps.dueOnly) needs no schema change; a redelivered row
+      // being nacked AGAIN still carries its previous retry_at, which
+      // must be dropped first — map_concat with a duplicate key throws
+      // under the default spark.sql.mapKeyDedupPolicy=EXCEPTION
       .withColumn("properties", map_concat(
-        col("properties"),
+        map_filter(col("properties"), (k, _) => k =!= "retry_at"),
         map(lit("retry_at"), lit(retryAtMs.toString))))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {

@@ -1,11 +1,12 @@
 package graft
 
 import java.sql.Timestamp
+import java.util.Base64
 
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop}
 
-import graft.sources.TopicStore
+import graft.sources.{PulsarLikeInputPartition, PulsarLikeMicroBatchStream, PulsarLikeOffset, TopicStore}
 import graft.streaming.{AckingSink, ChunkReassembly}
 
 /** Property-based invariants (SURVEY.md §5 item 4):
@@ -17,11 +18,14 @@ import graft.streaming.{AckingSink, ChunkReassembly}
   *    DLQ threshold is exact. */
 class PropertySpec extends SparkSpec {
 
-  /** scalacheck runner (no scalatest bridge in the offline cache). */
-  private def check(p: Prop, minSuccessful: Int = 20): Unit = {
+  /** scalacheck runner (no scalatest bridge in the offline cache).
+    * `workers > 1` evaluates cases concurrently — safe when each case is
+    * fully isolated (own tmpDir store; Spark actions are thread-safe). */
+  private def check(p: Prop, minSuccessful: Int = 20, workers: Int = 1): Unit = {
     val res = org.scalacheck.Test.check(
       org.scalacheck.Test.Parameters.default
-        .withMinSuccessfulTests(minSuccessful), p)
+        .withMinSuccessfulTests(minSuccessful)
+        .withWorkers(workers), p)
     assert(res.passed, res.status.toString)
   }
 
@@ -176,6 +180,166 @@ class PropertySpec extends SparkSpec {
       val expectedDead = counts.count(_ + 1 >= max)
       live + dead == counts.size && dead == expectedDead
     }, minSuccessful = 10)
+  }
+
+  // -------------------------------------------------------------------
+  // Key_Shared end-to-end (SURVEY §7 hard-part #2; reference
+  // PulsarMessageConsumer.java:263-269): random keyed messages with a
+  // per-message failure plan are driven through the REAL delivery loop —
+  // PulsarLikeMicroBatchStream admission (random per-trigger row limits),
+  // planInputPartitions' retry-cursor merge, the partition readers, and
+  // AckingSink.nack — with a second publish wave interleaved mid-stream.
+  // Asserted per generated case:
+  //  1. partition locality: every delivery of a key (fresh OR retry)
+  //     comes from its key-hash partition;
+  //  2. per-key FIFO: fresh deliveries of a key arrive in publish order;
+  //  3. retry FIFO: within a partition, redeliveries arrive in nack order;
+  //  4. at-least-once accounting: acked ∪ dead = published (disjoint),
+  //     and each message is delivered exactly 1 + min(fails, threshold-
+  //     reaching nacks) times — nothing lost, nothing duplicated, the
+  //     DLQ threshold exact (every dead row at redelivery_count == max).
+  private case class PlanMsg(key: String, seq: Int, fails: Int)
+
+  test("Key_Shared: per-key order + at-least-once accounting through the source (200 cases)") {
+    import spark.implicits._
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val nParts = 2
+    val maxRedeliver = 2 // fails=2 → DLQ at redelivery_count == 2
+
+    val planGen: Gen[(List[PlanMsg], List[PlanMsg], List[Int])] = for {
+      nKeys <- Gen.choose(2, 4)
+      n1 <- Gen.choose(8, 12)
+      n2 <- Gen.choose(4, 6)
+      mk = (seq: Int) => for {
+        k <- Gen.choose(0, nKeys - 1)
+        f <- Gen.frequency(5 -> 0, 3 -> 1, 2 -> 2)
+      } yield PlanMsg(s"k$k", seq, f)
+      w1 <- Gen.sequence[List[PlanMsg], PlanMsg]((0 until n1).map(mk).toList)
+      w2 <- Gen.sequence[List[PlanMsg], PlanMsg]((n1 until n1 + n2).map(mk).toList)
+      limits <- Gen.listOfN(40, Gen.choose(4, 11))
+    } yield (w1, w2, limits)
+
+    def publishWave(root: String, wave: List[PlanMsg]): Unit = {
+      val df = wave.map(m => (m.key, s"${m.key}/${m.seq}",
+          new Timestamp(1700000000000L + m.seq * 1000L)))
+        .toDF("key", "value_str", "publish_time")
+      TopicStore.publish(spark, df, root, "t", nParts)
+    }
+
+    check(Prop.forAllNoShrink(planGen) { case (w1, w2, limits) =>
+      val root = tmpDir("prop-keyshared")
+      val all = w1 ++ w2
+      val planOf = all.map(m => s"${m.key}/${m.seq}" -> m).toMap
+      publishWave(root, w1)
+
+      val conf = graft.model.PulsarLikeConf.fromOptions(Map(
+        "serviceUrl" -> "pulsar://local", "topicNames" -> "t",
+        "subscriptionInitialPosition" -> "Earliest",
+        "batchingMaxMessages" -> "8"))
+      val stream = new PulsarLikeMicroBatchStream(conf, root)
+      val factory = stream.createReaderFactory()
+      var cur = stream.initialOffset().asInstanceOf[PulsarLikeOffset]
+
+      // (partition, isRetry, message_id, key, value_str, rc, pubUs)
+      final case class D(p: Int, retry: Boolean, mid: String, key: String,
+        v: String, rc: Int, pubUs: Long)
+      val delivered = scala.collection.mutable.Buffer.empty[D]
+      val remainingFails = scala.collection.mutable.Map(
+        all.map(m => s"${m.key}/${m.seq}" -> m.fails): _*)
+      val acked = scala.collection.mutable.Set.empty[String]
+      // expected redelivery order per partition (enqueue order per nack)
+      val retryQueue = scala.collection.mutable.Map.empty[Int, Vector[String]]
+        .withDefaultValue(Vector.empty)
+
+      var wave2Done = false
+      var batchIdx = 0
+      var stalled = false
+      while (!stalled && batchIdx < 50) {
+        val end = stream.latestOffset(cur,
+          ReadLimit.maxRows(limits(batchIdx % limits.size).toLong))
+          .asInstanceOf[PulsarLikeOffset]
+        if (end.cursors == cur.cursors) {
+          if (!wave2Done) { publishWave(root, w2); wave2Done = true }
+          else stalled = true
+        } else {
+          val batch = stream.planInputPartitions(cur, end).toSeq.flatMap { ipr =>
+            val ip = ipr.asInstanceOf[PulsarLikeInputPartition]
+            val r = factory.createReader(ip)
+            val buf = scala.collection.mutable.Buffer.empty[D]
+            try while (r.next()) {
+              val row = r.get()
+              buf += D(ip.p, ip.retrySub != null,
+                row.getUTF8String(1).toString, row.getUTF8String(2).toString,
+                row.getUTF8String(4).toString, row.getInt(8), row.getLong(6))
+            } finally r.close()
+            buf
+          }
+          delivered ++= batch
+          val toNack = batch.filter { d =>
+            val rem = remainingFails(d.v)
+            if (rem > 0) { remainingFails(d.v) = rem - 1; true }
+            else { acked += d.v; false }
+          }
+          if (toNack.nonEmpty) {
+            val df = toNack.map(d => (d.mid, d.key, d.v, d.rc,
+                new Timestamp(d.pubUs / 1000L)))
+              .toDF("message_id", "key", "value_str", "redelivery_count",
+                "publish_time")
+              .withColumn("properties", map().cast("map<string,string>"))
+            AckingSink.nack(spark, df, root, "t",
+              maxRedeliverCount = maxRedeliver, nackDelayMs = 0L)
+            // rows staying below the threshold re-enter delivery, in
+            // publish-time order per partition (publishTo's sort)
+            toNack.filter(_.rc + 1 < maxRedeliver)
+              .sortBy(d => (d.pubUs, d.mid))
+              .foreach(d => retryQueue(d.p) = retryQueue(d.p) :+ d.v)
+          }
+          cur = end
+          if (batchIdx == 0 && !wave2Done) { publishWave(root, w2); wave2Done = true }
+        }
+        batchIdx += 1
+      }
+
+      // dead set straight from the DLQ topic's store partitions
+      val dlqDir = TopicStore.topicDir(root, "t-dlq")
+      val dead = TopicStore.partitionIdsIn(dlqDir).flatMap { p =>
+        val (cnt, _) = TopicStore.partitionMetaIn(dlqDir, p)
+        TopicStore.readEntries(dlqDir, p, 0, cnt)
+      }.map(m => new String(Base64.getDecoder.decode(m.valueB64), "UTF-8") -> m)
+
+      val published = all.map(m => s"${m.key}/${m.seq}").toSet
+      val locality = delivered.forall(d =>
+        d.p == TopicStore.route(d.key, "", nParts))
+      val freshFifo = delivered.filter(!_.retry).groupBy(_.key).forall {
+        case (_, ds) =>
+          val seqs = ds.map(_.v.split("/")(1).toInt)
+          seqs == seqs.sorted
+      }
+      val retryFifo = delivered.filter(_.retry).groupBy(_.p).forall {
+        case (p, ds) => ds.map(_.v).toVector == retryQueue(p)
+      }
+      val counts = delivered.groupBy(_.v).view.mapValues(_.size).toMap
+      // fails=0 → 1 delivery; fails=1 → 2 (retry then ack); fails=2 → 2
+      // (the second nack crosses the threshold → DLQ, never redelivered):
+      // deliveries = 1 fresh + one per nack that stayed below the DLQ bar
+      val expectedCount = all.map(m =>
+        s"${m.key}/${m.seq}" -> (1 + math.min(m.fails, maxRedeliver - 1))).toMap
+      val accounting =
+        acked.toSet ++ dead.map(_._1).toSet == published &&
+        acked.toSet.intersect(dead.map(_._1).toSet).isEmpty &&
+        counts == expectedCount &&
+        dead.forall(_._2.redeliveryCount == maxRedeliver)
+      val ok = locality && freshFifo && retryFifo && accounting
+      if (!ok) {
+        println(s"DEBUG locality=$locality freshFifo=$freshFifo retryFifo=$retryFifo accounting=$accounting")
+        println(s"DEBUG stalledAt=$batchIdx delivered=${delivered.size} acked=${acked.size} dead=${dead.size} published=${published.size}")
+        println(s"DEBUG counts=$counts")
+        println(s"DEBUG expected=$expectedCount")
+        println(s"DEBUG retryDelivered=${delivered.filter(_.retry).map(d => (d.p, d.v))}")
+        println(s"DEBUG retryQueue=$retryQueue")
+      }
+      ok
+    }, minSuccessful = 200, workers = 4)
   }
 
   test("seekByTime == linear-scan reference on random monotonic publish times") {
