@@ -113,6 +113,66 @@ object MessageOps {
           from_csv(col("value_str"), payloadSchema, csvOpts)))
   }
 
+  /** §1.4 — per-content-type payload schema inference at table creation
+    * (the "point the engine at an unknown topic" path): sample up to
+    * `samplePerType` payloads per base type from the messages (typically
+    * a bounded batch read of the topic the stream is about to subscribe
+    * to) and infer a StructType per supported type with Spark's OWN
+    * samplers (`spark.read.json/csv/xml` over a Dataset[String]) — the
+    * sampling and inference run distributed, nothing but the schemas
+    * reaches the driver. Types with no sampled payloads are absent from
+    * the result, and [[contentTypeDispatchInferred]] leaves them null —
+    * the raw fallback, as in the reference's dispatcher
+    * (PulsarMessageConsumer.java:505-529).
+    *
+    * Deliberately NOT wired into the DSv2 source's inferSchema: the
+    * source's contract is the canonical message schema, and parsing
+    * belongs downstream in Catalyst (from_json/from_xml/from_csv stay
+    * inside whole-stage codegen; a payload-parsing PartitionReader would
+    * not). */
+  def inferPayloadSchemas(spark: org.apache.spark.sql.SparkSession,
+      messages: DataFrame, samplePerType: Int = 100,
+      xmlRowTag: String = "e"): Map[String, StructType] = {
+    import spark.implicits._
+    val withBase = messages.withColumn("base_type",
+      trim(split_part(col("content_type"), lit(";"), lit(1))))
+    def sample(t: String) =
+      withBase.filter(col("base_type") === t && col("value_str").isNotNull)
+        .select(col("value_str")).limit(samplePerType).as[String]
+    def infer(t: String)(f: org.apache.spark.sql.Dataset[String] => StructType)
+        : Option[(String, StructType)] = {
+      val s = sample(t)
+      if (s.isEmpty) None else Some(t -> f(s))
+    }
+    (infer("application/json")(ds => spark.read.json(ds).schema) ++
+      infer("application/xml")(ds =>
+        spark.read.option("rowTag", xmlRowTag).xml(ds).schema) ++
+      infer("text/csv")(ds =>
+        spark.read.option("inferSchema", "true").csv(ds).schema)).toMap
+  }
+
+  /** A13 with inferred (per-type) schemas: same `;`-strip and dispatch as
+    * [[contentTypeDispatch]], but each base type parses against its own
+    * inferred StructType into `parsed_json` / `parsed_xml` / `parsed_csv`
+    * (inferred schemas differ across types — CSV has positional `_c*`
+    * names — so one shared struct column can't hold them). Types without
+    * an inferred schema stay null = raw passthrough. */
+  def contentTypeDispatchInferred(messages: DataFrame,
+      schemas: Map[String, StructType]): DataFrame = {
+    val base = trim(split_part(col("content_type"), lit(";"), lit(1)))
+    def parsed(t: String, f: StructType => Column): Column =
+      schemas.get(t).map(sch => when(col("base_type") === t, f(sch)))
+        .getOrElse(lit(null))
+    messages
+      .withColumn("base_type", base)
+      .withColumn("parsed_json", parsed("application/json",
+        sch => from_json(col("value_str"), sch)))
+      .withColumn("parsed_xml", parsed("application/xml",
+        sch => from_xml(col("value_str"), sch)))
+      .withColumn("parsed_csv", parsed("text/csv",
+        sch => from_csv(col("value_str"), sch, Map.empty[String, String])))
+  }
+
   /** A16 — redelivery pacing: keep only messages that are due — fresh
     * deliveries (no `retry_at` property) or redeliveries whose
     * `retry_at` (epoch millis, stamped by AckingSink.nack with the

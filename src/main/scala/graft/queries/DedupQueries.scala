@@ -267,17 +267,40 @@ object DedupQueries {
       // nothing that caps the corpus size. Collisions (~|V|²/2⁶⁴) are
       // negligible; Jaccard values are identical, so the string-side
       // oracle still matches.
+      //
+      // Skew guard — secondary LENGTH band inside each `source` block:
+      // J(A,B) ≥ 0.8 forces |A∩B| ≤ min ≤ union and union ≥ max, so
+      // min/max ≥ 0.8 — qualifying pairs have token counts within
+      // ratio 1.25. Banding doc length geometrically (width ln 1.25)
+      // puts every qualifying pair within ±1 band, so probing bands
+      // {b−1, b, b+1} on one side is LOSSLESS at the 0.8 threshold —
+      // the oracle needs no banding and still hash-matches — while the
+      // within-block pair count drops from O(|source|²) to
+      // Σ O(|source,band|·|source,band±1|). Measured on the fixture
+      // (sf0.1): max block 250 docs/source → 137 docs/(source, band).
+      // The cut is modest HERE because the synthetic docs concentrate
+      // in few length bands; the point is the worst case — a 100 TB
+      // corpus where one source holds millions of docs now bounds its
+      // stragglers by the length histogram instead of the source size,
+      // and a straggler needs a skewed source AND a skewed length band
+      // (d02 MinHash remains the preferred path at that scale).
       val toks = Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           transform(array_distinct(DedupOps.words(col("text"))),
             w => xxhash64(w)).as("ts"))
+        .withColumn("band",
+          floor(log(size(col("ts")).cast("double")) / lit(math.log(1.25))))
       // |A∪B| = |A|+|B|−|A∩B| for sets: one intersect pass per pair
       // instead of intersect + distinct-union. The pair join shuffles
-      // both sides on the `source` blocking key (equi-join) — at 100 TB
-      // this stays a partitioned join; nothing is broadcast.
-      toks.as("a")
+      // both sides on the (source, band) blocking key (equi-join) — at
+      // 100 TB this stays a partitioned join; nothing is broadcast.
+      toks
+        .withColumn("probe",
+          explode(array(col("band") - 1, col("band"), col("band") + 1)))
+        .as("a")
         .join(toks.as("b"),
           col("a.source") === col("b.source") &&
+          col("a.probe") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.source").as("source"), col("a.doc_id").as("a_id"),
           col("b.doc_id").as("b_id"),

@@ -138,6 +138,53 @@ object MessageQueries {
             array_sort(collect_list(struct(col("chunk_id"), col("chunk"))))
               .getField("chunk")) === first(col("text"))).as("ok"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // m09 — A13 + §1.4 schema INFERENCE at table creation: the m02
+    // round-trip with NO user-supplied payload schema. The topic is
+    // published to the store, per-content-type schemas are inferred from
+    // a bounded sample of the topic itself (what a user does pointing
+    // the engine at an unknown topic), and the consumed messages are
+    // dispatched against the inferred schemas. The oracle is the same
+    // as m02's — inference must recover types (BIGINT/VARCHAR/DOUBLE)
+    // exactly or the typed round-trip hash-mismatches. text/plain rows
+    // have no parser (raw fallback) and are excluded on both sides.
+    Q(
+      "m09_schema_inference",
+      """SELECT event_id, event_type, value,
+        |  CASE WHEN event_id % 5 IN (0, 1) THEN 'application/json'
+        |       WHEN event_id % 5 = 2 THEN 'application/xml'
+        |       ELSE 'text/csv' END AS base_type
+        |FROM events
+        |WHERE event_id % 5 <> 4
+        |ORDER BY event_id""".stripMargin
+    ) { (s, dir) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-infer").toString
+      graft.sources.TopicStore.publish(s,
+        MessageOps.fromEvents(Tables(s, dir, "events")), root, "events", 4)
+      val consumed = s.read.format("pulsarlike")
+        .option("path", root)
+        .option("serviceUrl", "pulsar://local")
+        .option("topicNames", "events")
+        .option("batchingMaxMessages", "1000000")
+        .load()
+      val schemas = MessageOps.inferPayloadSchemas(s, consumed,
+        samplePerType = 200, xmlRowTag = "e")
+      MessageOps.contentTypeDispatchInferred(consumed, schemas)
+        .withColumn("event_id", coalesce(
+          col("parsed_json.event_id"), col("parsed_xml.event_id"),
+          col("parsed_csv._c0").cast("long")))
+        .filter(col("event_id").isNotNull)
+        .select(
+          col("event_id"),
+          coalesce(col("parsed_json.event_type"), col("parsed_xml.event_type"),
+            col("parsed_csv._c1")).as("event_type"),
+          coalesce(col("parsed_json.value"), col("parsed_xml.value"),
+            col("parsed_csv._c2")).cast("double").as("value"),
+          col("base_type"))
+        .orderBy(col("event_id"))
     }
   )
 }
