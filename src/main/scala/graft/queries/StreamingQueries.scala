@@ -480,60 +480,146 @@ object StreamingQueries {
         |GROUP BY 1
         |ORDER BY 1""".stripMargin
     ) { (s, dir) =>
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-wm").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft-wm-ckpt").toString
-      val outDir = root + "/windows"
-      val events = Tables(s, dir, "events")
-      val sentinel = events.limit(1).select(
-        lit("wm-sentinel").as("key"),
-        lit("flush").as("value_str"),
-        lit(java.sql.Timestamp.valueOf("2035-01-01 00:00:00")).as("publish_time"),
-        lit(java.sql.Timestamp.valueOf("2035-01-01 00:00:00")).as("event_time"))
+      StreamingWindowGate.run(s, dir, "graft-wm",
+        df => df
+          .groupBy(window(col("event_time"), "1 hour"))
+          .agg(count(lit(1)).as("n"),
+            // try_cast: the sentinel's non-numeric key must not trip
+            // ANSI cast (its row is watermark fuel, never output)
+            sum(expr("try_cast(key AS BIGINT)")).as("user_sum"))
+          .select(col("window.start").as("window_start"),
+            col("n"), col("user_sum")),
+        Seq("window_start"))
+    },
 
-      def runPass(): Unit = {
-        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        try {
-          val q = s.readStream.format("pulsarlike")
-            .option("path", root)
-            .option("serviceUrl", "pulsar://local")
-            .option("topicNames", "events")
-            .option("subscriptionInitialPosition", "Earliest")
-            .option("batchingMaxMessages", "1000000")
-            .load()
-            .withWatermark("event_time", "1 hour")
-            .groupBy(window(col("event_time"), "1 hour"))
-            .agg(count(lit(1)).as("n"),
-              // try_cast: the sentinel's non-numeric key must not trip
-              // ANSI cast (its row is watermark fuel, never output)
-              sum(expr("try_cast(key AS BIGINT)")).as("user_sum"))
-            .select(col("window.start").as("window_start"),
-              col("n"), col("user_sum"))
-            .writeStream
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
-              BatchLanding.land(df, outDir, bid)
-              ()
-            }
-            .trigger(Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      }
+    // ---------------------------------------------------------------
+    // ws02 — watermarked SLIDING window through the source: same
+    // two-pass determinism as ws01 (see there), sliding (1 h / 30 min)
+    // aggregation in append mode. Every on-time row lands in two
+    // windows; the pass-2 late rows drop from both.
+    Q(
+      "ws02_watermarked_sliding",
+      """SELECT make_timestamp(((epoch_ms(ts) // 1800000) - k) * 1800000 * 1000) AS window_start,
+        |  count(*) AS n
+        |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) offs
+        |WHERE event_id % 3 <> 0
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      StreamingWindowGate.run(s, dir, "graft-wms",
+        df => df
+          .groupBy(window(col("event_time"), "1 hour", "30 minutes"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("window_start"), col("n")),
+        Seq("window_start"))
+    },
 
-      TopicStore.publish(s,
-        MessageOps.fromEvents(events.filter(pmod(col("event_id"), lit(3)) =!= 0)),
-        root, "events", 4)
-      TopicStore.publish(s, sentinel, root, "events", 4)
-      runPass()
-      TopicStore.publish(s,
-        MessageOps.fromEvents(events.filter(pmod(col("event_id"), lit(3)) === 0)),
-        root, "events", 4)
-      runPass()
-      BatchLanding.read(s, outDir).orderBy(col("window_start"))
+    // ---------------------------------------------------------------
+    // ws03 — watermarked SESSION window per key through the source:
+    // session_window (5-minute gap) + watermark in append mode, the
+    // stateful merge-sessions path, with the same two-pass determinism
+    // as ws01. The sentinel opens its own never-finalized session under
+    // its own key, so it never reaches the output.
+    Q(
+      "ws03_watermarked_session",
+      """WITH sub AS (SELECT user_id, ts FROM events WHERE event_id % 3 <> 0),
+        |marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           <= INTERVAL 5 MINUTE THEN 0 ELSE 1 END AS new_session
+        |  FROM sub),
+        |ids AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 5 MINUTE AS session_end,
+        |  count(*) AS n_events
+        |FROM ids GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
+    ) { (s, dir) =>
+      // NO null-key filter inside the streaming plan: a filter on the
+      // grouping column pushes below the aggregation AND below the
+      // EventTimeWatermark node (it doesn't reference event_time), which
+      // silently stops the sentinel from advancing the watermark — the
+      // exact trap ws01's comment describes, observed here as sessions
+      // near the data horizon never finalizing. The sentinel's own
+      // session never finalizes either way; the defensive null filter
+      // runs on the landed BATCH output below, where no watermark exists.
+      StreamingWindowGate.run(s, dir, "graft-wmss",
+        df => df
+          .groupBy(session_window(col("event_time"), "5 minutes"),
+            expr("try_cast(key AS BIGINT)").as("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("n_events")),
+        Seq("user_id", "session_start"))
+        .filter(col("user_id").isNotNull)
+        .orderBy(col("user_id"), col("session_start"))
     }
   )
+}
+
+/** Shared two-pass watermark gate harness for ws01-ws03 (see ws01's
+  * comment for the determinism argument): pass 1 publishes the on-time
+  * rows (event_id % 3 <> 0) plus a far-future watermark sentinel and
+  * drains it as one micro-batch (watermark 0, everything enters state);
+  * pass 2 publishes the late complement — all dropped below the
+  * advanced watermark — and flushes the finalized windows. */
+private[queries] object StreamingWindowGate {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  def run(s: SparkSession, dir: String, tag: String,
+      agg: DataFrame => DataFrame, orderCols: Seq[String]): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(tag).toString
+    val ckpt = java.nio.file.Files.createTempDirectory(tag + "-ckpt").toString
+    val outDir = root + "/windows"
+    val events = Tables(s, dir, "events")
+    val sentinel = events.limit(1).select(
+      lit("wm-sentinel").as("key"),
+      lit("flush").as("value_str"),
+      lit(java.sql.Timestamp.valueOf("2035-01-01 00:00:00")).as("publish_time"),
+      lit(java.sql.Timestamp.valueOf("2035-01-01 00:00:00")).as("event_time"))
+
+    def runPass(): Unit = {
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val src = s.readStream.format("pulsarlike")
+          .option("path", root)
+          .option("serviceUrl", "pulsar://local")
+          .option("topicNames", "events")
+          .option("subscriptionInitialPosition", "Earliest")
+          .option("batchingMaxMessages", "1000000")
+          .load()
+          .withWatermark("event_time", "1 hour")
+        val q = agg(src)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: DataFrame, bid: Long) =>
+            BatchLanding.land(df, outDir, bid)
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+
+    TopicStore.publish(s,
+      MessageOps.fromEvents(events.filter(pmod(col("event_id"), lit(3)) =!= 0)),
+      root, "events", 4)
+    TopicStore.publish(s, sentinel, root, "events", 4)
+    runPass()
+    TopicStore.publish(s,
+      MessageOps.fromEvents(events.filter(pmod(col("event_id"), lit(3)) === 0)),
+      root, "events", 4)
+    runPass()
+    BatchLanding.read(s, outDir)
+      .orderBy(orderCols.map(col): _*)
+  }
 }

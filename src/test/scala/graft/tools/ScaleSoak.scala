@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc 10× scale soak (not part of the driver contract): the driver
+  * ships no sf1 fixture, so derive one from sf0.1 — 10 replicas with
+  * shifted ids, per-replica user_id offsets (events) and per-replica
+  * token remapping + source suffixes (documents), so join and dup-pair
+  * cardinalities scale LINEARLY with the data (identical replicas would
+  * scale them quadratically and measure a different workload). Soak
+  * input only — oracle queries always run on driver-generated data.
+  *
+  * Usage: Test/runMain graft.ScaleSoak [genDir]
+  * Runs the 6 most expensive queries at sf0.1 and at the 10× derivative,
+  * reports wall times, the 10×/1× ratio per query (flat per-row cost ⇒
+  * ratio ≈ 10 of the data-bound part), and peak driver heap.
+  */
+object ScaleSoak {
+  def main(args: Array[String]): Unit = {
+    val soakDir = if (args.nonEmpty) args(0) else "/tmp/sf1soak"
+    val base = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(name: String, f: (DataFrame, Int) => DataFrame): Unit = {
+      val src = Tables(spark, base, name)
+      val out = (0 until 10).map(i => f(src, i)).reduce(_ unionByName _)
+      out.write.mode("overwrite").parquet(s"$soakDir/$name.parquet")
+    }
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(soakDir))) {
+      // ts as BIGINT nanos: graft.Tables reads the fixture's
+      // TIMESTAMP(NANOS) as long and does `ts div 1000` — a plain long
+      // column takes the same path
+      replicate("events", (df, i) => df.select(
+        (col("event_id") + i * 10000000L).as("event_id"),
+        (unix_micros(col("ts")) * 1000L).as("ts"),
+        (col("user_id") + i * 10000000L).as("user_id"),
+        col("event_type"), col("value"), col("props")))
+      replicate("documents", (df, i) => df.select(
+        (col("doc_id") + i * 1000000L).as("doc_id"),
+        (if (i == 0) col("text")
+         else array_join(transform(split(col("text"), " "),
+           t => concat(t, lit(s"r$i"))), " ")).as("text"),
+        col("lang"), concat(col("source"), lit(s"_$i")).as("source"),
+        length(col("text")).as("n_chars")))
+      replicate("embeddings", (df, i) => df.select(
+        (col("vec_id") + i * 1000000L).as("vec_id"),
+        col("embedding"), col("label")))
+      println(s"[soak] generated $soakDir")
+    }
+
+    val names = Seq("t01_langid_ngram", "w04_stream_interval_join",
+      "p06_connected_components", "ps01_stream_ingest", "p04_dup_clusters",
+      "s03_ann_ml_lsh")
+    def run(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      QueryRegistry.byName(name).run(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    import scala.jdk.CollectionConverters._
+    def peakHeapMb: Long = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .map(_.getPeakUsage.getUsed).sum / (1 << 20)
+
+    println(f"${"query"}%-26s ${"sf0.1_s"}%8s ${"10x_s"}%8s ratio  peakHeapMB")
+    names.foreach { n =>
+      run(n, base) // warm
+      val t1 = run(n, base)
+      val t10 = run(n, soakDir)
+      println(f"$n%-26s $t1%8.2f $t10%8.2f ${t10 / t1}%5.2f  $peakHeapMb%d")
+    }
+    spark.stop()
+  }
+}
