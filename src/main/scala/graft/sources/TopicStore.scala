@@ -224,20 +224,42 @@ object TopicStore {
 
     val dirStr = dir.toAbsolutePath.toString
     // one writer task per store partition — offsets are assigned inside
-    // the single task that owns the partition file (contiguous, ordered)
+    // the single task that owns the partition file (contiguous, ordered).
+    // __p leads the sort so each store partition arrives as one
+    // consecutive run and the writer can stream it in bounded chunks —
+    // per-partition publish order is unchanged (ties on __p keep the
+    // (publish_time, message_id) order).
     routed.repartition(numPartitions, col("__p"))
-      .sortWithinPartitions(col("publish_time"), col("message_id"))
+      .sortWithinPartitions(col("__p"), col("publish_time"), col("message_id"))
       .foreachPartition { (it: Iterator[Row]) =>
         writePartition(dirStr, it)
       }
   }
 
+  /** Max rows buffered per append under the partition-file lock: bounds
+    * writer-task memory to O(chunk), not O(partition) — a store
+    * partition holds arbitrarily many rows at scale. Chunked appends
+    * stay contiguous/ordered because `appendIn` continues from the
+    * persisted meta under the lock. */
+  private val WriteChunk = 10000
+
   private def writePartition(dir: String, it: Iterator[Row]): Unit = {
     // a task may receive rows of several store partitions (hash
-    // co-location) — group and write each partition file separately
-    it.toVector.groupBy(_.getAs[Int]("__p")).foreach { case (p, rows) =>
-      writeGroup(dir, p, rows)
+    // co-location), each as a consecutive run of the __p-led sort —
+    // stream each run into bounded chunk appends, never materializing
+    // the partition
+    var curP = Int.MinValue
+    val buf = Vector.newBuilder[Row]
+    var bufN = 0
+    def flush(): Unit = if (bufN > 0) {
+      writeGroup(dir, curP, buf.result()); buf.clear(); bufN = 0
     }
+    it.foreach { r =>
+      val p = r.getAs[Int]("__p")
+      if (p != curP || bufN >= WriteChunk) { flush(); curP = p }
+      buf += r; bufN += 1
+    }
+    flush()
   }
 
   /** Route a key (or payload base64 for keyless messages) to a partition.
