@@ -293,6 +293,61 @@ object StreamingQueries {
     },
 
     // ---------------------------------------------------------------
+    // m10 — effectively-once ingest: the source's delivery contract is
+    // at-least-once (ack ≙ offset commit, replay on failure — A15), and
+    // the standard Spark composition to effectively-once is
+    // dropDuplicatesWithinWatermark on the stable message identity.
+    // Every message is published TWICE (a redelivered duplicate with
+    // the same message_id, like a replayed batch); the consumed stream
+    // must collapse them to exactly one row each. Deterministic
+    // regardless of admission slicing: duplicate copies are identical,
+    // so whichever copy survives yields the same row, and emission is
+    // immediate (no finalization wait). Bounded slice as in m06.
+    Q(
+      "m10_effectively_once",
+      """SELECT '0:' || CAST(event_id AS VARCHAR) || ':0:0' AS message_id,
+        |  CAST(user_id AS VARCHAR) AS key, ts AS publish_time
+        |FROM events
+        |WHERE event_id < 30000
+        |ORDER BY message_id""".stripMargin
+    ) { (s, dir) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-once").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-once-ckpt").toString
+      val outDir = root + "/deduped"
+      val slice = MessageOps.fromEvents(
+        Tables(s, dir, "events").filter(col("event_id") < 30000))
+      TopicStore.publish(s, slice, root, "events", 4)
+      TopicStore.publish(s, slice, root, "events", 4) // the redelivery
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = s.readStream.format("pulsarlike")
+          .option("path", root)
+          .option("serviceUrl", "pulsar://local")
+          .option("topicNames", "events")
+          .option("subscriptionInitialPosition", "Earliest")
+          .option("batchingMaxMessages", "1000000")
+          .load()
+          .withWatermark("event_time", "60 days")
+          .dropDuplicatesWithinWatermark("message_id")
+          .select(col("message_id"), col("key"), col("publish_time"))
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+            BatchLanding.land(df, outDir, bid)
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      BatchLanding.read(s, outDir).orderBy(col("message_id"))
+    },
+
+    // ---------------------------------------------------------------
     // w01 — tumbling event-time window (1 hour) per event type.
     Q(
       "w01_tumbling_window",

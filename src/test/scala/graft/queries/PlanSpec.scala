@@ -18,8 +18,8 @@ class PlanSpec extends SparkSpec {
   // not the streaming pipeline, so plan-shape assertions don't apply
   private def isStreamLoop(name: String): Boolean =
     name.startsWith("ps") || name.startsWith("m06") ||
-    name.startsWith("m07") || name.startsWith("w04") ||
-    name.startsWith("ws")
+    name.startsWith("m07") || name.startsWith("m10") ||
+    name.startsWith("w04") || name.startsWith("ws")
 
   private def planOf(name: String): String = {
     val df = QueryRegistry.byName(name).run(spark, dir)
