@@ -185,6 +185,41 @@ object MessageQueries {
             col("parsed_csv._c2")).cast("double").as("value"),
           col("base_type"))
         .orderBy(col("event_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // m11 — A1/A2 multi-topic pattern subscribe under the oracle gate:
+    // events are split across two topics by type, one `topicsPattern`
+    // subscription (no topic list) resolves and serves BOTH, and the
+    // union must reproduce every message exactly once with its origin
+    // topic attributed. Pattern resolution against the store is
+    // re-checked per read (A20 discovery path shares it).
+    Q(
+      "m11_pattern_subscribe",
+      """SELECT CASE WHEN event_type = 'click' THEN 'ev-click'
+        |       ELSE 'ev-other' END AS topic,
+        |  '0:' || CAST(event_id AS VARCHAR) || ':0:0' AS message_id,
+        |  CAST(user_id AS VARCHAR) AS key
+        |FROM events
+        |ORDER BY message_id""".stripMargin
+    ) { (s, dir) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-pattern").toString
+      val ev = Tables(s, dir, "events")
+      graft.sources.TopicStore.publish(s,
+        MessageOps.fromEvents(ev.filter(col("event_type") === "click")),
+        root, "ev-click", 4)
+      graft.sources.TopicStore.publish(s,
+        MessageOps.fromEvents(ev.filter(col("event_type") =!= "click")),
+        root, "ev-other", 4)
+      s.read.format("pulsarlike")
+        .option("path", root)
+        .option("serviceUrl", "pulsar://local")
+        .option("topicsPattern", "ev-.*")
+        .option("batchingMaxMessages", "1000000")
+        .load()
+        .select(col("topic"), col("message_id"), col("key"))
+        .orderBy(col("message_id"))
     }
   )
 }
