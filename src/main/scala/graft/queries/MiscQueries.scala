@@ -210,6 +210,31 @@ object MiscQueries {
         .withColumn("k_mod", col("k") % 7)
         .filter(col("k") > 50)
         .orderBy(col("event_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // q28 — RANGE-frame interval window (the time-valued frame variant;
+    // q08 covers ROWS frames): per user, how many of their events fall
+    // in the hour up to and including each event. RANGE frames include
+    // ORDER-BY peers in both engines, so millisecond ties are
+    // deterministic; ms epoch is floor-truncated from the µs timestamps
+    // identically on both sides. One shuffle on user_id.
+    Q(
+      "q28_range_frame_window",
+      """SELECT event_id,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS n_hour
+        |FROM events
+        |ORDER BY event_id""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ord"))
+        .rangeBetween(-3600000L, Window.currentRow)
+      Tables(s, dir, "events")
+        .withColumn("ord", unix_millis(col("ts")))
+        .select(col("event_id"), count(lit(1)).over(w).as("n_hour"))
+        .orderBy(col("event_id"))
     }
   )
 }
