@@ -46,6 +46,32 @@ class PulsarLikeSourceSpec extends SparkSpec {
     assert(row.getAs[Int]("redelivery_count") == 0)
   }
 
+  test("chunked publish: multi-flush partitions keep contiguous ordered offsets") {
+    // > WriteChunk (10k) rows into ONE store partition forces several
+    // chunk appends inside one writer task — offsets must stay
+    // contiguous and in (publish_time, message_id) order across chunk
+    // boundaries (the sf0.01 correctness gates never cross a boundary;
+    // this is the only guard below bench scale)
+    import spark.implicits._
+    val root = tmpDir("chunked")
+    val n = 25000
+    val df = (0 until n).map { i =>
+      ("onekey", s"v-$i",
+        new java.sql.Timestamp(1700000000000L + i * 1000L))
+    }.toDF("key", "value_str", "publish_time")
+    TopicStore.publish(spark, df, root, "t", 1)
+    val (cnt, _) = TopicStore.partitionMeta(root, "t", 0)
+    assert(cnt == n.toLong)
+    val back = readBatch(root, "topicNames" -> "t")
+      .select("message_id", "value_str", "publish_time").collect()
+    assert(back.length == n)
+    // offsets assigned 0..n-1 in publish_time order, no gaps/dupes
+    back.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[String]("message_id") == s"0:$i:0:0", s"offset $i")
+      assert(r.getAs[String]("value_str") == s"v-$i", s"order at $i")
+    }
+  }
+
   test("key routing: all messages of one key land in one partition") {
     val root = tmpDir("store")
     publishEvents(root, "events", 40, parts = 4)
