@@ -61,6 +61,70 @@ object DedupQueries {
     },
 
     // ---------------------------------------------------------------
+    // d07 — INCREMENTAL dedup: new documents arrive as a stream and are
+    // checked against the existing corpus — the standing pattern of a
+    // training-data pipeline ingesting fresh crawl against its history.
+    // The seen set is a static table (at 100 TB a bucketed hash table);
+    // the stream anti-joins it on content hash — a STREAM-STATIC left
+    // anti join, stateless on the stream side (no watermark state: the
+    // static side is re-broadcast/looked-up per micro-batch), so it
+    // runs at ingest throughput. Emission is immediate and per-row
+    // deterministic regardless of admission slicing.
+    Q(
+      "d07_incremental_dedup",
+      """SELECT d.doc_id, md5(d.text) AS text_hash
+        |FROM documents d
+        |WHERE d.doc_id % 5 >= 3 AND NOT EXISTS (
+        |  SELECT 1 FROM documents e
+        |  WHERE e.doc_id % 5 < 3 AND md5(e.text) = md5(d.text))
+        |ORDER BY d.doc_id""".stripMargin
+    ) { (s, dir) =>
+      import graft.streaming.BatchLanding
+      import graft.sources.TopicStore
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-incdedup").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-incdedup-ckpt").toString
+      val outDir = root + "/fresh"
+      val docs = Tables(s, dir, "documents")
+      val seen = docs.filter(col("doc_id") % 5 < 3)
+        .select(md5(col("text")).as("text_hash")).distinct()
+      // the stream carries genuinely-new docs PLUS re-crawled copies of
+      // seen ones (same text, new id) — the copies MUST be dropped by
+      // the anti join or the oracle row count catches it
+      val incoming = docs.filter(col("doc_id") % 5 >= 3)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 5 < 3 && col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+      TopicStore.publish(s,
+        incoming.select(
+          col("doc_id").cast("string").as("key"),
+          col("text").as("value_str"),
+          lit(new java.sql.Timestamp(1700000000000L)).as("publish_time")),
+        root, "fresh-docs", 4)
+      val q = s.readStream.format("pulsarlike")
+        .option("path", root)
+        .option("serviceUrl", "pulsar://local")
+        .option("topicNames", "fresh-docs")
+        .option("subscriptionInitialPosition", "Earliest")
+        .option("batchingMaxMessages", "1000000")
+        .load()
+        .select(col("key").cast("long").as("doc_id"),
+          md5(col("value_str")).as("text_hash"))
+        .join(seen, Seq("text_hash"), "left_anti")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+          BatchLanding.land(df.select("doc_id", "text_hash"), outDir, bid)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      BatchLanding.read(s, outDir).orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
     // d06 — dedup APPLY: where d01 reports the duplicate groups, d06
     // emits the cleaned corpus — keep the lowest doc_id per content
     // hash, drop the rest. Written as the canonical rank-filter idiom
