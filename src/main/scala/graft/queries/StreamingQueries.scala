@@ -499,6 +499,117 @@ object StreamingQueries {
     },
 
     // ---------------------------------------------------------------
+    // w05 — stream-stream LEFT OUTER interval join through the source:
+    // w04's attribution join, but clicks with NO purchase in the
+    // following hour must ALSO emit (null-padded) — the outer-row path,
+    // which only fires when the watermark passes the last possible
+    // match time for a click. Watermarks are 1 hour (real eviction);
+    // per-side far-future sentinels (a click and a purchase the
+    // dispatcher parses, impossible user ids) advance both sides'
+    // watermarks past the data horizon, and a second AvailableNow pass
+    // on the same checkpoint guarantees a batch runs after the
+    // advance — whichever batch the engine emits each row in, the
+    // union is deterministic. The sentinels themselves sit above the
+    // watermark forever, so they never emit; the landed batch output
+    // filters negative ids defensively (no watermark exists there).
+    Q(
+      "w05_stream_outer_join",
+      """SELECT a.event_id AS click_id, b.event_id AS buy_id,
+        |  a.user_id, a.ts AS click_ts, b.ts AS buy_ts
+        |FROM (SELECT * FROM events
+        |      WHERE event_type = 'click' AND event_id % 5 <> 4) a
+        |LEFT JOIN (SELECT * FROM events
+        |      WHERE event_type = 'purchase' AND event_id % 5 <> 4) b
+        |  ON a.user_id = b.user_id
+        |  AND a.ts BETWEEN b.ts - INTERVAL 1 HOUR AND b.ts
+        |ORDER BY click_id, buy_id""".stripMargin
+    ) { (s, dir) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-soj").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-soj-ckpt").toString
+      val outDir = root + "/joined"
+      TopicStore.publish(s,
+        MessageOps.fromEvents(Tables(s, dir, "events")), root, "events", 4)
+      // per-side watermark sentinels: parseable payloads, far-future
+      // event time, user ids no real row carries
+      val farFuture = java.sql.Timestamp.valueOf("2035-01-01 00:00:00")
+      val sentinels = Seq(
+        ("-1", """{"event_id":-1,"event_type":"click","value":0.0}"""),
+        ("-2", """{"event_id":-2,"event_type":"purchase","value":0.0}"""))
+      import s.implicits._
+      TopicStore.publish(s,
+        sentinels.toDF("key", "value_str")
+          .withColumn("publish_time", lit(farFuture))
+          .withColumn("event_time", lit(farFuture))
+          .withColumn("content_type", lit("application/json")),
+        root, "events", 4)
+
+      val payloadSchema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      def side(eventType: String, idAs: String, tsAs: String) = {
+        val raw = s.readStream.format("pulsarlike")
+          .option("path", root)
+          .option("serviceUrl", "pulsar://local")
+          .option("topicNames", "events")
+          .option("subscriptionInitialPosition", "Earliest")
+          .option("batchingMaxMessages", "1000000")
+          .load()
+        MessageOps.contentTypeDispatch(raw, payloadSchema)
+          .filter(col("parsed.event_type") === eventType)
+          .select(
+            col("parsed.event_id").as(idAs),
+            expr("try_cast(key AS BIGINT)").as(s"${idAs}_user"),
+            col("event_time").as(tsAs))
+          .withWatermark(tsAs, "1 hour")
+      }
+      def runPass(): Unit = {
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val clicks = side("click", "click_id", "click_ts")
+          val buys = side("purchase", "buy_id", "buy_ts")
+          val q = clicks.join(buys,
+              col("click_id_user") === col("buy_id_user") &&
+              col("click_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR") &&
+              col("click_ts") <= col("buy_ts"),
+              "left_outer")
+            .select(col("click_id"), col("buy_id"),
+              col("click_id_user").as("user_id"),
+              col("click_ts"), col("buy_ts"))
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (ds: org.apache.spark.sql.DataFrame, bid: Long) =>
+              BatchLanding.land(ds, outDir, bid)
+              ()
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+      runPass()
+      // second pass on the same checkpoint: one more trigger after the
+      // watermark advance so pending outer rows flush (a third sentinel
+      // pair gives AvailableNow data to run a batch on)
+      TopicStore.publish(s,
+        Seq(("-1", """{"event_id":-3,"event_type":"click","value":0.0}"""))
+          .toDF("key", "value_str")
+          .withColumn("publish_time",
+            lit(java.sql.Timestamp.valueOf("2036-01-01 00:00:00")))
+          .withColumn("event_time",
+            lit(java.sql.Timestamp.valueOf("2036-01-01 00:00:00")))
+          .withColumn("content_type", lit("application/json")),
+        root, "events", 4)
+      runPass()
+      BatchLanding.read(s, outDir)
+        .filter(col("click_id") >= 0)
+        .orderBy(col("click_id"), col("buy_id"))
+    },
+
+    // ---------------------------------------------------------------
     // ws01 — WATERMARKED tumbling-window aggregation end-to-end through
     // the source, with real late-row drops, under the oracle gate. The
     // reference is a streaming ingest loop (PulsarMessageConsumer
