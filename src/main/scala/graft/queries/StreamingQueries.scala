@@ -524,89 +524,31 @@ object StreamingQueries {
         |  AND a.ts BETWEEN b.ts - INTERVAL 1 HOUR AND b.ts
         |ORDER BY click_id, buy_id""".stripMargin
     ) { (s, dir) =>
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-soj").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft-soj-ckpt").toString
-      val outDir = root + "/joined"
-      TopicStore.publish(s,
-        MessageOps.fromEvents(Tables(s, dir, "events")), root, "events", 4)
-      // per-side watermark sentinels: parseable payloads, far-future
-      // event time, user ids no real row carries
-      val farFuture = java.sql.Timestamp.valueOf("2035-01-01 00:00:00")
-      val sentinels = Seq(
-        ("-1", """{"event_id":-1,"event_type":"click","value":0.0}"""),
-        ("-2", """{"event_id":-2,"event_type":"purchase","value":0.0}"""))
-      import s.implicits._
-      TopicStore.publish(s,
-        sentinels.toDF("key", "value_str")
-          .withColumn("publish_time", lit(farFuture))
-          .withColumn("event_time", lit(farFuture))
-          .withColumn("content_type", lit("application/json")),
-        root, "events", 4)
+      StreamOuterJoinGate.run(s, dir, "graft-soj", "left_outer")
+    },
 
-      val payloadSchema = StructType(Seq(
-        StructField("event_id", LongType),
-        StructField("event_type", StringType),
-        StructField("value", DoubleType)))
-      def side(eventType: String, idAs: String, tsAs: String) = {
-        val raw = s.readStream.format("pulsarlike")
-          .option("path", root)
-          .option("serviceUrl", "pulsar://local")
-          .option("topicNames", "events")
-          .option("subscriptionInitialPosition", "Earliest")
-          .option("batchingMaxMessages", "1000000")
-          .load()
-        MessageOps.contentTypeDispatch(raw, payloadSchema)
-          .filter(col("parsed.event_type") === eventType)
-          .select(
-            col("parsed.event_id").as(idAs),
-            expr("try_cast(key AS BIGINT)").as(s"${idAs}_user"),
-            col("event_time").as(tsAs))
-          .withWatermark(tsAs, "1 hour")
-      }
-      def runPass(): Unit = {
-        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        try {
-          val clicks = side("click", "click_id", "click_ts")
-          val buys = side("purchase", "buy_id", "buy_ts")
-          val q = clicks.join(buys,
-              col("click_id_user") === col("buy_id_user") &&
-              col("click_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR") &&
-              col("click_ts") <= col("buy_ts"),
-              "left_outer")
-            .select(col("click_id"), col("buy_id"),
-              col("click_id_user").as("user_id"),
-              col("click_ts"), col("buy_ts"))
-            .writeStream
-            .option("checkpointLocation", ckpt)
-            .foreachBatch { (ds: org.apache.spark.sql.DataFrame, bid: Long) =>
-              BatchLanding.land(ds, outDir, bid)
-              ()
-            }
-            .trigger(Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      }
-      runPass()
-      // second pass on the same checkpoint: one more trigger after the
-      // watermark advance so pending outer rows flush (a third sentinel
-      // pair gives AvailableNow data to run a batch on)
-      TopicStore.publish(s,
-        Seq(("-1", """{"event_id":-3,"event_type":"click","value":0.0}"""))
-          .toDF("key", "value_str")
-          .withColumn("publish_time",
-            lit(java.sql.Timestamp.valueOf("2036-01-01 00:00:00")))
-          .withColumn("event_time",
-            lit(java.sql.Timestamp.valueOf("2036-01-01 00:00:00")))
-          .withColumn("content_type", lit("application/json")),
-        root, "events", 4)
-      runPass()
-      BatchLanding.read(s, outDir)
-        .filter(col("click_id") >= 0)
-        .orderBy(col("click_id"), col("buy_id"))
+    // ---------------------------------------------------------------
+    // w06 — stream-stream FULL OUTER interval join through the source:
+    // the w05 machinery with both unmatched sides emitting — clicks
+    // with no purchase AND purchases with no prior click in the hour.
+    // Same sentinel + two-pass flush; the landed filter is null-safe on
+    // BOTH id columns (a right-unmatched row has a null click_id).
+    // Completes the oracle-gated join matrix: inner (w04), left outer
+    // (w05), full outer (w06), stream-static anti (d07).
+    Q(
+      "w06_stream_full_outer_join",
+      """SELECT a.event_id AS click_id, b.event_id AS buy_id,
+        |  coalesce(a.user_id, b.user_id) AS user_id,
+        |  a.ts AS click_ts, b.ts AS buy_ts
+        |FROM (SELECT * FROM events
+        |      WHERE event_type = 'click' AND event_id % 5 <> 4) a
+        |FULL JOIN (SELECT * FROM events
+        |      WHERE event_type = 'purchase' AND event_id % 5 <> 4) b
+        |  ON a.user_id = b.user_id
+        |  AND a.ts BETWEEN b.ts - INTERVAL 1 HOUR AND b.ts
+        |ORDER BY click_id, buy_id""".stripMargin
+    ) { (s, dir) =>
+      StreamOuterJoinGate.run(s, dir, "graft-foj", "full_outer")
     },
 
     // ---------------------------------------------------------------
@@ -735,6 +677,109 @@ object StreamingQueries {
   * drains it as one micro-batch (watermark 0, everything enters state);
   * pass 2 publishes the late complement — all dropped below the
   * advanced watermark — and flushes the finalized windows. */
+/** Shared w05/w06 machinery — stream-stream OUTER interval join through
+  * the `pulsarlike` source with real 1-hour watermarks. Outer rows only
+  * flush when the watermark passes the last possible match time, so:
+  * per-side far-future sentinels (parseable payloads, impossible user
+  * ids) advance both sides' watermarks past the data horizon, and a
+  * second AvailableNow pass on the same checkpoint (fed one more, even
+  * later sentinel) guarantees a batch runs after the advance. The 2035
+  * sentinels fall below the 2036-advanced watermark on pass two and
+  * flush as unmatched outer rows themselves — the landed filter drops
+  * negative ids null-safely on BOTH columns (a right-unmatched full
+  * outer row carries a null click_id).
+  */
+private[queries] object StreamOuterJoinGate {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  def run(s: SparkSession, dir: String, tag: String,
+      joinType: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(tag).toString
+    val ckpt = java.nio.file.Files.createTempDirectory(tag + "-ckpt").toString
+    val outDir = root + "/joined"
+    TopicStore.publish(s,
+      MessageOps.fromEvents(Tables(s, dir, "events")), root, "events", 4)
+    // per-side watermark sentinels: parseable payloads, far-future
+    // event time, user ids no real row carries
+    val farFuture = java.sql.Timestamp.valueOf("2035-01-01 00:00:00")
+    val sentinels = Seq(
+      ("-1", """{"event_id":-1,"event_type":"click","value":0.0}"""),
+      ("-2", """{"event_id":-2,"event_type":"purchase","value":0.0}"""))
+    import s.implicits._
+    TopicStore.publish(s,
+      sentinels.toDF("key", "value_str")
+        .withColumn("publish_time", lit(farFuture))
+        .withColumn("event_time", lit(farFuture))
+        .withColumn("content_type", lit("application/json")),
+      root, "events", 4)
+
+    val payloadSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    def side(eventType: String, idAs: String, tsAs: String) = {
+      val raw = s.readStream.format("pulsarlike")
+        .option("path", root)
+        .option("serviceUrl", "pulsar://local")
+        .option("topicNames", "events")
+        .option("subscriptionInitialPosition", "Earliest")
+        .option("batchingMaxMessages", "1000000")
+        .load()
+      MessageOps.contentTypeDispatch(raw, payloadSchema)
+        .filter(col("parsed.event_type") === eventType)
+        .select(
+          col("parsed.event_id").as(idAs),
+          expr("try_cast(key AS BIGINT)").as(s"${idAs}_user"),
+          col("event_time").as(tsAs))
+        .withWatermark(tsAs, "1 hour")
+    }
+    def runPass(): Unit = {
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val clicks = side("click", "click_id", "click_ts")
+        val buys = side("purchase", "buy_id", "buy_ts")
+        val q = clicks.join(buys,
+            col("click_id_user") === col("buy_id_user") &&
+            col("click_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR") &&
+            col("click_ts") <= col("buy_ts"),
+            joinType)
+          .select(col("click_id"), col("buy_id"),
+            coalesce(col("click_id_user"), col("buy_id_user")).as("user_id"),
+            col("click_ts"), col("buy_ts"))
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (ds: org.apache.spark.sql.DataFrame, bid: Long) =>
+            BatchLanding.land(ds, outDir, bid)
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    runPass()
+    // second pass on the same checkpoint: one more trigger after the
+    // watermark advance so pending outer rows flush (a third, later
+    // sentinel gives AvailableNow data to run a batch on)
+    TopicStore.publish(s,
+      Seq(("-1", """{"event_id":-3,"event_type":"click","value":0.0}"""))
+        .toDF("key", "value_str")
+        .withColumn("publish_time",
+          lit(java.sql.Timestamp.valueOf("2036-01-01 00:00:00")))
+        .withColumn("event_time",
+          lit(java.sql.Timestamp.valueOf("2036-01-01 00:00:00")))
+        .withColumn("content_type", lit("application/json")),
+      root, "events", 4)
+    runPass()
+    BatchLanding.read(s, outDir)
+      .filter(
+        (col("click_id").isNull || col("click_id") >= 0) &&
+        (col("buy_id").isNull || col("buy_id") >= 0))
+      .orderBy(col("click_id"), col("buy_id"))
+  }
+}
+
 private[queries] object StreamingWindowGate {
   import org.apache.spark.sql.{DataFrame, SparkSession}
 
