@@ -552,6 +552,29 @@ object StreamingQueries {
     },
 
     // ---------------------------------------------------------------
+    // w07 — stream-stream LEFT SEMI interval join through the source:
+    // clicks that HAD a purchase within the following hour, each
+    // emitted exactly once (the semi-join state dedups multi-match
+    // clicks — no fan-out, unlike w04). Emission happens the moment
+    // the first match arrives, so the result set is batching-
+    // independent; the sentinel + two-pass machinery is still reused
+    // for state-eviction realism (1-hour watermarks evict, not grow).
+    Q(
+      "w07_stream_semi_join",
+      """SELECT a.event_id AS click_id, a.user_id, a.ts AS click_ts
+        |FROM events a
+        |WHERE a.event_type = 'click' AND a.event_id % 5 <> 4
+        |  AND EXISTS (
+        |    SELECT 1 FROM events b
+        |    WHERE b.event_type = 'purchase' AND b.event_id % 5 <> 4
+        |      AND b.user_id = a.user_id
+        |      AND a.ts BETWEEN b.ts - INTERVAL 1 HOUR AND b.ts)
+        |ORDER BY click_id""".stripMargin
+    ) { (s, dir) =>
+      StreamOuterJoinGate.run(s, dir, "graft-ssj", "left_semi")
+    },
+
+    // ---------------------------------------------------------------
     // ws01 — WATERMARKED tumbling-window aggregation end-to-end through
     // the source, with real late-row drops, under the oracle gate. The
     // reference is a streaming ingest loop (PulsarMessageConsumer
@@ -739,14 +762,21 @@ private[queries] object StreamOuterJoinGate {
       try {
         val clicks = side("click", "click_id", "click_ts")
         val buys = side("purchase", "buy_id", "buy_ts")
-        val q = clicks.join(buys,
+        val joined = clicks.join(buys,
             col("click_id_user") === col("buy_id_user") &&
             col("click_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR") &&
             col("click_ts") <= col("buy_ts"),
             joinType)
-          .select(col("click_id"), col("buy_id"),
-            coalesce(col("click_id_user"), col("buy_id_user")).as("user_id"),
-            col("click_ts"), col("buy_ts"))
+        // a semi join's output carries only the left side's columns
+        val projected =
+          if (joinType == "left_semi")
+            joined.select(col("click_id"),
+              col("click_id_user").as("user_id"), col("click_ts"))
+          else
+            joined.select(col("click_id"), col("buy_id"),
+              coalesce(col("click_id_user"), col("buy_id_user")).as("user_id"),
+              col("click_ts"), col("buy_ts"))
+        val q = projected
           .writeStream
           .option("checkpointLocation", ckpt)
           .foreachBatch { (ds: org.apache.spark.sql.DataFrame, bid: Long) =>
@@ -772,11 +802,14 @@ private[queries] object StreamOuterJoinGate {
         .withColumn("content_type", lit("application/json")),
       root, "events", 4)
     runPass()
-    BatchLanding.read(s, outDir)
-      .filter(
-        (col("click_id").isNull || col("click_id") >= 0) &&
-        (col("buy_id").isNull || col("buy_id") >= 0))
-      .orderBy(col("click_id"), col("buy_id"))
+    val landed = BatchLanding.read(s, outDir)
+    if (joinType == "left_semi")
+      landed.filter(col("click_id") >= 0).orderBy(col("click_id"))
+    else
+      landed.filter(
+          (col("click_id").isNull || col("click_id") >= 0) &&
+          (col("buy_id").isNull || col("buy_id") >= 0))
+        .orderBy(col("click_id"), col("buy_id"))
   }
 }
 
