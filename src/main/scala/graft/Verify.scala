@@ -21,6 +21,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // stream-loop queries run on one-shot checkpoints: unload their
+      // cached state-store providers so they don't tax later queries
+      // (same hygiene as Bench)
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case _: Throwable => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
