@@ -575,6 +575,31 @@ object StreamingQueries {
     },
 
     // ---------------------------------------------------------------
+    // w08 — CHAINED stateful operators: the w04 interval join feeding a
+    // 1-day tumbling window aggregation inside ONE streaming query
+    // (daily attribution counts). Two stateful operators back to back —
+    // join state plus aggregation state — with the watermark propagated
+    // through the join (minus its 1-hour interval delay) to finalize
+    // the windows; the sentinel + two-pass flush machinery drives that
+    // watermark past the data horizon deterministically. Inner-join
+    // sentinels never match, so no sentinel row ever reaches the agg.
+    Q(
+      "w08_stream_join_window",
+      """SELECT make_timestamp((epoch_ms(a.ts) // 86400000) * 86400000 * 1000) AS window_start,
+        |  count(*) AS n,
+        |  CAST(sum(a.user_id) AS BIGINT) AS user_sum
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        |  AND a.ts BETWEEN b.ts - INTERVAL 1 HOUR AND b.ts
+        |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        |  AND a.event_id % 5 <> 4 AND b.event_id % 5 <> 4
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      StreamOuterJoinGate.run(s, dir, "graft-sjw", "inner", windowAgg = true)
+    },
+
+    // ---------------------------------------------------------------
     // ws01 — WATERMARKED tumbling-window aggregation end-to-end through
     // the source, with real late-row drops, under the oracle gate. The
     // reference is a streaming ingest loop (PulsarMessageConsumer
@@ -690,17 +715,111 @@ object StreamingQueries {
         Seq("user_id", "session_start"))
         .filter(col("user_id").isNotNull)
         .orderBy(col("user_id"), col("session_start"))
+    },
+
+    // ---------------------------------------------------------------
+    // ws04 — UPDATE-mode windowed aggregation through the source: the
+    // ws01 aggregation emitting per-batch REFINEMENTS instead of
+    // finalized rows, reconstructed downstream the way an upsert sink
+    // consumes update mode (latest batch wins per key). Choreography on
+    // one checkpoint, one micro-batch per pass, the on-time rows split
+    // at 2024-01-16 00:30 (mid-range and NOT hour-aligned, so the
+    // straddled window emits twice — partial then refined — and a later
+    // pass never falls below the watermark an earlier pass advanced):
+    //  pass 1: on-time rows before the split — touched windows emit
+    //          their partial values (watermark 0, nothing drops);
+    //  pass 2: on-time rows from the split on — the straddled window
+    //          emits AGAIN with its refined total (the update-mode
+    //          contract under test);
+    //  pass 3: the far-future sentinel — watermark past the horizon;
+    //  pass 4: the late complement (event_id % 3 = 0) — every row below
+    //          the watermark, dropped, nothing emits.
+    // Final value per window = row from its max batch_id; must equal
+    // ws01's append-mode oracle (same aggregation, same drop set). The
+    // sentinel's own 2035 window DOES emit in update mode (unlike
+    // append) — filtered on the landed output, where no watermark
+    // exists to be starved by filter pushdown.
+    Q(
+      "ws04_update_mode_window",
+      """SELECT make_timestamp((epoch_ms(ts) // 3600000) * 3600000 * 1000) AS window_start,
+        |  count(*) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS user_sum
+        |FROM events
+        |WHERE event_id % 3 <> 0
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-wmu").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-wmu-ckpt").toString
+      val outDir = root + "/windows"
+      val events = Tables(s, dir, "events")
+      val onTime = events.filter(pmod(col("event_id"), lit(3)) =!= 0)
+      val mid = to_timestamp(lit("2024-01-16 00:30:00"))
+      val sentinel = events.limit(1).select(
+        lit("wm-sentinel").as("key"),
+        lit("flush").as("value_str"),
+        lit(java.sql.Timestamp.valueOf("2035-01-01 00:00:00")).as("publish_time"),
+        lit(java.sql.Timestamp.valueOf("2035-01-01 00:00:00")).as("event_time"))
+      def runPass(): Unit = {
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val src = s.readStream.format("pulsarlike")
+            .option("path", root)
+            .option("serviceUrl", "pulsar://local")
+            .option("topicNames", "events")
+            .option("subscriptionInitialPosition", "Earliest")
+            .option("batchingMaxMessages", "1000000")
+            .load()
+            .withWatermark("event_time", "1 hour")
+          val q = src
+            .groupBy(window(col("event_time"), "1 hour"))
+            .agg(count(lit(1)).as("n"),
+              sum(expr("try_cast(key AS BIGINT)")).as("user_sum"))
+            .select(col("window.start").as("window_start"),
+              col("n"), col("user_sum"))
+            .writeStream
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+              BatchLanding.land(df, outDir, bid)
+              ()
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+      TopicStore.publish(s,
+        MessageOps.fromEvents(onTime.filter(col("ts") < mid)),
+        root, "events", 4)
+      runPass()
+      TopicStore.publish(s,
+        MessageOps.fromEvents(onTime.filter(col("ts") >= mid)),
+        root, "events", 4)
+      runPass()
+      TopicStore.publish(s, sentinel, root, "events", 4)
+      runPass()
+      TopicStore.publish(s,
+        MessageOps.fromEvents(events.filter(pmod(col("event_id"), lit(3)) === 0)),
+        root, "events", 4)
+      runPass()
+      val latest = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("window_start")).orderBy(col("batch_id").desc)
+      BatchLanding.readRaw(s, outDir)
+        .withColumn("rn", row_number().over(latest))
+        .filter(col("rn") === 1)
+        .drop("rn", "batch_id")
+        .filter(col("window_start") <
+          lit(java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
+        .orderBy(col("window_start"))
     }
   )
 }
 
-/** Shared two-pass watermark gate harness for ws01-ws03 (see ws01's
-  * comment for the determinism argument): pass 1 publishes the on-time
-  * rows (event_id % 3 <> 0) plus a far-future watermark sentinel and
-  * drains it as one micro-batch (watermark 0, everything enters state);
-  * pass 2 publishes the late complement — all dropped below the
-  * advanced watermark — and flushes the finalized windows. */
-/** Shared w05/w06 machinery — stream-stream OUTER interval join through
+/** Shared w05-w08 machinery — stream-stream interval join through
   * the `pulsarlike` source with real 1-hour watermarks. Outer rows only
   * flush when the watermark passes the last possible match time, so:
   * per-side far-future sentinels (parseable payloads, impossible user
@@ -715,8 +834,13 @@ object StreamingQueries {
 private[queries] object StreamOuterJoinGate {
   import org.apache.spark.sql.{DataFrame, SparkSession}
 
+  /** With `windowAgg` set (w08): the inner join feeds a 1-day tumbling
+    * window aggregation INSIDE the same streaming query — Spark's
+    * chained-stateful-operator path (join state + agg state, watermark
+    * propagated through the join with its interval delay). Sentinels
+    * never match, so the agg only ever sees real rows. */
   def run(s: SparkSession, dir: String, tag: String,
-      joinType: String): DataFrame = {
+      joinType: String, windowAgg: Boolean = false): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory(tag).toString
     val ckpt = java.nio.file.Files.createTempDirectory(tag + "-ckpt").toString
     val outDir = root + "/joined"
@@ -776,7 +900,16 @@ private[queries] object StreamOuterJoinGate {
             joined.select(col("click_id"), col("buy_id"),
               coalesce(col("click_id_user"), col("buy_id_user")).as("user_id"),
               col("click_ts"), col("buy_ts"))
-        val q = projected
+        val out =
+          if (windowAgg)
+            projected
+              .groupBy(window(col("click_ts"), "1 day"))
+              .agg(count(lit(1)).as("n"),
+                sum(col("user_id")).as("user_sum"))
+              .select(col("window.start").as("window_start"),
+                col("n"), col("user_sum"))
+          else projected
+        val q = out
           .writeStream
           .option("checkpointLocation", ckpt)
           .foreachBatch { (ds: org.apache.spark.sql.DataFrame, bid: Long) =>
@@ -803,7 +936,9 @@ private[queries] object StreamOuterJoinGate {
       root, "events", 4)
     runPass()
     val landed = BatchLanding.read(s, outDir)
-    if (joinType == "left_semi")
+    if (windowAgg)
+      landed.orderBy(col("window_start"))
+    else if (joinType == "left_semi")
       landed.filter(col("click_id") >= 0).orderBy(col("click_id"))
     else
       landed.filter(
@@ -813,6 +948,12 @@ private[queries] object StreamOuterJoinGate {
   }
 }
 
+/** Shared two-pass watermark gate harness for ws01-ws03 (see ws01's
+  * comment for the determinism argument): pass 1 publishes the on-time
+  * rows (event_id % 3 <> 0) plus a far-future watermark sentinel and
+  * drains it as one micro-batch (watermark 0, everything enters state);
+  * pass 2 publishes the late complement — all dropped below the
+  * advanced watermark — and flushes the finalized windows. */
 private[queries] object StreamingWindowGate {
   import org.apache.spark.sql.{DataFrame, SparkSession}
 

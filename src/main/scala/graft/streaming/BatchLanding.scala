@@ -23,4 +23,9 @@ object BatchLanding {
     * `batch_id` partition column. */
   def read(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(outDir).drop("batch_id")
+
+  /** Read everything landed under `outDir` KEEPING `batch_id` — an
+    * update-mode landing needs latest-batch-wins reconstruction. */
+  def readRaw(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir)
 }

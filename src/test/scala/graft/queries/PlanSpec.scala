@@ -21,8 +21,8 @@ class PlanSpec extends SparkSpec {
     name.startsWith("m07") || name.startsWith("m10") ||
     name.startsWith("m11") || name.startsWith("w04") ||
     name.startsWith("w05") || name.startsWith("w06") ||
-    name.startsWith("w07") || name.startsWith("ws") ||
-    name.startsWith("d07")
+    name.startsWith("w07") || name.startsWith("w08") ||
+    name.startsWith("ws") || name.startsWith("d07")
 
   private def planOf(name: String): String = {
     val df = QueryRegistry.byName(name).run(spark, dir)
