@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * scale them quadratically and measure a different workload). Soak
   * input only — oracle queries always run on driver-generated data.
   *
-  * Usage: Test/runMain graft.ScaleSoak [genDir]
-  * Runs the 6 most expensive queries at sf0.1 and at the 10× derivative,
-  * reports wall times, the 10×/1× ratio per query (flat per-row cost ⇒
-  * ratio ≈ 10 of the data-bound part), and peak driver heap.
+  * Usage: Test/runMain graft.ScaleSoak [genDir [queryName...]]
+  * Runs the given queries (default: the 6 most expensive) at sf0.1 and
+  * at the 10× derivative, reports wall times, the 10×/1× ratio per
+  * query (flat per-row cost ⇒ ratio ≈ 10 of the data-bound part), and
+  * peak driver heap.
   */
 object ScaleSoak {
   def main(args: Array[String]): Unit = {
@@ -55,13 +56,20 @@ object ScaleSoak {
       println(s"[soak] generated $soakDir")
     }
 
-    val names = Seq("t01_langid_ngram", "w04_stream_interval_join",
-      "p06_connected_components", "ps01_stream_ingest", "p04_dup_clusters",
-      "s03_ann_ml_lsh")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("t01_langid_ngram", "w04_stream_interval_join",
+        "p06_connected_components", "ps01_stream_ingest", "p04_dup_clusters",
+        "s03_ann_ml_lsh")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       QueryRegistry.byName(name).run(spark, dir).count()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop dead state-store providers between runs (same hygiene as
+      // Bench) so a stream loop's cached state doesn't tax later runs
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case _: Throwable => () }
+      dt
     }
     import scala.jdk.CollectionConverters._
     def peakHeapMb: Long = java.lang.management.ManagementFactory
