@@ -213,6 +213,83 @@ object MiscQueries {
     },
 
     // ---------------------------------------------------------------
+    // q29 — unpivot/melt (the inverse of q23's pivot): wide per-flag
+    // aggregate metrics melted to (key, metric, value) long form — the
+    // normalization step a metrics/feature pipeline runs before a
+    // generic downstream consumer. Spark's dedicated `unpivot` operator
+    // (plans an Expand — one pass, no join, no shuffle beyond the
+    // aggregation's own); the oracle is the equivalent UNION ALL.
+    // Values go through exact DECIMAL sums then one cast to DOUBLE
+    // (the repo-wide determinism rule), so the melted doubles are
+    // bit-identical in both engines.
+    Q(
+      "q29_unpivot",
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM m
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM m
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_disc' AS metric, sum_disc AS value FROM m
+        |ORDER BY l_returnflag, metric""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast("double").as("sum_price"),
+          sum(col("l_discount").cast(DecimalType(18, 2)))
+            .cast("double").as("sum_disc"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "metric", "value")
+        .orderBy(col("l_returnflag"), col("metric"))
+    },
+
+    // ---------------------------------------------------------------
+    // q30 — correlated LATERAL join with LIMIT (top-2 customers by
+    // balance per nation). Catalyst decorrelates the per-row subquery
+    // into a window rank-filter over ONE equi-join — no per-nation
+    // re-scan of customer — and the GroupTopK rewrite rule
+    // (plans/RewriteRankFilterToGroupTopK) then caps the shuffle at
+    // k rows per group per input partition when the extensions are
+    // active. The oracle states the identical semantics as an explicit
+    // window, so it also documents what the decorrelation must produce.
+    // No arithmetic on c_acctbal — both engines compare the same
+    // parquet doubles, ties broken by c_custkey.
+    Q(
+      "q30_lateral_topk",
+      """SELECT n_name, c_custkey, c_acctbal FROM (
+        |  SELECT n.n_name, c.c_custkey, c.c_acctbal,
+        |    row_number() OVER (PARTITION BY n.n_nationkey
+        |      ORDER BY c.c_acctbal DESC, c.c_custkey) AS rn
+        |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey) t
+        |WHERE rn <= 2
+        |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "nation").createOrReplaceTempView("nation_q30")
+      Tables(s, dir, "customer").createOrReplaceTempView("customer_q30")
+      s.sql("""
+        SELECT n.n_name, c.c_custkey, c.c_acctbal
+        FROM nation_q30 n
+        JOIN LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer_q30
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2
+        ) c
+        ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey""")
+    },
+
+    // ---------------------------------------------------------------
     // q28 — RANGE-frame interval window (the time-valued frame variant;
     // q08 covers ROWS frames): per user, how many of their events fall
     // in the hour up to and including each event. RANGE frames include
