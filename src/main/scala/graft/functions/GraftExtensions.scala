@@ -26,6 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "sum_squares_double(a) takes one argument")
         SumSquaresDouble(args.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfc_normalize(s) takes one argument")
+        NfcNormalize(args.head)
+      }))
     // the GroupTopK operator: planner strategy + the window-rank-filter
     // rewrite rule (graft.plans)
     ext.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)

@@ -25,6 +25,15 @@ object TextOps {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = DedupOps.words(text)
 
+  /** Unicode NFC canonical composition — native codegen'd expression
+    * (graft.functions.NfcNormalize); run before hashing/dedup so
+    * composed and decomposed forms of the same text fingerprint
+    * identically. */
+  def nfc(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    column(graft.functions.NfcNormalize(expression(text)))
+  }
+
   /** Quality features + composite score. The score is a fixed linear
     * blend of deterministic ratios (stopword ratio, unique-token ratio,
     * mean token length, alpha ratio), rounded to 6 decimals. */

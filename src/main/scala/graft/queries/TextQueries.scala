@@ -269,6 +269,38 @@ object TextQueries {
           col("tfidf").desc, col("term").asc)
         .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
         .orderBy(col("doc_id"), col("rank"))
+    },
+
+    // ---------------------------------------------------------------
+    // t08 — Unicode NFC normalization before fingerprinting: the same
+    // logical text arriving composed ("é") or decomposed ("e"+U+0301)
+    // must hash identically, or dedup (d01) silently misses cross-source
+    // duplicates. The fixture decorates each document with a decomposed
+    // prefix (e + combining acute) and a decomposed suffix (A + combining
+    // ring); both engines canonically compose them (JDK Normalizer ≡
+    // DuckDB nfc_normalize), so the hashes and the 2-codepoint length
+    // contraction must agree. Native codegen'd expression
+    // (functions/NfcNormalize) — single stateless projection pass, the
+    // 100 TB shape; ASCII bodies take the isNormalized fast path and
+    // allocate nothing.
+    Q(
+      "t08_nfc_normalize",
+      """SELECT doc_id,
+        |  md5(nfc_normalize('e' || chr(769) || text || 'A' || chr(778))) AS nfc_hash,
+        |  CAST(length('e' || chr(769) || text || 'A' || chr(778))
+        |    - length(nfc_normalize('e' || chr(769) || text || 'A' || chr(778)))
+        |    AS BIGINT) AS composed_away
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      // decomposed on purpose: e + U+0301 (combining acute), A + U+030A
+      // (combining ring) — NFC composes both to single code points
+      val decorated = concat(lit("é"), col("text"), lit("Å"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(TextOps.nfc(decorated)).as("nfc_hash"),
+          (length(decorated) - length(TextOps.nfc(decorated)))
+            .cast("bigint").as("composed_away"))
+        .orderBy(col("doc_id"))
     }
   )
 }
