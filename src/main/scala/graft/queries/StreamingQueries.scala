@@ -815,6 +815,71 @@ object StreamingQueries {
         .filter(col("window_start") <
           lit(java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
         .orderBy(col("window_start"))
+    },
+
+    // ---------------------------------------------------------------
+    // ws05 — COMPLETE-mode aggregation through the source: the third
+    // output mode (ws01 append, ws04 update). Per-user running totals
+    // re-emitted in full every micro-batch — the dashboard/top-line
+    // shape, valid only for aggregations, no watermark (state is the
+    // whole result by contract; at 100 TB complete mode is for
+    // BOUNDED-cardinality keys like these user ids, never raw rows).
+    // Two AvailableNow passes on one checkpoint (events split on
+    // event_id parity) prove cross-batch state carry-over: the final
+    // batch's snapshot — rows at max batch_id, the 1-row broadcast
+    // scalar pattern — must equal the batch aggregation over ALL
+    // events, which is the oracle.
+    Q(
+      "ws05_complete_mode",
+      """SELECT user_id, count(*) AS n, max(ts) AS last_ts
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-complete").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-complete-ckpt").toString
+      val outDir = root + "/totals"
+      val events = Tables(s, dir, "events")
+      def runPass(): Unit = {
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = s.readStream.format("pulsarlike")
+            .option("path", root)
+            .option("serviceUrl", "pulsar://local")
+            .option("topicNames", "events")
+            .option("subscriptionInitialPosition", "Earliest")
+            .option("batchingMaxMessages", "1000000")
+            .load()
+            .groupBy(expr("try_cast(key AS BIGINT)").as("user_id"))
+            .agg(count(lit(1)).as("n"), max(col("event_time")).as("last_ts"))
+            .writeStream
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+              BatchLanding.land(df, outDir, bid)
+              ()
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+      TopicStore.publish(s,
+        MessageOps.fromEvents(events.filter(pmod(col("event_id"), lit(2)) === 0)),
+        root, "events", 4)
+      runPass()
+      TopicStore.publish(s,
+        MessageOps.fromEvents(events.filter(pmod(col("event_id"), lit(2)) === 1)),
+        root, "events", 4)
+      runPass()
+      val landed = BatchLanding.readRaw(s, outDir)
+      val latest = landed.agg(max(col("batch_id")).as("max_bid"))
+      landed.crossJoin(broadcast(latest))
+        .filter(col("batch_id") === col("max_bid"))
+        .drop("batch_id", "max_bid")
+        .orderBy(col("user_id"))
     }
   )
 }
