@@ -339,6 +339,98 @@ object PipelineQueries {
           < col("keep_thr"))
         .select(col("lang"), col("doc_id"), col("n_tokens"))
         .orderBy(col("lang"), col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // p08 — quality-filter cascade with rejection accounting (the
+    // C4/Gopher-style rule chain every corpus-cleaning run reports on):
+    // each document gets the FIRST failing rule as its verdict —
+    // too_short (<100 chars), too_long (>20k), mean word length outside
+    // [2.5, 12], repetitive (unique-token ratio <0.3), else pass — and
+    // the report aggregates docs/chars per (source, verdict). Shape at
+    // 100 TB: one stateless projection (the cascade is a single codegen'd
+    // CASE chain; tokenization happens once) into a partial-agg groupBy
+    // over a few dozen groups — no join, no second pass, no skew.
+    Q(
+      "p08_quality_cascade",
+      """WITH f AS (
+        |  SELECT doc_id, source, n_chars,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |v AS (
+        |  SELECT source, n_chars,
+        |    CASE
+        |      WHEN n_chars < 100 THEN 'r1_too_short'
+        |      WHEN n_chars > 20000 THEN 'r2_too_long'
+        |      WHEN (CAST(n_chars AS DOUBLE) - (len(ts) - 1)) / len(ts) < 2.5
+        |        OR (CAST(n_chars AS DOUBLE) - (len(ts) - 1)) / len(ts) > 12.0
+        |        THEN 'r3_word_len'
+        |      WHEN CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) < 0.3
+        |        THEN 'r4_repetitive'
+        |      ELSE 'pass'
+        |    END AS verdict
+        |  FROM f)
+        |SELECT source, verdict, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM v GROUP BY source, verdict
+        |ORDER BY source, verdict""".stripMargin
+    ) { (s, dir) =>
+      val ts = DedupOps.words(col("text"))
+      val nTok = size(ts).cast("double")
+      // mean token length from char/token counts alone (t02's formula):
+      // no per-token pass, single whitespace tokenization
+      val meanLen = (col("n_chars").cast("double") - (size(ts) - 1)) / nTok
+      val uniqRatio = size(array_distinct(ts)).cast("double") / nTok
+      Tables(s, dir, "documents")
+        .select(col("source"), col("n_chars"),
+          when(col("n_chars") < 100, "r1_too_short")
+            .when(col("n_chars") > 20000, "r2_too_long")
+            .when(meanLen < 2.5 || meanLen > 12.0, "r3_word_len")
+            .when(uniqRatio < 0.3, "r4_repetitive")
+            .otherwise("pass").as("verdict"))
+        .groupBy(col("source"), col("verdict"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("source"), col("verdict"))
+    },
+
+    // ---------------------------------------------------------------
+    // p09 — deterministic epoch shuffle/sharding: every training epoch
+    // re-deals the corpus into shards by a salted content-free hash —
+    // md5(doc_id:epoch) — so data order decorrelates across epochs while
+    // staying exactly reproducible. Shard = first hex nibble (16
+    // shards); the report proves assignment determinism (min/max hash
+    // per shard) and balance (docs/chars per shard) for two epochs.
+    // Shape at 100 TB: one stateless projection per epoch (the epochs
+    // explode is 2× metadata, never 2× text) into a 32-group partial
+    // agg; the shard id IS the shuffle key a writer would
+    // partitionBy — no global sort, no skew (md5 is uniform).
+    Q(
+      "p09_epoch_shard",
+      """WITH e AS (SELECT unnest([1, 2]) AS epoch),
+        |h AS (
+        |  SELECT epoch,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)) AS hk,
+        |    n_chars
+        |  FROM documents CROSS JOIN e)
+        |SELECT epoch, substr(hk, 1, 1) AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(hk) AS first_hash, max(hk) AS last_hash
+        |FROM h GROUP BY epoch, shard
+        |ORDER BY epoch, shard""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          explode(typedLit(Seq(1, 2))).as("epoch"))
+        .select(col("epoch"), col("n_chars"),
+          md5(concat(col("doc_id").cast("string"), lit(":"),
+            col("epoch").cast("string"))).as("hk"))
+        .groupBy(col("epoch"), substring(col("hk"), 1, 1).as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("hk")).as("first_hash"), max(col("hk")).as("last_hash"))
+        .orderBy(col("epoch"), col("shard"))
     }
   )
 }
