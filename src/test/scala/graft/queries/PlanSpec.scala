@@ -89,6 +89,44 @@ class PlanSpec extends SparkSpec {
     assert(d06.contains("GroupTopKPartial"), d06)
   }
 
+  test("q30: lateral top-k decorrelates to ONE join with group-limit pruning") {
+    // the correlated LATERAL subquery must become a single equi-join
+    // feeding a rank filter — never a per-outer-row rescan of customer
+    val p = planOf("q30_lateral_topk")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    // map-side group-limit (built-in WindowGroupLimit or our GroupTopK)
+    // bounds the shuffle to k rows per group per partition
+    assert(p.contains("WindowGroupLimit") || p.contains("GroupTopKPartial"), p)
+    assert(planOf("q30_lateral_topk").split("Scan parquet").length - 1 <= 2,
+      s"lateral join re-scans a table:\n$p")
+  }
+
+  test("p08/p09: cleaning report and epoch shard are single-agg, join-free plans") {
+    // both are the 100 TB projection→partial-agg shape: exactly one
+    // shuffle (the final agg's), no join anywhere
+    Seq("p08_quality_cascade", "p09_epoch_shard").foreach { name =>
+      val p = planOf(name)
+      assert(!p.contains("Join"), s"$name plans a join:\n$p")
+      val exchanges = p.split("Exchange").length - 1
+      assert(exchanges <= 2, s"$name shuffles more than the final agg:\n$p")
+      assert(p.contains("partial"), s"$name missing map-side partial agg:\n$p")
+    }
+  }
+
+  test("t08: NFC fingerprint is a stateless whole-stage-codegen projection") {
+    val df = QueryRegistry.byName("t08_nfc_normalize").run(spark, dir)
+    // AQE only materializes codegen stages in the final plan — execute
+    // this df's own QueryExecution (tiny sf0.001; a write would spawn a
+    // fresh unexecuted QueryExecution) before asserting the span exists
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Aggregate"), p)
+    // `*(n)` is simpleString's WholeStageCodegen marker — the nfc
+    // projection must sit inside a codegen stage, not interpreted
+    assert("""\*\(\d+\) Project""".r.findFirstIn(p).isDefined,
+      s"nfc projection fell out of whole-stage codegen:\n$p")
+  }
+
   test("p07: the per-language threshold table broadcasts; the corpus never shuffles") {
     val p = planOf("p07_token_rebalance")
     assert(p.contains("BroadcastHashJoin"), p)
