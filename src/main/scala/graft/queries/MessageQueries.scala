@@ -220,6 +220,47 @@ object MessageQueries {
         .load()
         .select(col("topic"), col("message_id"), col("key"))
         .orderBy(col("message_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // m12 — producer half under the oracle gate: the DSv2 WRITE path
+    // (`df.write.format("pulsarlike")` — PulsarLikeSink's task-buffered,
+    // commit-time append) publishes the message fixture, and the DSv2
+    // batch READ consumes it back. Every message must survive the relay
+    // exactly once with identity, key, timestamps, redelivery count and
+    // content type intact — a routing bug (writer key-hash vs consumer
+    // expectation), a dropped task buffer, or a double append all
+    // hash-mismatch against the events-derived oracle. (Payload bytes
+    // round-trip is spec-gated in PulsarLikeSinkSpec; the m02 dispatch
+    // gate covers payload decode through the shared store.)
+    Q(
+      "m12_sink_relay",
+      """SELECT '0:' || CAST(event_id AS VARCHAR) || ':0:0' AS message_id,
+        |  CAST(user_id AS VARCHAR) AS key,
+        |  ts AS publish_time, ts AS event_time,
+        |  CAST(event_id % 8 AS INTEGER) AS redelivery_count
+        |FROM events
+        |ORDER BY message_id""".stripMargin
+    ) { (s, dir) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-relay").toString
+      MessageOps.fromEvents(Tables(s, dir, "events"))
+        .write.format("pulsarlike")
+        .mode("append") // publish appends to the topic (the only sane producer mode)
+        .option("path", root)
+        .option("serviceUrl", "pulsar://local")
+        .option("topicNames", "relayed")
+        .option("batchingMaxMessages", "1000000")
+        .save()
+      s.read.format("pulsarlike")
+        .option("path", root)
+        .option("serviceUrl", "pulsar://local")
+        .option("topicNames", "relayed")
+        .option("batchingMaxMessages", "1000000")
+        .load()
+        .select(col("message_id"), col("key"), col("publish_time"),
+          col("event_time"), col("redelivery_count"))
+        .orderBy(col("message_id"))
     }
   )
 }
