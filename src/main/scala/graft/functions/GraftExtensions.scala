@@ -27,6 +27,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SumSquaresDouble(args.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("sq8_encode"),
+      new ExpressionInfo(classOf[Sq8Encode].getName, "sq8_encode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "sq8_encode(v, mins, steps) takes three arguments")
+        Sq8Encode(args(0), args(1), args(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sq8_dequant"),
+      new ExpressionInfo(classOf[Sq8Dequant].getName, "sq8_dequant"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "sq8_dequant(codes, mins, steps) takes three arguments")
+        Sq8Dequant(args(0), args(1), args(2))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (args: Seq[Expression]) => {

@@ -36,6 +36,15 @@ object VectorOps {
   def norm(a: Column): Column =
     sqrt(ofExpr(graft.functions.SumSquaresDouble(ofCol(a))))
 
+  /** int8 scalar quantization (8× smaller than the double corpus): codes
+    * as a binary column, decoded inside the scan. Native codegen'd
+    * expressions (graft.functions.Sq8Encode/Sq8Dequant). */
+  def sq8Encode(v: Column, mins: Column, steps: Column): Column =
+    ofExpr(graft.functions.Sq8Encode(ofCol(v), ofCol(mins), ofCol(steps)))
+
+  def sq8Dequant(codes: Column, mins: Column, steps: Column): Column =
+    ofExpr(graft.functions.Sq8Dequant(ofCol(codes), ofCol(mins), ofCol(steps)))
+
   /** Cosine similarity, rounded to 6 decimals — the rounding is part of
     * the contract (both engines round the same double, so threshold
     * comparisons on the rounded value agree bit-for-bit). */

@@ -222,6 +222,105 @@ object SimilarityQueries {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           round(coalesce(col("n_hits"), lit(0L)) / 3.0, 6).as("recall"))
         .orderBy(col("q_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // s06 — int8 scalar-quantized ANN with exact re-rank: the
+    // compression scale path (s02/s04 prune candidates; s06 shrinks the
+    // corpus itself). Per-dim (min, step=(max-min)/256) params from one
+    // aggregation; the corpus is encoded ONCE into 64-byte codes (8×
+    // smaller than the double vectors — at 100 TB the scan reads codes,
+    // not floats); the approx pass decodes inside the scan (native
+    // Sq8Dequant under the DotProductDouble fold, one codegen span) and
+    // ranks by asymmetric cosine (exact query vs dequantized corpus);
+    // the top-10 candidates per query are re-ranked by EXACT cosine,
+    // fetching float vectors for ≤10·q rows only. Encode/dequant
+    // arithmetic is plain IEEE in index order, so DuckDB reproduces the
+    // identical doubles and the oracle is exact — not a recall bound.
+    Q(
+      "s06_ann_sq8",
+      s"""WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |stats AS (
+        |  SELECT i AS d, min(v[i]) AS mn, max(v[i]) AS mx
+        |  FROM base CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+        |  GROUP BY i),
+        |params AS (
+        |  SELECT list(mn ORDER BY d) AS mins,
+        |    list((mx - mn) / 256.0 ORDER BY d) AS steps
+        |  FROM stats),
+        |deq AS (
+        |  SELECT vec_id, v,
+        |    list_transform(generate_series(1, 64), d ->
+        |      CASE WHEN steps[d] = 0 THEN mins[d]
+        |           ELSE mins[d] + (least(greatest(floor((v[d] - mins[d]) / steps[d]), 0), 255) + 0.5) * steps[d]
+        |      END) AS vq
+        |  FROM base CROSS JOIN params),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM base
+        |      WHERE vec_id >= 200 AND vec_id < 220),
+        |approx AS (
+        |  SELECT q_id, qv, c.vec_id AS neighbor_id, c.v AS cv,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY ${cosineSql("qv", "c.vq", 64)} DESC, c.vec_id ASC) AS arn
+        |  FROM q CROSS JOIN deq c WHERE c.vec_id <> q_id),
+        |scored AS (
+        |  SELECT q_id, neighbor_id, ${cosineSql("qv", "cv", 64)} AS cos
+        |  FROM approx WHERE arn <= 10),
+        |ranked AS (
+        |  SELECT q_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT q_id, neighbor_id, cos, rank FROM ranked
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+    ) { (s, dir) =>
+      val base = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      // per-dim quantization params: one posexplode aggregation,
+      // reassembled in dimension order as single-row arrays (posexplode
+      // is 0-based; the struct sort key is the dim) — no driver hop
+      val stats = base.select(posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("d"))
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val params = stats
+        .agg(array_sort(collect_list(struct(col("d"), col("mn"), col("mx"))))
+          .as("sorted"))
+        .select(
+          transform(col("sorted"), e => e.getField("mn")).as("mins"),
+          transform(col("sorted"),
+            e => (e.getField("mx") - e.getField("mn")) / 256.0).as("steps"))
+      // the compressed corpus: 64-byte codes + the norm of the
+      // dequantized vector (folded once per row, not per pair)
+      val coded = base.crossJoin(broadcast(params))
+        .withColumn("codes",
+          VectorOps.sq8Encode(col("v"), col("mins"), col("steps")))
+        .select(col("vec_id"), col("codes"), col("mins"), col("steps"),
+          VectorOps.norm(
+            VectorOps.sq8Dequant(col("codes"), col("mins"), col("steps")))
+            .as("nvq"))
+      val q = base.filter(col("vec_id") >= 200 && col("vec_id") < 220)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          VectorOps.norm(col("v")).as("nq"))
+      // approx pass: decode-in-the-scan asymmetric cosine over codes
+      val approx = coded.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("qv"), col("nq"),
+          col("vec_id").as("neighbor_id"),
+          round(VectorOps.dot(col("qv"),
+              VectorOps.sq8Dequant(col("codes"), col("mins"), col("steps")))
+            / (col("nq") * col("nvq")), 6).as("acos"))
+      val cands = graft.plans.GroupTopK.topK(approx, Seq(col("q_id")), 10,
+        col("acos").desc, col("neighbor_id").asc)
+      // exact re-rank: float vectors fetched for candidates only
+      val scored = base.select(col("vec_id"), col("v"),
+          VectorOps.norm(col("v")).as("nv"))
+        .join(broadcast(cands), col("vec_id") === col("neighbor_id"))
+        .select(col("q_id"), col("neighbor_id"),
+          VectorOps.cosineWithNorms(col("qv"), col("v"),
+            col("nq"), col("nv")).as("cos"))
+      graft.plans.GroupTopK.topKRanked(scored, Seq(col("q_id")), 3, "rank",
+          col("cos").desc, col("neighbor_id").asc)
+        .orderBy(col("q_id"), col("rank"))
     }
   )
 
