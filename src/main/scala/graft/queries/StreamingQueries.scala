@@ -880,6 +880,61 @@ object StreamingQueries {
         .filter(col("batch_id") === col("max_bid"))
         .drop("batch_id", "max_bid")
         .orderBy(col("user_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // w09 — stream-static ENRICHMENT join (the most common production
+    // streaming pattern; d07 gates the anti-join form): every consumed
+    // message inner-joins the customer dimension on its key, broadcast
+    // to the stream side — stateless per micro-batch, no watermark, no
+    // state store; at 100 TB the dim broadcast is the entire cost and
+    // the stream never shuffles. Every event must come out exactly once
+    // with its segment attached (user ids are all resident in the dim,
+    // so the inner join drops nothing — the oracle counts it if the
+    // join or the delivery loses/duplicates rows).
+    Q(
+      "w09_stream_enrich",
+      """SELECT '0:' || CAST(e.event_id AS VARCHAR) || ':0:0' AS message_id,
+        |  CAST(e.user_id AS VARCHAR) AS key,
+        |  c.c_mktsegment AS segment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY message_id""".stripMargin
+    ) { (s, dir) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-enrich").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-enrich-ckpt").toString
+      val outDir = root + "/enriched"
+      TopicStore.publish(s,
+        MessageOps.fromEvents(Tables(s, dir, "events")), root, "events", 4)
+      val dim = Tables(s, dir, "customer")
+        .select(col("c_custkey").cast("string").as("key"),
+          col("c_mktsegment"))
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = s.readStream.format("pulsarlike")
+          .option("path", root)
+          .option("serviceUrl", "pulsar://local")
+          .option("topicNames", "events")
+          .option("subscriptionInitialPosition", "Earliest")
+          .option("batchingMaxMessages", "1000000")
+          .load()
+          .join(broadcast(dim), Seq("key"))
+          .select(col("message_id"), col("key"),
+            col("c_mktsegment").as("segment"))
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+            BatchLanding.land(df, outDir, bid)
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      BatchLanding.read(s, outDir).orderBy(col("message_id"))
     }
   )
 }
