@@ -366,4 +366,79 @@ class PropertySpec extends SparkSpec {
       }
     }, minSuccessful = 10)
   }
+
+  // -------------------------------------------------------------------
+  // Native expression invariants (pure eval — no Spark jobs, so the
+  // case counts are cheap). These are the contracts the s06/t08 oracles
+  // rely on.
+
+  test("sq8: codes bounded, error <= step/2 in range, re-encode is identity (500 cases)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.{Sq8Dequant, Sq8Encode}
+    val dimGen = for {
+      mn <- Gen.choose(-100.0, 100.0)
+      width <- Gen.choose(0.0, 50.0) // 0 → constant dimension (step 0)
+      frac <- Gen.choose(0.0, 1.0)
+    } yield (mn, width / 256.0, mn + frac * width) // (min, step, x in range)
+    val vecGen = Gen.choose(1, 16).flatMap(n => Gen.listOfN(n, dimGen))
+    check(Prop.forAllNoShrink(vecGen) { dims =>
+      val mins = new GenericArrayData(dims.map(_._1).toArray)
+      val steps = new GenericArrayData(dims.map(_._2).toArray)
+      val v = new GenericArrayData(dims.map(_._3).toArray)
+      def enc(x: Any): Array[Byte] = {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.{ArrayType, DoubleType}
+        Sq8Encode(Literal(x, ArrayType(DoubleType)),
+          Literal(mins, ArrayType(DoubleType)),
+          Literal(steps, ArrayType(DoubleType))).eval(null)
+          .asInstanceOf[Array[Byte]]
+      }
+      def deq(c: Array[Byte]) = {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType}
+        Sq8Dequant(Literal(c, BinaryType),
+          Literal(mins, ArrayType(DoubleType)),
+          Literal(steps, ArrayType(DoubleType))).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      }
+      val codes = enc(v)
+      val vq = deq(codes)
+      val errOk = dims.indices.forall { d =>
+        val (_, step, x) = dims(d)
+        if (step == 0.0) vq.getDouble(d) == dims(d)._1
+        else math.abs(x - vq.getDouble(d)) <= step / 2.0 + 1e-9
+      }
+      // quantization is a projection: encode∘dequant∘encode = encode
+      val fixpoint = java.util.Arrays.equals(enc(deq(codes)), codes)
+      errOk && fixpoint
+    }, minSuccessful = 500)
+  }
+
+  test("nfc_normalize is idempotent and composition-equivalent (500 cases)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.NfcNormalize
+    // ascii mixed with precomposed chars and combining marks, in
+    // arbitrary interleavings (incl. mark-first edge cases)
+    val atomGen = Gen.frequency(
+      5 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf("é", "Å", "ö", "ñ", "ç").map(identity),
+      2 -> Gen.oneOf("́", "̊", "̈", "̧"),
+      1 -> Gen.oneOf(" ", ".", "→", "λ"))
+    val strGen = Gen.listOf(atomGen).map(_.mkString).map(_.take(64))
+    def nfc(s: String): String =
+      NfcNormalize(Literal(UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType)).eval(null)
+        .asInstanceOf[UTF8String].toString
+    check(Prop.forAllNoShrink(strGen) { s =>
+      val once = nfc(s)
+      nfc(once) == once &&
+        java.text.Normalizer.isNormalized(once, java.text.Normalizer.Form.NFC) &&
+        // canonical equivalence is preserved: NFD of the result equals
+        // NFD of the input (normalization never changes the text, only
+        // its encoding)
+        java.text.Normalizer.normalize(once, java.text.Normalizer.Form.NFD) ==
+          java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    }, minSuccessful = 500)
+  }
 }

@@ -55,6 +55,15 @@ object ScaleSoak {
         col("embedding"), col("label")))
       println(s"[soak] generated $soakDir")
     }
+    // dimension/fact tables that are NOT scaled ride through unchanged
+    // (10× facts against same-size dims is the realistic scale-up);
+    // added lazily so an existing soak dir gains them on next run
+    Tables.names.filterNot(Set("events", "documents", "embeddings")).foreach { t =>
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$soakDir/$t.parquet")))
+        Tables(spark, base, t).write.mode("overwrite")
+          .parquet(s"$soakDir/$t.parquet")
+    }
 
     val names =
       if (args.length > 1) args.drop(1).toSeq
