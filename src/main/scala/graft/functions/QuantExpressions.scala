@@ -25,7 +25,11 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType}
   * dequantizes to mins[d] exactly in both engines.
   *
   * Null contract: any null input → null. Codes are unsigned bytes
-  * (stored in Java's signed byte, masked 0xFF on decode).
+  * (stored in Java's signed byte, masked 0xFF on decode). A
+  * vector/params dimensionality mismatch throws — silently truncating
+  * to the common prefix would produce plausible-looking but wrong
+  * similarities downstream (and would diverge from the oracle's
+  * explicit 64-dim indexing).
   */
 case class Sq8Encode(vec: Expression, mins: Expression, steps: Expression)
     extends TernaryExpression {
@@ -50,8 +54,10 @@ case class Sq8Encode(vec: Expression, mins: Expression, steps: Expression)
     val x = v.asInstanceOf[ArrayData]
     val m = mn.asInstanceOf[ArrayData]
     val s = st.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(),
-      math.min(m.numElements(), s.numElements()))
+    val n = x.numElements()
+    require(m.numElements() == n && s.numElements() == n,
+      s"sq8_encode: vector has $n dims but params have " +
+        s"${m.numElements()}/${s.numElements()}")
     val out = new Array[Byte](n)
     var d = 0
     while (d < n) {
@@ -76,8 +82,11 @@ case class Sq8Encode(vec: Expression, mins: Expression, steps: Expression)
       val step = ctx.freshName("step")
       val code = ctx.freshName("code")
       s"""
-         |final int $n = java.lang.Math.min($v.numElements(),
-         |  java.lang.Math.min($mn.numElements(), $st.numElements()));
+         |final int $n = $v.numElements();
+         |if ($mn.numElements() != $n || $st.numElements() != $n) {
+         |  throw new IllegalArgumentException("sq8_encode: vector has " + $n
+         |    + " dims but params have " + $mn.numElements() + "/" + $st.numElements());
+         |}
          |final byte[] $out = new byte[$n];
          |for (int $d = 0; $d < $n; $d++) {
          |  final double $step = $st.getDouble($d);
@@ -129,7 +138,10 @@ case class Sq8Dequant(codes: Expression, mins: Expression, steps: Expression)
     val c = cs.asInstanceOf[Array[Byte]]
     val m = mn.asInstanceOf[ArrayData]
     val s = st.asInstanceOf[ArrayData]
-    val n = math.min(c.length, math.min(m.numElements(), s.numElements()))
+    val n = c.length
+    require(m.numElements() == n && s.numElements() == n,
+      s"sq8_dequant: codes have $n dims but params have " +
+        s"${m.numElements()}/${s.numElements()}")
     val out = new Array[Double](n)
     var d = 0
     while (d < n) {
@@ -145,8 +157,11 @@ case class Sq8Dequant(codes: Expression, mins: Expression, steps: Expression)
       val d = ctx.freshName("d")
       val out = ctx.freshName("out")
       s"""
-         |final int $n = java.lang.Math.min($cs.length,
-         |  java.lang.Math.min($mn.numElements(), $st.numElements()));
+         |final int $n = $cs.length;
+         |if ($mn.numElements() != $n || $st.numElements() != $n) {
+         |  throw new IllegalArgumentException("sq8_dequant: codes have " + $n
+         |    + " dims but params have " + $mn.numElements() + "/" + $st.numElements());
+         |}
          |final double[] $out = new double[$n];
          |for (int $d = 0; $d < $n; $d++) {
          |  $out[$d] = $mn.getDouble($d) + (($cs[$d] & 0xFF) + 0.5) * $st.getDouble($d);

@@ -238,7 +238,13 @@ object MessageQueries {
       """SELECT '0:' || CAST(event_id AS VARCHAR) || ':0:0' AS message_id,
         |  CAST(user_id AS VARCHAR) AS key,
         |  ts AS publish_time, ts AS event_time,
-        |  CAST(event_id % 8 AS INTEGER) AS redelivery_count
+        |  CAST(event_id % 8 AS INTEGER) AS redelivery_count,
+        |  CASE event_id % 5
+        |    WHEN 0 THEN 'application/json'
+        |    WHEN 1 THEN 'application/json; charset=utf-8'
+        |    WHEN 2 THEN 'application/xml'
+        |    WHEN 3 THEN 'text/csv'
+        |    ELSE 'text/plain' END AS content_type
         |FROM events
         |ORDER BY message_id""".stripMargin
     ) { (s, dir) =>
@@ -259,7 +265,7 @@ object MessageQueries {
         .option("batchingMaxMessages", "1000000")
         .load()
         .select(col("message_id"), col("key"), col("publish_time"),
-          col("event_time"), col("redelivery_count"))
+          col("event_time"), col("redelivery_count"), col("content_type"))
         .orderBy(col("message_id"))
     }
   )

@@ -86,6 +86,20 @@ class QuantExpressionsSpec extends SparkSpec {
     assert(enc.toSeq == rows(0).getAs[Array[Byte]](0).toSeq)
   }
 
+  test("a vector/params dimensionality mismatch throws, never truncates") {
+    import spark.implicits._
+    val err = intercept[Exception] {
+      Seq(Seq(0.5, 0.5, 0.5)).toDF("v")
+        .select(VectorOps.sq8Encode(col("v"),
+          typedlit(Seq(0.0, 0.0)), typedlit(Seq(1.0 / 256.0, 1.0 / 256.0))))
+        .collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(err).contains("sq8_encode"), rootMsg(err))
+  }
+
   test("sq8_encode / sq8_dequant register as SQL functions via GraftExtensions") {
     val base = spark
     org.apache.spark.sql.SparkSession.clearActiveSession()

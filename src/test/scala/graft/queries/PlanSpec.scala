@@ -19,9 +19,11 @@ class PlanSpec extends SparkSpec {
   private def isStreamLoop(name: String): Boolean =
     name.startsWith("ps") || name.startsWith("m06") ||
     name.startsWith("m07") || name.startsWith("m10") ||
-    name.startsWith("m11") || name.startsWith("w04") ||
+    name.startsWith("m11") || name.startsWith("m12") ||
+    name.startsWith("w04") ||
     name.startsWith("w05") || name.startsWith("w06") ||
     name.startsWith("w07") || name.startsWith("w08") ||
+    name.startsWith("w09") ||
     name.startsWith("ws") || name.startsWith("d07")
 
   private def planOf(name: String): String = {
@@ -97,7 +99,7 @@ class PlanSpec extends SparkSpec {
     // map-side group-limit (built-in WindowGroupLimit or our GroupTopK)
     // bounds the shuffle to k rows per group per partition
     assert(p.contains("WindowGroupLimit") || p.contains("GroupTopKPartial"), p)
-    assert(planOf("q30_lateral_topk").split("Scan parquet").length - 1 <= 2,
+    assert(p.split("Scan parquet").length - 1 <= 2,
       s"lateral join re-scans a table:\n$p")
   }
 
