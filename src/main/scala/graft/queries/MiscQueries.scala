@@ -290,6 +290,40 @@ object MiscQueries {
     },
 
     // ---------------------------------------------------------------
+    // q31 — null-safe equality join (`<=>` ≡ IS NOT DISTINCT FROM):
+    // the join form that keeps null keys as a matchable group instead
+    // of silently dropping them — what a data-quality rollup needs when
+    // the join key is itself derived and nullable. The fixture nulls
+    // out one event_type ('error' → NULL) on both sides; the null
+    // groups must pair up. Still a hash join (null-safe equi-keys
+    // hash like any other), so the 100 TB shape is unchanged — and
+    // both sides aggregate BEFORE the join, so the join input is
+    // group-sized, not row-sized.
+    Q(
+      "q31_nullsafe_join",
+      """WITH l AS (
+        |  SELECT nullif(event_type, 'error') AS et, count(*) AS n_all
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT nullif(event_type, 'error') AS et, count(*) AS n_even
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY 1)
+        |SELECT l.et AS et, l.n_all, r.n_even
+        |FROM l JOIN r ON l.et IS NOT DISTINCT FROM r.et
+        |ORDER BY 1 NULLS FIRST""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val l = ev
+        .groupBy(nullif(col("event_type"), lit("error")).as("et"))
+        .agg(count(lit(1)).as("n_all"))
+      val r = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .groupBy(nullif(col("event_type"), lit("error")).as("et"))
+        .agg(count(lit(1)).as("n_even"))
+      l.join(r, l("et") <=> r("et"))
+        .select(l("et"), col("n_all"), col("n_even"))
+        .orderBy(col("et").asc_nulls_first)
+    },
+
+    // ---------------------------------------------------------------
     // q28 — RANGE-frame interval window (the time-valued frame variant;
     // q08 covers ROWS frames): per user, how many of their events fall
     // in the hour up to and including each event. RANGE frames include
