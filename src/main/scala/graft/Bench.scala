@@ -36,10 +36,14 @@ object Bench {
     // queries first and every expensive timing survives; bench_out.json
     // carries the complete name-sorted vector for exact round-to-round
     // diffs either way
+    // Locale.ROOT: the f interpolator renders doubles with the JVM
+    // default locale — a decimal-comma locale would emit invalid JSON
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jsonLine(rs: Seq[(String, Double)]): String = {
-      val qs = rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + num(v) }
         .mkString("{", ",", "}")
-      val total = f"${results.map(_._2).sum}%.3f"
+      val total = num(rs.map(_._2).sum)
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
     println(jsonLine(results.sortBy(_._2)))

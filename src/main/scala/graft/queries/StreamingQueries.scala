@@ -771,7 +771,12 @@ object StreamingQueries {
             .option("serviceUrl", "pulsar://local")
             .option("topicNames", "events")
             .option("subscriptionInitialPosition", "Earliest")
-            .option("batchingMaxMessages", "1000000")
+            // single-batch-per-pass is the determinism contract of the
+            // sentinel choreography: a pass that splits would run its tail
+            // batch under the sentinel-advanced watermark and silently drop
+            // real rows. The limit must exceed any fixture size (10x soak
+            // included), so it is 1e8, not the 1e6 the plain loops use.
+            .option("batchingMaxMessages", "100000000")
             .load()
             .withWatermark("event_time", "1 hour")
           val q = src
@@ -990,7 +995,12 @@ private[queries] object StreamOuterJoinGate {
         .option("serviceUrl", "pulsar://local")
         .option("topicNames", "events")
         .option("subscriptionInitialPosition", "Earliest")
-        .option("batchingMaxMessages", "1000000")
+        // single-batch-per-pass is the determinism contract of the
+        // sentinel choreography: a pass that splits would run its tail
+        // batch under the sentinel-advanced watermark and silently drop
+        // real rows. The limit must exceed any fixture size (10x soak
+        // included), so it is 1e8, not the 1e6 the plain loops use.
+        .option("batchingMaxMessages", "100000000")
         .load()
       MessageOps.contentTypeDispatch(raw, payloadSchema)
         .filter(col("parsed.event_type") === eventType)
@@ -1098,7 +1108,12 @@ private[queries] object StreamingWindowGate {
           .option("serviceUrl", "pulsar://local")
           .option("topicNames", "events")
           .option("subscriptionInitialPosition", "Earliest")
-          .option("batchingMaxMessages", "1000000")
+          // single-batch-per-pass is the determinism contract of the
+          // sentinel choreography: a pass that splits would run its tail
+          // batch under the sentinel-advanced watermark and silently drop
+          // real rows. The limit must exceed any fixture size (10x soak
+          // included), so it is 1e8, not the 1e6 the plain loops use.
+          .option("batchingMaxMessages", "100000000")
           .load()
           .withWatermark("event_time", "1 hour")
         val q = agg(src)

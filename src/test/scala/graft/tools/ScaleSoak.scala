@@ -43,16 +43,33 @@ object ScaleSoak {
         (unix_micros(col("ts")) * 1000L).as("ts"),
         (col("user_id") + i * 10000000L).as("user_id"),
         col("event_type"), col("value"), col("props")))
-      replicate("documents", (df, i) => df.select(
-        (col("doc_id") + i * 1000000L).as("doc_id"),
-        (if (i == 0) col("text")
-         else array_join(transform(split(col("text"), " "),
-           t => concat(t, lit(s"r$i"))), " ")).as("text"),
-        col("lang"), concat(col("source"), lit(s"_$i")).as("source"),
-        length(col("text")).as("n_chars")))
+      replicate("documents", (df, i) => {
+        val textExpr =
+          if (i == 0) col("text")
+          else array_join(transform(split(col("text"), " "),
+            t => concat(t, lit(s"r$i"))), " ")
+        df.select(
+          (col("doc_id") + i * 1000000L).as("doc_id"),
+          textExpr.as("text"),
+          col("lang"), concat(col("source"), lit(s"_$i")).as("source"),
+          // n_chars of the TRANSFORMED text — the fixture invariant
+          // n_chars = length(text) must hold for replicas too, or
+          // quality rules reading the stored column measure a corpus
+          // no real 10x scale-up could produce
+          length(textExpr).as("n_chars"))
+      })
       replicate("embeddings", (df, i) => df.select(
         (col("vec_id") + i * 1000000L).as("vec_id"),
-        col("embedding"), col("label")))
+        // shift replica vectors by +0.5*i per dimension: Euclidean
+        // distance between a vector and its replica copy is 0.5*i*8
+        // (64 dims) — far outside every radius/near-dup threshold, so
+        // ANN/dedup candidate counts scale LINEARLY with replicas;
+        // verbatim copies would collide in every LSH bucket and make
+        // the soak quadratic (a different workload)
+        (if (i == 0) col("embedding")
+         else transform(col("embedding"), x => x + lit(0.5f * i)))
+          .as("embedding"),
+        col("label")))
       println(s"[soak] generated $soakDir")
     }
     // dimension/fact tables that are NOT scaled ride through unchanged
