@@ -60,14 +60,18 @@ object ScaleSoak {
       })
       replicate("embeddings", (df, i) => df.select(
         (col("vec_id") + i * 1000000L).as("vec_id"),
-        // shift replica vectors by +0.5*i per dimension: Euclidean
-        // distance between a vector and its replica copy is 0.5*i*8
-        // (64 dims) — far outside every radius/near-dup threshold, so
-        // ANN/dedup candidate counts scale LINEARLY with replicas;
-        // verbatim copies would collide in every LSH bucket and make
-        // the soak quadratic (a different workload)
+        // rotate dimensions by 7*i positions: preserves every
+        // within-replica pairwise cosine, Euclidean distance and norm
+        // EXACTLY (each replica is the same workload as the original)
+        // while decorrelating cross-replica similarity. Rejected
+        // alternatives, both measured quadratic at 10×: verbatim
+        // copies collide in every bucket family; a constant +c·i
+        // shift makes each high-i replica internally near-duplicate
+        // (all vectors → the 1-direction as c grows — d05's 43 true
+        // pairs exploded to 43.7M).
         (if (i == 0) col("embedding")
-         else transform(col("embedding"), x => x + lit(0.5f * i)))
+         else concat(slice(col("embedding"), 7 * i + 1, 64 - 7 * i),
+           slice(col("embedding"), 1, 7 * i)))
           .as("embedding"),
         col("label")))
       println(s"[soak] generated $soakDir")
