@@ -51,7 +51,12 @@ object ScaleSoak {
         df.select(
           (col("doc_id") + i * 1000000L).as("doc_id"),
           textExpr.as("text"),
-          col("lang"), concat(col("source"), lit(s"_$i")).as("source"),
+          // distinct per-replica sources that KEEP the fixture's
+          // parseable "src<N>" shape (p02 casts the numeric suffix)
+          col("lang"),
+          concat(lit("src"),
+            (regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+              + i * 100).cast("string")).as("source"),
           // n_chars of the TRANSFORMED text — the fixture invariant
           // n_chars = length(text) must hold for replicas too, or
           // quality rules reading the stored column measure a corpus
