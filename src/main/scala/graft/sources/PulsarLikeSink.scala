@@ -34,15 +34,19 @@ class PulsarLikeWriteBuilder(conf: PulsarLikeConf, root: String,
       "Writing requires 'topicNames' to name the target topic."))
   // the topic's persisted partition count always wins (routing is mod N
   // — a second writer with a different N would split keys across
-  // partitions); a new topic takes the `numPartitions` option (default 4)
-  private val numPartitions =
+  // partitions); a new topic takes the `numPartitions` option (default 4).
+  // Resolved when the write JOB starts (factory creation), not at
+  // planning: a validated-then-abandoned or aborted write must not
+  // materialize the topic (a typo'd name would become a real topic that
+  // topicsPattern subscriptions match, with its partition count locked in)
+  private def resolvedPartitions: Int =
     TopicStore.ensureNumPartitions(root, topic, conf.numPartitions.getOrElse(4))
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(
           info: PhysicalWriteInfo): DataWriterFactory =
-        new PulsarLikeWriterFactory(root, topic, numPartitions,
+        new PulsarLikeWriterFactory(root, topic, resolvedPartitions,
           PulsarLikeSink.fieldIndexes(PulsarLikeWriteBuilder.this.info.schema()))
       override def commit(messages: Array[WriterCommitMessage]): Unit = ()
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -50,7 +54,7 @@ class PulsarLikeWriteBuilder(conf: PulsarLikeConf, root: String,
     override def toStreaming: StreamingWrite = new StreamingWrite {
       override def createStreamingWriterFactory(
           info: PhysicalWriteInfo): StreamingDataWriterFactory =
-        new PulsarLikeStreamingWriterFactory(root, topic, numPartitions,
+        new PulsarLikeStreamingWriterFactory(root, topic, resolvedPartitions,
           PulsarLikeSink.fieldIndexes(PulsarLikeWriteBuilder.this.info.schema()))
       override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
       override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()

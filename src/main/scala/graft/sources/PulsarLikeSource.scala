@@ -188,7 +188,14 @@ object PulsarLikeFilters {
     }
     def cmp(col: String, x: Any): Int = (v(col), x) match {
       case (a: Int, b: Number) => java.lang.Integer.compare(a, b.intValue())
-      case (a: String, b) => a.compareTo(String.valueOf(b))
+      case (a: String, b) =>
+        // UTF-8 binary order, NOT String.compareTo (UTF-16 code units):
+        // Spark compares strings as UTF8String bytes and trusts pushed
+        // filters — the two orders differ for supplementary-plane
+        // characters, which would silently drop/keep the wrong rows
+        java.util.Arrays.compareUnsigned(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          String.valueOf(b).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       case _ => 0
     }
     f match {
@@ -313,9 +320,16 @@ class PulsarLikeMicroBatchStream(conf: PulsarLikeConf, root: String,
     case None => conf.initialPosition match {
       case InitialPosition.Earliest =>
         // Earliest = the retained base (a truncated prefix is gone, like
-        // broker retention)
-        PulsarLikeOffset(endCursors().map { case (k, _) => k -> baseOf(k) })
-      case InitialPosition.Latest => PulsarLikeOffset(endCursors())
+        // broker retention). The FreshKey marker is durable on EVERY
+        // fresh subscription (not just seeks): freshness inferred from
+        // cursor==base coincidence would misfire on a caught-up
+        // subscription whose prefix was later truncated to exactly the
+        // committed cursors, re-compacting (and so dropping) new tail
+        // messages mid-subscription.
+        PulsarLikeOffset(endCursors().map { case (k, _) => k -> baseOf(k) }
+          + (PulsarLikeOffset.FreshKey -> 1L))
+      case InitialPosition.Latest =>
+        PulsarLikeOffset(endCursors() + (PulsarLikeOffset.FreshKey -> 1L))
     }
   }
 
@@ -364,10 +378,22 @@ class PulsarLikeMicroBatchStream(conf: PulsarLikeConf, root: String,
       val dir = if (isRetry) TopicStore.retryDir(root, t, conf.subscriptionName)
         else TopicStore.topicDir(root, t)
       val (cnt, bytes) = TopicStore.partitionMetaIn(dir, p)
-      val bytesPerRow = if (cnt > 0) math.max(1L, bytes / cnt) else 1L
+      // bytes/row over the rows still ON DISK: cnt is the absolute
+      // offset count (incl. the truncation-reclaimed prefix) while
+      // bytes is the current file size — dividing by cnt after a GC
+      // would underestimate row size ~10x and overshoot the byte cap
+      val baseRows = TopicStore.partitionBaseIn(dir, p)
+      val curRows = cnt - baseRows
+      val bytesPerRow = if (curRows > 0) math.max(1L, bytes / curRows) else 1L
       val byByte = if (byteBudget == Long.MaxValue) avail
         else math.min(avail, byteBudget / bytesPerRow)
-      val take = math.min(avail, math.min(rowBudget, byByte))
+      // minimum-one-row floor while budget remains: Pulsar's batch
+      // receive always delivers at least one message regardless of the
+      // byte cap — without it a cap below one row's size admits 0
+      // forever and the stream stalls (AvailableNow would terminate
+      // claiming it drained)
+      val floor = if (avail > 0 && rowBudget > 0 && byteBudget > 0) 1L else 0L
+      val take = math.max(floor, math.min(avail, math.min(rowBudget, byByte)))
       rowBudget -= take
       byteBudget -= take * bytesPerRow
       k -> (s + take)
@@ -384,9 +410,12 @@ class PulsarLikeMicroBatchStream(conf: PulsarLikeConf, root: String,
     // a startingTime seek — flagged durably by the FreshKey marker in
     // the checkpointed initial offset) with readCompacted serves the
     // latest-per-key snapshot as its first batch
-    val fresh = s.get(PulsarLikeOffset.FreshKey).contains(1L) ||
-      s.view.filterKeys(_ != PulsarLikeOffset.FreshKey)
-        .forall { case (k, v) => v == 0L || v == baseOf(k) }
+    // marker-only: the cursor==base fallback this once had misfires on
+    // caught-up subscriptions after an exact-prefix truncation (see
+    // initialOffset). Every initialOffset branch plants the marker, and
+    // latestOffset strips it after batch 0, so the marker IS the
+    // batch-0 signal — durably, across crash-restarts.
+    val fresh = s.get(PulsarLikeOffset.FreshKey).contains(1L)
     e.toSeq.sortBy(_._1).flatMap { case (k, endOff) =>
       val startOff = s.getOrElse(k, 0L)
       if (endOff <= startOff) None
@@ -477,12 +506,21 @@ class PulsarLikePartitionReader(ip: PulsarLikeInputPartition,
     else TopicStore.topicDir(ip.root, ip.topic)
     val f = dir.resolve(s"part-${ip.p}.jsonl")
     if (!Files.exists(f) || ip.endOff <= ip.startOff) return Iterator.empty
-    val (idxLine, idxByte) = TopicStore.partitionIndexIn(dir, ip.p)
-      .takeWhile(_._1 <= ip.startOff).lastOption
-      .getOrElse((TopicStore.partitionBaseIn(dir, ip.p), 0L))
-    channel = java.nio.channels.FileChannel.open(f,
-      java.nio.file.StandardOpenOption.READ)
-    channel.position(idxByte)
+    // index read + open + seek under the partition lock: a racing
+    // truncation rewrites the data file and THEN its meta sidecar, so
+    // an unlocked reader could pair the old byte index with the new
+    // file and position mid-line. The scan itself runs after release —
+    // the channel stays valid across a concurrent rename (POSIX), and
+    // offsets within the slice are stable once opened.
+    val idxLine = TopicStore.withPartitionLock(dir, ip.p) {
+      val (idxLine0, idxByte0) = TopicStore.partitionIndexIn(dir, ip.p)
+        .takeWhile(_._1 <= ip.startOff).lastOption
+        .getOrElse((TopicStore.partitionBaseIn(dir, ip.p), 0L))
+      channel = java.nio.channels.FileChannel.open(f,
+        java.nio.file.StandardOpenOption.READ)
+      channel.position(idxByte0)
+      idxLine0
+    }
     val reader = new java.io.BufferedReader(
       java.nio.channels.Channels.newReader(channel, "UTF-8"), 1 << 16)
     var line = idxLine

@@ -56,11 +56,18 @@ object TopicStore {
   def listTopics(root: String): Seq[String] = {
     val r = Paths.get(root)
     if (!Files.isDirectory(r)) Seq.empty
-    else Files.list(r).iterator().asScala
-      .filter(Files.isDirectory(_))
-      .map(_.getFileName.toString)
-      .filterNot(_.startsWith("."))
-      .toSeq.sorted
+    else {
+      // Files.list wraps an open DirectoryStream — close it or the
+      // driver leaks a dirfd per trigger (endCursors lists every topic
+      // every micro-batch)
+      val st = Files.list(r)
+      try st.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .filterNot(_.startsWith("."))
+        .toSeq.sorted
+      finally st.close()
+    }
   }
 
   /** Existing partition ids (sparse — a partition file only exists once
@@ -69,11 +76,15 @@ object TopicStore {
 
   def partitionIdsIn(d: Path): Seq[Int] = {
     if (!Files.isDirectory(d)) Seq.empty
-    else Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.matches("part-\\d+\\.jsonl") =>
-        s.stripPrefix("part-").stripSuffix(".jsonl").toInt }
-      .toSeq.sorted
+    else {
+      val st = Files.list(d)
+      try st.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.matches("part-\\d+\\.jsonl") =>
+          s.stripPrefix("part-").stripSuffix(".jsonl").toInt }
+        .toSeq.sorted
+      finally st.close()
+    }
   }
 
   /** (count, bytes) per partition from the meta sidecar (O(1), no scan). */
@@ -130,9 +141,19 @@ object TopicStore {
       Files.createDirectories(dir)
       // pre-topic.meta topics: infer a floor from existing part files
       val n = math.max(requested, partitionIdsIn(dir).maxOption.map(_ + 1).getOrElse(0))
-      Files.writeString(m, s"""{"numPartitions":$n}""",
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-      n
+      // CREATE_NEW makes the first writer win ATOMICALLY: two
+      // concurrent first writers with different requested counts must
+      // not each route mod their own N (that splits a key across
+      // partitions — the exact invariant this meta exists to protect);
+      // the loser re-reads the winner's count
+      try {
+        Files.writeString(m, s"""{"numPartitions":$n}""",
+          StandardOpenOption.CREATE_NEW)
+        n
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          mapper.readTree(Files.readString(m)).get("numPartitions").asInt()
+      }
     }
   }
 
@@ -207,7 +228,12 @@ object TopicStore {
     val canon = df.select(
       orElse("message_id", lit(null).cast("string")).as("message_id"),
       orElse("key", lit(null).cast("string")).as("key"),
-      (if (cols.contains("value_str")) col("value_str").cast("binary")
+      // same per-row precedence as the DSv2 writer (PulsarLikeSink):
+      // value if set, else value_str — the two publish paths must store
+      // the same payload for the same row
+      (if (cols.contains("value") && cols.contains("value_str"))
+         coalesce(col("value"), col("value_str").cast("binary"))
+       else if (cols.contains("value_str")) col("value_str").cast("binary")
        else orElse("value", lit(Array.empty[Byte]))).as("value"),
       orElse("properties",
         map().cast("map<string,string>")).as("properties"),
@@ -284,6 +310,24 @@ object TopicStore {
   // for cross-process safety.
   private val monitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Run `f` holding partition p's lock (in-JVM monitor + cross-process
+    * file lock — the same pair every writer takes). Readers use it for
+    * the meta-index-read + file-open critical section, so a concurrent
+    * truncation can never leave them seeking a PRE-truncation byte
+    * index into the rewritten file. Keep `f` short (open/position, not
+    * the scan). */
+  def withPartitionLock[T](dir: Path, p: Int)(f: => T): T = {
+    val lockFile = dir.resolve(s"part-$p.lock")
+    val monitor = monitors.computeIfAbsent(
+      lockFile.toAbsolutePath.toString, _ => new Object)
+    monitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(lockFile,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      val lock = ch.lock()
+      try f finally { lock.release(); ch.close() }
+    }
+  }
 
   def append(root: String, topic: String, p: Int, msgs: Seq[Msg]): Unit =
     appendIn(topicDir(root, topic).toAbsolutePath.toString, p, msgs)

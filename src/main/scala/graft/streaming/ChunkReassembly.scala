@@ -33,7 +33,8 @@ object ChunkReassembly {
   final case class Assembled(
       chunk_uuid: String, payload: String, n_chunks: Int)
 
-  final case class ChunkState(total: Int, fragments: Map[Int, String])
+  final case class ChunkState(total: Int, fragments: Map[Int, String],
+      maxTsMs: Long = 0L)
 
   /** Knobs taken from the validated source config (A19:
     * expiryTimeOfIncompleteChunkedMessageMillis / maxPendingChunkedMessage).
@@ -85,12 +86,17 @@ object ChunkReassembly {
               Iterator.single(Assembled(uuid,
                 (0 until expected).map(all).mkString, expected))
             } else {
-              state.update(ChunkState(expected, all))
               // expiry anchored to the latest fragment's EVENT time (not
               // the watermark: in the first batch the watermark is still
               // 0/epoch, and a timeout derived from it would be wiped as
-              // already-expired the moment real timestamps advance it)
-              val lastTs = batch.map(_.ts.getTime).max
+              // already-expired the moment real timestamps advance it).
+              // The max rides in state so an OUT-OF-ORDER late fragment
+              // can never move the deadline BACKWARD and prematurely
+              // expire an active group — the operator's whole premise is
+              // out-of-order arrival within the watermark delay.
+              val lastTs = math.max(batch.map(_.ts.getTime).max,
+                prev.map(_.maxTsMs).getOrElse(0L))
+              state.update(ChunkState(expected, all, lastTs))
               state.setTimeoutTimestamp(
                 math.max(lastTs + expiryMs, state.getCurrentWatermarkMs() + 1))
               Iterator.empty
