@@ -163,9 +163,17 @@ object PulsarLikeConf {
     }
 
     val batchEnabled = get("batchReceiveEnabled").forall(_.toBoolean) // default true
-    val maxMsgs = long_("batchingMaxMessages").filter(_ > 0)
-    val maxBytes = long_("batchingMaxBytes").filter(_ > 0)
-    val timeout = long_("batchingTimeout").filter(_ > 0)
+    // non-positive bounds fail LOUDLY like every other validated param:
+    // silently dropping an explicit 0 would run the batch unbounded and
+    // could then claim "at least one must be specified" at the user who
+    // did specify one
+    def positive(key: String): Option[Long] = long_(key).map { v =>
+      if (v <= 0) fail(s"Parameter '$key' must be positive, got $v.")
+      v
+    }
+    val maxMsgs = positive("batchingMaxMessages")
+    val maxBytes = positive("batchingMaxBytes")
+    val timeout = positive("batchingTimeout")
     // reference-parity error text (PulsarMessageConsumer.java:306-309)
     if (batchEnabled && maxMsgs.isEmpty && maxBytes.isEmpty && timeout.isEmpty)
       fail("At least one of maxNumMessages, maxNumBytes, timeout must be specified.")
@@ -181,7 +189,8 @@ object PulsarLikeConf {
     // on-by-default knobs a config template commonly carries.
     val chunkKnobs = Seq("maxPendingChunkedMessage",
       "expiryTimeOfIncompleteChunkedMessageMillis",
-      "autoAckOldestChunkedMessageOnQueueFull").filter(get(_).isDefined)
+      "autoAckOldestChunkedMessageOnQueueFull",
+      "chunkExpiryWallClock").filter(get(_).isDefined)
     if (batchEnabled && chunkKnobs.nonEmpty)
       fail(s"Chunking parameters (${chunkKnobs.mkString(", ")}) require " +
         "'batchReceiveEnabled' to be false.")
@@ -207,7 +216,13 @@ object PulsarLikeConf {
       batchingTimeoutMs = timeout,
       receiverQueueSize = long_("receiverQueueSize"),
       dlqMaxRedeliverCount =
-        long_("dlqMaxRedeliverCount").map(_.toInt).getOrElse(5),
+        long_("dlqMaxRedeliverCount").map { v =>
+          // .toInt would wrap past Int.MaxValue (possibly negative —
+          // routing EVERY message to the DLQ instead of effectively none)
+          if (v < 0 || v > Int.MaxValue) fail(
+            s"Parameter 'dlqMaxRedeliverCount' out of range: $v.")
+          v.toInt
+        }.getOrElse(5),
       dlqTopic = get("dlqTopic"),
       nackRedeliveryDelayMs = long_("nackRedeliveryDelay"),
       ackTimeoutMs = long_("ackTimeoutMillis"),
@@ -230,7 +245,7 @@ object PulsarLikeConf {
               "Use epoch milliseconds or an ISO-8601 instant.") }
         // ms→µs must not wrap (epoch-NANOS by unit confusion would
         // silently seek to a garbage position otherwise)
-        if (ms > Long.MaxValue / 1000L) fail(
+        if (ms > Long.MaxValue / 1000L || ms < Long.MinValue / 1000L) fail(
           s"Invalid value '$v' for parameter 'startingTime'. " +
             "Epoch value out of millisecond range.")
         ms * 1000L

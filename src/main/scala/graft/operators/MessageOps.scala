@@ -180,9 +180,13 @@ object MessageOps {
     * stays on the topic for a later trigger — the consumer-side half of
     * negativeAckRedeliveryDelay (PulsarMessageConsumer.java:354-356). */
   def dueOnly(messages: DataFrame, asOf: Column = current_timestamp()): DataFrame =
+    // try_cast: a corrupted/non-numeric retry_at stamp must make the
+    // message due NOW (at-least-once bias — a plain cast would throw
+    // under ANSI, and a null-producing cast would park it forever)
     messages.filter(
       col("properties").getItem("retry_at").isNull ||
-      col("properties").getItem("retry_at").cast("long") <= unix_millis(asOf))
+      expr("try_cast(properties['retry_at'] AS BIGINT)").isNull ||
+      expr("try_cast(properties['retry_at'] AS BIGINT)") <= unix_millis(asOf))
 
   /** A17 — DLQ routing: messages at or past `maxRedeliverCount` (reference
     * default 5) go to the dead-letter sink, the rest stay live. One pass,
@@ -199,20 +203,26 @@ object MessageOps {
     * At 100 TB prefer `max_by` aggregation (partial agg, no full sort) —
     * both forms are provided. */
   def compacted(messages: DataFrame): DataFrame = {
+    // broker parity (and the source reader's behavior): compaction
+    // collapses KEYED messages only — unkeyed messages all survive, so
+    // they must bypass the rank entirely, not share one null partition
     val w = Window.partitionBy(col("key"))
       .orderBy(col("publish_time").desc, col("message_id").desc)
-    messages
+    messages.filter(col("key").isNotNull)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
+      .unionByName(messages.filter(col("key").isNull))
   }
 
   /** A21 scale variant — aggregation form of `compacted`: partial
     * (map-side) max_by per key, no per-partition sort of the full data. */
   def compactedAgg(messages: DataFrame): DataFrame = {
     val ordering = struct(col("publish_time"), col("message_id"))
-    messages.groupBy(col("key"))
+    messages.filter(col("key").isNotNull)
+      .groupBy(col("key"))
       .agg(max_by(struct(messages.columns.map(col): _*), ordering).as("m"))
       .select(col("m.*"))
+      .unionByName(messages.filter(col("key").isNull))
   }
 }

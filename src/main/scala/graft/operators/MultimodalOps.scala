@@ -67,6 +67,9 @@ object MultimodalOps {
   def sampleFrames(media: DataFrame, idCol: String, payloadStrCol: String,
       frameLen: Int, stride: Int): DataFrame =
     media
+      // empty payload → zero frames: sequence(0, -1) would count DOWN
+      // to [0, -1] and mint phantom frames the oracle doesn't have
+      .filter(length(col(payloadStrCol)) > 0)
       .withColumn("frame_idx", explode(sequence(lit(0L),
         ceil(length(col(payloadStrCol)) / frameLen.toDouble).cast("long") - 1)))
       .filter(col("frame_idx") % stride === 0)

@@ -26,9 +26,11 @@ object Stage {
     spark.conf.get("spark.graft.checkpoint", "local") match {
       case "reliable" =>
         if (spark.sparkContext.getCheckpointDir.isEmpty) {
-          val dir = spark.conf.get("spark.graft.checkpoint.dir",
-            java.nio.file.Files.createTempDirectory("graft-reliable-ckpt")
-              .toString)
+          // getOption first: a default ARGUMENT evaluates eagerly and
+          // would orphan a temp dir even when the conf is set
+          val dir = spark.conf.getOption("spark.graft.checkpoint.dir")
+            .getOrElse(java.nio.file.Files
+              .createTempDirectory("graft-reliable-ckpt").toString)
           spark.sparkContext.setCheckpointDir(dir)
         }
         df.checkpoint(eager = true)

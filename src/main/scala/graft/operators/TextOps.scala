@@ -16,11 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Character n-grams of the text, 1-indexed. */
+  /** Character n-grams of the text, 1-indexed. Short-circuits below n
+    * chars — `sequence(1, 0)` counts DOWN to [1, 0] (the pitfall
+    * DedupOps.shingles documents), which would mint phantom grams for
+    * short documents and diverge from the oracle. */
   def charNgrams(text: Column, n: Int): Column =
-    transform(
-      sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
-      i => text.substr(i, lit(n)))
+    when(length(text) >= n,
+      transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
 
   /** Whitespace tokens. */
   def tokens(text: Column): Column = DedupOps.words(text)

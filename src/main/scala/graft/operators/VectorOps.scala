@@ -94,7 +94,14 @@ object VectorOps {
     * is ONE scan: cell assignment is a shuffle-free projection (the
     * centroids ride as literals), and recentering is `dims` columnar
     * partial-aggregated avg()s — no explode, no window, no join.
-    * Input: (vec_id, v: array<double>); output: (pivot_id, centroid). */
+    * Input: (vec_id, v: array<double>); output: (pivot_id, centroid).
+    *
+    * Contract: a Lloyd round that assigns a centroid zero vectors DROPS
+    * that centroid (the model may shrink below k) — deterministic, and
+    * deliberately NOT re-seeded: the s04 oracle reproduces the identical
+    * recenter in SQL (GROUP BY pivot_id drops the empty cell the same
+    * way), so both engines converge on the same model. Callers that
+    * need exactly k cells must re-seed themselves. */
   def kmeansCentroids(base: org.apache.spark.sql.DataFrame, k: Int,
       iters: Int, dims: Int): Seq[(Long, Seq[Double])] = {
     var c: Seq[(Long, Seq[Double])] = base.filter(col("vec_id") < k)

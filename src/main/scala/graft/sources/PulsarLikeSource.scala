@@ -282,7 +282,10 @@ class PulsarLikeMicroBatchStream(conf: PulsarLikeConf, root: String,
     val dir = TopicStore.retryDir(root, topic, conf.subscriptionName)
     from + TopicStore.readEntries(dir, p, from, until)
       .iterator
-      .takeWhile(_.properties.get("retry_at").forall(_.toLong <= nowMs))
+      // unparseable retry_at ⇒ due now (matches MessageOps.dueOnly —
+      // a throw here would kill the stream on one corrupted stamp)
+      .takeWhile(_.properties.get("retry_at")
+        .forall(_.toLongOption.getOrElse(0L) <= nowMs))
       .size
   }
 

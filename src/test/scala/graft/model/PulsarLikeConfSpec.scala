@@ -71,17 +71,22 @@ class PulsarLikeConfSpec extends AnyFunSuite {
       org.apache.spark.sql.streaming.Trigger.ProcessingTime(5000L)))
     // without a timeout there is no suggested trigger
     assert(PulsarLikeConf.fromOptions(valid).suggestedTrigger.isEmpty)
-    // non-positive values don't count as a bound
+    // non-positive values are rejected LOUDLY (silently dropping an
+    // explicit 0 would run the batch unbounded, then blame the user
+    // for not specifying a bound)
     val e = intercept[IllegalArgumentException] {
       PulsarLikeConf.fromOptions(
         valid - "batchingMaxMessages" + ("batchingTimeout" -> "0"))
     }
-    assert(e.getMessage.contains("At least one"))
+    assert(e.getMessage.contains("must be positive"))
   }
 
   test("local-store extensions parse (readRetries / numPartitions / chunkExpiryWallClock)") {
+    // chunkExpiryWallClock is a chunking knob: like the other three it
+    // requires batch receive OFF (it would be silently inert otherwise)
     val c = PulsarLikeConf.fromOptions(valid ++ Map(
       "readRetries" -> "true", "numPartitions" -> "8",
+      "batchReceiveEnabled" -> "false",
       "chunkExpiryWallClock" -> "true"))
     assert(c.readRetries)
     assert(c.numPartitions.contains(8))
@@ -89,6 +94,10 @@ class PulsarLikeConfSpec extends AnyFunSuite {
     val d = PulsarLikeConf.fromOptions(valid)
     assert(!d.readRetries && d.numPartitions.isEmpty &&
       !d.chunking.expiryWallClock)
+    val e = intercept[IllegalArgumentException] {
+      PulsarLikeConf.fromOptions(valid ++ Map("chunkExpiryWallClock" -> "true"))
+    }
+    assert(e.getMessage.contains("batchReceiveEnabled"))
   }
 
   test("startingTime parses epoch millis and ISO-8601; rejects the rest with the named error") {
