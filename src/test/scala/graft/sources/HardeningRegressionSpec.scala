@@ -97,6 +97,67 @@ class HardeningRegressionSpec extends SparkSpec {
       "a caught-up subscription's later batches must deliver every message")
   }
 
+  test("no phantom n-grams or frames on short/empty documents") {
+    import spark.implicits._
+    import graft.operators.{MultimodalOps, TextOps}
+    // sequence(1, 0) counts DOWN in Spark — ungated it mints [1, 0]
+    val grams = Seq("ab", "", "abc").toDF("text")
+      .select(TextOps.charNgrams(col("text"), 3).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(grams(0).isEmpty && grams(1).isEmpty && grams(2) == Seq("abc"))
+    val frames = MultimodalOps.sampleFrames(
+      Seq((1L, ""), (2L, "x" * 40)).toDF("doc_id", "text"),
+      "doc_id", "text", frameLen = 32, stride = 1).collect()
+    assert(frames.forall(_.getLong(0) == 2L),
+      "empty payload must produce zero frames")
+    assert(frames.length == 2) // 40 bytes / 32 → frames 0 and 1
+  }
+
+  test("compaction keeps every unkeyed message (broker parity)") {
+    import spark.implicits._
+    import graft.operators.MessageOps
+    def msgs = Seq(
+      ("0:0:0:0", null.asInstanceOf[String], new Timestamp(1000L)),
+      ("0:1:0:0", null.asInstanceOf[String], new Timestamp(2000L)),
+      ("0:2:0:0", "k", new Timestamp(3000L)),
+      ("0:3:0:0", "k", new Timestamp(4000L)))
+      .toDF("message_id", "key", "publish_time")
+    for (out <- Seq(MessageOps.compacted(msgs), MessageOps.compactedAgg(msgs))) {
+      val ids = out.select("message_id").as[String].collect().toSet
+      // both unkeyed survive; keyed "k" collapses to its latest
+      assert(ids == Set("0:0:0:0", "0:1:0:0", "0:3:0:0"), ids)
+    }
+  }
+
+  test("a corrupted retry_at stamp makes the message due now, not lost") {
+    import spark.implicits._
+    import graft.operators.MessageOps
+    val msgs = Seq(
+      ("m1", Map("retry_at" -> "not-a-number")),
+      ("m2", Map("retry_at" -> "9999999999999")), // far future → held
+      ("m3", Map.empty[String, String]))
+      .toDF("message_id", "properties")
+    val due = MessageOps.dueOnly(msgs)
+      .select("message_id").as[String].collect().toSet
+    assert(due == Set("m1", "m3"), due)
+  }
+
+  test("config rejects wrap-prone numeric extremes loudly") {
+    def conf(extra: (String, String)*) = PulsarLikeConf.fromOptions(Map(
+      "serviceUrl" -> "pulsar://local", "topicNames" -> "t",
+      "batchingMaxMessages" -> "100") ++ extra)
+    // Int wrap on dlqMaxRedeliverCount routed EVERY message to the DLQ
+    val e1 = intercept[IllegalArgumentException] {
+      conf("dlqMaxRedeliverCount" -> "2147483648")
+    }
+    assert(e1.getMessage.contains("dlqMaxRedeliverCount"))
+    // ms→µs wrap on a huge negative ISO epoch sought a garbage position
+    val e2 = intercept[IllegalArgumentException] {
+      conf("startingTime" -> "-100000000-01-01T00:00:00Z")
+    }
+    assert(e2.getMessage.contains("startingTime"))
+  }
+
   test("a late out-of-order fragment cannot pull the chunk expiry deadline backward") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
