@@ -42,6 +42,19 @@ object MessageOps {
     "application/json", "application/json; charset=utf-8",
     "application/xml", "text/csv", "text/plain")
 
+  /** The (event_id, event_type, value) payload struct every fromEvents
+    * body serializes — the ONE schema all dispatch call sites parse
+    * with (a drifted hand-copy would silently parse a partial struct
+    * and only fail at driver-verify time). */
+  val payloadSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+
   /** Publish the `events` table into the canonical message shape — the
     * deterministic fixture used by message-op queries and the topic store.
     * `redelivery_count = event_id % 8` is a synthetic stand-in so DLQ

@@ -43,8 +43,7 @@ object DedupQueries {
     // d01 — exact dedup: hash-groupBy on md5(text); canonical = min id.
     Q(
       "d01_exact_dedup",
-      s"""WITH $corpusSql,
-        |dup AS (
+      s"""WITH dup AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 10 = 0)
@@ -81,10 +80,8 @@ object DedupQueries {
     ) { (s, dir) =>
       import graft.streaming.BatchLanding
       import graft.sources.TopicStore
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-incdedup").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft-incdedup-ckpt").toString
+      val root = graft.TempRoots.create("graft-incdedup")
+      val ckpt = graft.TempRoots.create("graft-incdedup-ckpt")
       val outDir = root + "/fresh"
       val docs = Tables(s, dir, "documents")
       val seen = docs.filter(col("doc_id") % 5 < 3)

@@ -14,10 +14,7 @@ import org.apache.spark.sql.types._
   */
 object MessageQueries {
 
-  private val payloadSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType)))
+  private val payloadSchema = MessageOps.payloadSchema
 
   val all: Seq[Q] = Seq(
 
@@ -160,8 +157,7 @@ object MessageQueries {
         |WHERE event_id % 5 <> 4
         |ORDER BY event_id""".stripMargin
     ) { (s, dir) =>
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-infer").toString
+      val root = graft.TempRoots.create("graft-infer")
       graft.sources.TopicStore.publish(s,
         MessageOps.fromEvents(Tables(s, dir, "events")), root, "events", 4)
       val consumed = s.read.format("pulsarlike")
@@ -203,8 +199,7 @@ object MessageQueries {
         |FROM events
         |ORDER BY message_id""".stripMargin
     ) { (s, dir) =>
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-pattern").toString
+      val root = graft.TempRoots.create("graft-pattern")
       val ev = Tables(s, dir, "events")
       graft.sources.TopicStore.publish(s,
         MessageOps.fromEvents(ev.filter(col("event_type") === "click")),
@@ -248,8 +243,7 @@ object MessageQueries {
         |FROM events
         |ORDER BY message_id""".stripMargin
     ) { (s, dir) =>
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-relay").toString
+      val root = graft.TempRoots.create("graft-relay")
       MessageOps.fromEvents(Tables(s, dir, "events"))
         .write.format("pulsarlike")
         .mode("append") // publish appends to the topic (the only sane producer mode)

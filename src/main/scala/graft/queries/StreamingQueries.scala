@@ -37,17 +37,12 @@ object StreamingQueries {
         |WHERE event_id % 5 <> 4
         |ORDER BY event_id""".stripMargin
     ) { (s, dir) =>
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-stream").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft-ckpt").toString
+      val root = graft.TempRoots.create("graft-stream")
+      val ckpt = graft.TempRoots.create("graft-ckpt")
       val outDir = root + "/consumed"
       TopicStore.publish(s,
         MessageOps.fromEvents(Tables(s, dir, "events")), root, "events", 4)
-      val payloadSchema = StructType(Seq(
-        StructField("event_id", LongType),
-        StructField("event_type", StringType),
-        StructField("value", DoubleType)))
+      val payloadSchema = MessageOps.payloadSchema
       // parse + project inside foreachBatch and land parquet
       // executor-side — the consumed topic never touches the driver
       // (the memory sink would be a driver OOM at 100× the volume)
@@ -104,10 +99,8 @@ object StreamingQueries {
         |ORDER BY message_id, src""".stripMargin
     ) { (s, dir) =>
       import graft.streaming.AckingSink
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-retry").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft-retry-ckpt").toString
+      val root = graft.TempRoots.create("graft-retry")
+      val ckpt = graft.TempRoots.create("graft-retry-ckpt")
       // delivery-SEMANTICS gate on a bounded topic slice (ps01 is the
       // full-scale ingest-throughput query; re-running the whole volume
       // through a second stream pair here would only re-measure ps01)
@@ -192,10 +185,8 @@ object StreamingQueries {
         |ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
       import graft.streaming.ChunkReassembly
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-chunks").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft-chunks-ckpt").toString
+      val root = graft.TempRoots.create("graft-chunks")
+      val ckpt = graft.TempRoots.create("graft-chunks-ckpt")
       // empty text excluded on BOTH sides: zero chunks can't be
       // published (and sequence(0, -1) would count down)
       val docs = Tables(s, dir, "documents")
@@ -277,8 +268,7 @@ object StreamingQueries {
         |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
         |ORDER BY message_id""".stripMargin
     ) { (s, dir) =>
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-seek").toString
+      val root = graft.TempRoots.create("graft-seek")
       TopicStore.publish(s,
         MessageOps.fromEvents(Tables(s, dir, "events")), root, "events", 4)
       s.read.format("pulsarlike")
@@ -311,10 +301,8 @@ object StreamingQueries {
         |WHERE event_id < 30000
         |ORDER BY message_id""".stripMargin
     ) { (s, dir) =>
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-once").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft-once-ckpt").toString
+      val root = graft.TempRoots.create("graft-once")
+      val ckpt = graft.TempRoots.create("graft-once-ckpt")
       val outDir = root + "/deduped"
       val slice = MessageOps.fromEvents(
         Tables(s, dir, "events").filter(col("event_id") < 30000))
@@ -441,18 +429,13 @@ object StreamingQueries {
         |  AND a.event_id % 5 <> 4 AND b.event_id % 5 <> 4
         |ORDER BY click_id, buy_id""".stripMargin
     ) { (s, dir) =>
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-sj").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft-sj-ckpt").toString
+      val root = graft.TempRoots.create("graft-sj")
+      val ckpt = graft.TempRoots.create("graft-sj-ckpt")
       val outDir = root + "/joined"
       TopicStore.publish(s,
         MessageOps.fromEvents(Tables(s, dir, "events")), root, "events", 4)
 
-      val payloadSchema = StructType(Seq(
-        StructField("event_id", LongType),
-        StructField("event_type", StringType),
-        StructField("value", DoubleType)))
+      val payloadSchema = MessageOps.payloadSchema
       def side(eventType: String, idAs: String, tsAs: String) = {
         val raw = s.readStream.format("pulsarlike")
           .option("path", root)
@@ -522,7 +505,7 @@ object StreamingQueries {
         |      WHERE event_type = 'purchase' AND event_id % 5 <> 4) b
         |  ON a.user_id = b.user_id
         |  AND a.ts BETWEEN b.ts - INTERVAL 1 HOUR AND b.ts
-        |ORDER BY click_id, buy_id""".stripMargin
+        |ORDER BY click_id NULLS FIRST, buy_id NULLS FIRST""".stripMargin
     ) { (s, dir) =>
       StreamOuterJoinGate.run(s, dir, "graft-soj", "left_outer")
     },
@@ -546,7 +529,7 @@ object StreamingQueries {
         |      WHERE event_type = 'purchase' AND event_id % 5 <> 4) b
         |  ON a.user_id = b.user_id
         |  AND a.ts BETWEEN b.ts - INTERVAL 1 HOUR AND b.ts
-        |ORDER BY click_id, buy_id""".stripMargin
+        |ORDER BY click_id NULLS FIRST, buy_id NULLS FIRST""".stripMargin
     ) { (s, dir) =>
       StreamOuterJoinGate.run(s, dir, "graft-foj", "full_outer")
     },
@@ -749,10 +732,8 @@ object StreamingQueries {
         |GROUP BY 1
         |ORDER BY 1""".stripMargin
     ) { (s, dir) =>
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-wmu").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft-wmu-ckpt").toString
+      val root = graft.TempRoots.create("graft-wmu")
+      val ckpt = graft.TempRoots.create("graft-wmu-ckpt")
       val outDir = root + "/windows"
       val events = Tables(s, dir, "events")
       val onTime = events.filter(pmod(col("event_id"), lit(3)) =!= 0)
@@ -840,10 +821,8 @@ object StreamingQueries {
         |FROM events GROUP BY user_id
         |ORDER BY user_id""".stripMargin
     ) { (s, dir) =>
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-complete").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft-complete-ckpt").toString
+      val root = graft.TempRoots.create("graft-complete")
+      val ckpt = graft.TempRoots.create("graft-complete-ckpt")
       val outDir = root + "/totals"
       val events = Tables(s, dir, "events")
       def runPass(): Unit = {
@@ -905,10 +884,8 @@ object StreamingQueries {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |ORDER BY message_id""".stripMargin
     ) { (s, dir) =>
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-enrich").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft-enrich-ckpt").toString
+      val root = graft.TempRoots.create("graft-enrich")
+      val ckpt = graft.TempRoots.create("graft-enrich-ckpt")
       val outDir = root + "/enriched"
       TopicStore.publish(s,
         MessageOps.fromEvents(Tables(s, dir, "events")), root, "events", 4)
@@ -985,10 +962,7 @@ private[queries] object StreamOuterJoinGate {
         .withColumn("content_type", lit("application/json")),
       root, "events", 4)
 
-    val payloadSchema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType)))
+    val payloadSchema = MessageOps.payloadSchema
     def side(eventType: String, idAs: String, tsAs: String) = {
       val raw = s.readStream.format("pulsarlike")
         .option("path", root)
