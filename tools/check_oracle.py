@@ -11,13 +11,18 @@ import sys, json, glob, os
 import duckdb
 import pandas as pd
 
+ORDERED = "--ordered" in sys.argv  # keep emitted row order (the driver
+# hashes values in row order — sorting here can MASK an ORDER BY
+# divergence like DuckDB's NULLS-LAST default vs Spark's NULLS FIRST)
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    if not ORDERED:
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    sf_dir, out_dir = [a for a in sys.argv[1:] if not a.startswith("--")][:2]
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
