@@ -227,9 +227,7 @@ object StreamingQueries {
       // hash-mismatch the oracle, which has no such bound). State
       // instances = shuffle partitions; right-sized to the bounded
       // slice (restored after the stream drains)
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      StreamHarness.withShufflePartitions(s, "8") {
       val q = ChunkReassembly.reassemble(s, asChunks,
           watermarkDelay = "1 second", maxChunks = 4096)
         .writeStream
@@ -247,7 +245,7 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
       BatchLanding.read(s, outDir).orderBy(col("doc_id"))
     },
 
@@ -308,9 +306,7 @@ object StreamingQueries {
         Tables(s, dir, "events").filter(col("event_id") < 30000))
       TopicStore.publish(s, slice, root, "events", 4)
       TopicStore.publish(s, slice, root, "events", 4) // the redelivery
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      StreamHarness.withShufflePartitions(s, "8") {
         val q = s.readStream.format("pulsarlike")
           .option("path", root)
           .option("serviceUrl", "pulsar://local")
@@ -331,7 +327,7 @@ object StreamingQueries {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
       BatchLanding.read(s, outDir).orderBy(col("message_id"))
     },
 
@@ -456,9 +452,7 @@ object StreamingQueries {
       // partitions (4 stores per partition); right-size them to the
       // bounded slice this query processes — a cluster deployment
       // sizes this to its core count instead
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      StreamHarness.withShufflePartitions(s, "8") {
       val clicks = side("click", "click_id", "click_ts")
       val buys = side("purchase", "buy_id", "buy_ts")
       val q = clicks.join(buys,
@@ -477,7 +471,7 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
       BatchLanding.read(s, outDir).orderBy(col("click_id"), col("buy_id"))
     },
 
@@ -744,9 +738,7 @@ object StreamingQueries {
         lit(java.sql.Timestamp.valueOf("2035-01-01 00:00:00")).as("publish_time"),
         lit(java.sql.Timestamp.valueOf("2035-01-01 00:00:00")).as("event_time"))
       def runPass(): Unit = {
-        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        try {
+        StreamHarness.withShufflePartitions(s, "8") {
           val src = s.readStream.format("pulsarlike")
             .option("path", root)
             .option("serviceUrl", "pulsar://local")
@@ -776,7 +768,7 @@ object StreamingQueries {
             .trigger(Trigger.AvailableNow())
             .start()
           q.awaitTermination()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        }
       }
       TopicStore.publish(s,
         MessageOps.fromEvents(onTime.filter(col("ts") < mid)),
@@ -826,9 +818,7 @@ object StreamingQueries {
       val outDir = root + "/totals"
       val events = Tables(s, dir, "events")
       def runPass(): Unit = {
-        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        try {
+        StreamHarness.withShufflePartitions(s, "8") {
           val q = s.readStream.format("pulsarlike")
             .option("path", root)
             .option("serviceUrl", "pulsar://local")
@@ -848,7 +838,7 @@ object StreamingQueries {
             .trigger(Trigger.AvailableNow())
             .start()
           q.awaitTermination()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        }
       }
       TopicStore.publish(s,
         MessageOps.fromEvents(events.filter(pmod(col("event_id"), lit(2)) === 0)),
@@ -892,9 +882,7 @@ object StreamingQueries {
       val dim = Tables(s, dir, "customer")
         .select(col("c_custkey").cast("string").as("key"),
           col("c_mktsegment"))
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      StreamHarness.withShufflePartitions(s, "8") {
         val q = s.readStream.format("pulsarlike")
           .option("path", root)
           .option("serviceUrl", "pulsar://local")
@@ -915,7 +903,7 @@ object StreamingQueries {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
       BatchLanding.read(s, outDir).orderBy(col("message_id"))
     }
   )
@@ -985,9 +973,7 @@ private[queries] object StreamOuterJoinGate {
         .withWatermark(tsAs, "1 hour")
     }
     def runPass(): Unit = {
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      StreamHarness.withShufflePartitions(s, "8") {
         val clicks = side("click", "click_id", "click_ts")
         val buys = side("purchase", "buy_id", "buy_ts")
         val joined = clicks.join(buys,
@@ -1023,7 +1009,7 @@ private[queries] object StreamOuterJoinGate {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
     }
     runPass()
     // second pass on the same checkpoint: one more trigger after the
@@ -1074,9 +1060,7 @@ private[queries] object StreamingWindowGate {
       lit(java.sql.Timestamp.valueOf("2035-01-01 00:00:00")).as("event_time"))
 
     def runPass(): Unit = {
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      StreamHarness.withShufflePartitions(s, "8") {
         val src = s.readStream.format("pulsarlike")
           .option("path", root)
           .option("serviceUrl", "pulsar://local")
@@ -1101,7 +1085,7 @@ private[queries] object StreamingWindowGate {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
     }
 
     TopicStore.publish(s,
@@ -1115,5 +1099,20 @@ private[queries] object StreamingWindowGate {
     runPass()
     BatchLanding.read(s, outDir)
       .orderBy(orderCols.map(col): _*)
+  }
+}
+
+/** State-store-sized shuffle partitions for a stream loop's duration,
+  * restored afterwards even on failure. One definition — a hand-copied
+  * save/set/finally that forgets the restore would silently leak the
+  * override into every later query in the shared Verify/Bench session.
+  */
+private[queries] object StreamHarness {
+  def withShufflePartitions[T](s: org.apache.spark.sql.SparkSession,
+      n: String)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n)
+    try body
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 }
