@@ -12,9 +12,13 @@ object TempRoots {
 
   Runtime.getRuntime.addShutdownHook(new Thread(() => {
     created.forEach { root =>
+      // close the walk stream per root — it holds a dirfd, and a long
+      // soak accumulates enough roots to hit the fd limit mid-cleanup
       try {
-        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        val st = Files.walk(root)
+        try st.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => try Files.deleteIfExists(p) catch { case _: Throwable => () })
+        finally st.close()
       } catch { case _: Throwable => () }
     }
   }, "graft-temp-roots-cleanup"))

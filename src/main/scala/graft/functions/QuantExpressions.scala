@@ -24,12 +24,15 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType}
   * bit-for-bit. A constant dimension (step = 0) encodes to 0 and
   * dequantizes to mins[d] exactly in both engines.
   *
-  * Null contract: any null input → null. Codes are unsigned bytes
-  * (stored in Java's signed byte, masked 0xFF on decode). A
-  * vector/params dimensionality mismatch throws — silently truncating
-  * to the common prefix would produce plausible-looking but wrong
-  * similarities downstream (and would diverge from the oracle's
-  * explicit 64-dim indexing).
+  * Null contract: any null input → null, and (for inputs typed with
+  * containsNull=true, parquet's default) any null ELEMENT nulls the
+  * whole result — getDouble on a null slot would otherwise yield a
+  * silent 0.0/garbage code diverging from the oracle without an error.
+  * Codes are unsigned bytes (stored in Java's signed byte, masked 0xFF
+  * on decode). A vector/params dimensionality mismatch throws —
+  * silently truncating to the common prefix would produce
+  * plausible-looking but wrong similarities downstream (and would
+  * diverge from the oracle's explicit 64-dim indexing).
   */
 case class Sq8Encode(vec: Expression, mins: Expression, steps: Expression)
     extends TernaryExpression {
@@ -50,6 +53,15 @@ case class Sq8Encode(vec: Expression, mins: Expression, steps: Expression)
   override def dataType: DataType = BinaryType
   override def prettyName: String = "sq8_encode"
 
+  // element-nullability is static per input — the null-slot guard is
+  // only paid (in eval and in the generated loop) when the type admits it
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+  override def nullable: Boolean =
+    super.nullable || Seq(vec, mins, steps).exists(elemNullable)
+
   override def nullSafeEval(v: Any, mn: Any, st: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
     val m = mn.asInstanceOf[ArrayData]
@@ -58,6 +70,15 @@ case class Sq8Encode(vec: Expression, mins: Expression, steps: Expression)
     require(m.numElements() == n && s.numElements() == n,
       s"sq8_encode: vector has $n dims but params have " +
         s"${m.numElements()}/${s.numElements()}")
+    if (elemNullable(vec) || elemNullable(mins) || elemNullable(steps)) {
+      var d = 0
+      while (d < n) {
+        if ((elemNullable(vec) && x.isNullAt(d)) ||
+            (elemNullable(mins) && m.isNullAt(d)) ||
+            (elemNullable(steps) && s.isNullAt(d))) return null
+        d += 1
+      }
+    }
     val out = new Array[Byte](n)
     var d = 0
     while (d < n) {
@@ -81,25 +102,43 @@ case class Sq8Encode(vec: Expression, mins: Expression, steps: Expression)
       val out = ctx.freshName("out")
       val step = ctx.freshName("step")
       val code = ctx.freshName("code")
+      // null-slot guard only for inputs whose type admits null elements
+      // (nullSafeCodeGen permits resultCode to set ev.isNull)
+      val nullChecks = Seq(v -> elemNullable(vec), mn -> elemNullable(mins),
+        st -> elemNullable(steps)).collect { case (nm, true) => s"$nm.isNullAt($d)" }
+      val guard =
+        if (nullChecks.isEmpty) ""
+        else {
+          val g = ctx.freshName("g")
+          s"""
+             |for (int $g = 0; $g < $n; $g++) {
+             |  int $d = $g;
+             |  if (${nullChecks.mkString(" || ")}) { ${ev.isNull} = true; break; }
+             |}
+           """.stripMargin
+        }
       s"""
          |final int $n = $v.numElements();
          |if ($mn.numElements() != $n || $st.numElements() != $n) {
          |  throw new IllegalArgumentException("sq8_encode: vector has " + $n
          |    + " dims but params have " + $mn.numElements() + "/" + $st.numElements());
          |}
-         |final byte[] $out = new byte[$n];
-         |for (int $d = 0; $d < $n; $d++) {
-         |  final double $step = $st.getDouble($d);
-         |  long $code = 0L;
-         |  if ($step != 0.0) {
-         |    $code = (long) java.lang.Math.floor(
-         |      ($v.getDouble($d) - $mn.getDouble($d)) / $step);
-         |    if ($code < 0L) $code = 0L;
-         |    if ($code > 255L) $code = 255L;
+         |$guard
+         |if (!${ev.isNull}) {
+         |  final byte[] $out = new byte[$n];
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    final double $step = $st.getDouble($d);
+         |    long $code = 0L;
+         |    if ($step != 0.0) {
+         |      $code = (long) java.lang.Math.floor(
+         |        ($v.getDouble($d) - $mn.getDouble($d)) / $step);
+         |      if ($code < 0L) $code = 0L;
+         |      if ($code > 255L) $code = 255L;
+         |    }
+         |    $out[$d] = (byte) $code;
          |  }
-         |  $out[$d] = (byte) $code;
+         |  ${ev.value} = $out;
          |}
-         |${ev.value} = $out;
        """.stripMargin
     })
 
@@ -134,6 +173,15 @@ case class Sq8Dequant(codes: Expression, mins: Expression, steps: Expression)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "sq8_dequant"
 
+  // same null-slot contract as Sq8Encode: a null element in the (possibly
+  // containsNull=true) param arrays nulls the whole result
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+  override def nullable: Boolean =
+    super.nullable || elemNullable(mins) || elemNullable(steps)
+
   override def nullSafeEval(cs: Any, mn: Any, st: Any): Any = {
     val c = cs.asInstanceOf[Array[Byte]]
     val m = mn.asInstanceOf[ArrayData]
@@ -142,6 +190,14 @@ case class Sq8Dequant(codes: Expression, mins: Expression, steps: Expression)
     require(m.numElements() == n && s.numElements() == n,
       s"sq8_dequant: codes have $n dims but params have " +
         s"${m.numElements()}/${s.numElements()}")
+    if (elemNullable(mins) || elemNullable(steps)) {
+      var d = 0
+      while (d < n) {
+        if ((elemNullable(mins) && m.isNullAt(d)) ||
+            (elemNullable(steps) && s.isNullAt(d))) return null
+        d += 1
+      }
+    }
     val out = new Array[Double](n)
     var d = 0
     while (d < n) {
@@ -156,18 +212,34 @@ case class Sq8Dequant(codes: Expression, mins: Expression, steps: Expression)
       val n = ctx.freshName("n")
       val d = ctx.freshName("d")
       val out = ctx.freshName("out")
+      val nullChecks = Seq(mn -> elemNullable(mins), st -> elemNullable(steps))
+        .collect { case (nm, true) => s"$nm.isNullAt($d)" }
+      val guard =
+        if (nullChecks.isEmpty) ""
+        else {
+          val g = ctx.freshName("g")
+          s"""
+             |for (int $g = 0; $g < $n; $g++) {
+             |  int $d = $g;
+             |  if (${nullChecks.mkString(" || ")}) { ${ev.isNull} = true; break; }
+             |}
+           """.stripMargin
+        }
       s"""
          |final int $n = $cs.length;
          |if ($mn.numElements() != $n || $st.numElements() != $n) {
          |  throw new IllegalArgumentException("sq8_dequant: codes have " + $n
          |    + " dims but params have " + $mn.numElements() + "/" + $st.numElements());
          |}
-         |final double[] $out = new double[$n];
-         |for (int $d = 0; $d < $n; $d++) {
-         |  $out[$d] = $mn.getDouble($d) + (($cs[$d] & 0xFF) + 0.5) * $st.getDouble($d);
+         |$guard
+         |if (!${ev.isNull}) {
+         |  final double[] $out = new double[$n];
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    $out[$d] = $mn.getDouble($d) + (($cs[$d] & 0xFF) + 0.5) * $st.getDouble($d);
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($out);
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-         |  .fromPrimitiveArray($out);
        """.stripMargin
     })
 

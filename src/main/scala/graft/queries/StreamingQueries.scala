@@ -931,8 +931,8 @@ private[queries] object StreamOuterJoinGate {
     * never match, so the agg only ever sees real rows. */
   def run(s: SparkSession, dir: String, tag: String,
       joinType: String, windowAgg: Boolean = false): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory(tag).toString
-    val ckpt = java.nio.file.Files.createTempDirectory(tag + "-ckpt").toString
+    val root = graft.TempRoots.create(tag)
+    val ckpt = graft.TempRoots.create(tag + "-ckpt")
     val outDir = root + "/joined"
     TopicStore.publish(s,
       MessageOps.fromEvents(Tables(s, dir, "events")), root, "events", 4)
@@ -1049,8 +1049,8 @@ private[queries] object StreamingWindowGate {
 
   def run(s: SparkSession, dir: String, tag: String,
       agg: DataFrame => DataFrame, orderCols: Seq[String]): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory(tag).toString
-    val ckpt = java.nio.file.Files.createTempDirectory(tag + "-ckpt").toString
+    val root = graft.TempRoots.create(tag)
+    val ckpt = graft.TempRoots.create(tag + "-ckpt")
     val outDir = root + "/windows"
     val events = Tables(s, dir, "events")
     val sentinel = events.limit(1).select(

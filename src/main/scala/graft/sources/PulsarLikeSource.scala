@@ -332,7 +332,13 @@ class PulsarLikeMicroBatchStream(conf: PulsarLikeConf, root: String,
         PulsarLikeOffset(endCursors().map { case (k, _) => k -> baseOf(k) }
           + (PulsarLikeOffset.FreshKey -> 1L))
       case InitialPosition.Latest =>
-        PulsarLikeOffset(endCursors() + (PulsarLikeOffset.FreshKey -> 1L))
+        // NO FreshKey: a Latest subscription never reads the retained
+        // prefix — its batch 0 is only the tail published between
+        // subscribe and the first trigger, which a real broker delivers
+        // UNCOMPACTED (past the compaction horizon). Planting the marker
+        // here would silently drop intermediate per-key updates in that
+        // window under readCompacted=true.
+        PulsarLikeOffset(endCursors())
     }
   }
 

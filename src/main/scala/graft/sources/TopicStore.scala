@@ -141,19 +141,27 @@ object TopicStore {
       Files.createDirectories(dir)
       // pre-topic.meta topics: infer a floor from existing part files
       val n = math.max(requested, partitionIdsIn(dir).maxOption.map(_ + 1).getOrElse(0))
-      // CREATE_NEW makes the first writer win ATOMICALLY: two
-      // concurrent first writers with different requested counts must
-      // not each route mod their own N (that splits a key across
-      // partitions — the exact invariant this meta exists to protect);
-      // the loser re-reads the winner's count
+      // write-to-temp + atomic hard link makes the first writer win with
+      // its BYTES already in place: two concurrent first writers with
+      // different requested counts must not each route mod their own N
+      // (that splits a key across partitions — the exact invariant this
+      // meta exists to protect), and a CREATE_NEW-then-write pair would
+      // let the loser (or any Files.exists fast-path reader) observe an
+      // empty topic.meta between the two steps. createLink (not
+      // ATOMIC_MOVE, whose rename(2) silently REPLACES an existing
+      // target) fails atomically when the winner got there first; the
+      // loser re-reads the winner's count.
+      val tmp = Files.createTempFile(dir, ".topic.meta", ".tmp")
       try {
-        Files.writeString(m, s"""{"numPartitions":$n}""",
-          StandardOpenOption.CREATE_NEW)
-        n
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          mapper.readTree(Files.readString(m)).get("numPartitions").asInt()
-      }
+        Files.writeString(tmp, s"""{"numPartitions":$n}""")
+        try {
+          Files.createLink(m, tmp)
+          n
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            mapper.readTree(Files.readString(m)).get("numPartitions").asInt()
+        }
+      } finally Files.deleteIfExists(tmp)
     }
   }
 

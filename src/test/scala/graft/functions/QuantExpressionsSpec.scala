@@ -86,6 +86,34 @@ class QuantExpressionsSpec extends SparkSpec {
     assert(enc.toSeq == rows(0).getAs[Array[Byte]](0).toSeq)
   }
 
+  test("a null ELEMENT nulls the whole result instead of minting a garbage code") {
+    import spark.implicits._
+    // codegen path: parquet-style containsNull=true arrays with a null slot
+    val rows = Seq(
+      (1L, Seq[java.lang.Double](0.5, 0.5)),
+      (2L, Seq[java.lang.Double](0.5, null)))
+      .toDF("id", "v")
+      .select(col("id"), VectorOps.sq8Encode(col("v"),
+        typedlit(Seq(0.0, 0.0)), typedlit(Seq(1.0 / 256.0, 1.0 / 256.0))).as("c"))
+      .orderBy("id").collect()
+    assert(rows(0).getAs[Array[Byte]](1).length == 2)
+    assert(rows(1).isNullAt(1), "null element must null the result, not encode 0.0")
+
+    // interpreted path agrees (GenericArrayData with a null slot NPE'd pre-fix)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val withNull = Literal(new GenericArrayData(Array[Any](0.5, null)),
+      ArrayType(DoubleType, containsNull = true))
+    val params = Literal(new GenericArrayData(Array[Any](0.0, 0.0)),
+      ArrayType(DoubleType, containsNull = true))
+    assert(Sq8Encode(withNull, params, params).eval(null) == null)
+    // dequant: a null param element nulls the reconstruction too
+    val codes = Literal(Array[Byte](1, 2),
+      org.apache.spark.sql.types.BinaryType)
+    assert(Sq8Dequant(codes, withNull, params).eval(null) == null)
+  }
+
   test("a vector/params dimensionality mismatch throws, never truncates") {
     import spark.implicits._
     val err = intercept[Exception] {

@@ -97,6 +97,30 @@ class HardeningRegressionSpec extends SparkSpec {
       "a caught-up subscription's later batches must deliver every message")
   }
 
+  test("Latest + readCompacted delivers the tail uncompacted (no freshness marker)") {
+    val root = tmpDir("latest-tail")
+    publishRows(root, Seq(("k", "old1"), ("k", "old2")), parts = 1)
+    val conf = PulsarLikeConf.fromOptions(Map(
+      "serviceUrl" -> "pulsar://local", "topicNames" -> "t",
+      "subscriptionInitialPosition" -> "Latest",
+      "readCompacted" -> "true",
+      "batchingMaxMessages" -> "100"))
+    val stream = new PulsarLikeMicroBatchStream(conf, root)
+    val o0 = stream.initialOffset()
+    assert(!o0.asInstanceOf[PulsarLikeOffset].cursors
+      .contains(PulsarLikeOffset.FreshKey),
+      "Latest never reads the retained prefix, so it must not plant FreshKey")
+    // messages published between subscribe and the first trigger are past
+    // the compaction horizon — a real broker delivers them UNCOMPACTED;
+    // pre-fix the marker compacted batch 0 and dropped (k, v1)
+    publishRows(root, Seq(("k", "v1"), ("k", "v2")), parts = 1)
+    val o1 = stream.latestOffset(o0, ReadLimit.allAvailable())
+    val parts = stream.planInputPartitions(o0, o1)
+      .map(_.asInstanceOf[PulsarLikeInputPartition])
+    assert(parts.nonEmpty && parts.forall(!_.compacted),
+      "Latest batch 0 must serve every tail message")
+  }
+
   test("no phantom n-grams or frames on short/empty documents") {
     import spark.implicits._
     import graft.operators.{MultimodalOps, TextOps}
