@@ -261,6 +261,149 @@ object MessageQueries {
         .select(col("message_id"), col("key"), col("publish_time"),
           col("event_time"), col("redelivery_count"), col("content_type"))
         .orderBy(col("message_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // m13 — EXACTLY-ONCE producer relay under a forced epoch replay
+    // (the reference's `enableTransaction` surface,
+    // connection/PulsarConnectionSetup.java:125-127, mapped per SURVEY
+    // to checkpoint + epoch-idempotent sink): a consume→transform→produce
+    // streaming relay runs in several admission-limited epochs, the
+    // checkpoint's LAST commit marker is deleted (≙ crash between sink
+    // write and checkpoint commit), and a second AvailableNow pass
+    // REPLAYS that epoch — with the same epochId over the same offsets.
+    // The sink's per-(queryId/writerPartition) epoch high-water must
+    // skip the replayed appends: one duplicated message and the count +
+    // hash both mismatch. (SinkExactlyOnceSpec proves the same fixture
+    // DOES duplicate with enableTransaction off — the replay is real.)
+    Q(
+      "m13_exactly_once_relay",
+      """SELECT '0:' || CAST(event_id AS VARCHAR) || ':0:0' AS message_id,
+        |  CAST(user_id AS VARCHAR) AS key,
+        |  ts AS publish_time, ts AS event_time,
+        |  CAST(event_id % 8 AS INTEGER) AS redelivery_count,
+        |  CASE event_id % 5
+        |    WHEN 0 THEN 'application/json'
+        |    WHEN 1 THEN 'application/json; charset=utf-8'
+        |    WHEN 2 THEN 'application/xml'
+        |    ELSE 'text/csv' END AS content_type
+        |FROM events
+        |WHERE event_id % 5 <> 4
+        |ORDER BY message_id""".stripMargin
+    ) { (s, dir) =>
+      val root = graft.TempRoots.create("graft-xonce")
+      val ckpt = root + "/ckpt"
+      graft.sources.TopicStore.publish(s,
+        MessageOps.fromEvents(Tables(s, dir, "events")), root, "hop-in", 4)
+      def runPass(): Unit = {
+        val q = s.readStream.format("pulsarlike")
+          .option("path", root)
+          .option("serviceUrl", "pulsar://local")
+          .option("topicNames", "hop-in")
+          .option("subscriptionInitialPosition", "Earliest")
+          // several epochs per pass, so the replayed epoch is a real
+          // mid-stream batch, not the whole topic
+          .option("batchingMaxMessages", "2000")
+          .load()
+          // the transform leg: drop text/plain (pushed to the source scan)
+          .filter(col("content_type") =!= "text/plain")
+          .writeStream
+          .format("pulsarlike")
+          .option("path", root)
+          .option("serviceUrl", "pulsar://local")
+          .option("topicNames", "hop-out")
+          .option("enableTransaction", "true")
+          .option("batchingMaxMessages", "2000")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runPass()
+      graft.streaming.StreamReplay.forceLastEpochReplay(ckpt)
+      runPass()
+      s.read.format("pulsarlike")
+        .option("path", root)
+        .option("serviceUrl", "pulsar://local")
+        .option("topicNames", "hop-out")
+        .option("batchingMaxMessages", "1000000")
+        .load()
+        .select(col("message_id"), col("key"), col("publish_time"),
+          col("event_time"), col("redelivery_count"), col("content_type"))
+        .orderBy(col("message_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // m14 — the reference's deployment topology end-to-end, broker
+    // through: stream-consume the source topic (first subscription),
+    // relay through the DSv2 pulsarlike SINK into a second topic, then
+    // stream-consume THAT with a fresh downstream subscription and land
+    // the result — source semantics (A1/A4/A15), sink routing, and the
+    // second consumer's delivery all composed in one oracled query.
+    Q(
+      "m14_roundtrip",
+      """SELECT '0:' || CAST(event_id AS VARCHAR) || ':0:0' AS message_id,
+        |  CAST(user_id AS VARCHAR) AS key,
+        |  ts AS publish_time,
+        |  CAST(event_id % 8 AS INTEGER) AS redelivery_count,
+        |  CASE event_id % 5
+        |    WHEN 0 THEN 'application/json'
+        |    WHEN 1 THEN 'application/json; charset=utf-8'
+        |    WHEN 2 THEN 'application/xml'
+        |    WHEN 3 THEN 'text/csv'
+        |    ELSE 'text/plain' END AS content_type
+        |FROM events
+        |ORDER BY message_id""".stripMargin
+    ) { (s, dir) =>
+      import graft.streaming.BatchLanding
+      val root = graft.TempRoots.create("graft-roundtrip")
+      val ckptRelay = root + "/ckpt-relay"
+      val ckptDown = root + "/ckpt-down"
+      val outDir = root + "/landed"
+      graft.sources.TopicStore.publish(s,
+        MessageOps.fromEvents(Tables(s, dir, "events")), root, "hop-in", 4)
+      // leg 1: subscription "sub-relay" consumes hop-in, produces hop-out
+      val relay = s.readStream.format("pulsarlike")
+        .option("path", root)
+        .option("serviceUrl", "pulsar://local")
+        .option("topicNames", "hop-in")
+        .option("subscriptionName", "sub-relay")
+        .option("subscriptionInitialPosition", "Earliest")
+        .option("batchingMaxMessages", "4000")
+        .load()
+        .writeStream
+        .format("pulsarlike")
+        .option("path", root)
+        .option("serviceUrl", "pulsar://local")
+        .option("topicNames", "hop-out")
+        .option("enableTransaction", "true")
+        .option("batchingMaxMessages", "4000")
+        .option("checkpointLocation", ckptRelay)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      relay.awaitTermination()
+      // leg 2: a FRESH subscription consumes the produced topic
+      val down = s.readStream.format("pulsarlike")
+        .option("path", root)
+        .option("serviceUrl", "pulsar://local")
+        .option("topicNames", "hop-out")
+        .option("subscriptionName", "sub-down")
+        .option("subscriptionInitialPosition", "Earliest")
+        .option("batchingMaxMessages", "4000")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckptDown)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+          BatchLanding.land(df, outDir, bid)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      down.awaitTermination()
+      BatchLanding.read(s, outDir)
+        .select(col("message_id"), col("key"), col("publish_time"),
+          col("redelivery_count"), col("content_type"))
+        .orderBy(col("message_id"))
     }
   )
 }

@@ -18,9 +18,16 @@ import graft.model.PulsarLikeConf
   * Delivery contract: each task buffers its rows and appends them
   * per-partition under the store's file lock in `commit()` — so a failed
   * task writes nothing, and a retried one appends again (at-least-once,
-  * the reference's own delivery level; exactly-once composes from the
-  * streaming checkpoint + idempotent downstream, SURVEY.md §2A
-  * `enableTransaction` note).
+  * the reference's own delivery level). With `enableTransaction=true`
+  * (the reference's transactional-producer switch,
+  * connection/PulsarConnectionSetup.java:125-127) the STREAMING write
+  * path upgrades to exactly-once: each task append carries a
+  * `queryId/writerPartition` token plus the epochId, and the store skips
+  * appends at-or-below the persisted per-token epoch high-water — a
+  * micro-batch replayed after a crash between sink write and checkpoint
+  * commit lands zero duplicate messages. The queryId is stable across
+  * restarts of one checkpoint (replays match their token) and fresh for
+  * a new query (restarted epoch numbering can never be mis-skipped).
   *
   * Scale posture: writers are executor-side and buffer only their task's
   * rows; the append is O(task rows) with one lock acquisition per store
@@ -55,7 +62,9 @@ class PulsarLikeWriteBuilder(conf: PulsarLikeConf, root: String,
       override def createStreamingWriterFactory(
           info: PhysicalWriteInfo): StreamingDataWriterFactory =
         new PulsarLikeStreamingWriterFactory(root, topic, resolvedPartitions,
-          PulsarLikeSink.fieldIndexes(PulsarLikeWriteBuilder.this.info.schema()))
+          PulsarLikeSink.fieldIndexes(PulsarLikeWriteBuilder.this.info.schema()),
+          txnQueryId = if (conf.client.enableTransaction)
+            PulsarLikeWriteBuilder.this.info.queryId() else null)
       override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
       override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
     }
@@ -77,17 +86,25 @@ class PulsarLikeWriterFactory(root: String, topic: String, parts: Int,
     new PulsarLikeDataWriter(root, topic, parts, idx)
 }
 
+/** `txnQueryId != null` → epoch-idempotent appends (exactly-once). The
+  * token is per WRITER partition: a replayed epoch re-plans the same
+  * writer partitions over the same checkpointed offsets, so each
+  * (token, epoch) pair deterministically re-produces — and skips — the
+  * exact appends of the failed attempt. */
 class PulsarLikeStreamingWriterFactory(root: String, topic: String, parts: Int,
-    idx: Map[String, Int]) extends StreamingDataWriterFactory {
+    idx: Map[String, Int], txnQueryId: String = null)
+    extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new PulsarLikeDataWriter(root, topic, parts, idx)
+    new PulsarLikeDataWriter(root, topic, parts, idx,
+      txn = Option(txnQueryId).map(q => (s"$q/$partitionId", epochId)))
 }
 
 /** Buffers rows, appends per store partition on commit (under the file
   * lock), so an aborted task publishes nothing. */
 class PulsarLikeDataWriter(root: String, topic: String, parts: Int,
-    idx: Map[String, Int]) extends DataWriter[InternalRow] {
+    idx: Map[String, Int],
+    txn: Option[(String, Long)] = None) extends DataWriter[InternalRow] {
 
   private val buf = scala.collection.mutable.ArrayBuffer.empty[TopicStore.Msg]
 
@@ -126,7 +143,7 @@ class PulsarLikeDataWriter(root: String, topic: String, parts: Int,
   override def commit(): WriterCommitMessage = {
     buf.groupBy(m => TopicStore.route(m.key, m.valueB64, parts))
       .foreach { case (p, msgs) =>
-        TopicStore.append(root, topic, p, msgs.toSeq)
+        TopicStore.append(root, topic, p, msgs.toSeq, txn)
       }
     PulsarLikeSink.CommitDone(buf.size.toLong)
   }

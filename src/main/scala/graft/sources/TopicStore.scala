@@ -116,6 +116,19 @@ object TopicStore {
     }
   }
 
+  /** Producer-transaction high-waters persisted in the meta sidecar:
+    * token ("queryId/writerPartition") → highest epochId whose append
+    * was applied to this partition. See [[appendIn]]'s txn parameter. */
+  def partitionTxnIn(dir: Path, p: Int): Map[String, Long] = {
+    val m = dir.resolve(s"part-$p.meta")
+    if (!Files.exists(m)) Map.empty
+    else {
+      val t = mapper.readTree(Files.readString(m)).get("txn")
+      if (t == null || !t.isObject) Map.empty
+      else t.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+    }
+  }
+
   /** Absolute offset of the partition file's first line — non-zero once
     * the delivered prefix has been reclaimed (retry-log GC). */
   def partitionBaseIn(dir: Path, p: Int): Long = {
@@ -337,14 +350,38 @@ object TopicStore {
     }
   }
 
-  def append(root: String, topic: String, p: Int, msgs: Seq[Msg]): Unit =
-    appendIn(topicDir(root, topic).toAbsolutePath.toString, p, msgs)
+  def append(root: String, topic: String, p: Int, msgs: Seq[Msg],
+      txn: Option[(String, Long)] = None): Unit =
+    appendIn(topicDir(root, topic).toAbsolutePath.toString, p, msgs, txn)
 
   def appendRetries(root: String, topic: String, sub: String, p: Int,
       msgs: Seq[Msg]): Unit =
     appendIn(retryDir(root, topic, sub).toAbsolutePath.toString, p, msgs)
 
-  def appendIn(dirStr: String, p: Int, msgs: Seq[Msg]): Unit = {
+  /** Serialize a txn high-water map as the meta sidecar's `txn` object
+    * (Jackson-escaped — token keys carry a queryId UUID). */
+  private def txnJson(t: Map[String, Long]): String = {
+    val o = mapper.createObjectNode()
+    t.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
+    mapper.writeValueAsString(o)
+  }
+
+  /** Append messages to one partition file under the lock; offsets/meta
+    * stay contiguous. Null messageIds are assigned from the partition
+    * offset. Executor-side API (DSv2 writer + publish).
+    *
+    * `txn = Some((token, epochId))` makes the append EPOCH-IDEMPOTENT
+    * (the exactly-once half of the reference's `enableTransaction`
+    * surface, connection/PulsarConnectionSetup.java:125-127): the meta
+    * sidecar keeps, per token ("queryId/writerPartition"), the highest
+    * epoch already applied, and an append at-or-below that high-water is
+    * skipped. Data and high-water persist in the SAME locked meta write,
+    * so a streaming epoch replayed after a crash between sink write and
+    * checkpoint commit cannot duplicate. Epoch monotonicity per token is
+    * Spark's micro-batch contract; a NEW query (fresh checkpoint) gets a
+    * new queryId, so its restarted epoch numbering never collides. */
+  def appendIn(dirStr: String, p: Int, msgs: Seq[Msg],
+      txn: Option[(String, Long)] = None): Unit = {
     if (msgs.isEmpty) return
     val dir = Paths.get(dirStr)
     Files.createDirectories(dir)
@@ -358,6 +395,13 @@ object TopicStore {
       StandardOpenOption.CREATE, StandardOpenOption.WRITE)
     val lock = ch.lock()
     try {
+      // every append path carries existing high-waters forward — a plain
+      // publish interleaved with a transactional sink must not wipe them
+      val txn0 = partitionTxnIn(dir, p)
+      val replayed = txn.exists { case (tok, epoch) =>
+        txn0.get(tok).exists(_ >= epoch) }
+      if (replayed) return
+      val txn1 = txn.fold(txn0) { case (tok, epoch) => txn0 + (tok -> epoch) }
       val (base, bytes0) =
         if (Files.exists(metaFile)) {
           val n = mapper.readTree(Files.readString(metaFile))
@@ -384,7 +428,8 @@ object TopicStore {
       val idxJson = index.result()
         .map { case (l, b) => s"[$l,$b]" }.mkString("[", ",", "]")
       Files.writeString(metaFile,
-        s"""{"count":$off,"bytes":$bytes,"base":$lineBase,"index":$idxJson}""",
+        s"""{"count":$off,"bytes":$bytes,"base":$lineBase,""" +
+          s""""index":$idxJson,"txn":${txnJson(txn1)}}""",
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     } finally { lock.release(); ch.close() }
     }
@@ -454,8 +499,11 @@ object TopicStore {
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         val idxJson = index.result()
           .map { case (l, b) => s"[$l,$b]" }.mkString("[", ",", "]")
+        // retention must not forget producer-epoch high-waters: wiping
+        // them would let a replayed epoch duplicate after a truncation
         Files.writeString(metaFile,
-          s"""{"count":$count,"bytes":$bytes,"base":$newBase,"index":$idxJson}""",
+          s"""{"count":$count,"bytes":$bytes,"base":$newBase,""" +
+            s""""index":$idxJson,"txn":${txnJson(partitionTxnIn(dir, p))}}""",
           StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
       } finally { lock.release(); ch.close() }
     }

@@ -444,4 +444,140 @@ class PropertySpec extends SparkSpec {
           java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
     }, minSuccessful = 500)
   }
+
+  // -------------------------------------------------------------------
+  // Producer mirror of the Key_Shared consumer property: random task
+  // abort/retry/replay plans driven through the REAL DSv2 writer
+  // (PulsarLikeDataWriter's buffer-then-commit contract) against the
+  // topic store, asserting the append accounting exactly:
+  //  - an aborted attempt publishes NOTHING (task buffer dropped);
+  //  - batch path (no txn): each committed attempt appends once —
+  //    at-least-once, duplicate speculative commits duplicate exactly;
+  //  - streaming path with enableTransaction (txn tokens): a replayed
+  //    epoch — including partially-committed first attempts — appends
+  //    nothing new: every message exactly once, in its key's partition.
+
+  private def sinkWriter(root: String, parts: Int,
+      txn: Option[(String, Long)]) =
+    new graft.sources.PulsarLikeDataWriter(root, "t", parts,
+      Map("key" -> 0, "value_str" -> 1, "publish_time" -> 2), txn)
+
+  private def sinkRow(key: String, v: String, i: Int) =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString(key),
+        org.apache.spark.unsafe.types.UTF8String.fromString(v),
+        1700000000000000L + i * 1000L))
+
+  private def storeCounts(root: String): Map[String, Int] = {
+    val dir = TopicStore.topicDir(root, "t")
+    TopicStore.partitionIdsIn(dir).flatMap { p =>
+      val (cnt, _) = TopicStore.partitionMetaIn(dir, p)
+      TopicStore.readEntries(dir, p, 0, cnt).map(m =>
+        (new String(Base64.getDecoder.decode(m.valueB64), "UTF-8"), p))
+    }.groupBy(_._1).view.mapValues(_.size).toMap
+  }
+
+  private case class WriterPlan(msgs: Vector[(String, String, Int)],
+      aborts: Int, commits: Int)
+
+  test("producer accounting: random aborts and speculative commits on the batch write path (100 cases)") {
+    val nParts = 3
+    val planGen = for {
+      nWriters <- Gen.choose(1, 4)
+      plans <- Gen.sequence[Vector[WriterPlan], WriterPlan](
+        (0 until nWriters).map { w =>
+          for {
+            n <- Gen.choose(0, 8)
+            aborts <- Gen.frequency(5 -> 0, 3 -> 1, 1 -> 2)
+            // 1 commit normally; 2 models a speculative duplicate that a
+            // commit coordinator would have fenced (at-least-once bound)
+            commits <- Gen.frequency(8 -> 1, 2 -> 2)
+          } yield WriterPlan((0 until n).toVector.map(i =>
+            (s"k${(w * 31 + i) % 5}", s"w$w-m$i", w * 100 + i)),
+            aborts, commits)
+        }.toVector)
+    } yield plans
+    check(Prop.forAllNoShrink(planGen) { plans =>
+      val root = tmpDir("prop-sink-batch")
+      TopicStore.ensureNumPartitions(root, "t", nParts)
+      plans.foreach { plan =>
+        (0 until plan.aborts).foreach { a =>
+          val w = sinkWriter(root, nParts, None)
+          // an aborted attempt dies after writing a random prefix
+          plan.msgs.take(a * 2).foreach { case (k, v, i) =>
+            w.write(sinkRow(k, v, i)) }
+          w.abort()
+        }
+        (0 until plan.commits).foreach { _ =>
+          val w = sinkWriter(root, nParts, None)
+          plan.msgs.foreach { case (k, v, i) => w.write(sinkRow(k, v, i)) }
+          w.commit()
+        }
+      }
+      val counts = storeCounts(root)
+      val expected = plans.flatMap(p =>
+        p.msgs.map { case (_, v, _) => v -> p.commits }).toMap
+        .filter(_._2 > 0)
+      counts == expected
+    }, minSuccessful = 100)
+  }
+
+  test("producer accounting: epoch replays with txn tokens are exactly-once (150 cases)") {
+    val nParts = 3
+    // per epoch, per writer: how many rows, how many aborted attempts,
+    // whether the writer's first-pass commit LANDED before the "crash"
+    // (a replayed epoch re-commits every writer)
+    case class EpochWriter(rows: Vector[(String, String, Int)], aborts: Int,
+        committedFirstPass: Boolean)
+    val planGen = for {
+      nWriters <- Gen.choose(1, 3)
+      nEpochs <- Gen.choose(1, 4)
+      replayed <- Gen.someOf(0 until nEpochs)
+      epochs <- Gen.sequence[Vector[Vector[EpochWriter]], Vector[EpochWriter]](
+        (0 until nEpochs).map { e =>
+          Gen.sequence[Vector[EpochWriter], EpochWriter]((0 until nWriters).map { w =>
+            for {
+              n <- Gen.choose(0, 6)
+              aborts <- Gen.frequency(6 -> 0, 3 -> 1, 1 -> 2)
+              committed <- Gen.oneOf(true, false)
+            } yield EpochWriter((0 until n).toVector.map(i =>
+              (s"k${(e * 7 + w * 3 + i) % 5}", s"e$e-w$w-m$i", e * 1000 + w * 100 + i)),
+              aborts,
+              // a non-replayed epoch completed: every writer committed
+              committed || !replayed.contains(e))
+          }.toVector)
+        }.toVector)
+    } yield (epochs, replayed.toSet)
+    check(Prop.forAllNoShrink(planGen) { case (epochs, replayed) =>
+      val root = tmpDir("prop-sink-txn")
+      TopicStore.ensureNumPartitions(root, "t", nParts)
+      val queryId = java.util.UUID.randomUUID().toString
+      def attempt(e: Int, w: Int, ew: EpochWriter, commit: Boolean): Unit = {
+        val wr = sinkWriter(root, nParts, Some((s"$queryId/$w", e.toLong)))
+        ew.rows.take(if (commit) ew.rows.size else 2)
+          .foreach { case (k, v, i) => wr.write(sinkRow(k, v, i)) }
+        if (commit) wr.commit() else wr.abort()
+      }
+      epochs.zipWithIndex.foreach { case (writers, e) =>
+        // first pass: aborted attempts, then the commits that landed
+        writers.zipWithIndex.foreach { case (ew, w) =>
+          (0 until ew.aborts).foreach(_ => attempt(e, w, ew, commit = false))
+          if (ew.committedFirstPass) attempt(e, w, ew, commit = true)
+        }
+        // crash + replay: the SAME epoch re-runs, every writer commits
+        if (replayed.contains(e)) {
+          writers.zipWithIndex.foreach { case (ew, w) =>
+            attempt(e, w, ew, commit = true)
+          }
+        }
+      }
+      val counts = storeCounts(root)
+      val expected = epochs.flatten
+        .flatMap(_.rows.map { case (_, v, _) => v -> 1 }).toMap
+      // exactly-once: every planned row exactly once, none lost, none
+      // duplicated — regardless of aborts, partial commits, and replays
+      counts == expected
+    }, minSuccessful = 150)
+  }
 }
