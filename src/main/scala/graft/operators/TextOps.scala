@@ -42,14 +42,14 @@ object TextOps {
   /** Quality features + composite score. The score is a fixed linear
     * blend of deterministic ratios (stopword ratio, unique-token ratio,
     * mean token length, alpha ratio), rounded to 6 decimals. */
-  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val t = tokens(col(textCol))
     val nTok = size(t).cast("double")
     val stop = size(filter(t, w => w.isin("a", "the"))).cast("double")
     val uniq = size(array_distinct(t)).cast("double")
     val meanLen = (length(col(textCol)).cast("double") - (size(t) - 1)) / nTok
-    docs.select(
-      col(idCol),
+    docs.select((col(idCol) +: passthrough.map(col)) ++ Seq(
       size(t).cast("long").as("n_tokens"),
       round(stop / nTok, 6).as("stopword_ratio"),
       round(uniq / nTok, 6).as("unique_ratio"),
@@ -57,6 +57,6 @@ object TextOps {
       round(
         lit(0.25) * (lit(1.0) - stop / nTok) +
         lit(0.5) * (uniq / nTok) +
-        lit(0.25) * least(meanLen / lit(8.0), lit(1.0)), 6).as("quality"))
+        lit(0.25) * least(meanLen / lit(8.0), lit(1.0)), 6).as("quality")): _*)
   }
 }

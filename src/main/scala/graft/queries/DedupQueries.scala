@@ -416,6 +416,70 @@ object DedupQueries {
             col("na"), col("nb")).as("cos"))
         .filter(col("cos") >= 0.9)
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // d08 — semantic dedup (SemDeDup, Abbas et al. 2023): k-means
+    // cluster the embedding corpus, then drop any vector with a
+    // LOWER-id in-cluster neighbor at cosine >= 0.9. The cluster id is
+    // the blocking key — pair enumeration is an equi-join on pivot_id,
+    // so at 100 TB the pair count is bounded by the largest cell, not
+    // the corpus (production runs use k large enough that cells are
+    // ~1e4 vectors; here k=8 mirrors s04's oracle-reproducible model).
+    // Clustering reuses s04's deterministic Lloyd iterations (seeds =
+    // vec_id < 8, round(avg,6) recenter, cosine ties to lowest pivot),
+    // so DuckDB converges on the identical model. Corpus = embeddings
+    // + d05's planted last-dim-perturbed copies, so real near-dups
+    // exist to drop.
+    Q(
+      "d08_semdedup",
+      s"""WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |corpus AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000, v[1:63] || [CAST(0.25 AS DOUBLE)]
+        |  FROM base WHERE vec_id % 25 = 0),
+        |c0 AS (SELECT CAST(vec_id AS BIGINT) AS pivot_id, v AS pv
+        |       FROM corpus WHERE vec_id < 8),
+        |a1 AS (${SimilarityQueries.assignSql("corpus", "c0", 1)}),
+        |c1 AS (${SimilarityQueries.centroidSql("a1")}),
+        |a2 AS (${SimilarityQueries.assignSql("corpus", "c1", 1)}),
+        |c2 AS (${SimilarityQueries.centroidSql("a2")}),
+        |af AS (${SimilarityQueries.assignSql("corpus", "c2", 1)}),
+        |dups AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM af a JOIN af b
+        |    ON a.pivot_id = b.pivot_id AND a.vec_id < b.vec_id
+        |  WHERE ${cosineSql("a.v", "b.v", 64)} >= 0.9)
+        |SELECT f.pivot_id, f.vec_id FROM af f
+        |WHERE f.vec_id NOT IN (SELECT vec_id FROM dups)
+        |ORDER BY f.pivot_id, f.vec_id""".stripMargin
+    ) { (s, dir) =>
+      val base = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      val corpus = base.unionByName(
+        base.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            concat(slice(col("v"), 1, 63), array(lit(0.25))).as("v")))
+      val centroids = VectorOps.kmeansCentroids(corpus, k = 8, iters = 2,
+        dims = 64)
+      val withNorm = corpus.withColumn("nv", VectorOps.norm(col("v")))
+      val assigned = VectorOps.assignCells(withNorm, centroids, nprobe = 1,
+        normCol = Some("nv"))
+      val pairs = assigned.as("a")
+        .join(assigned.as("b"),
+          col("a.pivot_id") === col("b.pivot_id") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("b.vec_id").as("vec_id"),
+          VectorOps.cosineWithNorms(col("a.v"), col("b.v"),
+            col("a.nv"), col("b.nv")).as("cos"))
+      val dups = pairs.filter(col("cos") >= 0.9)
+        .select(col("vec_id")).distinct()
+      assigned.join(dups, Seq("vec_id"), "left_anti")
+        .select(col("pivot_id"), col("vec_id"))
+        .orderBy(col("pivot_id"), col("vec_id"))
     }
   )
 

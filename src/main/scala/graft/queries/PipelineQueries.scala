@@ -431,6 +431,115 @@ object PipelineQueries {
           sum(col("n_chars")).cast("long").as("sum_chars"),
           min(col("hk")).as("first_hash"), max(col("hk")).as("last_hash"))
         .orderBy(col("epoch"), col("shard"))
+    },
+
+    // ---------------------------------------------------------------
+    // p10 — per-domain cap: keep the top-20 docs per source by quality
+    // (ties to the lowest doc_id) — the per-domain document cap every
+    // crawl-derived corpus applies so one domain cannot dominate the
+    // mix. Written as the window-rank idiom so the GroupTopK rewrite
+    // bounds the shuffle to k rows per (source, partition): at 100 TB
+    // the full quality-scored corpus never sorts globally; only 20
+    // rows per source per map partition reach the exchange.
+    Q(
+      "p10_domain_cap",
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ts,
+        |    CAST(length(text) AS DOUBLE) AS n_chars
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(ts) AS BIGINT) AS n_tokens,
+        |    round(0.25 * (1.0 - CAST(len(list_filter(ts, x -> x = 'a' OR x = 'the')) AS DOUBLE) / len(ts))
+        |        + 0.5 * (CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts))
+        |        + 0.25 * least((n_chars - (len(ts) - 1)) / len(ts) / 8.0, 1.0), 6) AS quality
+        |  FROM f),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY quality DESC, doc_id ASC) AS rnk
+        |  FROM scored)
+        |SELECT source, doc_id, n_tokens, quality, rnk FROM ranked
+        |WHERE rnk <= 20 ORDER BY source, rnk""".stripMargin
+    ) { (s, dir) =>
+      val scored = TextOps.qualityScore(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        passthrough = Seq("source"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      scored
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 20)
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("quality"), col("rnk").cast("long").as("rnk"))
+        .orderBy(col("source"), col("rnk"))
+    },
+
+    // ---------------------------------------------------------------
+    // p11 — bloom-filter decontamination: p05's exact 13-gram eval-set
+    // membership swapped for a fixed-size bloom bitset, the structure
+    // that actually ships at 100 TB (the exact eval-gram set can be
+    // billions of strings; the bitset is bounded — here 3 hash
+    // functions into a 16^4-slot space, ≤65 536 occupied-slot keys, a
+    // guaranteed-broadcastable semi-join side however large the eval
+    // corpus grows). Slots are substr(md5(j ‖ ':' ‖ gram), 1, 4) for
+    // j ∈ {0,1,2} — both engines flip identical bits, so the output
+    // (true hits + deterministic false positives, bloom semantics) is
+    // exactly reproducible. A doc's gram is "contaminated" iff all 3
+    // of its slots are occupied; the query reports flagged-gram counts
+    // per doc (the rejection-accounting shape of p08).
+    Q(
+      "p11_bloom_decontaminate",
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 13
+        |    THEN list_transform(generate_series(1, len(w) - 12),
+        |      i -> array_to_string(w[i:i+12], ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END) AS g
+        |  FROM ws),
+        |ks AS (SELECT unnest([0, 1, 2]) AS j),
+        |evalpos AS (
+        |  SELECT DISTINCT substr(md5(CAST(j AS VARCHAR) || ':' || g), 1, 4) AS pos
+        |  FROM grams CROSS JOIN ks WHERE doc_id % 7 = 0),
+        |candpos AS (
+        |  SELECT doc_id, g, j,
+        |    substr(md5(CAST(j AS VARCHAR) || ':' || g), 1, 4) AS pos
+        |  FROM (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 7 <> 0) cg
+        |  CROSS JOIN ks),
+        |hits AS (
+        |  SELECT doc_id, g FROM candpos c JOIN evalpos e USING (pos)
+        |  GROUP BY doc_id, g HAVING count(DISTINCT j) = 3)
+        |SELECT doc_id, count(*) AS n_flagged_grams
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      def slot(j: Int, g: org.apache.spark.sql.Column) =
+        substring(md5(concat(lit(s"$j:"), g)), 1, 4)
+      val grams = Tables(s, dir, "documents")
+        .withColumn("w", DedupOps.words(col("text")))
+        .select(col("doc_id"),
+          explode(DedupOps.shingles(col("w"), 13)).as("g"))
+      val isEval = col("doc_id") % 7 === 0
+      // the bitset: ≤16^4 distinct occupied slots, broadcast by size
+      val evalPos = grams.filter(isEval)
+        .select(explode(array((0 until 3).map(j => slot(j, col("g"))): _*))
+          .as("pos"))
+        .distinct()
+      val candPos = grams.filter(!isEval).distinct()
+        .select(col("doc_id"), col("g"),
+          explode(array((0 until 3).map(j =>
+            struct(lit(j).as("j"), slot(j, col("g")).as("pos"))): _*))
+          .as("e"))
+        .select(col("doc_id"), col("g"), col("e.j").as("j"),
+          col("e.pos").as("pos"))
+      candPos.join(broadcast(evalPos), Seq("pos"), "left_semi")
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count_distinct(col("j")).as("nj"))
+        .filter(col("nj") === 3)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_flagged_grams"))
+        .orderBy(col("doc_id"))
     }
   )
 }

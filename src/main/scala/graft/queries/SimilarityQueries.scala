@@ -325,8 +325,9 @@ object SimilarityQueries {
   )
 
   /** DuckDB rendering of VectorOps.assignCells: each vector's `nprobe`
-    * nearest centroids by (rounded) cosine, ties to the lowest pivot. */
-  private def assignSql(baseT: String, cT: String, nprobe: Int): String =
+    * nearest centroids by (rounded) cosine, ties to the lowest pivot.
+    * (private[queries]: d08_semdedup reuses the identical clustering.) */
+  private[queries] def assignSql(baseT: String, cT: String, nprobe: Int): String =
     s"""SELECT vec_id, v, pivot_id FROM (
        |    SELECT b.vec_id, b.v, p.pivot_id,
        |      row_number() OVER (PARTITION BY b.vec_id
@@ -336,7 +337,7 @@ object SimilarityQueries {
 
   /** DuckDB rendering of one Lloyd recenter: per-cell, per-dimension
     * round(avg, 6), reassembled in dimension order. */
-  private def centroidSql(aT: String): String =
+  private[queries] def centroidSql(aT: String): String =
     s"""SELECT pivot_id, list(av ORDER BY dim) AS pv FROM (
        |    SELECT pivot_id, i AS dim, round(avg(v[i]), 6) AS av
        |    FROM $aT CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g

@@ -857,6 +857,59 @@ object StreamingQueries {
     },
 
     // ---------------------------------------------------------------
+    // ws06 — ORACLED observability: a watermarked streaming dedup run
+    // through the source with its progress counters as the query
+    // OUTPUT. Three invariants a production 100 TB ingest job alarms
+    // on, each hash-matched against DuckDB recomputing it from the
+    // fixture:
+    //   rows_observed      — observe() on the pre-watermark stream,
+    //                        summed over both passes: every delivered
+    //                        row (on-time + sentinel + late), counted
+    //                        in the same pass as the work (no second
+    //                        scan);
+    //   late_rows_dropped  — sum of numRowsDroppedByWatermark: pass 2
+    //                        replays the event_id%3=0 subset entirely
+    //                        below the checkpoint-persisted watermark,
+    //                        so the state op must drop ALL of them —
+    //                        and nothing else;
+    //   rows_emitted       — deduplicated rows landed (sentinel
+    //                        excluded on the batch side).
+    // The op is dropDuplicates(key, event_time), NOT the window agg:
+    // a windowed aggregation partial-aggregates before the watermark
+    // filter, so its drop counter counts late partial rows — an
+    // implementation-dependent number no oracle should pin. Dedup
+    // state sees raw rows, so its counter is exact input accounting,
+    // and observed = emitted + dropped + sentinel closes the books.
+    // This closes the "instrumentation is spec'd, not oracled" gap:
+    // the counters themselves are the gated result.
+    Q(
+      "ws06_drop_accounting",
+      """SELECT 'late_rows_dropped' AS metric, CAST(count(*) AS BIGINT) AS value
+        |FROM events WHERE event_id % 3 = 0
+        |UNION ALL
+        |SELECT 'rows_emitted', CAST(count(*) AS BIGINT) FROM (
+        |  SELECT DISTINCT user_id, ts FROM events WHERE event_id % 3 <> 0)
+        |UNION ALL
+        |SELECT 'rows_observed', CAST(count(*) + 1 AS BIGINT) FROM events
+        |ORDER BY metric""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val (landed, counters) = StreamingWindowGate.runCounted(s, dir,
+        "graft-wmacct",
+        df => df
+          .dropDuplicates(Seq("key", "event_time"))
+          .select(col("key"), col("event_time")),
+        Seq("key"))
+      val emitted = landed.filter(col("key") =!= "wm-sentinel").count()
+      Seq(
+        ("late_rows_dropped", counters.lateDropped),
+        ("rows_emitted", emitted),
+        ("rows_observed", counters.rowsObserved))
+        .toDF("metric", "value")
+        .orderBy(col("metric"))
+    },
+
+    // ---------------------------------------------------------------
     // w09 — stream-static ENRICHMENT join (the most common production
     // streaming pattern; d07 gates the anti-join form): every consumed
     // message inner-joins the customer dimension on its key, broadcast
@@ -1047,8 +1100,20 @@ private[queries] object StreamOuterJoinGate {
 private[queries] object StreamingWindowGate {
   import org.apache.spark.sql.{DataFrame, SparkSession}
 
+  /** Progress-derived accounting for one gate run: rows the source
+    * delivered (observe() on the pre-watermark stream, summed across
+    * both passes) and rows the stateful operators dropped as
+    * later-than-watermark (the counter that distinguishes "late data
+    * was dropped" from "data loss" in production). */
+  final case class Counters(rowsObserved: Long, lateDropped: Long)
+
   def run(s: SparkSession, dir: String, tag: String,
-      agg: DataFrame => DataFrame, orderCols: Seq[String]): DataFrame = {
+      agg: DataFrame => DataFrame, orderCols: Seq[String]): DataFrame =
+    runCounted(s, dir, tag, agg, orderCols)._1
+
+  def runCounted(s: SparkSession, dir: String, tag: String,
+      agg: DataFrame => DataFrame, orderCols: Seq[String])
+      : (DataFrame, Counters) = {
     val root = graft.TempRoots.create(tag)
     val ckpt = graft.TempRoots.create(tag + "-ckpt")
     val outDir = root + "/windows"
@@ -1059,6 +1124,8 @@ private[queries] object StreamingWindowGate {
       lit(java.sql.Timestamp.valueOf("2035-01-01 00:00:00")).as("publish_time"),
       lit(java.sql.Timestamp.valueOf("2035-01-01 00:00:00")).as("event_time"))
 
+    var observed = 0L
+    var dropped = 0L
     def runPass(): Unit = {
       StreamHarness.withShufflePartitions(s, "8") {
         val src = s.readStream.format("pulsarlike")
@@ -1073,6 +1140,10 @@ private[queries] object StreamingWindowGate {
           // included), so it is 1e8, not the 1e6 the plain loops use.
           .option("batchingMaxMessages", "100000000")
           .load()
+          // observed BEFORE the watermark node: counts every delivered
+          // row (late ones included) in the same pass as the work — the
+          // per-stage invariant counter a 100 TB job emits for free
+          .observe("ingest", count(lit(1)).as("rows_seen"))
           .withWatermark("event_time", "1 hour")
         val q = agg(src)
           .writeStream
@@ -1085,6 +1156,11 @@ private[queries] object StreamingWindowGate {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        q.recentProgress.foreach { p =>
+          val om = p.observedMetrics
+          if (om.containsKey("ingest")) observed += om.get("ingest").getLong(0)
+          dropped += p.stateOperators.map(_.numRowsDroppedByWatermark).sum
+        }
       }
     }
 
@@ -1097,8 +1173,8 @@ private[queries] object StreamingWindowGate {
       MessageOps.fromEvents(events.filter(pmod(col("event_id"), lit(3)) === 0)),
       root, "events", 4)
     runPass()
-    BatchLanding.read(s, outDir)
-      .orderBy(orderCols.map(col): _*)
+    (BatchLanding.read(s, outDir).orderBy(orderCols.map(col): _*),
+      Counters(observed, dropped))
   }
 }
 
