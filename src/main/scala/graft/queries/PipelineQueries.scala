@@ -526,17 +526,21 @@ object PipelineQueries {
         .select(explode(array((0 until 3).map(j => slot(j, col("g"))): _*))
           .as("pos"))
         .distinct()
-      val candPos = grams.filter(!isEval).distinct()
-        .select(col("doc_id"), col("g"),
-          explode(array((0 until 3).map(j =>
-            struct(lit(j).as("j"), slot(j, col("g")).as("pos"))): _*))
-          .as("e"))
-        .select(col("doc_id"), col("g"), col("e.j").as("j"),
-          col("e.pos").as("pos"))
-      candPos.join(broadcast(evalPos), Seq("pos"), "left_semi")
-        .groupBy(col("doc_id"), col("g"))
-        .agg(count_distinct(col("j")).as("nj"))
-        .filter(col("nj") === 3)
+      // Three chained broadcast semi-joins (one per hash function) flag
+      // grams whose every slot is occupied — zero shuffles, and each
+      // join prunes before the next hash is even computed. Only the
+      // surviving (true-hit + bloom-false-positive) grams — a tiny
+      // fraction of the corpus — reach the distinct/groupBy shuffles;
+      // the naive shape (distinct ALL grams, shuffle on the 13-gram
+      // string key) moves the whole corpus. Filter-then-distinct is
+      // exactly distinct-then-filter for a per-row predicate, so the
+      // oracle's DISTINCT-first rendering matches.
+      val flagged = (0 until 3).foldLeft(grams.filter(!isEval)) { (df, j) =>
+        df.withColumn("pos", slot(j, col("g")))
+          .join(broadcast(evalPos), Seq("pos"), "left_semi")
+          .drop("pos")
+      }
+      flagged.distinct()
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_flagged_grams"))
         .orderBy(col("doc_id"))
