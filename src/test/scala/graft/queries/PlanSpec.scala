@@ -135,6 +135,32 @@ class PlanSpec extends SparkSpec {
       s"nfc projection fell out of whole-stage codegen:\n$p")
   }
 
+  test("p10: domain cap's window-rank plans through a group-limit, not a full sort") {
+    // the per-source quality rank must bound the shuffle to k rows per
+    // (source, partition) — WindowGroupLimit or the GroupTopK rewrite
+    val p = planOf("p10_domain_cap")
+    assert(p.contains("WindowGroupLimit") || p.contains("GroupTopKPartial"), p)
+  }
+
+  test("p11: bloom membership is chained broadcast semi-joins, no gram-key shuffle") {
+    // the bitset side broadcasts (bounded at 16^4 slots however large
+    // the eval corpus); the corpus grams must never hash-exchange on
+    // the 13-gram string before the bloom filter prunes them
+    val p = planOf("p11_bloom_decontaminate")
+    val semis = "BroadcastHashJoin .*LeftSemi".r.findAllIn(p).length
+    assert(semis == 3, s"expected 3 broadcast semi-joins, got $semis:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("d08: semdedup pair join is an equi-join on the cluster key") {
+    // in-cluster pair enumeration must key the join on pivot_id (cell-
+    // bounded at 100 TB) — never a cartesian against the whole corpus
+    val df = QueryRegistry.byName("d08_semdedup").run(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("pivot_id"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("p07: the per-language threshold table broadcasts; the corpus never shuffles") {
     val p = planOf("p07_token_rebalance")
     assert(p.contains("BroadcastHashJoin"), p)
