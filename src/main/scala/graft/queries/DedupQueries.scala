@@ -480,6 +480,64 @@ object DedupQueries {
       assigned.join(dups, Seq("vec_id"), "left_anti")
         .select(col("pivot_id"), col("vec_id"))
         .orderBy(col("pivot_id"), col("vec_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // d09 — boilerplate segment removal (C4 / RefinedWeb line-level
+    // dedup): a "line" that recurs across many distinct documents is
+    // boilerplate (nav bars, license headers) and is dropped from
+    // every document that contains it. The synthetic corpus has no
+    // newlines, so the line unit is re-expressed as deterministic
+    // NON-overlapping 3-token segments — the pipeline shape is the
+    // real one: segment → frequency count across DISTINCT docs (the
+    // one shuffle, partial-agg'd) → the ≥3-doc heavy-hitter set is
+    // tiny by construction (heavy hitters only) → broadcast back over
+    // the corpus segments — the corpus itself never re-shuffles on
+    // the segment key. Output is per-doc rejection accounting
+    // (segments kept/dropped, tokens surviving incl. the <3-token
+    // tail), the p08 bookkeeping shape.
+    Q(
+      "d09_line_dedup",
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, len(w) AS nw,
+        |    unnest(CASE WHEN len(w) >= 3
+        |      THEN list_transform(generate_series(1, len(w) // 3),
+        |        i -> array_to_string(w[(i-1)*3+1:(i-1)*3+3], ' '))
+        |      ELSE CAST([] AS VARCHAR[]) END) AS seg
+        |  FROM ws),
+        |bp AS (
+        |  SELECT seg, 1 AS is_bp FROM segs
+        |  GROUP BY seg HAVING count(DISTINCT doc_id) >= 3)
+        |SELECT s.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(count(b.is_bp) AS BIGINT) AS n_boilerplate,
+        |  CAST(3 * (count(*) - count(b.is_bp)) + (max(s.nw) % 3) AS BIGINT)
+        |    AS n_tokens_kept
+        |FROM segs s LEFT JOIN bp b ON s.seg = b.seg
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+    ) { (s, dir) =>
+      val ws = Tables(s, dir, "documents")
+        .select(col("doc_id"), DedupOps.words(col("text")).as("w"))
+        .select(col("doc_id"), size(col("w")).as("nw"), col("w"))
+      val segs = ws.select(col("doc_id"), col("nw"),
+        explode(when(col("nw") >= 3,
+          expr("transform(sequence(1, size(w) div 3)," +
+            " i -> array_join(slice(w, (i-1)*3+1, 3), ' '))"))
+          .otherwise(array().cast("array<string>"))).as("seg"))
+      val bp = segs.groupBy(col("seg"))
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 3)
+        .select(col("seg"), lit(1).as("is_bp"))
+      segs.join(broadcast(bp), Seq("seg"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segments"),
+          count(col("is_bp")).as("n_boilerplate"),
+          (lit(3) * (count(lit(1)) - count(col("is_bp"))) +
+            (max(col("nw")) % 3)).cast("long").as("n_tokens_kept"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -161,6 +161,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("d09: the boilerplate set broadcasts back; corpus never sort-merges on seg") {
+    // the heavy-hitter set (segments in >= 3 distinct docs) is tiny by
+    // construction — it must come back over the corpus as a broadcast
+    // join, never a corpus-wide sort-merge on the segment string
+    val p = planOf("d09_line_dedup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("p07: the per-language threshold table broadcasts; the corpus never shuffles") {
     val p = planOf("p07_token_rebalance")
     assert(p.contains("BroadcastHashJoin"), p)
