@@ -117,6 +117,105 @@ object MultimodalQueries {
           MultimodalOps.sniffModality(col("payload")).as("fmt"),
           length(col("payload")).cast("long").as("n_bytes"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // mm05 — perceptual-hash image near-dup (the multimodal dedup
+    // capstone: aHash → LSH bands → hamming verify, the image mirror
+    // of d03's SimHash text pipeline). The 64-bit aHash comes from the
+    // stub decode: 64 fixed 4-byte frames, per-frame energy Σ byte²
+    // (exact integer math both engines), bit f = 1 iff 64·e_f exceeds
+    // the image's total energy. Candidates come from a 4×16-bit band
+    // equi-join; planted near-dups (last byte dropped) perturb only
+    // the tail frame, so ≥3 bands still collide. SCALE GUARD: frames
+    // past the payload have energy 0, so every image shorter than a
+    // band's byte range shares that band's all-zero value — a
+    // degenerate LSH cell (142 of 500 docs at sf0.01 for band 3 ≙
+    // O(n²) pairs at 100 TB). All-zero bands are excluded from
+    // blocking on BOTH engines: a true near-dup pair still shares its
+    // non-degenerate bands, so the exclusion loses nothing — the same
+    // drop-the-degenerate-key rule as d04's length-band guard.
+    // Signature build is a pure projection (no explode/shuffle until
+    // the band join); hamming is xor+bit_count on 4 pre-decoded longs.
+    Q(
+      "mm05_image_neardup",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, substr(text, 1, length(text) - 1) AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |en AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 63), f ->
+        |      CAST(coalesce(list_aggregate(list_transform(
+        |        generate_series(f*4+1, least(f*4+4, length(text))),
+        |        i -> ascii(substr(text, CAST(i AS INTEGER), 1))
+        |           * ascii(substr(text, CAST(i AS INTEGER), 1))),
+        |        'sum'), 0) AS BIGINT)) AS es
+        |  FROM corpus),
+        |sig AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(es,
+        |      e -> CASE WHEN e * 64 > list_aggregate(es, 'sum')
+        |           THEN '1' ELSE '0' END), '') AS ahash
+        |  FROM en),
+        |bands AS (
+        |  SELECT doc_id, ahash, band FROM (
+        |    SELECT doc_id, ahash,
+        |      unnest(['0' || substr(ahash, 1, 16), '1' || substr(ahash, 17, 16),
+        |              '2' || substr(ahash, 33, 16), '3' || substr(ahash, 49, 16)]) AS band
+        |    FROM sig)
+        |  WHERE substr(band, 2) <> repeat('0', 16)),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    a.ahash AS a_sig, b.ahash AS b_sig
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, CAST(list_aggregate(list_transform(generate_series(1, 64),
+        |    i -> CASE WHEN substr(a_sig, i, 1) <> substr(b_sig, i, 1) THEN 1 ELSE 0 END),
+        |    'sum') AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE list_aggregate(list_transform(generate_series(1, 64),
+        |    i -> CASE WHEN substr(a_sig, i, 1) <> substr(b_sig, i, 1) THEN 1 ELSE 0 END),
+        |    'sum') <= 2
+        |ORDER BY a_id, b_id""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.Stage
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(
+        docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            expr("substr(text, 1, length(text) - 1)").as("text")))
+      val sigs = corpus
+        .withColumn("es", expr(
+          "transform(sequence(0, 63), f -> aggregate(" +
+            "transform(filter(split(substr(text, f*4+1, 4), ''), c -> c <> '')," +
+            " c -> CAST(ascii(c) * ascii(c) AS BIGINT))," +
+            " CAST(0 AS BIGINT), (a, x) -> a + x))"))
+        .withColumn("te", expr("aggregate(es, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .withColumn("ahash", concat_ws("",
+          transform(col("es"), e =>
+            when(e * 64 > col("te"), lit("1")).otherwise(lit("0")))))
+        .select(col("doc_id") +: col("ahash") +: (0 until 4).map(b =>
+          conv(substring(col("ahash"), b * 16 + 1, 16), 2, 10)
+            .cast("long").as(s"w$b")): _*)
+        .transform(Stage.stage)  // one signature pass feeds both join sides
+      val bands = sigs.select(col("doc_id") +:
+          (0 until 4).map(b => col(s"w$b")) :+
+          explode(array((0 until 4).map(b =>
+            concat(lit(b.toString), substring(col("ahash"), b * 16 + 1, 16))): _*))
+            .as("band"): _*)
+        // degenerate-cell guard: an all-zero band blocks nothing
+        .filter(substring(col("band"), 2, 16) =!= "0" * 16)
+      val ham = (0 until 4).map { b =>
+        bit_count(col(s"a.w$b").bitwiseXOR(col(s"b.w$b")))
+      }.reduce(_ + _)
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          ham.cast("long").as("hamming"))
+        .filter(col("hamming") <= 2)
+        .distinct()
+        .orderBy(col("a_id"), col("b_id"))
     }
   )
 }

@@ -223,7 +223,8 @@ class PlanSpec extends SparkSpec {
     // the streaming loops (ps01/m06) whose run() executes a stream.
     val checkpoints = Set("d02_minhash_lsh", "d03_simhash",
       "t01_langid_ngram", "p06_connected_components",
-      "t07_tfidf_keywords", "p07_token_rebalance")
+      "t07_tfidf_keywords", "p07_token_rebalance",
+      "mm05_image_neardup")
     QueryRegistry.all
       .filterNot(q => isStreamLoop(q.name) || checkpoints.contains(q.name))
       .foreach { q =>
