@@ -126,15 +126,22 @@ object MultimodalQueries {
     // stub decode: 64 fixed 4-byte frames, per-frame energy Σ byte²
     // (exact integer math both engines), bit f = 1 iff 64·e_f exceeds
     // the image's total energy. Candidates come from a 4×16-bit band
-    // equi-join; planted near-dups (last byte dropped) perturb only
-    // the tail frame, so ≥3 bands still collide. SCALE GUARD: frames
-    // past the payload have energy 0, so every image shorter than a
-    // band's byte range shares that band's all-zero value — a
-    // degenerate LSH cell (142 of 500 docs at sf0.01 for band 3 ≙
-    // O(n²) pairs at 100 TB). All-zero bands are excluded from
-    // blocking on BOTH engines: a true near-dup pair still shares its
-    // non-degenerate bands, so the exclusion loses nothing — the same
-    // drop-the-degenerate-key rule as d04's length-band guard.
+    // equi-join with STRIPED bands (band b = bits f ≡ b mod 4), not
+    // contiguous chunks: frames past a short payload are all-zero, so
+    // a chunked tail band is one shared degenerate value for every
+    // short image (142 of 500 docs at sf0.01 ≙ O(n²) pairs at
+    // 100 TB), and worse, a short image's informative bits then live
+    // in ONE band, so its true near-dups can only collide via
+    // degenerate bands (measured: 63 of 1664 hamming≤2 pairs lost,
+    // including a planted pair at sf0.001). Stripes span the whole
+    // image, so every band keeps informative bits for every length; a
+    // k-bit flip touches ≤ k bands, so hamming ≤ 2 still guarantees
+    // ≥ 2 equal bands, now informative ones. The all-zero-band guard
+    // stays as the backstop for the uniform-energy corner (hash = 0),
+    // where it only drops truly information-free stripes. Measured at
+    // sf0.01: 1664/1664 of exhaustive hamming≤2 pairs recovered, zero
+    // spurious; MultimodalRecallSpec pins planted-pair recovery and
+    // the recall floor against the exhaustive truth.
     // Signature build is a pure projection (no explode/shuffle until
     // the band join); hamming is xor+bit_count on 4 pre-decoded longs.
     Q(
@@ -162,8 +169,9 @@ object MultimodalQueries {
         |bands AS (
         |  SELECT doc_id, ahash, band FROM (
         |    SELECT doc_id, ahash,
-        |      unnest(['0' || substr(ahash, 1, 16), '1' || substr(ahash, 17, 16),
-        |              '2' || substr(ahash, 33, 16), '3' || substr(ahash, 49, 16)]) AS band
+        |      unnest(list_transform([0, 1, 2, 3], b ->
+        |        CAST(b AS VARCHAR) || array_to_string(list_transform(
+        |          generate_series(0, 15), i -> substr(ahash, b + 4*i + 1, 1)), ''))) AS band
         |    FROM sig)
         |  WHERE substr(band, 2) <> repeat('0', 16)),
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -201,7 +209,8 @@ object MultimodalQueries {
       val bands = sigs.select(col("doc_id") +:
           (0 until 4).map(b => col(s"w$b")) :+
           explode(array((0 until 4).map(b =>
-            concat(lit(b.toString), substring(col("ahash"), b * 16 + 1, 16))): _*))
+            concat(lit(b.toString), expr(s"array_join(transform(" +
+              s"sequence(0, 15), i -> substr(ahash, $b + 4*i + 1, 1)), '')"))): _*))
             .as("band"): _*)
         // degenerate-cell guard: an all-zero band blocks nothing
         .filter(substring(col("band"), 2, 16) =!= "0" * 16)
