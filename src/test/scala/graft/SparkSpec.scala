@@ -10,7 +10,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
 
   def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+    TempRoots.create(prefix)  // registered for shutdown-hook deletion
 }
 
 object SparkSpec {
