@@ -2,8 +2,21 @@ package graft
 import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: one JSON line with per-query wall times.
   * A warmup query absorbs JVM/codegen/IO warm-up so per-query numbers
-  * are comparable; queries run in name order for stable attribution. */
+  * are comparable; queries run in name order for stable attribution.
+  *
+  * Each query runs `SPARK_GRAFT_BENCH_REPS` times (default 3) and the
+  * reported number is the per-query MEDIAN; the total is the sum of
+  * medians. Round-4/5 showed identical full runs spanning 103–197 s on
+  * one host — single samples made a 3.8x "regression" on unchanged code
+  * undecidable, so the harness now buys decidability with repetition. */
 object Bench {
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n == 0) -1.0
+    else if (n % 2 == 1) s(n / 2)
+    else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -18,18 +31,30 @@ object Bench {
     Tables.names.foreach { t =>
       try Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // unload state-store providers between queries (outside the
-      // timer): every stream-loop query runs on a one-shot checkpoint,
-      // so cached HDFSBackedStateStoreProvider maps and their
-      // maintenance work are dead weight that taxes every LATER query
-      // in this shared JVM — a deployment runs one query per cluster
-      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-      catch { case _: Throwable => () }
-      name -> dt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // triage filter: comma-separated name prefixes (empty = all). Lets a
+    // fresh JVM bench one query family to separate code regressions from
+    // shared-JVM accumulation (GC/metaspace/state built up by the ~90
+    // queries that run before the streaming family in name order).
+    val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // unload state-store providers between runs (outside the
+        // timer): every stream-loop query runs on a one-shot checkpoint,
+        // so cached HDFSBackedStateStoreProvider maps and their
+        // maintenance work are dead weight that taxes every LATER query
+        // in this shared JVM — a deployment runs one query per cluster
+        try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        catch { case _: Throwable => () }
+        dt
+      }
+      name -> median(times)
     }
     // the harness keeps only the TAIL of stdout, so emit the stdout map
     // in ASCENDING time order — truncation then drops the cheapest

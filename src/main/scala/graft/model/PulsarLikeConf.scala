@@ -225,6 +225,17 @@ object PulsarLikeConf {
         }.getOrElse(5),
       dlqTopic = get("dlqTopic"),
       nackRedeliveryDelayMs = long_("nackRedeliveryDelay"),
+      // SUBSUMED, not dead (A16): the reference redelivers messages
+      // neither acked nor nacked after this timeout
+      // (PulsarMessageConsumer.java:279-281). In the micro-batch mapping
+      // the ack IS the checkpoint commit verdict, so "delivered but
+      // never acked" ≡ "epoch ran but its commit never landed" — and
+      // Structured Streaming's recovery contract redelivers that exact
+      // offset range on restart. The timeout VALUE collapses into
+      // restart latency; no broker-side timer exists to pace. Pinned by
+      // AckTimeoutSubsumptionSpec (kills a query between sink write and
+      // verdict, proves the unacked epoch redelivers and acked epochs
+      // do not).
       ackTimeoutMs = long_("ackTimeoutMillis"),
       readCompacted = get("readCompacted").exists(_.toBoolean),
       // local-store extensions (no reference analog): batch-read the

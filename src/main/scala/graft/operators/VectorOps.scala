@@ -68,18 +68,24 @@ object VectorOps {
     * zip_with+aggregate fold per bit (same dim-order fold as an expanded
     * sum — identical doubles) — a (bits × dims)-term expression tree
     * previously made codegen pathological. */
-  def srpBucket(v: Column, dims: Int, bits: Int): Column = {
+  def srpBucket(v: Column, dims: Int, bits: Int): Column =
+    concat(srpBits(v, dims, bits): _*)
+
+  /** The individual sign columns behind [[srpBucket]] — exposed so
+    * callers can regroup bits into STRIPED bands (bit i → band i mod
+    * nBands). mm05's recall spec showed contiguous bands lose true
+    * pairs; stripes decorrelate band membership from bit position. */
+  def srpBits(v: Column, dims: Int, bits: Int): Seq[Column] = {
     val oddHex = Set("1", "3", "5", "7", "9", "b", "d", "f")
     def weight(b: Int, i: Int): Double = {
       val h = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$b:$i".getBytes("UTF-8"))
       if (oddHex.contains(f"${h(0) & 0xff}%02x".substring(0, 1))) 1.0 else -1.0
     }
-    val bitCols = (0 until bits).map { b =>
+    (0 until bits).map { b =>
       val w = typedLit((0 until dims).map(i => weight(b, i)))
       when(dot(v, w) > 0, "1").otherwise("0")
     }
-    concat(bitCols: _*)
   }
 
   /** IVF coarse quantizer trained by spherical k-means (Lloyd): init =
@@ -149,5 +155,97 @@ object VectorOps {
       .withColumn("__cell", explode(top))
       .withColumn("pivot_id", -col("__cell.neg_pivot"))
       .select(vecs.columns.map(col) :+ col("pivot_id"): _*)
+  }
+
+  /** Threshold dispatch between the two assignment paths. The literal
+    * path embeds all k centroids in ONE projection — unbeatable below
+    * ~64 cells (no join, no shuffle) but both the per-row k-literal
+    * expression and its codegen tree fall over in SemDeDup's production
+    * regime (k ≈ 10⁴–10⁵ cells). Above `literalMaxK` the centroids
+    * become a broadcast table instead ([[assignCellsJoin]]). */
+  def assignCellsAuto(vecs: org.apache.spark.sql.DataFrame,
+      centroids: Seq[(Long, Seq[Double])], nprobe: Int,
+      normCol: Option[String] = None, literalMaxK: Int = 64)
+      : org.apache.spark.sql.DataFrame =
+    if (centroids.size <= literalMaxK) {
+      assignCells(vecs, centroids, nprobe, normCol)
+    } else {
+      val spark = vecs.sparkSession
+      import spark.implicits._
+      val dims = centroids.head._2.length
+      val centDf = centroids.toDF("pivot_id", "cv")
+      // SRP pre-route keeps per-row candidate counts bounded at large k:
+      // 4 striped bands of log2(k)/2 bits each (≥4) — a near centroid
+      // agrees with the row on ≥1 band with high probability, and the
+      // expected candidates per row fall from k to ~4k / 2^bandBits.
+      val bandBits = math.max(4,
+        (math.log(centroids.size.toDouble) / math.log(2.0) / 2.0).toInt)
+      assignCellsJoin(vecs, centDf, nprobe, dims,
+        bands = 4, bandBits = bandBits, normCol = normCol)
+    }
+
+  /** Broadcast-join cell assignment — the large-k scale path.
+    *
+    * `centroids` is a TABLE (pivot_id: long, cv: array<double>), not a
+    * driver literal: k no longer bounds any expression tree, only the
+    * size of one broadcast (k × dims doubles — ~5 MB at k=10⁴, d=64).
+    * With `bands > 0`, both sides carry striped SRP band keys and
+    * candidates come from a band equi-join (expected k/2^bandBits
+    * candidates per band per row instead of k); rows whose bands match
+    * no centroid — possible for outliers — are salvaged by an exact
+    * broadcast pass over JUST those rows, so coverage is total. With
+    * `bands = 0` the join is the exact broadcast nested-loop over all k
+    * (same O(n·k) work as exact assignment, but distributed through a
+    * join instead of a k-wide codegen projection).
+    *
+    * Tie-break parity with [[assignCells]]: (pcos DESC, pivot_id ASC) on
+    * the same `round(dot/(|v||c|), 6)` doubles — with `bands = 0` the
+    * two paths produce identical assignments.
+    *
+    * 100 TB posture: one broadcast of the centroid table, no shuffle of
+    * the corpus except the candidate dedup + per-row top-nprobe
+    * (both keyed on row id, bounded by candidate count, and the window
+    * is rewritten to GroupTopK when the rule is registered). */
+  def assignCellsJoin(vecs: org.apache.spark.sql.DataFrame,
+      centroids: org.apache.spark.sql.DataFrame, nprobe: Int, dims: Int,
+      bands: Int = 0, bandBits: Int = 0, normCol: Option[String] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val keep = vecs.columns
+    val rows = vecs
+      .withColumn("__vnorm", normCol.map(col).getOrElse(norm(col("v"))))
+      .withColumn("__rid", monotonically_increasing_id())
+    val cent = centroids
+      .select(col("pivot_id").cast("long").as("pivot_id"), col("cv"))
+      .withColumn("__cnorm", norm(col("cv")))
+
+    def stripedBands(c: Column): Column = {
+      val bits = srpBits(c, dims, bands * bandBits)
+      array((0 until bands).map { b =>
+        val mine = (0 until bands * bandBits).filter(_ % bands == b).map(bits)
+        concat(lit(s"$b:") +: mine: _*)
+      }: _*)
+    }
+
+    val cand =
+      if (bands <= 0) rows.crossJoin(broadcast(cent))
+      else {
+        val vb = rows.withColumn("__vband", explode(stripedBands(col("v"))))
+        val cb = cent.withColumn("__cband", explode(stripedBands(col("cv"))))
+        val banded = vb.join(broadcast(cb), col("__vband") === col("__cband"))
+          .drop("__vband", "__cband")
+          .dropDuplicates("__rid", "pivot_id")
+        // salvage rows no band matched: exact pass over just the misses
+        val missed = rows.join(
+          banded.select("__rid").distinct(), Seq("__rid"), "left_anti")
+        banded.unionByName(missed.crossJoin(broadcast(cent)))
+      }
+
+    val scored = cand.withColumn("__pcos",
+      round(dot(col("v"), col("cv")) / (col("__vnorm") * col("__cnorm")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__rid").orderBy(col("__pcos").desc, col("pivot_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nprobe)
+      .select(keep.map(col) :+ col("pivot_id"): _*)
   }
 }

@@ -466,7 +466,7 @@ object DedupQueries {
       val centroids = VectorOps.kmeansCentroids(corpus, k = 8, iters = 2,
         dims = 64)
       val withNorm = corpus.withColumn("nv", VectorOps.norm(col("v")))
-      val assigned = VectorOps.assignCells(withNorm, centroids, nprobe = 1,
+      val assigned = VectorOps.assignCellsAuto(withNorm, centroids, nprobe = 1,
         normCol = Some("nv"))
       val pairs = assigned.as("a")
         .join(assigned.as("b"),

@@ -135,9 +135,9 @@ object SimilarityQueries {
         .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
       val centroids = VectorOps.kmeansCentroids(base, k = 8, iters = 2, dims = 64)
       val withNorm = base.withColumn("nv", VectorOps.norm(col("v")))
-      val assigned = VectorOps.assignCells(withNorm, centroids, nprobe = 1,
+      val assigned = VectorOps.assignCellsAuto(withNorm, centroids, nprobe = 1,
         normCol = Some("nv"))
-      val q = VectorOps.assignCells(withNorm, centroids, nprobe = 2,
+      val q = VectorOps.assignCellsAuto(withNorm, centroids, nprobe = 2,
         normCol = Some("nv"))
         .filter(col("vec_id") >= 100 && col("vec_id") < 120)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
