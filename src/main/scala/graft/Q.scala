@@ -30,4 +30,18 @@ object Q {
   /** A query with no SQL-expressible oracle (driver does rows-only check). */
   def noOracle(name: String)(run: (SparkSession, String) => DataFrame): Q =
     Q(name, None, run)
+
+  /** Planted-duplicate id: `id + offset`, guarded so a fixture whose base
+    * ids ever reach `offset` fails LOUDLY instead of silently colliding
+    * planted ids with real ones (which would corrupt the pair accounting
+    * of every near-dup gate — d01/d05/d08/mm05). All shipped fixtures
+    * stay far below the offsets (max doc_id 4 999 at sf0.1); the guard
+    * is a codegen'd conditional, free on the happy path. */
+  def plantedId(id: org.apache.spark.sql.Column, offset: Long)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(id < offset, id + offset).otherwise(raise_error(concat(
+      lit(s"planted-id offset $offset collides with base id "),
+      id.cast("string"))))
+  }
 }

@@ -66,6 +66,31 @@ object DedupOps {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** d07's seen set at 100 TB. The stream-static anti join re-plans the
+    * static side each micro-batch; while the history is broadcastable
+    * that is the right call, but a 100 TB pipeline's seen-hash history
+    * is itself huge — re-broadcasting it per batch stops scaling first.
+    * The scale form persists the history BUCKETED BY HASH: an anti join
+    * against the bucketed table plans as sort-merge whose static side
+    * reads bucket files in place — NO broadcast of the history, NO
+    * shuffle of the history; only the incoming micro-batch exchanges
+    * (O(batch), not O(history)). New hashes append into the same bucket
+    * layout, so the property is stable across ingest cycles.
+    * Plan shape pinned by SeenSetBucketingSpec. */
+  def writeSeenSetBucketed(seen: DataFrame, table: String,
+      buckets: Int = 64): Unit =
+    seen.write.bucketBy(buckets, "text_hash").sortBy("text_hash")
+      .mode("overwrite").saveAsTable(table)
+
+  /** Anti-join `incoming` (must carry `text_hash`) against a seen-set
+    * table written by [[writeSeenSetBucketed]]. The merge hint keeps the
+    * planner off broadcast even when stale stats under-size the static
+    * side — the bucketed sort-merge is the plan that survives history
+    * growth. */
+  def antiJoinSeenBucketed(spark: org.apache.spark.sql.SparkSession,
+      incoming: DataFrame, table: String): DataFrame =
+    incoming.join(spark.table(table).hint("merge"), Seq("text_hash"), "left_anti")
+
   /** 64-bit SimHash over word unigrams. A word's 64 bits come from TWO
     * md5 calls (md5('0:'+w), md5('1:'+w)): bit b is the low bit of hex
     * digit (b mod 32)+1 of the respective digest — so hashing cost is 2

@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * takes — one partition = one batch of media, decoded executor-side,
   * never collected to the driver).
   *
-  * The decode itself is a clearly-marked DETERMINISTIC FAKE (this
-  * container has no image/audio codecs): "brightness" is the byte-sum
-  * mod 256 and the perceptual hash is md5 of the payload. The Spark-side
-  * plumbing — schema, encoders, partition-batch decode, frame sampling —
-  * is real and is what the specs/oracle verify.
+  * Two decoders share the seam: [[decodeImages]] is a clearly-marked
+  * DETERMINISTIC FAKE ("brightness" = byte-sum mod 256, phash = md5 of
+  * the payload) whose output a DuckDB oracle can reproduce — the gated
+  * queries use it; [[decodeImagesReal]] is the production path, backed
+  * by the JDK's `javax.imageio` codec (PNG/JPEG/GIF, offline), verified
+  * on real encoded bytes by ImageioDecodeSpec. The Spark-side plumbing —
+  * schema, encoders, partition-batch decode, frame sampling — is
+  * identical for both; audio/video codecs would slot in the same way.
   *
   * Scale posture (100 TB): media bytes stay in executor memory one
   * partition at a time; metadata-only queries prune the binary column at
@@ -60,6 +63,61 @@ object MultimodalOps {
   def decodeImages(spark: SparkSession, images: DataFrame): Dataset[DecodedImage] = {
     import spark.implicits._
     images.as[ImageRow].mapPartitions(_.map(fakeDecode))
+  }
+
+  /** REAL codec behind the SAME seam: `javax.imageio` (JDK-bundled,
+    * offline) decodes PNG/JPEG/GIF payloads executor-side. Features are
+    * the honest versions of the stub's: width/height come from the
+    * CODEC (never trusted from metadata), brightness is mean luma
+    * (ITU-R BT.601 integer weights) over the decoded pixels, and phash
+    * is the 64-bit average-hash — 8×8 area-averaged luma thresholded at
+    * its mean, row-major MSB-first, 16 hex chars.
+    *
+    * The gated queries keep [[decodeImages]] (the deterministic stub has
+    * a DuckDB-expressible oracle; codec output does not) — this path is
+    * the production decoder, spec-verified on real encoded bytes
+    * (ImageioDecodeSpec). Undecodable payloads fail loudly rather than
+    * minting fake features. */
+  def imageioDecode(r: ImageRow): DecodedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.data))
+    require(img != null, s"payload of image ${r.image_id} is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    // one pass: total luma for brightness + 8x8 cell sums for the aHash
+    val cellSum = Array.ofDim[Long](64)
+    val cellN = Array.ofDim[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val cy = math.min(y * 8 / h, 7)
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)) / 1000
+        total += luma
+        val c = cy * 8 + math.min(x * 8 / w, 7)
+        cellSum(c) += luma
+        cellN(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val cells = Array.tabulate(64)(i => if (cellN(i) == 0) 0.0
+      else cellSum(i).toDouble / cellN(i))
+    val mean = cells.sum / 64.0
+    var bits = 0L
+    var i = 0
+    while (i < 64) { if (cells(i) >= mean) bits |= (1L << (63 - i)); i += 1 }
+    DecodedImage(r.image_id, w, h, r.format, r.data.length.toLong,
+      total / math.max(1L, w.toLong * h), f"$bits%016x")
+  }
+
+  /** [[decodeImages]] with the real codec — identical plumbing, real
+    * bytes in, codec-derived features out. */
+  def decodeImagesReal(spark: SparkSession, images: DataFrame): Dataset[DecodedImage] = {
+    import spark.implicits._
+    images.as[ImageRow].mapPartitions(_.map(imageioDecode))
   }
 
   /** Frame sampling over a "video" payload: fixed-size frames, keep every

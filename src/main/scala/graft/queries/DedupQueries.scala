@@ -25,7 +25,7 @@ object DedupQueries {
   private[queries] def corpusWithNearDups(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
     val dups = docs.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 100000).as("doc_id"),
+      .select(Q.plantedId(col("doc_id"), 100000).as("doc_id"),
         expr("substr(text, instr(text, ' ') + 1)").as("text"))
     base.unionByName(dups)
   }
@@ -54,7 +54,7 @@ object DedupQueries {
       val docs = Tables(s, dir, "documents")
       val withCopies = docs.select(col("doc_id"), col("text"))
         .unionByName(docs.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+          .select(Q.plantedId(col("doc_id"), 200000).as("doc_id"), col("text")))
       DedupOps.exactDedup(withCopies, "doc_id", "text")
         .orderBy(col("text_hash"))
     },
@@ -63,12 +63,16 @@ object DedupQueries {
     // d07 — INCREMENTAL dedup: new documents arrive as a stream and are
     // checked against the existing corpus — the standing pattern of a
     // training-data pipeline ingesting fresh crawl against its history.
-    // The seen set is a static table (at 100 TB a bucketed hash table);
-    // the stream anti-joins it on content hash — a STREAM-STATIC left
-    // anti join, stateless on the stream side (no watermark state: the
-    // static side is re-broadcast/looked-up per micro-batch), so it
-    // runs at ingest throughput. Emission is immediate and per-row
-    // deterministic regardless of admission slicing.
+    // The seen set is a static table; the stream anti-joins it on
+    // content hash — a STREAM-STATIC left anti join, stateless on the
+    // stream side (no watermark state: the static side is
+    // re-broadcast/looked-up per micro-batch), so it runs at ingest
+    // throughput. Emission is immediate and per-row deterministic
+    // regardless of admission slicing. At 100 TB the history outgrows
+    // re-broadcast: persist it with DedupOps.writeSeenSetBucketed and
+    // anti-join via antiJoinSeenBucketed — sort-merge against in-place
+    // bucket files, no broadcast/shuffle of the history (plan shape
+    // pinned by SeenSetBucketingSpec).
     Q(
       "d07_incremental_dedup",
       """SELECT d.doc_id, md5(d.text) AS text_hash
@@ -92,7 +96,7 @@ object DedupQueries {
       val incoming = docs.filter(col("doc_id") % 5 >= 3)
         .select(col("doc_id"), col("text"))
         .unionByName(docs.filter(col("doc_id") % 5 < 3 && col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+          .select(Q.plantedId(col("doc_id"), 500000).as("doc_id"), col("text")))
       TopicStore.publish(s,
         incoming.select(
           col("doc_id").cast("string").as("key"),
@@ -151,7 +155,7 @@ object DedupQueries {
       val docs = Tables(s, dir, "documents")
       val withCopies = docs.select(col("doc_id"), col("text"))
         .unionByName(docs.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+          .select(Q.plantedId(col("doc_id"), 200000).as("doc_id"), col("text")))
       val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
       withCopies
         .withColumn("rn", row_number().over(w))
@@ -400,7 +404,7 @@ object DedupQueries {
         .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
       val corpus = base.unionByName(
         base.filter(col("vec_id") % 25 === 0)
-          .select((col("vec_id") + 100000).as("vec_id"),
+          .select(Q.plantedId(col("vec_id"), 100000).as("vec_id"),
             concat(slice(col("v"), 1, 63), array(lit(0.25))).as("v")))
       val bucketed = corpus.withColumn("bucket",
           VectorOps.srpBucket(col("v"), 64, 8))
@@ -461,7 +465,7 @@ object DedupQueries {
         .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
       val corpus = base.unionByName(
         base.filter(col("vec_id") % 25 === 0)
-          .select((col("vec_id") + 100000).as("vec_id"),
+          .select(Q.plantedId(col("vec_id"), 100000).as("vec_id"),
             concat(slice(col("v"), 1, 63), array(lit(0.25))).as("v")))
       val centroids = VectorOps.kmeansCentroids(corpus, k = 8, iters = 2,
         dims = 64)
@@ -506,15 +510,15 @@ object DedupQueries {
         |    unnest(CASE WHEN len(w) >= 3
         |      THEN list_transform(generate_series(1, len(w) // 3),
         |        i -> array_to_string(w[(i-1)*3+1:(i-1)*3+3], ' '))
-        |      ELSE CAST([] AS VARCHAR[]) END) AS seg
+        |      ELSE [CAST(NULL AS VARCHAR)] END) AS seg
         |  FROM ws),
         |bp AS (
-        |  SELECT seg, 1 AS is_bp FROM segs
+        |  SELECT seg, 1 AS is_bp FROM segs WHERE seg IS NOT NULL
         |  GROUP BY seg HAVING count(DISTINCT doc_id) >= 3)
         |SELECT s.doc_id,
-        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(count(s.seg) AS BIGINT) AS n_segments,
         |  CAST(count(b.is_bp) AS BIGINT) AS n_boilerplate,
-        |  CAST(3 * (count(*) - count(b.is_bp)) + (max(s.nw) % 3) AS BIGINT)
+        |  CAST(3 * (count(s.seg) - count(b.is_bp)) + (max(s.nw) % 3) AS BIGINT)
         |    AS n_tokens_kept
         |FROM segs s LEFT JOIN bp b ON s.seg = b.seg
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
@@ -522,20 +526,24 @@ object DedupQueries {
       val ws = Tables(s, dir, "documents")
         .select(col("doc_id"), DedupOps.words(col("text")).as("w"))
         .select(col("doc_id"), size(col("w")).as("nw"), col("w"))
+      // explode_outer: a doc below one segment (nw < 3) still emits ONE
+      // null-seg row, so its accounting row survives (n_segments = 0,
+      // n_tokens_kept = nw) instead of vanishing with the empty array —
+      // the oracle mirrors with an unnest of [NULL]
       val segs = ws.select(col("doc_id"), col("nw"),
-        explode(when(col("nw") >= 3,
+        explode_outer(when(col("nw") >= 3,
           expr("transform(sequence(1, size(w) div 3)," +
             " i -> array_join(slice(w, (i-1)*3+1, 3), ' '))"))
           .otherwise(array().cast("array<string>"))).as("seg"))
-      val bp = segs.groupBy(col("seg"))
+      val bp = segs.filter(col("seg").isNotNull).groupBy(col("seg"))
         .agg(count_distinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 3)
         .select(col("seg"), lit(1).as("is_bp"))
       segs.join(broadcast(bp), Seq("seg"), "left_outer")
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_segments"),
+        .agg(count(col("seg")).as("n_segments"),
           count(col("is_bp")).as("n_boilerplate"),
-          (lit(3) * (count(lit(1)) - count(col("is_bp"))) +
+          (lit(3) * (count(col("seg")) - count(col("is_bp"))) +
             (max(col("nw")) % 3)).cast("long").as("n_tokens_kept"))
         .orderBy(col("doc_id"))
     }

@@ -190,7 +190,7 @@ object MultimodalQueries {
       val docs = Tables(s, dir, "documents")
       val corpus = docs.select(col("doc_id"), col("text")).unionByName(
         docs.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"),
+          .select(Q.plantedId(col("doc_id"), 100000).as("doc_id"),
             expr("substr(text, 1, length(text) - 1)").as("text")))
       val sigs = corpus
         .withColumn("es", expr(
