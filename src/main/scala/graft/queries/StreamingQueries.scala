@@ -1118,11 +1118,22 @@ private[queries] object StreamingWindowGate {
     val ckpt = graft.TempRoots.create(tag + "-ckpt")
     val outDir = root + "/windows"
     val events = Tables(s, dir, "events")
+    val sentinelTs = java.sql.Timestamp.valueOf("2035-01-01 00:00:00")
+    // ws06's oracled counters (rows_observed = count+1, late_rows_dropped
+    // = the full %3 subset) hold only while EVERY fixture event time sits
+    // below the sentinel minus the 1 h watermark delay — a far-future
+    // fixture would skew them silently, so the assumption fails loudly
+    // here instead (single-column max scan, fixture-sized).
+    val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0)
+    require(maxTs.getTime <= sentinelTs.getTime - 3600L * 1000L,
+      s"fixture events reach $maxTs, at or above the $sentinelTs watermark " +
+        "sentinel minus the 1 h delay - the gate's drop accounting is " +
+        "invalid for this fixture")
     val sentinel = events.limit(1).select(
       lit("wm-sentinel").as("key"),
       lit("flush").as("value_str"),
-      lit(java.sql.Timestamp.valueOf("2035-01-01 00:00:00")).as("publish_time"),
-      lit(java.sql.Timestamp.valueOf("2035-01-01 00:00:00")).as("event_time"))
+      lit(sentinelTs).as("publish_time"),
+      lit(sentinelTs).as("event_time"))
 
     var observed = 0L
     var dropped = 0L

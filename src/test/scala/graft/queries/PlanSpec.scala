@@ -157,7 +157,12 @@ class PlanSpec extends SparkSpec {
     // bounded at 100 TB) — never a cartesian against the whole corpus
     val df = QueryRegistry.byName("d08_semdedup").run(spark, dir)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("pivot_id"), p)
+    // pin the join NODE itself, keyed on pivot_id — a plan that merely
+    // mentions the column elsewhere must not pass (mirrors p11/d09)
+    assert(
+      """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*pivot_id"""
+        .r.findFirstIn(p).isDefined,
+      s"no equi-join node keyed on pivot_id:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
 
