@@ -546,6 +546,97 @@ object DedupQueries {
           (lit(3) * (count(col("seg")) - count(col("is_bp"))) +
             (max(col("nw")) % 3)).cast("long").as("n_tokens_kept"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // d10 — cross-document repeated-SPAN detection (the ExactSubstr
+    // dedup of "Deduplicating Training Data Makes Language Models
+    // Better", Lee et al. 2022, re-expressed Spark-first): a suffix
+    // array is replaced by overlapping 8-token shingles — any ≥8-token
+    // substring shared across two documents is covered by at least one
+    // shared shingle, so merging overlapping duplicated shingles
+    // ([pos, pos+7], adjacent while gap ≤ 8) reconstructs the maximal
+    // duplicated spans exactly. Pipeline: shingle hash per position →
+    // grams seen in ≥2 DISTINCT docs (min≠max, no distinct expansion;
+    // ONE partial-agg'd shuffle on the gram hash) → positions join back
+    // on the gram key (sort-merge: the dup-gram set scales with the
+    // duplication rate and is NOT assumed broadcastable, unlike d09's
+    // ≥3-doc boilerplate) → gaps-and-islands span merge windowed by
+    // doc_id. Output is per-doc span accounting over the planted
+    // near-dup corpus (drop-first-word copies share their source's
+    // whole token stream, so the merged span is the entire overlap).
+    Q(
+      "d10_repeated_spans",
+      s"""WITH $corpusSql,
+        |ws AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM corpus),
+        |p AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS pos
+        |  FROM ws WHERE len(w) >= 8),
+        |g AS (
+        |  SELECT doc_id, pos, md5(array_to_string(w[pos:pos+7], ' ')) AS gh
+        |  FROM p),
+        |dup AS (SELECT gh FROM g GROUP BY gh HAVING min(doc_id) <> max(doc_id)),
+        |dp AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM dp),
+        |grp AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM isl),
+        |spans AS (
+        |  SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+        |  FROM grp GROUP BY doc_id, island),
+        |acc AS (
+        |  SELECT doc_id, count(*) AS n_dup_spans, sum(e - s + 1) AS n_dup_tokens
+        |  FROM spans GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+        |  CAST(COALESCE(n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+        |  round(COALESCE(n_dup_tokens, 0) / CAST(len(w.w) AS DOUBLE), 6)
+        |    AS dup_ratio
+        |FROM ws w LEFT JOIN acc ON w.doc_id = acc.doc_id
+        |ORDER BY w.doc_id""".stripMargin
+    ) { (s, dir) =>
+      val ws = corpusWithNearDups(Tables(s, dir, "documents"))
+        .select(col("doc_id"), DedupOps.words(col("text")).as("w"))
+      // staged: the per-position gram table feeds both the dup-gram
+      // aggregation and the position join-back — one shingling pass
+      val g = Stage.stage(ws.filter(size(col("w")) >= 8)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(w) - 7)," +
+            " i -> md5(concat_ws(' ', slice(w, i, 8))))")).as(Seq("p0", "gh")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("gh")))
+      val dup = g.groupBy(col("gh"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .filter(col("mn") =!= col("mx"))
+        .select(col("gh"))
+      val dp = g.join(dup, Seq("gh")).select(col("doc_id"), col("pos"))
+      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val spans = dp
+        .withColumn("brk",
+          when(col("pos") - lag(col("pos"), 1).over(byPos) > 8, 1)
+            .otherwise(0))
+        .withColumn("island", sum(col("brk")).over(byPos))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("pos")).as("s"), (max(col("pos")) + 7).as("e"))
+      val acc = spans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup_spans"),
+          sum(col("e") - col("s") + 1).as("n_dup_tokens"))
+      ws.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+        .join(acc, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_dup_spans"), lit(0L)).cast("long").as("n_dup_spans"),
+          coalesce(col("n_dup_tokens"), lit(0L)).cast("long")
+            .as("n_dup_tokens"),
+          round(coalesce(col("n_dup_tokens"), lit(0L))
+            / col("n_tokens").cast("double"), 6).as("dup_ratio"))
+        .orderBy(col("doc_id"))
     }
   )
 

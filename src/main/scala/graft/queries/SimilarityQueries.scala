@@ -321,8 +321,137 @@ object SimilarityQueries {
       graft.plans.GroupTopK.topKRanked(scored, Seq(col("q_id")), 3, "rank",
           col("cos").desc, col("neighbor_id").asc)
         .orderBy(col("q_id"), col("rank"))
+    },
+
+    // ---------------------------------------------------------------
+    // s07 — PRODUCT-quantized ANN (PQ, Jégou et al. 2011 — the
+    // billion-scale workhorse; composes with s04's IVF as IVF-PQ):
+    // vectors split into M=4 subspaces of 16 dims, each subspace gets
+    // its own 16-codeword codebook (spherical k-means, init = 16 lowest
+    // vec_ids, 2 Lloyd rounds, round(avg,6) — the s04 trainer applied
+    // per subspace), and the corpus is encoded to 4 codes = 4 BYTES per
+    // vector (128× smaller than the float64 vectors; s06's SQ8 manages
+    // 8×). The approx pass reconstructs each row's quantized vector
+    // from the broadcast codebooks INSIDE the scan (dot(q, x̂) =
+    // Σ_m dot(q_m, c_{m,code_m}) — the ADC identity; a SIMD-native
+    // engine would precompute per-query LUTs, a JVM row pipeline wins
+    // by reading 4-byte codes instead of 256-byte floats) and ranks by
+    // asymmetric cosine; the top-10 per query re-rank by EXACT cosine,
+    // fetching float vectors for ≤10·q rows only. Every step is
+    // deterministic IEEE in index order → the oracle reproduces the
+    // codebooks, codes, and scores exactly — not a recall bound.
+    Q(
+      "s07_ann_pq",
+      s"""WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv
+        |  FROM base CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) mm),
+        |c0 AS (SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 16),
+        |a1 AS (${pqAssignSql("sub", "c0")}),
+        |c1 AS (${pqCentroidSql("a1")}),
+        |a2 AS (${pqAssignSql("sub", "c1")}),
+        |c2 AS (${pqCentroidSql("a2")}),
+        |af AS (${pqAssignSql("sub", "c2")}),
+        |rec AS (
+        |  SELECT af.vec_id, flatten(list(p.cv ORDER BY af.m)) AS vq
+        |  FROM af JOIN c2 p ON p.m = af.m AND p.code = af.code
+        |  GROUP BY af.vec_id),
+        |cand AS (
+        |  SELECT r.vec_id, r.vq, b.v FROM rec r JOIN base b ON b.vec_id = r.vec_id),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM base
+        |      WHERE vec_id >= 300 AND vec_id < 320),
+        |approx AS (
+        |  SELECT q_id, qv, c.vec_id AS neighbor_id, c.v AS cv,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY ${cosineSql("qv", "c.vq", 64)} DESC, c.vec_id ASC) AS arn
+        |  FROM q CROSS JOIN cand c WHERE c.vec_id <> q_id),
+        |scored AS (
+        |  SELECT q_id, neighbor_id, ${cosineSql("qv", "cv", 64)} AS cos
+        |  FROM approx WHERE arn <= 10),
+        |ranked AS (
+        |  SELECT q_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT q_id, neighbor_id, cos, rank FROM ranked
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+    ) { (s, dir) =>
+      val base = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      // four per-subspace codebooks — the s04 trainer on each 16-dim
+      // slice (model = 4 × 16 × 16 doubles on the driver, standard
+      // iterative-trainer shape; the corpus never leaves the executors)
+      val cbs = (0 until 4).map { m =>
+        VectorOps.kmeansCentroids(
+          base.select(col("vec_id"),
+            expr(s"slice(v, ${m * 16 + 1}, 16)").as("v")),
+          k = 16, iters = 2, dims = 16)
+      }
+      // encode: nearest codeword per subspace (assignCells on the
+      // slice; ties to the lowest code id) — 4 chained projections,
+      // no shuffle
+      var enc = base
+      for (m <- 0 until 4) {
+        val sub = enc.withColumn("vfull", col("v"))
+          .withColumn("v", expr(s"slice(vfull, ${m * 16 + 1}, 16)"))
+        enc = VectorOps.assignCells(sub, cbs(m), 1)
+          .withColumn("v", col("vfull")).drop("vfull")
+          .withColumnRenamed("pivot_id", s"code$m")
+      }
+      // the compressed corpus: 4 codes + the reconstruction norm
+      // (folded once per row, not per pair) — at 100 TB the scan reads
+      // codes, the codebooks ride along as 4 tiny map literals
+      val cbMaps = cbs.map(cb => typedLit(cb.toMap))
+      def xhat = concat(
+        (0 until 4).map(m => element_at(cbMaps(m), col(s"code$m"))): _*)
+      val coded = enc
+        .select(col("vec_id") +: (0 until 4).map(m => col(s"code$m")): _*)
+        .withColumn("nxh", VectorOps.norm(xhat))
+      val q = base.filter(col("vec_id") >= 300 && col("vec_id") < 320)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          VectorOps.norm(col("v")).as("nq"))
+      // approx pass: reconstruct-in-the-scan asymmetric cosine
+      val approx = coded.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("qv"), col("nq"),
+          col("vec_id").as("neighbor_id"),
+          round(VectorOps.dot(col("qv"), xhat)
+            / (col("nq") * col("nxh")), 6).as("acos"))
+      val cands = graft.plans.GroupTopK.topK(approx, Seq(col("q_id")), 10,
+        col("acos").desc, col("neighbor_id").asc)
+      // exact re-rank: float vectors fetched for candidates only
+      val scored = base.select(col("vec_id"), col("v"),
+          VectorOps.norm(col("v")).as("nv"))
+        .join(broadcast(cands), col("vec_id") === col("neighbor_id"))
+        .select(col("q_id"), col("neighbor_id"),
+          VectorOps.cosineWithNorms(col("qv"), col("v"),
+            col("nq"), col("nv")).as("cos"))
+      graft.plans.GroupTopK.topKRanked(scored, Seq(col("q_id")), 3, "rank",
+          col("cos").desc, col("neighbor_id").asc)
+        .orderBy(col("q_id"), col("rank"))
     }
   )
+
+  /** DuckDB rendering of one per-subspace PQ assignment round: each
+    * (vector, subspace) routes to its nearest codeword of the SAME
+    * subspace by rounded 16-dim cosine, ties to the lowest code. */
+  private def pqAssignSql(baseT: String, cT: String): String =
+    s"""SELECT vec_id, m, sv, code FROM (
+       |    SELECT b.vec_id, b.m, b.sv, p.code,
+       |      row_number() OVER (PARTITION BY b.vec_id, b.m
+       |        ORDER BY ${cosineSql("b.sv", "p.cv", 16)} DESC, p.code ASC) AS rn
+       |    FROM $baseT b JOIN $cT p ON p.m = b.m) t
+       |  WHERE rn = 1""".stripMargin
+
+  /** DuckDB rendering of one per-subspace Lloyd recenter (round(avg,6)
+    * per dimension, reassembled in dimension order, empty cells drop). */
+  private def pqCentroidSql(aT: String): String =
+    s"""SELECT m, code, list(av ORDER BY dim) AS cv FROM (
+       |    SELECT m, code, i AS dim, round(avg(sv[i]), 6) AS av
+       |    FROM $aT CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS i) g
+       |    GROUP BY m, code, i) s
+       |  GROUP BY m, code""".stripMargin
 
   /** DuckDB rendering of VectorOps.assignCells: each vector's `nprobe`
     * nearest centroids by (rounded) cosine, ties to the lowest pivot.

@@ -301,6 +301,88 @@ object TextQueries {
           (length(decorated) - length(TextOps.nfc(decorated)))
             .cast("bigint").as("composed_away"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // t09 — statistical LM perplexity scoring (the CCNet/Gopher-style
+    // quality filter): a bigram model with add-one smoothing is trained
+    // on the corpus itself, then every document is scored by its average
+    // bigram log-probability and perplexity — fluent text scores low
+    // ppl, gibberish high. Shape at 100 TB: the LM IS a table (bigram
+    // counts + context counts), never a driver-side model — both are
+    // one partial-agg'd shuffle each, scoring joins the instance stream
+    // back on the bigram key (vocabulary-scale, NOT assumed
+    // broadcastable — same discipline as t07's df join), and the per-doc
+    // reduce is keyed by doc_id. Determinism: each bigram's
+    // ln((c2+1)/(c1+V)) is rounded to 6 decimals (t07's ln contract —
+    // Math.log vs libm differ in the last ulp), summed EXACTLY as
+    // DECIMAL so per-doc accumulation is order-free, then one cast back.
+    // Sub-bigram docs (nw < 2) keep an accounting row with NULL scores
+    // (d09's short-doc lesson), pinned by BigramPplSpec since no fixture
+    // doc is that short.
+    Q(
+      "t09_bigram_ppl",
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1])) AS bg
+        |  FROM ws WHERE len(w) >= 2),
+        |bgc AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+        |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+        |        FROM bg GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT t) AS vocab
+        |        FROM (SELECT unnest(w) AS t FROM ws)),
+        |inst AS (
+        |  SELECT doc_id,
+        |    round(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + vocab AS DOUBLE)), 6)
+        |      AS lp
+        |  FROM bg JOIN bgc USING (bg)
+        |  JOIN ctx ON ctx.w1 = split_part(bg.bg, ' ', 1)
+        |  CROSS JOIN voc),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) AS slp
+        |  FROM inst GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  round(slp / n_bigrams, 6) AS avg_logprob,
+        |  round(exp(-round(slp / n_bigrams, 6)), 6) AS ppl
+        |FROM ws w LEFT JOIN perdoc p ON w.doc_id = p.doc_id
+        |ORDER BY w.doc_id""".stripMargin
+    ) { (s, dir) =>
+      val ws = Tables(s, dir, "documents")
+        .select(col("doc_id"), DedupOps.words(col("text")).as("w"))
+      // staged: the bigram instance stream feeds the model (bgc/ctx)
+      // AND the scoring join — one tokenization pass, three consumers
+      val bg = Stage.stage(ws.select(col("doc_id"),
+        explode(when(size(col("w")) >= 2,
+            expr("transform(sequence(1, size(w) - 1)," +
+              " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1)))
+      val bgc = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      val ctx = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val voc = ws.select(explode(col("w")).as("t"))
+        .agg(count_distinct(col("t")).as("vocab"))
+      val inst = bg.join(bgc, Seq("bg")).join(ctx, Seq("w1"))
+        .crossJoin(broadcast(voc))
+        .select(col("doc_id"),
+          round(log((col("c2") + 1).cast("double")
+            / (col("c1") + col("vocab")).cast("double")), 6).as("lp"))
+      val perDoc = inst.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("lp").cast("decimal(28,6)")).cast("double").as("slp"))
+      val avg = round(col("slp") / col("n_bigrams"), 6)
+      ws.select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).cast("long").as("n_bigrams"),
+          avg.as("avg_logprob"),
+          round(exp(-avg), 6).as("ppl"))
+        .orderBy(col("doc_id"))
     }
   )
 }

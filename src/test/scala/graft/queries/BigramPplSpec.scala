@@ -1,0 +1,38 @@
+package graft.queries
+
+import graft.{QueryRegistry, SparkSpec}
+
+/** t09's LM-scoring contract on a corpus small enough to hand-compute:
+  * add-one bigram probabilities (p = (c2+1)/(c1+V)), per-bigram
+  * round(ln, 6), exact decimal summation, and the d09 short-doc lesson —
+  * a sub-bigram document keeps its accounting row (n_bigrams = 0, NULL
+  * scores) instead of vanishing. No shipped fixture doc is that short
+  * (min 10 tokens), so the corner lives here. */
+class BigramPplSpec extends SparkSpec {
+
+  test("t09 matches hand-computed add-one bigram scores; short docs keep rows") {
+    import spark.implicits._
+    val dir = tmpDir("bigramppl")
+    // vocab = {a,b,c,x} (V=4); bigram counts: "a b"=3, "b a"=1, "b c"=1;
+    // context counts: a=3, b=2
+    Seq(
+      (1L, "a b a b"), // lps: ln(4/7), ln(2/6), ln(4/7)
+      (2L, "a b c"),   // lps: ln(4/7), ln(2/6)
+      (3L, "x")        // nw=1 -> no bigram, NULL scores
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+
+    val rows = QueryRegistry.byName("t09_bigram_ppl").run(spark, dir)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), rows.mkString(","))
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getLong(1) == 3L)
+    assert(byId(1L).getDouble(2) == -0.739281 && byId(1L).getDouble(3) == 2.094429,
+      byId(1L).toString)
+    assert(byId(2L).getLong(1) == 2L)
+    assert(byId(2L).getDouble(2) == -0.829114 && byId(2L).getDouble(3) == 2.291288,
+      byId(2L).toString)
+    // the 1-token doc: accounting row with zero bigrams and NULL scores
+    assert(byId(3L).getLong(1) == 0L)
+    assert(byId(3L).isNullAt(2) && byId(3L).isNullAt(3), byId(3L).toString)
+  }
+}
