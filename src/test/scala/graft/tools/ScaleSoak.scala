@@ -49,7 +49,12 @@ object ScaleSoak {
           else array_join(transform(split(col("text"), " "),
             t => concat(t, lit(s"r$i"))), " ")
         df.select(
-          (col("doc_id") + i * 1000000L).as("doc_id"),
+          // COMPACT id offsets: Q.plantedId raise_errors when base ids
+          // reach the planted offset (100000) — the guard added for
+          // exactly this kind of derived fixture. 10 replicas of
+          // max-4999 ids stay below 50000; multiples of 10 preserve
+          // the doc_id % 10 planting rate per replica.
+          (col("doc_id") + i * 5000L).as("doc_id"),
           textExpr.as("text"),
           // distinct per-replica sources that KEEP the fixture's
           // parseable "src<N>" shape (p02 casts the numeric suffix)
@@ -64,7 +69,10 @@ object ScaleSoak {
           length(textExpr).as("n_chars"))
       })
       replicate("embeddings", (df, i) => df.select(
-        (col("vec_id") + i * 1000000L).as("vec_id"),
+        // compact for the same Q.plantedId reason (d05/d08/mm05 plant
+        // vec_id + 100000); replica 0 keeps original ids so the
+        // fixed query/init ranges (vec_id < 16, 100-320) stay stable
+        (col("vec_id") + i * 2000L).as("vec_id"),
         // rotate dimensions by 7*i positions: preserves every
         // within-replica pairwise cosine, Euclidean distance and norm
         // EXACTLY (each replica is the same workload as the original)
