@@ -380,33 +380,12 @@ object SimilarityQueries {
     ) { (s, dir) =>
       val base = Tables(s, dir, "embeddings")
         .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
-      // four per-subspace codebooks — the s04 trainer on each 16-dim
-      // slice (model = 4 × 16 × 16 doubles on the driver, standard
-      // iterative-trainer shape; the corpus never leaves the executors)
-      val cbs = (0 until 4).map { m =>
-        VectorOps.kmeansCentroids(
-          base.select(col("vec_id"),
-            expr(s"slice(v, ${m * 16 + 1}, 16)").as("v")),
-          k = 16, iters = 2, dims = 16)
-      }
-      // encode: nearest codeword per subspace (assignCells on the
-      // slice; ties to the lowest code id) — 4 chained projections,
-      // no shuffle
-      var enc = base
-      for (m <- 0 until 4) {
-        val sub = enc.withColumn("vfull", col("v"))
-          .withColumn("v", expr(s"slice(vfull, ${m * 16 + 1}, 16)"))
-        enc = VectorOps.assignCells(sub, cbs(m), 1)
-          .withColumn("v", col("vfull")).drop("vfull")
-          .withColumnRenamed("pivot_id", s"code$m")
-      }
+      val cbs = pqCodebooks(base)
       // the compressed corpus: 4 codes + the reconstruction norm
       // (folded once per row, not per pair) — at 100 TB the scan reads
       // codes, the codebooks ride along as 4 tiny map literals
-      val cbMaps = cbs.map(cb => typedLit(cb.toMap))
-      def xhat = concat(
-        (0 until 4).map(m => element_at(cbMaps(m), col(s"code$m"))): _*)
-      val coded = enc
+      val xhat = pqXhat(cbs)
+      val coded = pqEncode(base, cbs)
         .select(col("vec_id") +: (0 until 4).map(m => col(s"code$m")): _*)
         .withColumn("nxh", VectorOps.norm(xhat))
       val q = base.filter(col("vec_id") >= 300 && col("vec_id") < 320)
@@ -430,8 +409,154 @@ object SimilarityQueries {
       graft.plans.GroupTopK.topKRanked(scored, Seq(col("q_id")), 3, "rank",
           col("cos").desc, col("neighbor_id").asc)
         .orderBy(col("q_id"), col("rank"))
+    },
+
+    // ---------------------------------------------------------------
+    // s08 — IVF-PQ, the two indexes COMPOSED (the FAISS production
+    // structure for billion-scale search): s04's trained coarse
+    // quantizer routes the corpus into cells (inverted lists) and each
+    // query probes its nprobe=2 nearest cells; INSIDE the probed cells,
+    // candidates are scored by s07's 4-byte PQ codes (reconstruct-in-
+    // the-scan asymmetric cosine), then the top-10 re-rank by exact
+    // cosine. At 100 TB: the corpus is written cell-partitioned and
+    // code-compressed — a query reads nprobe/K of the data AND 128×
+    // fewer bytes per row scanned; floats are fetched for ≤10·q rows.
+    // PQ trains on raw vectors, not residuals (residual encoding suits
+    // L2-IVF; under the cosine metric + the exact-oracle contract the
+    // raw-vector codebook keeps both engines bit-identical). Both
+    // trainers and both assignment paths are the SAME machinery the
+    // standalone queries gate (s04's cells, s07's codebooks), so the
+    // composition adds no new numeric surface.
+    Q(
+      "s08_ann_ivfpq",
+      s"""WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id AS BIGINT) AS pivot_id, v AS pv
+        |       FROM base WHERE vec_id < 8),
+        |a1 AS (${assignSql("base", "c0", 1)}),
+        |c1 AS (${centroidSql("a1")}),
+        |a2 AS (${assignSql("base", "c1", 1)}),
+        |c2 AS (${centroidSql("a2")}),
+        |af AS (${assignSql("base", "c2", 1)}),
+        |qa AS (SELECT vec_id AS q_id, v AS qv, pivot_id
+        |       FROM (${assignSql("base", "c2", 2)}) pq
+        |       WHERE vec_id >= 300 AND vec_id < 320),
+        |sub AS (
+        |  SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv
+        |  FROM base CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) mm),
+        |pc0 AS (SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 16),
+        |pa1 AS (${pqAssignSql("sub", "pc0")}),
+        |pc1 AS (${pqCentroidSql("pa1")}),
+        |pa2 AS (${pqAssignSql("sub", "pc1")}),
+        |pc2 AS (${pqCentroidSql("pa2")}),
+        |paf AS (${pqAssignSql("sub", "pc2")}),
+        |rec AS (
+        |  SELECT paf.vec_id, flatten(list(p.cv ORDER BY paf.m)) AS vq
+        |  FROM paf JOIN pc2 p ON p.m = paf.m AND p.code = paf.code
+        |  GROUP BY paf.vec_id),
+        |cand AS (
+        |  SELECT a.vec_id, a.pivot_id, r.vq, b.v
+        |  FROM af a JOIN rec r ON r.vec_id = a.vec_id
+        |  JOIN base b ON b.vec_id = a.vec_id),
+        |approx AS (
+        |  SELECT q_id, qv, c.vec_id AS neighbor_id, c.v AS cv,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY ${cosineSql("qv", "c.vq", 64)} DESC, c.vec_id ASC) AS arn
+        |  FROM qa JOIN cand c
+        |    ON c.pivot_id = qa.pivot_id AND c.vec_id <> q_id),
+        |scored AS (
+        |  SELECT q_id, neighbor_id, ${cosineSql("qv", "cv", 64)} AS cos
+        |  FROM approx WHERE arn <= 10),
+        |ranked AS (
+        |  SELECT q_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT q_id, neighbor_id, cos, rank FROM ranked
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+    ) { (s, dir) =>
+      val base = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      val withNorm = base.withColumn("nv", VectorOps.norm(col("v")))
+      // coarse quantizer: s04's trained IVF cells (k=8, 2 rounds)
+      val coarse = VectorOps.kmeansCentroids(base, k = 8, iters = 2, dims = 64)
+      val cells = VectorOps.assignCellsAuto(withNorm, coarse, nprobe = 1,
+          normCol = Some("nv"))
+        .withColumnRenamed("pivot_id", "cell_id")
+      // fine quantizer: s07's PQ codebooks; the inverted lists carry
+      // (cell_id, 4 codes, reconstruction norm) — floats stay behind
+      val cbs = pqCodebooks(base)
+      val xhat = pqXhat(cbs)
+      val coded = pqEncode(cells, cbs)
+        .select(col("vec_id") +: col("cell_id") +:
+          (0 until 4).map(m => col(s"code$m")): _*)
+        .withColumn("nxh", VectorOps.norm(xhat))
+      val q = VectorOps.assignCellsAuto(withNorm, coarse, nprobe = 2,
+          normCol = Some("nv"))
+        .filter(col("vec_id") >= 300 && col("vec_id") < 320)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nv").as("nq"), col("pivot_id").as("q_cell"))
+      // probe: equi-join on the cell key, PQ-approx cosine in the scan
+      val approx = coded.join(broadcast(q),
+          col("cell_id") === col("q_cell") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("qv"), col("nq"),
+          col("vec_id").as("neighbor_id"),
+          round(VectorOps.dot(col("qv"), xhat)
+            / (col("nq") * col("nxh")), 6).as("acos"))
+      val cands = graft.plans.GroupTopK.topK(approx, Seq(col("q_id")), 10,
+        col("acos").desc, col("neighbor_id").asc)
+      // exact re-rank: float vectors fetched for candidates only
+      val scored = base.select(col("vec_id"), col("v"),
+          VectorOps.norm(col("v")).as("nv"))
+        .join(broadcast(cands), col("vec_id") === col("neighbor_id"))
+        .select(col("q_id"), col("neighbor_id"),
+          VectorOps.cosineWithNorms(col("qv"), col("v"),
+            col("nq"), col("nv")).as("cos"))
+      graft.plans.GroupTopK.topKRanked(scored, Seq(col("q_id")), 3, "rank",
+          col("cos").desc, col("neighbor_id").asc)
+        .orderBy(col("q_id"), col("rank"))
     }
   )
+
+  /** Four per-subspace PQ codebooks — the s04 spherical-k-means trainer
+    * on each 16-dim slice (k=16, 2 Lloyd rounds; model = 4 × 16 × 16
+    * doubles on the driver, the standard iterative-trainer shape; the
+    * corpus never leaves the executors). Shared by s07 (flat PQ) and
+    * s08 (IVF-PQ). */
+  private def pqCodebooks(base: org.apache.spark.sql.DataFrame)
+      : IndexedSeq[Seq[(Long, Seq[Double])]] =
+    (0 until 4).map { m =>
+      VectorOps.kmeansCentroids(
+        base.select(col("vec_id"),
+          expr(s"slice(v, ${m * 16 + 1}, 16)").as("v")),
+        k = 16, iters = 2, dims = 16)
+    }
+
+  /** Append `code0..code3` to a frame carrying (vec_id, v): nearest
+    * codeword per subspace (assignCells on the slice, ties to the
+    * lowest code id) — 4 chained projections, no shuffle. Any other
+    * columns ride through untouched. */
+  private def pqEncode(df: org.apache.spark.sql.DataFrame,
+      cbs: IndexedSeq[Seq[(Long, Seq[Double])]])
+      : org.apache.spark.sql.DataFrame = {
+    var enc = df
+    for (m <- 0 until 4) {
+      val sub = enc.withColumn("vfull", col("v"))
+        .withColumn("v", expr(s"slice(vfull, ${m * 16 + 1}, 16)"))
+      enc = VectorOps.assignCells(sub, cbs(m), 1)
+        .withColumn("v", col("vfull")).drop("vfull")
+        .withColumnRenamed("pivot_id", s"code$m")
+    }
+    enc
+  }
+
+  /** The reconstructed vector x̂ from `code0..code3` — codebooks as 4
+    * tiny map literals, concatenated in subspace order. */
+  private def pqXhat(cbs: IndexedSeq[Seq[(Long, Seq[Double])]])
+      : org.apache.spark.sql.Column =
+    concat((0 until 4).map(m =>
+      element_at(typedLit(cbs(m).toMap), col(s"code$m"))): _*)
 
   /** DuckDB rendering of one per-subspace PQ assignment round: each
     * (vector, subspace) routes to its nearest codeword of the SAME
