@@ -37,6 +37,64 @@ object DedupQueries {
       |  SELECT doc_id + 100000 AS doc_id, substr(text, strpos(text, ' ') + 1) AS text
       |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
+  /** DuckDB rendering of [[repeatedSpans]] (expects `corpus`; yields
+    * `ws` (doc_id, w) and `spans` (doc_id, island, s, e)) — shared by
+    * d10 (span accounting) and d11 (span strip). */
+  private val spanSql =
+    """ws AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM corpus),
+      |p AS (
+      |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS pos
+      |  FROM ws WHERE len(w) >= 8),
+      |g AS (
+      |  SELECT doc_id, pos, md5(array_to_string(w[pos:pos+7], ' ')) AS gh
+      |  FROM p),
+      |dup AS (SELECT gh FROM g GROUP BY gh HAVING min(doc_id) <> max(doc_id)),
+      |dp AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM dp),
+      |grp AS (
+      |  SELECT doc_id, pos,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM isl),
+      |spans AS (
+      |  SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+      |  FROM grp GROUP BY doc_id, island)""".stripMargin
+
+  /** Maximal cross-doc duplicated spans of `ws` (doc_id, w): 8-token
+    * shingle hashes per position, grams in ≥2 distinct docs (min≠max —
+    * no distinct expansion), overlapping windows ([pos, pos+7], gap ≤ 8)
+    * merged gaps-and-islands style. One partial-agg'd shuffle on the
+    * gram hash, a sort-merge join back on it (the dup set scales with
+    * the duplication rate — NOT broadcast), and doc_id-keyed windows.
+    * Output: (doc_id, island, s, e) — 1-based token spans, inclusive. */
+  private def repeatedSpans(ws: DataFrame): DataFrame = {
+    // staged: the per-position gram table feeds both the dup-gram
+    // aggregation and the position join-back — one shingling pass
+    val g = Stage.stage(ws.filter(size(col("w")) >= 8)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(w) - 7)," +
+          " i -> md5(concat_ws(' ', slice(w, i, 8))))")).as(Seq("p0", "gh")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("gh")))
+    val dup = g.groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("gh"))
+    val dp = g.join(dup, Seq("gh")).select(col("doc_id"), col("pos"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dp.withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byPos) > 8, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("brk")).over(byPos))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + 7).as("e"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------
@@ -568,29 +626,7 @@ object DedupQueries {
     Q(
       "d10_repeated_spans",
       s"""WITH $corpusSql,
-        |ws AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
-        |  FROM corpus),
-        |p AS (
-        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS pos
-        |  FROM ws WHERE len(w) >= 8),
-        |g AS (
-        |  SELECT doc_id, pos, md5(array_to_string(w[pos:pos+7], ' ')) AS gh
-        |  FROM p),
-        |dup AS (SELECT gh FROM g GROUP BY gh HAVING min(doc_id) <> max(doc_id)),
-        |dp AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
-        |isl AS (
-        |  SELECT doc_id, pos,
-        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
-        |      THEN 1 ELSE 0 END AS brk
-        |  FROM dp),
-        |grp AS (
-        |  SELECT doc_id, pos,
-        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        |  FROM isl),
-        |spans AS (
-        |  SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
-        |  FROM grp GROUP BY doc_id, island),
+        |$spanSql,
         |acc AS (
         |  SELECT doc_id, count(*) AS n_dup_spans, sum(e - s + 1) AS n_dup_tokens
         |  FROM spans GROUP BY doc_id)
@@ -604,27 +640,7 @@ object DedupQueries {
     ) { (s, dir) =>
       val ws = corpusWithNearDups(Tables(s, dir, "documents"))
         .select(col("doc_id"), DedupOps.words(col("text")).as("w"))
-      // staged: the per-position gram table feeds both the dup-gram
-      // aggregation and the position join-back — one shingling pass
-      val g = Stage.stage(ws.filter(size(col("w")) >= 8)
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(1, size(w) - 7)," +
-            " i -> md5(concat_ws(' ', slice(w, i, 8))))")).as(Seq("p0", "gh")))
-        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
-          col("gh")))
-      val dup = g.groupBy(col("gh"))
-        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-        .filter(col("mn") =!= col("mx"))
-        .select(col("gh"))
-      val dp = g.join(dup, Seq("gh")).select(col("doc_id"), col("pos"))
-      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val spans = dp
-        .withColumn("brk",
-          when(col("pos") - lag(col("pos"), 1).over(byPos) > 8, 1)
-            .otherwise(0))
-        .withColumn("island", sum(col("brk")).over(byPos))
-        .groupBy(col("doc_id"), col("island"))
-        .agg(min(col("pos")).as("s"), (max(col("pos")) + 7).as("e"))
+      val spans = repeatedSpans(ws)
       val acc = spans.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_dup_spans"),
           sum(col("e") - col("s") + 1).as("n_dup_tokens"))
@@ -636,6 +652,65 @@ object DedupQueries {
             .as("n_dup_tokens"),
           round(coalesce(col("n_dup_tokens"), lit(0L))
             / col("n_tokens").cast("double"), 6).as("dup_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // d11 — repeated-span STRIP (d10's apply step — the removal half of
+    // ExactSubstr dedup, conservative C4-style: duplicated-span tokens
+    // are dropped from EVERY doc that carries them): tokens anti-join
+    // their doc's spans on a doc-keyed range predicate (spans per doc
+    // are few — the per-key scan is bounded), survivors reassemble in
+    // position order. Output is the cleaned text's hash + kept-token
+    // accounting (the cleaned corpus is whitespace-NORMALIZED: tokens
+    // rejoin on single spaces — identical in both engines by the
+    // tokenizer contract). A doc whose every token sits in a span
+    // (planted full-overlap copies) keeps its row with 0 kept tokens
+    // and a NULL hash — stripped to nothing, not lost.
+    Q(
+      "d11_span_strip",
+      s"""WITH $corpusSql,
+        |$spanSql,
+        |t AS (
+        |  SELECT doc_id, pos, w[pos] AS tok
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos
+        |        FROM ws)),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok FROM t
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |    WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.s AND s.e)),
+        |clean AS (
+        |  SELECT doc_id, count(*) AS n_tokens_kept,
+        |    md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_hash
+        |  FROM kept GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+        |  clean_hash
+        |FROM ws w LEFT JOIN clean ON w.doc_id = clean.doc_id
+        |ORDER BY w.doc_id""".stripMargin
+    ) { (s, dir) =>
+      val ws = corpusWithNearDups(Tables(s, dir, "documents"))
+        .select(col("doc_id"), DedupOps.words(col("text")).as("w"))
+      val spans = repeatedSpans(ws)
+      val tokens = ws
+        .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("tok"))
+      val kept = tokens.join(spans,
+        tokens("doc_id") === spans("doc_id") &&
+          col("pos").between(col("s"), col("e")),
+        "left_anti")
+      val clean = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens_kept"),
+          md5(concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+              e => e.getField("tok")))).as("clean_hash"))
+      ws.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+        .join(clean, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_tokens_kept"), lit(0L)).cast("long")
+            .as("n_tokens_kept"),
+          col("clean_hash"))
         .orderBy(col("doc_id"))
     }
   )

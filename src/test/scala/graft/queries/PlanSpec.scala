@@ -166,6 +166,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("d10: dup grams join back on the gram-hash key, spans window by doc") {
+    // the dup-gram set scales with the duplication rate — the join back
+    // must be an equi-join NODE keyed on gh (broadcast is fine when
+    // stats allow; a cartesian or a non-gh key is not)
+    val df = QueryRegistry.byName("d10_repeated_spans").run(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(
+      """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*\bgh""".r
+        .findFirstIn(p).isDefined,
+      s"no equi-join node keyed on gh:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("s08: the IVF-PQ probe is an equi-join on the cell key") {
+    // candidates must come from the probed cells only — a join keyed on
+    // cell_id, never a nested loop over the whole coded corpus
+    val df = QueryRegistry.byName("s08_ann_ivfpq").run(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(
+      """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*cell_id""".r
+        .findFirstIn(p).isDefined,
+      s"no equi-join node keyed on cell_id:\n$p")
+  }
+
   test("d09: the boilerplate set broadcasts back; corpus never sort-merges on seg") {
     // the heavy-hitter set (segments in >= 3 distinct docs) is tiny by
     // construction — it must come back over the corpus as a broadcast
@@ -229,7 +253,8 @@ class PlanSpec extends SparkSpec {
     val checkpoints = Set("d02_minhash_lsh", "d03_simhash",
       "t01_langid_ngram", "p06_connected_components",
       "t07_tfidf_keywords", "p07_token_rebalance",
-      "mm05_image_neardup", "t09_bigram_ppl", "d10_repeated_spans")
+      "mm05_image_neardup", "t09_bigram_ppl", "d10_repeated_spans",
+      "d11_span_strip")
     QueryRegistry.all
       .filterNot(q => isStreamLoop(q.name) || checkpoints.contains(q.name))
       .foreach { q =>

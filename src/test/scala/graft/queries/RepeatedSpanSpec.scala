@@ -40,4 +40,29 @@ class RepeatedSpanSpec extends SparkSpec {
     assert(out(12L) == ((17L, 0L, 0L)), s"within-doc repeat: ${out(12L)}")
     assert(out(13L) == ((2L, 0L, 0L)), s"sub-gram doc: ${out(13L)}")
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("d11 strips exactly the span tokens; fully-covered docs keep a 0-row") {
+    import spark.implicits._
+    val dir = tmpDir("spanstrip")
+    val s10 = toks("s", 10)
+    Seq(
+      (1L, s"$s10 u1 u2"),  // span [1,10] -> keeps "u1 u2"
+      (2L, s"v1 v2 $s10"),  // span [3,12] -> keeps "v1 v2"
+      (11L, s10),           // fully covered -> 0 kept, NULL hash
+      (13L, "tiny doc")     // no grams -> untouched
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+
+    val out = graft.QueryRegistry.byName("d11_span_strip").run(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getString(3)))).toMap
+    assert(out(1L) == ((12L, 2L, md5hex("u1 u2"))), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((12L, 2L, md5hex("v1 v2"))), s"doc2: ${out(2L)}")
+    assert(out(11L) == ((10L, 0L, null)), s"full overlap: ${out(11L)}")
+    assert(out(13L) == ((2L, 2L, md5hex("tiny doc"))), s"no dup: ${out(13L)}")
+  }
 }
