@@ -157,6 +157,70 @@ object VectorOps {
       .select(vecs.columns.map(col) :+ col("pivot_id"): _*)
   }
 
+  /** Per-subspace product-quantization codebooks, ALL subspaces trained
+    * in ONE scan per Lloyd round: encoding every subspace is a single
+    * collapsed projection (m chained [[assignCells]] on slices), and
+    * recentering explodes to (m, code, subvector) rows so one
+    * partial-agg'd shuffle recenters every codebook at once — 1 + iters
+    * jobs total instead of m × (1 + 2·iters) (the per-subspace-trainer
+    * shape that made s07/s08 job-overhead-bound at 16 subspaces).
+    * Per-subspace math is identical to [[kmeansCentroids]]: init = the
+    * k lowest vec_ids' slices, assignment ties to the lowest code,
+    * round(avg, 6) recenter, empty cells drop (per subspace). */
+  def pqTrain(base: org.apache.spark.sql.DataFrame, m: Int, subDims: Int,
+      k: Int, iters: Int): IndexedSeq[Seq[(Long, Seq[Double])]] = {
+    var cbs: IndexedSeq[Seq[(Long, Seq[Double])]] = {
+      val rows = base.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("long"), col("v"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq.sortBy(_._1)
+      (0 until m).map(mm => rows.map { case (id, v) =>
+        id -> v.slice(mm * subDims, mm * subDims + subDims) })
+    }
+    for (_ <- 0 until iters) {
+      val enc = pqEncode(base, cbs, subDims)
+      val stacked = enc.select(col("vec_id"), explode(array((0 until m).map(i =>
+          struct(lit(i).as("m"), col(s"code$i").cast("long").as("code"),
+            expr(s"slice(v, ${i * subDims + 1}, $subDims)").as("sv"))): _*))
+          .as("s"))
+        .select(col("s.m").as("m"), col("s.code").as("code"),
+          col("s.sv").as("sv"))
+      val avgs = (0 until subDims).map(d =>
+        round(avg(col("sv").getItem(d)), 6).as(s"c$d"))
+      val rows = stacked.groupBy(col("m"), col("code"))
+        .agg(avgs.head, avgs.tail: _*)
+        .collect()
+      cbs = (0 until m).map(mm => rows.filter(_.getInt(0) == mm)
+        .map(r => r.getLong(1) -> (2 until 2 + subDims).map(r.getDouble).toSeq)
+        .toSeq.sortBy(_._1))
+    }
+    cbs
+  }
+
+  /** Append `code0..code{m-1}` to a frame carrying (vec_id, v): nearest
+    * codeword per subspace, ONE select, no shuffle. Per-subspace math
+    * is [[assignCells]]' exactly — the same round(dot/(|v||c|), 6)
+    * struct scores with the (pcos DESC, pivot ASC) tie-break, found via
+    * array_max (lexicographic struct max ≡ the nprobe=1 sort winner)
+    * instead of m chained sort/slice projections, whose re-analysis
+    * cost dominated training at m=16. Other columns ride through. */
+  def pqEncode(df: org.apache.spark.sql.DataFrame,
+      cbs: IndexedSeq[Seq[(Long, Seq[Double])]], subDims: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val codeCols = cbs.indices.map { m =>
+      val sub = expr(s"slice(v, ${m * subDims + 1}, $subDims)")
+      val vnorm = norm(sub)
+      val scored = array(cbs(m).map { case (pid, pv) =>
+        val cnorm = math.sqrt(pv.foldLeft(0.0)((acc, x) => acc + x * x))
+        struct(
+          round(dot(sub, typedLit(pv)) / (vnorm * lit(cnorm)), 6).as("pcos"),
+          lit(-pid).as("neg_pivot"))
+      }: _*)
+      (-array_max(scored).getField("neg_pivot")).as(s"code$m")
+    }
+    df.select(df.columns.map(col) ++ codeCols: _*)
+  }
+
   /** Threshold dispatch between the two assignment paths. The literal
     * path embeds all k centroids in ONE projection — unbeatable below
     * ~64 cells (no join, no shuffle) but both the per-row k-literal

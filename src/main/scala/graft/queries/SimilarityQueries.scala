@@ -19,6 +19,16 @@ object SimilarityQueries {
 
   import DedupQueries.cosineSql
 
+  // PQ geometry: 16 subspaces x 4 dims x 16 codewords = 1 bit/dim
+  private val pqM = 16         // subspaces
+  private val pqSub = 64 / pqM // dims per subspace
+
+  /** DuckDB rendering of the subspace table (expects `base`). */
+  private def pqSubSql: String =
+    s"""SELECT vec_id, m, v[m*$pqSub+1 : m*$pqSub+$pqSub] AS sv
+       |  FROM base CROSS JOIN (SELECT unnest([${(0 until pqM).mkString(", ")}]) AS m) mm"""
+      .stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------
@@ -326,18 +336,20 @@ object SimilarityQueries {
     // ---------------------------------------------------------------
     // s07 — PRODUCT-quantized ANN (PQ, Jégou et al. 2011 — the
     // billion-scale workhorse; composes with s04's IVF as IVF-PQ):
-    // vectors split into M=4 subspaces of 16 dims, each subspace gets
+    // vectors split into M=16 subspaces of 4 dims, each subspace gets
     // its own 16-codeword codebook (spherical k-means, init = 16 lowest
     // vec_ids, 2 Lloyd rounds, round(avg,6) — the s04 trainer applied
-    // per subspace), and the corpus is encoded to 4 codes = 4 BYTES per
-    // vector (128× smaller than the float64 vectors; s06's SQ8 manages
-    // 8×). The approx pass reconstructs each row's quantized vector
-    // from the broadcast codebooks INSIDE the scan (dot(q, x̂) =
-    // Σ_m dot(q_m, c_{m,code_m}) — the ADC identity; a SIMD-native
-    // engine would precompute per-query LUTs, a JVM row pipeline wins
-    // by reading 4-byte codes instead of 256-byte floats) and ranks by
-    // asymmetric cosine; the top-10 per query re-rank by EXACT cosine,
-    // fetching float vectors for ≤10·q rows only. Every step is
+    // per subspace). 16 codes × 4 bits = 8 packed bytes per vector
+    // (64× smaller than the float64 vectors; s06's SQ8 manages 8×) at
+    // the FAISS-standard 1 bit/dim — QuantizedRecallSpec measured the
+    // first-cut 0.25 bits/dim geometry at recall 0.22 and forced this
+    // one (0.93 vs exhaustive truth). The approx pass reconstructs each
+    // row's quantized vector from the broadcast codebooks INSIDE the
+    // scan (dot(q, x̂) = Σ_m dot(q_m, c_{m,code_m}) — the ADC identity;
+    // a SIMD-native engine would precompute per-query LUTs, a JVM row
+    // pipeline wins by reading codes instead of 256-byte floats) and
+    // ranks by asymmetric cosine; the top-50 per query re-rank by EXACT
+    // cosine, fetching float vectors for ≤50·q rows only. Every step is
     // deterministic IEEE in index order → the oracle reproduces the
     // codebooks, codes, and scores exactly — not a recall bound.
     Q(
@@ -346,8 +358,7 @@ object SimilarityQueries {
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
         |sub AS (
-        |  SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv
-        |  FROM base CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) mm),
+        |  ${pqSubSql}),
         |c0 AS (SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 16),
         |a1 AS (${pqAssignSql("sub", "c0")}),
         |c1 AS (${pqCentroidSql("a1")}),
@@ -369,7 +380,7 @@ object SimilarityQueries {
         |  FROM q CROSS JOIN cand c WHERE c.vec_id <> q_id),
         |scored AS (
         |  SELECT q_id, neighbor_id, ${cosineSql("qv", "cv", 64)} AS cos
-        |  FROM approx WHERE arn <= 10),
+        |  FROM approx WHERE arn <= 50),
         |ranked AS (
         |  SELECT q_id, neighbor_id, cos,
         |    row_number() OVER (PARTITION BY q_id
@@ -384,10 +395,13 @@ object SimilarityQueries {
       // the compressed corpus: 4 codes + the reconstruction norm
       // (folded once per row, not per pair) — at 100 TB the scan reads
       // codes, the codebooks ride along as 4 tiny map literals
-      val xhat = pqXhat(cbs)
+      // vq reconstructed ONCE per row at scan time (decode-at-the-scan:
+      // storage/shuffle carry codes; the scoring join sees the decoded
+      // column) — the oracle's `rec` CTE is the same materialization
       val coded = pqEncode(base, cbs)
-        .select(col("vec_id") +: (0 until 4).map(m => col(s"code$m")): _*)
-        .withColumn("nxh", VectorOps.norm(xhat))
+        .select(col("vec_id") +: (0 until pqM).map(m => col(s"code$m")): _*)
+        .withColumn("vq", pqXhat(cbs))
+        .withColumn("nxh", VectorOps.norm(col("vq")))
       val q = base.filter(col("vec_id") >= 300 && col("vec_id") < 320)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           VectorOps.norm(col("v")).as("nq"))
@@ -395,9 +409,9 @@ object SimilarityQueries {
       val approx = coded.join(broadcast(q), col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("qv"), col("nq"),
           col("vec_id").as("neighbor_id"),
-          round(VectorOps.dot(col("qv"), xhat)
+          round(VectorOps.dot(col("qv"), col("vq"))
             / (col("nq") * col("nxh")), 6).as("acos"))
-      val cands = graft.plans.GroupTopK.topK(approx, Seq(col("q_id")), 10,
+      val cands = graft.plans.GroupTopK.topK(approx, Seq(col("q_id")), 50,
         col("acos").desc, col("neighbor_id").asc)
       // exact re-rank: float vectors fetched for candidates only
       val scored = base.select(col("vec_id"), col("v"),
@@ -415,12 +429,15 @@ object SimilarityQueries {
     // s08 — IVF-PQ, the two indexes COMPOSED (the FAISS production
     // structure for billion-scale search): s04's trained coarse
     // quantizer routes the corpus into cells (inverted lists) and each
-    // query probes its nprobe=2 nearest cells; INSIDE the probed cells,
-    // candidates are scored by s07's 4-byte PQ codes (reconstruct-in-
-    // the-scan asymmetric cosine), then the top-10 re-rank by exact
-    // cosine. At 100 TB: the corpus is written cell-partitioned and
-    // code-compressed — a query reads nprobe/K of the data AND 128×
-    // fewer bytes per row scanned; floats are fetched for ≤10·q rows.
+    // query probes its nprobe=3 nearest cells; INSIDE the probed cells,
+    // candidates are scored by s07's PQ codes (reconstruct-in-the-scan
+    // asymmetric cosine), then the top-50 re-rank by exact cosine. At
+    // 100 TB: the corpus is written cell-partitioned and code-
+    // compressed — a query reads nprobe/K of the data AND 64× fewer
+    // bytes per row scanned; floats are fetched for ≤50·q rows.
+    // Recall vs exhaustive truth is 0.63 on the weakly-clustered
+    // fixture (QuantizedRecallSpec): the IVF coverage dial, not a bug —
+    // neighbors outside the probed cells are unreachable by design.
     // PQ trains on raw vectors, not residuals (residual encoding suits
     // L2-IVF; under the cosine metric + the exact-oracle contract the
     // raw-vector codebook keeps both engines bit-identical). Both
@@ -440,11 +457,10 @@ object SimilarityQueries {
         |c2 AS (${centroidSql("a2")}),
         |af AS (${assignSql("base", "c2", 1)}),
         |qa AS (SELECT vec_id AS q_id, v AS qv, pivot_id
-        |       FROM (${assignSql("base", "c2", 2)}) pq
+        |       FROM (${assignSql("base", "c2", 3)}) pq
         |       WHERE vec_id >= 300 AND vec_id < 320),
         |sub AS (
-        |  SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv
-        |  FROM base CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) mm),
+        |  ${pqSubSql}),
         |pc0 AS (SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 16),
         |pa1 AS (${pqAssignSql("sub", "pc0")}),
         |pc1 AS (${pqCentroidSql("pa1")}),
@@ -467,7 +483,7 @@ object SimilarityQueries {
         |    ON c.pivot_id = qa.pivot_id AND c.vec_id <> q_id),
         |scored AS (
         |  SELECT q_id, neighbor_id, ${cosineSql("qv", "cv", 64)} AS cos
-        |  FROM approx WHERE arn <= 10),
+        |  FROM approx WHERE arn <= 50),
         |ranked AS (
         |  SELECT q_id, neighbor_id, cos,
         |    row_number() OVER (PARTITION BY q_id
@@ -487,12 +503,12 @@ object SimilarityQueries {
       // fine quantizer: s07's PQ codebooks; the inverted lists carry
       // (cell_id, 4 codes, reconstruction norm) — floats stay behind
       val cbs = pqCodebooks(base)
-      val xhat = pqXhat(cbs)
       val coded = pqEncode(cells, cbs)
         .select(col("vec_id") +: col("cell_id") +:
-          (0 until 4).map(m => col(s"code$m")): _*)
-        .withColumn("nxh", VectorOps.norm(xhat))
-      val q = VectorOps.assignCellsAuto(withNorm, coarse, nprobe = 2,
+          (0 until pqM).map(m => col(s"code$m")): _*)
+        .withColumn("vq", pqXhat(cbs))
+        .withColumn("nxh", VectorOps.norm(col("vq")))
+      val q = VectorOps.assignCellsAuto(withNorm, coarse, nprobe = 3,
           normCol = Some("nv"))
         .filter(col("vec_id") >= 300 && col("vec_id") < 320)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -502,9 +518,9 @@ object SimilarityQueries {
           col("cell_id") === col("q_cell") && col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("qv"), col("nq"),
           col("vec_id").as("neighbor_id"),
-          round(VectorOps.dot(col("qv"), xhat)
+          round(VectorOps.dot(col("qv"), col("vq"))
             / (col("nq") * col("nxh")), 6).as("acos"))
-      val cands = graft.plans.GroupTopK.topK(approx, Seq(col("q_id")), 10,
+      val cands = graft.plans.GroupTopK.topK(approx, Seq(col("q_id")), 50,
         col("acos").desc, col("neighbor_id").asc)
       // exact re-rank: float vectors fetched for candidates only
       val scored = base.select(col("vec_id"), col("v"),
@@ -519,53 +535,39 @@ object SimilarityQueries {
     }
   )
 
-  /** Four per-subspace PQ codebooks — the s04 spherical-k-means trainer
-    * on each 16-dim slice (k=16, 2 Lloyd rounds; model = 4 × 16 × 16
-    * doubles on the driver, the standard iterative-trainer shape; the
-    * corpus never leaves the executors). Shared by s07 (flat PQ) and
-    * s08 (IVF-PQ). */
+  /** Per-subspace PQ codebooks — the s04 spherical-k-means trainer on
+    * each pqSub-dim slice (k=16, 2 Lloyd rounds; model = pqM × 16 ×
+    * pqSub doubles on the driver, the standard iterative-trainer shape;
+    * the corpus never leaves the executors). Shared by s07 (flat PQ)
+    * and s08 (IVF-PQ). */
   private def pqCodebooks(base: org.apache.spark.sql.DataFrame)
       : IndexedSeq[Seq[(Long, Seq[Double])]] =
-    (0 until 4).map { m =>
-      VectorOps.kmeansCentroids(
-        base.select(col("vec_id"),
-          expr(s"slice(v, ${m * 16 + 1}, 16)").as("v")),
-        k = 16, iters = 2, dims = 16)
-    }
+    VectorOps.pqTrain(base, pqM, pqSub, k = 16, iters = 2)
 
-  /** Append `code0..code3` to a frame carrying (vec_id, v): nearest
-    * codeword per subspace (assignCells on the slice, ties to the
-    * lowest code id) — 4 chained projections, no shuffle. Any other
-    * columns ride through untouched. */
+  /** Append `code0..code{pqM-1}` to a frame carrying (vec_id, v):
+    * nearest codeword per subspace (assignCells on the slice, ties to
+    * the lowest code id) — pqM chained projections, no shuffle. Any
+    * other columns ride through untouched. */
   private def pqEncode(df: org.apache.spark.sql.DataFrame,
       cbs: IndexedSeq[Seq[(Long, Seq[Double])]])
-      : org.apache.spark.sql.DataFrame = {
-    var enc = df
-    for (m <- 0 until 4) {
-      val sub = enc.withColumn("vfull", col("v"))
-        .withColumn("v", expr(s"slice(vfull, ${m * 16 + 1}, 16)"))
-      enc = VectorOps.assignCells(sub, cbs(m), 1)
-        .withColumn("v", col("vfull")).drop("vfull")
-        .withColumnRenamed("pivot_id", s"code$m")
-    }
-    enc
-  }
+      : org.apache.spark.sql.DataFrame =
+    VectorOps.pqEncode(df, cbs, pqSub)
 
-  /** The reconstructed vector x̂ from `code0..code3` — codebooks as 4
-    * tiny map literals, concatenated in subspace order. */
+  /** The reconstructed vector x̂ from the code columns — codebooks as
+    * pqM tiny map literals, concatenated in subspace order. */
   private def pqXhat(cbs: IndexedSeq[Seq[(Long, Seq[Double])]])
       : org.apache.spark.sql.Column =
-    concat((0 until 4).map(m =>
+    concat((0 until pqM).map(m =>
       element_at(typedLit(cbs(m).toMap), col(s"code$m"))): _*)
 
   /** DuckDB rendering of one per-subspace PQ assignment round: each
     * (vector, subspace) routes to its nearest codeword of the SAME
-    * subspace by rounded 16-dim cosine, ties to the lowest code. */
+    * subspace by rounded pqSub-dim cosine, ties to the lowest code. */
   private def pqAssignSql(baseT: String, cT: String): String =
     s"""SELECT vec_id, m, sv, code FROM (
        |    SELECT b.vec_id, b.m, b.sv, p.code,
        |      row_number() OVER (PARTITION BY b.vec_id, b.m
-       |        ORDER BY ${cosineSql("b.sv", "p.cv", 16)} DESC, p.code ASC) AS rn
+       |        ORDER BY ${cosineSql("b.sv", "p.cv", pqSub)} DESC, p.code ASC) AS rn
        |    FROM $baseT b JOIN $cT p ON p.m = b.m) t
        |  WHERE rn = 1""".stripMargin
 
@@ -574,7 +576,7 @@ object SimilarityQueries {
   private def pqCentroidSql(aT: String): String =
     s"""SELECT m, code, list(av ORDER BY dim) AS cv FROM (
        |    SELECT m, code, i AS dim, round(avg(sv[i]), 6) AS av
-       |    FROM $aT CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS i) g
+       |    FROM $aT CROSS JOIN (SELECT unnest(generate_series(1, $pqSub)) AS i) g
        |    GROUP BY m, code, i) s
        |  GROUP BY m, code""".stripMargin
 
