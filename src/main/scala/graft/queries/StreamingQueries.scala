@@ -958,6 +958,98 @@ object StreamingQueries {
         q.awaitTermination()
       }
       BatchLanding.read(s, outDir).orderBy(col("message_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // ws07 — ARBITRARY state via the Spark 4.x transformWithState API
+    // (the successor to [flat]mapGroupsWithState, RocksDB-backed —
+    // m05/m07 gate the classic API through chunk reassembly): each
+    // user's two largest purchase values live in a ValueState merged
+    // under the total order (value DESC, event_id ASC), so arrival
+    // order, partitioning, and replay cannot change it. The gate
+    // publishes DISJOINT halves (even event_ids, then odd) and runs a
+    // separate AvailableNow pass per half on one checkpoint — pass 2's
+    // per-user output is correct ONLY if pass 1's state survived the
+    // restart, which is exactly what the oracle (top-2 over ALL
+    // events) asserts. Update-mode emission: one row per touched key
+    // per batch; the landed result takes each key's latest batch row.
+    // 100 TB posture: state is per-key O(1) (two pairs), the processor
+    // folds each batch's rows in one pass, and the only shuffle is the
+    // groupByKey exchange every stateful op pays.
+    Q(
+      "ws07_tws_topk",
+      """WITH ranked AS (
+        |  SELECT user_id, value, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events WHERE event_id % 5 <> 4)
+        |SELECT user_id,
+        |  max(CASE WHEN rn = 1 THEN value END) AS v1,
+        |  max(CASE WHEN rn = 1 THEN event_id END) AS e1,
+        |  max(CASE WHEN rn = 2 THEN value END) AS v2,
+        |  max(CASE WHEN rn = 2 THEN event_id END) AS e2
+        |FROM ranked WHERE rn <= 2
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.{Top2Processor, TwsEvent}
+      val root = graft.TempRoots.create("graft-tws")
+      val ckpt = graft.TempRoots.create("graft-tws-ckpt")
+      val outDir = root + "/top2"
+      val events = Tables(s, dir, "events")
+      def runPass(): Unit = StreamHarness.withShufflePartitions(s, "8") {
+        StreamHarness.withRocksDbStateStore(s) {
+          val src = s.readStream.format("pulsarlike")
+            .option("path", root)
+            .option("serviceUrl", "pulsar://local")
+            .option("topicNames", "events")
+            .option("subscriptionInitialPosition", "Earliest")
+            .option("batchingMaxMessages", "100000000")
+            .load()
+          // the %5==4 family publishes as raw octet-stream (ps01's
+          // parse contract) — parsed is NULL there, and a stateful op
+          // over typed rows must drop them explicitly, not NPE
+          val parsed = MessageOps
+            .contentTypeDispatch(src, MessageOps.payloadSchema)
+            .filter(col("parsed").isNotNull)
+            .select(expr("try_cast(key AS BIGINT)").as("user_id"),
+              col("parsed.value").cast("double").as("value"),
+              col("parsed.event_id").cast("long").as("event_id"))
+            .as[TwsEvent]
+          val q = parsed.groupByKey(_.user_id)
+            .transformWithState(new Top2Processor,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              org.apache.spark.sql.streaming.OutputMode.Update())
+            .toDF()
+            .writeStream
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+              BatchLanding.land(df, outDir, bid)
+              ()
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+      }
+      TopicStore.publish(s,
+        MessageOps.fromEvents(events.filter(pmod(col("event_id"), lit(2)) === 0)),
+        root, "events", 4)
+      runPass()
+      TopicStore.publish(s,
+        MessageOps.fromEvents(events.filter(pmod(col("event_id"), lit(2)) === 1)),
+        root, "events", 4)
+      runPass()
+      // each key's latest emission wins (a key untouched in pass 2
+      // keeps its pass-1 row)
+      val landed = BatchLanding.readRaw(s, outDir)
+      val latest = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("batch_id").desc)
+      landed.withColumn("rn", row_number().over(latest))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("v1"), col("e1"), col("v2"), col("e2"))
+        .orderBy(col("user_id"))
     }
   )
 }
@@ -1201,5 +1293,18 @@ private[queries] object StreamHarness {
     s.conf.set("spark.sql.shuffle.partitions", n)
     try body
     finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** transformWithState requires the RocksDB state-store provider —
+    * scoped to the gate's duration and restored even on failure, same
+    * discipline as the shuffle-partition override above. */
+  def withRocksDbStateStore[T](s: org.apache.spark.sql.SparkSession)
+      (body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try body
+    finally s.conf.set(key, prev)
   }
 }
