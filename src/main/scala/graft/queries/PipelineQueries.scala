@@ -150,21 +150,7 @@ object PipelineQueries {
         |  min(doc_id) AS canonical_id, max(doc_id) AS max_id
         |FROM i3 GROUP BY lab ORDER BY cluster_id""".stripMargin
     ) { (s, dir) =>
-      val base = Tables(s, dir, "documents")
-      val dup = DedupQueries.corpusWithNearDups(base)
-        .unionByName(base.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
-      var labeled = dup.select(
-        col("doc_id"),
-        md5(concat_ws(" ", DedupOps.words(col("text")))).as("k1"),
-        array_min(transform(TextOps.charNgrams(col("text"), 8), g => md5(g)))
-          .as("k2"),
-        col("doc_id").as("lab"))
-      for (_ <- 0 until 3) {
-        labeled = labeled.withColumn("lab", least(
-          min(col("lab")).over(Window.partitionBy(col("k1"))),
-          min(col("lab")).over(Window.partitionBy(col("k2")))))
-      }
+      val (_, labeled) = labeledDupCorpus(s, dir)
       labeled.groupBy(col("lab").as("cluster_id"))
         .agg(count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("canonical_id"),
@@ -544,6 +530,104 @@ object PipelineQueries {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_flagged_grams"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // p12 — QUALITY-aware canonical selection (the RefinedWeb/Dolma
+    // keep-policy): after clustering duplicates (p04's 3-round
+    // group-min labels over the planted dup corpus), keep the BEST
+    // document per cluster by the t02 quality score — not the lowest
+    // id. min-id (d06/p04) is the cheap deterministic policy; real
+    // pipelines keep the highest-quality copy (ties to the lowest id)
+    // because exact/near copies differ in truncation and boilerplate.
+    // Shape at 100 TB: the labeling is p04's (group-min windows, no
+    // pair materialization), the score is one stateless projection,
+    // and the per-cluster argmax runs through GroupTopK — k=1 rows per
+    // (cluster, partition) reach the exchange; the n_docs aggregate
+    // rides the same cluster key.
+    Q(
+      "p12_quality_canonical",
+      s"""WITH ${DedupQueries.corpusSql},
+        |dup AS (
+        |  SELECT doc_id, text FROM corpus
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 10 = 0),
+        |nodes AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_filter(string_split(text, ' '), x -> x <> ''), ' ')) AS k1,
+        |    list_min(list_transform(generate_series(1, length(text) - 7),
+        |      i -> md5(substr(text, i, 8)))) AS k2,
+        |    doc_id AS lab
+        |  FROM dup),
+        |i1 AS (SELECT doc_id, k1, k2, least(
+        |    min(lab) OVER (PARTITION BY k1),
+        |    min(lab) OVER (PARTITION BY k2)) AS lab FROM nodes),
+        |i2 AS (SELECT doc_id, k1, k2, least(
+        |    min(lab) OVER (PARTITION BY k1),
+        |    min(lab) OVER (PARTITION BY k2)) AS lab FROM i1),
+        |i3 AS (SELECT doc_id, k1, k2, least(
+        |    min(lab) OVER (PARTITION BY k1),
+        |    min(lab) OVER (PARTITION BY k2)) AS lab FROM i2),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(0.25 * (1.0 - CAST(len(list_filter(ts, x -> x = 'a' OR x = 'the')) AS DOUBLE) / len(ts))
+        |        + 0.5 * (CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts))
+        |        + 0.25 * least((n_chars - (len(ts) - 1)) / len(ts) / 8.0, 1.0), 6) AS quality
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(text, ' '), x -> x <> '') AS ts,
+        |          CAST(length(text) AS DOUBLE) AS n_chars
+        |        FROM dup) f),
+        |ranked AS (
+        |  SELECT i3.lab AS cluster_id, i3.doc_id, q.quality,
+        |    row_number() OVER (PARTITION BY i3.lab
+        |      ORDER BY q.quality DESC, i3.doc_id ASC) AS rn
+        |  FROM i3 JOIN q ON q.doc_id = i3.doc_id)
+        |SELECT r.cluster_id, n.n_docs, r.doc_id AS canonical_id,
+        |  r.quality AS canonical_quality
+        |FROM ranked r
+        |JOIN (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+        |      FROM ranked GROUP BY cluster_id) n
+        |  ON n.cluster_id = r.cluster_id
+        |WHERE rn = 1 ORDER BY r.cluster_id""".stripMargin
+    ) { (s, dir) =>
+      val (dup, labeled) = labeledDupCorpus(s, dir)
+      val q = TextOps.qualityScore(dup, "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+      val scored = labeled.select(col("doc_id"), col("lab").as("cluster_id"))
+        .join(q, Seq("doc_id"))
+      val winner = graft.plans.GroupTopK.topK(scored,
+        Seq(col("cluster_id")), 1, col("quality").desc, col("doc_id").asc)
+      val sizes = scored.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+      winner.join(sizes, Seq("cluster_id"))
+        .select(col("cluster_id"), col("n_docs"),
+          col("doc_id").as("canonical_id"),
+          col("quality").as("canonical_quality"))
+        .orderBy(col("cluster_id"))
     }
   )
+
+  /** p04/p12's shared dup corpus (exact + near planted copies) and its
+    * 3-round group-min cluster labeling: (dup(doc_id, text),
+    * labeled(doc_id, k1, k2, lab)). */
+  private def labeledDupCorpus(s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val base = Tables(s, dir, "documents")
+    val dup = DedupQueries.corpusWithNearDups(base)
+      .unionByName(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+    var labeled = dup.select(
+      col("doc_id"),
+      md5(concat_ws(" ", DedupOps.words(col("text")))).as("k1"),
+      array_min(transform(TextOps.charNgrams(col("text"), 8), g => md5(g)))
+        .as("k2"),
+      col("doc_id").as("lab"))
+    for (_ <- 0 until 3) {
+      labeled = labeled.withColumn("lab", least(
+        min(col("lab")).over(Window.partitionBy(col("k1"))),
+        min(col("lab")).over(Window.partitionBy(col("k2")))))
+    }
+    (dup, labeled)
+  }
+
 }
