@@ -604,6 +604,112 @@ object PipelineQueries {
           col("doc_id").as("canonical_id"),
           col("quality").as("canonical_quality"))
         .orderBy(col("cluster_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // p13 — GRADED n-gram contamination (the GPT-3/Llama appendix-C
+    // method): where p05 answers "does this doc share ANY 13-gram with
+    // the eval set" (binary) and p11 answers it approximately through a
+    // bloom filter, p13 reports the contamination FRACTION — what share
+    // of a doc's 13-grams appear in the eval set — and buckets docs
+    // clean / partial / dirty (>= 80% hit). The distinction matters:
+    // binary decontamination throws away a long doc that quotes one
+    // eval line; graded contamination keeps it and drops only
+    // mostly-contaminated docs. The fixture plants genuinely-partial
+    // docs (clean-doc head + 20-word eval-doc tail at id+300000) so all
+    // three buckets are non-empty (sf0.01: 448/66/17). Determinism:
+    // bucket thresholds compare integers (10*hits >= 8*grams); grams
+    // travel as md5 (the shared hash primitive). Shape at 100 TB: the
+    // eval gram set is joined with a LEFT SEMI equi-join on the gram
+    // hash — sort-merge-able, NOT assumed broadcastable (p11's bloom is
+    // the broadcast variant; this is the exact complement) — and both
+    // per-doc reduces are partial-agg'd on doc_id. Sub-13-word docs
+    // keep an n_grams=0/NULL-fraction accounting row (d09's lesson).
+    Q(
+      "p13_contamination_fraction",
+      s"""WITH ${DedupQueries.corpusSql},
+        |mixed AS (
+        |  SELECT e.doc_id + 300000 AS doc_id,
+        |    array_to_string(list_concat(
+        |      cl.cw[1:CAST(ceil(len(cl.cw) / 2.0) AS BIGINT)],
+        |      e.ew[len(e.ew) - 19:len(e.ew)]), ' ') AS text
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ew
+        |        FROM documents WHERE doc_id % 7 = 0
+        |          AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20) e
+        |  JOIN (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS cw
+        |        FROM documents) cl
+        |    ON cl.doc_id = e.doc_id + 1),
+        |full_corpus AS (
+        |  SELECT doc_id, text FROM corpus
+        |  UNION ALL SELECT doc_id, text FROM mixed),
+        |ws AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |       FROM full_corpus),
+        |grams AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 13
+        |    THEN list_transform(generate_series(1, len(w) - 12),
+        |      i -> md5(array_to_string(w[i:i+12], ' ')))
+        |    ELSE CAST([] AS VARCHAR[]) END) AS g
+        |  FROM ws),
+        |evalg AS (SELECT DISTINCT g FROM grams
+        |          WHERE doc_id % 7 = 0 AND doc_id < 100000),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_hit FROM grams
+        |  WHERE NOT (doc_id % 7 = 0 AND doc_id < 100000)
+        |    AND g IN (SELECT g FROM evalg)
+        |  GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  CAST(greatest(len(w.w) - 12, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+        |  CASE WHEN len(w.w) > 12
+        |    THEN round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / (len(w.w) - 12), 6)
+        |    END AS contamination,
+        |  CASE WHEN coalesce(h.n_hit, 0) = 0 THEN 'clean'
+        |    WHEN 10 * h.n_hit >= 8 * (len(w.w) - 12) THEN 'dirty'
+        |    ELSE 'partial' END AS status
+        |FROM ws w LEFT JOIN hits h ON w.doc_id = h.doc_id
+        |WHERE NOT (w.doc_id % 7 = 0 AND w.doc_id < 100000)
+        |ORDER BY w.doc_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val evalDocs = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("eid"), DedupOps.words(col("text")).as("ew"))
+        .filter(size(col("ew")) >= 20)
+      val cleanDocs = docs
+        .select(col("doc_id").as("cid"), DedupOps.words(col("text")).as("cw"))
+      val mixed = evalDocs
+        .join(cleanDocs, col("cid") === col("eid") + 1)
+        .select(graft.Q.plantedId(col("eid"), 300000).as("doc_id"),
+          concat_ws(" ",
+            slice(col("cw"), lit(1), ceil(size(col("cw")) / 2.0).cast("int")),
+            slice(col("ew"), size(col("ew")) - 19, lit(20))).as("text"))
+      val corpus = DedupQueries.corpusWithNearDups(docs).unionByName(mixed)
+      val ws = corpus
+        .select(col("doc_id"), DedupOps.words(col("text")).as("w"))
+      // materialize the shingle array before the md5 lambda (no CSE
+      // across HOF lambda bodies), hash before the explode so only the
+      // 32-hex key travels through the joins
+      val grams = ws.withColumn("sh", DedupOps.shingles(col("w"), 13))
+        .select(col("doc_id"),
+          explode(transform(col("sh"), g => md5(g))).as("g"))
+      val isEval = col("doc_id") % 7 === 0 && col("doc_id") < 100000
+      val evalG = grams.filter(isEval).select(col("g")).distinct()
+      val hits = grams.filter(!isEval)
+        .join(evalG, Seq("g"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      val tot = ws.filter(!isEval)
+        .select(col("doc_id"),
+          greatest(size(col("w")) - 12, lit(0)).cast("long").as("n_grams"))
+      tot.join(hits, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_hit"), lit(0L)).cast("long").as("n_contaminated"),
+          when(col("n_grams") > 0,
+            round(coalesce(col("n_hit"), lit(0L)).cast("double")
+              / col("n_grams"), 6)).as("contamination"),
+          when(coalesce(col("n_hit"), lit(0L)) === 0, lit("clean"))
+            .when(lit(10) * col("n_hit") >= lit(8) * col("n_grams"),
+              lit("dirty"))
+            .otherwise(lit("partial")).as("status"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -383,6 +383,118 @@ object TextQueries {
           avg.as("avg_logprob"),
           round(exp(-avg), 6).as("ppl"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // t10 — the Gopher rule battery (Rae et al. 2021, table A1): the
+    // standard hard-threshold quality filter every web-scale pipeline
+    // runs BEFORE model-based scoring (t02/t09 are the soft scores; t10
+    // is the rule gate). Seven rules with the paper's thresholds: word
+    // count in [50, 100k], mean word length in [3, 10], symbol-to-word
+    // ratio <= 0.1, >= 80% words with an alphabetic char, >= 2
+    // stopwords, <= 90% bullet lines, <= 30% ellipsis lines. The
+    // fixture corpus has no symbols/lines, so — t05's PII-injection
+    // pattern — the query deterministically augments docs keyed by
+    // doc_id ('#' tokens for %13/%7; 10-word lines; '- ' bullets for
+    // %9; '...' for %11), making every injected rule genuinely fire
+    // (sf0.01: 166/500 pass all; each rule individually discriminates).
+    // Determinism: every threshold compares INTEGERS (10*nsym <= nw,
+    // not nsym/nw <= 0.1) so no float boundary can disagree between
+    // engines; mean_word_len is reported rounded but gated via
+    // sumlen-vs-3*nw / 10*nw integer bounds. Shape at 100 TB: one
+    // stateless projection pass per document — no shuffle at all
+    // except the final presentation sort.
+    Q(
+      "t10_gopher_rules",
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ts0
+        |  FROM documents),
+        |aug AS (
+        |  SELECT doc_id, list_concat(ts0, list_transform(generate_series(1,
+        |    CASE WHEN doc_id % 13 = 0 THEN CAST(ceil(len(ts0) / 3.0) AS BIGINT)
+        |         WHEN doc_id % 7 = 0 THEN CAST(ceil(len(ts0) / 8.0) AS BIGINT)
+        |         ELSE 0 END), i -> '#')) AS ts
+        |  FROM base),
+        |lined AS (
+        |  SELECT doc_id, ts,
+        |    list_transform(generate_series(0, CAST(ceil(len(ts) / 10.0) AS BIGINT) - 1),
+        |      i -> CASE WHEN doc_id % 9 = 0 THEN '- ' ELSE '' END ||
+        |           array_to_string(ts[i*10+1:i*10+10], ' ') ||
+        |           CASE WHEN doc_id % 11 = 0 THEN '...' ELSE '' END) AS lines
+        |  FROM aug),
+        |feat AS (
+        |  SELECT doc_id, len(ts) AS nw, len(lines) AS nl,
+        |    len(list_filter(ts, w -> w = '#')) AS nsym,
+        |    len(list_filter(ts, w -> regexp_matches(w, '[a-z]'))) AS nalpha,
+        |    len(list_filter(ts, w -> w IN ('the', 'a', 'and', 'of', 'to'))) AS nstop,
+        |    length(array_to_string(ts, '')) AS sumlen,
+        |    len(list_filter(lines, l -> l LIKE '- %')) AS nbullet,
+        |    len(list_filter(lines, l -> l LIKE '%...')) AS nell
+        |  FROM lined)
+        |SELECT doc_id,
+        |  CAST(nw AS BIGINT) AS n_words, CAST(nl AS BIGINT) AS n_lines,
+        |  round(CAST(sumlen AS DOUBLE) / nw, 6) AS mean_word_len,
+        |  nw >= 50 AND nw <= 100000 AS r_word_count,
+        |  sumlen >= 3 * nw AND sumlen <= 10 * nw AS r_mean_word_len,
+        |  10 * nsym <= nw AS r_symbol_ratio,
+        |  5 * nalpha >= 4 * nw AS r_alpha_words,
+        |  nstop >= 2 AS r_stopwords,
+        |  10 * nbullet <= 9 * nl AS r_bullet_lines,
+        |  10 * nell <= 3 * nl AS r_ellipsis_lines,
+        |  nw >= 50 AND nw <= 100000 AND sumlen >= 3 * nw AND sumlen <= 10 * nw
+        |    AND 10 * nsym <= nw AND 5 * nalpha >= 4 * nw AND nstop >= 2
+        |    AND 10 * nbullet <= 9 * nl AND 10 * nell <= 3 * nl AS pass
+        |FROM feat ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val ts0 = DedupOps.words(col("text"))
+      val extra = when(col("doc_id") % 13 === 0,
+          ceil(size(col("ts0")) / 3.0).cast("int"))
+        .when(col("doc_id") % 7 === 0,
+          ceil(size(col("ts0")) / 8.0).cast("int"))
+        .otherwise(lit(0))
+      val aug = Tables(s, dir, "documents")
+        .select(col("doc_id"), ts0.as("ts0"))
+        .select(col("doc_id"),
+          concat(col("ts0"), array_repeat(lit("#"), extra)).as("ts"))
+      // 10-word lines with deterministic bullet/ellipsis decoration;
+      // sequence(0, nl-1) is safe: ts is never empty, so nl >= 1
+      val lines = transform(
+        sequence(lit(0), ceil(size(col("ts")) / 10.0).cast("int") - 1),
+        i => concat(
+          when(col("doc_id") % 9 === 0, lit("- ")).otherwise(lit("")),
+          concat_ws(" ", slice(col("ts"), i * 10 + 1, lit(10))),
+          when(col("doc_id") % 11 === 0, lit("...")).otherwise(lit(""))))
+      val feat = aug.select(col("doc_id"), col("ts"), lines.as("lines"))
+        .select(col("doc_id"),
+          size(col("ts")).as("nw"), size(col("lines")).as("nl"),
+          size(filter(col("ts"), w => w === "#")).as("nsym"),
+          size(filter(col("ts"), w => w.rlike("[a-z]"))).as("nalpha"),
+          size(filter(col("ts"),
+            w => w.isin("the", "a", "and", "of", "to"))).as("nstop"),
+          length(array_join(col("ts"), "")).as("sumlen"),
+          size(filter(col("lines"), l => l.startsWith("- "))).as("nbullet"),
+          size(filter(col("lines"), l => l.endsWith("..."))).as("nell"))
+      val rWc = col("nw") >= 50 && col("nw") <= 100000
+      val rMwl = col("sumlen") >= lit(3) * col("nw") &&
+        col("sumlen") <= lit(10) * col("nw")
+      val rSym = lit(10) * col("nsym") <= col("nw")
+      val rAlpha = lit(5) * col("nalpha") >= lit(4) * col("nw")
+      val rStop = col("nstop") >= 2
+      val rBullet = lit(10) * col("nbullet") <= lit(9) * col("nl")
+      val rEll = lit(10) * col("nell") <= lit(3) * col("nl")
+      feat.select(col("doc_id"),
+          col("nw").cast("long").as("n_words"),
+          col("nl").cast("long").as("n_lines"),
+          round(col("sumlen").cast("double") / col("nw"), 6)
+            .as("mean_word_len"),
+          rWc.as("r_word_count"), rMwl.as("r_mean_word_len"),
+          rSym.as("r_symbol_ratio"), rAlpha.as("r_alpha_words"),
+          rStop.as("r_stopwords"), rBullet.as("r_bullet_lines"),
+          rEll.as("r_ellipsis_lines"),
+          (rWc && rMwl && rSym && rAlpha && rStop && rBullet && rEll)
+            .as("pass"))
+        .orderBy(col("doc_id"))
     }
   )
 }

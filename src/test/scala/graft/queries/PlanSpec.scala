@@ -190,6 +190,29 @@ class PlanSpec extends SparkSpec {
       s"no equi-join node keyed on cell_id:\n$p")
   }
 
+  test("t10: the rule gate is one stateless pass — no join, no aggregate") {
+    // seven rules over one projection; the only exchange allowed is the
+    // presentation sort's range partitioning, and the scan must prune
+    // to (doc_id, text)
+    val p = planOf("t10_gopher_rules")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(p.contains("ReadSchema") && !p.contains("lang:"), p)
+  }
+
+  test("p13: eval-gram membership is an equi-join NODE keyed on the gram hash") {
+    // the eval gram set is NOT assumed broadcastable (p11's bloom is the
+    // broadcast variant): any equi strategy is fine, a cartesian or a
+    // non-g key is not
+    val df = QueryRegistry.byName("p13_contamination_fraction").run(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(
+      """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*\[g#[^\n]*LeftSemi"""
+        .r.findFirstIn(p).isDefined,
+      s"no semi equi-join node keyed on g:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("d09: the boilerplate set broadcasts back; corpus never sort-merges on seg") {
     // the heavy-hitter set (segments in >= 3 distinct docs) is tiny by
     // construction — it must come back over the corpus as a broadcast
