@@ -200,25 +200,25 @@ object VectorOps {
   /** Append `code0..code{m-1}` to a frame carrying (vec_id, v): nearest
     * codeword per subspace, ONE select, no shuffle. Per-subspace math
     * is [[assignCells]]' exactly — the same round(dot/(|v||c|), 6)
-    * struct scores with the (pcos DESC, pivot ASC) tie-break, found via
-    * array_max (lexicographic struct max ≡ the nprobe=1 sort winner)
-    * instead of m chained sort/slice projections, whose re-analysis
-    * cost dominated training at m=16. Other columns ride through. */
+    * scores with the (pcos DESC, pivot ASC) tie-break — computed by the
+    * native [[graft.functions.PqEncodeCodes]] expression: the codebooks
+    * ride as one reference object, so the generated projection is
+    * constant-size in m·k. (The previous column formulation — m
+    * array_max trees over k literal-scored structs — hit janino's 64 KB
+    * method limit at m=16, k=16 and dropped the whole encode stage out
+    * of whole-stage codegen; production PQ is m=16, k=256.)
+    * Other columns ride through untouched. */
   def pqEncode(df: org.apache.spark.sql.DataFrame,
       cbs: IndexedSeq[Seq[(Long, Seq[Double])]], subDims: Int)
       : org.apache.spark.sql.DataFrame = {
-    val codeCols = cbs.indices.map { m =>
-      val sub = expr(s"slice(v, ${m * subDims + 1}, $subDims)")
-      val vnorm = norm(sub)
-      val scored = array(cbs(m).map { case (pid, pv) =>
-        val cnorm = math.sqrt(pv.foldLeft(0.0)((acc, x) => acc + x * x))
-        struct(
-          round(dot(sub, typedLit(pv)) / (vnorm * lit(cnorm)), 6).as("pcos"),
-          lit(-pid).as("neg_pivot"))
-      }: _*)
-      (-array_max(scored).getField("neg_pivot")).as(s"code$m")
-    }
-    df.select(df.columns.map(col) ++ codeCols: _*)
+    val codes = ofExpr(graft.functions.PqEncodeCodes(
+      ofCol(col("v")), cbs, subDims))
+    // two Projects on purpose: __pqcodes is expensive and referenced m
+    // times, so CollapseProject keeps the split and the expression
+    // evaluates once per row (both stay in one codegen stage)
+    df.withColumn("__pqcodes", codes)
+      .select(df.columns.map(col) ++
+        cbs.indices.map(i => col("__pqcodes").getItem(i).as(s"code$i")): _*)
   }
 
   /** Threshold dispatch between the two assignment paths. The literal
