@@ -346,6 +346,49 @@ object MiscQueries {
         .withColumn("ord", unix_millis(col("ts")))
         .select(col("event_id"), count(lit(1)).over(w).as("n_hour"))
         .orderBy(col("event_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // q32 — recursive CTE (Spark 4.x WITH RECURSIVE / UnionLoop): every
+    // part walks a synthetic containment hierarchy to its root (parent
+    // of k is k div 2 — a binary tree over the part keys, the BOM-
+    // explosion shape without needing a parts_parts table). The
+    // recursion carries (node, cursor, depth, path); a node's answer is
+    // its cursor-at-root row, so the result is one row per part with
+    // its depth and full root path — the transitive closure no single
+    // window/join can express. Iterations = tree height (log₂ n: 15 at
+    // sf0.1's 20k parts), total intermediate rows n·log n. Scale note:
+    // Spark caps recursion at spark.sql.cteRecursionLevelLimit (100)
+    // and 1M rows per anchor by default — a 100 TB BOM walk raises the
+    // row limit and relies on depth staying logarithmic; each iteration
+    // is one self-join-free projection over the previous level.
+    Q(
+      "q32_recursive_walk",
+      """WITH RECURSIVE walk(node, cur, depth, path) AS (
+        |  SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth,
+        |    CAST(p_partkey AS VARCHAR) AS path
+        |  FROM part
+        |  UNION ALL
+        |  SELECT node, cur // 2, depth + 1,
+        |    path || '>' || CAST(cur // 2 AS VARCHAR)
+        |  FROM walk WHERE cur > 1)
+        |SELECT node, CAST(depth AS INT) AS root_depth, path
+        |FROM walk WHERE cur = 1
+        |ORDER BY node""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "part").createOrReplaceTempView("part_q32")
+      s.sql("""
+        WITH RECURSIVE walk(node, cur, depth, path) AS (
+          SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth,
+            CAST(p_partkey AS STRING) AS path
+          FROM part_q32
+          UNION ALL
+          SELECT node, cur DIV 2, depth + 1,
+            path || '>' || CAST(cur DIV 2 AS STRING)
+          FROM walk WHERE cur > 1)
+        SELECT node, CAST(depth AS INT) AS root_depth, path
+        FROM walk WHERE cur = 1
+        ORDER BY node""")
     }
   )
 }

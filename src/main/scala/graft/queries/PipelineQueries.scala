@@ -710,6 +710,188 @@ object PipelineQueries {
               lit("dirty"))
             .otherwise(lit("partial")).as("status"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // p14 — canonical-URL dedup, the FIRST dedup a web crawl runs
+    // (before any content hashing): normalize each doc's URL and group
+    // by the canonical form. Policy (the standard crawl-frontier set):
+    // lowercase scheme+host, strip a leading 'www.', strip the
+    // scheme's default port (:80/:443) but KEEP explicit non-default
+    // ports, collapse duplicate path slashes, strip the trailing
+    // slash, drop tracker params (utm_*, fbclid, gclid), sort the
+    // surviving query params, drop the fragment. The fixture has no
+    // URL column, so — t05's injection pattern — URLs are built
+    // deterministically from doc_id with every mess keyed by moduli
+    // (case soup %2, default port %3, explicit :8080 %7, duplicate
+    // slashes %5, trailing slash %4, fragment %6), and %9 docs get a
+    // planted variant (id+400000) that differs in EVERY raw dimension
+    // but canonicalizes identically — except when the base carries
+    // :8080 (%63): different port = different resource, the planted
+    // default-port URL correctly lands in its own group. Natural
+    // collisions (canon is f(doc_id mod 350)) give groups > 2 at
+    // sf0.01+. Shape at 100 TB: one stateless projection (parse +
+    // normalize are regexes, no UDF), ONE hash exchange on the
+    // canonical key for the group window — the minimum any dedup can
+    // do; the scan prunes to doc_id alone.
+    Q(
+      "p14_url_canonicalize",
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |corpus AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) ||
+        |    '://www.Site' || (doc_id % 25) || '.Example.COM' ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN ':8080'
+        |          WHEN doc_id % 3 = 0 THEN
+        |            (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+        |          ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '/a//b'
+        |          ELSE '/p' || (doc_id % 10) END) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&b=2&a=1'
+        |          ELSE '?a=1&fbclid=zz&b=2' END) ||
+        |    (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id + 400000,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'Http' ELSE 'HTTPS' END) ||
+        |    '://wWw.SITE' || (doc_id % 25) || '.example.com' ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '/a////b' ELSE '//p' || (doc_id % 10) END) ||
+        |    '/' || '?b=2&utm_medium=y&a=1' || '#x' AS url
+        |  FROM ids WHERE doc_id % 9 = 0),
+        |parsed AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
+        |    regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1) AS hostport,
+        |    regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1) AS path0,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query
+        |  FROM corpus),
+        |norm AS (
+        |  SELECT doc_id, url, scheme,
+        |    regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')),
+        |      '^www\.', '') AS host,
+        |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        |    regexp_replace(regexp_replace(path0, '/{2,}', '/', 'g'), '/$', '')
+        |      AS path,
+        |    list_sort(list_filter(string_split(query, '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p,
+        |        '^(utm_[a-z]+|fbclid|gclid)='))) AS kept
+        |  FROM parsed),
+        |canon AS (
+        |  SELECT doc_id, url,
+        |    scheme || '://' || host ||
+        |    (CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+        |          OR (scheme = 'https' AND port = '443'))
+        |      THEN ':' || port ELSE '' END) ||
+        |    path ||
+        |    (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+        |      ELSE '' END) AS canon_url
+        |  FROM norm)
+        |SELECT doc_id, url, canon_url,
+        |  CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT) AS group_n,
+        |  doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS keep
+        |FROM canon ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val ids = Tables(s, dir, "documents").select(col("doc_id"))
+      val idS = (m: Int) => (col("doc_id") % m).cast("string")
+      val baseUrl = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("https")),
+        lit("://www.Site"), idS(25), lit(".Example.COM"),
+        when(col("doc_id") % 7 === 0, lit(":8080"))
+          .when(col("doc_id") % 3 === 0,
+            when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("/a//b"))
+          .otherwise(concat(lit("/p"), idS(10))),
+        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0, lit("?utm_source=x&b=2&a=1"))
+          .otherwise(lit("?a=1&fbclid=zz&b=2")),
+        when(col("doc_id") % 6 === 0, lit("#frag")).otherwise(lit("")))
+      val plantUrl = concat(
+        when(col("doc_id") % 2 === 0, lit("Http")).otherwise(lit("HTTPS")),
+        lit("://wWw.SITE"), idS(25), lit(".example.com"),
+        when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")),
+        when(col("doc_id") % 5 === 0, lit("/a////b"))
+          .otherwise(concat(lit("//p"), idS(10))),
+        lit("/?b=2&utm_medium=y&a=1#x"))
+      val corpus = ids.select(col("doc_id"), baseUrl.as("url"))
+        .unionByName(ids.filter(col("doc_id") % 9 === 0)
+          .select(graft.Q.plantedId(col("doc_id"), 400000).as("doc_id"),
+            plantUrl.as("url")))
+      val scheme = lower(regexp_extract(col("url"), "^([a-zA-Z]+)://", 1))
+      val hostport = regexp_extract(col("url"), "^[a-zA-Z]+://([^/?#]+)", 1)
+      val parsed = corpus.select(col("doc_id"), col("url"),
+        scheme.as("scheme"),
+        regexp_replace(lower(regexp_replace(hostport, ":[0-9]+$", "")),
+          "^www\\.", "").as("host"),
+        regexp_extract(hostport, ":([0-9]+)$", 1).as("port"),
+        regexp_replace(regexp_replace(
+          regexp_extract(col("url"), "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1),
+          "/{2,}", "/"), "/$", "").as("path"),
+        array_sort(filter(
+          split(regexp_extract(col("url"), "\\?([^#]*)", 1), "&"),
+          p => p =!= "" && !p.rlike("^(utm_[a-z]+|fbclid|gclid)=")))
+          .as("kept"))
+      val keepPort = col("port") =!= "" &&
+        !((col("scheme") === "http" && col("port") === "80") ||
+          (col("scheme") === "https" && col("port") === "443"))
+      val canon = parsed.select(col("doc_id"), col("url"),
+        concat(col("scheme"), lit("://"), col("host"),
+          when(keepPort, concat(lit(":"), col("port"))).otherwise(lit("")),
+          col("path"),
+          when(size(col("kept")) > 0,
+            concat(lit("?"), array_join(col("kept"), "&")))
+            .otherwise(lit(""))).as("canon_url"))
+      val w = Window.partitionBy(col("canon_url"))
+      canon.select(col("doc_id"), col("url"), col("canon_url"),
+          count(lit(1)).over(w).cast("long").as("group_n"),
+          (col("doc_id") === min(col("doc_id")).over(w)).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // p15 — deterministic stratified train/val/test split (80/10/10):
+    // the LAST step before a corpus ships to training. Assignment is a
+    // pure function of (source, doc_id) — md5-hex compared against the
+    // fraction thresholds (0.8·16⁸ = cccccccc…, 0.9·16⁸ = e6666666…),
+    // p02's seedless-coin idiom — so ANY engine reproduces the split,
+    // re-runs are stable, and adding documents never reassigns
+    // existing ones (the property random-permutation splits lack).
+    // Salting the hash with `source` makes the split stratified: each
+    // source is partitioned by its own independent coin, so no source
+    // can land lopsided by hash correlation with doc_id ranges.
+    // Per-(source, split) counts ride along as a window so the
+    // stratification is auditable in the output itself. Shape at
+    // 100 TB: assignment is a stateless projection (usable as a
+    // partition column at write time); only the audit window shuffles
+    // — on (source, split), a key space of |sources|·3.
+    Q(
+      "p15_train_split",
+      """WITH assigned AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN md5(source || ':' || CAST(doc_id AS VARCHAR))
+        |             < 'cccccccccccccccccccccccccccccccc' THEN 'train'
+        |         WHEN md5(source || ':' || CAST(doc_id AS VARCHAR))
+        |             < 'e6666666666666666666666666666666' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT doc_id, source, split,
+        |  CAST(count(*) OVER (PARTITION BY source, split) AS BIGINT)
+        |    AS split_n_in_source
+        |FROM assigned ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val coin = md5(concat(col("source"), lit(":"),
+        col("doc_id").cast("string")))
+      val assigned = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          when(coin < "c" * 32, lit("train"))
+            .when(coin < "e" + "6" * 31, lit("val"))
+            .otherwise(lit("test")).as("split"))
+      assigned.select(col("doc_id"), col("source"), col("split"),
+          count(lit(1)).over(Window.partitionBy(col("source"), col("split")))
+            .cast("long").as("split_n_in_source"))
+        .orderBy(col("doc_id"))
     }
   )
 

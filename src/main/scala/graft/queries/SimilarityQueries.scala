@@ -532,6 +532,56 @@ object SimilarityQueries {
       graft.plans.GroupTopK.topKRanked(scored, Seq(col("q_id")), 3, "rank",
           col("cos").desc, col("neighbor_id").asc)
         .orderBy(col("q_id"), col("rank"))
+    },
+
+    // ---------------------------------------------------------------
+    // s09 — FILTERED ANN: top-3 cosine neighbors restricted to the
+    // query's own label (the production "vector search with a metadata
+    // predicate" — same-class retrieval). The filter is applied BEFORE
+    // scoring by making the label part of the join condition, so the
+    // predicate becomes an equi-join KEY, not a post-filter: candidates
+    // per query are its label's rows only (n/|labels| of the corpus),
+    // and the scored stream shrinks by the label selectivity before
+    // any exchange (GroupTopK per-partition heaps as in s01). At
+    // 100 TB the corpus is laid out partitioned-by-label, so the same
+    // plan prunes whole partitions at the scan; a per-query predicate
+    // over an unpartitioned column composes with s04's cells instead
+    // (join on (cell, label)). Plan pinned: the join is a hash join
+    // keyed on label, never a cartesian with a post-filter.
+    Q(
+      "s09_ann_filtered",
+      s"""WITH base AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+        |      FROM base WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q_id, q_label, c.vec_id AS neighbor_id,
+        |    ${cosineSql("qv", "c.v", 64)} AS cos
+        |  FROM q JOIN base c ON c.label = q_label AND c.vec_id <> q_id),
+        |ranked AS (
+        |  SELECT q_id, q_label, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT q_id, CAST(q_label AS INT) AS q_label, neighbor_id, cos, rank
+        |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+    ) { (s, dir) =>
+      val base = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          VectorOps.toDouble(col("embedding")).as("v"))
+        .withColumn("nv", VectorOps.norm(col("v"))) // per row, not per pair
+      val q = base.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("v").as("qv"), col("nv").as("nq"))
+      val scored = broadcast(q).join(base,
+          col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_label"), col("vec_id").as("neighbor_id"),
+          VectorOps.cosineWithNorms(col("qv"), col("v"),
+            col("nq"), col("nv")).as("cos"))
+      graft.plans.GroupTopK.topKRanked(scored, Seq(col("q_id")), 3, "rank",
+          col("cos").desc, col("neighbor_id").asc)
+        .orderBy(col("q_id"), col("rank"))
     }
   )
 

@@ -495,6 +495,78 @@ object TextQueries {
           (rWc && rMwl && rSym && rAlpha && rStop && rBullet && rEll)
             .as("pass"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // t11 — blocklist term matching (the LDNOOBW-style safety filter
+    // every web pipeline runs): tokens joined against a term list with
+    // severities; a doc is flagged when it accumulates ≥ 2 hits or any
+    // severity-3 term. The term list is a TABLE, not a literal-array
+    // membership test — real blocklists run to 10⁴ terms across
+    // languages, so the join side must be data, broadcast because it
+    // is small relative to the corpus, never because it is bounded by
+    // the query text. Fixture docs carry no blocklist terms, so t05's
+    // injection pattern plants them: %6 docs get one 'badx' + one
+    // 'bady' (2 hits → flagged by count), %13 docs get 'badz'
+    // (severity 3 → flagged by severity; %78 docs trip both rules).
+    // 'badq' sits in the list but never in the corpus (the join must
+    // not fabricate hits). Clean docs keep a zero-hit accounting row
+    // (d09's lesson): the hit aggregate LEFT-joins back to the corpus.
+    // Shape at 100 TB: explode tokens → broadcast hash join on the
+    // term → one partial-agg'd doc_id reduce; the corpus never
+    // shuffles on the token.
+    Q(
+      "t11_blocklist",
+      """WITH terms(term, severity) AS (
+        |  VALUES ('badx', 1), ('bady', 2), ('badz', 3), ('badq', 3)),
+        |aug AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    (CASE WHEN doc_id % 6 = 0 THEN ' badx bady' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 13 = 0 THEN ' badz' ELSE '' END) AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(t, ' '),
+        |    x -> x <> '')) AS w
+        |  FROM aug),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_hits,
+        |    count(DISTINCT tm.term) AS n_terms,
+        |    max(tm.severity) AS max_sev
+        |  FROM toks JOIN terms tm ON toks.w = tm.term
+        |  GROUP BY doc_id)
+        |SELECT a.doc_id,
+        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(coalesce(h.n_terms, 0) AS BIGINT) AS n_terms,
+        |  CAST(coalesce(h.max_sev, 0) AS INT) AS max_severity,
+        |  coalesce(h.n_hits, 0) >= 2 OR coalesce(h.max_sev, 0) >= 3 AS flagged
+        |FROM aug a LEFT JOIN hits h ON a.doc_id = h.doc_id
+        |ORDER BY a.doc_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val terms = Seq(("badx", 1), ("bady", 2), ("badz", 3), ("badq", 3))
+        .toDF("term", "severity")
+      val aug = Tables(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 6 === 0, lit(" badx bady")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit(" badz")).otherwise(lit("")))
+          .as("t"))
+      val toks = aug.select(col("doc_id"),
+        explode(graft.operators.DedupOps.words(col("t"))).as("w"))
+      val hits = toks.join(broadcast(terms), col("w") === col("term"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct(col("term")).as("n_terms"),
+          max(col("severity")).as("max_sev"))
+      aug.select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).cast("long").as("n_hits"),
+          coalesce(col("n_terms"), lit(0L)).cast("long").as("n_terms"),
+          coalesce(col("max_sev"), lit(0)).cast("int").as("max_severity"),
+          (coalesce(col("n_hits"), lit(0L)) >= 2 ||
+            coalesce(col("max_sev"), lit(0)) >= 3).as("flagged"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -200,6 +200,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema") && !p.contains("lang:"), p)
   }
 
+  test("s09: the metadata predicate is an equi-join KEY, not a post-filter") {
+    // the label restriction must reach the join condition — a
+    // cartesian-with-filter would score n·q pairs instead of the
+    // label-selective candidates
+    val df = QueryRegistry.byName("s09_ann_filtered").run(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(
+      """(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)[^\n]*label"""
+        .r.findFirstIn(p).isDefined,
+      s"no equi-join node keyed on label:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("GroupTopK"), p)
+  }
+
+  test("p14: one hash exchange on the canonical key; scan prunes to doc_id") {
+    // parse + normalize are a stateless projection; the ONLY data
+    // exchange is the group window's hashpartitioning on canon_url
+    // (plus the presentation sort's range partitioning); the documents
+    // scan must not read text
+    val df = QueryRegistry.byName("p14_url_canonicalize").run(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning\\(canon_url".r.findAllIn(p).size == 1, p)
+    assert(p.contains("ReadSchema") && !p.contains("text:"), p)
+  }
+
   test("p13: eval-gram membership is an equi-join NODE keyed on the gram hash") {
     // the eval gram set is NOT assumed broadcastable (p11's bloom is the
     // broadcast variant): any equi strategy is fine, a cartesian or a
