@@ -225,6 +225,106 @@ object MultimodalQueries {
         .filter(col("hamming") <= 2)
         .distinct()
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // mm06 — audio-fingerprint near-dup: mm05's pipeline with the
+    // AUDIO fingerprint family instead of the image one. The signature
+    // is energy-DELTA coding (the Shazam/Chromaprint bit): 33 4-byte
+    // frames, bit f = 1 iff e_{f+1} >= e_f — sign-of-slope, invariant
+    // to level shifts the way an audio fingerprint must be (aHash's
+    // level-vs-mean bits are not). Ties code '1', so the silent tail
+    // beyond a short payload is a run of 1s: the striped bands
+    // (bit f → band f mod 4, mm05's lesson) each mix active slope
+    // bits with tail bits, and the degenerate guard drops all-'0' AND
+    // all-'1' bands (both carry no slope information; mm05 only had
+    // the all-zero corner). Candidates from the 4×8-bit band
+    // equi-join, verify hamming ≤ 2 by xor+bit_count on ONE long
+    // (32 bits). Planted near-dups append one byte (%8 docs,
+    // id+100000): only the last active frame's energy moves, so ≤ 2
+    // delta bits flip and ≥ 2 bands stay equal — recall pinned
+    // against the exhaustive truth in MultimodalRecallSpec (the
+    // spec-before-trust discipline; third LSH op, third time).
+    Q(
+      "mm06_audio_neardup",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || 'x' AS text
+        |  FROM documents WHERE doc_id % 8 = 0),
+        |en AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 32), f ->
+        |      CAST(coalesce(list_aggregate(list_transform(
+        |        generate_series(f*4+1, least(f*4+4, length(text))),
+        |        i -> ascii(substr(text, CAST(i AS INTEGER), 1))
+        |           * ascii(substr(text, CAST(i AS INTEGER), 1))),
+        |        'sum'), 0) AS BIGINT)) AS es
+        |  FROM corpus),
+        |sig AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(generate_series(0, 31),
+        |      f -> CASE WHEN es[f+2] >= es[f+1] THEN '1' ELSE '0' END), '')
+        |      AS fp
+        |  FROM en),
+        |bands AS (
+        |  SELECT doc_id, fp, band FROM (
+        |    SELECT doc_id, fp,
+        |      unnest(list_transform([0, 1, 2, 3], b ->
+        |        CAST(b AS VARCHAR) || array_to_string(list_transform(
+        |          generate_series(0, 7), i -> substr(fp, b + 4*i + 1, 1)), ''))) AS band
+        |    FROM sig)
+        |  WHERE substr(band, 2) <> repeat('0', 8)
+        |    AND substr(band, 2) <> repeat('1', 8)),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    a.fp AS a_sig, b.fp AS b_sig
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, CAST(list_aggregate(list_transform(generate_series(1, 32),
+        |    i -> CASE WHEN substr(a_sig, i, 1) <> substr(b_sig, i, 1) THEN 1 ELSE 0 END),
+        |    'sum') AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE list_aggregate(list_transform(generate_series(1, 32),
+        |    i -> CASE WHEN substr(a_sig, i, 1) <> substr(b_sig, i, 1) THEN 1 ELSE 0 END),
+        |    'sum') <= 2
+        |ORDER BY a_id, b_id""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.Stage
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(
+        docs.filter(col("doc_id") % 8 === 0)
+          .select(Q.plantedId(col("doc_id"), 100000).as("doc_id"),
+            concat(col("text"), lit("x")).as("text")))
+      val sigs = corpus
+        .withColumn("es", expr(
+          "transform(sequence(0, 32), f -> aggregate(" +
+            "transform(filter(split(substr(text, f*4+1, 4), ''), c -> c <> '')," +
+            " c -> CAST(ascii(c) * ascii(c) AS BIGINT))," +
+            " CAST(0 AS BIGINT), (a, x) -> a + x))"))
+        .withColumn("fp", expr(
+          "array_join(transform(sequence(0, 31), f -> " +
+            "CASE WHEN element_at(es, f+2) >= element_at(es, f+1) " +
+            "THEN '1' ELSE '0' END), '')"))
+        .select(col("doc_id"), col("fp"),
+          conv(col("fp"), 2, 10).cast("long").as("w"))
+        .transform(Stage.stage)  // one signature pass feeds both join sides
+      val bands = sigs.select(col("doc_id"), col("w"),
+          explode(array((0 until 4).map(b =>
+            concat(lit(b.toString), expr(s"array_join(transform(" +
+              s"sequence(0, 7), i -> substr(fp, $b + 4*i + 1, 1)), '')"))): _*))
+            .as("band"))
+        // degenerate-cell guard: all-0 AND all-1 stripes carry no slope
+        // information (silent tails are 1-runs under >=-ties)
+        .filter(substring(col("band"), 2, 8) =!= "0" * 8 &&
+          substring(col("band"), 2, 8) =!= "1" * 8)
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          bit_count(col("a.w").bitwiseXOR(col("b.w"))).cast("long")
+            .as("hamming"))
+        .filter(col("hamming") <= 2)
+        .distinct()
+        .orderBy(col("a_id"), col("b_id"))
     }
   )
 }

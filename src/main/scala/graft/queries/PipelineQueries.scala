@@ -819,30 +819,8 @@ object PipelineQueries {
         .unionByName(ids.filter(col("doc_id") % 9 === 0)
           .select(graft.Q.plantedId(col("doc_id"), 400000).as("doc_id"),
             plantUrl.as("url")))
-      val scheme = lower(regexp_extract(col("url"), "^([a-zA-Z]+)://", 1))
-      val hostport = regexp_extract(col("url"), "^[a-zA-Z]+://([^/?#]+)", 1)
-      val parsed = corpus.select(col("doc_id"), col("url"),
-        scheme.as("scheme"),
-        regexp_replace(lower(regexp_replace(hostport, ":[0-9]+$", "")),
-          "^www\\.", "").as("host"),
-        regexp_extract(hostport, ":([0-9]+)$", 1).as("port"),
-        regexp_replace(regexp_replace(
-          regexp_extract(col("url"), "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1),
-          "/{2,}", "/"), "/$", "").as("path"),
-        array_sort(filter(
-          split(regexp_extract(col("url"), "\\?([^#]*)", 1), "&"),
-          p => p =!= "" && !p.rlike("^(utm_[a-z]+|fbclid|gclid)=")))
-          .as("kept"))
-      val keepPort = col("port") =!= "" &&
-        !((col("scheme") === "http" && col("port") === "80") ||
-          (col("scheme") === "https" && col("port") === "443"))
-      val canon = parsed.select(col("doc_id"), col("url"),
-        concat(col("scheme"), lit("://"), col("host"),
-          when(keepPort, concat(lit(":"), col("port"))).otherwise(lit("")),
-          col("path"),
-          when(size(col("kept")) > 0,
-            concat(lit("?"), array_join(col("kept"), "&")))
-            .otherwise(lit(""))).as("canon_url"))
+      val canon = corpus.select(col("doc_id"), col("url"),
+        graft.operators.UrlOps.canonicalize(col("url")).as("canon_url"))
       val w = Window.partitionBy(col("canon_url"))
       canon.select(col("doc_id"), col("url"), col("canon_url"),
           count(lit(1)).over(w).cast("long").as("group_n"),

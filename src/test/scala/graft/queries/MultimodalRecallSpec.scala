@@ -64,4 +64,47 @@ class MultimodalRecallSpec extends SparkSpec {
     val recall = got.size.toDouble / truth.size
     assert(recall >= 0.9, s"recall $recall (${got.size}/${truth.size})")
   }
+
+  test("mm06: planted pairs all recovered; recall vs exhaustive truth >= 0.9") {
+    val docs = Tables(spark, dir, "documents")
+    // same corpus augmentation as the registry query
+    val corpus = docs.select(col("doc_id"), col("text")).unionByName(
+      docs.filter(col("doc_id") % 8 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit("x")).as("text")))
+    // same delta-fingerprint arithmetic as the registry query
+    // (duplicated deliberately: the spec must not trust the code under
+    // test)
+    val sigs = corpus
+      .withColumn("es", expr(
+        "transform(sequence(0, 32), f -> aggregate(" +
+          "transform(filter(split(substr(text, f*4+1, 4), ''), c -> c <> '')," +
+          " c -> CAST(ascii(c) * ascii(c) AS BIGINT))," +
+          " CAST(0 AS BIGINT), (a, x) -> a + x))"))
+      .withColumn("fp", expr(
+        "array_join(transform(sequence(0, 31), f -> " +
+          "CASE WHEN element_at(es, f+2) >= element_at(es, f+1) " +
+          "THEN '1' ELSE '0' END), '')"))
+      .select(col("doc_id"), conv(col("fp"), 2, 10).cast("long").as("w"))
+    val truth = sigs.as("a")
+      .join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.w").bitwiseXOR(col("b.w"))).as("h"))
+      .filter(col("h") <= 2)
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val got = QueryRegistry.byName("mm06_audio_neardup").run(spark, dir)
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(got.subsetOf(truth),
+      s"band blocking invented pairs: ${(got -- truth).take(5)}")
+    val planted = truth.filter { case (a, b) => b - a == 100000L }
+    assert(planted.nonEmpty, "fixture has no planted pairs")
+    assert(planted.subsetOf(got),
+      s"planted near-dups missed: ${(planted -- got).take(5)}")
+    val recall = got.size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall (${got.size}/${truth.size})")
+  }
 }

@@ -10,6 +10,63 @@ import graft.{QueryRegistry, SparkSpec}
   * mod-350 collision groups two base docs. */
 class UrlCanonSpec extends SparkSpec {
 
+  private def check(p: org.scalacheck.Prop, minSuccessful: Int = 5): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default
+        .withMinSuccessfulTests(minSuccessful), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("canonicalize is idempotent and policy-clean on random messy URLs") {
+    import org.scalacheck.{Gen, Prop}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val schemeGen = Gen.oneOf("http", "HTTP", "HtTpS", "https", "Https")
+    val hostGen = for {
+      www <- Gen.oneOf("", "www.", "WWW.", "wWw.")
+      name <- Gen.oneOf("Alpha", "beta", "GAMMA9", "d-e-f")
+      tld <- Gen.oneOf(".Example.COM", ".example.com", ".NET")
+    } yield www + name + tld
+    val portGen = Gen.oneOf("", ":80", ":443", ":8080", ":12345")
+    val pathGen = for {
+      segs <- Gen.listOfN(3, Gen.oneOf("", "a", "B", "c9"))
+      slashes <- Gen.oneOf("/", "//", "///")
+      trail <- Gen.oneOf("", "/", "//")
+    } yield segs.filter(_.nonEmpty).map(slashes + _).mkString + trail
+    val paramGen = Gen.someOf(Seq("a=1", "b=2", "z=9", "utm_source=x",
+      "utm_medium=y", "fbclid=q", "gclid=g")).flatMap(ps =>
+      Gen.oneOf(true, false).map(rev =>
+        if (ps.isEmpty) "" else "?" + (if (rev) ps.reverse else ps).mkString("&")))
+    val fragGen = Gen.oneOf("", "#frag", "#x")
+    val urlGen = for {
+      s <- schemeGen; h <- hostGen; po <- portGen; pa <- pathGen
+      q <- paramGen; f <- fragGen
+    } yield s"$s://$h$po$pa$q$f"
+
+    check(Prop.forAllNoShrink(Gen.listOfN(120, urlGen)) { urls =>
+      val df = urls.toDF("url").select(col("url"),
+          graft.operators.UrlOps.canonicalize(col("url")).as("c1"))
+        .select(col("url"), col("c1"),
+          graft.operators.UrlOps.canonicalize(col("c1")).as("c2"))
+      val rows = df.collect()
+      rows.forall { r =>
+        val (u, c1, c2) = (r.getString(0), r.getString(1), r.getString(2))
+        val fixedPoint = c1 == c2
+        val noTracker = !c1.contains("utm_") && !c1.contains("fbclid") &&
+          !c1.contains("gclid")
+        val noFragment = !c1.contains("#")
+        val authorityLower = c1.takeWhile(_ != '/') == c1.takeWhile(_ != '/').toLowerCase
+        val noWww = !c1.matches("^[a-z]+://www\\..*")
+        val noDefaultPort = !c1.startsWith("http://") ||
+          !c1.matches("^http://[^/?#]*:80([/?#].*)?$")
+        assert(fixedPoint, s"not idempotent: $u -> $c1 -> $c2")
+        assert(noTracker && noFragment && authorityLower && noWww &&
+          noDefaultPort, s"policy violated: $u -> $c1")
+        true
+      }
+    })
+  }
+
   test("p14 canonical URLs, groups and keep flags match hand-computed values") {
     import spark.implicits._
     val dir = tmpDir("urlcanon")
