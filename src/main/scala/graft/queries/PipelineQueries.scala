@@ -870,6 +870,81 @@ object PipelineQueries {
           count(lit(1)).over(Window.partitionBy(col("source"), col("split")))
             .cast("long").as("split_n_in_source"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // p16 — temperature-weighted source mixing (the T5/Llama α-mixing
+    // that p02's fixed-rate coin cannot express): domain d's sampling
+    // quota is N_target · c_d^α / Σ c^α with α = 0.5, so rare domains
+    // are UPWEIGHTED relative to proportional sampling — the standard
+    // move against head-domain dominance. The fixture's sources are
+    // deliberately uniform, so the mixing key is a derived domain with
+    // skewed counts by construction (floor(sqrt(doc_id % 100)):
+    // populations 1..19 per 100 ids). Determinism where engines
+    // usually diverge: the cross-domain Σ√c is an ORDERED left fold
+    // over the domain-sorted weight list (Spark `aggregate` over
+    // array_sort'd collect_list ≙ DuckDB list_reduce over
+    // list(ORDER BY) — same adds, same order, bit-identical S);
+    // quotas floor to integers; membership is the md5-ranked prefix
+    // (p03's seedless shuffle). Every doc keeps an accounting row
+    // with its rank and quota. Shape at 100 TB: the domain table is
+    // tiny (one partial-agg'd shuffle), S is a 1-row broadcast
+    // scalar, ranking is one window per domain — the corpus shuffles
+    // ONCE on the mixing key.
+    Q(
+      "p16_temperature_mix",
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    'd' || CAST(CAST(floor(sqrt(CAST(doc_id % 100 AS DOUBLE))) AS INT)
+        |      AS VARCHAR) AS domain
+        |  FROM documents),
+        |doms AS (SELECT domain, count(*) AS c FROM corpus GROUP BY domain),
+        |tot AS (
+        |  SELECT CAST(list_reduce(list(CAST(sqrt(CAST(c AS DOUBLE)) AS DOUBLE)
+        |      ORDER BY domain), (a, b) -> a + b) AS DOUBLE) AS s,
+        |    sum(c) AS n_total
+        |  FROM doms),
+        |quota AS (
+        |  SELECT domain, c,
+        |    CAST(floor(((n_total // 2) * sqrt(CAST(c AS DOUBLE))) / s)
+        |      AS BIGINT) AS k
+        |  FROM doms, tot),
+        |ranked AS (
+        |  SELECT co.doc_id, co.domain, q.c, q.k,
+        |    row_number() OVER (PARTITION BY co.domain
+        |      ORDER BY md5(CAST(co.doc_id AS VARCHAR)), co.doc_id) AS rn
+        |  FROM corpus co JOIN quota q ON co.domain = q.domain)
+        |SELECT doc_id, domain, CAST(c AS BIGINT) AS domain_n,
+        |  k AS domain_quota, CAST(rn AS BIGINT) AS rn, rn <= k AS kept
+        |FROM ranked ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val corpus = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("d"), floor(sqrt((col("doc_id") % 100).cast("double")))
+            .cast("int").cast("string")).as("domain"))
+      val doms = corpus.groupBy(col("domain")).agg(count(lit(1)).as("c"))
+      // ordered fold of the domain weights: collect_list's order is
+      // nondeterministic, so sort by domain FIRST, then left-fold —
+      // the same adds in the same order as the oracle's list_reduce
+      val tot = doms.agg(
+        aggregate(
+          array_sort(collect_list(struct(col("domain"),
+            sqrt(col("c").cast("double")).as("sq")))),
+          lit(0.0), (acc, x) => acc + x.getField("sq")).as("s"),
+        sum(col("c")).as("n_total"))
+      val quota = doms.crossJoin(broadcast(tot))
+        .select(col("domain"), col("c"),
+          floor((expr("n_total DIV 2") * sqrt(col("c").cast("double")))
+            / col("s")).cast("long").as("k"))
+      val ranked = corpus.join(quota, Seq("domain"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("domain"))
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      ranked.select(col("doc_id"), col("domain"),
+          col("c").cast("long").as("domain_n"),
+          col("k").as("domain_quota"), col("rn").cast("long").as("rn"),
+          (col("rn") <= col("k")).as("kept"))
+        .orderBy(col("doc_id"))
     }
   )
 
