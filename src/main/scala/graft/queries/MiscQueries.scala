@@ -389,6 +389,113 @@ object MiscQueries {
         SELECT node, CAST(depth AS INT) AS root_depth, path
         FROM walk WHERE cur = 1
         ORDER BY node""")
+    },
+
+    // ---------------------------------------------------------------
+    // q33 — batch sessionization (gaps-and-islands): the classic
+    // two-window construction w03's streaming session_window is the
+    // incremental version of — a new session starts when the gap from
+    // the user's previous event exceeds 30 minutes (lag), session ids
+    // are the running count of session starts (cumulative sum), then
+    // one aggregate per (user, session). Frames are explicit ROWS
+    // (Spark and DuckDB default RANGE the same way, but ties are
+    // broken by event_id so the point is moot — explicit anyway), gap
+    // arithmetic is integer epoch-ms. Shape at 100 TB: ONE shuffle on
+    // user_id serves both windows and the final aggregate (identical
+    // partitioning; Spark reuses the exchange), so sessionizing a
+    // full event log costs a single hash exchange + per-user sort.
+    Q(
+      "q33_sessionize",
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+        |        (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+        |      > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, event_id, ms,
+        |    sum(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ms) AS start_ms, max(ms) AS end_ms,
+        |  max(ms) - min(ms) AS duration_ms
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val order = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ms"))
+        .withColumn("new_s",
+          when(col("ms") - lag(col("ms"), 1).over(order) > 1800000L, 1)
+            .otherwise(lit(0)))
+        .withColumn("session_id", sum(col("new_s")).over(cum))
+        .groupBy(col("user_id"), col("session_id").cast("long").as("session_id"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"),
+          (max(col("ms")) - min(col("ms"))).as("duration_ms"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // q34 — funnel analysis (ordered-step conversion): how many users
+    // progressed view → click → purchase, where each step's FIRST
+    // occurrence must be strictly after the previous step's first
+    // occurrence. One conditional-aggregate pass per user (three
+    // min-CASE columns — no self-joins, no per-step scans), then the
+    // step counts explode from a single scalar row. Comparisons are
+    // integer epoch-ms; both engines compute identical firsts, so the
+    // strict-> tie policy is deterministic cross-engine. Shape at
+    // 100 TB: ONE shuffle on user_id for the conditional aggregate;
+    // the funnel itself reduces to a 1-row scalar (broadcast-scale)
+    // regardless of corpus size.
+    Q(
+      "q34_funnel",
+      """WITH firsts AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS v,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) AS c,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS p
+        |  FROM events GROUP BY user_id),
+        |agg AS (
+        |  SELECT
+        |    CAST(count(CASE WHEN v IS NOT NULL THEN 1 END) AS BIGINT) AS n1,
+        |    CAST(count(CASE WHEN v IS NOT NULL AND c > v THEN 1 END) AS BIGINT) AS n2,
+        |    CAST(count(CASE WHEN v IS NOT NULL AND c > v AND p > c THEN 1 END)
+        |      AS BIGINT) AS n3
+        |  FROM firsts)
+        |SELECT 1 AS step, 'view' AS step_name, n1 AS n_users FROM agg
+        |UNION ALL SELECT 2, 'click', n2 FROM agg
+        |UNION ALL SELECT 3, 'purchase', n3 FROM agg
+        |ORDER BY step""".stripMargin
+    ) { (s, dir) =>
+      val ms = unix_millis(col("ts"))
+      val firsts = Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", ms)).as("v"),
+          min(when(col("event_type") === "click", ms)).as("c"),
+          min(when(col("event_type") === "purchase", ms)).as("p"))
+      firsts.agg(
+          count(when(col("v").isNotNull, 1)).as("n1"),
+          count(when(col("v").isNotNull && col("c") > col("v"), 1)).as("n2"),
+          count(when(col("v").isNotNull && col("c") > col("v") &&
+            col("p") > col("c"), 1)).as("n3"))
+        .select(explode(array(
+          struct(lit(1).as("step"), lit("view").as("step_name"),
+            col("n1").as("n_users")),
+          struct(lit(2).as("step"), lit("click").as("step_name"),
+            col("n2").as("n_users")),
+          struct(lit(3).as("step"), lit("purchase").as("step_name"),
+            col("n3").as("n_users")))).as("s"))
+        .select(col("s.step"), col("s.step_name"), col("s.n_users"))
+        .orderBy(col("step"))
     }
   )
 }

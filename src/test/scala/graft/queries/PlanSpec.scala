@@ -200,6 +200,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema") && !p.contains("lang:"), p)
   }
 
+  test("q33: both windows and the aggregate ride ONE user_id exchange") {
+    // lag-flag window, cumulative-sum window, and the per-session
+    // aggregate all partition by user_id — Spark must plan a single
+    // hash exchange (plus the presentation sort's range exchange)
+    val df = QueryRegistry.byName("q33_sessionize").run(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("s09: the metadata predicate is an equi-join KEY, not a post-filter") {
     // the label restriction must reach the join condition — a
     // cartesian-with-filter would score n·q pairs instead of the
