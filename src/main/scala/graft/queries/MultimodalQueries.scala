@@ -325,6 +325,77 @@ object MultimodalQueries {
         .filter(col("hamming") <= 2)
         .distinct()
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // mm07 — video near-dup via frame-hash shingles (the third leg of
+    // the image/audio/video dedup triptych): the payload is a frame
+    // stream (16-byte frames, capped at 64), each frame hashes to
+    // md5, and 4-frame SHINGLES (md5 of 4 consecutive frame hashes)
+    // become the join key — so two videos match when they share a
+    // 4-frame run at ANY temporal offset, which is what defeats the
+    // standard attack on whole-file hashing (a trimmed intro). The
+    // planted variant drops exactly the first frame (%12 docs,
+    // id+100000): every remaining frame realigns bit-identically, so
+    // the pair shares all but 1 of the base's shingles. UNLIKE the
+    // banded LSH ops (mm05/mm06/d02), the shingle join is EXACT for
+    // its metric — candidates are precisely the pairs sharing ≥ 1
+    // shingle and the output counts |shingle intersection| ≥ 2 — so
+    // no recall spec is owed; VideoShingleSpec pins the exact
+    // intersection counts instead. Shingles dedup per video BEFORE
+    // the join (repeated in-video content must not explode the pair
+    // rows — the skew guard for boilerplate frames at 100 TB); the
+    // join is a sort-merge on the content key and scales with the
+    // duplication rate, d10's discipline.
+    Q(
+      "mm07_video_neardup",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, substr(text, 17) AS text
+        |  FROM documents WHERE doc_id % 12 = 0),
+        |fr AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0,
+        |      CAST(least(ceil(length(text) / 16.0), 64) AS BIGINT) - 1),
+        |      f -> md5(substr(text, CAST(f * 16 + 1 AS INTEGER), 16))) AS fh
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(fh) >= 4 THEN
+        |      list_transform(generate_series(0, len(fh) - 4),
+        |        s -> md5(fh[s+1] || fh[s+2] || fh[s+3] || fh[s+4]))
+        |      ELSE CAST([] AS VARCHAR[]) END) AS s
+        |    FROM fr))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING count(*) >= 2
+        |ORDER BY a_id, b_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(
+        docs.filter(col("doc_id") % 12 === 0)
+          .select(Q.plantedId(col("doc_id"), 100000).as("doc_id"),
+            expr("substr(text, 17)").as("text")))
+      val shingles = corpus
+        .withColumn("fh", expr(
+          "transform(sequence(0, CAST(least(ceil(length(text) / 16.0), 64) " +
+            "AS INT) - 1), f -> md5(substr(text, f * 16 + 1, 16)))"))
+        .select(col("doc_id"), explode(expr(
+          "CASE WHEN size(fh) >= 4 THEN transform(sequence(0, size(fh) - 4), " +
+            "s -> md5(concat(element_at(fh, s+1), element_at(fh, s+2), " +
+            "element_at(fh, s+3), element_at(fh, s+4)))) " +
+            "ELSE array() END")).as("s"))
+        .distinct() // per-video dedup BEFORE the join: the skew guard
+      shingles.as("a")
+        .join(shingles.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).cast("long").as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy(col("a_id"), col("b_id"))
     }
   )
 }
