@@ -945,6 +945,64 @@ object PipelineQueries {
           col("k").as("domain_quota"), col("rn").cast("long").as("rn"),
           (col("rn") <= col("k")).as("kept"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // p17 — the composed pipeline (dedup → rule gate → split) in ONE
+    // plan: exact-dedup canonical selection (d01's min-id-per-md5),
+    // then the Gopher word-count gate (t10 rule 1), then the
+    // stratified split coin (p15) — every doc keeps an accounting row
+    // whose `outcome` says where it left the pipeline ('dup',
+    // 'short') or where it landed ('train'/'val'/'test'). The point
+    // is COMPOSITION: three pipeline stages fuse into one hash
+    // exchange (the md5 dedup window) + stateless projections —
+    // Catalyst plans the chain exactly as tight as the tightest
+    // single stage, which is what makes staging a 100 TB corpus
+    // through k rules affordable (PlanSpec pins the single exchange).
+    // Exact copies are planted (%10, id+600000, verbatim text) so the
+    // dedup stage genuinely fires.
+    Q(
+      "p17_full_pipeline",
+      """WITH corpus AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 600000, source, text FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |keep AS (
+        |  SELECT doc_id, source, text,
+        |    doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canon
+        |  FROM corpus)
+        |SELECT doc_id, source,
+        |  CASE WHEN NOT is_canon THEN 'dup'
+        |    WHEN len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      NOT BETWEEN 50 AND 100000 THEN 'short'
+        |    WHEN md5(source || ':' || CAST(doc_id AS VARCHAR))
+        |        < 'cccccccccccccccccccccccccccccccc' THEN 'train'
+        |    WHEN md5(source || ':' || CAST(doc_id AS VARCHAR))
+        |        < 'e6666666666666666666666666666666' THEN 'val'
+        |    ELSE 'test' END AS outcome
+        |FROM keep ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 10 === 0)
+          .select(graft.Q.plantedId(col("doc_id"), 600000).as("doc_id"),
+            col("source"), col("text")))
+      val isCanon = col("doc_id") ===
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text"))))
+      val nw = size(DedupOps.words(col("text")))
+      val coin = md5(concat(col("source"), lit(":"),
+        col("doc_id").cast("string")))
+      corpus.select(col("doc_id"), col("source"), col("text"),
+          isCanon.as("is_canon"))
+        .select(col("doc_id"), col("source"),
+          when(!col("is_canon"), lit("dup"))
+            .when(nw < 50 || nw > 100000, lit("short"))
+            .when(coin < "c" * 32, lit("train"))
+            .when(coin < "e" + "6" * 31, lit("val"))
+            .otherwise(lit("test")).as("outcome"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -200,6 +200,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema") && !p.contains("lang:"), p)
   }
 
+  test("p17: three pipeline stages fuse into ONE hash exchange") {
+    // dedup window + rule gate + split coin — only the md5 dedup
+    // window may shuffle; the gates are stateless projections fused
+    // around it
+    val df = QueryRegistry.byName("p17_full_pipeline").run(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q33: both windows and the aggregate ride ONE user_id exchange") {
     // lag-flag window, cumulative-sum window, and the per-session
     // aggregate all partition by user_id — Spark must plan a single
