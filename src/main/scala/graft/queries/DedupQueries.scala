@@ -118,6 +118,52 @@ object DedupQueries {
     },
 
     // ---------------------------------------------------------------
+    // d12 — NORMALIZED exact dedup (the Dolma/RefinedWeb refinement of
+    // d01): case, punctuation and whitespace-run differences are
+    // presentation noise, not content — so the hash key is the
+    // normalized text (lowercase → strip non-[a-z0-9 ] → collapse
+    // space runs → trim), and copies that plain md5(text) can never
+    // catch (planted %11: uppercased, doubled spaces, trailing '!!')
+    // land in their canonical's group. The normalization is three
+    // regex passes fused into the same stateless projection as the
+    // hash — the pipeline still shuffles exactly once, on the hash
+    // key, like d01. Group accounting mirrors d01's shape; a
+    // NormalizedDedupSpec-style check rides in the oracle itself: the
+    // planted variants MUST collapse (n_copies ≥ 2 for every %11
+    // canonical), which hash-mismatches if any normalization pass
+    // drifts between engines.
+    Q(
+      "d12_normalized_dedup",
+      s"""WITH dup AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, replace(upper(text), ' ', '  ') || ' !!'
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |norm AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS h
+        |  FROM dup)
+        |SELECT h AS norm_hash, min(doc_id) AS canonical_id,
+        |  count(*) AS n_copies
+        |FROM norm GROUP BY 1 ORDER BY norm_hash""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select(Q.plantedId(col("doc_id"), 200000).as("doc_id"),
+            concat(regexp_replace(upper(col("text")), " ", "  "), lit(" !!"))
+              .as("text")))
+      corpus.select(col("doc_id"),
+          md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+            "[^a-z0-9 ]", ""), " +", " "))).as("norm_hash"))
+        .groupBy(col("norm_hash"))
+        .agg(min(col("doc_id")).as("canonical_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy(col("norm_hash"))
+    },
+
+    // ---------------------------------------------------------------
     // d07 — INCREMENTAL dedup: new documents arrive as a stream and are
     // checked against the existing corpus — the standing pattern of a
     // training-data pipeline ingesting fresh crawl against its history.

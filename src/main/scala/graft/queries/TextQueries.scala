@@ -567,6 +567,54 @@ object TextQueries {
           (coalesce(col("n_hits"), lit(0L)) >= 2 ||
             coalesce(col("max_sev"), lit(0)) >= 3).as("flagged"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // t12 — Flesch-Kincaid readability grade (the classic education-
+    // quality signal): 0.39·(words/sentences) + 11.8·(syllables/words)
+    // − 15.59. Syllables use the standard vowel-group proxy
+    // (max(1, count of [aeiou]+ runs) per word); the fixture has no
+    // sentence punctuation, so sentences are the deterministic
+    // ceil(words/10) proxy — the formula's shape, not a parser, is
+    // what's under test. Counts are exact integers; the grade is two
+    // IEEE divisions + multiply-adds in a fixed order, so both
+    // engines round the same double to 4 places. Shape at 100 TB: one
+    // stateless projection, no shuffle but the presentation sort.
+    Q(
+      "t12_readability",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS nw,
+        |    CAST(ceil(len(ws) / 10.0) AS BIGINT) AS ns,
+        |    CAST(list_aggregate(list_transform(ws,
+        |      w -> greatest(1, len(regexp_extract_all(w, '[aeiou]+')))),
+        |      'sum') AS BIGINT) AS nsy
+        |  FROM f)
+        |SELECT doc_id, nw AS n_words, ns AS n_sentences, nsy AS n_syllables,
+        |  round(0.39 * (CAST(nw AS DOUBLE) / ns)
+        |    + 11.8 * (CAST(nsy AS DOUBLE) / nw) - 15.59, 4) AS fk_grade
+        |FROM c ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val ws = graft.operators.DedupOps.words(col("text"))
+      val counts = Tables(s, dir, "documents")
+        .select(col("doc_id"), ws.as("ws"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("nw"),
+          ceil(size(col("ws")) / 10.0).cast("long").as("ns"),
+          aggregate(
+            transform(col("ws"), w => greatest(lit(1),
+              size(regexp_extract_all(w, lit("[aeiou]+"), lit(0))))),
+            lit(0L), (acc, x) => acc + x).as("nsy"))
+      counts.select(col("doc_id"), col("nw").as("n_words"),
+          col("ns").as("n_sentences"), col("nsy").as("n_syllables"),
+          round(lit(0.39) * (col("nw").cast("double") / col("ns"))
+            + lit(11.8) * (col("nsy").cast("double") / col("nw"))
+            - 15.59, 4).as("fk_grade"))
+        .orderBy(col("doc_id"))
     }
   )
 }
