@@ -582,6 +582,89 @@ object SimilarityQueries {
       graft.plans.GroupTopK.topKRanked(scored, Seq(col("q_id")), 3, "rank",
           col("cos").desc, col("neighbor_id").asc)
         .orderBy(col("q_id"), col("rank"))
+    },
+
+    // ---------------------------------------------------------------
+    // s10 — INCREMENTAL ANN index maintenance (d07's stream-static
+    // pattern applied to s04's IVF): the index is trained ONCE on the
+    // standing corpus (vec_id < 400 — the model is frozen, the
+    // production incremental-indexing contract), new vectors arrive
+    // as a stream and are routed to their cell by the SAME frozen
+    // centroids riding the stream projection as literals — stateless
+    // per-batch enrichment, no retrain, no shuffle on the stream
+    // side. The landed increments union the batch-assigned standing
+    // corpus into one queryable index. Serialization detail that
+    // makes the oracle exact: vectors travel the topic as
+    // comma-joined DOUBLE strings (cast AFTER float→double widening —
+    // Java shortest-repr round-trips doubles exactly; serializing the
+    // raw floats would re-widen differently and shift cosines).
+    // At 100 TB: the standing index is cell-partitioned parquet; each
+    // micro-batch appends its cell-routed rows to the same layout —
+    // index freshness at ingest throughput.
+    Q(
+      "s10_ann_incremental",
+      s"""WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |stat AS (SELECT vec_id, v FROM base WHERE vec_id < 400),
+        |c0 AS (SELECT CAST(vec_id AS BIGINT) AS pivot_id, v AS pv
+        |       FROM stat WHERE vec_id < 8),
+        |a1 AS (${assignSql("stat", "c0", 1)}),
+        |c1 AS (${centroidSql("a1")}),
+        |a2 AS (${assignSql("stat", "c1", 1)}),
+        |c2 AS (${centroidSql("a2")}),
+        |af AS (${assignSql("base", "c2", 1)})
+        |SELECT vec_id, pivot_id AS cell_id FROM af
+        |ORDER BY vec_id""".stripMargin
+    ) { (s, dir) =>
+      import graft.streaming.BatchLanding
+      import graft.sources.TopicStore
+      val root = graft.TempRoots.create("graft-incann")
+      val ckpt = graft.TempRoots.create("graft-incann-ckpt")
+      val outDir = root + "/landed"
+      val base = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      val static = base.filter(col("vec_id") < 400)
+      // the model trains on the STANDING corpus only and freezes
+      val centroids = VectorOps.kmeansCentroids(static, k = 8, iters = 2,
+        dims = 64)
+      val staticAssigned = VectorOps.assignCellsAuto(
+          static.withColumn("nv", VectorOps.norm(col("v"))), centroids,
+          nprobe = 1, normCol = Some("nv"))
+        .select(col("vec_id"), col("pivot_id").as("cell_id"))
+      // fresh vectors ship as comma-joined doubles (exact round trip)
+      TopicStore.publish(s,
+        base.filter(col("vec_id") >= 400).select(
+          col("vec_id").cast("string").as("key"),
+          array_join(transform(col("v"), x => x.cast("string")), ",")
+            .as("value_str"),
+          lit(new java.sql.Timestamp(1700000000000L)).as("publish_time")),
+        root, "fresh-vectors", 4)
+      val q = s.readStream.format("pulsarlike")
+        .option("path", root)
+        .option("serviceUrl", "pulsar://local")
+        .option("topicNames", "fresh-vectors")
+        .option("subscriptionInitialPosition", "Earliest")
+        .option("batchingMaxMessages", "1000000")
+        .load()
+        .select(col("key").cast("long").as("vec_id"),
+          transform(split(col("value_str"), ","), x => x.cast("double"))
+            .as("v"))
+        .withColumn("nv", VectorOps.norm(col("v")))
+      val routed = VectorOps.assignCellsAuto(q, centroids, nprobe = 1,
+          normCol = Some("nv"))
+        .select(col("vec_id"), col("pivot_id").as("cell_id"))
+      val stream = routed.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+          BatchLanding.land(df.select("vec_id", "cell_id"), outDir, bid)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      stream.awaitTermination()
+      staticAssigned.unionByName(BatchLanding.read(s, outDir))
+        .orderBy(col("vec_id"))
     }
   )
 

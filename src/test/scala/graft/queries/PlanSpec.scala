@@ -30,7 +30,8 @@ class PlanSpec extends SparkSpec {
     name.startsWith("w05") || name.startsWith("w06") ||
     name.startsWith("w07") || name.startsWith("w08") ||
     name.startsWith("w09") ||
-    name.startsWith("ws") || name.startsWith("d07")
+    name.startsWith("ws") || name.startsWith("d07") ||
+    name.startsWith("s10")
 
   private def planOf(name: String): String = {
     val df = QueryRegistry.byName(name).run(spark, dir)
