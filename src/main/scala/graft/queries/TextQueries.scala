@@ -348,8 +348,8 @@ object TextQueries {
         |  FROM inst GROUP BY doc_id)
         |SELECT w.doc_id,
         |  CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
-        |  round(slp / n_bigrams, 6) AS avg_logprob,
-        |  round(exp(-round(slp / n_bigrams, 6)), 6) AS ppl
+        |  slp / n_bigrams AS avg_logprob,
+        |  round(exp(-(slp / n_bigrams)), 6) AS ppl
         |FROM ws w LEFT JOIN perdoc p ON w.doc_id = p.doc_id
         |ORDER BY w.doc_id""".stripMargin
     ) { (s, dir) =>
@@ -375,7 +375,14 @@ object TextQueries {
       val perDoc = inst.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
           sum(col("lp").cast("decimal(28,6)")).cast("double").as("slp"))
-      val avg = round(col("slp") / col("n_bigrams"), 6)
+      // the per-doc average is NOT rounded: slp is an exact 6-decimal
+      // DECIMAL sum, so slp/n is the same IEEE division in both
+      // engines — while round(slp/n, 6) sits one count away from a
+      // 7th-decimal half boundary whenever n divides slp into an
+      // exact …5, where Spark's decimal-string HALF_UP and DuckDB's
+      // binary-double rounding disagree (first hit at sf0.1, doc with
+      // slp/n = -3.3883295)
+      val avg = col("slp") / col("n_bigrams")
       ws.select(col("doc_id"))
         .join(perDoc, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),

@@ -25,11 +25,20 @@ class BigramPplSpec extends SparkSpec {
       .collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), rows.mkString(","))
     val byId = rows.map(r => r.getLong(0) -> r).toMap
+    // avg_logprob is deliberately UNROUNDED (the round sat one count
+    // from a 7th-decimal half boundary where the engines' rounding
+    // modes disagree — first hit at sf0.1); expected = the exact
+    // decimal sum divided as a double, ppl = HALF_UP(exp(-avg), 6)
+    def ppl(avg: Double): Double = java.math.BigDecimal
+      .valueOf(math.exp(-avg)).setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+    val avg1 = -2.217844 / 3 // 2·round(ln(4/7),6) + round(ln(2/6),6)
     assert(byId(1L).getLong(1) == 3L)
-    assert(byId(1L).getDouble(2) == -0.739281 && byId(1L).getDouble(3) == 2.094429,
+    assert(byId(1L).getDouble(2) == avg1 && byId(1L).getDouble(3) == ppl(avg1),
       byId(1L).toString)
+    val avg2 = -1.658228 / 2 // round(ln(4/7),6) + round(ln(2/6),6)
     assert(byId(2L).getLong(1) == 2L)
-    assert(byId(2L).getDouble(2) == -0.829114 && byId(2L).getDouble(3) == 2.291288,
+    assert(byId(2L).getDouble(2) == avg2 && byId(2L).getDouble(3) == ppl(avg2),
       byId(2L).toString)
     // the 1-token doc: accounting row with zero bigrams and NULL scores
     assert(byId(3L).getLong(1) == 0L)
