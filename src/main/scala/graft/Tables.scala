@@ -16,13 +16,20 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
-      // read nanos as long and truncate to micros — matching DuckDB, which
-      // truncates (not rounds) ns → µs when casting to its TIMESTAMP.
+      // events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
+      // Spark's reader rejects — read nanos as long, truncate to micros
+      // matching DuckDB's ns → µs truncation) and plain TIMESTAMP(MICROS)
+      // (arrives as TIMESTAMP_NTZ — cast to session-TZ TIMESTAMP, UTC
+      // everywhere in this repo, so downstream typing is identical either
+      // way). Dispatch on the landed type, not the fixture generation.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       import org.apache.spark.sql.functions._
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      import org.apache.spark.sql.types.LongType
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else
+        raw.withColumn("ts", col("ts").cast("timestamp"))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

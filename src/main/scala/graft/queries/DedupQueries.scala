@@ -758,6 +758,127 @@ object DedupQueries {
             .as("n_tokens_kept"),
           col("clean_hash"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // d13 — SOFT dedup (duplicate downweighting): instead of d06's hard
+    // removal, every copy survives with weight 1/n_copies, so a
+    // doc repeated k times contributes one doc's worth of training
+    // mass in total — the downweighting alternative pipelines reach for
+    // when hard dedup would cost coverage (each copy may carry distinct
+    // metadata/context). Same planted-copy corpus as d01; the cluster
+    // size rides in on a single window over md5(text) — the corpus
+    // shuffles ONCE on the hash key and is never joined against
+    // itself. weight and eff_tokens are bigint/bigint IEEE divisions,
+    // emitted unrounded (exact in both engines). Shape at 100 TB:
+    // identical to d01's one-exchange profile; the output is a
+    // stateless projection off that window, usable directly as a
+    // sampling-weight column at write time.
+    Q(
+      "d13_soft_dedup",
+      """WITH dup AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 10 = 0),
+        |sized AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS n_tokens,
+        |    CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_copies
+        |  FROM dup)
+        |SELECT doc_id, n_tokens, n_copies,
+        |  1.0 / n_copies AS weight,
+        |  CAST(n_tokens AS DOUBLE) / n_copies AS eff_tokens
+        |FROM sized ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val dup = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select(Q.plantedId(col("doc_id"), 200000).as("doc_id"), col("text")))
+      val sized = dup.select(col("doc_id"),
+        size(DedupOps.words(col("text"))).cast("long").as("n_tokens"),
+        count(lit(1)).over(Window.partitionBy(md5(col("text"))))
+          .cast("long").as("n_copies"))
+      sized.select(col("doc_id"), col("n_tokens"), col("n_copies"),
+          (lit(1.0) / col("n_copies")).as("weight"),
+          (col("n_tokens").cast("double") / col("n_copies")).as("eff_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // d14 — containment detection (asymmetric near-dup): symmetric
+    // Jaccard (d02/d04) misses the doc that is a SUBSET of a larger one
+    // (a quote, an excerpt, boilerplate-plus-content) — Jaccard(half,
+    // full) ≈ 0.5 but containment |A∩B|/|A| = 1. Planted: %13 docs'
+    // first-half word prefix at id+700000 (a prefix's shingles are
+    // exactly a subset of the full doc's). Blocking: A's MIN shingle
+    // hash against an inverted index of ALL of B's shingles — if
+    // A ⊆ B then min(A) ∈ B, so true containments are found with
+    // certainty (the partial-containment tail rides the same LSH-style
+    // recall tradeoff as every banded op; the oracle mirrors the
+    // blocking). B's distinct keys make the candidate join emit each
+    // (a,b) at most once — no pair dedup. Shape at 100 TB: the shingle
+    // table is staged once and reused (a-side min, index side, exact
+    // side — Spark has no CTE reuse); candidates are ONE equi-join on
+    // the shingle hash (1 key/doc against the inverted index — the
+    // p13/t07 gram-join discipline); the honest seam is stop-shingle
+    // fan-out on the index side, capped in production the d09 way
+    // (drop shingles in > X docs from the INDEX side only).
+    Q(
+      "d14_containment",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 700000,
+        |    array_to_string(ws[1:CAST(ceil(len(ws) / 2.0) AS BIGINT)], ' ')
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+        |          x -> x <> '') AS ws
+        |        FROM documents WHERE doc_id % 13 = 0)),
+        |toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
+        |    x -> x <> '') AS ws FROM corpus),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(ws) - 2),
+        |    i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
+        |  FROM toks),
+        |a AS (SELECT doc_id AS a_id, sh AS a_sh, list_min(sh) AS msh FROM sh),
+        |bk AS (SELECT doc_id AS b_id, unnest(sh) AS k FROM sh),
+        |cand AS (SELECT a_id, b_id, a_sh
+        |  FROM a JOIN bk ON msh = k AND a_id <> b_id)
+        |SELECT a_id, b_id,
+        |  round(CAST(len(list_intersect(c.a_sh, sb.sh)) AS DOUBLE)
+        |    / len(c.a_sh), 6) AS containment
+        |FROM cand c JOIN sh sb ON sb.doc_id = c.b_id
+        |WHERE round(CAST(len(list_intersect(c.a_sh, sb.sh)) AS DOUBLE)
+        |    / len(c.a_sh), 6) >= 0.9
+        |ORDER BY a_id, b_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select(Q.plantedId(col("doc_id"), 700000).as("doc_id"),
+            concat_ws(" ", slice(DedupOps.words(col("text")), lit(1),
+              ceil(size(DedupOps.words(col("text"))) / 2.0).cast("int")))
+              .as("text")))
+      // hash each shingle: the md5 both shrinks the carried arrays and
+      // matches the oracle's key; distinct per doc bounds index fan-out
+      val sh0 = corpus.withColumn("ws", DedupOps.words(col("text")))
+        .select(col("doc_id"),
+          array_distinct(transform(DedupOps.shingles(col("ws"), 3),
+            x => md5(x))).as("sh"))
+        .transform(Stage.stage)
+      val aSide = sh0.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+        array_min(col("sh")).as("msh"))
+      val bKeys = sh0.select(col("doc_id").as("b_id"), explode(col("sh")).as("k"))
+      val cand = aSide.join(bKeys,
+        col("msh") === col("k") && col("a_id") =!= col("b_id"))
+      val cont = round(
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(col("a_sh")), 6)
+      cand.join(sh0.select(col("doc_id").as("b_id2"), col("sh").as("b_sh")),
+          col("b_id") === col("b_id2"))
+        .select(col("a_id"), col("b_id"), cont.as("containment"))
+        .filter(col("containment") >= 0.9)
+        .orderBy(col("a_id"), col("b_id"))
     }
   )
 

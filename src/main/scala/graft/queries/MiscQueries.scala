@@ -496,6 +496,106 @@ object MiscQueries {
             col("n3").as("n_users")))).as("s"))
         .select(col("s.step"), col("s.step_name"), col("s.n_users"))
         .orderBy(col("step"))
+    },
+
+    // ---------------------------------------------------------------
+    // q35 — cohort retention: users are cohorted by the week of their
+    // first event, then each (cohort, week-offset) cell counts users
+    // still active that week; retention is the cell over the cohort's
+    // own week-0 size. Weeks are integer epoch-ms DIV 604800000 — a
+    // pure-arithmetic week index identical in both engines (no
+    // date_trunc / timezone / week-start dialect in the hash path).
+    // retention is a bigint/bigint IEEE division, emitted unrounded
+    // (per the determinism contract's round-on-quotient audit).
+    // Shape at 100 TB: ONE shuffle on user_id serves both the min-week
+    // aggregate and the join back (identical partitioning — Spark
+    // reuses the exchange), the distinct+count collapse onto a
+    // (cohort, offset) key space of weeks², and the cohort-size window
+    // runs over that tiny aggregated table, never the event log.
+    Q(
+      "q35_cohort_retention",
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ms(ts) // 604800000 AS wk FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cwk FROM ev GROUP BY user_id),
+        |act AS (
+        |  SELECT DISTINCT e.user_id, c.cwk, e.wk - c.cwk AS week_offset
+        |  FROM ev e JOIN cohort c ON e.user_id = c.user_id),
+        |cells AS (
+        |  SELECT cwk, week_offset, CAST(count(*) AS BIGINT) AS n_active
+        |  FROM act GROUP BY cwk, week_offset)
+        |SELECT cwk AS cohort_week, week_offset, n_active,
+        |  max(CASE WHEN week_offset = 0 THEN n_active END)
+        |    OVER (PARTITION BY cwk) AS cohort_n,
+        |  CAST(n_active AS DOUBLE) /
+        |    max(CASE WHEN week_offset = 0 THEN n_active END)
+        |    OVER (PARTITION BY cwk) AS retention
+        |FROM cells ORDER BY cohort_week, week_offset""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), expr("unix_millis(ts) DIV 604800000").as("wk"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cwk"))
+      val act = ev.join(cohort, Seq("user_id"))
+        .select(col("user_id"), col("cwk"),
+          (col("wk") - col("cwk")).as("week_offset"))
+        .distinct()
+      val cells = act.groupBy(col("cwk"), col("week_offset"))
+        .agg(count(lit(1)).cast("long").as("n_active"))
+      val byCohort = Window.partitionBy(col("cwk"))
+      val cohortN =
+        max(when(col("week_offset") === 0, col("n_active"))).over(byCohort)
+      cells.select(col("cwk").as("cohort_week"), col("week_offset"),
+          col("n_active"), cohortN.as("cohort_n"),
+          (col("n_active").cast("double") / cohortN).as("retention"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+
+    // ---------------------------------------------------------------
+    // q36 — fixed-width histogram (binning + ogive): l_extendedprice
+    // into 20 × 5000-wide buckets (top bucket open), per-bucket count
+    // and exact-DECIMAL price mass, plus the cumulative count. Bucket
+    // assignment is floor(double/5000.0) — identical IEEE divide+floor
+    // in both engines — clamped with least/greatest so outliers land in
+    // the edge buckets instead of growing the key space. Shape at
+    // 100 TB: one map-side-combinable aggregate onto a 20-key space;
+    // the unpartitioned cumulative window runs over the 20-row
+    // aggregate, NOT the corpus (the single-partition window is
+    // post-aggregation, so it is broadcast-scale by construction).
+    Q(
+      "q36_price_histogram",
+      """WITH b AS (
+        |  SELECT least(19, greatest(0,
+        |      CAST(floor(l_extendedprice / 5000.0) AS BIGINT))) AS bucket,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS pd
+        |  FROM lineitem),
+        |h AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(pd) AS DOUBLE) AS sum_price
+        |  FROM b GROUP BY bucket)
+        |SELECT bucket, bucket * 5000.0 AS lo, (bucket + 1) * 5000.0 AS hi,
+        |  n_items, sum_price,
+        |  CAST(sum(n_items) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_items
+        |FROM h ORDER BY bucket""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val bucket = least(lit(19L), greatest(lit(0L),
+        floor(col("l_extendedprice") / 5000.0).cast("long")))
+      val h = Tables(s, dir, "lineitem")
+        .select(bucket.as("bucket"),
+          col("l_extendedprice").cast(DecimalType(18, 2)).as("pd"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_items"),
+          sum(col("pd")).cast("double").as("sum_price"))
+      val cum = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.select(col("bucket"), (col("bucket") * 5000.0).as("lo"),
+          ((col("bucket") + 1) * 5000.0).as("hi"),
+          col("n_items"), col("sum_price"),
+          sum(col("n_items")).over(cum).cast("long").as("cum_items"))
+        .orderBy(col("bucket"))
     }
   )
 }

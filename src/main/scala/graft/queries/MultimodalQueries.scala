@@ -396,6 +396,53 @@ object MultimodalQueries {
         .agg(count(lit(1)).cast("long").as("n_shared"))
         .filter(col("n_shared") >= 2)
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // mm08 — image–text alignment scoring (the CLIP-score filter shape:
+    // LAION-style pipelines drop pairs whose image and caption
+    // embeddings disagree). The image embedding is the stub codec's
+    // 64-d byte vector (byte value per position, wrapping when the
+    // payload is shorter — same deterministic ascii arithmetic as
+    // mm01/mm03); the caption embedding is the real `embeddings` row
+    // joined on id; the score is the contract cosine (native codegen'd
+    // dot/norm, round 6). The decode seam is where a real vision
+    // encoder plugs in (MultimodalOps' documented stub boundary) — the
+    // plumbing around it (per-row feature vector, equi-join on pair id,
+    // scan-side threshold) is the real thing. Shape at 100 TB: the
+    // feature projection is stateless; ONE equi-join on the pair id
+    // (both sides id-partitioned at write time ⇒ co-located); the
+    // aligned flag compares the same rounded double in both engines.
+    Q(
+      "mm08_caption_align",
+      s"""WITH img AS (
+        |  SELECT doc_id, list_transform(generate_series(1, 64), i ->
+        |    CAST(ascii(substr(text,
+        |      CAST(((i - 1) % length(text)) + 1 AS INTEGER), 1)) AS DOUBLE))
+        |    AS iv
+        |  FROM documents),
+        |txt AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS tv
+        |  FROM embeddings),
+        |j AS (
+        |  SELECT doc_id, ${DedupQueries.cosineSql("iv", "tv", 64)} AS align
+        |  FROM img JOIN txt ON txt.vec_id = img.doc_id)
+        |SELECT doc_id, align, align > 0 AS aligned
+        |FROM j ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.VectorOps
+      val img = Tables(s, dir, "documents")
+        .select(col("doc_id"), expr(
+          "transform(sequence(1, 64), i -> CAST(ascii(substring(text, " +
+            "CAST(((i - 1) % length(text)) + 1 AS INT), 1)) AS DOUBLE))")
+          .as("iv"))
+      val txt = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("tv"))
+      img.join(txt, col("vec_id") === col("doc_id"))
+        .select(col("doc_id"),
+          VectorOps.cosine(col("iv"), col("tv")).as("align"))
+        .select(col("doc_id"), col("align"), (col("align") > 0).as("aligned"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -1003,6 +1003,68 @@ object PipelineQueries {
             .when(coin < "e" + "6" * 31, lit("val"))
             .otherwise(lit("test")).as("outcome"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // p18 — weighted sampling without replacement (Efraimidis–Spirakis
+    // A-Res): each doc draws a deterministic uniform u from md5(doc_id)
+    // and competes on key = ln(u)/w with w = its token count, so longer
+    // docs are proportionally likelier to make the n=200 sample — the
+    // one-pass distributed form of weighted reservoir sampling.
+    // Determinism where engines usually diverge: u is a Horner fold of
+    // the first 13 md5 hex digits (digit values via ascii arithmetic —
+    // every partial sum is an exact integer-valued double < 2^53, so
+    // the fold is bit-identical regardless of engine); ln is the one
+    // libm call (1-ulp parity risk accepted contract-wide; the emitted
+    // key is round(,6) — a transcendental output never lands on a
+    // decimal boundary). Shape at 100 TB: keying is a stateless
+    // projection; selection is a global top-k — Spark plans
+    // TakeOrderedAndProject (per-partition 200-row heaps, only k rows
+    // per partition reach the driver-side merge; never a full sort).
+    Q(
+      "p18_weighted_sample",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, n_tokens,
+        |    ln((list_reduce(list_transform(range(1, 14), i ->
+        |          CAST(ascii(substr(h, CAST(i AS INTEGER), 1)) AS DOUBLE)
+        |          - CASE WHEN ascii(substr(h, CAST(i AS INTEGER), 1)) >= 97
+        |                 THEN 87.0 ELSE 48.0 END),
+        |        (a, b) -> a * 16.0 + b) + 1.0) / 4503599627370497.0)
+        |      / CAST(n_tokens AS DOUBLE) AS key
+        |  FROM d),
+        |top AS (SELECT doc_id, n_tokens, key FROM k
+        |        ORDER BY key DESC, doc_id LIMIT 200)
+        |SELECT doc_id, n_tokens, round(key, 6) AS sample_key
+        |FROM top ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      // Horner fold of 13 hex digits → exact integer-valued double in
+      // [0, 2^52); +1 / (2^52+1) maps to u ∈ (0, 1]. The fold seeds at
+      // 0.0 here and at the first digit in DuckDB's list_reduce — both
+      // compute ((d1·16+d2)·16+…), the same exact value.
+      val uNum = expr(
+        """aggregate(
+          |  transform(sequence(1, 13), i ->
+          |    ascii(substring(h, i, 1)) -
+          |    CASE WHEN ascii(substring(h, i, 1)) >= 97
+          |         THEN 87.0D ELSE 48.0D END),
+          |  CAST(0.0 AS DOUBLE), (a, d) -> a * 16.0D + d)""".stripMargin)
+      val keyed = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(DedupOps.words(col("text"))).cast("long").as("n_tokens"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("key",
+          log((uNum + 1.0) / 4503599627370497.0) /
+            col("n_tokens").cast("double"))
+      keyed.orderBy(col("key").desc, col("doc_id")).limit(200)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("key"), 6).as("sample_key"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -665,8 +665,76 @@ object SimilarityQueries {
       stream.awaitTermination()
       staticAssigned.unionByName(BatchLanding.read(s, outDir))
         .orderBy(col("vec_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // s11 — multi-probe LSH ANN: the standard recall lever for bucketed
+    // LSH (Lv et al., VLDB'07) — each query probes its own SRP bucket
+    // PLUS the 6 Hamming-1 buckets (one sign bit flipped), so near
+    // neighbors that landed just across one hyperplane are recovered
+    // without touching the index. The bucket is a 6-char sign string;
+    // probes are pure string surgery (flip one char), identical in both
+    // engines. A candidate lives in exactly ONE bucket, so the 7 probe
+    // streams are disjoint — no pair dedup needed. Shape at 100 TB:
+    // the corpus stays bucket-partitioned and unshuffled; multiprobe
+    // only fans the TINY query side out 7× before the same equi-join —
+    // recall is bought with 7× of the small side, zero index cost
+    // (SimilaritySpec pins recall@3 strictly above s02's single-probe
+    // on the shared fixture).
+    Q(
+      "s11_ann_multiprobe",
+      s"""WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |bucketed AS (SELECT vec_id, v, ${srpBucketSql6("v")} AS bucket FROM base),
+        |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bucketed WHERE vec_id < 50),
+        |probes AS (
+        |  SELECT q_id, qv, unnest([bucket,
+        |    ${(1 to 6).map(flipBitSql).mkString(",\n        |    ")}]) AS pbucket
+        |  FROM q),
+        |scored AS (
+        |  SELECT q_id, c.vec_id AS neighbor_id, ${cosineSql("qv", "c.v", 64)} AS cos
+        |  FROM probes JOIN bucketed c
+        |    ON c.bucket = probes.pbucket AND c.vec_id <> q_id),
+        |ranked AS (
+        |  SELECT q_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT q_id, neighbor_id, cos, rank FROM ranked
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+    ) { (s, dir) =>
+      val base = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      val bucketed = base.withColumn("bucket",
+          VectorOps.srpBucket(col("v"), 64, 6))
+        .withColumn("nv", VectorOps.norm(col("v"))) // per row, not per pair
+      def flip(p: Int): org.apache.spark.sql.Column = concat(
+        substring(col("bucket"), 1, p - 1),
+        when(substring(col("bucket"), p, 1) === "1", "0").otherwise("1"),
+        substring(col("bucket"), p + 1, 6 - p))
+      val q = bucketed.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nv").as("nq"),
+          explode(array(col("bucket") +: (1 to 6).map(flip): _*))
+            .as("pbucket"))
+      val scored = q.join(bucketed.as("c"),
+          col("c.bucket") === col("pbucket") && col("c.vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("c.vec_id").as("neighbor_id"),
+          VectorOps.cosineWithNorms(col("qv"), col("c.v"),
+            col("nq"), col("c.nv")).as("cos"))
+      graft.plans.GroupTopK.topKRanked(scored, Seq(col("q_id")), 3, "rank",
+          col("cos").desc, col("neighbor_id").asc)
+        .orderBy(col("q_id"), col("rank"))
     }
   )
+
+  /** DuckDB rendering of one sign-bit flip of the 6-char SRP bucket
+    * string (probe p of s11's multiprobe). */
+  private def flipBitSql(p: Int): String =
+    s"substr(bucket, 1, ${p - 1}) || " +
+      s"(CASE WHEN substr(bucket, $p, 1) = '1' THEN '0' ELSE '1' END) || " +
+      s"substr(bucket, ${p + 1}, ${6 - p})"
 
   /** Per-subspace PQ codebooks — the s04 spherical-k-means trainer on
     * each pqSub-dim slice (k=16, 2 Lloyd rounds; model = pqM × 16 ×

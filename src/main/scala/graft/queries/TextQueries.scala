@@ -622,6 +622,69 @@ object TextQueries {
             + lit(11.8) * (col("nsy").cast("double") / col("nw"))
             - 15.59, 4).as("fk_grade"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // t13 — encoding-damage (mojibake) detection: web-scale corpora
+    // carry UTF-8-read-as-latin-1 double encodes ('é' → 'Ã©') and
+    // U+FFFD replacement chars from lossy transcodes; both leave
+    // fingerprint code points (Ã U+00C3, Â U+00C2, � U+FFFD) that
+    // near-never occur in clean text. Damage is planted (%17 docs get
+    // e/a double-encoded at id+400000; %23 docs get 1–3 U+FFFDs
+    // appended at id+500000) and counted by pure replace/translate
+    // LENGTH arithmetic — no regex, no unicode classes, so the count
+    // is trivially engine-identical (Spark counts all three markers in
+    // ONE translate; DuckDB, which lacks translate, sums three
+    // replaces — same number). bad_ratio is a bigint/bigint IEEE
+    // division, unrounded. Shape at 100 TB: a stateless projection —
+    // usable as a scan-side filter with zero shuffles; the only
+    // exchange here is the output sort.
+    Q(
+      "t13_mojibake",
+      """WITH dup AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 400000,
+        |    replace(replace(text, 'e', chr(195) || chr(169)),
+        |            'a', chr(195) || chr(161))
+        |  FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000, text || repeat(chr(65533), 1 + doc_id % 3)
+        |  FROM documents WHERE doc_id % 23 = 0),
+        |scored AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_t,
+        |    CAST((length(text) - length(replace(text, chr(195), '')))
+        |      + (length(text) - length(replace(text, chr(194), '')))
+        |      + (length(text) - length(replace(text, chr(65533), '')))
+        |      AS BIGINT) AS n_bad
+        |  FROM dup)
+        |SELECT doc_id, n_chars_t, n_bad,
+        |  CAST(n_bad AS DOUBLE) / n_chars_t AS bad_ratio,
+        |  n_bad > 0 AS damaged
+        |FROM scored ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val dup = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 17 === 0)
+          .select(Q.plantedId(col("doc_id"), 400000).as("doc_id"),
+            regexp_replace(regexp_replace(col("text"),
+              lit("e"), lit("Ã©")),
+              lit("a"), lit("Ã¡")).as("text")))
+        .unionByName(docs.filter(col("doc_id") % 23 === 0)
+          .select(Q.plantedId(col("doc_id"), 500000).as("doc_id"),
+            concat(col("text"),
+              expr("repeat('�', CAST(1 + doc_id % 3 AS INT))"))
+              .as("text")))
+      val nBad = (length(col("text")) -
+        length(translate(col("text"), "ÃÂ�", "")))
+        .cast("long")
+      dup.select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_t"),
+          nBad.as("n_bad"))
+        .select(col("doc_id"), col("n_chars_t"), col("n_bad"),
+          (col("n_bad").cast("double") / col("n_chars_t")).as("bad_ratio"),
+          (col("n_bad") > 0).as("damaged"))
+        .orderBy(col("doc_id"))
     }
   )
 }

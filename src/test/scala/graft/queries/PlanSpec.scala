@@ -324,7 +324,7 @@ class PlanSpec extends SparkSpec {
       "t01_langid_ngram", "p06_connected_components",
       "t07_tfidf_keywords", "p07_token_rebalance",
       "mm05_image_neardup", "mm06_audio_neardup", "t09_bigram_ppl",
-      "d10_repeated_spans", "d11_span_strip")
+      "d10_repeated_spans", "d11_span_strip", "d14_containment")
     QueryRegistry.all
       .filterNot(q => isStreamLoop(q.name) || checkpoints.contains(q.name))
       .foreach { q =>

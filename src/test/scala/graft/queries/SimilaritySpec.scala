@@ -56,4 +56,38 @@ class SimilaritySpec extends SparkSpec {
     val hits = ivf.intersect(exact).count()
     assert(hits >= (0.8 * 90).toLong, s"recall@3 = ${hits / 90.0}")
   }
+
+  /** s11's claim is that probing the 6 Hamming-1 buckets buys recall the
+    * single-probe s02 join cannot see. The oracle gate can't measure that
+    * (it mirrors the blocking), so pin it here against exhaustive truth
+    * on the driver fixture: multiprobe recall@3 must dominate
+    * single-probe per query and be strictly higher in aggregate. */
+  test("s11 multiprobe recall@3 strictly beats s02 single-probe") {
+    val dir = "/root/testdata/sf0.001"
+    def hitSet(name: String): Set[(Long, Long)] =
+      graft.QueryRegistry.byName(name).run(spark, dir)
+        .select(col("q_id").cast("long"), col("neighbor_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val base = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+    val qb = base.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val exact = qb.join(base, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        VectorOps.cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("q_id").cast("long"), col("neighbor_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val single = hitSet("s02_ann_lsh") & exact
+    val multi = hitSet("s11_ann_multiprobe") & exact
+    // same bucket is probe 0 of 7 ⇒ candidate sets nest ⇒ recall dominates
+    assert(single.subsetOf(multi),
+      s"multiprobe lost hits: ${(single -- multi).take(5)}")
+    assert(multi.size > single.size,
+      s"multiprobe recall not above single-probe: ${multi.size} vs ${single.size}")
+  }
 }
