@@ -596,6 +596,47 @@ object MiscQueries {
           col("n_items"), col("sum_price"),
           sum(col("n_items")).over(cum).cast("long").as("cum_items"))
         .orderBy(col("bucket"))
+    },
+
+    // ---------------------------------------------------------------
+    // q37 — co-purchase pair mining (market-basket frequent pairs):
+    // which part pairs appear in the same order most often. The oracle
+    // states it as the naive items×items self-join; the Spark plan
+    // refuses that shape — baskets are collected per order (ONE
+    // shuffle on l_orderkey; collect_set dedups in-aggregate) and the
+    // pair list is generated MAP-SIDE from each sorted basket
+    // (flatten/transform index arithmetic), so the only other exchange
+    // is the partial-agg'd (p1, p2) count. Basket width bounds the
+    // blowup: lineitem carries ≤7 lines/order by construction (TPC-H
+    // shape); at 100 TB a pathological basket would be capped at the
+    // collect (slice after sort_array) the same way d09 caps
+    // heavy-hitters. Top-100 is TakeOrderedAndProject on a total
+    // order (count DESC, then both keys).
+    Q(
+      "q37_copurchase",
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey
+        |  FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pkey AS p1, b.pkey AS p2
+        |  FROM items a JOIN items b ON a.okey = b.okey AND a.pkey < b.pkey),
+        |counts AS (
+        |  SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM pairs GROUP BY p1, p2)
+        |SELECT p1, p2, n_orders FROM counts
+        |ORDER BY n_orders DESC, p1, p2 LIMIT 100""".stripMargin
+    ) { (s, dir) =>
+      val baskets = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("okey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      val pairs = baskets.select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |    y -> struct(x AS p1, y AS p2))))""".stripMargin)).as("pr"))
+      pairs.groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .agg(count(lit(1)).cast("long").as("n_orders"))
+        .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+        .limit(100)
     }
   )
 }

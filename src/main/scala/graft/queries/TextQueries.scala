@@ -685,6 +685,67 @@ object TextQueries {
           (col("n_bad").cast("double") / col("n_chars_t")).as("bad_ratio"),
           (col("n_bad") > 0).as("damaged"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // t14 — n-gram novelty scoring: what fraction of a doc's distinct
+    // 8-word grams appears in NO earlier doc (first-seen = min doc_id
+    // over the gram). Low novelty marks template/boilerplate-heavy
+    // docs even when no single pair crosses a dedup threshold — the
+    // corpus-level complement to d04's pairwise measure, and a
+    // curriculum-ordering signal. Shape at 100 TB: grams explode once;
+    // the first-seen aggregate and the join back are BOTH keyed on the
+    // gram hash (identical partitioning — the exchange is reusable),
+    // then one doc_id-keyed reduce; the t07/t09 discipline of never
+    // assuming the vocabulary is broadcastable. Docs under 8 words
+    // keep an accounting row with n_grams = 0 and NULL novelty (the
+    // d09 short-doc lesson; no fixture doc is that short, so the
+    // contract is pinned here rather than by the gate). novelty is a
+    // bigint/bigint IEEE division, unrounded.
+    Q(
+      "t14_ngram_novelty",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+        |    AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(ws) - 7),
+        |    i -> md5(array_to_string(ws[i:i+7], ' '))))) AS gh
+        |  FROM toks WHERE len(ws) >= 8),
+        |fs AS (SELECT gh, min(doc_id) AS first_doc FROM g GROUP BY gh),
+        |pd AS (
+        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(count(CASE WHEN fs.first_doc = g.doc_id THEN 1 END)
+        |      AS BIGINT) AS n_novel
+        |  FROM g JOIN fs USING (gh) GROUP BY g.doc_id)
+        |SELECT t.doc_id,
+        |  CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
+        |  CAST(n_novel AS DOUBLE) / n_grams AS novelty
+        |FROM toks t LEFT JOIN pd ON t.doc_id = pd.doc_id
+        |ORDER BY t.doc_id""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.DedupOps
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), DedupOps.words(col("text")).as("ws"))
+      val g = toks.filter(size(col("ws")) >= 8)
+        .select(col("doc_id"),
+          explode(array_distinct(transform(DedupOps.shingles(col("ws"), 8),
+            x => md5(x)))).as("gh"))
+      val fs = g.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
+      val pd = g.join(fs, Seq("gh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_grams"),
+          count(when(col("first_doc") === col("doc_id"), 1))
+            .cast("long").as("n_novel"))
+      toks.select(col("doc_id"))
+        .join(pd, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).cast("long").as("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).cast("long").as("n_novel"),
+          (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+        .orderBy(col("doc_id"))
     }
   )
 }
