@@ -1050,6 +1050,70 @@ object StreamingQueries {
         .filter(col("rn") === 1)
         .select(col("user_id"), col("v1"), col("e1"), col("v2"), col("e2"))
         .orderBy(col("user_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // ws08 — DYNAMIC-gap session window through the source: the gap is
+    // an expression per event (epoch-second parity → 5 vs 10 minutes),
+    // exercising Spark's session_window(col, gapExpr) path ws03's
+    // fixed gap never touches — activity-dependent session policies
+    // (e.g. content type → dwell allowance) are the production shape.
+    // Same sentinel choreography and pushdown-starvation discipline as
+    // ws03. Oracle: the running-coverage construction (a session's end
+    // is the MAX of member ends; an event merges iff its time is ≤
+    // that running max over earlier rows) — the general form ws03's
+    // lag-only oracle cannot express once gaps vary per event. The
+    // merge boundary is inclusive to match ws03's proven convention;
+    // the fixture carries no exact-boundary pair (verified: zero gaps
+    // of exactly 5 or 10 min), so both conventions hash identically
+    // here either way.
+    Q(
+      "ws08_dynamic_session",
+      """WITH sub AS (
+        |  SELECT user_id, epoch_us(ts) AS m FROM events
+        |  WHERE event_id % 3 <> 0),
+        |g AS (
+        |  SELECT user_id, m,
+        |    m + CASE WHEN (m // 1000000) % 2 = 0
+        |        THEN 300000000 ELSE 600000000 END AS e
+        |  FROM sub),
+        |mk AS (
+        |  SELECT user_id, m, e,
+        |    CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY m, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= m
+        |      THEN 0 ELSE 1 END AS new_s
+        |  FROM g),
+        |ids AS (
+        |  SELECT user_id, m, e,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY m, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM mk)
+        |SELECT user_id,
+        |  make_timestamp(min(m)) AS session_start,
+        |  make_timestamp(max(e)) AS session_end,
+        |  count(*) AS n_events
+        |FROM ids GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
+    ) { (s, dir) =>
+      // gap rule on the event's OWN time (second parity): cheap,
+      // stateless, and visible to the oracle. No key filter in-stream
+      // (the ws03 pushdown-starves-watermark trap); nulls drop on the
+      // landed batch output.
+      val gap = when(
+        expr("unix_millis(event_time) DIV 1000") % 2 === 0,
+        lit("5 minutes")).otherwise(lit("10 minutes"))
+      StreamingWindowGate.run(s, dir, "graft-wmdg",
+        df => df
+          .groupBy(session_window(col("event_time"), gap),
+            expr("try_cast(key AS BIGINT)").as("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("n_events")),
+        Seq("user_id", "session_start"))
+        .filter(col("user_id").isNotNull)
+        .orderBy(col("user_id"), col("session_start"))
     }
   )
 }
