@@ -693,11 +693,13 @@ object TextQueries {
     // over the gram). Low novelty marks template/boilerplate-heavy
     // docs even when no single pair crosses a dedup threshold — the
     // corpus-level complement to d04's pairwise measure, and a
-    // curriculum-ordering signal. Shape at 100 TB: grams explode once;
-    // the first-seen aggregate and the join back are BOTH keyed on the
-    // gram hash (identical partitioning — the exchange is reusable),
-    // then one doc_id-keyed reduce; the t07/t09 discipline of never
-    // assuming the vocabulary is broadcastable. Docs under 8 words
+    // curriculum-ordering signal. Shape at 100 TB: the first-seen
+    // aggregate and the join back are both keyed on the gram hash —
+    // the t07/t09 discipline of never assuming the vocabulary is
+    // broadcastable. The exploded gram table feeds BOTH consumers, so
+    // it is staged once (the d14 trade — Stage.stage, reliable-mode
+    // on a cluster) instead of recomputing the explode per consumer.
+    // Docs under 8 words
     // keep an accounting row with n_grams = 0 and NULL novelty (the
     // d09 short-doc lesson; no fixture doc is that short, so the
     // contract is pinned here rather than by the gate). novelty is a
@@ -733,6 +735,7 @@ object TextQueries {
         .select(col("doc_id"),
           explode(array_distinct(transform(DedupOps.shingles(col("ws"), 8),
             x => md5(x)))).as("gh"))
+        .transform(graft.operators.Stage.stage)
       val fs = g.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
       val pd = g.join(fs, Seq("gh"))
         .groupBy(col("doc_id"))

@@ -191,6 +191,40 @@ class PlanSpec extends SparkSpec {
       s"no equi-join node keyed on cell_id:\n$p")
   }
 
+  test("q37: pairs generate map-side — no join node, top-k never full-sorts") {
+    // the oracle states items×items; the plan must NOT contain it —
+    // baskets aggregate on the order key, pairs explode from the
+    // basket array, and the top-100 is TakeOrderedAndProject
+    val df = QueryRegistry.byName("q37_copurchase").run(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"pair generation joined:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k full-sorted:\n$p")
+  }
+
+  test("d14: the containment candidate join is keyed on the min-shingle") {
+    // A's single probe key against B's inverted index — an equi-join
+    // NODE keyed on msh; a cartesian against the corpus must fail
+    val df = QueryRegistry.byName("d14_containment").run(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(
+      """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*\bmsh"""
+        .r.findFirstIn(p).isDefined,
+      s"no equi-join node keyed on msh:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("s11: multiprobe candidates come from a bucket equi-join") {
+    // 7 probe buckets per query fan the SMALL side out; the corpus
+    // side must still be reached via an equi-join on the bucket key
+    val df = QueryRegistry.byName("s11_ann_multiprobe").run(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(
+      """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*pbucket"""
+        .r.findFirstIn(p).isDefined,
+      s"no equi-join node keyed on pbucket:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t10: the rule gate is one stateless pass — no join, no aggregate") {
     // seven rules over one projection; the only exchange allowed is the
     // presentation sort's range partitioning, and the scan must prune
@@ -324,7 +358,8 @@ class PlanSpec extends SparkSpec {
       "t01_langid_ngram", "p06_connected_components",
       "t07_tfidf_keywords", "p07_token_rebalance",
       "mm05_image_neardup", "mm06_audio_neardup", "t09_bigram_ppl",
-      "d10_repeated_spans", "d11_span_strip", "d14_containment")
+      "d10_repeated_spans", "d11_span_strip", "d14_containment",
+      "t14_ngram_novelty")
     QueryRegistry.all
       .filterNot(q => isStreamLoop(q.name) || checkpoints.contains(q.name))
       .foreach { q =>
