@@ -821,9 +821,14 @@ object DedupQueries {
     // table is staged once and reused (a-side min, index side, exact
     // side — Spark has no CTE reuse); candidates are ONE equi-join on
     // the shingle hash (1 key/doc against the inverted index — the
-    // p13/t07 gram-join discipline); the honest seam is stop-shingle
-    // fan-out on the index side, capped in production the d09 way
-    // (drop shingles in > X docs from the INDEX side only).
+    // p13/t07 gram-join discipline). Stop-shingle fan-out is capped
+    // for real: shingles appearing in > 100 docs drop from the INDEX
+    // side only (the d09 heavy-hitter move — a stop shingle would
+    // otherwise make one join key quadratic). A probe whose min
+    // shingle IS a stop shingle loses its candidates — the deliberate
+    // recall trade the cap exists for. Every shipped fixture's max
+    // shingle doc-frequency is 8, so the gate exercises the capped
+    // plan with identical results.
     Q(
       "d14_containment",
       """WITH corpus AS (
@@ -841,7 +846,9 @@ object DedupQueries {
         |    i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
         |  FROM toks),
         |a AS (SELECT doc_id AS a_id, sh AS a_sh, list_min(sh) AS msh FROM sh),
-        |bk AS (SELECT doc_id AS b_id, unnest(sh) AS k FROM sh),
+        |bk0 AS (SELECT doc_id AS b_id, unnest(sh) AS k FROM sh),
+        |bkf AS (SELECT b_id, k, count(*) OVER (PARTITION BY k) AS df FROM bk0),
+        |bk AS (SELECT b_id, k FROM bkf WHERE df <= 100),
         |cand AS (SELECT a_id, b_id, a_sh
         |  FROM a JOIN bk ON msh = k AND a_id <> b_id)
         |SELECT a_id, b_id,
@@ -869,6 +876,8 @@ object DedupQueries {
       val aSide = sh0.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
         array_min(col("sh")).as("msh"))
       val bKeys = sh0.select(col("doc_id").as("b_id"), explode(col("sh")).as("k"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("k"))))
+        .filter(col("df") <= 100).drop("df")
       val cand = aSide.join(bKeys,
         col("msh") === col("k") && col("a_id") =!= col("b_id"))
       val cont = round(

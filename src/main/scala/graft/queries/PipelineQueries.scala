@@ -1065,6 +1065,67 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_tokens"),
           round(col("key"), 6).as("sample_key"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // p19 — PER-SOURCE weighted sampling (stratified A-Res): p18's
+    // Efraimidis–Spirakis keys raced within each source for a 50-doc
+    // quota — the per-domain form real mixing pipelines run (every
+    // domain keeps its own weighted sample regardless of corpus
+    // skew). Same deterministic u (Horner fold of md5 hex digits;
+    // seeded by source||doc_id so strata draw independent coins) and
+    // the same ln/round(,6) contract. Shape at 100 TB: selection is
+    // GroupTopK — per-partition 50-row heaps per source, so only
+    // k·|sources| rows per partition reach the exchange, never the
+    // scored corpus (the q26/p10 operator, now with weighted keys).
+    Q(
+      "p19_stratified_weighted",
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS n_tokens,
+        |    md5(source || ':' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    ln((list_reduce(list_transform(range(1, 14), i ->
+        |          CAST(ascii(substr(h, CAST(i AS INTEGER), 1)) AS DOUBLE)
+        |          - CASE WHEN ascii(substr(h, CAST(i AS INTEGER), 1)) >= 97
+        |                 THEN 87.0 ELSE 48.0 END),
+        |        (a, b) -> a * 16.0 + b) + 1.0) / 4503599627370497.0)
+        |      / CAST(n_tokens AS DOUBLE) AS key
+        |  FROM d),
+        |r AS (
+        |  SELECT doc_id, source, n_tokens, key,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY key DESC, doc_id ASC) AS rank
+        |  FROM k)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(rank AS BIGINT) AS rank, round(key, 6) AS sample_key
+        |FROM r WHERE rank <= 50
+        |ORDER BY source, rank""".stripMargin
+    ) { (s, dir) =>
+      val uNum = expr(
+        """aggregate(
+          |  transform(sequence(1, 13), i ->
+          |    ascii(substring(h, i, 1)) -
+          |    CASE WHEN ascii(substring(h, i, 1)) >= 97
+          |         THEN 87.0D ELSE 48.0D END),
+          |  CAST(0.0 AS DOUBLE), (a, d) -> a * 16.0D + d)""".stripMargin)
+      val keyed = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(DedupOps.words(col("text"))).cast("long").as("n_tokens"),
+          md5(concat(col("source"), lit(":"),
+            col("doc_id").cast("string"))).as("h"))
+        .withColumn("key",
+          log((uNum + 1.0) / 4503599627370497.0) /
+            col("n_tokens").cast("double"))
+      graft.plans.GroupTopK.topKRanked(keyed, Seq(col("source")), 50, "rank",
+          col("key").desc, col("doc_id").asc)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("rank").cast("long").as("rank"),
+          round(col("key"), 6).as("sample_key"))
+        .orderBy(col("source"), col("rank"))
     }
   )
 
