@@ -637,6 +637,41 @@ object MiscQueries {
         .agg(count(lit(1)).cast("long").as("n_orders"))
         .orderBy(col("n_orders").desc, col("p1"), col("p2"))
         .limit(100)
+    },
+
+    // ---------------------------------------------------------------
+    // q38 — spend quartiles via ntile: customers ranked into 4 equal
+    // buckets by lifetime order value (the segmentation shape behind
+    // "top-quartile customers"). The fact table reduces FIRST (exact
+    // DECIMAL sum per customer — one partial-agg'd shuffle on
+    // o_custkey), so the unpartitioned ntile window runs over the
+    // customer DIMENSION, not the order log; its total order (spend
+    // DESC, then key) makes bucket assignment deterministic in both
+    // engines. At 100 TB the dimension-wide global sort is the honest
+    // cost of exact quartiles — the approximate path is q27's
+    // percentile machinery.
+    Q(
+      "q38_spend_quartiles",
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_spend
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, total_spend,
+        |  CAST(ntile(4) OVER (ORDER BY total_spend DESC, o_custkey)
+        |    AS BIGINT) AS quartile
+        |FROM spend ORDER BY o_custkey""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val spend = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double").as("total_spend"))
+      spend.select(col("o_custkey"), col("total_spend"),
+          ntile(4).over(Window.orderBy(col("total_spend").desc,
+            col("o_custkey"))).cast("long").as("quartile"))
+        .orderBy(col("o_custkey"))
     }
   )
 }

@@ -1126,6 +1126,58 @@ object PipelineQueries {
           col("rank").cast("long").as("rank"),
           round(col("key"), 6).as("sample_key"))
         .orderBy(col("source"), col("rank"))
+    },
+
+    // ---------------------------------------------------------------
+    // p20 — packed-sequence LAYOUT (the trainer-facing complement of
+    // p01's bin stats): per doc, its position in the packed token
+    // stream — bin, offset within the bin, its ordinal among the
+    // bin's docs (where loss-mask boundaries go), and how many of its
+    // tokens spill past the bin edge (continuation into the next
+    // sequence). This is the metadata a dataloader needs to build
+    // attention masks over packed sequences without re-tokenizing.
+    // All columns derive from ONE running sum over the same
+    // (source, doc order) window as p01 — a single exchange by
+    // source, then pure integer arithmetic (floor/mod/greatest on
+    // bigints — identical in both engines).
+    Q(
+      "p20_packing_layout",
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |laid AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |      AS BIGINT) AS tok_start
+        |  FROM toks)
+        |SELECT source, doc_id, n_tokens,
+        |  tok_start // 2048 AS bin_id,
+        |  tok_start % 2048 AS bin_offset,
+        |  CAST(row_number() OVER (PARTITION BY source, tok_start // 2048
+        |    ORDER BY doc_id) AS BIGINT) AS seg_in_bin,
+        |  greatest(0, tok_start % 2048 + n_tokens - 2048) AS spill_tokens
+        |FROM laid ORDER BY source, doc_id""".stripMargin
+    ) { (s, dir) =>
+      val toks = Tables(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        size(DedupOps.words(col("text"))).cast("long").as("n_tokens"))
+      val run = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val laid = toks.withColumn("tok_start",
+        sum(col("n_tokens")).over(run) - col("n_tokens"))
+      val binId = expr("tok_start DIV 2048")
+      laid.select(col("source"), col("doc_id"), col("n_tokens"),
+          binId.as("bin_id"),
+          (col("tok_start") % 2048).as("bin_offset"),
+          row_number().over(Window.partitionBy(col("source"), binId)
+            .orderBy(col("doc_id"))).cast("long").as("seg_in_bin"),
+          greatest(lit(0L),
+            col("tok_start") % 2048 + col("n_tokens") - 2048)
+            .as("spill_tokens"))
+        .orderBy(col("source"), col("doc_id"))
     }
   )
 
