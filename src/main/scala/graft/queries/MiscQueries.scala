@@ -672,6 +672,82 @@ object MiscQueries {
           ntile(4).over(Window.orderBy(col("total_spend").desc,
             col("o_custkey"))).cast("long").as("quartile"))
         .orderBy(col("o_custkey"))
+    },
+
+    // ---------------------------------------------------------------
+    // q39 — PageRank over the co-purchase graph (3 power iterations,
+    // damping 0.85), in FIXED-POINT integer arithmetic: scores are
+    // bigint units of 1e-9, a contribution is score DIV degree, and
+    // the damped update is 0.15e9 + (85 · Σcontrib) DIV 100 — every
+    // operation is integer division/multiplication both engines define
+    // identically, so three iterations stay bit-exact with NO float
+    // summation anywhere (the p06 lesson: iterative graph math must
+    // not accumulate engine-ordered doubles). The graph: q37's
+    // item-pair edges, undirected (both directions), deduplicated.
+    // Every node has ≥1 edge by construction, so no dangling-mass
+    // term. Shape at 100 TB: the edge list builds once map-side from
+    // baskets and is STAGED (reused by 3 iterations + the degree
+    // table); each iteration is one equi-join on src + one dst-keyed
+    // partial-agg'd reduce — the standard Pregel-as-joins layout with
+    // a fixed unrolled depth; top-50 via TakeOrderedAndProject.
+    Q(
+      "q39_part_pagerank",
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey
+        |  FROM lineitem),
+        |prs AS (
+        |  SELECT DISTINCT a.pkey AS p1, b.pkey AS p2
+        |  FROM items a JOIN items b ON a.okey = b.okey AND a.pkey < b.pkey),
+        |edges AS (
+        |  SELECT p1 AS src, p2 AS dst FROM prs
+        |  UNION ALL SELECT p2, p1 FROM prs),
+        |deg AS (SELECT src AS p, CAST(count(*) AS BIGINT) AS deg
+        |        FROM edges GROUP BY src),
+        |s0 AS (SELECT p, deg, CAST(1000000000 AS BIGINT) AS score FROM deg),
+        |i1 AS (SELECT e.dst AS p,
+        |    150000000 + (85 * CAST(sum(s.score // s.deg) AS BIGINT)) // 100
+        |      AS score
+        |  FROM edges e JOIN s0 s ON s.p = e.src GROUP BY e.dst),
+        |s1 AS (SELECT d.p, d.deg, i1.score FROM deg d JOIN i1 ON i1.p = d.p),
+        |i2 AS (SELECT e.dst AS p,
+        |    150000000 + (85 * CAST(sum(s.score // s.deg) AS BIGINT)) // 100
+        |      AS score
+        |  FROM edges e JOIN s1 s ON s.p = e.src GROUP BY e.dst),
+        |s2 AS (SELECT d.p, d.deg, i2.score FROM deg d JOIN i2 ON i2.p = d.p),
+        |i3 AS (SELECT e.dst AS p,
+        |    150000000 + (85 * CAST(sum(s.score // s.deg) AS BIGINT)) // 100
+        |      AS score
+        |  FROM edges e JOIN s2 s ON s.p = e.src GROUP BY e.dst)
+        |SELECT p, score AS score_fp FROM i3
+        |ORDER BY score_fp DESC, p LIMIT 50""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.Stage
+      val items = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
+        .distinct()
+      val prs = items.as("a").join(items.as("b"),
+          col("a.okey") === col("b.okey") && col("a.pkey") < col("b.pkey"))
+        .select(col("a.pkey").as("p1"), col("b.pkey").as("p2"))
+        .distinct()
+      val edges = prs.select(col("p1").as("src"), col("p2").as("dst"))
+        .unionByName(prs.select(col("p2").as("src"), col("p1").as("dst")))
+        .transform(Stage.stage)
+      val deg = edges.groupBy(col("src").as("p"))
+        .agg(count(lit(1)).cast("long").as("deg"))
+      def sweep(scores: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val contrib = edges.join(scores, col("src") === col("p"))
+          .select(col("dst"), expr("score DIV deg").as("c"))
+        val next = contrib.groupBy(col("dst").as("p"))
+          .agg(expr("CAST(150000000 + (85 * sum(c)) DIV 100 AS BIGINT)")
+            .as("score"))
+        deg.join(next, Seq("p"))
+      }
+      val s0 = deg.withColumn("score", lit(1000000000L))
+      val s3 = sweep(sweep(sweep(s0)))
+      s3.select(col("p"), col("score").as("score_fp"))
+        .orderBy(col("score_fp").desc, col("p"))
+        .limit(50)
     }
   )
 }
