@@ -748,6 +748,67 @@ object MiscQueries {
       s3.select(col("p"), col("score").as("score_fp"))
         .orderBy(col("score_fp").desc, col("p"))
         .limit(50)
+    },
+
+    // ---------------------------------------------------------------
+    // q40 — time-series gap-fill + forward-fill: each user's hourly
+    // value series densified to EVERY hour between their first and
+    // last event (missing buckets materialize with n_events = 0), and
+    // the value carried forward from the last observed bucket
+    // (last_value IGNORE NULLS) — the resample/ffill primitive every
+    // metrics warehouse needs before joins against regular series.
+    // Buckets are integer epoch-hours; per-bucket values are exact
+    // DECIMAL sums cast once; the first bucket of every series is
+    // observed by construction, so no leading-null policy is needed.
+    // Shape at 100 TB: one (user, hour) partial-agg'd shuffle; the
+    // bucket explode is map-side from the tiny per-user bounds; the
+    // fill window is partitioned per series — nothing global anywhere.
+    Q(
+      "q40_gapfill",
+      """WITH hv AS (
+        |  SELECT user_id, epoch_ms(ts) // 3600000 AS h,
+        |    CAST(value AS DECIMAL(18,4)) AS vd
+        |  FROM events),
+        |agg AS (
+        |  SELECT user_id, h, CAST(sum(vd) AS DOUBLE) AS v,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM hv GROUP BY user_id, h),
+        |bounds AS (SELECT user_id, min(h) AS mn, max(h) AS mx
+        |           FROM agg GROUP BY user_id),
+        |buckets AS (SELECT user_id, unnest(generate_series(mn, mx)) AS h
+        |            FROM bounds),
+        |joined AS (
+        |  SELECT b.user_id, b.h, a.v, COALESCE(a.n, 0) AS n
+        |  FROM buckets b LEFT JOIN agg a
+        |    ON a.user_id = b.user_id AND a.h = b.h)
+        |SELECT user_id, make_timestamp(h * 3600000000) AS bucket_start,
+        |  CAST(n AS BIGINT) AS n_events,
+        |  v IS NULL AS filled,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+        |FROM joined ORDER BY user_id, bucket_start""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val agg = Tables(s, dir, "events")
+        .select(col("user_id"), expr("unix_millis(ts) DIV 3600000").as("h"),
+          col("value").cast(DecimalType(18, 4)).as("vd"))
+        .groupBy(col("user_id"), col("h"))
+        .agg(sum(col("vd")).cast("double").as("v"),
+          count(lit(1)).cast("long").as("n"))
+      val buckets = agg.groupBy(col("user_id"))
+        .agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+        .select(col("user_id"),
+          explode(sequence(col("mn"), col("mx"))).as("h"))
+      val ffill = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      buckets.join(agg, Seq("user_id", "h"), "left_outer")
+        .select(col("user_id"),
+          timestamp_micros(col("h") * 3600000000L).as("bucket_start"),
+          coalesce(col("n"), lit(0L)).cast("long").as("n_events"),
+          col("v").isNull.as("filled"),
+          last(col("v"), ignoreNulls = true).over(ffill).as("value_ffill"))
+        .orderBy(col("user_id"), col("bucket_start"))
     }
   )
 }
