@@ -809,6 +809,85 @@ object MiscQueries {
           col("v").isNull.as("filled"),
           last(col("v"), ignoreNulls = true).over(ffill).as("value_ffill"))
         .orderBy(col("user_id"), col("bucket_start"))
+    },
+
+    // ---------------------------------------------------------------
+    // q41 — rolling anomaly detection: each user's hourly value series
+    // scored against its own trailing 24-bucket window; buckets whose
+    // z-score exceeds 2.5 are flagged. The rolling moments are EXACT
+    // DECIMAL window sums (value and value² both sum as decimals, so
+    // the frame's accumulation order — Spark's running accumulator vs
+    // DuckDB's segment tree — cannot drift a float sum), cast to
+    // double once for the mean/variance arithmetic; sqrt is
+    // IEEE-correctly-rounded in both engines, so z is bit-identical.
+    // Only full 24-bucket frames score (row 24 onward per series) —
+    // no partial-frame edge policy to diverge on. Shape at 100 TB:
+    // one (user, hour) partial-agg'd shuffle, then per-series ROWS
+    // windows; flagging is a stateless filter on the window output.
+    Q(
+      "q41_rolling_anomaly",
+      """WITH hv AS (
+        |  SELECT user_id, epoch_ms(ts) // 3600000 AS h,
+        |    CAST(value AS DECIMAL(18,4)) AS vd
+        |  FROM events),
+        |agg AS (
+        |  SELECT user_id, h, CAST(sum(vd) AS DECIMAL(18,4)) AS sv
+        |  FROM hv GROUP BY user_id, h),
+        |sq AS (
+        |  SELECT user_id, h, sv,
+        |    CAST(sv * sv AS DECIMAL(38,8)) AS sv2
+        |  FROM agg),
+        |rolled AS (
+        |  SELECT user_id, h, sv,
+        |    CAST(sum(sv) OVER w AS DOUBLE) AS rsum,
+        |    CAST(sum(sv2) OVER w AS DOUBLE) AS rsum2,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY h) AS rn
+        |  FROM sq
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY h
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+        |scored AS (
+        |  SELECT user_id, h, CAST(sv AS DOUBLE) AS v,
+        |    rsum / 24 AS mean24,
+        |    sqrt(greatest(0.0, rsum2 / 24 - (rsum / 24) * (rsum / 24)))
+        |      AS std24
+        |  FROM rolled WHERE rn >= 24)
+        |SELECT user_id, make_timestamp(h * 3600000000) AS bucket_start,
+        |  v, round(mean24, 6) AS mean24,
+        |  round((v - mean24) / std24, 6) AS z
+        |FROM scored
+        |WHERE std24 > 0 AND abs((v - mean24) / std24) > 2.5
+        |ORDER BY user_id, bucket_start""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val agg = Tables(s, dir, "events")
+        .select(col("user_id"), expr("unix_millis(ts) DIV 3600000").as("h"),
+          col("value").cast(DecimalType(18, 4)).as("vd"))
+        .groupBy(col("user_id"), col("h"))
+        .agg(sum(col("vd")).cast(DecimalType(18, 4)).as("sv"))
+      val sq = agg.withColumn("sv2",
+        (col("sv") * col("sv")).cast(DecimalType(38, 8)))
+      val frame = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(-23, Window.currentRow)
+      val series = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      val rolled = sq.select(col("user_id"), col("h"), col("sv"),
+        sum(col("sv")).over(frame).cast("double").as("rsum"),
+        sum(col("sv2")).over(frame).cast("double").as("rsum2"),
+        row_number().over(series).as("rn"))
+      val mean = col("rsum") / 24
+      val std = sqrt(greatest(lit(0.0),
+        col("rsum2") / 24 - (col("rsum") / 24) * (col("rsum") / 24)))
+      val scored = rolled.filter(col("rn") >= 24)
+        .select(col("user_id"), col("h"), col("sv").cast("double").as("v"),
+          mean.as("mean24"), std.as("std24"))
+      scored
+        .filter(col("std24") > 0 &&
+          abs((col("v") - col("mean24")) / col("std24")) > 2.5)
+        .select(col("user_id"),
+          timestamp_micros(col("h") * 3600000000L).as("bucket_start"),
+          col("v"), round(col("mean24"), 6).as("mean24"),
+          round((col("v") - col("mean24")) / col("std24"), 6).as("z"))
+        .orderBy(col("user_id"), col("bucket_start"))
     }
   )
 }
