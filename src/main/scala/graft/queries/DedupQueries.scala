@@ -888,6 +888,72 @@ object DedupQueries {
         .select(col("a_id"), col("b_id"), cont.as("containment"))
         .filter(col("containment") >= 0.9)
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // d15 — fuzzy record linkage via blocked edit distance: part-name
+    // variants (planted single-char typos at partkey+300000, %7) are
+    // matched by levenshtein ≤ 2 — the entity-resolution primitive
+    // token-set measures (d02/d04) can't express, since a one-char
+    // typo inside a word changes the whole token. Both engines ship
+    // the classical DP levenshtein (integer result — no float
+    // anywhere). Blocking: the ENTITY table (distinct names — a
+    // corpus-sized groupBy first, so the pair join runs on the
+    // vocabulary, not the parts) self-joins on prefix-4 OR suffix-4
+    // keys; a single substitution can't change both zones of a ≥7-char
+    // name, so every planted pair shares the suffix key — recall is
+    // certain for the plants, and the two-key union is the honest
+    // bound for one-edit pairs generally (an edit inside BOTH zones
+    // needs ≥ 8 chars to dodge, documented trade). Shape at 100 TB:
+    // the groupBy collapses the corpus to the name vocabulary; the
+    // blocked self-join is vocabulary², bounded per 4-char block;
+    // dedup of dual-key hits is a DISTINCT on the candidate ids.
+    Q(
+      "d15_fuzzy_linkage",
+      """WITH corpus AS (
+        |  SELECT p_partkey, p_name FROM part
+        |  UNION ALL
+        |  SELECT p_partkey + 300000,
+        |    substr(p_name, 1, 1) || 'x' || substr(p_name, 3)
+        |  FROM part WHERE p_partkey % 7 = 0),
+        |names AS (SELECT p_name AS name, min(p_partkey) AS id,
+        |    CAST(count(*) AS BIGINT) AS n_parts
+        |  FROM corpus GROUP BY p_name),
+        |keys AS (SELECT id, name, unnest([
+        |    'p:' || substr(name, 1, 4),
+        |    's:' || substr(name, length(name) - 3, 4)]) AS k
+        |  FROM names),
+        |cand AS (SELECT DISTINCT a.id AS a_id, a.name AS a_name,
+        |    b.id AS b_id, b.name AS b_name
+        |  FROM keys a JOIN keys b ON a.k = b.k AND a.id < b.id)
+        |SELECT a_id, b_id, a_name, b_name,
+        |  CAST(levenshtein(a_name, b_name) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(a_name, b_name) <= 2
+        |ORDER BY a_id, b_id""".stripMargin
+    ) { (s, dir) =>
+      val parts = Tables(s, dir, "part")
+      val corpus = parts.select(col("p_partkey"), col("p_name"))
+        .unionByName(parts.filter(col("p_partkey") % 7 === 0)
+          .select(Q.plantedId(col("p_partkey"), 300000).as("p_partkey"),
+            concat(substring(col("p_name"), 1, 1), lit("x"),
+              expr("substr(p_name, 3)")).as("p_name")))
+      val names = corpus.groupBy(col("p_name").as("name"))
+        .agg(min(col("p_partkey")).as("id"),
+          count(lit(1)).cast("long").as("n_parts"))
+      val keys = names.select(col("id"), col("name"),
+        explode(array(
+          concat(lit("p:"), substring(col("name"), 1, 4)),
+          concat(lit("s:"), expr("substring(name, length(name) - 3, 4)"))))
+          .as("k"))
+      val cand = keys.as("a").join(keys.as("b"),
+          col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("a_id"), col("a.name").as("a_name"),
+          col("b.id").as("b_id"), col("b.name").as("b_name"))
+        .distinct()
+      cand.withColumn("dist",
+          levenshtein(col("a_name"), col("b_name")).cast("long"))
+        .filter(col("dist") <= 2)
+        .orderBy(col("a_id"), col("b_id"))
     }
   )
 
