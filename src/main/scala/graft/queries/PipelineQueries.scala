@@ -1178,6 +1178,79 @@ object PipelineQueries {
             col("tok_start") % 2048 + col("n_tokens") - 2048)
             .as("spill_tokens"))
         .orderBy(col("source"), col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // p21 — dataset card: the per-source scorecard corpus curation
+    // publishes (doc/token counts, English share, mean length, and
+    // language-mix Shannon entropy). Entropy is the one cross-engine
+    // hazard — Σ p·ln p over the language mix — so it folds in LANG
+    // ORDER over the per-(source, lang) counts (p16's ordered-fold
+    // discipline: Spark aggregate over an array_sort'd collect_list ≙
+    // DuckDB list_reduce over list(ORDER BY lang) — same adds, same
+    // order), with the contract ln/round(,6). Shares are bigint/bigint
+    // IEEE divisions, unrounded. Shape at 100 TB: one partial-agg'd
+    // shuffle to (source, lang) — a key space of |sources|·|langs| —
+    // then all card columns derive from that tiny table; the corpus is
+    // scanned exactly once.
+    Q(
+      "p21_dataset_card",
+      """WITH lc AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(len(list_filter(string_split(text, ' '),
+        |      x -> x <> ''))) AS BIGINT) AS toks,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM documents GROUP BY source, lang),
+        |srcstats AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |    CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |    CAST(sum(chars) AS BIGINT) AS n_chars_total,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT)
+        |      AS n_en
+        |  FROM lc GROUP BY source),
+        |ent AS (
+        |  SELECT l.source,
+        |    round(-list_reduce(list(
+        |        CAST(l.c AS DOUBLE) / s.n_docs
+        |          * ln(CAST(l.c AS DOUBLE) / s.n_docs)
+        |        ORDER BY l.lang), (a, b) -> a + b), 6) AS lang_entropy
+        |  FROM lc l JOIN srcstats s ON l.source = s.source
+        |  GROUP BY l.source, s.n_docs)
+        |SELECT s.source, s.n_docs, s.n_tokens,
+        |  CAST(s.n_en AS DOUBLE) / s.n_docs AS pct_en,
+        |  CAST(s.n_chars_total AS DOUBLE) / s.n_docs AS mean_chars,
+        |  e.lang_entropy
+        |FROM srcstats s JOIN ent e ON s.source = e.source
+        |ORDER BY s.source""".stripMargin
+    ) { (s, dir) =>
+      val lc = Tables(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).cast("long").as("c"),
+          sum(size(DedupOps.words(col("text")))).cast("long").as("toks"),
+          sum(col("n_chars")).cast("long").as("chars"))
+      val srcstats = lc.groupBy(col("source"))
+        .agg(sum(col("c")).cast("long").as("n_docs"),
+          sum(col("toks")).cast("long").as("n_tokens"),
+          sum(col("chars")).cast("long").as("n_chars_total"),
+          sum(when(col("lang") === "en", col("c")).otherwise(0L))
+            .cast("long").as("n_en"))
+      val terms = lc.join(srcstats.select(col("source"), col("n_docs")),
+          Seq("source"))
+        .select(col("source"), col("lang"),
+          (col("c").cast("double") / col("n_docs") *
+            log(col("c").cast("double") / col("n_docs"))).as("term"))
+      val ent = terms.groupBy(col("source"))
+        .agg(round(-aggregate(
+          array_sort(collect_list(struct(col("lang"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")), 6)
+          .as("lang_entropy"))
+      srcstats.join(ent, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (col("n_en").cast("double") / col("n_docs")).as("pct_en"),
+          (col("n_chars_total").cast("double") / col("n_docs"))
+            .as("mean_chars"),
+          col("lang_entropy"))
+        .orderBy(col("source"))
     }
   )
 
