@@ -900,11 +900,11 @@ object DedupQueries {
     // anywhere). Blocking: the ENTITY table (distinct names — a
     // corpus-sized groupBy first, so the pair join runs on the
     // vocabulary, not the parts) self-joins on prefix-4 OR suffix-4
-    // keys; a single substitution can't change both zones of a ≥7-char
-    // name, so every planted pair shares the suffix key — recall is
-    // certain for the plants, and the two-key union is the honest
-    // bound for one-edit pairs generally (an edit inside BOTH zones
-    // needs ≥ 8 chars to dodge, documented trade). Shape at 100 TB:
+    // keys. Guarantee (PropertySpec-pinned): a single substitution in
+    // a ≥8-char name leaves at least one zone intact; the sole evasion
+    // is a 7-char name edited at position 4, where the zones overlap.
+    // The plants edit position 2 — inside the prefix only — so their
+    // recovery is certain at every name length. Shape at 100 TB:
     // the groupBy collapses the corpus to the name vocabulary; the
     // blocked self-join is vocabulary², bounded per 4-char block;
     // dedup of dual-key hits is a DISTINCT on the candidate ids.

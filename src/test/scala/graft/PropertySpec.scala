@@ -580,4 +580,32 @@ class PropertySpec extends SparkSpec {
       counts == expected
     }, minSuccessful = 150)
   }
+
+  test("d15 blocking: one substitution in a >=8-char name keeps a zone") {
+    // mirrors d15_fuzzy_linkage's prefix-4/suffix-4 blocking keys: for
+    // any name of length >= 8 and any single-character substitution,
+    // the original and the variant share at least one key — so every
+    // one-edit pair at those lengths is a candidate with certainty.
+    // The sole evasion (7-char name, position 4, where the zones
+    // overlap) is asserted too, so the documented bound stays honest.
+    def keys(s: String): Set[String] =
+      Set("p:" + s.substring(0, 4), "s:" + s.substring(s.length - 4))
+    val nameChar = Gen.alphaLowerChar
+    val gen = for {
+      len <- Gen.choose(8, 16)
+      cs <- Gen.listOfN(len, nameChar)
+      pos <- Gen.choose(0, len - 1)
+      repl <- nameChar.suchThat(c => c != cs(pos))
+    } yield (cs.mkString, pos, repl)
+    check(Prop.forAllNoShrink(gen) { case (name, pos, repl) =>
+      val variant = name.updated(pos, repl)
+      keys(name).intersect(keys(variant)).nonEmpty
+    }, minSuccessful = 200)
+    // the overlap evasion exists and is exactly (len 7, pos 4):
+    val n7 = "abcdefg"
+    assert(keys(n7).intersect(keys(n7.updated(3, 'x'))).isEmpty)
+    for (p <- Seq(0, 1, 2, 4, 5, 6))
+      assert(keys(n7).intersect(keys(n7.updated(p, 'x'))).nonEmpty,
+        s"7-char substitution at index $p unexpectedly evades both zones")
+  }
 }
