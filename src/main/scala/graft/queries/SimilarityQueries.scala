@@ -726,6 +726,69 @@ object SimilarityQueries {
       graft.plans.GroupTopK.topKRanked(scored, Seq(col("q_id")), 3, "rank",
           col("cos").desc, col("neighbor_id").asc)
         .orderBy(col("q_id"), col("rank"))
+    },
+
+    // ---------------------------------------------------------------
+    // s12 — kNN classification: unlabeled-side vectors (vec_id ≥ 450
+    // play the inference set) take the majority label of their 5
+    // nearest labeled neighbors — the embedding-space classifier data
+    // pipelines run for quality/domain tagging. Votes aggregate per
+    // (query, label) and the winner is rank-1 by (votes DESC, label
+    // ASC) — a total order, so ties break identically in both
+    // engines. The scored stream runs through GroupTopK twice: top-5
+    // neighbors per query, then rank-1 label per query — only heap
+    // survivors ever reach an exchange. Scale: this is the s01
+    // broadcast-queries scan shape; at corpus scale the candidate set
+    // swaps to the s02/s11 bucket join with the same vote/argmax tail.
+    Q(
+      "s12_knn_classify",
+      s"""WITH base AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM base WHERE vec_id >= 450),
+        |lab AS (SELECT vec_id, label, v FROM base WHERE vec_id < 450),
+        |scored AS (
+        |  SELECT q_id, c.vec_id AS neighbor_id, c.label,
+        |    ${cosineSql("qv", "c.v", 64)} AS cos
+        |  FROM q JOIN lab c ON true),
+        |top5 AS (
+        |  SELECT q_id, label FROM (
+        |    SELECT q_id, label,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |    FROM scored) t WHERE rank <= 5),
+        |votes AS (
+        |  SELECT q_id, label, CAST(count(*) AS BIGINT) AS n_votes
+        |  FROM top5 GROUP BY q_id, label)
+        |SELECT q_id, label AS predicted, n_votes FROM (
+        |  SELECT q_id, label, n_votes,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY n_votes DESC, label ASC) AS r
+        |  FROM votes) v WHERE r = 1
+        |ORDER BY q_id""".stripMargin
+    ) { (s, dir) =>
+      val base = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          VectorOps.toDouble(col("embedding")).as("v"))
+        .withColumn("nv", VectorOps.norm(col("v"))) // per row, not per pair
+      val q = base.filter(col("vec_id") >= 450)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nv").as("nq"))
+      val lab = base.filter(col("vec_id") < 450)
+      val scored = broadcast(q).join(lab)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("label"),
+          VectorOps.cosineWithNorms(col("qv"), col("v"),
+            col("nq"), col("nv")).as("cos"))
+      val top5 = graft.plans.GroupTopK.topKRanked(scored, Seq(col("q_id")),
+          5, "rank", col("cos").desc, col("neighbor_id").asc)
+        .select(col("q_id"), col("label"))
+      val votes = top5.groupBy(col("q_id"), col("label"))
+        .agg(count(lit(1)).cast("long").as("n_votes"))
+      graft.plans.GroupTopK.topKRanked(votes, Seq(col("q_id")), 1, "r",
+          col("n_votes").desc, col("label").asc)
+        .select(col("q_id"), col("label").as("predicted"), col("n_votes"))
+        .orderBy(col("q_id"))
     }
   )
 
