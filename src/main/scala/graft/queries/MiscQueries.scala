@@ -888,6 +888,74 @@ object MiscQueries {
           col("v"), round(col("mean24"), 6).as("mean24"),
           round((col("v") - col("mean24")) / col("std24"), 6).as("z"))
         .orderBy(col("user_id"), col("bucket_start"))
+    },
+
+    // ---------------------------------------------------------------
+    // q42 — revenue trend per nation (OLS slope over weekly series):
+    // is each market growing or shrinking, as the least-squares slope
+    // of weekly order value against the week index. The float hazards
+    // are Σy and Σxy (cross-row double sums), so both fold in WEEK
+    // ORDER over the per-(nation, week) aggregate (p16's ordered-fold
+    // discipline); Σx, Σx² and n are exact integers; the slope's
+    // denominator is therefore exact and the division is one IEEE op,
+    // emitted round(,6). Weekly revenue itself is an exact DECIMAL sum
+    // cast once. Shape at 100 TB: the order log reduces to a
+    // (nation, week) key space in one partial-agg'd shuffle (the
+    // customer→nation dims broadcast); the regression runs over that
+    // tiny table — one ordered fold per nation.
+    Q(
+      "q42_weekly_trend",
+      """WITH wk AS (
+        |  SELECT n.n_name AS nation,
+        |    epoch_ms(o.o_orderdate) // 604800000 AS w,
+        |    CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS rev
+        |  FROM orders o
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  GROUP BY n.n_name, epoch_ms(o.o_orderdate) // 604800000),
+        |fit AS (
+        |  SELECT nation,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(w) AS BIGINT) AS sx,
+        |    CAST(sum(w * w) AS BIGINT) AS sxx,
+        |    list_reduce(list(rev ORDER BY w), (a, b) -> a + b) AS sy,
+        |    list_reduce(list(w * rev ORDER BY w), (a, b) -> a + b) AS sxy
+        |  FROM wk GROUP BY nation)
+        |SELECT nation, n AS n_weeks,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+        |FROM fit WHERE n >= 2
+        |ORDER BY nation""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val wk = Tables(s, dir, "orders")
+        .join(broadcast(Tables(s, dir, "customer")),
+          col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          // o_orderdate lands as TIMESTAMP_NTZ; session TZ is UTC, so
+          // the cast matches DuckDB's epoch_ms reading exactly
+          expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 604800000")
+            .as("w"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double").as("rev"))
+      val fit = wk.groupBy(col("nation"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("w")).cast("long").as("sx"),
+          sum(col("w") * col("w")).cast("long").as("sxx"),
+          aggregate(array_sort(collect_list(struct(col("w"),
+            col("rev").as("t")))), lit(0.0),
+            (a, x) => a + x.getField("t")).as("sy"),
+          aggregate(array_sort(collect_list(struct(col("w"),
+            (col("w") * col("rev")).as("t")))), lit(0.0),
+            (a, x) => a + x.getField("t")).as("sxy"))
+      fit.filter(col("n") >= 2)
+        .select(col("nation"), col("n").as("n_weeks"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("slope"))
+        .orderBy(col("nation"))
     }
   )
 }
