@@ -1251,6 +1251,63 @@ object PipelineQueries {
             .as("mean_chars"),
           col("lang_entropy"))
         .orderBy(col("source"))
+    },
+
+    // ---------------------------------------------------------------
+    // p22 — token-budget quality fill: each source spends a 5 000-token
+    // budget on its best documents first (quality = lexical diversity,
+    // distinct words over words — the t06 repetition signal inverted),
+    // admitting docs in quality order until the budget is exhausted —
+    // budget-constrained selection, the knapsack-greedy complement to
+    // p19's count quotas. A doc is admitted iff the tokens spent
+    // BEFORE it are under budget (so the boundary doc may overshoot —
+    // the deterministic convention, stated rather than implied). Every
+    // doc keeps an accounting row. Determinism: quality is an int/int
+    // IEEE division ordered with a doc_id tie-break; the running
+    // spend is an exact integer window sum. Shape at 100 TB: ONE
+    // shuffle on source serves the quality sort and the running sum
+    // (same window), everything else is stateless.
+    Q(
+      "p22_budget_fill",
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(list_filter(string_split(text, ' '),
+        |      x -> x <> ''))) AS BIGINT) AS n_distinct
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(n_distinct AS DOUBLE) / n_tokens AS quality
+        |  FROM d),
+        |spent AS (
+        |  SELECT doc_id, source, n_tokens, quality,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |      AS BIGINT) AS tokens_before
+        |  FROM scored)
+        |SELECT doc_id, source, n_tokens, quality, tokens_before,
+        |  tokens_before < 5000 AS kept
+        |FROM spent ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val ws = DedupOps.words(col("text"))
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(ws).cast("long").as("n_tokens"),
+          size(array_distinct(ws)).cast("long").as("n_distinct"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          (col("n_distinct").cast("double") / col("n_tokens")).as("quality"))
+      val fill = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scored
+        .withColumn("tokens_before",
+          (sum(col("n_tokens")).over(fill) - col("n_tokens")).cast("long"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("quality"), col("tokens_before"),
+          (col("tokens_before") < 5000).as("kept"))
+        .orderBy(col("doc_id"))
     }
   )
 
