@@ -42,6 +42,7 @@ final case class PulsarLikeConf(
     readCompacted: Boolean,
     readRetries: Boolean,
     startingTimeUs: Option[Long],
+    endingTimeUs: Option[Long],
     numPartitions: Option[Int],
     chunking: ChunkingConf,
     client: ClientConf) {
@@ -162,6 +163,24 @@ object PulsarLikeConf {
         fail(s"Invalid numeric value '$v' for parameter '$key'.") }
     }
 
+    // epoch millis or ISO-8601 instant → epoch micros (startingTime /
+    // endingTime share the format and the wrap guard)
+    def timeUs(key: String): Option[Long] = get(key).map { v =>
+      val ms =
+        try {
+          if (v.forall(c => c >= '0' && c <= '9')) v.toLong
+          else java.time.Instant.parse(v).toEpochMilli
+        } catch { case _: Exception => fail(
+          s"Invalid value '$v' for parameter '$key'. " +
+            "Use epoch milliseconds or an ISO-8601 instant.") }
+      // ms→µs must not wrap (epoch-NANOS by unit confusion would
+      // silently seek to a garbage position otherwise)
+      if (ms > Long.MaxValue / 1000L || ms < Long.MinValue / 1000L) fail(
+        s"Invalid value '$v' for parameter '$key'. " +
+          "Epoch value out of millisecond range.")
+      ms * 1000L
+    }
+
     val batchEnabled = get("batchReceiveEnabled").forall(_.toBoolean) // default true
     // non-positive bounds fail LOUDLY like every other validated param:
     // silently dropping an explicit 0 would run the batch unbounded and
@@ -194,6 +213,16 @@ object PulsarLikeConf {
     if (batchEnabled && chunkKnobs.nonEmpty)
       fail(s"Chunking parameters (${chunkKnobs.mkString(", ")}) require " +
         "'batchReceiveEnabled' to be false.")
+
+    // time-based seek bounds: [startingTime, endingTime) — an empty or
+    // inverted range is a config contradiction, failed like the
+    // chunking-knob check above rather than returning zero rows
+    val startUs = timeUs("startingTime")
+    val endUs = timeUs("endingTime")
+    for (s <- startUs; e <- endUs)
+      if (e <= s) fail(
+        s"Parameter 'endingTime' ($e µs) must be after 'startingTime' " +
+          s"($s µs) — the bound is [startingTime, endingTime).")
 
     PulsarLikeConf(
       serviceUrl = serviceUrl,
@@ -246,21 +275,13 @@ object PulsarLikeConf {
       // no reference analog): position the subscription at the first
       // message with publish_time >= T. Takes precedence over
       // subscriptionInitialPosition; epoch millis or ISO-8601 instant.
-      startingTimeUs = get("startingTime").map { v =>
-        val ms =
-          try {
-            if (v.forall(c => c >= '0' && c <= '9')) v.toLong
-            else java.time.Instant.parse(v).toEpochMilli
-          } catch { case _: Exception => fail(
-            s"Invalid value '$v' for parameter 'startingTime'. " +
-              "Use epoch milliseconds or an ISO-8601 instant.") }
-        // ms→µs must not wrap (epoch-NANOS by unit confusion would
-        // silently seek to a garbage position otherwise)
-        if (ms > Long.MaxValue / 1000L || ms < Long.MinValue / 1000L) fail(
-          s"Invalid value '$v' for parameter 'startingTime'. " +
-            "Epoch value out of millisecond range.")
-        ms * 1000L
-      },
+      startingTimeUs = startUs,
+      // the symmetric EXCLUSIVE upper bound (publish_time < T) for
+      // batch reads — a time-range read without a post-scan filter.
+      // Batch-only: the micro-batch stream hard-fails on it (a
+      // validated option silently ignored is the shape this layer
+      // refuses to contain — the ackTimeout lesson).
+      endingTimeUs = endUs,
       numPartitions = long_("numPartitions").filter(_ > 0).map(_.toInt),
       chunking = ChunkingConf(
         maxPendingChunkedMessage = long_("maxPendingChunkedMessage"),

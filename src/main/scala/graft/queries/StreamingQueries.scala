@@ -281,6 +281,41 @@ object StreamingQueries {
     },
 
     // ---------------------------------------------------------------
+    // m15 — time-RANGE batch read: startingTime + endingTime serve
+    // exactly the slice with publish_time in [T1, T2) from each
+    // partition — both bounds are the m08 binary-search seek (the
+    // first offset at-or-after T; used once as the start, once as the
+    // EXCLUSIVE end), so a range read into a year-long topic touches
+    // only the requested slice's bytes, never a post-scan filter over
+    // the whole log. An inverted range hard-fails at config
+    // validation, and a STREAM with endingTime hard-fails at stream
+    // construction (no silently-ignored validated options — both
+    // pinned in PulsarLikeSourceSpec).
+    Q(
+      "m15_time_range_read",
+      """SELECT '0:' || CAST(event_id AS VARCHAR) || ':0:0' AS message_id,
+        |  CAST(user_id AS VARCHAR) AS key, ts AS publish_time
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |ORDER BY message_id""".stripMargin
+    ) { (s, dir) =>
+      val root = graft.TempRoots.create("graft-range")
+      TopicStore.publish(s,
+        MessageOps.fromEvents(Tables(s, dir, "events")), root, "events", 4)
+      s.read.format("pulsarlike")
+        .option("path", root)
+        .option("serviceUrl", "pulsar://local")
+        .option("topicNames", "events")
+        .option("startingTime", "2024-01-10T00:00:00Z")
+        .option("endingTime", "2024-01-20T00:00:00Z")
+        .option("batchingMaxMessages", "1000000")
+        .load()
+        .select(col("message_id"), col("key"), col("publish_time"))
+        .orderBy(col("message_id"))
+    },
+
+    // ---------------------------------------------------------------
     // m10 — effectively-once ingest: the source's delivery contract is
     // at-least-once (ack ≙ offset commit, replay on failure — A15), and
     // the standard Spark composition to effectively-once is

@@ -254,6 +254,14 @@ class PulsarLikeMicroBatchStream(conf: PulsarLikeConf, root: String,
     with SupportsTriggerAvailableNow {
   import PulsarLikeOffset.{key, retryKey, parse}
 
+  // endingTime has no streaming semantics (a subscription has no end);
+  // failing here beats a validated option that silently does nothing
+  if (conf.endingTimeUs.isDefined)
+    throw new IllegalArgumentException(
+      "Parameter 'endingTime' bounds BATCH reads only — a streaming " +
+        "subscription has no end. Drop it, or use spark.read for a " +
+        "time-range read.")
+
   /** Current end offsets; re-lists topics/partitions (A20). Includes the
     * subscription's retry-log cursors (A16) so nacked messages are
     * re-served through `planInputPartitions` — the main log never grows
@@ -470,7 +478,14 @@ class PulsarLikeBatch(conf: PulsarLikeConf, root: String,
         val start = conf.startingTimeUs.filter(_ => !conf.readRetries)
           .map(TopicStore.seekByTimeIn(dir, p, _))
           .getOrElse(TopicStore.partitionBaseIn(dir, p))
-        PulsarLikeInputPartition(root, t, p, start, cnt,
+        // endingTime is the same seek used as the EXCLUSIVE end: the
+        // first offset at-or-after T is exactly where publish_time < T
+        // stops (start ≤ end is guaranteed by the conf's range check +
+        // seek monotonicity in T)
+        val end = conf.endingTimeUs.filter(_ => !conf.readRetries)
+          .map(TopicStore.seekByTimeIn(dir, p, _))
+          .getOrElse(cnt)
+        PulsarLikeInputPartition(root, t, p, start, end,
           compacted = !conf.readRetries && conf.readCompacted,
           retrySub = if (conf.readRetries) conf.subscriptionName else null)
       }

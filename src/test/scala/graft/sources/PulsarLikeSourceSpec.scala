@@ -143,6 +143,50 @@ class PulsarLikeSourceSpec extends SparkSpec {
     assert(seqsOf(spark.table("seekq")) == (25 until 40))
   }
 
+  test("endingTime bounds the batch slice; streams and inverted ranges fail") {
+    val root = tmpDir("store")
+    publishEvents(root, "events", 40) // publish times t0 .. t0+39s
+    val t0 = 1700000000000L
+    def seqsOf(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+      df.select(expr("int(properties['seq'])")).collect().map(_.getInt(0))
+        .sorted.toSeq
+    // [T1, T2): 10 inclusive, 30 exclusive
+    assert(seqsOf(readBatch(root, "topicNames" -> "events",
+      "startingTime" -> (t0 + 10 * 1000L).toString,
+      "endingTime" -> (t0 + 30 * 1000L).toString)) == (10 until 30))
+    // endingTime alone is a pure upper bound
+    assert(seqsOf(readBatch(root, "topicNames" -> "events",
+      "endingTime" -> (t0 + 5 * 1000L).toString)) == (0 until 5))
+    // boundary exactness: a message AT T2 is excluded
+    assert(seqsOf(readBatch(root, "topicNames" -> "events",
+      "endingTime" -> t0.toString)).isEmpty)
+    // inverted range: config-time contradiction, not zero rows
+    val inv = intercept[Exception](readBatch(root,
+      "topicNames" -> "events",
+      "startingTime" -> (t0 + 20 * 1000L).toString,
+      "endingTime" -> (t0 + 10 * 1000L).toString).count())
+    assert(inv.getMessage.contains("endingTime"))
+    // a STREAM with endingTime refuses to construct (no silently
+    // ignored validated options)
+    val err = intercept[Exception] {
+      val q = spark.readStream.format("pulsarlike")
+        .option("path", root).option("serviceUrl", "pulsar://local")
+        .option("topicNames", "events")
+        .option("endingTime", (t0 + 30 * 1000L).toString)
+        .option("batchingMaxMessages", "1000")
+        .load()
+        .writeStream.queryName("rangeq").format("memory")
+        .option("checkpointLocation", tmpDir("ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.exception.foreach(throw _)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(chain(err).exists(_.contains("endingTime")), chain(err).mkString("; "))
+  }
+
   test("readCompacted + startingTime: the stream's first batch compacts the seeked slice, like batch") {
     val root = tmpDir("store")
     publishEvents(root, "events", 40) // keys k0..k4, times t0..t0+39s
