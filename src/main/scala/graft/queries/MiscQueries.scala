@@ -956,6 +956,43 @@ object MiscQueries {
             (col("n") * col("sxx") - col("sx") * col("sx")), 6)
             .as("slope"))
         .orderBy(col("nation"))
+    },
+
+    // ---------------------------------------------------------------
+    // q43 — EQUI-DEPTH histogram (q36's equi-width complement, and the
+    // optimizer-statistics primitive): l_extendedprice into 16 buckets
+    // of equal row count via ntile over a total order (price, then the
+    // key pair for exact tie placement), then per-bucket bounds and
+    // counts. Exact equi-depth requires the global sort — the honest
+    // cost, stated; the at-scale variant is q27's approx-percentile
+    // machinery seeding range boundaries. Per-bucket price mass is an
+    // exact DECIMAL sum; bounds are raw doubles (identical order ⇒
+    // identical min/max in both engines).
+    Q(
+      "q43_equidepth_histogram",
+      """WITH b AS (
+        |  SELECT l_extendedprice AS price,
+        |    CAST(ntile(16) OVER (ORDER BY l_extendedprice,
+        |      l_orderkey, l_linenumber) AS BIGINT) AS bucket
+        |  FROM lineitem)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_items,
+        |  min(price) AS lo, max(price) AS hi,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val order = Window.orderBy(col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+      Tables(s, dir, "lineitem")
+        .select(col("l_extendedprice").as("price"),
+          ntile(16).over(order).cast("long").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_items"),
+          min(col("price")).as("lo"), max(col("price")).as("hi"),
+          sum(col("price").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_price"))
+        .orderBy(col("bucket"))
     }
   )
 }
