@@ -993,6 +993,47 @@ object MiscQueries {
           sum(col("price").cast(DecimalType(18, 2))).cast("double")
             .as("sum_price"))
         .orderBy(col("bucket"))
+    },
+
+    // ---------------------------------------------------------------
+    // q44 — event transition matrix (first-order Markov estimate):
+    // per user, each event's SUCCESSOR by time (lead over the
+    // user-ordered stream, event_id tie-break), aggregated into
+    // (current, next) counts and row-normalized transition
+    // probabilities — the behavioral-analytics primitive behind
+    // "what happens after a click". One shuffle on user_id for the
+    // lead window, one partial-agg'd reduce onto the |types|² key
+    // space; the probability window runs over that 25-row table.
+    // p is a bigint/bigint IEEE division, unrounded.
+    Q(
+      "q44_transition_matrix",
+      """WITH seq AS (
+        |  SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) AS nxt
+        |  FROM events),
+        |t AS (
+        |  SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt)
+        |SELECT cur, nxt, n,
+        |  CAST(n AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY cur) AS BIGINT) AS p
+        |FROM t ORDER BY cur, nxt""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val order = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      val t = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          col("event_type").as("cur"), unix_millis(col("ts")).as("ms"))
+        .withColumn("nxt", lead(col("cur"), 1).over(order))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("cur"), col("nxt"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val byCur = Window.partitionBy(col("cur"))
+      t.select(col("cur"), col("nxt"), col("n"),
+          (col("n").cast("double") / sum(col("n")).over(byCur)).as("p"))
+        .orderBy(col("cur"), col("nxt"))
     }
   )
 }

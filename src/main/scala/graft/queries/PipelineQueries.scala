@@ -1308,6 +1308,59 @@ object PipelineQueries {
           col("quality"), col("tokens_before"),
           (col("tokens_before") < 5000).as("kept"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // p23 — corpus snapshot diff: what changed between two dataset
+    // versions, as a per-doc status (added / removed / changed /
+    // unchanged) from ONE full-outer join on doc_id with md5 content
+    // compare — the audit primitive behind dataset versioning (what
+    // did the new crawl actually do). v2 is derived deterministically:
+    // %9 docs get a token appended (changed), %10 docs disappear
+    // (removed), and planted ids appear (added). null-safe equality is
+    // NOT needed — both hashes are non-null on present rows and the
+    // outer-null cases route by presence first. Shape at 100 TB: both
+    // snapshots hash map-side (a stateless projection on each scan),
+    // so the join carries (doc_id, md5) only — never the payloads —
+    // and partitions on the id both sides already share at write time.
+    Q(
+      "p23_snapshot_diff",
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 9 = 0 THEN text || ' appended'
+        |             ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 800000, md5(text) FROM documents
+        |  WHERE doc_id % 11 = 0),
+        |j AS (
+        |  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |    v1.h AS h1, v2.h AS h2
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN h1 IS NULL THEN 'added'
+        |       WHEN h2 IS NULL THEN 'removed'
+        |       WHEN h1 <> h2 THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM j ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val v1 = docs.select(col("doc_id"), md5(col("text")).as("h1"))
+      val v2 = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 9 === 0, concat(col("text"),
+            lit(" appended"))).otherwise(col("text"))).as("h2"))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select(Q.plantedId(col("doc_id"), 800000).as("doc_id"),
+            md5(col("text")).as("h2")))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("h1").isNull, lit("added"))
+            .when(col("h2").isNull, lit("removed"))
+            .when(col("h1") =!= col("h2"), lit("changed"))
+            .otherwise(lit("unchanged")).as("status"))
+        .orderBy(col("doc_id"))
     }
   )
 
