@@ -954,6 +954,87 @@ object DedupQueries {
           levenshtein(col("a_name"), col("b_name")).cast("long"))
         .filter(col("dist") <= 2)
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // d16 — nearest-duplicate report: for every doc with band
+    // candidates, its SINGLE most similar neighbor and that pair's
+    // exact Jaccard — no threshold. This is the tuning view for d02's
+    // cutoff (plot the nearest-neighbor similarity distribution, put
+    // the threshold in the valley); the same bands, but pairs keep
+    // BOTH directions (each doc reports its own nearest) and the
+    // argmax rides GroupTopK k=1 (ties: higher jaccard, then lower
+    // neighbor id). Docs whose bands match nothing have no nearest
+    // candidate and emit no row — stated, not implied. Shape at
+    // 100 TB: identical to d02's candidate profile ×2 (both
+    // directions), and only the per-doc argmax survivors reach the
+    // final exchange.
+    Q(
+      "d16_nearest_dup",
+      s"""WITH $corpusSql,
+        |toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM corpus),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM toks),
+        |hs AS (SELECT doc_id, sh,
+        |  list_transform(sh, x -> md5('a:' || x)) AS hs0,
+        |  list_transform(sh, x -> md5('b:' || x)) AS hs1 FROM sh),
+        |sig AS (SELECT doc_id, sh,
+        |  list_min(list_transform(hs0, h -> substr(h, 1, 8))) AS mh0,
+        |  list_min(list_transform(hs0, h -> substr(h, 9, 8))) AS mh1,
+        |  list_min(list_transform(hs0, h -> substr(h, 17, 8))) AS mh2,
+        |  list_min(list_transform(hs0, h -> substr(h, 25, 8))) AS mh3,
+        |  list_min(list_transform(hs1, h -> substr(h, 1, 8))) AS mh4,
+        |  list_min(list_transform(hs1, h -> substr(h, 9, 8))) AS mh5,
+        |  list_min(list_transform(hs1, h -> substr(h, 17, 8))) AS mh6,
+        |  list_min(list_transform(hs1, h -> substr(h, 25, 8))) AS mh7
+        |  FROM hs),
+        |bands AS (SELECT doc_id, unnest([
+        |    md5(concat_ws('|', '0', mh0, mh1)),
+        |    md5(concat_ws('|', '1', mh2, mh3)),
+        |    md5(concat_ws('|', '2', mh4, mh5)),
+        |    md5(concat_ws('|', '3', mh6, mh7))]) AS band_key FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b
+        |    ON a.band_key = b.band_key AND a.doc_id <> b.doc_id),
+        |scored AS (
+        |  SELECT a_id, b_id,
+        |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |      / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+        |  FROM cand JOIN sh sa ON sa.doc_id = a_id
+        |            JOIN sh sb ON sb.doc_id = b_id)
+        |SELECT a_id AS doc_id, b_id AS nearest_id, jaccard FROM (
+        |  SELECT a_id, b_id, jaccard,
+        |    row_number() OVER (PARTITION BY a_id
+        |      ORDER BY jaccard DESC, b_id ASC) AS r
+        |  FROM scored) t WHERE r = 1
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val corpus = corpusWithNearDups(Tables(s, dir, "documents"))
+      val sh = corpus.withColumn("ws", DedupOps.words(col("text")))
+        .select(col("doc_id"),
+          array_distinct(DedupOps.shingles(col("ws"), 3)).as("sh"))
+      val sig = sh.select(col("doc_id") +: col("sh") +:
+        DedupOps.minhashSignature(col("sh")): _*)
+        .transform(Stage.stage)
+      val bandKeys = (0 until 4).map(b =>
+        DedupOps.bandKey(b, Seq(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))))
+      val bands = sig.select(col("doc_id"), col("sh"),
+        explode(array(bandKeys: _*)).as("band_key"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(first(col("a.sh")).as("a_sh"), first(col("b.sh")).as("b_sh"))
+      val jac = round(
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+        size(array_distinct(concat(col("a_sh"), col("b_sh")))), 6)
+      val scored = cand.select(col("a_id"), col("b_id"), jac.as("jaccard"))
+      graft.plans.GroupTopK.topKRanked(scored, Seq(col("a_id")), 1, "r",
+          col("jaccard").desc, col("b_id").asc)
+        .select(col("a_id").as("doc_id"), col("b_id").as("nearest_id"),
+          col("jaccard"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -359,7 +359,7 @@ class PlanSpec extends SparkSpec {
       "t07_tfidf_keywords", "p07_token_rebalance",
       "mm05_image_neardup", "mm06_audio_neardup", "t09_bigram_ppl",
       "d10_repeated_spans", "d11_span_strip", "d14_containment",
-      "t14_ngram_novelty", "q39_part_pagerank")
+      "t14_ngram_novelty", "q39_part_pagerank", "d16_nearest_dup")
     QueryRegistry.all
       .filterNot(q => isStreamLoop(q.name) || checkpoints.contains(q.name))
       .foreach { q =>
