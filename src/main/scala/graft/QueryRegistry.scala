@@ -14,7 +14,8 @@ object QueryRegistry {
     MultimodalQueries.all ++
     StreamingQueries.all ++
     MiscQueries.all ++
-    PipelineQueries.all
+    PipelineQueries.all ++
+    AnalyticsQueries.all
 
   lazy val byName: Map[String, Q] = {
     val m = all.map(q => q.name -> q).toMap

@@ -1,0 +1,329 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.Stage.stage
+import org.apache.spark.sql.functions._
+
+/** Graph / sketch / sweep-line analytics over the TPC-H-ish fixtures:
+  * degree-oriented triangle counting, association-rule lift, count-min
+  * heavy hitters, interval-concurrency sweep, and a 2-D pareto skyline.
+  * Each is the scalable (equi-join / window / bounded-sketch) form of
+  * an operator that is O(n²) when written naively.
+  */
+object AnalyticsQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------
+    // q45 — triangle counting on the co-purchase graph with DEGREE
+    // ORIENTATION: each undirected edge is directed from its lower
+    // (degree, id) endpoint to its higher, making the graph acyclic
+    // with out-degree O(√m) on any graph — so the wedge join (the
+    // only pair enumeration) is bounded even under power-law skew,
+    // the classic trick from Suri & Vassilvitskii's MapReduce
+    // triangle paper. Every triangle then has exactly ONE node with
+    // both out-edges, so count(wedge ⋈ edge) is exact with no /3
+    // correction. Shape at 100 TB: edges build map-side from baskets
+    // and are STAGED (reused by degree, wedge, and closing joins);
+    // wedges ⋈ edges is an equi-join on the canonical (lo, hi) pair
+    // key. No all-pairs anywhere.
+    Q(
+      "q45_triangle_count",
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |edges AS (
+        |  SELECT DISTINCT a.pk AS p1, b.pk AS p2
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT p1 AS v FROM edges
+        |        UNION ALL SELECT p2 AS v FROM edges)
+        |  GROUP BY v),
+        |oriented AS (
+        |  SELECT
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND e.p1 < e.p2)
+        |      THEN e.p1 ELSE e.p2 END AS src,
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND e.p1 < e.p2)
+        |      THEN e.p2 ELSE e.p1 END AS dst
+        |  FROM edges e
+        |  JOIN deg da ON da.v = e.p1
+        |  JOIN deg db ON db.v = e.p2),
+        |wedges AS (
+        |  SELECT x.dst AS v, y.dst AS w
+        |  FROM oriented x JOIN oriented y
+        |    ON x.src = y.src AND x.dst < y.dst),
+        |tri AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM wedges wg JOIN edges e ON e.p1 = wg.v AND e.p2 = wg.w)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
+        |  n_triangles
+        |FROM tri""".stripMargin
+    ) { (s, dir) =>
+      val items = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = stage(items.as("a")
+        .join(items.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .distinct())
+      val deg = edges.select(col("p1").as("v"))
+        .unionAll(edges.select(col("p2").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).cast("long").as("d"))
+      val lower = col("da.d") < col("db.d") ||
+        (col("da.d") === col("db.d") && col("p1") < col("p2"))
+      val oriented = stage(edges
+        .join(deg.as("da"), col("da.v") === col("p1"))
+        .join(deg.as("db"), col("db.v") === col("p2"))
+        .select(when(lower, col("p1")).otherwise(col("p2")).as("src"),
+          when(lower, col("p2")).otherwise(col("p1")).as("dst")))
+      val wedges = oriented.as("x")
+        .join(oriented.as("y"),
+          col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+        .select(col("x.dst").as("v"), col("y.dst").as("w"))
+      // the closing join is the triangle test; everything upstream of
+      // the four 1-row counts below stays distributed
+      val nTri = wedges
+        .join(edges, col("p1") === col("v") && col("p2") === col("w"))
+        .agg(count(lit(1)).cast("long").as("n_triangles"))
+      val nNodes = deg.agg(count(lit(1)).cast("long").as("n_nodes"))
+      val nEdges = edges.agg(count(lit(1)).cast("long").as("n_edges"))
+      val nWedges = wedges.agg(count(lit(1)).cast("long").as("n_wedges"))
+      nNodes.crossJoin(broadcast(nEdges))
+        .crossJoin(broadcast(nWedges))
+        .crossJoin(broadcast(nTri))
+    },
+
+    // ---------------------------------------------------------------
+    // q46 — association-rule mining (market-basket lift): for every
+    // co-purchased part pair, support counts and the lift ratio
+    // P(p1,p2) / (P(p1)·P(p2)). Numerator n_both·N and denominator
+    // n_p1·n_p2 are exact bigints, so lift is ONE IEEE division,
+    // emitted round(,6); the top-50 order sorts the ROUNDED value
+    // with a (p1, p2) tie-break — deterministic in both engines.
+    // Shape at 100 TB: pair counts come from q37's basket explosion
+    // (no self-join of the fact table); the per-part support table is
+    // dimension-sized and BROADCAST to the pair stream; top-50 is
+    // TakeOrderedAndProject, never a full sort.
+    Q(
+      "q46_basket_lift",
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders
+        |      FROM items),
+        |supp AS (
+        |  SELECT pk, CAST(count(*) AS BIGINT) AS np FROM items GROUP BY pk),
+        |pairs AS (
+        |  SELECT a.pk AS p1, b.pk AS p2, CAST(count(*) AS BIGINT) AS n_both
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk)
+        |SELECT p1, p2, n_both, s1.np AS n_p1, s2.np AS n_p2,
+        |  round(CAST(n_both * n.n_orders AS DOUBLE)
+        |    / CAST(s1.np * s2.np AS DOUBLE), 6) AS lift
+        |FROM pairs
+        |JOIN supp s1 ON s1.pk = p1
+        |JOIN supp s2 ON s2.pk = p2
+        |CROSS JOIN n
+        |WHERE n_both >= 3
+        |ORDER BY lift DESC, p1, p2 LIMIT 50""".stripMargin
+    ) { (s, dir) =>
+      val items = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nOrders = items.agg(
+        countDistinct(col("ok")).cast("long").as("n_orders"))
+      val supp = items.groupBy(col("pk"))
+        .agg(count(lit(1)).cast("long").as("np"))
+      val pairs = items.as("a")
+        .join(items.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).cast("long").as("n_both"))
+        .filter(col("n_both") >= 3)
+      pairs
+        .join(broadcast(supp.select(col("pk").as("k1"),
+          col("np").as("n_p1"))), col("k1") === col("p1"))
+        .join(broadcast(supp.select(col("pk").as("k2"),
+          col("np").as("n_p2"))), col("k2") === col("p2"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("p1"), col("p2"), col("n_both"), col("n_p1"),
+          col("n_p2"),
+          round((col("n_both") * col("n_orders")).cast("double")
+            / (col("n_p1") * col("n_p2")).cast("double"), 6).as("lift"))
+        .orderBy(col("lift").desc, col("p1"), col("p2"))
+        .limit(50)
+    },
+
+    // ---------------------------------------------------------------
+    // q47 — count-min sketch heavy hitters: part purchase frequencies
+    // through a depth-3 × width-256 CMS, reported beside the exact
+    // count so the one-sided error (n_est ≥ n_exact, overcount ≥ 0)
+    // is visible in the output. Slot index = first 2 hex chars of
+    // md5(row ‖ ':' ‖ key) — a STRING key, per the repo's no-integer-
+    // hash-conversion determinism contract; both engines produce
+    // identical sketches. Why this matters at 100 TB: the sketch is
+    // 768 counters REGARDLESS of corpus size and merges slot-wise
+    // (sum), so per-partition partial sketches reduce without ever
+    // shuffling keys — here the slot agg IS that partial+final
+    // reduce, and the estimate pass joins the 768-row sketch back
+    // broadcast. The exact side-by-side is the report's honesty
+    // column, not a scale requirement.
+    Q(
+      "q47_heavy_hitters",
+      """WITH exact AS (
+        |  SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM lineitem GROUP BY l_partkey),
+        |hashrows AS (SELECT j FROM (VALUES (0), (1), (2)) AS t(j)),
+        |sketch AS (
+        |  SELECT j,
+        |    substr(md5(CAST(j AS VARCHAR) || ':' || CAST(pk AS VARCHAR)),
+        |      1, 2) AS slot,
+        |    CAST(sum(n_exact) AS BIGINT) AS cnt
+        |  FROM exact CROSS JOIN hashrows GROUP BY 1, 2),
+        |est AS (
+        |  SELECT e.pk, e.n_exact, min(sk.cnt) AS n_est
+        |  FROM exact e
+        |  CROSS JOIN hashrows r
+        |  JOIN sketch sk ON sk.j = r.j AND sk.slot =
+        |    substr(md5(CAST(r.j AS VARCHAR) || ':' || CAST(e.pk AS VARCHAR)),
+        |      1, 2)
+        |  GROUP BY e.pk, e.n_exact)
+        |SELECT pk, n_exact, n_est, n_est - n_exact AS overcount
+        |FROM est ORDER BY n_est DESC, pk LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      val exact = Tables(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(count(lit(1)).cast("long").as("n_exact"))
+      val hashrows = s.range(3).select(col("id").cast("int").as("j"))
+      def slotOf(j: org.apache.spark.sql.Column,
+          k: org.apache.spark.sql.Column) =
+        substring(md5(concat(j.cast("string"), lit(":"),
+          k.cast("string"))), 1, 2)
+      val sketch = exact.crossJoin(broadcast(hashrows))
+        .groupBy(col("j"), slotOf(col("j"), col("pk")).as("slot"))
+        .agg(sum(col("n_exact")).cast("long").as("cnt"))
+      val est = exact.crossJoin(broadcast(hashrows))
+        .join(broadcast(sketch.withColumnRenamed("j", "sj")),
+          col("sj") === col("j") &&
+            col("slot") === slotOf(col("j"), col("pk")))
+        .groupBy(col("pk"), col("n_exact"))
+        .agg(min(col("cnt")).as("n_est"))
+      est.select(col("pk"), col("n_exact"), col("n_est"),
+          (col("n_est") - col("n_exact")).as("overcount"))
+        .orderBy(col("n_est").desc, col("pk"))
+        .limit(20)
+    },
+
+    // ---------------------------------------------------------------
+    // q48 — sweep-line interval concurrency: each event holds a
+    // 30-minute half-open interval [ts, ts+30 min); per event type,
+    // the maximum number of simultaneously-open intervals and the
+    // first instant that peak is reached. The sweep is +1/−1 deltas
+    // under a TOTAL order (t, delta, event_id) — ends (−1) sort
+    // before starts (+1) at the same instant, which IS the half-open
+    // semantics — so the running sum is row-identical in both
+    // engines; no pair enumeration ever happens (the naive overlap
+    // join is O(n²) per type). Shape at 100 TB: one shuffle on
+    // event_type, then a single ordered pass per type. A type-skewed
+    // log would make one partition the straggler — the re-aggregation
+    // fix is a two-level sweep (chunked prefix sums, then a carry
+    // pass), noted here and not needed at fixture scale (5 types,
+    // bounded by time range).
+    Q(
+      "q48_interval_concurrency",
+      """WITH pts AS (
+        |  SELECT event_type, epoch_ms(ts) AS t, 1 AS delta, event_id
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_type, epoch_ms(ts) + 1800000, -1, event_id
+        |  FROM events),
+        |sweep AS (
+        |  SELECT event_type, t,
+        |    CAST(sum(delta) OVER (PARTITION BY event_type
+        |      ORDER BY t, delta, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+        |  FROM pts),
+        |scored AS (
+        |  SELECT event_type, t, conc,
+        |    max(conc) OVER (PARTITION BY event_type) AS mx
+        |  FROM sweep)
+        |SELECT event_type, mx AS max_concurrent,
+        |  min(CASE WHEN conc = mx THEN t END) AS first_peak_ms
+        |FROM scored GROUP BY event_type, mx
+        |ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"), unix_millis(col("ts")).as("ms"),
+          col("event_id"))
+      val pts = ev.select(col("event_type"), col("ms").as("t"),
+          lit(1).as("delta"), col("event_id"))
+        .unionAll(ev.select(col("event_type"),
+          (col("ms") + 1800000L).as("t"), lit(-1).as("delta"),
+          col("event_id")))
+      val sweepW = Window.partitionBy(col("event_type"))
+        .orderBy(col("t"), col("delta"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sweep = pts.select(col("event_type"), col("t"),
+        sum(col("delta")).over(sweepW).cast("long").as("conc"))
+      val scored = sweep.withColumn("mx",
+        max(col("conc")).over(Window.partitionBy(col("event_type"))))
+      scored.groupBy(col("event_type"), col("mx"))
+        .agg(min(when(col("conc") === col("mx"), col("t")))
+          .as("first_peak_ms"))
+        .select(col("event_type"), col("mx").as("max_concurrent"),
+          col("first_peak_ms"))
+        .orderBy(col("event_type"))
+    },
+
+    // ---------------------------------------------------------------
+    // q49 — 2-D pareto skyline of parts (minimize retail price,
+    // maximize size): the O(n log n) sorted-sweep form — reduce to
+    // best size per DISTINCT price first (bounds the sort input to
+    // the price domain, not the part count), then a strictly-
+    // increasing running-max filter over prices ascending; a point
+    // survives iff its size beats every cheaper point's best size.
+    // That is exactly strong dominance (price ≤, size ≥, one
+    // strict), with no pairwise dominance test. Shape at 100 TB: the
+    // per-price reduce is one partial-agg'd shuffle; the window runs
+    // over the distinct-price table only; the skyline (tiny by
+    // construction) broadcasts back to fetch member part keys.
+    // Fully-distributed alternative when even the price domain is
+    // huge: local skylines per partition, union, re-skyline — the
+    // operator is algebraic; noted, not needed at fixture scale.
+    Q(
+      "q49_skyline",
+      """WITH best AS (
+        |  SELECT p_retailprice AS price, CAST(max(p_size) AS BIGINT) AS size
+        |  FROM part GROUP BY p_retailprice),
+        |sky AS (
+        |  SELECT price, size,
+        |    max(size) OVER (ORDER BY price
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+        |  FROM best)
+        |SELECT p.p_partkey, s.price, s.size
+        |FROM sky s
+        |JOIN part p ON p.p_retailprice = s.price
+        |  AND CAST(p.p_size AS BIGINT) = s.size
+        |WHERE s.prevmax IS NULL OR s.size > s.prevmax
+        |ORDER BY s.price, p.p_partkey""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val part = Tables(s, dir, "part")
+      val best = part.groupBy(col("p_retailprice").as("price"))
+        .agg(max(col("p_size")).cast("long").as("size"))
+      val sky = best.withColumn("prevmax",
+          max(col("size")).over(Window.orderBy(col("price"))
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .filter(col("prevmax").isNull || col("size") > col("prevmax"))
+      part.join(broadcast(sky),
+          col("p_retailprice") === col("price") &&
+            col("p_size").cast("long") === col("size"))
+        .select(col("p_partkey"), col("price"), col("size"))
+        .orderBy(col("price"), col("p_partkey"))
+    }
+  )
+}

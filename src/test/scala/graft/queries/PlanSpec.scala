@@ -311,6 +311,50 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q45: wedge and closing joins are equi-joins on graph keys") {
+    // the two pair enumerations must key on src (wedges) and the
+    // canonical (p1, p2) edge pair (closing test) — the naive form is
+    // an all-pairs scan of the neighbor lists
+    val df = QueryRegistry.byName("q45_triangle_count").run(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(
+      """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*\bsrc"""
+        .r.findFirstIn(p).isDefined,
+      s"no wedge equi-join keyed on src:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q46: support tables broadcast onto the pair stream; top-50 never full-sorts") {
+    val p = planOf("q46_basket_lift")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), s"top-k full-sorted:\n$p")
+  }
+
+  test("q47: the 768-counter sketch comes back as a broadcast join") {
+    // the sketch is constant-size regardless of corpus — joining it
+    // back must never shuffle the key table on the slot string
+    val p = planOf("q47_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q48: both sweep windows and the final agg ride ONE event_type exchange") {
+    // the running sum, the per-type max, and the peak aggregate all
+    // partition by event_type — one hash exchange (the union's two
+    // scan legs both feed it), like q33's single-exchange pin
+    val df = QueryRegistry.byName("q48_interval_concurrency").run(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(event_type".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q49: the tiny skyline broadcasts back to fetch member parts") {
+    val p = planOf("q49_skyline")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("no CartesianProduct in any registered query plan") {
     // a broadcast nested-loop against a bounded side is fine (s01's
     // query set); an unbroadcast cartesian of two big sides never is
@@ -359,7 +403,8 @@ class PlanSpec extends SparkSpec {
       "t07_tfidf_keywords", "p07_token_rebalance",
       "mm05_image_neardup", "mm06_audio_neardup", "t09_bigram_ppl",
       "d10_repeated_spans", "d11_span_strip", "d14_containment",
-      "t14_ngram_novelty", "q39_part_pagerank", "d16_nearest_dup")
+      "t14_ngram_novelty", "q39_part_pagerank", "d16_nearest_dup",
+      "q45_triangle_count")
     QueryRegistry.all
       .filterNot(q => isStreamLoop(q.name) || checkpoints.contains(q.name))
       .foreach { q =>
