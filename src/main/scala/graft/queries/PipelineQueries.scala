@@ -1361,6 +1361,143 @@ object PipelineQueries {
             .when(col("h1") =!= col("h2"), lit("changed"))
             .otherwise(lit("unchanged")).as("status"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // p24 — UniMax-style source mixing (Chung et al. 2023): spend a
+    // global token budget (here total/2) across sources by WATER-
+    // FILLING — small sources are taken whole, large sources are
+    // capped at a common level, so no source is epoch-repeated past
+    // its size and the budget never over-concentrates on the biggest
+    // source (the failure mode of proportional sampling). All integer
+    // arithmetic: sources sort ascending by size (name tie-break);
+    // level_i = (B − prefix_{i−1}) DIV (k − i + 1); the FIRST source
+    // whose size exceeds its level marks the cap, everything after it
+    // gets that cap (up to k−1 tokens of budget stay unspent — the
+    // integer-division convention, stated). Shape at 100 TB: the
+    // corpus reduces to a SOURCES-sized table in one partial-agg'd
+    // shuffle; the waterfill window runs over that handful of rows
+    // (the unpartitioned window is over |sources|, not the corpus);
+    // the apply step is p02's md5-coin filter against the broadcast
+    // quota table.
+    Q(
+      "p24_unimax_mix",
+      """WITH src AS (
+        |  SELECT source,
+        |    CAST(sum(len(list_filter(string_split(text, ' '),
+        |      x -> x <> ''))) AS BIGINT) AS sz,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(sz) // 2 AS BIGINT) AS b,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM src),
+        |ord AS (
+        |  SELECT source, sz, n_docs,
+        |    CAST(row_number() OVER (ORDER BY sz, source) AS BIGINT) AS i,
+        |    CAST(COALESCE(sum(sz) OVER (ORDER BY sz, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS pre
+        |  FROM src),
+        |lv AS (
+        |  SELECT o.source, o.sz, o.n_docs, o.i,
+        |    CAST((t.b - o.pre) // (t.k - o.i + 1) AS BIGINT) AS level
+        |  FROM ord o CROSS JOIN tot t),
+        |fu AS (
+        |  SELECT COALESCE(min(i), 9223372036854775807) AS first_unsat
+        |  FROM lv WHERE sz > level),
+        |tq AS (
+        |  SELECT COALESCE(min(level), 0) AS cap
+        |  FROM lv CROSS JOIN fu WHERE i = first_unsat)
+        |SELECT source, n_docs, sz AS n_tokens,
+        |  CASE WHEN i < first_unsat THEN sz ELSE cap END AS quota,
+        |  i < first_unsat AS taken_whole,
+        |  round(CAST(CASE WHEN i < first_unsat THEN sz ELSE cap END
+        |    AS DOUBLE) / sz, 6) AS fill_ratio
+        |FROM lv CROSS JOIN fu CROSS JOIN tq
+        |ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      val src = Tables(s, dir, "documents")
+        .select(col("source"),
+          size(DedupOps.words(col("text"))).cast("long").as("n_tok"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_tok")).cast("long").as("sz"),
+          count(lit(1)).cast("long").as("n_docs"))
+      val tot = src.agg(
+        expr("CAST(sum(sz) DIV 2 AS BIGINT)").as("b"),
+        count(lit(1)).cast("long").as("k"))
+      // unpartitioned window: runs over the SOURCES table (a handful
+      // of rows after the reduce), never the corpus
+      val bysize = Window.orderBy(col("sz"), col("source"))
+      val ord = src.select(col("source"), col("sz"), col("n_docs"),
+        row_number().over(bysize).cast("long").as("i"),
+        coalesce(sum(col("sz")).over(
+            bysize.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("pre"))
+      val lv = ord.crossJoin(broadcast(tot))
+        .withColumn("level", expr("CAST((b - pre) DIV (k - i + 1) AS BIGINT)"))
+      val fu = lv.agg(coalesce(min(when(col("sz") > col("level"),
+          col("i"))), lit(Long.MaxValue)).as("first_unsat"))
+      val cap = lv.crossJoin(broadcast(fu))
+        .filter(col("i") === col("first_unsat"))
+        .agg(coalesce(min(col("level")), lit(0L)).as("cap"))
+      val quota = when(col("i") < col("first_unsat"), col("sz"))
+        .otherwise(col("cap"))
+      lv.crossJoin(broadcast(fu)).crossJoin(broadcast(cap))
+        .select(col("source"), col("n_docs"), col("sz").as("n_tokens"),
+          quota.as("quota"),
+          (col("i") < col("first_unsat")).as("taken_whole"),
+          round(quota.cast("double") / col("sz"), 6).as("fill_ratio"))
+        .orderBy(col("source"))
+    },
+
+    // ---------------------------------------------------------------
+    // p25 — padding-waste report: bucket documents by the power-of-2
+    // sequence length that would hold them, and account the padding a
+    // length-bucketed batcher pays per bucket (capacity − real tokens)
+    // — the report that decides bucket boundaries for a training
+    // dataloader. The bucket comes from an ARRAY-LITERAL fold
+    // (array_min over the filtered 2^0..2^20 list) — exact integers,
+    // no float log2 whose x.9999/half-ulp edges the two engines could
+    // round differently. Shape at 100 TB: one stateless projection
+    // (the 21-element literal evaluates per row, no join, no
+    // broadcast), then one partial-agg'd shuffle onto ≤21 bucket keys.
+    Q(
+      "p25_padding_waste",
+      """WITH d AS (
+        |  SELECT CAST(len(list_filter(string_split(text, ' '),
+        |    x -> x <> '')) AS BIGINT) AS nt
+        |  FROM documents),
+        |b AS (
+        |  SELECT nt, CAST(list_min(list_filter(
+        |    [1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096,
+        |     8192, 16384, 32768, 65536, 131072, 262144, 524288, 1048576],
+        |    c -> c >= nt)) AS BIGINT) AS cap
+        |  FROM d)
+        |SELECT cap AS bucket_cap, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  CAST(cap * count(*) AS BIGINT) AS capacity,
+        |  CAST(cap * count(*) - sum(nt) AS BIGINT) AS padding,
+        |  round(1.0 - CAST(sum(nt) AS DOUBLE) / (cap * count(*)), 6)
+        |    AS waste_ratio
+        |FROM b GROUP BY cap ORDER BY cap""".stripMargin
+    ) { (s, dir) =>
+      val pows = (0 to 20).map(1L << _)
+      val d = Tables(s, dir, "documents")
+        .select(size(DedupOps.words(col("text"))).cast("long").as("nt"))
+      val b = d.select(col("nt"),
+        array_min(filter(array(pows.map(lit): _*),
+          c => c >= col("nt"))).cast("long").as("cap"))
+      b.groupBy(col("cap").as("bucket_cap"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("nt")).cast("long").as("n_tokens"))
+        .select(col("bucket_cap"), col("n_docs"), col("n_tokens"),
+          (col("bucket_cap") * col("n_docs")).cast("long").as("capacity"),
+          (col("bucket_cap") * col("n_docs") - col("n_tokens"))
+            .cast("long").as("padding"),
+          round(lit(1.0) - col("n_tokens").cast("double")
+            / (col("bucket_cap") * col("n_docs")), 6).as("waste_ratio"))
+        .orderBy(col("bucket_cap"))
     }
   )
 

@@ -749,6 +749,68 @@ object TextQueries {
           coalesce(col("n_novel"), lit(0L)).cast("long").as("n_novel"),
           (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // t15 — per-document character entropy (nats): Shannon entropy of
+    // the character distribution, the cheap gibberish/mojibake/
+    // binary-spill signal (natural text sits ~2.8–3.3 nats; runs of
+    // one char or base64 spill move it far in either direction).
+    // Characters come from sequence+substring by CODEPOINT — the
+    // representation both engines index identically (an empty-regex
+    // split would shear surrogate pairs in the JVM but not DuckDB).
+    // Determinism: each term (n_c/n)·ln(n_c/n) is one IEEE op pair
+    // from exact bigints; the per-doc sum folds in sorted-char order
+    // (the p21 ordered-fold discipline); ONE round(,6) at the end.
+    // Shape at 100 TB: the explode is linear in corpus chars and
+    // partial-aggregates onto (doc_id, char) — alphabet-bounded per
+    // doc; the fold runs over ≤|alphabet| rows per doc. No vocab
+    // table, no join, no global state.
+    Q(
+      "t15_char_entropy",
+      """WITH ch AS (
+        |  SELECT doc_id, substr(text, CAST(g AS INT), 1) AS c
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, length(text) + 1)) AS g
+        |        FROM documents)),
+        |cnt AS (
+        |  SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n_c
+        |  FROM ch GROUP BY doc_id, c),
+        |wt AS (
+        |  SELECT doc_id, c, n_c,
+        |    CAST(sum(n_c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+        |  FROM cnt),
+        |tot AS (
+        |  SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    round(-list_reduce(
+        |      list(CAST(n_c AS DOUBLE) / n * ln(CAST(n_c AS DOUBLE) / n)
+        |        ORDER BY c),
+        |      (a, b) -> a + b), 6) AS entropy
+        |  FROM wt GROUP BY doc_id)
+        |SELECT doc_id, n_chars, n_distinct, entropy
+        |FROM tot ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val cnt = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")))).as("g"))
+        .select(col("doc_id"), expr("substring(text, g, 1)").as("c"))
+        .groupBy(col("doc_id"), col("c"))
+        .agg(count(lit(1)).cast("long").as("n_c"))
+      val withTot = cnt.withColumn("n",
+        sum(col("n_c")).over(Window.partitionBy(col("doc_id"))))
+      withTot
+        .select(col("doc_id"), col("n"), col("c"),
+          (col("n_c").cast("double") / col("n")
+            * log(col("n_c").cast("double") / col("n"))).as("term"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n")).cast("long").as("n_chars"),
+          count(lit(1)).cast("long").as("n_distinct"),
+          round(-aggregate(
+            array_sort(collect_list(struct(col("c"), col("term")))),
+            lit(0.0), (acc, x) => acc + x.getField("term")), 6)
+            .as("entropy"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -355,6 +355,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("p25: the padding report is a join-free literal-fold projection") {
+    // the 2^0..2^20 bucket comes from an array-literal fold — no
+    // powers-table join may appear; the only shuffle is the ≤21-key
+    // final agg (plus the presentation sort)
+    val p = planOf("p25_padding_waste")
+    assert(!p.contains("Join"), s"p25 plans a join:\n$p")
+    assert(p.split("Exchange").length - 1 <= 2, p)
+    assert(p.contains("partial"), s"missing map-side partial agg:\n$p")
+  }
+
+  test("t15: join-free; histogram shuffles once on (doc_id, c), fold once on doc_id") {
+    // the char explode partial-aggregates map-side onto (doc_id, c) —
+    // alphabet-bounded per doc, so the first exchange carries the
+    // HISTOGRAM, never raw chars; the total window and the entropy
+    // fold then share the single doc_id exchange
+    val df = QueryRegistry.byName("t15_char_entropy").run(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning\\(doc_id#\\d+L, c#".r.findAllIn(p).size == 1, p)
+    assert("Exchange hashpartitioning\\(doc_id#\\d+L, \\d".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_count"), s"histogram not partial-agg'd:\n$p")
+  }
+
   test("no CartesianProduct in any registered query plan") {
     // a broadcast nested-loop against a bounded side is fine (s01's
     // query set); an unbroadcast cartesian of two big sides never is
