@@ -789,8 +789,125 @@ object SimilarityQueries {
           col("n_votes").desc, col("label").asc)
         .select(col("q_id"), col("label").as("predicted"), col("n_votes"))
         .orderBy(col("q_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // s13 — MMR diversity re-rank (Carbonell & Goldstein '98): from
+    // each query's top-12 cosine candidates, greedily pick 4 by
+    // maximal marginal relevance — score = 0.7·sim(q,d) − 0.3·max
+    // pair-sim(d, already picked) — the retrieval step that stops a
+    // near-dup cluster from monopolizing a context window. The greedy
+    // loop is a FIXED 4-round unroll (q39's fixed-depth discipline):
+    // round 1 is plain argmax relevance; each later round anti-joins
+    // the picked set, looks the diversity penalty up in the in-pool
+    // pair table, and takes the per-query argmax (ties → lowest cid).
+    // Determinism: sim and psim are the round(6) ordered-fold cosine
+    // both engines share, so every comparison is on identical doubles.
+    // Shape at 100 TB: the only corpus-sized pass is the s01-style
+    // candidate scan (GroupTopK heaps, queries broadcast); the pair
+    // table is |Q|·12² rows built by an equi-join on q_id; each round
+    // touches pool-sized tables only. Both pool tables are STAGED —
+    // 4 rounds reuse them.
+    Q(
+      "s13_mmr_rerank",
+      s"""WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM base WHERE vec_id < 8),
+        |allsc AS (
+        |  SELECT q_id, c.vec_id AS cid, ${cosineSql("qv", "c.v", 64)} AS sim,
+        |    c.v AS cv
+        |  FROM q CROSS JOIN base c WHERE c.vec_id <> q_id),
+        |cand AS (
+        |  SELECT q_id, cid, sim, cv FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, cid ASC) AS rn
+        |    FROM allsc) t WHERE rn <= 12),
+        |pairs AS (
+        |  SELECT a.q_id, a.cid AS x, b.cid AS y,
+        |    ${cosineSql("a.cv", "b.cv", 64)} AS psim
+        |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.cid <> b.cid),
+        |s1 AS (
+        |  SELECT q_id, cid, sim AS score, CAST(1 AS BIGINT) AS mmr_rank
+        |  FROM (SELECT q_id, cid, sim,
+        |          row_number() OVER (PARTITION BY q_id
+        |            ORDER BY sim DESC, cid ASC) AS rn
+        |        FROM cand) t WHERE rn = 1),
+        |s2 AS (${mmrRoundSql("s1", 2)}),
+        |sel2 AS (SELECT q_id, cid FROM s1 UNION ALL SELECT q_id, cid FROM s2),
+        |s3 AS (${mmrRoundSql("sel2", 3)}),
+        |sel3 AS (SELECT q_id, cid FROM sel2 UNION ALL SELECT q_id, cid FROM s3),
+        |s4 AS (${mmrRoundSql("sel3", 4)})
+        |SELECT q_id, cid AS neighbor_id, mmr_rank, round(score, 6) AS score
+        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4) u
+        |ORDER BY q_id, mmr_rank""".stripMargin
+    ) { (s, dir) =>
+      val base = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        .withColumn("nv", VectorOps.norm(col("v"))) // per row, not per pair
+      val q = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nv").as("nq"))
+      val allsc = broadcast(q).join(base, col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("cid"),
+          VectorOps.cosineWithNorms(col("qv"), col("v"),
+            col("nq"), col("nv")).as("sim"),
+          col("v"), col("nv"))
+      val cand = graft.operators.Stage.stage(
+        graft.plans.GroupTopK.topKRanked(allsc, Seq(col("q_id")), 12, "rn",
+          col("sim").desc, col("cid").asc).drop("rn"))
+      val pairs = graft.operators.Stage.stage(cand.as("a")
+        .join(cand.as("b"),
+          col("a.q_id") === col("b.q_id") && col("a.cid") =!= col("b.cid"))
+        .select(col("a.q_id").as("q_id"), col("a.cid").as("x"),
+          col("b.cid").as("y"),
+          VectorOps.cosineWithNorms(col("a.v"), col("b.v"),
+            col("a.nv"), col("b.nv")).as("psim")))
+      val slim = cand.select(col("q_id"), col("cid"), col("sim"))
+      def pick(scored: org.apache.spark.sql.DataFrame, rank: Int) =
+        graft.plans.GroupTopK.topKRanked(scored, Seq(col("q_id")), 1, "rn",
+            col("score").desc, col("cid").asc)
+          .select(col("q_id"), col("cid"), col("score"),
+            lit(rank.toLong).as("mmr_rank"))
+      var sel = pick(slim.select(col("q_id"), col("cid"),
+        col("sim").as("score")), 1)
+      for (t <- 2 to 4) {
+        val rem = slim.join(sel.select(col("q_id"), col("cid")),
+          Seq("q_id", "cid"), "left_anti")
+        val mdiv = pairs
+          .join(sel.select(col("q_id"), col("cid").as("y")), Seq("q_id", "y"))
+          .groupBy(col("q_id"), col("x").as("cid"))
+          .agg(max(col("psim")).as("mdiv"))
+        val remScored = rem.join(mdiv, Seq("q_id", "cid"))
+          .select(col("q_id"), col("cid"),
+            (lit(0.7) * col("sim") - lit(0.3) * col("mdiv")).as("score"))
+        sel = graft.operators.Stage.stage(
+          sel.unionByName(pick(remScored, t)))
+      }
+      sel.select(col("q_id"), col("cid").as("neighbor_id"),
+          col("mmr_rank"), round(col("score"), 6).as("score"))
+        .orderBy(col("q_id"), col("mmr_rank"))
     }
   )
+
+  /** DuckDB rendering of one s13 MMR round over `cand`/`pairs`: among
+    * candidates not yet in `selT`, score 0.7·sim − 0.3·max(pair-sim to
+    * selected) and keep the per-query argmax (ties → lowest cid). */
+  private def mmrRoundSql(selT: String, rank: Int): String =
+    s"""SELECT q_id, cid, score, CAST($rank AS BIGINT) AS mmr_rank FROM (
+       |    SELECT r.q_id, r.cid, r.score,
+       |      row_number() OVER (PARTITION BY r.q_id
+       |        ORDER BY r.score DESC, r.cid ASC) AS rn
+       |    FROM (
+       |      SELECT c.q_id, c.cid, 0.7 * c.sim - 0.3 * max(p.psim) AS score
+       |      FROM cand c
+       |      JOIN pairs p ON p.q_id = c.q_id AND p.x = c.cid
+       |      JOIN $selT z ON z.q_id = p.q_id AND z.cid = p.y
+       |      WHERE NOT EXISTS (SELECT 1 FROM $selT w
+       |                        WHERE w.q_id = c.q_id AND w.cid = c.cid)
+       |      GROUP BY c.q_id, c.cid, c.sim) r) t
+       |  WHERE rn = 1""".stripMargin
 
   /** DuckDB rendering of one sign-bit flip of the 6-char SRP bucket
     * string (probe p of s11's multiprobe). */

@@ -1149,6 +1149,51 @@ object StreamingQueries {
         Seq("user_id", "session_start"))
         .filter(col("user_id").isNotNull)
         .orderBy(col("user_id"), col("session_start"))
+    },
+
+    // ---------------------------------------------------------------
+    // ws09 — CHAINED windowed aggregations in ONE streaming query
+    // (Spark 3.4+ multiple-stateful-operator support): 10-minute
+    // tumbling counts, then an hourly rollup (slots / total / max)
+    // over the finalized 10-minute results via window_time() — the
+    // standard two-level downsampling a metrics pipeline runs, where
+    // re-reading the raw stream for the coarse level would double the
+    // ingest. Both levels share the source watermark (propagated
+    // through the first agg with its window bound); under the ws01
+    // sentinel choreography pass 2's advanced watermark finalizes the
+    // 10-minute windows AND, in the same micro-batch, the hour
+    // windows built from them (downstream late-filtering uses the
+    // previous-batch watermark precisely so same-batch cascade works
+    // — the SPARK-40925 contract). The sentinel's own windows never
+    // finalize at either level. State at 100 TB: level-1 state is
+    // bounded by in-flight 10-min windows per key-space, level-2 by
+    // in-flight hours — both watermark-evicted; the coarse level's
+    // input is PRE-AGGREGATED (6 rows/hour), so the chain costs
+    // near-zero extra shuffle.
+    Q(
+      "ws09_chained_windows",
+      """WITH m AS (
+        |  SELECT (epoch_ms(ts) // 600000) * 600000 AS w,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE event_id % 3 <> 0 GROUP BY 1)
+        |SELECT make_timestamp((w // 3600000) * 3600000 * 1000) AS window_start,
+        |  CAST(count(*) AS BIGINT) AS n_slots,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(max(n) AS BIGINT) AS max_10min
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      StreamingWindowGate.run(s, dir, "graft-wmch",
+        df => df
+          .groupBy(window(col("event_time"), "10 minutes"))
+          .agg(count(lit(1)).as("n"))
+          .select(window_time(col("window")).as("wt"), col("n"))
+          .groupBy(window(col("wt"), "1 hour"))
+          .agg(count(lit(1)).cast("long").as("n_slots"),
+            sum(col("n")).cast("long").as("n_events"),
+            max(col("n")).cast("long").as("max_10min"))
+          .select(col("window.start").as("window_start"),
+            col("n_slots"), col("n_events"), col("max_10min")),
+        Seq("window_start"))
     }
   )
 }

@@ -90,4 +90,51 @@ class SimilaritySpec extends SparkSpec {
     assert(multi.size > single.size,
       s"multiprobe recall not above single-probe: ${multi.size} vs ${single.size}")
   }
+
+  test("s13: MMR picks are strictly more diverse than plain top-4 relevance") {
+    // the oracle mirrors the greedy loop, so it cannot see a diversity
+    // penalty applied with the wrong SIGN (that still selects *some*
+    // deterministic set). The behavior MMR exists for: the selected
+    // set's worst-case internal similarity must sit below plain
+    // top-k's, strictly for at least one query on this fixture.
+    val dir = "/root/testdata/sf0.001"
+    val base = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      .withColumn("nv", VectorOps.norm(col("v")))
+    val q = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nv").as("nq"))
+    val scored = broadcast(q).join(base, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cid"),
+        VectorOps.cosineWithNorms(col("qv"), col("v"),
+          col("nq"), col("nv")).as("sim"), col("v"), col("nv"))
+    val top4 = graft.plans.GroupTopK.topKRanked(scored, Seq(col("q_id")),
+        4, "rn", col("sim").desc, col("cid").asc)
+      .select(col("q_id"), col("cid"), col("v"), col("nv")).collect()
+      .groupBy(_.getLong(0))
+    val mmrIds = graft.QueryRegistry.byName("s13_mmr_rerank")
+      .run(spark, dir).collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) =>
+        k -> rs.map(_.getLong(1)).toSet }
+    val vecs = base.collect().map(r => r.getLong(0) ->
+      r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+      val na = math.sqrt(a.foldLeft(0.0)((s, x) => s + x * x))
+      val nb = math.sqrt(b.foldLeft(0.0)((s, x) => s + x * x))
+      math.rint(d / (na * nb) * 1e6) / 1e6
+    }
+    def worstPair(ids: Seq[Long]) = (for {
+      i <- ids; j <- ids if i < j } yield cos(vecs(i), vecs(j))).max
+    var strict = 0
+    top4.foreach { case (qid, rows) =>
+      val plain = worstPair(rows.map(_.getLong(1)).toSeq)
+      val mmr = worstPair(mmrIds(qid).toSeq)
+      assert(mmr <= plain + 1e-9,
+        s"query $qid: MMR set LESS diverse ($mmr) than top-4 ($plain)")
+      if (mmr < plain - 1e-9) strict += 1
+      assert(mmrIds(qid).size == 4, s"query $qid: ${mmrIds(qid).size} picks")
+    }
+    assert(strict > 0, "MMR never improved diversity over top-4 — penalty dead?")
+  }
 }

@@ -117,4 +117,49 @@ class UpdateModeSpec extends SparkSpec {
         q.lastProgress.prettyJson)
     } finally q.stop()
   }
+
+  test("chained window aggs cascade: hour rollup finalizes in the SAME batch as its slots") {
+    // the ws09 contract in isolation: 10-min counts feed an hourly
+    // rollup via window_time() inside one query; when the watermark
+    // passes, the finalized 10-min windows AND the hour built from
+    // them must land in ONE batch (downstream late-filtering uses the
+    // previous-batch watermark — SPARK-40925 — so the cascade is not
+    // delayed a trigger)
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(Long, Timestamp)]
+    val agg = src.toDF().toDF("id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(window_time(col("window")).as("wt"), col("n"))
+      .groupBy(window(col("wt"), "1 hour"))
+      .agg(count(lit(1)).cast("long").as("n_slots"),
+        sum(col("n")).cast("long").as("n_events"),
+        max(col("n")).cast("long").as("max_10min"))
+      .select(col("window.start").as("window_start"),
+        col("n_slots"), col("n_events"), col("max_10min"))
+    val q = agg.writeStream.format("memory").queryName("chained")
+      .outputMode("append").start()
+    try {
+      // hour 10:00–11:00 with three touched 10-min slots: 2, 1, 3 rows
+      src.addData(
+        (1L, at(10 * 3600 + 60)), (2L, at(10 * 3600 + 120)),
+        (3L, at(10 * 3600 + 900)),
+        (4L, at(10 * 3600 + 1800)), (5L, at(10 * 3600 + 1860)),
+        (6L, at(10 * 3600 + 1920)))
+      q.processAllAvailable()
+      assert(spark.table("chained").count() == 0)  // nothing finalized
+      src.addData((99L, at(3 * 86400)))            // watermark far past
+      q.processAllAvailable()
+      val rows = spark.table("chained").collect()
+      assert(rows.length == 1, rows.mkString(","))
+      val r = rows.head
+      assert(r.getTimestamp(0).getTime == mar1 + 10 * 3600 * 1000L)
+      assert(r.getLong(1) == 3L && r.getLong(2) == 6L && r.getLong(3) == 3L,
+        r.toString)
+      assert(q.lastProgress.stateOperators.length == 2,
+        q.lastProgress.prettyJson)
+    } finally q.stop()
+  }
 }
