@@ -811,6 +811,55 @@ object TextQueries {
             lit(0.0), (acc, x) => acc + x.getField("term")), 6)
             .as("entropy"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // t16 — sentence statistics: split on [.!?]+ runs, trim, drop
+    // empties, report per-doc sentence count, mean and max length in
+    // chars — the readability-adjacent signal t12 consumes in
+    // aggregate (and the cheap "wall of unpunctuated text" detector:
+    // n_sentences = 1 with huge mean). Both engines split with the
+    // same regex class and keep empty segments (Spark's split has no
+    // trailing-strip at limit −1, DuckDB's regexp_split_to_array
+    // likewise), so the explicit non-empty filter is the single
+    // shared convention. mean = exact-int sum / exact-int count, ONE
+    // IEEE division, round(,6). CONTRACT: a doc with zero non-empty
+    // segments (all punctuation) gets NO row — stated, not implied
+    // (the d09 lesson); every fixture doc carries real text, so the
+    // output covers all docs here. Shape at 100 TB: stateless split +
+    // one partial-agg'd shuffle on doc_id; segment text never leaves
+    // the map side (lengths only).
+    Q(
+      "t16_sentence_stats",
+      """WITH seg AS (
+        |  SELECT doc_id, trim(s) AS s
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(text, '[.!?]+')) AS s
+        |        FROM documents)
+        |  WHERE trim(s) <> ''),
+        |st AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sentences,
+        |    round(CAST(sum(length(s)) AS DOUBLE) / count(*), 6)
+        |      AS mean_chars,
+        |    CAST(max(length(s)) AS BIGINT) AS max_chars
+        |  FROM seg GROUP BY doc_id)
+        |SELECT doc_id, n_sentences, mean_chars, max_chars
+        |FROM st ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val seg = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(col("text"), "[.!?]+")).as("raw"))
+        .select(col("doc_id"), trim(col("raw")).as("s"))
+        .filter(col("s") =!= "")
+        // lengths only from here — the segment text never reaches the
+        // aggregation exchange
+        .select(col("doc_id"), length(col("s")).as("len"))
+      seg.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_sentences"),
+          round(sum(col("len")).cast("double") / count(lit(1)), 6)
+            .as("mean_chars"),
+          max(col("len")).cast("long").as("max_chars"))
+        .orderBy(col("doc_id"))
     }
   )
 }
