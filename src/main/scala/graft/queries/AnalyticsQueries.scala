@@ -324,6 +324,51 @@ object AnalyticsQueries {
             col("p_size").cast("long") === col("size"))
         .select(col("p_partkey"), col("price"), col("size"))
         .orderBy(col("price"), col("p_partkey"))
+    },
+
+    // ---------------------------------------------------------------
+    // q50 — SALTED fact-dim join (manual skew mitigation): the fact
+    // side gets a deterministic salt in 0..7 from its OWN row identity
+    // ((l_orderkey + l_linenumber) % 8 — spreads any hot part key's
+    // rows across 8 sub-keys), the dim side replicates ×8 with every
+    // salt, and the join keys on (p_partkey, salt) — so one hot key's
+    // rows land on 8 reducers instead of one straggler. The ORACLE is
+    // the PLAIN join: salting is a physical rewrite that must be
+    // result-identical, and the hash-mismatch if it duplicates or
+    // drops a row is exactly the gate this needs. q25 is the
+    // aggregation-side salt; this is the join-side complement. At
+    // 100 TB: AQE's skew-join split covers sort-merge joins at
+    // runtime, but salting is the form that also carries stream-static
+    // joins and pre-planned bucketing, and a production variant salts
+    // ONLY detected hot keys (dim replication cost ×8 is the stated
+    // price here, fine for dimension tables, wrong for a big-big
+    // join). Revenue is an exact DECIMAL sum cast once.
+    Q(
+      "q50_salted_join",
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val S = 8
+      val fact = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_extendedprice"),
+          pmod(col("l_orderkey") + col("l_linenumber"), lit(S))
+            .cast("int").as("salt"))
+      val dim = Tables(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+        .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+      fact.join(dim,
+          col("p_partkey") === col("l_partkey") &&
+            dim("salt") === fact("salt"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).cast("long").as("n_items"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast("double").as("revenue"))
+        .select(col("p_brand"), col("n_items"), col("revenue"))
+        .orderBy(col("p_brand"))
     }
   )
 }

@@ -355,6 +355,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q50: the salted join keys on (partkey, salt) — the skew spread is in the plan") {
+    // the whole point is the join KEY: a plan that joins on p_partkey
+    // alone silently re-concentrates the hot key on one reducer
+    val df = QueryRegistry.byName("q50_salted_join").run(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(
+      """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*salt"""
+        .r.findFirstIn(p).isDefined,
+      s"no equi-join node keyed on salt:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("p25: the padding report is a join-free literal-fold projection") {
     // the 2^0..2^20 bucket comes from an array-literal fold — no
     // powers-table join may appear; the only shuffle is the ≤21-key
