@@ -369,6 +369,49 @@ object AnalyticsQueries {
             .cast("double").as("revenue"))
         .select(col("p_brand"), col("n_items"), col("revenue"))
         .orderBy(col("p_brand"))
+    },
+
+    // ---------------------------------------------------------------
+    // q51 — correlated-subquery surface (TPC-H Q22 shape on this
+    // star): wealthy-but-inactive customers per nation — an
+    // uncorrelated SCALAR subquery (the positive-balance mean) and a
+    // correlated NOT EXISTS against orders, submitted as ANSI SQL.
+    // The Spark implementation executes the ORACLE STRING ITSELF over
+    // temp views: both engines parse one text, and the gate proves
+    // they agree — while the PlanSpec pin proves Catalyst
+    // DECORRELATES (the EXISTS becomes one anti-join; the scalar
+    // subquery evaluates once, not per row — a per-outer-row rescan
+    // of orders is the failure the pin exists for). q06 is the
+    // DataFrame anti-join form; this is the SQL-surface twin a
+    // migrating user actually types. Shape at 100 TB: orders
+    // aggregates to distinct custkeys on the anti-join's build side;
+    // the scalar mean is one partial-agg'd scan broadcast as a
+    // literal; nation broadcasts.
+    Q(
+      "q51_subquery_decorrelation",
+      q51Sql
+    ) { (s, dir) =>
+      Tables(s, dir, "customer").createOrReplaceTempView("customer")
+      Tables(s, dir, "orders").createOrReplaceTempView("orders")
+      Tables(s, dir, "nation").createOrReplaceTempView("nation")
+      s.sql(q51Sql)
     }
   )
+
+  /** One ANSI text, two engines: Catalyst executes this same string the
+    * DuckDB oracle runs (see the q51 comment above). Lazy: `all` above
+    * initializes first and captures this — a plain val would still be
+    * null at that point. */
+  private lazy val q51Sql: String =
+    """SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_custs,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_bal
+      |FROM customer c JOIN nation n ON n_nationkey = c_nationkey
+      |WHERE c_acctbal > (
+      |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |      / count(*)
+      |    FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
 }

@@ -367,6 +367,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q51: NOT EXISTS decorrelates to ONE anti-join; the scalar subquery runs once") {
+    // the correlated EXISTS must become a single anti-join (never a
+    // per-outer-row rescan of orders), and the scalar mean must appear
+    // as a subquery evaluated once — 4 scans total (customer twice:
+    // outer + scalar mean; orders; nation), not scans × customers
+    val df = QueryRegistry.byName("q51_subquery_decorrelation").run(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), s"NOT EXISTS not decorrelated:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the mean must appear as a once-evaluated scalar Subquery node
+    assert(p.contains("Subquery subquery"), s"scalar subquery missing:\n$p")
+    // 4 logical scans (customer ×2, orders, nation); the plan PRINTER
+    // renders the scalar subquery's subplan under both the Filter and
+    // the pushed-filter scan, so allow its one extra rendering
+    assert(p.split("Scan parquet").length - 1 <= 6,
+      s"subquery re-scans a table:\n$p")
+  }
+
   test("p25: the padding report is a join-free literal-fold projection") {
     // the 2^0..2^20 bucket comes from an array-literal fold — no
     // powers-table join may appear; the only shuffle is the ≤21-key
