@@ -170,4 +170,48 @@ object MultimodalOps {
         when(hex(substring(payload, 1, magic.length)) === hexSig, name)
           .otherwise(rest)
     }
+
+  /** Big-endian u32 as 4 binary bytes (PNG chunk encoding). */
+  private def u32be(c: Column): Column =
+    unhex(lpad(hex(c.cast("long")), 8, "0"))
+
+  /** Payloads carrying a SPEC-CORRECT PNG prefix — 8-byte magic, then
+    * an IHDR chunk (length 13, tag, big-endian width/height, depth 8,
+    * color type 2, interlace 0) with dims derived from doc_id — over
+    * the doc's text bytes as stand-in body. The header is byte-exact
+    * (ImageioDecodeSpec proves [[pngWidth]] reads REAL encoder output
+    * identically); the body is the stub boundary, as everywhere in
+    * this file. */
+  def pngHeaderPayloads(docs: DataFrame): DataFrame = {
+    val w = lit(16) + pmod(col("doc_id"), lit(1000))
+    val h = lit(16) + pmod(col("doc_id"), lit(777))
+    docs.select(col("doc_id"), concat(
+      typedLit(magics.head._2),                  // \x89PNG\r\n\x1a\n
+      u32be(lit(13)),
+      typedLit("IHDR".getBytes("US-ASCII")),
+      u32be(w), u32be(h),
+      // depth, color type, compression, filter, interlace — the IHDR
+      // data is 13 bytes by spec (4+4+5)
+      typedLit(Array[Byte](8, 2, 0, 0, 0)),
+      col("text").cast("binary")).as("payload"))
+  }
+
+  /** PNG prefix length produced by [[pngHeaderPayloads]]: magic(8) +
+    * len(4) + tag(4) + IHDR data(13). */
+  val pngHeaderLen: Int = 29
+
+  /** Scan-level metadata extraction with NO decode: width/height read
+    * straight out of the IHDR bytes (u32 big-endian at offsets 17/21,
+    * 1-based), guarded on the magic — a non-PNG payload yields null.
+    * PNG mandates IHDR first, so the fixed offsets are spec-true for
+    * any real file, not just the synthesized ones. Pure codegen'd
+    * expressions: at 100 TB this runs inside the scan's projection and
+    * the payload column itself can be pruned when only dims are read. */
+  def pngU32(payload: Column, off: Int): Column = {
+    val magicHex = magics.head._2.map(b => f"$b%02X").mkString
+    when(hex(substring(payload, 1, 8)) === magicHex,
+      conv(hex(substring(payload, off, 4)), 16, 10).cast("long"))
+  }
+  def pngWidth(payload: Column): Column = pngU32(payload, 17)
+  def pngHeight(payload: Column): Column = pngU32(payload, 21)
 }

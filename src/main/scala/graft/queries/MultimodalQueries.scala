@@ -443,6 +443,43 @@ object MultimodalQueries {
           VectorOps.cosine(col("iv"), col("tv")).as("align"))
         .select(col("doc_id"), col("align"), (col("align") > 0).as("aligned"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // mm09 — container header parse (dims WITHOUT decode): width and
+    // height read straight out of PNG IHDR bytes — big-endian u32 at
+    // fixed spec offsets, guarded on the magic — as pure codegen'd
+    // expressions. This is the metadata pass a media pipeline runs
+    // over petabytes BEFORE deciding what to decode (resolution
+    // filters, aspect buckets, corrupt-file routing); the expensive
+    // codec never runs. The payload carries a spec-correct header
+    // (ImageioDecodeSpec proves the same expressions read REAL
+    // encoder output); the oracle knows the dim-injection rule, so a
+    // wrong offset or endianness hash-mismatches. aspect is one IEEE
+    // division of exact ints, round(,6). Shape at 100 TB: stateless
+    // projection; only header bytes are touched, and a format-aware
+    // reader would prune the body entirely.
+    Q(
+      "mm09_header_parse",
+      """SELECT doc_id,
+        |  CAST(16 + doc_id % 1000 AS BIGINT) AS width,
+        |  CAST(16 + doc_id % 777 AS BIGINT) AS height,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_body_bytes,
+        |  round(CAST(16 + doc_id % 1000 AS DOUBLE) / (16 + doc_id % 777),
+        |    6) AS aspect
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val p = MultimodalOps.pngHeaderPayloads(Tables(s, dir, "documents"))
+      p.select(col("doc_id"),
+          MultimodalOps.pngWidth(col("payload")).as("width"),
+          MultimodalOps.pngHeight(col("payload")).as("height"),
+          (length(col("payload")) - MultimodalOps.pngHeaderLen)
+            .cast("long").as("n_body_bytes"))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_body_bytes"),
+          round(col("width").cast("double") / col("height"), 6)
+            .as("aspect"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -58,4 +58,26 @@ class ImageioDecodeSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("mm09's IHDR parse reads REAL encoder output — and nulls on non-PNG") {
+    // the header-parse expressions must agree with the codec on bytes a
+    // real encoder wrote (offsets/endianness are spec facts, not
+    // synthesized-fixture facts), and refuse non-PNG bytes
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, png(640, 360)((_, _) => 0x336699)),
+      (2L, png(17, 4099)((x, y) => x * y)),     // dims crossing a byte
+      (3L, "RIFF....WEBP not a png".getBytes("UTF-8")))
+    val out = rows.toDF("id", "payload")
+      .select(col("id"),
+        MultimodalOps.pngWidth(col("payload")).as("w"),
+        MultimodalOps.pngHeight(col("payload")).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2)))))
+      .toMap
+    assert(out(1L).contains((640L, 360L)), s"got ${out(1L)}")
+    assert(out(2L).contains((17L, 4099L)), s"got ${out(2L)}")
+    assert(out(3L).isEmpty, "non-PNG bytes must parse to null, not garbage")
+  }
 }
