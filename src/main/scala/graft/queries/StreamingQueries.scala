@@ -1194,6 +1194,85 @@ object StreamingQueries {
           .select(col("window.start").as("window_start"),
             col("n_slots"), col("n_events"), col("max_10min")),
         Seq("window_start"))
+    },
+
+    // ---------------------------------------------------------------
+    // ws10 — dedup THEN windowed aggregation chained in ONE streaming
+    // query: exactly-once metrics over an at-least-once stream. Every
+    // message is published TWICE (m10's redelivery shape);
+    // dropDuplicatesWithinWatermark on the stable message_id collapses
+    // the copies, and the hourly aggregation downstream counts each
+    // event ONCE — the oracle aggregates the once-only slice, so a
+    // duplicate leaking past the dedup (or a dedup that eats a real
+    // row) hash-mismatches the counts. Two different stateful
+    // operators compose here (dedup state + agg state; ws09 chained
+    // two aggs). Choreography: both copies land in pass 1 under
+    // watermark 0 (dedup is state-based, so in-batch duplicates
+    // collapse; nothing finalizes); a 2035 sentinel rides along, and
+    // pass 2's even-later 2036 sentinel advances the watermark so the
+    // real windows — and the first sentinel's own — flush; sentinel
+    // windows are filtered on the LANDED output (no watermark exists
+    // there to be starved by pushdown, the ws03 lesson). State at
+    // 100 TB: dedup state is keyed by message_id and evicted at the
+    // watermark delay; agg state by in-flight windows — both bounded.
+    Q(
+      "ws10_dedup_then_window",
+      """SELECT make_timestamp((epoch_ms(ts) // 3600000) * 3600000 * 1000) AS window_start,
+        |  count(*) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS user_sum
+        |FROM events WHERE event_id < 30000
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val root = graft.TempRoots.create("graft-dwin")
+      val ckpt = graft.TempRoots.create("graft-dwin-ckpt")
+      val outDir = root + "/windows"
+      val slice = MessageOps.fromEvents(
+        Tables(s, dir, "events").filter(col("event_id") < 30000))
+      TopicStore.publish(s, slice, root, "events", 4)
+      TopicStore.publish(s, slice, root, "events", 4) // the redelivery
+      def sentinel(ts: String) = {
+        val t = java.sql.Timestamp.valueOf(ts)
+        Tables(s, dir, "events").limit(1).select(
+          lit("wm-sentinel").as("key"),
+          lit("flush").as("value_str"),
+          lit(t).as("publish_time"), lit(t).as("event_time"))
+      }
+      def runPass(): Unit = StreamHarness.withShufflePartitions(s, "8") {
+        val q = s.readStream.format("pulsarlike")
+          .option("path", root)
+          .option("serviceUrl", "pulsar://local")
+          .option("topicNames", "events")
+          .option("subscriptionInitialPosition", "Earliest")
+          // single batch per pass — the sentinel-choreography contract
+          .option("batchingMaxMessages", "100000000")
+          .load()
+          .withWatermark("event_time", "1 hour")
+          .dropDuplicatesWithinWatermark("message_id")
+          .groupBy(window(col("event_time"), "1 hour"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("try_cast(key AS BIGINT)")).as("user_sum"))
+          .select(col("window.start").as("window_start"), col("n"),
+            col("user_sum"))
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+            BatchLanding.land(df, outDir, bid)
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      TopicStore.publish(s, sentinel("2035-01-01 00:00:00"),
+        root, "events", 4)
+      runPass()
+      TopicStore.publish(s, sentinel("2036-01-01 00:00:00"),
+        root, "events", 4)
+      runPass()
+      BatchLanding.read(s, outDir)
+        .filter(col("window_start") < lit("2030-01-01"))
+        .orderBy(col("window_start"))
     }
   )
 }
