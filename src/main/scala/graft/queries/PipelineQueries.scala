@@ -1498,6 +1498,55 @@ object PipelineQueries {
           round(lit(1.0) - col("n_tokens").cast("double")
             / (col("bucket_cap") * col("n_docs")), 6).as("waste_ratio"))
         .orderBy(col("bucket_cap"))
+    },
+
+    // ---------------------------------------------------------------
+    // p26 — LEAKAGE-FREE train/test split: the md5 coin flips on the
+    // near-dup CLUSTER id, not the document id, so every member of a
+    // duplicate cluster lands on the same side — the split p15 cannot
+    // give (a doc-keyed coin puts a train doc's near-copy in test,
+    // and the eval set silently measures memorization). Clusters are
+    // p04's 3-round group-min labels over the planted dup corpus
+    // (exact + near + far copies). The oracle mirrors the labeling
+    // AND the cluster-keyed coin; LeakFreeSpec pins the behavior the
+    // oracle can't distinguish from a doc-keyed coin mirrored on both
+    // sides: multi-doc clusters exist and NONE spans splits. Shape at
+    // 100 TB: labeling is p04's bounded-iteration machinery; the coin
+    // and projection are stateless; one order-by for presentation.
+    Q(
+      "p26_leakfree_split",
+      s"""WITH ${DedupQueries.corpusSql},
+        |dup AS (
+        |  SELECT doc_id, text FROM corpus
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 10 = 0),
+        |nodes AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_filter(string_split(text, ' '), x -> x <> ''), ' ')) AS k1,
+        |    list_min(list_transform(generate_series(1, length(text) - 7),
+        |      i -> md5(substr(text, i, 8)))) AS k2,
+        |    doc_id AS lab
+        |  FROM dup),
+        |i1 AS (SELECT doc_id, k1, k2, least(
+        |    min(lab) OVER (PARTITION BY k1),
+        |    min(lab) OVER (PARTITION BY k2)) AS lab FROM nodes),
+        |i2 AS (SELECT doc_id, k1, k2, least(
+        |    min(lab) OVER (PARTITION BY k1),
+        |    min(lab) OVER (PARTITION BY k2)) AS lab FROM i1),
+        |i3 AS (SELECT doc_id, k1, k2, least(
+        |    min(lab) OVER (PARTITION BY k1),
+        |    min(lab) OVER (PARTITION BY k2)) AS lab FROM i2)
+        |SELECT doc_id, lab AS cluster_id,
+        |  CASE WHEN md5(CAST(lab AS VARCHAR))
+        |           < 'cccccccccccccccccccccccccccccccc' THEN 'train'
+        |       ELSE 'test' END AS split
+        |FROM i3 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val (_, labeled) = labeledDupCorpus(s, dir)
+      labeled.select(col("doc_id"), col("lab").as("cluster_id"),
+          when(md5(col("lab").cast("string")) < lit("c" * 32), "train")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
     }
   )
 

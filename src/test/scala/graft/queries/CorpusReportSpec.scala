@@ -68,6 +68,32 @@ class CorpusReportSpec extends SparkSpec {
     }
   }
 
+  test("p26: no near-dup cluster spans the split, and the property is non-vacuous") {
+    // the oracle mirrors the cluster-keyed coin, so a doc-keyed coin
+    // mirrored on BOTH sides would still hash-match — this pins the
+    // actual leakage guarantee on the query output
+    val out = QueryRegistry.byName("p26_leakfree_split")
+      .run(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byCluster = out.groupBy(_._2)
+    val multi = byCluster.filter(_._2.length > 1)
+    assert(multi.nonEmpty, "no multi-doc clusters — planting broken?")
+    multi.foreach { case (c, ms) =>
+      assert(ms.map(_._3).distinct.length == 1,
+        s"cluster $c spans splits: ${ms.mkString(",")}") }
+    assert(out.map(_._3).distinct.sorted.toSeq == Seq("test", "train"))
+    // non-vacuous: at least one multi-doc cluster would SPLIT under a
+    // doc-keyed coin (the p15 shape) — so the cluster key is doing work
+    def docCoin(id: Long) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (d < "c" * 32) "train" else "test"
+    }
+    assert(multi.exists(_._2.map(m => docCoin(m._1)).distinct.length > 1),
+      "every cluster agrees under a doc-keyed coin — test is vacuous")
+  }
+
   test("t15: entropy matches an independent JVM fold and its bounds") {
     val texts = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text")).collect()
