@@ -43,6 +43,7 @@ final case class PulsarLikeConf(
     readRetries: Boolean,
     startingTimeUs: Option[Long],
     endingTimeUs: Option[Long],
+    startingOffsets: Map[Int, Long],
     numPartitions: Option[Int],
     chunking: ChunkingConf,
     client: ClientConf) {
@@ -224,6 +225,41 @@ object PulsarLikeConf {
         s"Parameter 'endingTime' ($e µs) must be after 'startingTime' " +
           s"($s µs) — the bound is [startingTime, endingTime).")
 
+    // message-id seek (the Reader#seek(MessageId) surface): comma-
+    // separated ids "ledger:offset:partition:batch", each positioning
+    // its OWN partition at that offset INCLUSIVE. Ids carry no topic,
+    // so the option demands exactly one explicit topic; it contradicts
+    // a time seek (two different cursors) and the retry log (whose
+    // offsets are a different sequence) — both fail loudly, per this
+    // layer's no-silently-dead-option rule.
+    val msgIdSeeks: Map[Int, Long] = get("startingMessageId") match {
+      case None => Map.empty
+      case Some(raw) =>
+        if (topics.size != 1 || pattern.isDefined) fail(
+          "Parameter 'startingMessageId' requires exactly one explicit " +
+            "topic in 'topicNames' (a message id carries no topic).")
+        if (startUs.isDefined) fail(
+          "Parameters 'startingMessageId' and 'startingTime' are two " +
+            "different seeks — set one.")
+        if (get("readRetries").exists(_.toBoolean)) fail(
+          "Parameter 'startingMessageId' targets main-log offsets; it " +
+            "cannot bound a retry-log read ('readRetries').")
+        val entries = raw.split(",").map(_.trim).filter(_.nonEmpty).map { id =>
+          id.split(":") match {
+            case Array(_, off, p, _) if off.forall(_.isDigit) &&
+                p.forall(_.isDigit) && off.nonEmpty && p.nonEmpty =>
+              p.toInt -> off.toLong
+            case _ => fail(s"Parameter 'startingMessageId': malformed " +
+              s"message id '$id' (expected ledger:offset:partition:batch).")
+          }
+        }
+        val dups = entries.groupBy(_._1).filter(_._2.length > 1).keys
+        if (dups.nonEmpty) fail(
+          s"Parameter 'startingMessageId': multiple ids for partition(s) " +
+            s"${dups.mkString(", ")}.")
+        entries.toMap
+    }
+
     PulsarLikeConf(
       serviceUrl = serviceUrl,
       useTLS = useTLS,
@@ -282,6 +318,7 @@ object PulsarLikeConf {
       // validated option silently ignored is the shape this layer
       // refuses to contain — the ackTimeout lesson).
       endingTimeUs = endUs,
+      startingOffsets = msgIdSeeks,
       numPartitions = long_("numPartitions").filter(_ > 0).map(_.toInt),
       chunking = ChunkingConf(
         maxPendingChunkedMessage = long_("maxPendingChunkedMessage"),

@@ -316,6 +316,48 @@ object StreamingQueries {
     },
 
     // ---------------------------------------------------------------
+    // m16 — message-id seek (Reader#seek(MessageId), the absolute-
+    // position twin of m08's time seek): a batch read positioned at a
+    // specific message INCLUSIVE, per partition. Published to ONE
+    // partition so the physical offset is derivable: the store appends
+    // in (publish_time, message_id) order, so offset o ↔ the o-th row
+    // of that total order — which is exactly what the oracle ranks.
+    // A seek that lands mid-log must return the suffix from that
+    // message on, nothing more, nothing less (an off-by-one here is a
+    // replayed or lost message in a recovery tool, the operational
+    // use of this surface). Scale: the slice is an absolute offset
+    // range per partition — no scan before the start offset (the
+    // reader byte-index jumps, same as every bounded read).
+    Q(
+      "m16_seek_message_id",
+      """WITH m AS (
+        |  SELECT '0:' || CAST(event_id AS VARCHAR) || ':0:0' AS message_id,
+        |    CAST(user_id AS VARCHAR) AS key, ts AS publish_time
+        |  FROM events WHERE event_id < 30000),
+        |r AS (
+        |  SELECT message_id, key, publish_time,
+        |    row_number() OVER (ORDER BY publish_time, message_id) - 1
+        |      AS off
+        |  FROM m)
+        |SELECT message_id, key, publish_time FROM r
+        |WHERE off >= 500 ORDER BY message_id""".stripMargin
+    ) { (s, dir) =>
+      val root = graft.TempRoots.create("graft-midseek")
+      val slice = MessageOps.fromEvents(
+        Tables(s, dir, "events").filter(col("event_id") < 30000))
+      TopicStore.publish(s, slice, root, "events", 1)
+      s.read.format("pulsarlike")
+        .option("path", root)
+        .option("serviceUrl", "pulsar://local")
+        .option("topicNames", "events")
+        .option("startingMessageId", "0:500:0:0")
+        .option("batchingMaxMessages", "1000000")
+        .load()
+        .select(col("message_id"), col("key"), col("publish_time"))
+        .orderBy(col("message_id"))
+    },
+
+    // ---------------------------------------------------------------
     // m10 — effectively-once ingest: the source's delivery contract is
     // at-least-once (ack ≙ offset commit, replay on failure — A15), and
     // the standard Spark composition to effectively-once is

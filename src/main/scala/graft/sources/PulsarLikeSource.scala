@@ -261,6 +261,13 @@ class PulsarLikeMicroBatchStream(conf: PulsarLikeConf, root: String,
       "Parameter 'endingTime' bounds BATCH reads only — a streaming " +
         "subscription has no end. Drop it, or use spark.read for a " +
         "time-range read.")
+  // message-id seek is the batch Reader surface here; a streaming
+  // subscription positions by time or initial position (same
+  // fail-loudly rule as endingTime)
+  if (conf.startingOffsets.nonEmpty)
+    throw new IllegalArgumentException(
+      "Parameter 'startingMessageId' positions BATCH reads only — use " +
+        "spark.read, or seek a stream with 'startingTime'.")
 
   /** Current end offsets; re-lists topics/partitions (A20). Includes the
     * subscription's retry-log cursors (A16) so nacked messages are
@@ -474,10 +481,19 @@ class PulsarLikeBatch(conf: PulsarLikeConf, root: String,
       TopicStore.partitionIdsIn(dir).map { p =>
         val (cnt, _) = TopicStore.partitionMetaIn(dir, p)
         // startingTime bounds a batch read the same way it seeks a
-        // stream: slice from the first message at-or-after T
+        // stream: slice from the first message at-or-after T. A
+        // message-id seek is an absolute per-partition offset instead
+        // (INCLUSIVE, clamped to the retention base — Pulsar's
+        // "earliest available" behavior for a truncated position;
+        // unlisted partitions start at base; a seek past the log end
+        // yields an empty slice, never an error). The conf forbids
+        // combining the two.
+        val base = TopicStore.partitionBaseIn(dir, p)
         val start = conf.startingTimeUs.filter(_ => !conf.readRetries)
           .map(TopicStore.seekByTimeIn(dir, p, _))
-          .getOrElse(TopicStore.partitionBaseIn(dir, p))
+          .orElse(conf.startingOffsets.get(p).filter(_ => !conf.readRetries)
+            .map(math.max(_, base)))
+          .getOrElse(base)
         // endingTime is the same seek used as the EXCLUSIVE end: the
         // first offset at-or-after T is exactly where publish_time < T
         // stops (start ≤ end is guaranteed by the conf's range check +

@@ -187,6 +187,67 @@ class PulsarLikeSourceSpec extends SparkSpec {
     assert(chain(err).exists(_.contains("endingTime")), chain(err).mkString("; "))
   }
 
+  test("startingMessageId seeks each listed partition; the rest start at base") {
+    val root = tmpDir("store")
+    publishEvents(root, "events", 40, parts = 2)  // key-routed to 2 parts
+    val all = readBatch(root, "topicNames" -> "events")
+      .select(col("message_id"), expr("int(properties['seq'])").as("seq"))
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    def partOf(id: String) = id.split(":")(2).toInt
+    def offOf(id: String) = id.split(":")(1).toLong
+    val p0 = all.filter(t => partOf(t._1) == 0).sortBy(t => offOf(t._1))
+    assert(p0.length > 5, "expected both partitions populated")
+    // seek partition 0 to its 3rd message (INCLUSIVE); partition 1 full
+    val seekId = p0(2)._1
+    val got = readBatch(root, "topicNames" -> "events",
+      "startingMessageId" -> seekId)
+      .select(col("message_id")).collect().map(_.getString(0)).toSet
+    val expect = (p0.drop(2).map(_._1) ++
+      all.filter(t => partOf(t._1) == 1).map(_._1)).toSet
+    assert(got == expect,
+      s"missing=${expect -- got} extra=${got -- expect}")
+    // a seek past the log end is an empty slice for that partition
+    val pastEnd = readBatch(root, "topicNames" -> "events",
+      "startingMessageId" -> "0:999999:0:0")
+      .select(col("message_id")).collect().map(_.getString(0)).toSet
+    assert(pastEnd == all.filter(t => partOf(t._1) == 1).map(_._1).toSet)
+    // contradictory / ambiguous configs fail loudly at validation
+    Seq(
+      Seq("topicNames" -> "events", "startingMessageId" -> seekId,
+        "startingTime" -> "1700000000000") -> "startingTime",
+      Seq("topicNames" -> "events,audit",
+        "startingMessageId" -> seekId) -> "one explicit topic",
+      Seq("topicNames" -> "events", "readRetries" -> "true",
+        "subscriptionName" -> "s",
+        "startingMessageId" -> seekId) -> "retry",
+      Seq("topicNames" -> "events",
+        "startingMessageId" -> "garbage") -> "malformed"
+    ).foreach { case (opts, needle) =>
+      val e = intercept[Exception](readBatch(root, opts: _*).count())
+      assert(e.getMessage.toLowerCase.contains(needle.toLowerCase),
+        s"$opts -> ${e.getMessage}")
+    }
+    // and a STREAM with a message-id seek refuses to construct
+    val err2 = intercept[Exception] {
+      val q = spark.readStream.format("pulsarlike")
+        .option("path", root).option("serviceUrl", "pulsar://local")
+        .option("topicNames", "events")
+        .option("startingMessageId", seekId)
+        .option("batchingMaxMessages", "1000")
+        .load()
+        .writeStream.queryName("midq").format("memory")
+        .option("checkpointLocation", tmpDir("ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.exception.foreach(throw _)
+    }
+    def chain2(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(chain2(err2).exists(_.contains("startingMessageId")),
+      chain2(err2).mkString("; "))
+  }
+
   test("readCompacted + startingTime: the stream's first batch compacts the seeked slice, like batch") {
     val root = tmpDir("store")
     publishEvents(root, "events", 40) // keys k0..k4, times t0..t0+39s
