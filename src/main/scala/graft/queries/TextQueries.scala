@@ -765,7 +765,11 @@ object TextQueries {
     // Shape at 100 TB: the explode is linear in corpus chars and
     // partial-aggregates onto (doc_id, char) — alphabet-bounded per
     // doc; the fold runs over ≤|alphabet| rows per doc. No vocab
-    // table, no join, no global state.
+    // table, no join, no global state. CONTRACT: an empty doc gets NO
+    // row (DuckDB's range(1,1) is naturally empty; Spark's
+    // sequence(1,0) counts DOWN — the DedupOps.shingles pitfall — so
+    // the explicit length guard below is what keeps the engines
+    // agreeing on that absence).
     Q(
       "t15_char_entropy",
       """WITH ch AS (
@@ -792,6 +796,7 @@ object TextQueries {
         |FROM tot ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
       val cnt = Tables(s, dir, "documents")
+        .filter(length(col("text")) >= 1)
         .select(col("doc_id"), col("text"),
           explode(sequence(lit(1), length(col("text")))).as("g"))
         .select(col("doc_id"), expr("substring(text, g, 1)").as("c"))

@@ -102,6 +102,26 @@ class AdversarialFixtureSpec extends SparkSpec {
         s"brute=${triples / 3}")
   }
 
+  test("t15 on an empty doc: no row, no phantom chars (sequence(1,0) trap)") {
+    // Spark's sequence(1, 0) counts DOWN to [1, 0] — without the
+    // length guard an empty doc mints two empty-string "chars" and a
+    // row DuckDB's naturally-empty range(1, 1) never produces; the
+    // driver fixture has no empty docs, so only this test sees it
+    import spark.implicits._
+    val dir = tmpDir("adv-t15")
+    writeTable(dir, "documents", Seq(
+      (1L, "", "en", "s", 0L),
+      (2L, "ab", "en", "s", 2L),
+      (3L, "aaaa", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = QueryRegistry.byName("t15_char_entropy").run(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(!out.contains(1L), s"empty doc minted a row: ${out.get(1L)}")
+    assert(out(2L) == ((2L, 2L, math.rint(math.log(2) * 1e6) / 1e6)))
+    assert(out(3L) == ((4L, 1L, 0.0)))
+  }
+
   test("p24 waterfill on degenerate source distributions") {
     import spark.implicits._
     def check(label: String, sizes: Seq[Int]): Unit = {
