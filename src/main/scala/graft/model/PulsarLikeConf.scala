@@ -44,6 +44,7 @@ final case class PulsarLikeConf(
     startingTimeUs: Option[Long],
     endingTimeUs: Option[Long],
     startingOffsets: Map[Int, Long],
+    startFromSubCursor: Boolean = false,
     numPartitions: Option[Int],
     chunking: ChunkingConf,
     client: ClientConf) {
@@ -260,6 +261,25 @@ object PulsarLikeConf {
         entries.toMap
     }
 
+    // subscription-cursor start (the durable cumulative-ack position,
+    // TopicStore.ackCumulative): a THIRD seek kind, so it contradicts
+    // both explicit seeks, and it reads main-log cursors so it cannot
+    // bound a retry-log read — all fail loudly, per this layer's
+    // no-silently-dead-option rule
+    val subCursorStart =
+      get("startFromSubscriptionCursor").exists(_.toBoolean)
+    if (subCursorStart) {
+      if (startUs.isDefined) fail(
+        "Parameters 'startFromSubscriptionCursor' and 'startingTime' " +
+          "are two different seeks — set one.")
+      if (msgIdSeeks.nonEmpty) fail(
+        "Parameters 'startFromSubscriptionCursor' and " +
+          "'startingMessageId' are two different seeks — set one.")
+      if (get("readRetries").exists(_.toBoolean)) fail(
+        "Parameter 'startFromSubscriptionCursor' reads main-log " +
+          "cursors; it cannot bound a retry-log read ('readRetries').")
+    }
+
     PulsarLikeConf(
       serviceUrl = serviceUrl,
       useTLS = useTLS,
@@ -319,6 +339,12 @@ object PulsarLikeConf {
       // refuses to contain — the ackTimeout lesson).
       endingTimeUs = endUs,
       startingOffsets = msgIdSeeks,
+      // batch reads resume at the subscription's durable cumulative-ack
+      // cursor (Pulsar: a subscription serves from its ack position).
+      // Batch-only, like startingMessageId: the micro-batch stream's
+      // cursor is the CHECKPOINT (A15); two durable cursors for one
+      // stream would race, so the stream hard-fails on it.
+      startFromSubCursor = subCursorStart,
       numPartitions = long_("numPartitions").filter(_ > 0).map(_.toInt),
       chunking = ChunkingConf(
         maxPendingChunkedMessage = long_("maxPendingChunkedMessage"),

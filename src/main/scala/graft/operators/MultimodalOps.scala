@@ -182,9 +182,19 @@ object MultimodalOps {
     * (ImageioDecodeSpec proves [[pngWidth]] reads REAL encoder output
     * identically); the body is the stub boundary, as everywhere in
     * this file. */
-  def pngHeaderPayloads(docs: DataFrame): DataFrame = {
-    val w = lit(16) + pmod(col("doc_id"), lit(1000))
-    val h = lit(16) + pmod(col("doc_id"), lit(777))
+  def pngHeaderPayloads(docs: DataFrame): DataFrame =
+    pngHeaderPayloadsScaled(docs, 1, 1)
+
+  /** [[pngHeaderPayloads]] with dim multipliers: w = 16 + (id·wMul) %
+    * 1000, h = 16 + (id·hMul) % 777. The default (1, 1) formula makes
+    * w == h for every doc_id < 777 — fine for mm09's parse gate,
+    * degenerate for anything that BUCKETS by aspect (every sf0.01 doc
+    * would land in one bucket); mm10 uses (7, 3) so all aspect classes
+    * are populated at every fixture scale. */
+  def pngHeaderPayloadsScaled(docs: DataFrame, wMul: Int, hMul: Int)
+      : DataFrame = {
+    val w = lit(16) + pmod(col("doc_id") * wMul, lit(1000))
+    val h = lit(16) + pmod(col("doc_id") * hMul, lit(777))
     docs.select(col("doc_id"), concat(
       typedLit(magics.head._2),                  // \x89PNG\r\n\x1a\n
       u32be(lit(13)),

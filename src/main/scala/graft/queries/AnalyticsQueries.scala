@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.operators.Stage.stage
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Graph / sketch / sweep-line analytics over the TPC-H-ish fixtures:
@@ -399,6 +400,115 @@ object AnalyticsQueries {
       Tables(s, dir, "orders").createOrReplaceTempView("orders")
       Tables(s, dir, "nation").createOrReplaceTempView("nation")
       s.sql(q51Sql)
+    },
+
+    // ---------------------------------------------------------------
+    // q52 — least-squares regression aggregates (slope / intercept /
+    // r²) per group, the regr_* family re-derived deterministically:
+    // built-in regr_slope sums DOUBLES (order-dependent — a shuffle
+    // reorder changes the last bits and the cross-engine hash), so the
+    // five moments (Σx, Σy, Σxy, Σx², Σy²) are accumulated as EXACT
+    // DECIMALS (order-free), rounded to scale 4 so each sum's mantissa
+    // stays far below 2^53 (decimal→double conversion above that
+    // rounds differently in DuckDB's int128 path — the q01 lesson),
+    // cast ONCE to double, and only then combined by the identical
+    // scalar IEEE expression in both engines. Price regresses in
+    // THOUSANDS (an exact ×0.001 decimal rescale) so Σy² keeps small
+    // mantissas at any SF — the rescale is part of the operator
+    // contract, not cosmetics. Shape at 100 TB: one partial-agg'd
+    // scan, five decimal sums per group, a 3-row result — the moments
+    // ARE the mergeable sketch.
+    Q(
+      "q52_regression_agg",
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 4)
+        |      AS DOUBLE) AS sx,
+        |    CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(0.001 AS DECIMAL(4,3)) AS DECIMAL(24,5))), 4)
+        |      AS DOUBLE) AS sy,
+        |    CAST(round(sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * CAST(0.001 AS DECIMAL(4,3)) AS DECIMAL(24,5))
+        |      AS DECIMAL(38,7))), 4) AS DOUBLE) AS sxy,
+        |    CAST(round(sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))), 4)
+        |      AS DOUBLE) AS sxx,
+        |    CAST(round(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(0.001 AS DECIMAL(4,3)) AS DECIMAL(24,5))
+        |      * CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * CAST(0.001 AS DECIMAL(4,3)) AS DECIMAL(24,5))
+        |      AS DECIMAL(38,10))), 4) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        |    AS slope_k_per_qty,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+        |    AS intercept_k,
+        |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM m ORDER BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val xd = col("l_quantity").cast(DecimalType(18, 2))
+      val yk = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+        expr("CAST(0.001 AS DECIMAL(4,3))")).cast(DecimalType(24, 5))
+      def mom(c: Column): Column = round(sum(c), 4).cast("double")
+      val m = Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          mom(xd).as("sx"), mom(yk).as("sy"),
+          mom((xd * yk).cast(DecimalType(38, 7))).as("sxy"),
+          mom((xd * xd).cast(DecimalType(38, 4))).as("sxx"),
+          mom((yk * yk).cast(DecimalType(38, 10))).as("syy"))
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val denX = col("n") * col("sxx") - col("sx") * col("sx")
+      val denY = col("n") * col("syy") - col("sy") * col("sy")
+      m.select(col("l_returnflag"), col("n").cast("bigint").as("n"),
+          round(num / denX, 6).as("slope_k_per_qty"),
+          round((col("sy") - num / denX * col("sx")) / col("n"), 6)
+            .as("intercept_k"),
+          round(num * num / (denX * denY), 6).as("r2"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---------------------------------------------------------------
+    // q53 — selective-dim fact pruning, the runtime-filter shape: a
+    // highly selective dimension predicate (p_size <= 2, ~4% of parts)
+    // joined into the fact table. At 100 TB this is exactly where
+    // Spark's runtime Bloom-filter injection earns its keep: the
+    // optimizer builds a Bloom sketch of the filtered dim keys and
+    // plants bloom_filter_might_contain on the FACT SCAN side, so
+    // ~96% of fact rows die before the shuffle instead of after it.
+    // The injection is threshold-gated (application side > 10 GB by
+    // default) precisely so small scans don't pay the sketch build —
+    // at fixture scale it stays off, and RuntimeFilterSpec proves the
+    // machinery fires (bloom_filter_might_contain in the executed
+    // plan, result-identical) once the thresholds are met. The oracle
+    // is the plain join: runtime filtering is a physical rewrite that
+    // must never change results.
+    Q(
+      "q53_runtime_filter_join",
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_size <= 2
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val dim = Tables(s, dir, "part")
+        .filter(col("p_size") <= 2)
+        .select(col("p_partkey"), col("p_brand"))
+      Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_extendedprice"))
+        .join(dim, col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).cast("long").as("n_items"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast("double").as("revenue"))
+        .orderBy(col("p_brand"))
     }
   )
 

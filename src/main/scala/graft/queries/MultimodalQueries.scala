@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.operators.MultimodalOps
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column suite: media as opaque binary columns + typed
@@ -480,6 +481,76 @@ object MultimodalQueries {
           round(col("width").cast("double") / col("height"), 6)
             .as("aspect"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // mm10 — aspect-ratio bucketing + batch packing: vision training
+    // pads every image in a batch to the batch's max dims, so batching
+    // tall portraits with wide panoramas burns compute on padding
+    // pixels. The operator buckets images by aspect (INTEGER cross
+    // comparisons — 2w ≥ 3h for wide, 3w ≤ 2h for tall — so the
+    // bucket boundary can never float-drift between engines), packs
+    // each bucket into deterministic batches of 8 (doc_id order), and
+    // reports the padding-waste fraction per bucket: 1 − Σarea /
+    // Σ(n·maxw·maxh), all-integer sums with ONE final division.
+    // Dims come from the REAL IHDR byte parse (mm09's path), not from
+    // a side table — the oracle recomputes them from the fixture
+    // formula. Shape at 100 TB: dims parse inside the scan projection
+    // (payload column pruned — dims only reach the exchange); the
+    // row_number runs per bucket, which at scale would be salted by
+    // shard exactly like p09's epoch sharding — batches only need to
+    // be LOCALLY dense, nothing global.
+    Q(
+      "mm10_aspect_bucket",
+      """WITH img AS (
+        |  SELECT doc_id, CAST(16 + (doc_id * 7) % 1000 AS BIGINT) AS w,
+        |    CAST(16 + (doc_id * 3) % 777 AS BIGINT) AS h
+        |  FROM documents),
+        |bk AS (
+        |  SELECT doc_id, w, h,
+        |    CASE WHEN 2 * w >= 3 * h THEN 'wide'
+        |         WHEN 3 * w <= 2 * h THEN 'tall'
+        |         ELSE 'square' END AS bucket
+        |  FROM img),
+        |bt AS (
+        |  SELECT bucket, w, h,
+        |    CAST((row_number() OVER (PARTITION BY bucket
+        |      ORDER BY doc_id) - 1) // 8 AS BIGINT) AS batch
+        |  FROM bk),
+        |pb AS (
+        |  SELECT bucket, batch, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(max(w) AS BIGINT) AS mw, CAST(max(h) AS BIGINT) AS mh,
+        |    CAST(sum(w * h) AS BIGINT) AS area
+        |  FROM bt GROUP BY bucket, batch)
+        |SELECT bucket, CAST(sum(n) AS BIGINT) AS n_images,
+        |  CAST(count(*) AS BIGINT) AS n_batches,
+        |  round(1.0 - CAST(sum(area) AS DOUBLE) / sum(n * mw * mh), 6)
+        |    AS waste_ratio
+        |FROM pb GROUP BY bucket ORDER BY bucket""".stripMargin
+    ) { (s, dir) =>
+      val p = MultimodalOps.pngHeaderPayloadsScaled(
+        Tables(s, dir, "documents"), 7, 3)
+      val img = p.select(col("doc_id"),
+        MultimodalOps.pngWidth(col("payload")).as("w"),
+        MultimodalOps.pngHeight(col("payload")).as("h"))
+      val bucket = when(lit(2) * col("w") >= lit(3) * col("h"), "wide")
+        .when(lit(3) * col("w") <= lit(2) * col("h"), "tall")
+        .otherwise("square")
+      val bt = img.withColumn("bucket", bucket)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
+        .withColumn("batch", expr("CAST((rn - 1) DIV 8 AS BIGINT)"))
+      val pb = bt.groupBy(col("bucket"), col("batch"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          max(col("w")).cast("long").as("mw"),
+          max(col("h")).cast("long").as("mh"),
+          sum(col("w") * col("h")).cast("long").as("area"))
+      pb.groupBy(col("bucket"))
+        .agg(sum(col("n")).cast("long").as("n_images"),
+          count(lit(1)).cast("long").as("n_batches"),
+          round(lit(1.0) - sum(col("area")).cast("double")
+            / sum(col("n") * col("mw") * col("mh")), 6).as("waste_ratio"))
+        .orderBy(col("bucket"))
     }
   )
 }

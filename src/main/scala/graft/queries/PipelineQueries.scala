@@ -1547,6 +1547,76 @@ object PipelineQueries {
           when(md5(col("lab").cast("string")) < lit("c" * 32), "train")
             .otherwise("test").as("split"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // p27 — data-constrained repeat schedule: when the token budget
+    // exceeds the corpus (the data-constrained regime), small sources
+    // are REPEATED before large ones, but never past an epoch cap
+    // (repeating past ~4 epochs returns almost nothing — the
+    // data-constrained-scaling observation). Contract: budget
+    // B = 2 × total tokens; every source gets its base epoch; the
+    // surplus (B − total) goes greedily to sources in (size ASC,
+    // name) order — the smallest source is the cheapest to upsample
+    // and the most valuable per token — each taking up to
+    // (cap − 1) × size extra; the boundary source takes the remainder,
+    // later sources take none. p24 is the single-epoch quota
+    // (downsampling) face of mixing; this is the multi-epoch repeat
+    // (upsampling) face. All integer arithmetic; epochs is the ONE
+    // final division. Shape at 100 TB: the corpus reduces to a
+    // per-source token count in one partial-agg'd scan; the greedy
+    // prefix is a window over the HANDFUL of source rows, never the
+    // corpus; scalar totals ride 1-row broadcasts.
+    Q(
+      "p27_repeat_schedule",
+      """WITH src AS (
+        |  SELECT source,
+        |    CAST(sum(len(list_filter(string_split(text, ' '),
+        |      x -> x <> ''))) AS BIGINT) AS sz,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(sz) AS BIGINT) AS t FROM src),
+        |ord AS (
+        |  SELECT source, sz, n_docs,
+        |    CAST(COALESCE(sum(3 * sz) OVER (ORDER BY sz, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS pre
+        |  FROM src),
+        |al AS (
+        |  SELECT o.source, o.sz, o.n_docs,
+        |    LEAST(3 * o.sz, GREATEST(t.t - o.pre, 0)) AS extra
+        |  FROM ord o CROSS JOIN tot t)
+        |SELECT source, n_docs, sz AS n_tokens,
+        |  CAST(sz + extra AS BIGINT) AS alloc_tokens,
+        |  round(CAST(sz + extra AS DOUBLE) / sz, 4) AS epochs,
+        |  extra = 3 * sz AS at_cap
+        |FROM al ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      val cap = 4 // epoch cap: base epoch + up to (cap-1) repeats
+      val src = Tables(s, dir, "documents")
+        .select(col("source"),
+          size(DedupOps.words(col("text"))).cast("long").as("n_tok"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_tok")).cast("long").as("sz"),
+          count(lit(1)).cast("long").as("n_docs"))
+      // surplus budget = B − total = total (B = 2 × total tokens)
+      val tot = src.agg(sum(col("sz")).cast("long").as("t"))
+      // greedy prefix over the per-source rows only (sz ASC, source):
+      // unpartitioned window over a handful of reduced rows, not data
+      val bysize = Window.orderBy(col("sz"), col("source"))
+      val ord = src.select(col("source"), col("sz"), col("n_docs"),
+        coalesce(sum(col("sz") * (cap - 1)).over(
+            bysize.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("pre"))
+      val extra = least(col("sz") * (cap - 1),
+        greatest(col("t") - col("pre"), lit(0L)))
+      ord.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("sz").as("n_tokens"),
+          (col("sz") + extra).cast("long").as("alloc_tokens"),
+          round((col("sz") + extra).cast("double") / col("sz"), 4)
+            .as("epochs"),
+          (extra === col("sz") * (cap - 1)).as("at_cap"))
+        .orderBy(col("source"))
     }
   )
 

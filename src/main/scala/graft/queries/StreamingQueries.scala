@@ -358,6 +358,54 @@ object StreamingQueries {
     },
 
     // ---------------------------------------------------------------
+    // m17 — cumulative ack (consumer.acknowledgeCumulative): one ack at
+    // offset K acknowledges the whole prefix ≤ K, durably advancing the
+    // subscription's broker-side cursor (TopicStore.ackCumulative —
+    // state on disk, not in a checkpoint); a later batch read with
+    // startFromSubscriptionCursor resumes exactly past it. The gate
+    // also fires a SECOND cumulative ack BELOW the cursor before
+    // reading: Pulsar semantics make it a no-op (monotonic, never a
+    // rewind), and since the read starts at the cursor, a rewind bug
+    // would duplicate rows and hash-fail. The reference acks message
+    // by message (PulsarMessageConsumer.java:158,189); cumulative ack
+    // is the adjacent public consumer surface for prefix-processed
+    // batches — A15's third face (individual ack ≙ m06, checkpoint
+    // commit ≙ ps01, durable cumulative cursor ≙ this).
+    Q(
+      "m17_cumulative_ack",
+      """WITH m AS (
+        |  SELECT '0:' || CAST(event_id AS VARCHAR) || ':0:0' AS message_id,
+        |    CAST(user_id AS VARCHAR) AS key, ts AS publish_time
+        |  FROM events WHERE event_id < 30000),
+        |r AS (
+        |  SELECT message_id, key, publish_time,
+        |    row_number() OVER (ORDER BY publish_time, message_id) - 1
+        |      AS off
+        |  FROM m)
+        |SELECT message_id, key, publish_time FROM r
+        |WHERE off >= 500 ORDER BY message_id""".stripMargin
+    ) { (s, dir) =>
+      val root = graft.TempRoots.create("graft-cumack")
+      val slice = MessageOps.fromEvents(
+        Tables(s, dir, "events").filter(col("event_id") < 30000))
+      TopicStore.publish(s, slice, root, "events", 1)
+      // the consumer finished the first 500 messages: ONE cumulative
+      // ack at offset 499 commits the whole prefix…
+      TopicStore.ackCumulative(root, "events", "sub-default", 0, 499L)
+      // …and a later cumulative ack BELOW the cursor is a no-op
+      TopicStore.ackCumulative(root, "events", "sub-default", 0, 99L)
+      s.read.format("pulsarlike")
+        .option("path", root)
+        .option("serviceUrl", "pulsar://local")
+        .option("topicNames", "events")
+        .option("startFromSubscriptionCursor", "true")
+        .option("batchingMaxMessages", "1000000")
+        .load()
+        .select(col("message_id"), col("key"), col("publish_time"))
+        .orderBy(col("message_id"))
+    },
+
+    // ---------------------------------------------------------------
     // m10 — effectively-once ingest: the source's delivery contract is
     // at-least-once (ack ≙ offset commit, replay on failure — A15), and
     // the standard Spark composition to effectively-once is

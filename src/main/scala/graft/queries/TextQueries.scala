@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.operators.{DedupOps, Stage, TextOps}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -865,6 +866,142 @@ object TextQueries {
             .as("mean_chars"),
           max(col("len")).cast("long").as("max_chars"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // t17 — vocabulary coverage / OOV rate: build the corpus top-500
+    // vocabulary (by total occurrences, ties broken by term so both
+    // engines cut the same set) and report each document's fraction
+    // of tokens outside it — the cheap tokenizer-fit signal (a doc
+    // full of OOV tokens is boilerplate, code, or the wrong
+    // language). Shape at 100 TB: the vocabulary is a BOUNDED-K
+    // global top-k (TakeOrderedAndProject over the term totals — no
+    // full sort), broadcast to the per-doc join regardless of corpus
+    // size; the (doc, term) stream is computed ONCE and staged for
+    // both the totals and the coverage join; per-token text never
+    // reaches an exchange twice.
+    Q(
+      "t17_vocab_coverage",
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM w GROUP BY doc_id, term),
+        |tot AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c
+        |        FROM tf GROUP BY term),
+        |v AS (SELECT term FROM (
+        |        SELECT term,
+        |          row_number() OVER (ORDER BY c DESC, term ASC) AS r
+        |        FROM tot) WHERE r <= 500)
+        |SELECT tf.doc_id,
+        |  CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.term IS NULL THEN tf.tf ELSE 0 END)
+        |    AS BIGINT) AS n_oov,
+        |  round(CAST(sum(CASE WHEN v.term IS NULL THEN tf.tf ELSE 0 END)
+        |    AS DOUBLE) / sum(tf.tf), 6) AS oov_rate
+        |FROM tf LEFT JOIN v ON tf.term = v.term
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin
+    ) { (s, dir) =>
+      val w = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(DedupOps.words(col("text"))).as("term"))
+      val tf = Stage.stage(w.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).cast("long").as("tf")))
+      val vocab = tf.groupBy(col("term"))
+        .agg(sum(col("tf")).as("c"))
+        .orderBy(col("c").desc, col("term").asc)
+        .limit(500)
+        .select(col("term"), lit(1).as("iv"))
+      val oovTf = when(col("iv").isNull, col("tf")).otherwise(lit(0L))
+      tf.join(broadcast(vocab), Seq("term"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).cast("long").as("n_tokens"),
+          sum(oovTf).cast("long").as("n_oov"),
+          round(sum(oovTf).cast("double") / sum(col("tf")), 6)
+            .as("oov_rate"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // t18 — Zipf slope per source: regress ln(frequency) on ln(rank)
+    // over each source's top-100 terms — natural text sits near the
+    // Zipf line (slope ≈ −1, r² near 1); templated or synthetic
+    // corpora drift flat or bumpy, so the slope is a corpus-level
+    // naturalness screen next to t01/t02's per-doc signals. The
+    // per-source rank cut runs through GroupTopK (at most 100 rows
+    // per (source, partition) reach the exchange, never the full
+    // vocabulary), and the fit reuses q52's deterministic moment
+    // contract: ln values rounded to 6 (the t07 ln-ulp lesson), sums
+    // accumulated as EXACT decimals over the ≤100-row fit set, one
+    // cast to double, identical IEEE combination in both engines.
+    Q(
+      "t18_zipf_slope",
+      """WITH w AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS term
+        |  FROM documents),
+        |tot AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+        |        FROM w GROUP BY source, term),
+        |rk AS (SELECT source, term, c,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY c DESC, term ASC) AS r
+        |       FROM tot),
+        |pts AS (
+        |  SELECT source,
+        |    CAST(round(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+        |    CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+        |  FROM rk WHERE r <= 100),
+        |m AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(round(sum(x), 6) AS DOUBLE) AS sx,
+        |    CAST(round(sum(y), 6) AS DOUBLE) AS sy,
+        |    CAST(round(sum(CAST(x * y AS DECIMAL(38,12))), 6) AS DOUBLE)
+        |      AS sxy,
+        |    CAST(round(sum(CAST(x * x AS DECIMAL(38,12))), 6) AS DOUBLE)
+        |      AS sxx,
+        |    CAST(round(sum(CAST(y * y AS DECIMAL(38,12))), 6) AS DOUBLE)
+        |      AS syy
+        |  FROM pts GROUP BY source)
+        |SELECT source, CAST(n AS BIGINT) AS n_terms,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+        |    6) AS intercept,
+        |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM m ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val tot = Tables(s, dir, "documents")
+        .select(col("source"),
+          explode(DedupOps.words(col("text"))).as("term"))
+        .groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      val pts = graft.plans.GroupTopK.topKRanked(tot, Seq(col("source")),
+          100, "r", col("c").desc, col("term").asc)
+        .select(col("source"),
+          round(log(col("r").cast("double")), 6)
+            .cast(DecimalType(18, 6)).as("x"),
+          round(log(col("c").cast("double")), 6)
+            .cast(DecimalType(18, 6)).as("y"))
+      def mom6(c: Column): Column = round(sum(c), 6).cast("double")
+      val m = pts.groupBy(col("source"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          mom6(col("x")).as("sx"), mom6(col("y")).as("sy"),
+          mom6((col("x") * col("y")).cast(DecimalType(38, 12))).as("sxy"),
+          mom6((col("x") * col("x")).cast(DecimalType(38, 12))).as("sxx"),
+          mom6((col("y") * col("y")).cast(DecimalType(38, 12))).as("syy"))
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val denX = col("n") * col("sxx") - col("sx") * col("sx")
+      val denY = col("n") * col("syy") - col("sy") * col("sy")
+      m.select(col("source"), col("n").cast("bigint").as("n_terms"),
+          round(num / denX, 6).as("slope"),
+          round((col("sy") - num / denX * col("sx")) / col("n"), 6)
+            .as("intercept"),
+          round(num * num / (denX * denY), 6).as("r2"))
+        .orderBy(col("source"))
     }
   )
 }

@@ -268,6 +268,13 @@ class PulsarLikeMicroBatchStream(conf: PulsarLikeConf, root: String,
     throw new IllegalArgumentException(
       "Parameter 'startingMessageId' positions BATCH reads only — use " +
         "spark.read, or seek a stream with 'startingTime'.")
+  // a stream's durable cursor IS the checkpoint (A15); seeding it from
+  // the subscription's ack cursor would leave two cursors racing for
+  // one subscription (same fail-loudly rule as the seeks above)
+  if (conf.startFromSubCursor)
+    throw new IllegalArgumentException(
+      "Parameter 'startFromSubscriptionCursor' positions BATCH reads " +
+        "only — a stream's cursor is its checkpoint. Use spark.read.")
 
   /** Current end offsets; re-lists topics/partitions (A20). Includes the
     * subscription's retry-log cursors (A16) so nacked messages are
@@ -493,6 +500,14 @@ class PulsarLikeBatch(conf: PulsarLikeConf, root: String,
           .map(TopicStore.seekByTimeIn(dir, p, _))
           .orElse(conf.startingOffsets.get(p).filter(_ => !conf.readRetries)
             .map(math.max(_, base)))
+          // the subscription's durable cumulative-ack cursor (conf
+          // forbids combining with either seek or readRetries); clamped
+          // to the retention base like a message-id seek
+          .orElse(if (conf.startFromSubCursor)
+              Some(math.max(
+                TopicStore.subCursor(root, t, conf.subscriptionName, p),
+                base))
+            else None)
           .getOrElse(base)
         // endingTime is the same seek used as the EXCLUSIVE end: the
         // first offset at-or-after T is exactly where publish_time < T

@@ -140,6 +140,52 @@ object TopicStore {
     }
   }
 
+  /** Durable subscription-cursor dir (the broker-side ack position):
+    * `<topic>/.sub-<sub>/p<p>.cursor` holds the NEXT offset the
+    * subscription will be served (acked-through + 1). Hidden like the
+    * retry queue — never listed as a topic. */
+  def subDir(root: String, topic: String, sub: String): Path =
+    topicDir(root, topic).resolve(s".sub-$sub")
+
+  /** The subscription's durable cursor for a partition; 0 (≙ serve from
+    * the retention base, which the batch planner clamps to) when no ack
+    * has ever landed. */
+  def subCursor(root: String, topic: String, sub: String, p: Int): Long = {
+    val f = subDir(root, topic, sub).resolve(s"p$p.cursor")
+    if (!Files.exists(f)) 0L else Files.readString(f).trim.toLong
+  }
+
+  /** Cumulative ack — Pulsar's `consumer.acknowledgeCumulative(id)`:
+    * one call acknowledges everything at or before `upToIncl` in the
+    * partition, advancing the durable cursor to `upToIncl + 1`
+    * MONOTONICALLY (a cumulative ack below the current position is a
+    * no-op, never a rewind — broker semantics). Returns the effective
+    * cursor. Atomic temp-file + rename under the partition lock, the
+    * same durability discipline as the meta sidecar. Reference scope:
+    * the reference acks each message individually
+    * (PulsarMessageConsumer.java:158,189 acknowledge(msg)); cumulative
+    * ack is the adjacent public consumer surface for the
+    * prefix-processed case, modeled here as durable broker state next
+    * to A15's checkpoint-commit mapping. */
+  def ackCumulative(root: String, topic: String, sub: String, p: Int,
+      upToIncl: Long): Long = {
+    val dir = topicDir(root, topic)
+    withPartitionLock(dir, p) {
+      val cur = subCursor(root, topic, sub, p)
+      val next = math.max(cur, upToIncl + 1)
+      if (next != cur) {
+        val d = subDir(root, topic, sub)
+        Files.createDirectories(d)
+        val tmp = Files.createTempFile(d, s".p$p", ".tmp")
+        Files.writeString(tmp, next.toString)
+        // ATOMIC_MOVE: rename(2) replaces the old cursor in one step
+        Files.move(tmp, d.resolve(s"p$p.cursor"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      next
+    }
+  }
+
   /** The topic-level partition count, persisted in `<topic>/topic.meta`
     * the first time the topic is written. Key-hash routing is mod this
     * value in EVERY write path — a second writer with a different count

@@ -408,6 +408,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), s"histogram not partial-agg'd:\n$p")
   }
 
+  test("t17: the top-500 vocabulary broadcasts; the corpus never sorts globally") {
+    val p = planOf("t17_vocab_coverage")
+    // the vocab cut is a bounded top-k (TakeOrderedAndProject), never a
+    // full Sort+Limit over the term totals
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the per-doc coverage join takes the vocab as the broadcast side
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q52: the moments reduce in ONE partial-agg'd shuffle") {
+    val p = planOf("q52_regression_agg")
+    // partial + final hash aggregate around a single exchange — the
+    // five decimal moments ARE the mergeable sketch; a second shuffle
+    // would mean the slope math left the reduced 3-row table
+    assert(p.contains("HashAggregate"), p)
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected ≤2 exchanges (agg + order), got $exchanges:\n$p")
+  }
+
+  test("t18: the per-source rank cut runs through GroupTopK") {
+    val p = planOf("t18_zipf_slope")
+    assert(p.contains("GroupTopK"), p)
+  }
+
+  test("mm10: dims parse in the scan projection; payload bytes are pruned") {
+    val p = planOf("mm10_aspect_bucket")
+    // only doc_id and text (the payload builder's inputs) leave the
+    // scan; after the dims projection no binary column reaches an
+    // exchange — the whole-row payload never shuffles
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+    assert(readSchema.exists(l => l.contains("doc_id") && l.contains("text")), p)
+  }
+
   test("no CartesianProduct in any registered query plan") {
     // a broadcast nested-loop against a bounded side is fine (s01's
     // query set); an unbroadcast cartesian of two big sides never is
@@ -457,7 +491,7 @@ class PlanSpec extends SparkSpec {
       "mm05_image_neardup", "mm06_audio_neardup", "t09_bigram_ppl",
       "d10_repeated_spans", "d11_span_strip", "d14_containment",
       "t14_ngram_novelty", "q39_part_pagerank", "d16_nearest_dup",
-      "q45_triangle_count", "s13_mmr_rerank")
+      "q45_triangle_count", "s13_mmr_rerank", "t17_vocab_coverage")
     QueryRegistry.all
       .filterNot(q => isStreamLoop(q.name) || checkpoints.contains(q.name))
       .foreach { q =>
