@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import graft.operators.Stage.stage
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph / sketch / sweep-line analytics over the TPC-H-ish fixtures:
@@ -509,6 +510,108 @@ object AnalyticsQueries {
           sum(col("l_extendedprice").cast(DecimalType(18, 2)))
             .cast("double").as("revenue"))
         .orderBy(col("p_brand"))
+    },
+
+    // ---------------------------------------------------------------
+    // q54 — last-touch attribution: every purchase is attributed to
+    // the SAME user's most recent click, but only within a 1-hour
+    // window — the marketing-analytics op that is a correlated
+    // "most recent preceding event" lookup per row. Executed as ONE
+    // pass: clicks and purchases ride the same user_id shuffle, a
+    // running last-click window (last_value IGNORE NULLS over an
+    // explicit total order — ts, event_type, event_id, so a click and
+    // a purchase on the same tick order identically in both engines)
+    // carries the candidate forward, and the window bound is an exact
+    // microsecond comparison. The naive form is a per-purchase
+    // backward join (all click×purchase pairs per user); this form
+    // never builds a pair. Shape at 100 TB: one exchange on user_id,
+    // filters pushed to the scan, window state is two columns.
+    Q(
+      "q54_attribution",
+      """WITH ce AS (
+        |  SELECT event_id, user_id, ts, event_type FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_type, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS c_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_type, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS c_ts
+        |  FROM ce)
+        |SELECT event_id, user_id,
+        |  CASE WHEN c_ts IS NOT NULL AND ts - c_ts <= INTERVAL 1 HOUR
+        |    THEN c_id END AS click_id,
+        |  (c_ts IS NOT NULL AND ts - c_ts <= INTERVAL 1 HOUR)
+        |    AS attributed
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin
+    ) { (s, dir) =>
+      val ce = Tables(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"))
+      val wdw = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_type"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val w = ce
+        .withColumn("c_id", last(
+          when(col("event_type") === "click", col("event_id")),
+          ignoreNulls = true).over(wdw))
+        .withColumn("c_ts", last(
+          when(col("event_type") === "click", col("ts")),
+          ignoreNulls = true).over(wdw))
+      val inWindow = col("c_ts").isNotNull &&
+        unix_micros(col("ts")) - unix_micros(col("c_ts")) <= 3600000000L
+      w.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          when(inWindow, col("c_id")).as("click_id"),
+          inWindow.as("attributed"))
+        .orderBy(col("event_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // d17 — cross-source duplicate overlap matrix: for every pair of
+    // sources, how many distinct documents they share verbatim — the
+    // corpus-governance report that tells you WHICH feeds mirror each
+    // other before d01 collapses them (a scraped mirror shows up as
+    // one hot pair, not as a diffuse dup rate). The gate plants a
+    // 'mirror' source copying every 7th doc so the matrix is
+    // non-trivial at every fixture scale. Shape at 100 TB: docs
+    // reduce to DISTINCT (source, md5) — text never leaves the map
+    // side; the pair enumeration is a self-equi-join ON THE HASH, so
+    // its cost is bounded by per-hash source multiplicity (≤ number
+    // of sources), never all-pairs of docs.
+    Q(
+      "d17_source_overlap",
+      """WITH corpus AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'mirror' AS source, text FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |hs AS (SELECT DISTINCT source, md5(text) AS h FROM corpus)
+        |SELECT a.source AS s1, b.source AS s2,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+        |GROUP BY a.source, b.source
+        |ORDER BY s1, s2""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.select(col("source"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select(lit("mirror").as("source"), col("text")))
+      val hs = corpus.select(col("source"), md5(col("text")).as("h"))
+        .distinct()
+      hs.as("a").join(hs.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).cast("long").as("n_shared"))
+        .orderBy(col("s1"), col("s2"))
     }
   )
 

@@ -1617,6 +1617,61 @@ object PipelineQueries {
             .as("epochs"),
           (extra === col("sz") * (cap - 1)).as("at_cap"))
         .orderBy(col("source"))
+    },
+
+    // ---------------------------------------------------------------
+    // p28 — sequence-length frontier: the packing-efficiency report
+    // that picks the training sequence length. For each candidate L,
+    // two costs pull against each other: chunking every document into
+    // ⌈n/L⌉ sequences wastes padding in the last chunk (small L wins),
+    // while a truncate-to-one-chunk policy loses tokens (large L
+    // wins). One corpus scan computes the whole frontier: the per-doc
+    // token count explodes across the 4 candidate lengths MAP-SIDE
+    // and partial aggregation collapses each partition to 4 rows
+    // before the exchange, so the ×4 expansion never shuffles.
+    // All-integer sums, one division per ratio. p25 reports the
+    // realized waste of p01's packing at one L; this sweeps the
+    // DECISION across L.
+    Q(
+      "p28_seqlen_sweep",
+      """WITH d AS (
+        |  SELECT CAST(len(list_filter(string_split(text, ' '),
+        |    x -> x <> '')) AS BIGINT) AS n
+        |  FROM documents),
+        |ls AS (SELECT CAST(L AS BIGINT) AS L
+        |       FROM (VALUES (32), (64), (128), (256)) t(L)),
+        |x AS (
+        |  SELECT L, n, CAST((n + L - 1) // L AS BIGINT) AS chunks,
+        |    LEAST(n, L) AS kept
+        |  FROM d CROSS JOIN ls)
+        |SELECT L AS seq_len, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS total_tokens,
+        |  round(1.0 - CAST(sum(n) AS DOUBLE) / sum(chunks * L), 6)
+        |    AS pad_waste,
+        |  round(1.0 - CAST(sum(kept) AS DOUBLE) / sum(n), 6)
+        |    AS trunc_loss
+        |FROM x GROUP BY L ORDER BY seq_len""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+        .select(size(DedupOps.words(col("text"))).cast("long").as("n"))
+      val x = d
+        // candidate lengths bracket the fixture's token distribution
+        // (mean ~54 tokens) so BOTH costs are non-zero — a sweep where
+        // every candidate exceeds every doc reports trunc_loss ≡ 0 and
+        // gates nothing
+        .withColumn("L", explode(typedLit(Seq(32L, 64L, 128L, 256L))))
+        .withColumn("chunks", expr("CAST((n + L - 1) DIV L AS BIGINT)"))
+        .withColumn("kept", least(col("n"), col("L")))
+      x.groupBy(col("L"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n")).cast("long").as("total_tokens"),
+          round(lit(1.0) - sum(col("n")).cast("double")
+            / sum(col("chunks") * col("L")), 6).as("pad_waste"),
+          round(lit(1.0) - sum(col("kept")).cast("double")
+            / sum(col("n")), 6).as("trunc_loss"))
+        .select(col("L").as("seq_len"), col("n_docs"),
+          col("total_tokens"), col("pad_waste"), col("trunc_loss"))
+        .orderBy(col("seq_len"))
     }
   )
 

@@ -1002,6 +1002,69 @@ object TextQueries {
             .as("intercept"),
           round(num * num / (denX * denY), 6).as("r2"))
         .orderBy(col("source"))
+    },
+
+    // ---------------------------------------------------------------
+    // t19 — code-vs-prose detection: the routing filter a pretraining
+    // pipeline runs before language-specific cleaning (code wants
+    // symbol-preserving tokenization; prose wants d09/t05). Signals
+    // are count-based — code-symbol density ([{}()=;<>] chars) and
+    // code-keyword density (def/return/import/void/lambda/printf) —
+    // and the DECISION thresholds are integer cross-multiplications
+    // (50·n_sym > n_chars ≙ density > 2%; 20·n_kw > n_words ≙ > 5%),
+    // so the boolean can never float-drift between engines. The gate
+    // plants a code doc per 7th base doc (braces, keywords, operators)
+    // so both branches are exercised at every fixture scale. Shape at
+    // 100 TB: one stateless regex-count projection pass; no joins, no
+    // state; ratios reduce per-row.
+    Q(
+      "t19_code_detect",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id,
+        |    'def f' || CAST(doc_id AS VARCHAR)
+        |      || '(x): return {x == ' || CAST(doc_id AS VARCHAR)
+        |      || '}; import sys; void printf(x);' AS text
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '[{}()=;<>]')) AS BIGINT)
+        |      AS n_sym,
+        |    CAST(len(regexp_extract_all(text,
+        |      '\b(def|return|import|void|lambda|printf)\b')) AS BIGINT)
+        |      AS n_kw
+        |  FROM corpus)
+        |SELECT doc_id, n_sym, n_kw,
+        |  round(CAST(n_sym AS DOUBLE) / n_chars, 6) AS sym_ratio,
+        |  (50 * n_sym > n_chars OR 20 * n_kw > n_words) AS is_code
+        |FROM sig ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val planted = docs.filter(col("doc_id") % 7 === 0)
+        .select(Q.plantedId(col("doc_id"), 300000).as("doc_id"),
+          concat(lit("def f"), col("doc_id").cast("string"),
+            lit("(x): return {x == "), col("doc_id").cast("string"),
+            lit("}; import sys; void printf(x);")).as("text"))
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      val sig = corpus.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(DedupOps.words(col("text"))).cast("long").as("n_words"),
+        size(regexp_extract_all(col("text"), lit("[{}()=;<>]"), lit(0)))
+          .cast("long").as("n_sym"),
+        size(regexp_extract_all(col("text"),
+          lit("\\b(def|return|import|void|lambda|printf)\\b"), lit(0)))
+          .cast("long").as("n_kw"))
+      sig.select(col("doc_id"), col("n_sym"), col("n_kw"),
+          round(col("n_sym").cast("double") / col("n_chars"), 6)
+            .as("sym_ratio"),
+          (lit(50) * col("n_sym") > col("n_chars") ||
+            lit(20) * col("n_kw") > col("n_words")).as("is_code"))
+        .orderBy(col("doc_id"))
     }
   )
 }
