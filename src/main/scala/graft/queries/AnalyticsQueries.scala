@@ -612,6 +612,76 @@ object AnalyticsQueries {
         .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
         .agg(count(lit(1)).cast("long").as("n_shared"))
         .orderBy(col("s1"), col("s2"))
+    },
+
+    // ---------------------------------------------------------------
+    // q55 — time-weighted average per user: each event's value holds
+    // until the next event, so the mean weights by HOLD TIME, not by
+    // event count (the monitoring/finance TWA; a plain avg over a
+    // burst of identical readings is wrong by the burst factor). Gaps
+    // cap at 1 hour — the standard staleness bound so one long-idle
+    // user doesn't dominate their own average. Determinism: values
+    // round(6) once, hold times derive exactly (µs diff × 10⁻⁶ as a
+    // scale-6 decimal — exact), products and sums stay decimal
+    // (order-free), ratios divide once. The last event per user has
+    // no successor and carries no weight; single-event users have no
+    // span and no row (stated contract). Shape at 100 TB: one
+    // exchange on user_id serves both the lead() window and the
+    // aggregate; two columns of window state.
+    Q(
+      "q55_time_weighted_avg",
+      """WITH e AS (
+        |  SELECT user_id, ts, round(value, 6) AS rv, event_id
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, rv,
+        |    CAST(LEAST(epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id)) - epoch_us(ts),
+        |      3600000000) AS DECIMAL(20,0)) AS d_us
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id,
+        |    CAST(rv AS DECIMAL(19,6)) AS rvd,
+        |    CAST(d_us * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(19,6))
+        |      AS w_s
+        |  FROM w WHERE d_us IS NOT NULL)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(round(sum(w_s), 4) AS DOUBLE) AS span_s,
+        |  round(CAST(round(sum(CAST(rvd * w_s AS DECIMAL(38,12))), 4)
+        |      AS DOUBLE)
+        |    / CAST(round(sum(w_s), 4) AS DOUBLE), 6) AS twa
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val wdw = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val w = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"),
+          round(col("value"), 6).as("rv"), col("event_id"))
+        .withColumn("d_us",
+          least(unix_micros(lead(col("ts"), 1).over(wdw))
+            - unix_micros(col("ts")), lit(3600000000L))
+            .cast(DecimalType(20, 0)))
+        .filter(col("d_us").isNotNull)
+      // Operand precision (19,6) is deliberate on BOTH sides of the
+      // product: width 19 forces DuckDB into int128 physical storage
+      // (narrower operands multiply in int64 and overflow at ~1e18 raw
+      // — observed), and (19,6)×(19,6) lands on exactly DECIMAL(38,12)
+      // in both engines with no scale reduction (wider operands would
+      // make Spark shrink the result scale while DuckDB demotes to
+      // double — a silent divergence). Values are bounded (rv < 1e13,
+      // spans capped at 3600 s), so nothing overflows.
+      val wS = (col("d_us") * expr("CAST(0.000001 AS DECIMAL(7,6))"))
+        .cast(DecimalType(19, 6))
+      val st = w.select(col("user_id"),
+        col("rv").cast(DecimalType(19, 6)).as("rvd"), wS.as("w_s"))
+      st.groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_spans"),
+          round(sum(col("w_s")), 4).cast("double").as("span_s"),
+          round(round(sum((col("rvd") * col("w_s"))
+              .cast(DecimalType(38, 12))), 4).cast("double")
+            / round(sum(col("w_s")), 4).cast("double"), 6).as("twa"))
+        .orderBy(col("user_id"))
     }
   )
 

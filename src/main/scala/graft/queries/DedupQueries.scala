@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.operators.{DedupOps, Stage, VectorOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1035,6 +1035,130 @@ object DedupQueries {
         .select(col("a_id").as("doc_id"), col("b_id").as("nearest_id"),
           col("jaccard"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // d18 — LSH band tuning: the b×r sweep that picks d02's banding.
+    // The same 8-hash MinHash signature supports three bandings —
+    // 8 bands × 1 row (the recall end: P(candidate) = 1−(1−j)⁸),
+    // 4 × 2 (d02's production choice), 2 × 4 (the precision end) —
+    // and the report shows, per config, the candidate-pair volume
+    // (the COST: every candidate pays an exact-Jaccard check
+    // downstream) against recall on the planted near-dup pairs (the
+    // BENEFIT). One signature scan serves all three: the config id is
+    // hashed INTO the band key, so a single self-equi-join on the key
+    // computes every config's candidates at once — no per-config
+    // joins. Pair volume stays bucket-bounded exactly as d02; the
+    // planted-pair truth is structural (id + 100000), not a second
+    // similarity pass. (The recall here is vs PLANTED pairs — the
+    // honest-recall discipline from mm05: the oracle mirrors the
+    // blocking, so recall loss needs ground truth the blocking cannot
+    // see.)
+    Q(
+      "d18_band_tuning",
+      s"""WITH $corpusSql,
+        |toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM corpus),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM toks),
+        |hs AS (SELECT doc_id,
+        |  list_transform(sh, x -> md5('a:' || x)) AS hs0,
+        |  list_transform(sh, x -> md5('b:' || x)) AS hs1 FROM sh),
+        |sig AS (SELECT doc_id,
+        |  list_min(list_transform(hs0, h -> substr(h, 1, 8))) AS mh0,
+        |  list_min(list_transform(hs0, h -> substr(h, 9, 8))) AS mh1,
+        |  list_min(list_transform(hs0, h -> substr(h, 17, 8))) AS mh2,
+        |  list_min(list_transform(hs0, h -> substr(h, 25, 8))) AS mh3,
+        |  list_min(list_transform(hs1, h -> substr(h, 1, 8))) AS mh4,
+        |  list_min(list_transform(hs1, h -> substr(h, 9, 8))) AS mh5,
+        |  list_min(list_transform(hs1, h -> substr(h, 17, 8))) AS mh6,
+        |  list_min(list_transform(hs1, h -> substr(h, 25, 8))) AS mh7
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, 'r1' AS cfg, unnest([
+        |    md5(concat_ws('|', 'r1', '0', mh0)),
+        |    md5(concat_ws('|', 'r1', '1', mh1)),
+        |    md5(concat_ws('|', 'r1', '2', mh2)),
+        |    md5(concat_ws('|', 'r1', '3', mh3)),
+        |    md5(concat_ws('|', 'r1', '4', mh4)),
+        |    md5(concat_ws('|', 'r1', '5', mh5)),
+        |    md5(concat_ws('|', 'r1', '6', mh6)),
+        |    md5(concat_ws('|', 'r1', '7', mh7))]) AS k FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, 'r2' AS cfg, unnest([
+        |    md5(concat_ws('|', 'r2', '0', mh0, mh1)),
+        |    md5(concat_ws('|', 'r2', '1', mh2, mh3)),
+        |    md5(concat_ws('|', 'r2', '2', mh4, mh5)),
+        |    md5(concat_ws('|', 'r2', '3', mh6, mh7))]) AS k FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, 'r4' AS cfg, unnest([
+        |    md5(concat_ws('|', 'r4', '0', mh0, mh1, mh2, mh3)),
+        |    md5(concat_ws('|', 'r4', '1', mh4, mh5, mh6, mh7))]) AS k
+        |  FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.cfg AS cfg, a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b
+        |    ON a.k = b.k AND a.doc_id < b.doc_id),
+        |pl AS (SELECT CAST(count(*) AS BIGINT) AS n_planted FROM corpus
+        |       WHERE doc_id >= 100000)
+        |SELECT cfg,
+        |  CAST(CASE cfg WHEN 'r1' THEN 8 WHEN 'r2' THEN 4 ELSE 2 END
+        |    AS BIGINT) AS n_bands,
+        |  CAST(CASE cfg WHEN 'r1' THEN 1 WHEN 'r2' THEN 2 ELSE 4 END
+        |    AS BIGINT) AS rows_per_band,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN b_id - a_id = 100000 AND a_id % 10 = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+        |  n_planted,
+        |  round(CAST(sum(CASE WHEN b_id - a_id = 100000 AND a_id % 10 = 0
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / n_planted, 6) AS recall
+        |FROM cand CROSS JOIN pl
+        |GROUP BY cfg, n_planted ORDER BY cfg""".stripMargin
+    ) { (s, dir) =>
+      val corpus = corpusWithNearDups(Tables(s, dir, "documents"))
+      val sh = corpus.withColumn("ws", DedupOps.words(col("text")))
+        .select(col("doc_id"),
+          array_distinct(DedupOps.shingles(col("ws"), 3)).as("sh"))
+      val sig = sh.select(col("doc_id") +:
+        DedupOps.minhashSignature(col("sh")): _*)
+        .transform(Stage.stage)
+      val mh = (0 until 8).map(i => col(s"mh$i"))
+      def key(cfg: String, b: Int, cols: Seq[Column]): Column =
+        md5(concat_ws("|", (lit(cfg) +: lit(b.toString) +: cols): _*))
+      val keys =
+        (0 until 8).map(i => struct(lit("r1").as("cfg"),
+          key("r1", i, Seq(mh(i))).as("k"))) ++
+        (0 until 4).map(b => struct(lit("r2").as("cfg"),
+          key("r2", b, mh.slice(2 * b, 2 * b + 2)).as("k"))) ++
+        (0 until 2).map(b => struct(lit("r4").as("cfg"),
+          key("r4", b, mh.slice(4 * b, 4 * b + 4)).as("k")))
+      val bands = sig
+        .select(col("doc_id"), explode(array(keys: _*)).as("ck"))
+        .select(col("doc_id"), col("ck.cfg").as("cfg"), col("ck.k").as("k"))
+      // cfg is hashed into k, so key equality implies config equality —
+      // one join computes all three sweeps
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.cfg").as("cfg"), col("a.doc_id").as("a_id"),
+          col("b.doc_id").as("b_id"))
+        .distinct()
+      val planted = corpus.filter(col("doc_id") >= 100000)
+        .agg(count(lit(1)).cast("long").as("n_planted"))
+      val hit = when(col("b_id") - col("a_id") === 100000 &&
+        col("a_id") % 10 === 0, 1L).otherwise(0L)
+      cand.groupBy(col("cfg"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          sum(hit).cast("long").as("n_caught"))
+        .crossJoin(broadcast(planted))
+        .select(col("cfg"),
+          when(col("cfg") === "r1", 8L).when(col("cfg") === "r2", 4L)
+            .otherwise(2L).cast("bigint").as("n_bands"),
+          when(col("cfg") === "r1", 1L).when(col("cfg") === "r2", 2L)
+            .otherwise(4L).cast("bigint").as("rows_per_band"),
+          col("n_pairs"), col("n_caught"), col("n_planted"),
+          round(col("n_caught").cast("double") / col("n_planted"), 6)
+            .as("recall"))
+        .orderBy(col("cfg"))
     }
   )
 

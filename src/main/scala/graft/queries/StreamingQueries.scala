@@ -406,6 +406,88 @@ object StreamingQueries {
     },
 
     // ---------------------------------------------------------------
+    // m18 — message expiry (pulsar-admin expire-messages -s sub -t):
+    // everything published before the TTL cutoff is expired —
+    // auto-acked — for ONE subscription, by folding the m08
+    // index-guided time seek through m17's cumulative-ack cursor
+    // (expiry is an ack the broker performs for you; it inherits the
+    // cursor's monotonicity and durability). The subsequent
+    // subscription read serves exactly publish_time >= cutoff; other
+    // subscriptions are untouched (AdminCursorSpec). The reference
+    // leaves TTL to the broker — this is that broker surface, modeled
+    // next to retention (truncateTopic), which differs in scope:
+    // retention deletes bytes for everyone, expiry advances one
+    // subscription's cursor.
+    Q(
+      "m18_message_expiry",
+      """SELECT '0:' || CAST(event_id AS VARCHAR) || ':0:0' AS message_id,
+        |  CAST(user_id AS VARCHAR) AS key, ts AS publish_time
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-12 00:00:00'
+        |ORDER BY message_id""".stripMargin
+    ) { (s, dir) =>
+      val root = graft.TempRoots.create("graft-expire")
+      TopicStore.publish(s,
+        MessageOps.fromEvents(Tables(s, dir, "events")), root, "events", 4)
+      val cutoffUs = java.time.Instant.parse("2024-01-12T00:00:00Z")
+        .toEpochMilli * 1000L
+      TopicStore.partitionIds(root, "events").foreach { p =>
+        TopicStore.expireMessages(root, "events", "sub-default", p,
+          cutoffUs)
+      }
+      s.read.format("pulsarlike")
+        .option("path", root)
+        .option("serviceUrl", "pulsar://local")
+        .option("topicNames", "events")
+        .option("startFromSubscriptionCursor", "true")
+        .option("batchingMaxMessages", "1000000")
+        .load()
+        .select(col("message_id"), col("key"), col("publish_time"))
+        .orderBy(col("message_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // m19 — admin cursor reset (pulsar-admin reset-cursor -s sub -t):
+    // the operator's replay lever. Unlike a consumer's cumulative ack
+    // (monotonic by broker contract, m17), the admin override moves
+    // the cursor in EITHER direction — here the gate first acks the
+    // entire log (the subscription is fully caught up and a plain
+    // cursor read would return nothing), then resets back to a
+    // mid-log timestamp and proves the prefix REPLAYS through the
+    // same subscription: exactly publish_time >= T comes back. Same
+    // index-guided seek and atomic cursor write as m17/m18.
+    Q(
+      "m19_reset_cursor",
+      """SELECT '0:' || CAST(event_id AS VARCHAR) || ':0:0' AS message_id,
+        |  CAST(user_id AS VARCHAR) AS key, ts AS publish_time
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |ORDER BY message_id""".stripMargin
+    ) { (s, dir) =>
+      val root = graft.TempRoots.create("graft-reset")
+      TopicStore.publish(s,
+        MessageOps.fromEvents(Tables(s, dir, "events")), root, "events", 4)
+      val toUs = java.time.Instant.parse("2024-01-20T00:00:00Z")
+        .toEpochMilli * 1000L
+      TopicStore.partitionIds(root, "events").foreach { p =>
+        // catch the subscription fully up…
+        val (cnt, _) = TopicStore.partitionMeta(root, "events", p)
+        TopicStore.ackCumulative(root, "events", "sub-default", p, cnt - 1)
+        // …then the admin rewinds it to T for a replay
+        TopicStore.resetCursor(root, "events", "sub-default", p, toUs)
+      }
+      s.read.format("pulsarlike")
+        .option("path", root)
+        .option("serviceUrl", "pulsar://local")
+        .option("topicNames", "events")
+        .option("startFromSubscriptionCursor", "true")
+        .option("batchingMaxMessages", "1000000")
+        .load()
+        .select(col("message_id"), col("key"), col("publish_time"))
+        .orderBy(col("message_id"))
+    },
+
+    // ---------------------------------------------------------------
     // m10 — effectively-once ingest: the source's delivery contract is
     // at-least-once (ack ≙ offset commit, replay on failure — A15), and
     // the standard Spark composition to effectively-once is

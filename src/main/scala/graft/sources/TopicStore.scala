@@ -186,6 +186,42 @@ object TopicStore {
     }
   }
 
+  /** Message expiry for a subscription — pulsar-admin
+    * `topics expire-messages -s <sub> -t <ttl>`: everything published
+    * BEFORE `beforeUs` is expired (auto-acked) for that subscription.
+    * The expiry position comes from the same index-guided time seek
+    * batch reads use (first offset with publish_time >= T), folded
+    * through [[ackCumulative]], so it inherits monotonicity: an expiry
+    * older than the current cursor is a no-op. Returns the effective
+    * cursor. */
+  def expireMessages(root: String, topic: String, sub: String, p: Int,
+      beforeUs: Long): Long = {
+    val firstKept = seekByTimeIn(topicDir(root, topic), p, beforeUs)
+    ackCumulative(root, topic, sub, p, firstKept - 1)
+  }
+
+  /** Admin cursor reset — pulsar-admin
+    * `topics reset-cursor -s <sub> -t <time>`: FORCES the
+    * subscription's cursor to the first message with publish_time >=
+    * `toUs`, in either direction — unlike a consumer's cumulative ack,
+    * the admin override may rewind (that is its purpose: replay a
+    * prefix through an existing subscription). Same atomic write
+    * discipline as [[ackCumulative]]. */
+  def resetCursor(root: String, topic: String, sub: String, p: Int,
+      toUs: Long): Long = {
+    val dir = topicDir(root, topic)
+    withPartitionLock(dir, p) {
+      val target = seekByTimeIn(dir, p, toUs)
+      val d = subDir(root, topic, sub)
+      Files.createDirectories(d)
+      val tmp = Files.createTempFile(d, s".p$p", ".tmp")
+      Files.writeString(tmp, target.toString)
+      Files.move(tmp, d.resolve(s"p$p.cursor"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      target
+    }
+  }
+
   /** The topic-level partition count, persisted in `<topic>/topic.meta`
     * the first time the topic is written. Key-hash routing is mod this
     * value in EVERY write path — a second writer with a different count

@@ -491,7 +491,8 @@ class PlanSpec extends SparkSpec {
       "mm05_image_neardup", "mm06_audio_neardup", "t09_bigram_ppl",
       "d10_repeated_spans", "d11_span_strip", "d14_containment",
       "t14_ngram_novelty", "q39_part_pagerank", "d16_nearest_dup",
-      "q45_triangle_count", "s13_mmr_rerank", "t17_vocab_coverage")
+      "q45_triangle_count", "s13_mmr_rerank", "t17_vocab_coverage",
+      "d18_band_tuning")
     QueryRegistry.all
       .filterNot(q => isStreamLoop(q.name) || checkpoints.contains(q.name))
       .foreach { q =>
