@@ -888,6 +888,68 @@ object SimilarityQueries {
       sel.select(col("q_id"), col("cid").as("neighbor_id"),
           col("mmr_rank"), round(col("score"), 6).as("score"))
         .orderBy(col("q_id"), col("mmr_rank"))
+    },
+
+    // ---------------------------------------------------------------
+    // s14 — IVF index health: the diagnostics an ANN operator reads
+    // before trusting s04's recall — per-cell population, balance
+    // (n·k / N: 1.0 = perfectly even; a cell at 3× means its probes
+    // cost 3× and its neighbors crowd), and mean cosine-to-centroid
+    // (quantization tightness: low means the cell's residuals are
+    // wide and nprobe=1 will miss). Same deterministic k=8/2-iter
+    // Lloyd model as s04 — the oracle re-trains it in SQL, so the
+    // report is oracle-gated END TO END, model included. Shape at
+    // 100 TB: assignment is s04's shuffle-free projection; the
+    // centroid table is model-sized and broadcasts; the report is one
+    // partial-agg'd reduce to k rows (cosines sum as exact decimals —
+    // a double sum would be partition-order-dependent).
+    Q(
+      "s14_ivf_balance",
+      s"""WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id AS BIGINT) AS pivot_id, v AS pv
+        |       FROM base WHERE vec_id < 8),
+        |a1 AS (${assignSql("base", "c0", 1)}),
+        |c1 AS (${centroidSql("a1")}),
+        |a2 AS (${assignSql("base", "c1", 1)}),
+        |c2 AS (${centroidSql("a2")}),
+        |af AS (${assignSql("base", "c2", 1)}),
+        |j AS (
+        |  SELECT a.pivot_id, ${cosineSql("a.v", "p.pv", 64)} AS cosc
+        |  FROM af a JOIN c2 p ON p.pivot_id = a.pivot_id),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)
+        |SELECT pivot_id, CAST(count(*) AS BIGINT) AS n_vectors,
+        |  round(CAST(count(*) AS DOUBLE) * 8 / n, 6) AS balance,
+        |  round(CAST(sum(CAST(cosc AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS mean_cos
+        |FROM j CROSS JOIN tot
+        |GROUP BY pivot_id, n ORDER BY pivot_id""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val base = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      val centroids = VectorOps.kmeansCentroids(base, k = 8, iters = 2,
+        dims = 64)
+      val withNorm = base.withColumn("nv", VectorOps.norm(col("v")))
+      val assigned = VectorOps.assignCellsAuto(withNorm, centroids,
+        nprobe = 1, normCol = Some("nv"))
+      import s.implicits._
+      val centDf = centroids.toDF("pivot_id", "pv")
+      val j = assigned.join(broadcast(centDf), Seq("pivot_id"))
+        .select(col("pivot_id"),
+          VectorOps.cosine(col("v"), col("pv")).as("cosc"))
+      val tot = base.agg(count(lit(1)).cast("long").as("n"))
+      j.groupBy(col("pivot_id"))
+        .agg(count(lit(1)).cast("long").as("n_vectors"),
+          sum(col("cosc").cast(DecimalType(18, 6))).as("sc"))
+        .crossJoin(broadcast(tot))
+        .select(col("pivot_id"), col("n_vectors"),
+          round(col("n_vectors").cast("double") * 8 / col("n"), 6)
+            .as("balance"),
+          round(col("sc").cast("double") / col("n_vectors"), 6)
+            .as("mean_cos"))
+        .orderBy(col("pivot_id"))
     }
   )
 
