@@ -551,6 +551,61 @@ object MultimodalQueries {
           round(lit(1.0) - sum(col("area")).cast("double")
             / sum(col("n") * col("mw") * col("mh")), 6).as("waste_ratio"))
         .orderBy(col("bucket"))
+    },
+
+    // ---------------------------------------------------------------
+    // mm11 — shot-boundary detection: the frame-sampling question
+    // mm02 leaves open is WHERE to sample — a video's natural sample
+    // points are its cuts, detected as energy discontinuities between
+    // consecutive frames. Frames reuse mm03's stub feature (16-byte
+    // frames, sum-of-squared-byte energy — exact integer arithmetic;
+    // the decode is the documented stub boundary, the shape is real),
+    // a per-video lag() compares neighbors, and a jump above the
+    // threshold opens a new shot. Report per video: frames, shots,
+    // max jump. Shape at 100 TB: frame energies explode map-side, ONE
+    // exchange on doc_id serves both the lag window and the reduce;
+    // window state is one row.
+    Q(
+      "mm11_shot_bounds",
+      """WITH fr AS (
+        |  SELECT doc_id, f,
+        |    CAST(list_aggregate(list_transform(
+        |      generate_series(CAST(f * 16 + 1 AS BIGINT),
+        |        CAST(least(f * 16 + 16, length(text)) AS BIGINT)),
+        |      i -> ascii(substr(text, CAST(i AS INTEGER), 1))
+        |        * ascii(substr(text, CAST(i AS INTEGER), 1))),
+        |      'sum') AS BIGINT) AS energy
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS f) g
+        |  WHERE f < ceil(length(text) / 16.0)),
+        |d AS (
+        |  SELECT doc_id, energy - lag(energy) OVER (
+        |    PARTITION BY doc_id ORDER BY f) AS je
+        |  FROM fr)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(1 + sum(CASE WHEN abs(je) > 20000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_shots,
+        |  CAST(COALESCE(max(abs(je)), 0) AS BIGINT) AS max_jump
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val fr = Tables(s, dir, "documents")
+        .withColumn("f", explode(sequence(lit(0L),
+          ceil(length(col("text")) / 16.0).cast("long") - 1)))
+        .withColumn("frame",
+          col("text").substr((col("f") * 16 + 1).cast("int"), lit(16)))
+        .select(col("doc_id"), col("f"),
+          aggregate(
+            transform(split(col("frame"), ""), c => ascii(c) * ascii(c)),
+            lit(0L), (acc, x) => acc + x).as("energy"))
+      val wdw = Window.partitionBy(col("doc_id")).orderBy(col("f"))
+      fr.withColumn("je", col("energy") - lag(col("energy"), 1).over(wdw))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_frames"),
+          (lit(1) + sum(when(abs(col("je")) > 20000, 1L).otherwise(0L)))
+            .cast("long").as("n_shots"),
+          coalesce(max(abs(col("je"))), lit(0L)).cast("long")
+            .as("max_jump"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -45,33 +45,8 @@ object TextQueries {
         |    ORDER BY score DESC, p_lang ASC) AS rn FROM scores) t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
-      val tri = docs.select(col("doc_id"), col("lang"),
-        explode(TextOps.charNgrams(col("text"), 3)).as("g"))
-      // one explode + one aggregation: per-doc trigram counts serve both
-      // the training counts (sum) and the distinct doc-trigram sets
-      // (they are already distinct) — checkpointed so profile building
-      // and classification don't re-explode the corpus
-      val docCounts = tri.groupBy(col("doc_id"), col("lang"), col("g"))
-        .agg(count(lit(1)).as("dc"))
-        .transform(Stage.stage)
-      val counts = docCounts.groupBy(col("lang"), col("g"))
-        .agg(sum(col("dc")).as("c"))
-      val wRank = Window.partitionBy(col("lang"))
-        .orderBy(col("c").desc, col("g").asc)
-      val profile = counts.withColumn("rank", row_number().over(wRank))
-        .filter(col("rank") <= 20)
-        .select(col("lang").as("p_lang"), col("g"),
-          (lit(21) - col("rank")).as("weight"))
-      val docTri = docCounts.select(col("doc_id"), col("lang"), col("g"))
-      val scores = docTri.join(broadcast(profile), "g")
-        .groupBy(col("doc_id"), col("lang"), col("p_lang"))
-        .agg(sum(col("weight")).as("score"))
-      val wBest = Window.partitionBy(col("doc_id"))
-        .orderBy(col("score").desc, col("p_lang").asc)
-      scores.withColumn("rn", row_number().over(wBest))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("lang"), col("p_lang").as("predicted"),
+      langPredictions(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("predicted"),
           col("score").cast("long").as("score"))
         .orderBy(col("doc_id"))
     },
@@ -1065,6 +1040,93 @@ object TextQueries {
           (lit(50) * col("n_sym") > col("n_chars") ||
             lit(20) * col("n_kw") > col("n_words")).as("is_code"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // t20 — language-ID confusion matrix: t01's classifier evaluated
+    // against the labeled corpus — for every (true lang, predicted)
+    // cell, the doc count and the within-language share (the diagonal
+    // is per-language recall; off-diagonal hot cells name the
+    // confusable pairs worth a better profile). Same pipeline as t01
+    // through the per-doc argmax (one shared helper, one staged
+    // explode), then one reduce to the |langs|² cells. The corpus-eval
+    // report a pipeline runs after retraining profiles — t01 tells you
+    // WHAT the model said, this tells you WHERE it is wrong.
+    Q(
+      "t20_langid_confusion",
+      """WITH tri AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, length(text) - 2),
+        |      i -> substr(text, i, 3))) AS g
+        |  FROM documents),
+        |counts AS (SELECT lang, g, count(*) AS c FROM tri GROUP BY lang, g),
+        |profile AS (
+        |  SELECT lang AS p_lang, g, 21 - rank AS weight FROM (
+        |    SELECT lang, g, c, row_number() OVER (PARTITION BY lang
+        |      ORDER BY c DESC, g ASC) AS rank FROM counts) r
+        |  WHERE rank <= 20),
+        |doc_tri AS (SELECT DISTINCT doc_id, lang, g FROM tri),
+        |scores AS (
+        |  SELECT d.doc_id, d.lang, p.p_lang, sum(p.weight) AS score
+        |  FROM doc_tri d JOIN profile p ON d.g = p.g
+        |  GROUP BY d.doc_id, d.lang, p.p_lang),
+        |pred AS (
+        |  SELECT doc_id, lang, p_lang AS predicted
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, p_lang ASC) AS rn FROM scores) t
+        |  WHERE rn = 1),
+        |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+        |        FROM pred GROUP BY lang)
+        |SELECT p.lang, p.predicted, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(count(*) AS DOUBLE) / n_lang, 6) AS share
+        |FROM pred p JOIN tot USING (lang)
+        |GROUP BY p.lang, p.predicted, n_lang
+        |ORDER BY lang, predicted""".stripMargin
+    ) { (s, dir) =>
+      val pred = langPredictions(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("predicted"))
+      val tot = pred.groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_lang"))
+      pred.join(broadcast(tot), Seq("lang"))
+        .groupBy(col("lang"), col("predicted"), col("n_lang"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .select(col("lang"), col("predicted"), col("n"),
+          round(col("n").cast("double") / col("n_lang"), 6).as("share"))
+        .orderBy(col("lang"), col("predicted"))
     }
   )
+
+  /** t01's trigram-profile classifier through the per-doc argmax —
+    * shared by t01 (per-doc report) and t20 (confusion matrix).
+    * Returns (doc_id, lang, predicted, score). One explode + one
+    * aggregation: per-doc trigram counts serve both the training
+    * counts (sum) and the distinct doc-trigram sets (they are already
+    * distinct) — checkpointed so profile building and classification
+    * don't re-explode the corpus. */
+  private def langPredictions(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tri = docs.select(col("doc_id"), col("lang"),
+      explode(TextOps.charNgrams(col("text"), 3)).as("g"))
+    val docCounts = tri.groupBy(col("doc_id"), col("lang"), col("g"))
+      .agg(count(lit(1)).as("dc"))
+      .transform(Stage.stage)
+    val counts = docCounts.groupBy(col("lang"), col("g"))
+      .agg(sum(col("dc")).as("c"))
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(col("c").desc, col("g").asc)
+    val profile = counts.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 20)
+      .select(col("lang").as("p_lang"), col("g"),
+        (lit(21) - col("rank")).as("weight"))
+    val docTri = docCounts.select(col("doc_id"), col("lang"), col("g"))
+    val scores = docTri.join(broadcast(profile), "g")
+      .groupBy(col("doc_id"), col("lang"), col("p_lang"))
+      .agg(sum(col("weight")).as("score"))
+    val wBest = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("p_lang").asc)
+    scores.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("p_lang").as("predicted"),
+        col("score"))
+  }
 }
