@@ -447,6 +447,45 @@ object StreamingQueries {
     },
 
     // ---------------------------------------------------------------
+    // m20 — metadata COUNT(*) pushdown: an unfiltered ungrouped count
+    // over a topic never reads message bytes — the scan builder pushes
+    // the aggregate (SupportsPushDownAggregates) and each partition
+    // answers with its slice length from the meta sidecar, O(log n)
+    // seeks included, so the 'tail' leg counts a time slice of a
+    // year-long topic in O(partitions) metadata reads. AggPushdownSpec
+    // pins the plan marker, the refusal cases (filters, compaction,
+    // retry log — where count ≠ slice length), and result parity.
+    Q(
+      "m20_topic_count",
+      """SELECT 'full' AS slice, CAST(count(*) AS BIGINT) AS n
+        |FROM events WHERE event_id < 30000
+        |UNION ALL
+        |SELECT 'tail' AS slice, CAST(count(*) AS BIGINT) AS n
+        |FROM events WHERE event_id < 30000
+        |  AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY slice""".stripMargin
+    ) { (s, dir) =>
+      val root = graft.TempRoots.create("graft-count")
+      TopicStore.publish(s,
+        MessageOps.fromEvents(
+          Tables(s, dir, "events").filter(col("event_id") < 30000)),
+        root, "events", 4)
+      def reader = s.read.format("pulsarlike")
+        .option("path", root)
+        .option("serviceUrl", "pulsar://local")
+        .option("topicNames", "events")
+        .option("batchingMaxMessages", "1000000")
+      val full = reader.load()
+        .agg(count(lit(1)).cast("long").as("n"))
+        .select(lit("full").as("slice"), col("n"))
+      val tail = reader.option("startingTime", "2024-01-15T00:00:00Z")
+        .load()
+        .agg(count(lit(1)).cast("long").as("n"))
+        .select(lit("tail").as("slice"), col("n"))
+      full.unionByName(tail).orderBy(col("slice"))
+    },
+
+    // ---------------------------------------------------------------
     // m19 — admin cursor reset (pulsar-admin reset-cursor -s sub -t):
     // the operator's replay lever. Unlike a consumer's cumulative ack
     // (monotonic by broker contract, m17), the admin override moves

@@ -123,11 +123,13 @@ class PulsarLikeTable(conf: PulsarLikeConf, root: String)
 class PulsarLikeScanBuilder(conf: PulsarLikeConf, root: String)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
 
   private var prunedSchema: StructType = PulsarLikeSource.schema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedCount = false
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve canonical field order; an empty projection (count(*))
@@ -144,15 +146,55 @@ class PulsarLikeScanBuilder(conf: PulsarLikeConf, root: String)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** COUNT(*) answered from partition METADATA — the msgBacklog trick
+    * as a query path: every batch slice is [start, end) per partition
+    * with both bounds metadata-computable (meta counts, retention
+    * base, and the O(log n) time/offset seeks), so an unfiltered
+    * ungrouped count never touches message bytes — O(partitions) meta
+    * reads on a topic of ANY size. Partial pushdown: each partition
+    * emits its slice length and Spark's final aggregate sums them
+    * (complete pushdown would hand Spark a single pre-summed row —
+    * partials keep the partition-parallel shape and cost nothing).
+    * Refused whenever the count is NOT the slice length: pushed
+    * filters, grouping, compaction (visible rows = distinct keys, not
+    * slice length), or a retry-log read. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = false
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    val countStarOnly = agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head.isInstanceOf[
+        org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (countStarOnly && pushed.isEmpty &&
+        !conf.readCompacted && !conf.readRetries) {
+      pushedCount = true
+      true
+    } else false
+  }
+
   override def build(): Scan = new Scan {
-    override def readSchema(): StructType = prunedSchema
-    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    override def readSchema(): StructType =
+      if (pushedCount)
+        StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+      else prunedSchema
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+      // V2ScanRelationPushDown only pushes aggregates into batch scans;
+      // guard against a future Spark changing that under us
+      require(!pushedCount,
+        "aggregate pushdown has no streaming semantics")
       new PulsarLikeMicroBatchStream(conf, root, prunedSchema, pushed)
+    }
     override def toBatch: Batch =
-      new PulsarLikeBatch(conf, root, prunedSchema, pushed)
+      new PulsarLikeBatch(conf, root, prunedSchema, pushed,
+        countOnly = pushedCount)
     override def description(): String =
       s"pulsarlike pushedFilters=[${pushed.mkString(", ")}] " +
-        s"readSchema=[${prunedSchema.fieldNames.mkString(",")}]"
+        s"readSchema=[${prunedSchema.fieldNames.mkString(",")}]" +
+        (if (pushedCount) " PushedAggregation=[COUNT(*)]" else "")
   }
 }
 
@@ -479,7 +521,8 @@ class PulsarLikeMicroBatchStream(conf: PulsarLikeConf, root: String,
   * observability; pair with [[graft.operators.MessageOps.dueOnly]]). */
 class PulsarLikeBatch(conf: PulsarLikeConf, root: String,
     schema: StructType = PulsarLikeSource.schema,
-    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty) extends Batch {
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    countOnly: Boolean = false) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     PulsarLikeSource.resolveTopics(conf, root).flatMap { t =>
       val dir = if (conf.readRetries)
@@ -523,7 +566,25 @@ class PulsarLikeBatch(conf: PulsarLikeConf, root: String,
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new PulsarLikeReaderFactory(schema.fieldNames, filters)
+    if (countOnly) new PulsarLikeCountReaderFactory
+    else new PulsarLikeReaderFactory(schema.fieldNames, filters)
+}
+
+/** Pushed-COUNT(*) reader: one row per partition carrying the slice
+  * length (endOff − startOff) — both bounds were computed from
+  * metadata in planInputPartitions, so no message bytes are read at
+  * all. Spark's final aggregate sums the partials. */
+class PulsarLikeCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val ip = partition.asInstanceOf[PulsarLikeInputPartition]
+    new PartitionReader[InternalRow] {
+      private var served = false
+      override def next(): Boolean = !served && { served = true; true }
+      override def get(): InternalRow =
+        InternalRow(math.max(0L, ip.endOff - ip.startOff))
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** `retrySub == null` → main log; else that subscription's retry log. */

@@ -442,6 +442,13 @@ class PlanSpec extends SparkSpec {
     assert(readSchema.exists(l => l.contains("doc_id") && l.contains("text")), p)
   }
 
+  test("m20: both count legs answer from metadata (pushed aggregation)") {
+    val p = planOf("m20_topic_count")
+    val marks = "PushedAggregation=\\[COUNT\\(\\*\\)\\]".r
+      .findAllIn(p).length
+    assert(marks == 2, s"expected both scan legs pushed, got $marks:\n$p")
+  }
+
   test("no CartesianProduct in any registered query plan") {
     // a broadcast nested-loop against a bounded side is fine (s01's
     // query set); an unbroadcast cartesian of two big sides never is
