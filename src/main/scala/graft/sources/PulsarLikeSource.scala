@@ -124,12 +124,26 @@ class PulsarLikeScanBuilder(conf: PulsarLikeConf, root: String)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
   import org.apache.spark.sql.sources._
 
   private var prunedSchema: StructType = PulsarLikeSource.schema
   private var pushed: Array[Filter] = Array.empty
   private var pushedCount = false
+  private var pushedLimit: Option[Int] = None
+
+  /** LIMIT capped per partition slice (partial pushdown — Spark keeps
+    * the global limit on top, so each partition only needs to serve AT
+    * LEAST min(limit, its slice); capping the slice is exact). Refused
+    * whenever the scan itself drops rows and a pre-filter cap could
+    * under-serve: pushed filters, compaction, retry reads. */
+  override def pushLimit(limit: Int): Boolean = {
+    if (pushed.isEmpty && !conf.readCompacted && !conf.readRetries) {
+      pushedLimit = Some(limit)
+      true
+    } else false
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve canonical field order; an empty projection (count(*))
@@ -176,7 +190,8 @@ class PulsarLikeScanBuilder(conf: PulsarLikeConf, root: String)
     } else false
   }
 
-  override def build(): Scan = new Scan {
+  override def build(): Scan = new Scan
+      with SupportsReportStatistics {
     override def readSchema(): StructType =
       if (pushedCount)
         StructType(Seq(StructField("count(*)", LongType, nullable = false)))
@@ -188,13 +203,20 @@ class PulsarLikeScanBuilder(conf: PulsarLikeConf, root: String)
         "aggregate pushdown has no streaming semantics")
       new PulsarLikeMicroBatchStream(conf, root, prunedSchema, pushed)
     }
-    override def toBatch: Batch =
+    private def batch =
       new PulsarLikeBatch(conf, root, prunedSchema, pushed,
-        countOnly = pushedCount)
+        countOnly = pushedCount, limit = pushedLimit)
+    override def toBatch: Batch = batch
+    /** Metadata row/byte stats (exact rows, prorated bytes) — feeds
+      * join planning so a small topic auto-broadcasts. */
+    override def estimateStatistics()
+        : org.apache.spark.sql.connector.read.Statistics =
+      batch.estimateStatistics()
     override def description(): String =
       s"pulsarlike pushedFilters=[${pushed.mkString(", ")}] " +
         s"readSchema=[${prunedSchema.fieldNames.mkString(",")}]" +
-        (if (pushedCount) " PushedAggregation=[COUNT(*)]" else "")
+        (if (pushedCount) " PushedAggregation=[COUNT(*)]" else "") +
+        pushedLimit.map(l => s" PushedLimit=$l").getOrElse("")
   }
 }
 
@@ -522,14 +544,23 @@ class PulsarLikeMicroBatchStream(conf: PulsarLikeConf, root: String,
 class PulsarLikeBatch(conf: PulsarLikeConf, root: String,
     schema: StructType = PulsarLikeSource.schema,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    countOnly: Boolean = false) extends Batch {
-  override def planInputPartitions(): Array[InputPartition] = {
+    countOnly: Boolean = false,
+    limit: Option[Int] = None) extends Batch {
+
+  /** Metadata-computed slice per (topic, partition): (dir, topic, p,
+    * start, end, metaCnt, metaBytes) — shared by partition planning
+    * and [[estimateStatistics]], so the planner's stats and the
+    * actually-served rows can never disagree. A pushed LIMIT caps each
+    * slice (every partition can stop at `limit` rows because Spark
+    * keeps the global limit on top — partial pushdown). */
+  private[sources] def slices: Seq[(java.nio.file.Path, String, Int,
+      Long, Long, Long, Long)] = {
     PulsarLikeSource.resolveTopics(conf, root).flatMap { t =>
       val dir = if (conf.readRetries)
         TopicStore.retryDir(root, t, conf.subscriptionName)
       else TopicStore.topicDir(root, t)
       TopicStore.partitionIdsIn(dir).map { p =>
-        val (cnt, _) = TopicStore.partitionMetaIn(dir, p)
+        val (cnt, bytes) = TopicStore.partitionMetaIn(dir, p)
         // startingTime bounds a batch read the same way it seeks a
         // stream: slice from the first message at-or-after T. A
         // message-id seek is an absolute per-partition offset instead
@@ -559,12 +590,42 @@ class PulsarLikeBatch(conf: PulsarLikeConf, root: String,
         val end = conf.endingTimeUs.filter(_ => !conf.readRetries)
           .map(TopicStore.seekByTimeIn(dir, p, _))
           .getOrElse(cnt)
-        PulsarLikeInputPartition(root, t, p, start, end,
-          compacted = !conf.readRetries && conf.readCompacted,
-          retrySub = if (conf.readRetries) conf.subscriptionName else null)
+        val capped = limit.map(l => math.min(end, start + l)).getOrElse(end)
+        (dir, t, p, start, capped, cnt, bytes)
       }
-    }.toArray
+    }
   }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    slices.map { case (_, t, p, start, end, _, _) =>
+      PulsarLikeInputPartition(root, t, p, start, end,
+        compacted = !conf.readRetries && conf.readCompacted,
+        retrySub = if (conf.readRetries) conf.subscriptionName else null)
+    }.toArray
+
+  /** Planner statistics from the same metadata: exact slice row count,
+    * bytes prorated by the served fraction of each partition. This is
+    * what lets Catalyst auto-broadcast a SMALL topic against a big
+    * table — without it a DSv2 relation defaults to "unknown/huge" and
+    * every topic-dim join pays a shuffle. */
+  private[sources] def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    var rows = 0L
+    var size = 0L
+    slices.foreach { case (_, _, _, start, end, cnt, bytes) =>
+      val n = math.max(0L, end - start)
+      rows += n
+      size += (if (cnt > 0) (bytes.toDouble * n / cnt).toLong else 0L)
+    }
+    val (r, s) = (rows, size)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(s)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(r)
+    }
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     if (countOnly) new PulsarLikeCountReaderFactory
     else new PulsarLikeReaderFactory(schema.fieldNames, filters)
