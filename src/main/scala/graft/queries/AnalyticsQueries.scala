@@ -682,6 +682,48 @@ object AnalyticsQueries {
               .cast(DecimalType(38, 12))), 4).cast("double")
             / round(sum(col("w_s")), 4).cast("double"), 6).as("twa"))
         .orderBy(col("user_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // q56 — the distribution-ranking window functions (dense_rank,
+    // percent_rank, cume_dist, nth_value) in one pass: each order
+    // ranked within its priority class, with its percentile position
+    // and the class leader's total carried alongside — the "where
+    // does this row sit in its cohort" projection every leaderboard/
+    // percentile report needs. Determinism: the window order is made
+    // TOTAL (price DESC, key ASC), so cume_dist has no peer groups
+    // and percent_rank's (rank−1)/(n−1) is one IEEE division;
+    // nth_value pins an explicit ROWS frame (engine default frames
+    // differ in RANGE mode). One exchange on the partition key serves
+    // all four functions.
+    Q(
+      "q56_rank_functions",
+      """SELECT o_orderkey, o_orderpriority AS prio,
+        |  o_totalprice AS total,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  round(percent_rank() OVER w, 6) AS prnk,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  nth_value(o_totalprice, 1) OVER (
+        |    PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS top_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY prio, drnk, o_orderkey""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("total"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          round(percent_rank().over(w), 6).as("prnk"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          nth_value(col("o_totalprice"), 1).over(wf).as("top_total"))
+        .orderBy(col("prio"), col("drnk"), col("o_orderkey"))
     }
   )
 

@@ -1159,6 +1159,98 @@ object DedupQueries {
           round(col("n_caught").cast("double") / col("n_planted"), 6)
             .as("recall"))
         .orderBy(col("cfg"))
+    },
+
+    // ---------------------------------------------------------------
+    // d19 — dedup threshold sensitivity: d18 tunes the BLOCKING, this
+    // tunes the DECISION — for each Jaccard cutoff τ, how many
+    // candidate pairs clear it and how much of the corpus a
+    // drop-the-higher-id dedup (d06's rule) would remove. One
+    // candidate enumeration (d02's 4×2 banding) scores exact Jaccard
+    // ONCE; the τ sweep is a map-side explode over the scored pairs —
+    // three thresholds cost one scan, not three. The flagged-doc
+    // count is a count(DISTINCT higher-id) per τ, so a doc in many
+    // pairs is removed once, matching what d06 actually does. The
+    // τ ladder brackets the fixture's pair population (planted
+    // near-dups sit ≈0.5–0.9; exact +200000 copies at 1.0).
+    Q(
+      "d19_threshold_sweep",
+      s"""WITH $corpusSql,
+        |toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM corpus),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM toks),
+        |hs AS (SELECT doc_id, sh,
+        |  list_transform(sh, x -> md5('a:' || x)) AS hs0,
+        |  list_transform(sh, x -> md5('b:' || x)) AS hs1 FROM sh),
+        |sig AS (SELECT doc_id, sh,
+        |  list_min(list_transform(hs0, h -> substr(h, 1, 8))) AS mh0,
+        |  list_min(list_transform(hs0, h -> substr(h, 9, 8))) AS mh1,
+        |  list_min(list_transform(hs0, h -> substr(h, 17, 8))) AS mh2,
+        |  list_min(list_transform(hs0, h -> substr(h, 25, 8))) AS mh3,
+        |  list_min(list_transform(hs1, h -> substr(h, 1, 8))) AS mh4,
+        |  list_min(list_transform(hs1, h -> substr(h, 9, 8))) AS mh5,
+        |  list_min(list_transform(hs1, h -> substr(h, 17, 8))) AS mh6,
+        |  list_min(list_transform(hs1, h -> substr(h, 25, 8))) AS mh7
+        |  FROM hs),
+        |bands AS (SELECT doc_id, unnest([
+        |    md5(concat_ws('|', '0', mh0, mh1)),
+        |    md5(concat_ws('|', '1', mh2, mh3)),
+        |    md5(concat_ws('|', '2', mh4, mh5)),
+        |    md5(concat_ws('|', '3', mh6, mh7))]) AS band_key FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b
+        |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |scored AS (
+        |  SELECT a_id, b_id,
+        |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |      / len(list_distinct(sa.sh || sb.sh)), 6) AS j
+        |  FROM cand JOIN sh sa ON sa.doc_id = a_id
+        |            JOIN sh sb ON sb.doc_id = b_id),
+        |sw AS (
+        |  SELECT t.tau, s.a_id, s.b_id FROM scored s
+        |  CROSS JOIN (SELECT unnest([0.5, 0.7, 0.9]) AS tau) t
+        |  WHERE s.j >= t.tau),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM corpus)
+        |SELECT tau, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT b_id) AS BIGINT) AS n_dropped,
+        |  round(CAST(count(DISTINCT b_id) AS DOUBLE) / n_docs, 6)
+        |    AS drop_frac
+        |FROM sw CROSS JOIN tot
+        |GROUP BY tau, n_docs ORDER BY tau""".stripMargin
+    ) { (s, dir) =>
+      val corpus = corpusWithNearDups(Tables(s, dir, "documents"))
+      val sh = corpus.withColumn("ws", DedupOps.words(col("text")))
+        .select(col("doc_id"),
+          array_distinct(DedupOps.shingles(col("ws"), 3)).as("sh"))
+      val sig = sh.select(col("doc_id") +: col("sh") +:
+        DedupOps.minhashSignature(col("sh")): _*)
+        .transform(Stage.stage)
+      val bandKeys = (0 until 4).map(b =>
+        DedupOps.bandKey(b, Seq(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))))
+      val bands = sig.select(col("doc_id"), col("sh"),
+        explode(array(bandKeys: _*)).as("band_key"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(first(col("a.sh")).as("a_sh"), first(col("b.sh")).as("b_sh"))
+      val scored = cand.select(col("a_id"), col("b_id"),
+        round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
+          / size(array_distinct(concat(col("a_sh"), col("b_sh")))), 6)
+          .as("j"))
+      val sw = scored
+        .withColumn("tau", explode(typedLit(Seq(0.5, 0.7, 0.9))))
+        .filter(col("j") >= col("tau"))
+      val tot = corpus.agg(count(lit(1)).cast("long").as("n_docs"))
+      sw.groupBy(col("tau"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          countDistinct(col("b_id")).cast("long").as("n_dropped"))
+        .crossJoin(broadcast(tot))
+        .select(col("tau"), col("n_pairs"), col("n_dropped"),
+          round(col("n_dropped").cast("double") / col("n_docs"), 6)
+            .as("drop_frac"))
+        .orderBy(col("tau"))
     }
   )
 

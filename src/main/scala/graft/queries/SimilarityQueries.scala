@@ -950,6 +950,78 @@ object SimilarityQueries {
           round(col("sc").cast("double") / col("n_vectors"), 6)
             .as("mean_cos"))
         .orderBy(col("pivot_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // s15 — PQ distortion report: s14's health check for the PRODUCT
+    // quantizer — per subspace, how many of the 16 codewords are in
+    // use and the mean squared reconstruction error (the distortion
+    // that bounds s07's ranking quality; a subspace with dead codes
+    // or fat MSE is where re-training pays first). Same deterministic
+    // codebooks as s07 (the oracle re-trains them in SQL), per-row
+    // errors rounded once then summed as EXACT decimals. Shape at
+    // 100 TB: encode is the one-projection PqEncodeCodes pass, the
+    // codebook table is model-sized and broadcasts, the report is a
+    // partial-agg'd reduce to pqM rows.
+    Q(
+      "s15_pq_distortion",
+      s"""WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sub AS (
+        |  ${pqSubSql}),
+        |c0 AS (SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 16),
+        |a1 AS (${pqAssignSql("sub", "c0")}),
+        |c1 AS (${pqCentroidSql("a1")}),
+        |a2 AS (${pqAssignSql("sub", "c1")}),
+        |c2 AS (${pqCentroidSql("a2")}),
+        |af AS (${pqAssignSql("sub", "c2")}),
+        |e AS (
+        |  SELECT af.m, af.code,
+        |    round(list_aggregate(list_transform(generate_series(1, $pqSub),
+        |      i -> (af.sv[i] - p.cv[i]) * (af.sv[i] - p.cv[i])), 'sum'), 6)
+        |      AS e2
+        |  FROM af JOIN c2 p ON p.m = af.m AND p.code = af.code)
+        |SELECT CAST(m AS BIGINT) AS m,
+        |  CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(count(DISTINCT code) AS BIGINT) AS n_cells,
+        |  round(CAST(sum(CAST(e2 AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS mse
+        |FROM e GROUP BY m ORDER BY m""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val base = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      val cbs = pqCodebooks(base)
+      val enc = pqEncode(base, cbs)
+      val stacked = enc.select(col("vec_id"),
+          explode(array((0 until pqM).map(i =>
+            struct(lit(i).as("m"), col(s"code$i").cast("long").as("code"),
+              expr(s"slice(v, ${i * pqSub + 1}, $pqSub)").as("sv"))): _*))
+            .as("st"))
+        .select(col("st.m").as("m"), col("st.code").as("code"),
+          col("st.sv").as("sv"))
+      import s.implicits._
+      val cbDf = cbs.zipWithIndex.flatMap { case (cb, m) =>
+        cb.map { case (code, cv) => (m, code, cv) }
+      }.toDF("m", "code", "cv")
+      val e = stacked.join(broadcast(cbDf), Seq("m", "code"))
+        .select(col("m"), col("code"),
+          round(aggregate(
+            transform(sequence(lit(0), lit(pqSub - 1)),
+              i => (element_at(col("sv"), i + 1)
+                - element_at(col("cv"), i + 1))
+                * (element_at(col("sv"), i + 1)
+                  - element_at(col("cv"), i + 1))),
+            lit(0.0), (acc, x) => acc + x), 6).as("e2"))
+      e.groupBy(col("m"))
+        .agg(count(lit(1)).cast("long").as("n_vectors"),
+          countDistinct(col("code")).cast("long").as("n_cells"),
+          sum(col("e2").cast(DecimalType(18, 6))).as("se"))
+        .select(col("m").cast("long").as("m"), col("n_vectors"),
+          col("n_cells"),
+          round(col("se").cast("double") / col("n_vectors"), 6).as("mse"))
+        .orderBy(col("m"))
     }
   )
 

@@ -499,7 +499,7 @@ class PlanSpec extends SparkSpec {
       "d10_repeated_spans", "d11_span_strip", "d14_containment",
       "t14_ngram_novelty", "q39_part_pagerank", "d16_nearest_dup",
       "q45_triangle_count", "s13_mmr_rerank", "t17_vocab_coverage",
-      "d18_band_tuning", "t20_langid_confusion")
+      "d18_band_tuning", "t20_langid_confusion", "d19_threshold_sweep")
     QueryRegistry.all
       .filterNot(q => isStreamLoop(q.name) || checkpoints.contains(q.name))
       .foreach { q =>
