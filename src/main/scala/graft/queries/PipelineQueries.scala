@@ -1672,6 +1672,68 @@ object PipelineQueries {
         .select(col("L").as("seq_len"), col("n_docs"),
           col("total_tokens"), col("pad_waste"), col("trunc_loss"))
         .orderBy(col("seq_len"))
+    },
+
+    // ---------------------------------------------------------------
+    // p29 — quality-threshold frontier: the third frontier report
+    // (p28 prices sequence length, d19 the dedup cutoff; this prices
+    // the QUALITY gate) — for each cutoff τ on t02's quality score,
+    // how many documents and tokens survive and how clean the kept
+    // set is. The curve is what a data lead actually reads before
+    // fixing the production threshold: token retention falls as mean
+    // quality rises, and the knee is the decision. One scoring scan;
+    // the τ ladder explodes MAP-SIDE and partial aggregation
+    // collapses it before the exchange; kept-quality means reduce as
+    // exact decimals (a double sum is partition-order-dependent).
+    // CONTRACT: a rung no document clears yields NO row (stated, the
+    // d09 lesson) — the ladder is chosen inside the fixture's score
+    // range so every rung is populated at every scale.
+    Q(
+      "p29_quality_frontier",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ts,
+        |    CAST(length(text) AS DOUBLE) AS n_chars
+        |  FROM documents),
+        |q AS (
+        |  SELECT CAST(len(ts) AS BIGINT) AS n_tokens,
+        |    round(0.25 * (1.0 - CAST(len(list_filter(ts, x -> x = 'a' OR x = 'the')) AS DOUBLE) / len(ts))
+        |        + 0.5 * (CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts))
+        |        + 0.25 * least((n_chars - (len(ts) - 1)) / len(ts) / 8.0, 1.0), 6) AS quality
+        |  FROM f),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS all_tokens FROM q),
+        |sw AS (
+        |  SELECT t.tau, n_tokens, quality FROM q
+        |  CROSS JOIN (SELECT unnest([0.5, 0.6, 0.7, 0.8]) AS tau) t
+        |  WHERE quality >= t.tau)
+        |SELECT tau, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+        |  round(CAST(sum(n_tokens) AS DOUBLE) / all_tokens, 6)
+        |    AS token_frac,
+        |  round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS mean_quality
+        |FROM sw CROSS JOIN tot
+        |GROUP BY tau, all_tokens ORDER BY tau""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val q = TextOps.qualityScore(Tables(s, dir, "documents"),
+          "doc_id", "text")
+        .select(col("n_tokens"), col("quality"))
+      val tot = q.agg(sum(col("n_tokens")).cast("long").as("all_tokens"))
+      val sw = q
+        .withColumn("tau", explode(typedLit(Seq(0.5, 0.6, 0.7, 0.8))))
+        .filter(col("quality") >= col("tau"))
+      sw.groupBy(col("tau"))
+        .agg(count(lit(1)).cast("long").as("n_kept"),
+          sum(col("n_tokens")).cast("long").as("kept_tokens"),
+          sum(col("quality").cast(DecimalType(18, 6))).as("sq"))
+        .crossJoin(broadcast(tot))
+        .select(col("tau"), col("n_kept"), col("kept_tokens"),
+          round(col("kept_tokens").cast("double") / col("all_tokens"), 6)
+            .as("token_frac"),
+          round(col("sq").cast("double") / col("n_kept"), 6)
+            .as("mean_quality"))
+        .orderBy(col("tau"))
     }
   )
 

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.operators.VectorOps
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1022,6 +1023,91 @@ object SimilarityQueries {
           col("n_cells"),
           round(col("se").cast("double") / col("n_vectors"), 6).as("mse"))
         .orderBy(col("m"))
+    },
+
+    // ---------------------------------------------------------------
+    // s16 — binary (1-bit) quantized ANN, the last rung of the
+    // quantization ladder (float s01 → int8 s06 → PQ s07/s08 → sign
+    // bits): each 64-dim vector compresses to 64 SIGN BITS held as
+    // four 16-bit integer words, candidates rank by Hamming distance
+    // (xor + bit_count, the d03 machinery — pure codegen'd integer
+    // ops), and the top-50 re-rank exactly. At 100 TB the code table
+    // is 32 B/vector vs 256 B of floats — the scan that builds
+    // candidates reads an 8× smaller corpus, the 10 query codes
+    // broadcast, GroupTopK bounds the heap, and full vectors are
+    // touched only for the 50-candidate re-rank. Ties in Hamming
+    // break on neighbor id so the candidate cut is total-ordered in
+    // both engines.
+    Q(
+      "s16_ann_binary",
+      s"""WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |bits AS (
+        |  SELECT vec_id, v,
+        |    list_aggregate(list_transform(generate_series(1, 64),
+        |      i -> CASE WHEN v[i] > 0 THEN '1' ELSE '0' END),
+        |      'string_agg', '') AS sig
+        |  FROM base),
+        |q AS (SELECT vec_id AS q_id, v AS qv, sig AS qsig
+        |      FROM bits WHERE vec_id >= 200 AND vec_id < 210),
+        |ham AS (
+        |  SELECT q_id, qv, c.vec_id AS neighbor_id, c.v AS cv,
+        |    list_aggregate(list_transform(generate_series(1, 64),
+        |      i -> CASE WHEN substr(qsig, i, 1) <> substr(c.sig, i, 1)
+        |        THEN 1 ELSE 0 END), 'sum') AS hd
+        |  FROM q CROSS JOIN bits c WHERE c.vec_id <> q_id),
+        |cand AS (
+        |  SELECT q_id, qv, neighbor_id, cv FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY hd ASC, neighbor_id ASC) AS hrn FROM ham) t
+        |  WHERE hrn <= 50),
+        |scored AS (
+        |  SELECT q_id, neighbor_id, ${cosineSql("qv", "cv", 64)} AS cos
+        |  FROM cand),
+        |ranked AS (
+        |  SELECT q_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT q_id, neighbor_id, cos, rank FROM ranked
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+    ) { (s, dir) =>
+      val base = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      // MSB-first fold (acc·2 + bit): bit j of word k weighs 2^(j-1),
+      // identical to the oracle's positional string — Spark packs the
+      // same 64 sign bits into four integer words so the distance is
+      // xor + bit_count (codegen'd integer ops), while the oracle
+      // compares the bit STRING (the d03 cross-engine pattern: same
+      // result, no reliance on engine bit-op parity)
+      def word(k: Int): Column = aggregate(
+        transform(sequence(lit(16), lit(1), lit(-1)),
+          j => when(element_at(col("v"), lit(k * 16) + j) > 0, 1L)
+            .otherwise(0L)),
+        lit(0L), (acc, b) => acc * 2 + b).cast("long")
+      val bits = base.select(col("vec_id") +: col("v") +:
+        (0 until 4).map(k => word(k).as(s"b$k")): _*)
+      val q = bits.filter(col("vec_id") >= 200 && col("vec_id") < 210)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("b0").as("q0"), col("b1").as("q1"),
+          col("b2").as("q2"), col("b3").as("q3"))
+      val hd = (0 until 4).map(k =>
+        bit_count(col(s"q$k").bitwiseXOR(col(s"b$k"))))
+        .reduce(_ + _)
+      val ham = broadcast(q).join(bits.as("c"),
+          col("c.vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("qv"),
+          col("c.vec_id").as("neighbor_id"), col("c.v").as("cv"),
+          hd.as("hd"))
+      val cand = graft.plans.GroupTopK.topKRanked(ham, Seq(col("q_id")),
+          50, "hrn", col("hd").asc, col("neighbor_id").asc)
+      val scored = cand.select(col("q_id"), col("neighbor_id"),
+        VectorOps.cosine(col("qv"), col("cv")).as("cos"))
+      graft.plans.GroupTopK.topKRanked(scored, Seq(col("q_id")), 3,
+          "rank", col("cos").desc, col("neighbor_id").asc)
+        .select(col("q_id"), col("neighbor_id"), col("cos"), col("rank"))
+        .orderBy(col("q_id"), col("rank"))
     }
   )
 

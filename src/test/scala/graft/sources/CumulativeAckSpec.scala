@@ -73,6 +73,24 @@ class CumulativeAckSpec extends SparkSpec {
       .forall(_.getString(0).split(":")(2) == "1"))
   }
 
+  test("racing cumulative acks serialize: max wins, no torn cursor") {
+    val root = tmpDir("cumack-race")
+    publishEvents(root, "events", 200, parts = 1)
+    // 8 consumers ack interleaved prefixes concurrently; the cursor
+    // must land exactly at max(acked)+1 and every intermediate read
+    // must parse (the atomic temp+rename under the partition lock)
+    val threads = (0 until 8).map { t =>
+      new Thread(() => (0 until 25).foreach { i =>
+        TopicStore.ackCumulative(root, "events", "sub-default", 0,
+          (t * 25 + i).toLong)
+        val c = TopicStore.subCursor(root, "events", "sub-default", 0)
+        assert(c >= 1 && c <= 200, s"torn/out-of-range cursor $c")
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(TopicStore.subCursor(root, "events", "sub-default", 0) == 200L)
+  }
+
   test("cursor below the retention base clamps to base") {
     val root = tmpDir("cumack-trunc")
     publishEvents(root, "events", 20, parts = 1)
