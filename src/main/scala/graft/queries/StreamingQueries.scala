@@ -486,6 +486,42 @@ object StreamingQueries {
     },
 
     // ---------------------------------------------------------------
+    // m21 — "latest N" via top-N pushdown: ORDER BY publish_time DESC
+    // LIMIT 100 serves each partition's slice TAIL (the log is
+    // publish-time order per partition — a premise the store now
+    // tracks per append and refuses when broken, TopNPushdownSpec),
+    // so tailing a topic of any size reads ~N rows per partition.
+    // The gate compares the selected publish-time MULTISET (times +
+    // counts), which is deterministic even when several messages
+    // share the boundary timestamp — the row choice at the cut is
+    // tie-ambiguous, the chosen time multiset is not.
+    Q(
+      "m21_latest_n",
+      """WITH r AS (
+        |  SELECT ts, row_number() OVER (ORDER BY ts DESC) AS rn
+        |  FROM events WHERE event_id < 30000)
+        |SELECT ts AS publish_time, CAST(count(*) AS BIGINT) AS n
+        |FROM r WHERE rn <= 100
+        |GROUP BY ts ORDER BY publish_time""".stripMargin
+    ) { (s, dir) =>
+      val root = graft.TempRoots.create("graft-latestn")
+      TopicStore.publish(s,
+        MessageOps.fromEvents(
+          Tables(s, dir, "events").filter(col("event_id") < 30000)),
+        root, "events", 4)
+      s.read.format("pulsarlike")
+        .option("path", root)
+        .option("serviceUrl", "pulsar://local")
+        .option("topicNames", "events")
+        .option("batchingMaxMessages", "1000000")
+        .load()
+        .orderBy(col("publish_time").desc).limit(100)
+        .groupBy(col("publish_time"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("publish_time"))
+    },
+
+    // ---------------------------------------------------------------
     // m19 — admin cursor reset (pulsar-admin reset-cursor -s sub -t):
     // the operator's replay lever. Unlike a consumer's cumulative ack
     // (monotonic by broker contract, m17), the admin override moves

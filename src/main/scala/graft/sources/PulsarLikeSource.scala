@@ -125,13 +125,49 @@ class PulsarLikeScanBuilder(conf: PulsarLikeConf, root: String)
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with SupportsPushDownAggregates
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownTopN {
   import org.apache.spark.sql.sources._
 
   private var prunedSchema: StructType = PulsarLikeSource.schema
   private var pushed: Array[Filter] = Array.empty
   private var pushedCount = false
   private var pushedLimit: Option[Int] = None
+  private var pushedTopN: Option[(Boolean, Int)] = None // (asc, n)
+
+  // both Limit and TopN default this; Scala requires one explicit
+  // override when two traits bring the same default method. Always
+  // true: partitions serve AT LEAST the requested rows, Spark's own
+  // limit / sort+limit sits above.
+  override def isPartiallyPushed(): Boolean = true
+
+  /** Top-N ORDER BY publish_time: the per-partition log IS the
+    * publish-time order (broker-assigned timestamps — the same
+    * precondition the m08 time seek rests on, now TRACKED per
+    * partition at append time), so "first N" is the slice head and
+    * "latest N" is the slice tail — tail-N of a topic of any size
+    * costs N rows per partition, no full scan. Partial pushdown:
+    * Spark still merges and limits across partitions. Accepted
+    * optimistically; partitions whose meta does NOT prove time order
+    * fall back to their whole slice at plan time (more rows, never
+    * wrong). Refused where the scan drops rows (filters, compaction,
+    * retry reads) or orders by anything else. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    val ok = pushed.isEmpty && !conf.readCompacted && !conf.readRetries &&
+      orders.length == 1 && (orders.head.expression() match {
+        case nr: NamedReference =>
+          nr.fieldNames().sameElements(Array("publish_time"))
+        case _ => false
+      })
+    if (ok) {
+      pushedTopN = Some((
+        orders.head.direction() == SortDirection.ASCENDING, limit))
+      true
+    } else false
+  }
 
   /** LIMIT capped per partition slice (partial pushdown — Spark keeps
     * the global limit on top, so each partition only needs to serve AT
@@ -205,7 +241,7 @@ class PulsarLikeScanBuilder(conf: PulsarLikeConf, root: String)
     }
     private def batch =
       new PulsarLikeBatch(conf, root, prunedSchema, pushed,
-        countOnly = pushedCount, limit = pushedLimit)
+        countOnly = pushedCount, limit = pushedLimit, topN = pushedTopN)
     override def toBatch: Batch = batch
     /** Metadata row/byte stats (exact rows, prorated bytes) — feeds
       * join planning so a small topic auto-broadcasts. */
@@ -216,7 +252,10 @@ class PulsarLikeScanBuilder(conf: PulsarLikeConf, root: String)
       s"pulsarlike pushedFilters=[${pushed.mkString(", ")}] " +
         s"readSchema=[${prunedSchema.fieldNames.mkString(",")}]" +
         (if (pushedCount) " PushedAggregation=[COUNT(*)]" else "") +
-        pushedLimit.map(l => s" PushedLimit=$l").getOrElse("")
+        pushedLimit.map(l => s" PushedLimit=$l").getOrElse("") +
+        pushedTopN.map { case (asc, n) =>
+          s" PushedTopN=[publish_time ${if (asc) "ASC" else "DESC"}, $n]"
+        }.getOrElse("")
   }
 }
 
@@ -545,7 +584,8 @@ class PulsarLikeBatch(conf: PulsarLikeConf, root: String,
     schema: StructType = PulsarLikeSource.schema,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     countOnly: Boolean = false,
-    limit: Option[Int] = None) extends Batch {
+    limit: Option[Int] = None,
+    topN: Option[(Boolean, Int)] = None) extends Batch {
 
   /** Metadata-computed slice per (topic, partition): (dir, topic, p,
     * start, end, metaCnt, metaBytes) — shared by partition planning
@@ -591,7 +631,18 @@ class PulsarLikeBatch(conf: PulsarLikeConf, root: String,
           .map(TopicStore.seekByTimeIn(dir, p, _))
           .getOrElse(cnt)
         val capped = limit.map(l => math.min(end, start + l)).getOrElse(end)
-        (dir, t, p, start, capped, cnt, bytes)
+        // top-N by publish_time: head (ASC) or tail (DESC) of the
+        // slice — ONLY when this partition's meta proves the log is
+        // time-sorted; otherwise the whole slice serves (more rows,
+        // never wrong — Spark's sort+limit sits above)
+        val (s2, e2) = topN match {
+          case Some((asc, n))
+              if TopicStore.partitionTimeMetaIn(dir, p)._2 =>
+            if (asc) (start, math.min(capped, start + n))
+            else (math.max(start, capped - n), capped)
+          case _ => (start, capped)
+        }
+        (dir, t, p, s2, e2, cnt, bytes)
       }
     }
   }

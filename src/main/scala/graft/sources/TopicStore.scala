@@ -129,6 +129,28 @@ object TopicStore {
     }
   }
 
+  /** Publish-time high-water + sortedness flag for a partition:
+    * (maxPt µs, tsorted). `tsorted` is TRUE only when every append so
+    * far arrived in non-decreasing publish-time order — the
+    * precondition the m08 time seek's binary search and the top-N
+    * slice cap both rest on. Tracked at APPEND time (sticky false once
+    * violated) so consumers can refuse the optimization instead of
+    * silently mis-seeking. A fresh partition is trivially sorted; a
+    * legacy meta without the field reports NOT-provably-sorted. */
+  def partitionTimeMetaIn(dir: Path, p: Int): (Long, Boolean) = {
+    val m = dir.resolve(s"part-$p.meta")
+    if (!Files.exists(m)) (Long.MinValue, true)
+    else {
+      val n = mapper.readTree(Files.readString(m))
+      val mp = n.get("maxPt")
+      if (mp == null) (Long.MinValue, false)
+      else {
+        val ts = n.get("tsorted")
+        (mp.asLong(), ts != null && ts.asBoolean())
+      }
+    }
+  }
+
   /** Absolute offset of the partition file's first line — non-zero once
     * the delivered prefix has been reclaimed (retry-log GC). */
   def partitionBaseIn(dir: Path, p: Int): Long = {
@@ -491,12 +513,20 @@ object TopicStore {
         } else (0L, 0L)
       val index = Vector.newBuilder[(Long, Long)]
       index ++= partitionIndexIn(dir, p)
+      // publish-time monotonicity tracking (see partitionTimeMetaIn):
+      // an append below the high-water marks the partition unsorted —
+      // STICKY, so time-ordered optimizations refuse it forever after
+      val (maxPt0, sorted0) = partitionTimeMetaIn(dir, p)
+      var maxPt = maxPt0
+      var tsorted = sorted0
       val sb = new StringBuilder
       var off = base
       var bytes = bytes0
       msgs.foreach { m0 =>
         val m = if (m0.messageId != null) m0
           else m0.copy(messageId = s"0:$off:$p:0")
+        if (m.publishTimeUs < maxPt) tsorted = false
+        else maxPt = m.publishTimeUs
         if (off % IndexStride == 0L) index += ((off, bytes))
         val line = encode(m)
         sb.append(line).append('\n')
@@ -511,6 +541,7 @@ object TopicStore {
         .map { case (l, b) => s"[$l,$b]" }.mkString("[", ",", "]")
       Files.writeString(metaFile,
         s"""{"count":$off,"bytes":$bytes,"base":$lineBase,""" +
+          s""""maxPt":$maxPt,"tsorted":$tsorted,""" +
           s""""index":$idxJson,"txn":${txnJson(txn1)}}""",
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     } finally { lock.release(); ch.close() }
@@ -582,9 +613,15 @@ object TopicStore {
         val idxJson = index.result()
           .map { case (l, b) => s"[$l,$b]" }.mkString("[", ",", "]")
         // retention must not forget producer-epoch high-waters: wiping
-        // them would let a replayed epoch duplicate after a truncation
+        // them would let a replayed epoch duplicate after a truncation.
+        // Time meta carries forward too (a prefix drop cannot unsort a
+        // sorted log; an unsorted flag stays conservatively sticky).
+        val (mp, ts) = partitionTimeMetaIn(dir, p)
+        val timeJson =
+          if (mp == Long.MinValue) ""
+          else s""""maxPt":$mp,"tsorted":$ts,"""
         Files.writeString(metaFile,
-          s"""{"count":$count,"bytes":$bytes,"base":$newBase,""" +
+          s"""{"count":$count,"bytes":$bytes,"base":$newBase,$timeJson""" +
             s""""index":$idxJson,"txn":${txnJson(partitionTxnIn(dir, p))}}""",
           StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
       } finally { lock.release(); ch.close() }
