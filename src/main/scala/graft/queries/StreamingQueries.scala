@@ -1520,6 +1520,121 @@ object StreamingQueries {
       BatchLanding.read(s, outDir)
         .filter(col("window_start") < lit("2030-01-01"))
         .orderBy(col("window_start"))
+    },
+
+    // ---------------------------------------------------------------
+    // d20 — STREAMING near-dup candidate detection: d02's MinHash-LSH
+    // blocking as a stateful stream — each document explodes into its
+    // 4 band keys, and per band the only state kept is the MINIMUM
+    // doc_id ever seen (flatMapGroupsWithState, one long per band): a
+    // document is a near-dup CANDIDATE iff some band-mate with a
+    // smaller id preceded it. Arrival order is made id order (strictly
+    // increasing publish times through the source), and the admission
+    // cap forces MULTIPLE micro-batches so the cross-batch state path
+    // actually runs; within a batch the group min makes the flag
+    // order-independent. The oracle replays the same rule in batch SQL
+    // (∃ band-mate with smaller id). Shape at 100 TB: state is one
+    // long per DISTINCT band key — not per document — and the flag
+    // aggregation happens at read time on the landed rows; a
+    // production deployment adds state TTL for band keys idle past
+    // the dedup horizon (same eviction posture as chunk reassembly).
+    Q(
+      "d20_stream_neardup",
+      s"""WITH ${DedupQueries.corpusSql},
+        |toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM corpus),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM toks),
+        |hs AS (SELECT doc_id,
+        |  list_transform(sh, x -> md5('a:' || x)) AS hs0,
+        |  list_transform(sh, x -> md5('b:' || x)) AS hs1 FROM sh),
+        |sig AS (SELECT doc_id,
+        |  list_min(list_transform(hs0, h -> substr(h, 1, 8))) AS mh0,
+        |  list_min(list_transform(hs0, h -> substr(h, 9, 8))) AS mh1,
+        |  list_min(list_transform(hs0, h -> substr(h, 17, 8))) AS mh2,
+        |  list_min(list_transform(hs0, h -> substr(h, 25, 8))) AS mh3,
+        |  list_min(list_transform(hs1, h -> substr(h, 1, 8))) AS mh4,
+        |  list_min(list_transform(hs1, h -> substr(h, 9, 8))) AS mh5,
+        |  list_min(list_transform(hs1, h -> substr(h, 17, 8))) AS mh6,
+        |  list_min(list_transform(hs1, h -> substr(h, 25, 8))) AS mh7
+        |  FROM hs),
+        |bands AS (SELECT doc_id, unnest([
+        |    md5(concat_ws('|', '0', mh0, mh1)),
+        |    md5(concat_ws('|', '1', mh2, mh3)),
+        |    md5(concat_ws('|', '2', mh4, mh5)),
+        |    md5(concat_ws('|', '3', mh6, mh7))]) AS band_key FROM sig),
+        |flagged AS (
+        |  SELECT DISTINCT b.doc_id FROM bands a JOIN bands b
+        |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        |SELECT c.doc_id, f.doc_id IS NOT NULL AS is_candidate
+        |FROM corpus c LEFT JOIN flagged f ON c.doc_id = f.doc_id
+        |ORDER BY c.doc_id""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.DedupOps
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      val root = graft.TempRoots.create("graft-sneardup")
+      val ckpt = graft.TempRoots.create("graft-sneardup-ckpt")
+      val outDir = root + "/flags"
+      val corpus = DedupQueries.corpusWithNearDups(Tables(s, dir, "documents"))
+      // strictly increasing publish times ⇒ the single-partition log
+      // serves docs in id order, so "a smaller id preceded it" is
+      // exactly stream order
+      TopicStore.publish(s, corpus.select(
+          col("doc_id").cast("string").as("key"),
+          col("text").as("value_str"),
+          expr("timestamp_micros(1700000000000000 + doc_id * 1000000)")
+            .as("publish_time")),
+        root, "docs", 1)
+      StreamHarness.withShufflePartitions(s, "8") {
+        val q0 = s.readStream.format("pulsarlike")
+          .option("path", root)
+          .option("serviceUrl", "pulsar://local")
+          .option("topicNames", "docs")
+          .option("subscriptionInitialPosition", "Earliest")
+          // force several micro-batches: the cross-batch state path is
+          // the operator; one big batch would only test the group min
+          .option("batchingMaxMessages", "200")
+          .load()
+        val ws = q0.select(col("key").cast("long").as("doc_id"),
+          DedupOps.words(col("value_str")).as("ws"))
+        val sh = ws.select(col("doc_id"),
+          array_distinct(DedupOps.shingles(col("ws"), 3)).as("sh"))
+        val sig = sh.select(col("doc_id") +:
+          DedupOps.minhashSignature(col("sh")): _*)
+        val bandKeys = (0 until 4).map(b => DedupOps.bandKey(b,
+          Seq(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))))
+        val bands = sig.select(col("doc_id"),
+          explode(array(bandKeys: _*)).as("band_key"))
+        import s.implicits._
+        val flagged = bands.as[(Long, String)]
+          .groupByKey(_._2)
+          .flatMapGroupsWithState(
+            OutputMode.Append, GroupStateTimeout.NoTimeout)(
+            (_: String, it: Iterator[(Long, String)],
+                state: org.apache.spark.sql.streaming.GroupState[Long]) => {
+              val ids = it.map(_._1).toVector
+              val prior = state.getOption.getOrElse(Long.MaxValue)
+              val mn = math.min(ids.min, prior)
+              state.update(mn)
+              ids.iterator.map(d => (d, mn < d))
+            })
+          .toDF("doc_id", "earlier")
+        val q = flagged.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+            BatchLanding.land(df, outDir, bid)
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // per-doc flag = any band flagged; the 4 band rows per doc land
+      // across whichever batches served them
+      BatchLanding.read(s, outDir)
+        .groupBy(col("doc_id"))
+        .agg(max(col("earlier")).as("is_candidate"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -31,7 +31,7 @@ class PlanSpec extends SparkSpec {
     name.startsWith("w07") || name.startsWith("w08") ||
     name.startsWith("w09") ||
     name.startsWith("ws") || name.startsWith("d07") ||
-    name.startsWith("s10")
+    name.startsWith("s10") || name.startsWith("d20")
 
   private def planOf(name: String): String = {
     val df = QueryRegistry.byName(name).run(spark, dir)
