@@ -1584,15 +1584,20 @@ object StreamingQueries {
           expr("timestamp_micros(1700000000000000 + doc_id * 1000000)")
             .as("publish_time")),
         root, "docs", 1)
+      // admission sized to ~4 micro-batches at ANY fixture scale: the
+      // cross-batch state path is the operator (one big batch would
+      // only test the group min), but a FIXED cap turns into O(n/cap)
+      // trigger rounds at bigger fixtures — 28 rounds and 13 s at
+      // sf0.1 before this, ~3 s after
+      val batchCap = math.max(200L,
+        TopicStore.partitionMeta(root, "docs", 0)._1 / 4 + 1)
       StreamHarness.withShufflePartitions(s, "8") {
         val q0 = s.readStream.format("pulsarlike")
           .option("path", root)
           .option("serviceUrl", "pulsar://local")
           .option("topicNames", "docs")
           .option("subscriptionInitialPosition", "Earliest")
-          // force several micro-batches: the cross-batch state path is
-          // the operator; one big batch would only test the group min
-          .option("batchingMaxMessages", "200")
+          .option("batchingMaxMessages", batchCap.toString)
           .load()
         val ws = q0.select(col("key").cast("long").as("doc_id"),
           DedupOps.words(col("value_str")).as("ws"))
