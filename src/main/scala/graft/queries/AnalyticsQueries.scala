@@ -635,16 +635,15 @@ object AnalyticsQueries {
         |  FROM events),
         |w AS (
         |  SELECT user_id, rv,
-        |    CAST(LEAST(epoch_us(lead(ts) OVER (PARTITION BY user_id
-        |        ORDER BY ts, event_id)) - epoch_us(ts),
-        |      3600000000) AS DECIMAL(20,0)) AS d_us
+        |    epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) - epoch_us(ts) AS d_raw
         |  FROM e),
         |s AS (
         |  SELECT user_id,
         |    CAST(rv AS DECIMAL(19,6)) AS rvd,
-        |    CAST(d_us * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(19,6))
-        |      AS w_s
-        |  FROM w WHERE d_us IS NOT NULL)
+        |    CAST(CAST(LEAST(d_raw, 3600000000) AS DECIMAL(20,0))
+        |      * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(19,6)) AS w_s
+        |  FROM w WHERE d_raw IS NOT NULL)
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_spans,
         |  CAST(round(sum(w_s), 4) AS DOUBLE) AS span_s,
         |  round(CAST(round(sum(CAST(rvd * w_s AS DECIMAL(38,12))), 4)
@@ -655,14 +654,21 @@ object AnalyticsQueries {
       import org.apache.spark.sql.types.DecimalType
       val wdw = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
+      // filter BEFORE the cap: both engines' least() IGNORES nulls
+      // (Postgres semantics), so capping first silently hands the
+      // successor-less last event a phantom 1-hour hold — the oracle
+      // agreed and the gate passed, which is exactly why the
+      // no-successor exclusion must run on the RAW diff (caught by
+      // self-review: n_spans equalled n, not n−1)
       val w = Tables(s, dir, "events")
         .select(col("user_id"), col("ts"),
           round(col("value"), 6).as("rv"), col("event_id"))
+        .withColumn("d_raw",
+          unix_micros(lead(col("ts"), 1).over(wdw))
+            - unix_micros(col("ts")))
+        .filter(col("d_raw").isNotNull)
         .withColumn("d_us",
-          least(unix_micros(lead(col("ts"), 1).over(wdw))
-            - unix_micros(col("ts")), lit(3600000000L))
-            .cast(DecimalType(20, 0)))
-        .filter(col("d_us").isNotNull)
+          least(col("d_raw"), lit(3600000000L)).cast(DecimalType(20, 0)))
       // Operand precision (19,6) is deliberate on BOTH sides of the
       // product: width 19 forces DuckDB into int128 physical storage
       // (narrower operands multiply in int64 and overflow at ~1e18 raw
