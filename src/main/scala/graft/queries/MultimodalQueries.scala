@@ -606,6 +606,75 @@ object MultimodalQueries {
           coalesce(max(abs(col("je"))), lit(0L)).cast("long")
             .as("max_jump"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // mm12 — voice-activity segmentation: mm03's frame energies
+    // thresholded into ACTIVE runs (gaps-and-islands: frame index
+    // minus its rank among active frames groups each consecutive run)
+    // — the audio-pipeline stage that cuts speech out of silence
+    // before transcription. Per clip: segment count, active frames,
+    // longest run. Every document keeps an accounting row — a clip
+    // with NO active frames reports zeros via the left join, not a
+    // missing row (the d09 lesson, applied from the start this time).
+    // Integer arithmetic end to end; one exchange on doc_id serves
+    // the rank window and both reduces.
+    Q(
+      "mm12_audio_vad",
+      """WITH fr AS (
+        |  SELECT doc_id, f,
+        |    CAST(list_aggregate(list_transform(
+        |      generate_series(CAST(f * 16 + 1 AS BIGINT),
+        |        CAST(least(f * 16 + 16, length(text)) AS BIGINT)),
+        |      i -> ascii(substr(text, CAST(i AS INTEGER), 1))
+        |        * ascii(substr(text, CAST(i AS INTEGER), 1))),
+        |      'sum') AS BIGINT) AS energy
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS f) g
+        |  WHERE f < ceil(length(text) / 16.0)),
+        |act AS (SELECT doc_id, f FROM fr WHERE energy > 160000),
+        |isl AS (SELECT doc_id,
+        |    f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS g
+        |  FROM act),
+        |seg AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS len
+        |        FROM isl GROUP BY doc_id, g),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+        |          CAST(sum(len) AS BIGINT) AS n_active,
+        |          CAST(max(len) AS BIGINT) AS longest
+        |        FROM seg GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(a.n_segments, 0) AS n_segments,
+        |  COALESCE(a.n_active, 0) AS n_active,
+        |  COALESCE(a.longest, 0) AS longest
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val fr = docs
+        .withColumn("f", explode(sequence(lit(0L),
+          ceil(length(col("text")) / 16.0).cast("long") - 1)))
+        .withColumn("frame",
+          col("text").substr((col("f") * 16 + 1).cast("int"), lit(16)))
+        .select(col("doc_id"), col("f"),
+          aggregate(
+            transform(split(col("frame"), ""), c => ascii(c) * ascii(c)),
+            lit(0L), (acc, x) => acc + x).as("energy"))
+      val act = fr.filter(col("energy") > 160000)
+        .withColumn("g", col("f") - row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("f"))))
+      val agg = act.groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).cast("long").as("len"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_segments"),
+          sum(col("len")).cast("long").as("n_active"),
+          max(col("len")).cast("long").as("longest"))
+      docs.select(col("doc_id"))
+        .join(agg, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+          coalesce(col("n_active"), lit(0L)).as("n_active"),
+          coalesce(col("longest"), lit(0L)).as("longest"))
+        .orderBy(col("doc_id"))
     }
   )
 }
