@@ -1734,6 +1734,99 @@ object PipelineQueries {
           round(col("sq").cast("double") / col("n_kept"), 6)
             .as("mean_quality"))
         .orderBy(col("tau"))
+    },
+
+    // ---------------------------------------------------------------
+    // p30 — filter agreement: before swapping one quality gate for
+    // another, measure how often they agree and whether the agreement
+    // beats chance — the 2×2 contingency between t02's score gate
+    // (quality ≥ 0.6, p29's knee) and a raw-text Gopher-style rule
+    // gate (word count, mean word length, stopword floor — integer
+    // cross-multiplications, no float thresholds), with Cohen's kappa
+    // correcting for chance agreement. Low kappa = the filters
+    // disagree on WHICH docs to keep even if retention rates look
+    // similar — swap with care. One corpus scan computes both labels;
+    // integer counts reduce; the kappa arithmetic is one identical
+    // IEEE expression per engine over the four cells.
+    Q(
+      "p30_filter_agreement",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ts,
+        |    CAST(length(text) AS DOUBLE) AS n_chars
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) AS BIGINT) AS nw,
+        |    CAST(length(array_to_string(ts, '')) AS BIGINT) AS sumlen,
+        |    CAST(len(list_filter(ts,
+        |      x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS BIGINT)
+        |      AS nstop,
+        |    round(0.25 * (1.0 - CAST(len(list_filter(ts, x -> x = 'a' OR x = 'the')) AS DOUBLE) / len(ts))
+        |        + 0.5 * (CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts))
+        |        + 0.25 * least((n_chars - (len(ts) - 1)) / len(ts) / 8.0, 1.0), 6) AS q
+        |  FROM f),
+        |lab AS (
+        |  SELECT q >= 0.6 AS ka,
+        |    nw >= 50 AND nw <= 100000 AND sumlen >= 3 * nw
+        |      AND sumlen <= 10 * nw AND nstop >= 2 AS kb
+        |  FROM sig),
+        |c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN ka AND kb THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |    CAST(sum(CASE WHEN ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN NOT ka AND kb THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |    CAST(sum(CASE WHEN NOT ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT) AS n00
+        |  FROM lab)
+        |SELECT n, n11, n10, n01, n00,
+        |  round(CAST(n11 + n00 AS DOUBLE) / n, 6) AS agreement,
+        |  round((CAST(n11 + n00 AS DOUBLE) / n
+        |      - CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+        |          AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+        |    / (1.0 - CAST((n11 + n10) * (n11 + n01)
+        |          + (n01 + n00) * (n10 + n00)
+        |          AS DOUBLE) / (CAST(n AS DOUBLE) * n)), 6) AS kappa
+        |FROM c""".stripMargin
+    ) { (s, dir) =>
+      val ts = DedupOps.words(col("text"))
+      val sig = Tables(s, dir, "documents")
+        .select(col("doc_id"), ts.as("ts"),
+          length(col("text")).cast("double").as("n_chars"))
+        .select(
+          size(col("ts")).cast("long").as("nw"),
+          length(array_join(col("ts"), "")).cast("long").as("sumlen"),
+          size(filter(col("ts"),
+            x => x.isin("the", "a", "and", "of", "to")))
+            .cast("long").as("nstop"),
+          round(lit(0.25) * (lit(1.0)
+              - size(filter(col("ts"), x => x === "a" || x === "the"))
+                .cast("double") / size(col("ts")))
+            + lit(0.5) * (size(array_distinct(col("ts"))).cast("double")
+              / size(col("ts")))
+            + lit(0.25) * least((col("n_chars")
+              - (size(col("ts")) - 1)) / size(col("ts")) / 8.0,
+              lit(1.0)), 6).as("q"))
+      val lab = sig.select((col("q") >= 0.6).as("ka"),
+        (col("nw") >= 50 && col("nw") <= 100000 &&
+          col("sumlen") >= col("nw") * 3 &&
+          col("sumlen") <= col("nw") * 10 && col("nstop") >= 2).as("kb"))
+      val c = lab.agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(when(col("ka") && col("kb"), 1L).otherwise(0L))
+          .cast("long").as("n11"),
+        sum(when(col("ka") && !col("kb"), 1L).otherwise(0L))
+          .cast("long").as("n10"),
+        sum(when(!col("ka") && col("kb"), 1L).otherwise(0L))
+          .cast("long").as("n01"),
+        sum(when(!col("ka") && !col("kb"), 1L).otherwise(0L))
+          .cast("long").as("n00"))
+      val po = (col("n11") + col("n00")).cast("double") / col("n")
+      val pe = ((col("n11") + col("n10")) * (col("n11") + col("n01"))
+          + (col("n01") + col("n00")) * (col("n10") + col("n00")))
+        .cast("double") / (col("n").cast("double") * col("n"))
+      c.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        round(po, 6).as("agreement"),
+        round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
     }
   )
 
