@@ -121,15 +121,22 @@ object MultimodalOps {
   }
 
   /** Frame sampling over a "video" payload: fixed-size frames, keep every
-    * `stride`-th. Pure generate+explode — no shuffle, no driver loop. */
+    * `stride`-th, capped at `maxFrames` per clip. Pure generate+explode —
+    * no shuffle, no driver loop. The cap is the sample BUDGET (a real
+    * frame sampler bounds per-clip output so one long video can't
+    * dominate a partition) and doubles as the explode bound the gated
+    * oracles encode as generate_series(0, maxFrames-1) — without it a
+    * payload longer than maxFrames·frameLen would silently diverge
+    * from the oracle (advisor-caught, round 7). */
   def sampleFrames(media: DataFrame, idCol: String, payloadStrCol: String,
-      frameLen: Int, stride: Int): DataFrame =
+      frameLen: Int, stride: Int, maxFrames: Int = 32): DataFrame =
     media
       // empty payload → zero frames: sequence(0, -1) would count DOWN
       // to [0, -1] and mint phantom frames the oracle doesn't have
       .filter(length(col(payloadStrCol)) > 0)
-      .withColumn("frame_idx", explode(sequence(lit(0L),
-        ceil(length(col(payloadStrCol)) / frameLen.toDouble).cast("long") - 1)))
+      .withColumn("frame_idx", explode(sequence(lit(0L), least(
+        ceil(length(col(payloadStrCol)) / frameLen.toDouble).cast("long") - 1,
+        lit(maxFrames.toLong - 1)))))
       .filter(col("frame_idx") % stride === 0)
       .withColumn("frame",
         col(payloadStrCol).substr(

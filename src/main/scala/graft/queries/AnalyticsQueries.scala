@@ -436,11 +436,13 @@ object AnalyticsQueries {
         |    CAST(round(sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
         |      * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))), 4)
         |      AS DOUBLE) AS sxx,
-        |    CAST(round(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-        |      * CAST(0.001 AS DECIMAL(4,3)) AS DECIMAL(24,5))
-        |      * CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    CAST(round(sum(
+        |      CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
         |        * CAST(0.001 AS DECIMAL(4,3)) AS DECIMAL(24,5))
-        |      AS DECIMAL(38,10))), 4) AS DOUBLE) AS syy
+        |        AS DECIMAL(19,5))
+        |      * CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * CAST(0.001 AS DECIMAL(4,3)) AS DECIMAL(24,5))
+        |        AS DECIMAL(18,5))), 4) AS DOUBLE) AS syy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
@@ -456,13 +458,26 @@ object AnalyticsQueries {
       val yk = (col("l_extendedprice").cast(DecimalType(18, 2)) *
         expr("CAST(0.001 AS DECIMAL(4,3))")).cast(DecimalType(24, 5))
       def mom(c: Column): Column = round(sum(c), 4).cast("double")
+      // yk² squares ASYMMETRIC widths: (19,5)×(18,5) is precision
+      // 19+18+1 = 38 with scale 10 preserved EXACTLY in Spark (a
+      // (24,5)×(24,5) product overflows precision and Spark shrinks it
+      // to (38,6), half-up rounding each per-row yk² at the 6th decimal
+      // — error up to 5e-7/row accumulating as ~√n·3e-7 per group,
+      // which crosses round(sum,4)'s 5e-5 granularity near 10⁴–10⁵
+      // rows/group; advisor-caught round 7) while DuckDB multiplies the
+      // same operands on its int128 path at (37,10), also exact. sxy is
+      // SAFE at its shrunken scale: l_quantity is integer-valued, so
+      // xd·yk's true scale is 5 and Spark's 6-decimal result loses
+      // nothing. width 19 on one operand keeps DuckDB off int64 (the
+      // overflow lesson in the q55 comment).
       val m = Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).cast("double").as("n"),
           mom(xd).as("sx"), mom(yk).as("sy"),
           mom((xd * yk).cast(DecimalType(38, 7))).as("sxy"),
           mom((xd * xd).cast(DecimalType(38, 4))).as("sxx"),
-          mom((yk * yk).cast(DecimalType(38, 10))).as("syy"))
+          mom(yk.cast(DecimalType(19, 5)) * yk.cast(DecimalType(18, 5)))
+            .as("syy"))
       val num = col("n") * col("sxy") - col("sx") * col("sy")
       val denX = col("n") * col("sxx") - col("sx") * col("sx")
       val denY = col("n") * col("syy") - col("sy") * col("sy")
@@ -642,7 +657,7 @@ object AnalyticsQueries {
         |  SELECT user_id,
         |    CAST(rv AS DECIMAL(19,6)) AS rvd,
         |    CAST(CAST(LEAST(d_raw, 3600000000) AS DECIMAL(20,0))
-        |      * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(19,6)) AS w_s
+        |      * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6)) AS w_s
         |  FROM w WHERE d_raw IS NOT NULL)
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_spans,
         |  CAST(round(sum(w_s), 4) AS DOUBLE) AS span_s,
@@ -669,16 +684,20 @@ object AnalyticsQueries {
         .filter(col("d_raw").isNotNull)
         .withColumn("d_us",
           least(col("d_raw"), lit(3600000000L)).cast(DecimalType(20, 0)))
-      // Operand precision (19,6) is deliberate on BOTH sides of the
-      // product: width 19 forces DuckDB into int128 physical storage
-      // (narrower operands multiply in int64 and overflow at ~1e18 raw
-      // — observed), and (19,6)×(19,6) lands on exactly DECIMAL(38,12)
-      // in both engines with no scale reduction (wider operands would
-      // make Spark shrink the result scale while DuckDB demotes to
-      // double — a silent divergence). Values are bounded (rv < 1e13,
-      // spans capped at 3600 s), so nothing overflows.
+      // ASYMMETRIC operand widths, (19,6)×(18,6), are deliberate: the
+      // product's precision is 19+18+1 = 38, so Spark keeps scale 12
+      // EXACTLY — symmetric (19,6)×(19,6) needs precision 39 and Spark
+      // half-up rounds the per-row product at scale 11 while DuckDB
+      // keeps scale 12 (advisor-verified round 7; drift ≤5e-12/row,
+      // hidden by round(sum,4) but a broken invariant). Width 19 on the
+      // rvd side still forces DuckDB into int128 physical storage
+      // (narrower×narrower multiplies in int64 and overflows at ~1e18
+      // raw — observed); DuckDB types the product (37,12), also exact.
+      // Values are bounded (rv < 1e13 needs all 13 integer digits of
+      // (19,6); spans cap at 3600 s, well inside (18,6)), so nothing
+      // overflows.
       val wS = (col("d_us") * expr("CAST(0.000001 AS DECIMAL(7,6))"))
-        .cast(DecimalType(19, 6))
+        .cast(DecimalType(18, 6))
       val st = w.select(col("user_id"),
         col("rv").cast(DecimalType(19, 6)).as("rvd"), wS.as("w_s"))
       st.groupBy(col("user_id"))

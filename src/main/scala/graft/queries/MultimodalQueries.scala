@@ -40,7 +40,9 @@ object MultimodalQueries {
 
     // ---------------------------------------------------------------
     // mm02 — frame sampling over a "video" payload: 32-byte frames,
-    // every 2nd frame kept. Generate + explode, no shuffle.
+    // every 2nd frame kept, 32-frame budget per clip (sampleFrames'
+    // maxFrames default — the oracle's generate_series(0, 31)).
+    // Generate + explode, no shuffle.
     Q(
       "mm02_frame_sample",
       """SELECT doc_id,
@@ -63,6 +65,11 @@ object MultimodalQueries {
     // 16-byte frames, per-frame RMS-style energy (sum of squared byte
     // values — exact integer math, deterministic across engines). The
     // real plumbing is the frame explode + per-frame aggregation shape.
+    // Frames cap at 64 per clip (= first 1024 chars) — the sample
+    // budget, encoded identically on BOTH sides (the oracle's
+    // generate_series(0, 63) and the Spark least()): previously the
+    // Spark explode was unbounded and any fixture doc past 1024 chars
+    // would have silently diverged (advisor-caught, round 7).
     Q(
       "mm03_audio_energy",
       """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
@@ -76,8 +83,8 @@ object MultimodalQueries {
         |ORDER BY doc_id, frame_idx""".stripMargin
     ) { (s, dir) =>
       Tables(s, dir, "documents")
-        .withColumn("frame_idx", explode(sequence(lit(0L),
-          ceil(length(col("text")) / 16.0).cast("long") - 1)))
+        .withColumn("frame_idx", explode(sequence(lit(0L), least(
+          ceil(length(col("text")) / 16.0).cast("long") - 1, lit(63L)))))
         .withColumn("frame",
           col("text").substr((col("frame_idx") * 16 + 1).cast("int"), lit(16)))
         .select(col("doc_id"), col("frame_idx"),
@@ -588,9 +595,11 @@ object MultimodalQueries {
         |  CAST(COALESCE(max(abs(je)), 0) AS BIGINT) AS max_jump
         |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
+      // 64-frame cap per clip: mm03's sample budget, mirrored in the
+      // oracle's generate_series(0, 63)
       val fr = Tables(s, dir, "documents")
-        .withColumn("f", explode(sequence(lit(0L),
-          ceil(length(col("text")) / 16.0).cast("long") - 1)))
+        .withColumn("f", explode(sequence(lit(0L), least(
+          ceil(length(col("text")) / 16.0).cast("long") - 1, lit(63L)))))
         .withColumn("frame",
           col("text").substr((col("f") * 16 + 1).cast("int"), lit(16)))
         .select(col("doc_id"), col("f"),
@@ -650,9 +659,10 @@ object MultimodalQueries {
         |ORDER BY d.doc_id""".stripMargin
     ) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
+      // 64-frame cap per clip — see mm03
       val fr = docs
-        .withColumn("f", explode(sequence(lit(0L),
-          ceil(length(col("text")) / 16.0).cast("long") - 1)))
+        .withColumn("f", explode(sequence(lit(0L), least(
+          ceil(length(col("text")) / 16.0).cast("long") - 1, lit(63L)))))
         .withColumn("frame",
           col("text").substr((col("f") * 16 + 1).cast("int"), lit(16)))
         .select(col("doc_id"), col("f"),

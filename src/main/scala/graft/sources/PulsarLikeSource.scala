@@ -239,7 +239,12 @@ class PulsarLikeScanBuilder(conf: PulsarLikeConf, root: String)
         "aggregate pushdown has no streaming semantics")
       new PulsarLikeMicroBatchStream(conf, root, prunedSchema, pushed)
     }
-    private def batch =
+    // lazy val, not def: Catalyst may call estimateStatistics several
+    // times during planning and toBatch once more — each fresh batch
+    // would re-list topics and re-read every partition's meta sidecar
+    // (plus the O(log n) time seeks), multiplying metadata IO on
+    // high-partition topics. One batch per Scan reads metadata once.
+    private lazy val batch =
       new PulsarLikeBatch(conf, root, prunedSchema, pushed,
         countOnly = pushedCount, limit = pushedLimit, topN = pushedTopN)
     override def toBatch: Batch = batch
@@ -592,8 +597,14 @@ class PulsarLikeBatch(conf: PulsarLikeConf, root: String,
     * and [[estimateStatistics]], so the planner's stats and the
     * actually-served rows can never disagree. A pushed LIMIT caps each
     * slice (every partition can stop at `limit` rows because Spark
-    * keeps the global limit on top — partial pushdown). */
-  private[sources] def slices: Seq[(java.nio.file.Path, String, Int,
+    * keeps the global limit on top — partial pushdown).
+    *
+    * Lazy val, not def: planInputPartitions and estimateStatistics both
+    * read it and Catalyst may ask for statistics more than once — one
+    * metadata snapshot per Batch both bounds the IO (one topic listing +
+    * one meta-sidecar read per partition) and keeps the stats and the
+    * served rows consistent even if the topic is appended to mid-plan. */
+  private[sources] lazy val slices: Seq[(java.nio.file.Path, String, Int,
       Long, Long, Long, Long)] = {
     PulsarLikeSource.resolveTopics(conf, root).flatMap { t =>
       val dir = if (conf.readRetries)
