@@ -25,6 +25,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // backstop for anything Stage.drain can't see (e.g. shuffle
+      // files of dead stages): force a periodic driver GC so the
+      // ContextCleaner actually runs during a long shared-JVM bench
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: touch every table + exercise codegen/shuffle machinery
@@ -52,6 +56,12 @@ object Bench {
         // in this shared JVM — a deployment runs one query per cluster
         try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
         catch { case _: Throwable => () }
+        // release this rep's staged localCheckpoint blocks (also
+        // outside the timer): un-drained they accumulate across the
+        // whole run — hundreds of dead block sets squeezing the
+        // storage pool, the round-6 adjudicated mechanism for a 6×
+        // recorded blowup on the heaviest staged queries
+        graft.operators.Stage.drain(spark)
         dt
       }
       name -> median(times)

@@ -31,6 +31,10 @@ object Verify {
       // (same hygiene as Bench)
       try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       catch { case _: Throwable => () }
+      // and release the query's staged localCheckpoint blocks — the
+      // 196-query sweep otherwise carries every staged block set of
+      // every prior query in one storage pool
+      graft.operators.Stage.drain(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

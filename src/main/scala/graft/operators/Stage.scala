@@ -1,5 +1,8 @@
 package graft.operators
 
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 
 /** Materialization point for an expensive intermediate that feeds
@@ -18,8 +21,43 @@ import org.apache.spark.sql.DataFrame
   *    (lets Catalyst see through the subtree; occasionally the right
   *    trade when the intermediate is cheap and filters could push past
   *    it).
+  *
+  * == Lifecycle ==
+  *
+  * `localCheckpoint` persists the query's internal RDD and NOTHING
+  * releases those blocks until JVM GC happens to collect the RDD
+  * object — across a shared-JVM run of many staged queries that is
+  * hundreds of never-released block sets competing for one storage
+  * pool (the round-6 adjudicated mechanism for a 6× recorded bench
+  * blowup on unchanged code). So every staged RDD is TRACKED here, and
+  * runners call [[drain]] once a query's action completes: blocks are
+  * released deterministically instead of at GC's leisure. A deployment
+  * running one query per cluster never needs drain; a shared session
+  * (bench loop, verify sweep, notebook) calls it between queries.
   */
 object Stage {
+
+  /** Staged (persisted) RDDs per SparkContext, registered by [[stage]]
+    * and released by [[drain]]. The RDD is taken straight from the
+    * checkpointed Dataset's LogicalRDD — no persistent-RDD-list
+    * diffing, so concurrent persists elsewhere (streaming sinks) are
+    * never swept up. Keyed by context so a stop/restart cycle can't
+    * unpersist into the wrong session. */
+  private val staged =
+    new ConcurrentHashMap[org.apache.spark.SparkContext,
+      java.util.Set[RDD[_]]]()
+
+  private def register(df: DataFrame): DataFrame = {
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        val sc = df.sparkSession.sparkContext
+        staged
+          .computeIfAbsent(sc, _ => ConcurrentHashMap.newKeySet[RDD[_]]())
+          .add(l.rdd)
+      case _ => () // reliable checkpoint: file-backed, no storage blocks
+    }
+    df
+  }
 
   def stage(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -34,7 +72,52 @@ object Stage {
         }
         df.checkpoint(eager = true)
       case "none" => df
-      case _ => df.localCheckpoint(eager = true)
+      case _ => register(df.localCheckpoint(eager = true))
     }
+  }
+
+  /** Like [[stage]], but the materialization is LOAD-BEARING for
+    * correctness, not a performance trade — e.g. pinning a
+    * `spark_partition_id()` assignment that two consumers must agree
+    * on (q43's range-partition offsets): re-executing the lineage per
+    * consumer could re-sample range boundaries and hand the consumers
+    * different row→partition maps. `none` therefore upgrades to a
+    * tracked localCheckpoint here; `local`/`reliable` behave as in
+    * [[stage]]. */
+  def stageRequired(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("spark.graft.checkpoint", "local") == "none")
+      register(df.localCheckpoint(eager = true))
+    else stage(df)
+
+  /** Release every staged block set registered against `sc` since the
+    * last drain. END-OF-LIFE, not soft eviction: localCheckpoint
+    * TRUNCATES lineage, so a drained frame cannot recompute — running
+    * it again throws CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (spec-pinned).
+    * The runner's contract is therefore "drain only after the query's
+    * terminal action, then rebuild the DataFrame from its Q.run for
+    * any further use" — exactly what Bench (fresh build per rep) and
+    * Verify (one write per query) do. Returns the number of RDDs
+    * unpersisted. */
+  def drain(sc: org.apache.spark.SparkContext): Int = {
+    val set = staged.remove(sc)
+    if (set == null) 0
+    else {
+      var n = 0
+      set.forEach { r =>
+        try { r.unpersist(blocking = false); n += 1 }
+        catch { case _: Throwable => () } // stopped context: nothing to free
+      }
+      n
+    }
+  }
+
+  def drain(spark: org.apache.spark.sql.SparkSession): Int =
+    drain(spark.sparkContext)
+
+  /** Number of currently-tracked (staged, not yet drained) RDDs —
+    * spec hook for the lifecycle invariant. */
+  def trackedCount(sc: org.apache.spark.SparkContext): Int = {
+    val set = staged.get(sc)
+    if (set == null) 0 else set.size()
   }
 }
