@@ -449,6 +449,68 @@ class PlanSpec extends SparkSpec {
     assert(marks == 2, s"expected both scan legs pushed, got $marks:\n$p")
   }
 
+  test("q43: equi-depth plans with NO unpartitioned WindowExec") {
+    // the round-6 `weak`: ntile over an unpartitioned window moved ALL
+    // of lineitem through one task. The rewrite must keep every window
+    // partitioned (the rank window keys on pid; the prefix offsets are
+    // an array fold, not a window at all)
+    // logical Window nodes (AQE wraps the physical tree, hiding it
+    // from collect); partitionSpec survives 1:1 into WindowExec
+    val df = QueryRegistry.byName("q43_equidepth_histogram").run(spark, dir)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(wins.nonEmpty, "expected the pid-partitioned rank window")
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned Window in q43:\n$w") }
+    graft.operators.Stage.drain(spark)
+  }
+
+  test("global-window lint: no unpartitioned window over unreduced data, anywhere") {
+    // the q43 lesson made structural: an unpartitioned Window is a
+    // single-task sort of its ENTIRE child — fine over a table that is
+    // provably small, a scale-killer over anything fact-sized. The
+    // q43 shape compiled, passed its gate, and benched fine at sf0.1;
+    // only a plan-shape gate catches the next one. Rule: every leaf
+    // under an unpartitioned Window must sit below an Aggregate or an
+    // explicit Limit (row-bounded by construction), or the site must
+    // be allowlisted with its data-contract row bound.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    // audited sites (round 7): each unpartitioned window here runs
+    // over an aggregate whose GROUPING DOMAIN is bounded by data
+    // contract, so the single task holds a dimension-sized table at
+    // any corpus scale. An aggregate alone does NOT qualify — q38's
+    // groupBy(o_custkey) still scaled with the corpus, which is why
+    // it was rewritten onto EquiDepth instead of allowlisted.
+    val allow: Map[String, String] = Map(
+      "q36_price_histogram" -> "16 equi-width buckets by construction",
+      "q49_skyline" -> ("distinct p_retailprice domain (price grid); " +
+        "header documents the local-skyline+re-skyline form for when " +
+        "even the price domain is huge"),
+      "p24_unimax_mix" -> "per-source aggregate; sources are a bounded vocabulary",
+      "p27_repeat_schedule" -> "per-source aggregate; sources are a bounded vocabulary")
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: GlobalLimit => true // explicit row bound
+      case _: LocalLimit => true
+      case _: LocalRelation => true // literal table
+      case _: OneRowRelation => true
+      case l if l.children.isEmpty => false // unreduced leaf reached
+      case o => o.children.forall(bounded)
+    }
+    QueryRegistry.all
+      .filterNot(q => isStreamLoop(q.name) || allow.contains(q.name))
+      .foreach { q =>
+        val plan = q.run(spark, dir).queryExecution.optimizedPlan
+        val bad = plan.collect {
+          case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) => w
+        }
+        if (bad.nonEmpty)
+          fail(s"${q.name}: unpartitioned window over unreduced data " +
+            s"(single-task sort of the whole child at scale):\n${bad.head}")
+        graft.operators.Stage.drain(spark)
+      }
+  }
+
   test("no CartesianProduct in any registered query plan") {
     // a broadcast nested-loop against a bounded side is fine (s01's
     // query set); an unbroadcast cartesian of two big sides never is
@@ -499,7 +561,8 @@ class PlanSpec extends SparkSpec {
       "d10_repeated_spans", "d11_span_strip", "d14_containment",
       "t14_ngram_novelty", "q39_part_pagerank", "d16_nearest_dup",
       "q45_triangle_count", "s13_mmr_rerank", "t17_vocab_coverage",
-      "d18_band_tuning", "t20_langid_confusion", "d19_threshold_sweep")
+      "d18_band_tuning", "t20_langid_confusion", "d19_threshold_sweep",
+      "q43_equidepth_histogram", "q38_spend_quartiles")
     QueryRegistry.all
       .filterNot(q => isStreamLoop(q.name) || checkpoints.contains(q.name))
       .foreach { q =>
