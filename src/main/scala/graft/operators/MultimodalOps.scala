@@ -120,6 +120,96 @@ object MultimodalOps {
     images.as[ImageRow].mapPartitions(_.map(imageioDecode))
   }
 
+  /** An audio payload riding as opaque bytes. */
+  final case class AudioRow(audio_id: Long, data: Array[Byte])
+
+  /** Codec-derived audio features: format metadata read from the
+    * CODEC (never trusted from elsewhere), plus the per-frame energy
+    * vector — the honest version of mm03's stub contract (there:
+    * 16-byte text frames, Σ byte²; here: 16-sample PCM frames,
+    * Σ mono-sample² — same shape, real samples). */
+  final case class DecodedAudio(
+      audio_id: Long, sample_rate: Int, n_channels: Int,
+      bits_per_sample: Int, n_samples: Long,
+      frame_energies: Array[Long])
+
+  /** Samples per energy frame — mirrors the stub's 16-byte frames. */
+  val audioFrameLen: Int = 16
+
+  /** REAL audio codec behind the SAME seam as [[imageioDecode]]: the
+    * JDK's `javax.sound.sampled` (offline, no external libs) parses
+    * the WAV container and hands back PCM. Supports the canonical WAV
+    * encodings — 16-bit signed (either endianness, per the format
+    * header) and 8-bit unsigned — at any channel count; channels are
+    * mixed to mono by integer average (truncating, deterministic)
+    * before framing, so a stereo clip's energy profile matches its
+    * mono downmix. Undecodable or non-PCM payloads fail loudly rather
+    * than minting fake features (the imageioDecode rule).
+    *
+    * The gated queries keep the stub (its features have a
+    * DuckDB-expressible oracle; codec output does not) — this is the
+    * production decoder, spec-verified on REAL WAV bytes generated
+    * through the same JDK encoder (WavDecodeSpec). Video remains a
+    * documented stub: the container ships no video codec at all. */
+  def wavDecode(r: AudioRow): DecodedAudio = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(r.data))
+    try {
+      val fmt = in.getFormat
+      val enc = fmt.getEncoding
+      val bits = fmt.getSampleSizeInBits
+      val ok =
+        (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED && bits == 16) ||
+        (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED && bits == 8)
+      require(ok, s"audio ${r.audio_id}: unsupported encoding $enc/$bits-bit " +
+        "(canonical WAV is 16-bit signed or 8-bit unsigned PCM)")
+      val bytes = in.readAllBytes()
+      val ch = fmt.getChannels
+      val bytesPerSample = bits / 8
+      val frameBytes = ch * bytesPerSample
+      val nSamples = bytes.length / frameBytes // per-channel sample count
+      val energies = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var acc = 0L
+      var inFrame = 0
+      var i = 0
+      while (i < nSamples) {
+        // integer mono mix across channels (truncating division)
+        var sum = 0L
+        var c = 0
+        while (c < ch) {
+          val off = i * frameBytes + c * bytesPerSample
+          val s =
+            if (bits == 16) {
+              val lo = bytes(off) & 0xff
+              val hi = bytes(off + 1) & 0xff
+              val raw = if (fmt.isBigEndian) (lo << 8) | hi else (hi << 8) | lo
+              raw.toShort.toInt
+            } else bytes(off) & 0xff // 8-bit WAV is unsigned, midpoint 128
+          sum += s
+          c += 1
+        }
+        val mono = sum / ch
+        acc += mono * mono
+        inFrame += 1
+        if (inFrame == audioFrameLen) {
+          energies += acc; acc = 0L; inFrame = 0
+        }
+        i += 1
+      }
+      if (inFrame > 0) energies += acc // short tail frame, like the stub
+      DecodedAudio(r.audio_id, fmt.getSampleRate.toInt, ch, bits,
+        nSamples.toLong, energies.toArray)
+    } finally in.close()
+  }
+
+  /** [[wavDecode]] as a typed per-partition pass — identical plumbing
+    * to [[decodeImagesReal]]: media bytes stay executor-side one
+    * partition at a time, never collected to the driver. */
+  def decodeAudioReal(spark: SparkSession, audio: DataFrame): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    audio.as[AudioRow].mapPartitions(_.map(wavDecode))
+  }
+
   /** Frame sampling over a "video" payload: fixed-size frames, keep every
     * `stride`-th, capped at `maxFrames` per clip. Pure generate+explode —
     * no shuffle, no driver loop. The cap is the sample BUDGET (a real
