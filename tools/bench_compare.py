@@ -1,12 +1,24 @@
 #!/usr/bin/env python3
 """Compare a fresh Bench JSON line against prior BENCH_r*.json recordings.
 
-Usage: bench_compare.py <new_bench.json> <old_bench.json> [threshold]
+Usage:
+  bench_compare.py <new_bench.json> <old_bench.json> [threshold]
+  bench_compare.py --triage <full_session.json> <fresh_medians.json> [factor]
 
 Each file holds one JSON object; per-query seconds live either in a
 "queries" map or (driver recordings) concatenated in the "tail" string.
-Prints the shared-query ratio (sum of new / sum of old) and every query
-whose ratio exceeds the threshold (default 1.5) in either direction.
+
+Default mode prints the shared-query ratio (sum of new / sum of old)
+and every query whose ratio exceeds the threshold (default 1.5) in
+either direction.
+
+--triage is the driver-recording insurance (round 6's t01 lesson: a
+shared-JVM recording showed 6.4x on code two fresh-JVM medians put at
+0.63x): it flags every query whose full-session median exceeds
+`factor` (default 2.0) times its fresh-JVM per-family median
+(tools/bench_fresh.sh produces that file) and emits the triage list
+ready for BENCH notes. Exit code 1 when anything is flagged, so the
+check scripts cleanly.
 """
 import json
 import re
@@ -32,7 +44,33 @@ def load(path):
             re.findall(r'"([a-z0-9_]+)":([0-9.]+)', tail)}
 
 
+def triage(full_path, fresh_path, factor):
+    full, fresh = load(full_path), load(fresh_path)
+    shared = sorted(set(full) & set(fresh))
+    missing = sorted(set(full) - set(fresh))
+    flagged = [(full[q] / fresh[q], q) for q in shared
+               if fresh[q] > 0.2 and full[q] > factor * fresh[q]]
+    print(f"triage: {len(shared)} queries with fresh-JVM medians, "
+          f"factor {factor}")
+    if missing:
+        print(f"  (no fresh median for {len(missing)}: "
+              f"{', '.join(missing[:8])}{'...' if len(missing) > 8 else ''})")
+    if not flagged:
+        print("  CLEAN: no query's session median exceeds "
+              f"{factor}x its fresh-JVM median")
+        return 0
+    print(f"  FLAGGED {len(flagged)} — session pressure suspects, "
+          "re-measure before believing the recording:")
+    for r, q in sorted(flagged, reverse=True):
+        print(f"  {q}: session {full[q]:.2f}s vs fresh {fresh[q]:.2f}s "
+              f"({r:.2f}x)")
+    return 1
+
+
 def main():
+    if sys.argv[1] == "--triage":
+        factor = float(sys.argv[4]) if len(sys.argv) > 4 else 2.0
+        sys.exit(triage(sys.argv[2], sys.argv[3], factor))
     new, old = load(sys.argv[1]), load(sys.argv[2])
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     shared = sorted(set(new) & set(old))
