@@ -15,6 +15,30 @@ import org.apache.spark.sql.expressions.Window
   * LSH buckets turn the search into an equi-join on bucket keys — at
   * 100 TB the corpus is bucketed once (written bucket-partitioned), and a
   * query touches only its bucket's partitions.
+  *
+  * == Why no HNSW (graph ANN) ==
+  *
+  * The one mainstream ANN family deliberately absent from s01–s16 is
+  * the navigable-small-world graph (HNSW, Malkov & Yashunin, IEEE
+  * TPAMI 2018; also DiskANN, NeurIPS 2019). Its search is a greedy
+  * walk: ~log n SEQUENTIAL hops, each a data-dependent random access
+  * into the neighbor lists of the previous hop's frontier. That access
+  * pattern is pointer-chasing — the opposite of what a columnar,
+  * partition-parallel engine executes well: every hop would be another
+  * distributed join barrier against the edge table keyed by the
+  * frontier discovered one round earlier, and the graph's in-memory
+  * advantage (one machine, one big RAM pool) is exactly the resource a
+  * 100 TB corpus doesn't have. The Spark-native scale choices are the
+  * space-partitioned families implemented here: IVF (s04/s08/s14 —
+  * candidate generation IS an equi-join on the cell key, the engine's
+  * best operation) layered with PQ/SQ compression (s06/s07/s15/s16)
+  * and LSH banding (s02/s03/s11) — each probe touches a bounded,
+  * PRE-PARTITIONED slice of the corpus with zero cross-round
+  * dependencies, recall is tunable by probe count (s11) and measured
+  * honestly against brute force (s05). An HNSW index is the right call
+  * when the serving tier is a separate single-node vector store; for
+  * in-engine 100 TB batch retrieval it is structurally the wrong
+  * shape, and that is a design decision, not a gap.
   */
 object SimilarityQueries {
 
