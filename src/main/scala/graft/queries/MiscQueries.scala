@@ -1010,6 +1010,54 @@ object MiscQueries {
     },
 
     // ---------------------------------------------------------------
+    // q57 — EXACT quantiles without a single-task sort: the
+    // order-statistics complement to q43's equi-depth buckets and the
+    // exact counterpart of q27's approx-percentile sketch. Seven cut
+    // points (p1 … p99.9) of l_extendedprice by discrete (type-1)
+    // quantile — value at global rank ⌈q·N⌉ in the total order — via
+    // EquiDepth.withGlobalRank: one range exchange + one
+    // pid-partitioned rank window, then a codegen'd 7-comparison
+    // filter keeps ≤7 rows and a tiny explode labels them. At 100 TB
+    // this is how you get an EXACT p99.9 (approx sketches carry rank
+    // error that is worst exactly in the tail a latency/price SLO
+    // cares about). q·N multiplies as IEEE doubles on BOTH sides
+    // (the oracle casts; DuckDB would otherwise compute the product
+    // in decimal and ceil differently).
+    Q(
+      "q57_exact_quantiles",
+      """WITH r AS (
+        |  SELECT l_extendedprice AS price,
+        |    row_number() OVER (ORDER BY l_extendedprice,
+        |      l_orderkey, l_linenumber) AS r,
+        |    count(*) OVER () AS n
+        |  FROM lineitem),
+        |qs AS (SELECT unnest([0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 0.999])
+        |         AS q)
+        |SELECT CAST(q AS DOUBLE) AS q, price AS value
+        |FROM qs JOIN r
+        |  ON r.r = GREATEST(1,
+        |    CAST(ceil(CAST(q AS DOUBLE) * n) AS BIGINT))
+        |ORDER BY q""".stripMargin
+    ) { (s, dir) =>
+      val quantiles = Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 0.999)
+      def target(q: Double) =
+        greatest(lit(1L), ceil(lit(q) * col("n")).cast("long"))
+      val ranked = graft.operators.EquiDepth.withGlobalRank(
+        Tables(s, dir, "lineitem")
+          .select(col("l_extendedprice").as("price"),
+            col("l_orderkey"), col("l_linenumber")),
+        Seq(col("price"), col("l_orderkey"), col("l_linenumber")),
+        "r", "n")
+      ranked
+        .filter(quantiles.map(q => col("r") === target(q)).reduce(_ || _))
+        .withColumn("q", explode(typedLit(quantiles)))
+        .filter(col("r") ===
+          greatest(lit(1L), ceil(col("q") * col("n")).cast("long")))
+        .select(col("q"), col("price").as("value"))
+        .orderBy(col("q"))
+    },
+
+    // ---------------------------------------------------------------
     // q44 — event transition matrix (first-order Markov estimate):
     // per user, each event's SUCCESSOR by time (lead over the
     // user-ordered stream, event_id tie-break), aggregated into

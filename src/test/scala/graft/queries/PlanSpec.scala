@@ -562,7 +562,8 @@ class PlanSpec extends SparkSpec {
       "t14_ngram_novelty", "q39_part_pagerank", "d16_nearest_dup",
       "q45_triangle_count", "s13_mmr_rerank", "t17_vocab_coverage",
       "d18_band_tuning", "t20_langid_confusion", "d19_threshold_sweep",
-      "q43_equidepth_histogram", "q38_spend_quartiles")
+      "q43_equidepth_histogram", "q38_spend_quartiles",
+      "q57_exact_quantiles")
     QueryRegistry.all
       .filterNot(q => isStreamLoop(q.name) || checkpoints.contains(q.name))
       .foreach { q =>
