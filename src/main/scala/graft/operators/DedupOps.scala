@@ -91,6 +91,26 @@ object DedupOps {
       incoming: DataFrame, table: String): DataFrame =
     incoming.join(spark.table(table).hint("merge"), Seq("text_hash"), "left_anti")
 
+  /** Content-defined chunk boundaries over a word array (FastCDC's
+    * rationale — Xia et al., USENIX ATC 2016 — re-expressed
+    * declaratively): a boundary falls AFTER word i (4 ≤ i ≤ n−1) iff
+    * the first hex digit of md5 over the 4-word window ending at i is
+    * '0' (P = 1/16 ⇒ mean chunk ≈ 16 words; the window width is an
+    * implicit 3-word minimum chunk). Boundaries depend only on local
+    * CONTENT, never absolute position, so an edit near the head
+    * re-synchronizes chunking within one window — the property that
+    * makes chunk-level dedup robust to shifted/prefixed text where
+    * fixed-width chunking misaligns forever (pinned by CdcStitchSpec).
+    * Pure array expression — no explode, no shuffle, no state; the
+    * caller materializes starts/ends as columns BEFORE slicing chunks
+    * (lambda-CSE pitfall, see ARCHITECTURE.md). */
+  def cdcBoundaries(w: Column, n: Column): Column =
+    when(n >= 5,
+      filter(sequence(lit(4), n - 1),
+        i => substring(md5(concat_ws(" ", slice(w, i - 3, lit(4)))), 1, 1)
+          === "0"))
+      .otherwise(array().cast("array<int>"))
+
   /** 64-bit SimHash over word unigrams. A word's 64 bits come from TWO
     * md5 calls (md5('0:'+w), md5('1:'+w)): bit b is the low bit of hex
     * digit (b mod 32)+1 of the respective digest — so hashing cost is 2

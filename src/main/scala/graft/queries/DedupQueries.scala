@@ -1251,6 +1251,206 @@ object DedupQueries {
           round(col("n_dropped").cast("double") / col("n_docs"), 6)
             .as("drop_frac"))
         .orderBy(col("tau"))
+    },
+
+    // ---------------------------------------------------------------
+    // d21 — content-defined-chunking (CDC) storage dedup: boundaries
+    // from DedupOps.cdcBoundaries (md5 of a 4-word rolling window, so
+    // an edited/prefixed copy re-synchronizes to the same chunks
+    // within one window — fixed-width chunking never realigns), then
+    // chunk-level first-occurrence accounting per source over the
+    // planted drop-first-word near-dup corpus. Scale posture: chunking
+    // is a pure per-doc array projection (zero shuffle); the only
+    // exchanges are the chunk-hash groupBy (partial agg; owner via
+    // min_by, no window over the full chunk stream) and the tiny
+    // per-source rollup. At 100 TB the chunk-hash agg is the d01 exact
+    // dedup shape — one hash-partitioned pass, no sort.
+    Q(
+      "d21_cdc_chunks",
+      """WITH corpus AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, source,
+        |    substr(text, strpos(text, ' ') + 1) AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |ws AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM corpus),
+        |wn AS (SELECT doc_id, source, w, len(w) AS n FROM ws WHERE len(w) >= 1),
+        |bp AS (
+        |  SELECT doc_id, source, w, n,
+        |    CASE WHEN n >= 5 THEN
+        |      list_filter(generate_series(4, n - 1),
+        |        i -> substr(md5(array_to_string(w[i-3:i], ' ')), 1, 1) = '0')
+        |    ELSE CAST([] AS BIGINT[]) END AS bpos
+        |  FROM wn),
+        |se AS (
+        |  SELECT doc_id, source, w,
+        |    list_prepend(CAST(1 AS BIGINT), list_transform(bpos, b -> b + 1))
+        |      AS starts,
+        |    list_append(bpos, CAST(n AS BIGINT)) AS ends
+        |  FROM bp),
+        |ck AS (
+        |  SELECT doc_id, source, w, starts, ends,
+        |    unnest(generate_series(1, len(starts))) AS idx
+        |  FROM se),
+        |ch AS (
+        |  SELECT doc_id, source, idx,
+        |    array_to_string(w[starts[idx]:ends[idx]], ' ') AS ctext
+        |  FROM ck),
+        |r AS (SELECT doc_id, source, idx, md5(ctext) AS h,
+        |  length(ctext) AS chars FROM ch),
+        |st AS (SELECT r.*, row_number()
+        |  OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn FROM r),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS chunks_total,
+        |  CAST(sum(chars) AS BIGINT) AS chars_total FROM r GROUP BY source),
+        |sto AS (SELECT source, CAST(count(*) AS BIGINT) AS chunks_stored,
+        |  CAST(sum(chars) AS BIGINT) AS chars_stored
+        |  FROM st WHERE rn = 1 GROUP BY source)
+        |SELECT t.source, chunks_total, chunks_stored, chars_total,
+        |  chars_stored,
+        |  round(CAST(chars_stored AS DOUBLE) / chars_total, 6) AS stored_frac
+        |FROM tot t JOIN sto USING (source)
+        |ORDER BY t.source""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("source"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select(Q.plantedId(col("doc_id"), 100000).as("doc_id"),
+            col("source"),
+            expr("substr(text, instr(text, ' ') + 1)").as("text")))
+      val ws = corpus
+        .select(col("doc_id"), col("source"),
+          DedupOps.words(col("text")).as("w"))
+        .withColumn("n", size(col("w")))
+        .filter(col("n") >= 1)
+      // starts/ends materialized as columns BEFORE the chunk slicing —
+      // inlining them re-evaluates the whole boundary array per chunk
+      // (no CSE across lambda bodies)
+      val se = ws
+        .withColumn("bpos", DedupOps.cdcBoundaries(col("w"), col("n")))
+        .withColumn("starts",
+          concat(array(lit(1)), transform(col("bpos"), b => b + 1)))
+        .withColumn("ends", concat(col("bpos"), array(col("n"))))
+      val r = se
+        .select(col("doc_id"), col("source"), col("w"), col("starts"),
+          col("ends"),
+          explode(sequence(lit(1), size(col("starts")))).as("idx"))
+        .select(col("doc_id"), col("source"), col("idx"),
+          array_join(slice(col("w"), element_at(col("starts"), col("idx")),
+            element_at(col("ends"), col("idx"))
+              - element_at(col("starts"), col("idx")) + 1), " ").as("ctext"))
+        .select(col("doc_id"), col("source"), col("idx"),
+          md5(col("ctext")).as("h"), length(col("ctext")).as("chars"))
+        .transform(Stage.stage) // feeds both rollups below
+      val tot = r.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("chunks_total"),
+          sum(col("chars")).cast("long").as("chars_total"))
+      val sto = r.groupBy(col("h"))
+        .agg(min_by(struct(col("source"), col("chars")),
+          struct(col("doc_id"), col("idx"))).as("o"))
+        .select(col("o.source").as("source"), col("o.chars").as("chars"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("chunks_stored"),
+          sum(col("chars")).cast("long").as("chars_stored"))
+      tot.join(sto, Seq("source"))
+        .select(col("source"), col("chunks_total"), col("chunks_stored"),
+          col("chars_total"), col("chars_stored"),
+          round(col("chars_stored").cast("double") / col("chars_total"), 6)
+            .as("stored_frac"))
+        .orderBy(col("source"))
+    },
+
+    // ---------------------------------------------------------------
+    // d22 — shard-overlap stitching: find document pairs (a, b) where
+    // a suffix of a IS a prefix-region run of b (pagination / shard-cut
+    // overlap in crawl corpora), and report the maximal verified
+    // overlap + merged length. Planted truth: every 20th doc (≥ 24
+    // words) is split into overlapping fragments A = w[1..2q] and
+    // B = w[q+1..n] (q = n÷3) — the detector must recover (A, B) with
+    // overlap exactly q. Detection is equi-join-only: each doc emits
+    // ONE suffix 8-gram key; prefix-region grams are capped at 32
+    // positions/doc (bounded explode), candidates verify by slice
+    // equality after two id-equi-joins back to the word arrays (arrays
+    // never ride through the gram join). Containment (overlap = whole
+    // doc, no new words) is excluded — that's d14's operator. Scale
+    // posture: O(docs) keys + O(32·docs) gram rows, candidate set is
+    // hash-collision-rare, all joins are equi-joins; no O(n²) anywhere.
+    Q(
+      "d22_overlap_stitch",
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |wn AS (SELECT doc_id, w, len(w) AS n FROM base),
+        |sp AS (SELECT doc_id, w, n, n // 3 AS q FROM wn
+        |  WHERE doc_id % 20 = 0 AND n >= 24),
+        |corpus AS (
+        |  SELECT doc_id, w FROM wn
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, w[1:2*q] AS w FROM sp
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id, w[q+1:n] AS w FROM sp),
+        |cn AS (SELECT doc_id, w, len(w) AS n FROM corpus WHERE len(w) >= 8),
+        |sfx AS (SELECT doc_id AS a_id, n AS len_a,
+        |  md5(array_to_string(w[n-7:n], ' ')) AS k FROM cn),
+        |pre AS (SELECT doc_id AS b_id, n AS len_b, w,
+        |  unnest(generate_series(1, least(32, n - 7))) AS p FROM cn),
+        |pk AS (SELECT b_id, len_b, p,
+        |  md5(array_to_string(w[p:p+7], ' ')) AS k FROM pre),
+        |cand AS (
+        |  SELECT a_id, b_id, len_a, len_b, p + 7 AS ov
+        |  FROM sfx JOIN pk USING (k)
+        |  WHERE a_id <> b_id AND p + 7 < len_a),
+        |ver AS (
+        |  SELECT c.a_id, c.b_id, c.len_a, c.len_b, c.ov
+        |  FROM cand c
+        |  JOIN cn a ON a.doc_id = c.a_id
+        |  JOIN cn b ON b.doc_id = c.b_id
+        |  WHERE a.w[c.len_a - c.ov + 1 : c.len_a] = b.w[1:c.ov])
+        |SELECT a_id, b_id, CAST(max(ov) AS BIGINT) AS overlap_words,
+        |  CAST(max(len_a) + max(len_b) - max(ov) AS BIGINT) AS merged_words
+        |FROM ver GROUP BY a_id, b_id ORDER BY a_id, b_id""".stripMargin
+    ) { (s, dir) =>
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), DedupOps.words(col("text")).as("w"))
+        .withColumn("n", size(col("w")))
+      val sp = base.filter(col("doc_id") % 20 === 0 && col("n") >= 24)
+        .withColumn("q", expr("n div 3").cast("int"))
+      val corpus = base.select(col("doc_id"), col("w"))
+        .unionByName(sp.select(
+          Q.plantedId(col("doc_id"), 200000).as("doc_id"),
+          slice(col("w"), lit(1), col("q") * 2).as("w")))
+        .unionByName(sp.select(
+          Q.plantedId(col("doc_id"), 300000).as("doc_id"),
+          slice(col("w"), col("q") + 1, col("n") - col("q")).as("w")))
+      val cn = corpus.withColumn("n", size(col("w")))
+        .filter(col("n") >= 8)
+        .transform(Stage.stage) // feeds sfx, grams, and both verify legs
+      val sfx = cn.select(col("doc_id").as("a_id"), col("n").as("len_a"),
+        md5(concat_ws(" ", slice(col("w"), col("n") - 7, lit(8)))).as("k"))
+      val pk = cn
+        .select(col("doc_id").as("b_id"), col("n").as("len_b"), col("w"),
+          explode(sequence(lit(1), least(lit(32), col("n") - 7))).as("p"))
+        .select(col("b_id"), col("len_b"), col("p"),
+          md5(concat_ws(" ", slice(col("w"), col("p"), lit(8)))).as("k"))
+      val cand = sfx.join(pk, Seq("k"))
+        .filter(col("a_id") =!= col("b_id"))
+        .withColumn("ov", col("p") + 7)
+        .filter(col("ov") < col("len_a"))
+      val ver = cand
+        .join(cn.select(col("doc_id").as("a_id"), col("w").as("aw")),
+          Seq("a_id"))
+        .join(cn.select(col("doc_id").as("b_id"), col("w").as("bw")),
+          Seq("b_id"))
+        .filter(slice(col("aw"), col("len_a") - col("ov") + 1, col("ov"))
+          === slice(col("bw"), lit(1), col("ov")))
+      ver.groupBy(col("a_id"), col("b_id"))
+        .agg(max(col("ov")).cast("long").as("overlap_words"),
+          (max(col("len_a")) + max(col("len_b")) - max(col("ov")))
+            .cast("long").as("merged_words"))
+        .orderBy(col("a_id"), col("b_id"))
     }
   )
 

@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.{QueryRegistry, SparkSpec}
+
+/** d21 (content-defined chunking) and d22 (shard-overlap stitching)
+  * against an INDEPENDENT plain-Scala reimplementation of the chunking
+  * contract — the assertions here don't share a line of expression code
+  * with the operator, so a Spark-side drift (slice off-by-one, window
+  * width, boundary predicate) can't cancel out.
+  *
+  * Doc ids avoid %10==0 / %20==0 except where a test plants splits on
+  * purpose, so the queries' own corpus augmentation stays inert.
+  */
+class CdcStitchSpec extends SparkSpec {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Reference CDC: boundary after word i (4 <= i <= n-1) iff
+    * md5(words[i-3..i] joined) starts with '0'; chunks are the word
+    * runs between boundaries. Mirrors DedupOps.cdcBoundaries' DOC
+    * contract, not its code. */
+  private def refChunks(words: Seq[String]): Seq[String] = {
+    val n = words.length
+    if (n == 0) return Nil
+    val bounds = (4 to n - 1).filter { i =>
+      md5hex(words.slice(i - 4, i).mkString(" ")).startsWith("0")
+    }
+    val starts = 1 +: bounds.map(_ + 1)
+    val ends = bounds :+ n
+    starts.zip(ends).map { case (s, e) => words.slice(s - 1, e).mkString(" ") }
+  }
+
+  private def toks(p: String, n: Int): Seq[String] = (1 to n).map(i => s"$p$i")
+
+  test("d21 per-source accounting matches the reference chunker exactly") {
+    import spark.implicits._
+    val dir = tmpDir("cdc")
+    val tail = toks("t", 48)
+    // srcA owns the tail (doc 1 < doc 2); srcB's copy is PREFIXED with a
+    // different-length head, so fixed-width chunking would misalign —
+    // CDC must re-synchronize and dedupe the shared tail chunks.
+    val docs = Seq(
+      (1L, "srcA", (toks("p", 3) ++ tail).mkString(" ")),
+      (2L, "srcB", (toks("q", 7) ++ tail).mkString(" ")),
+      (3L, "srcA", toks("u", 2).mkString(" ")),  // below one window: 1 chunk
+      (7L, "srcB", toks("v", 30).mkString(" "))
+    )
+    docs.toDF("doc_id", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+
+    // independent expected accounting (first occurrence by (doc_id, idx))
+    val rows = docs.flatMap { case (id, src, text) =>
+      refChunks(text.split(" ").toSeq).zipWithIndex.map { case (c, i) =>
+        (id, src, i + 1, md5hex(c), c.length)
+      }
+    }
+    val owners = rows.groupBy(_._4).map { case (_, g) =>
+      g.minBy(r => (r._1, r._3))
+    }.toSeq
+    def acct(rs: Seq[(Long, String, Int, String, Int)]) =
+      rs.groupBy(_._2).map { case (s, g) => s -> ((g.size.toLong, g.map(_._5).sum.toLong)) }
+    val tot = acct(rows)
+    val sto = acct(owners)
+    // the planted pair must actually share chunks, or this test is vacuous
+    assert(sto("srcB")._2 < tot("srcB")._2,
+      s"no resynchronized shared chunk: ${sto("srcB")} vs ${tot("srcB")}")
+
+    val out = QueryRegistry.byName("d21_cdc_chunks").run(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet == Set("srcA", "srcB"), out.keySet.toString)
+    for (s <- Seq("srcA", "srcB")) {
+      assert(out(s) == ((tot(s)._1, sto(s)._1, tot(s)._2, sto(s)._2)),
+        s"$s: got ${out(s)} want ${(tot(s)._1, sto(s)._1, tot(s)._2, sto(s)._2)}")
+    }
+  }
+
+  test("d21 chunks reconstruct every document (reference chunker contract)") {
+    // spot the reference chunker itself: concatenation is the identity
+    for (n <- Seq(1, 3, 4, 5, 16, 47, 80)) {
+      val ws = toks(s"w${n}_", n)
+      assert(refChunks(ws).mkString(" ") == ws.mkString(" "), s"n=$n")
+    }
+  }
+
+  test("d22 recovers planted splits with overlap exactly q, plus natural overlap") {
+    import spark.implicits._
+    val dir = tmpDir("stitch")
+    val o12 = toks("o", 12)
+    Seq(
+      // planted split targets: %20 == 0, n >= 24
+      (20L, (toks("a", 30)).mkString(" ")),            // n=30, q=10
+      (40L, (toks("b", 47)).mkString(" ")),            // n=47, q=15
+      // natural overlap: doc3's 12-word suffix == doc7's 12-word prefix
+      (3L, (toks("x", 10) ++ o12).mkString(" ")),      // len 22
+      (7L, (o12 ++ toks("y", 10)).mkString(" ")),      // len 22
+      (9L, toks("z", 15).mkString(" "))                // innocent bystander
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+
+    val out = QueryRegistry.byName("d22_overlap_stitch").run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // A = w[1..2q] (id+200000), B = w[q+1..n] (id+300000): overlap q
+    assert(out((200020L, 300020L)) == ((10L, 2L * 10 + 20 - 10)),
+      s"doc20 split: ${out.get((200020L, 300020L))}")
+    assert(out((200040L, 300040L)) == ((15L, 2L * 15 + 32 - 15)),
+      s"doc40 split: ${out.get((200040L, 300040L))}")
+    assert(out((3L, 7L)) == ((12L, 32L)), s"natural: ${out.get((3L, 7L))}")
+    // containment is NOT stitching: no pair may claim its whole left doc
+    assert(!out.exists { case ((a, _), (ov, _)) =>
+      a >= 200000 && a < 300000 && ov >= 20 }, "A-fragment containment leaked")
+  }
+}
