@@ -749,6 +749,61 @@ object AnalyticsQueries {
           round(cume_dist().over(w), 6).as("cdist"),
           nth_value(col("o_totalprice"), 1).over(wf).as("top_total"))
         .orderBy(col("prio"), col("drnk"), col("o_orderkey"))
+    },
+
+    // ---------------------------------------------------------------
+    // q58 — sliding-window DISTINCT counting: per day, the number of
+    // distinct customers with an order in the trailing 28 days (plus
+    // the trailing order count). Distinct-over-sliding-window can't be
+    // expressed as a window frame (COUNT(DISTINCT) OVER RANGE is
+    // unsupported in both engines) and the naive per-day self-join is
+    // O(days·window). Shape here: dedup (day, cust) FIRST (kills the
+    // 28× factor on repeat buyers), explode each pair to the 28 target
+    // days it covers, dedup (target, cust), count — three
+    // hash-partitioned partial-agg passes, no window, no self-join.
+    // 100 TB: for wider windows the explode factor grows linearly —
+    // the sketch path is one HLL per (day) merged over 28 days
+    // (q24's machinery); the exact form stays the oracle.
+    Q(
+      "q58_rolling_distinct",
+      """WITH ks AS (SELECT CAST(unnest(generate_series(0, 27)) AS INTEGER) AS k),
+        |dc AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d, o_custkey AS c
+        |  FROM orders),
+        |act AS (SELECT DISTINCT d + k AS day, c FROM dc CROSS JOIN ks),
+        |a AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active
+        |  FROM act GROUP BY day),
+        |oc AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |ords AS (SELECT d + k AS day, CAST(sum(n) AS BIGINT) AS n_orders
+        |  FROM oc CROSS JOIN ks GROUP BY 1),
+        |mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS md FROM orders)
+        |SELECT a.day, a.n_active, o.n_orders
+        |FROM a JOIN ords o USING (day) CROSS JOIN mx
+        |WHERE day <= md ORDER BY day""".stripMargin
+    ) { (s, dir) =>
+      val orders = Tables(s, dir, "orders")
+      val off = explode(sequence(lit(0), lit(27))).as("k")
+      val dc = orders
+        .select(to_date(col("o_orderdate")).as("d"), col("o_custkey").as("c"))
+        .distinct()
+      val a = dc.select(col("d"), col("c"), off)
+        .select(date_add(col("d"), col("k")).as("day"), col("c"))
+        .distinct()
+        .groupBy(col("day"))
+        .agg(count(lit(1)).cast("long").as("n_active"))
+      val ords = orders
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("d"), col("n"), off)
+        .select(date_add(col("d"), col("k")).as("day"), col("n"))
+        .groupBy(col("day"))
+        .agg(sum(col("n")).cast("long").as("n_orders"))
+      val mx = orders.agg(max(to_date(col("o_orderdate"))).as("md"))
+      a.join(ords, Seq("day"))
+        .crossJoin(broadcast(mx))
+        .filter(col("day") <= col("md"))
+        .select(col("day"), col("n_active"), col("n_orders"))
+        .orderBy(col("day"))
     }
   )
 

@@ -685,6 +685,174 @@ object MultimodalQueries {
           coalesce(col("n_active"), lit(0L)).as("n_active"),
           coalesce(col("longest"), lit(0L)).as("longest"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // mm13 — frequency-domain perceptual hash (classic pHash: 2D DCT,
+    // low-frequency block, sign-vs-mean bits) over the 8×8 grid of
+    // stub-decode frame energies, reported as a dup-vs-random
+    // separation study against mm05's planted corpus. The DCT basis is
+    // INTEGER fixed-point (round(cos(π(2x+1)u/16)·10⁴), embedded as
+    // the same 64-entry literal in both engines) so every coefficient
+    // is exact BIGINT arithmetic — no float trig parity risk between
+    // JVM and DuckDB libm. The 2D transform is separable: two 8-term
+    // passes (rows then columns, 1 024 multiply-adds) instead of the
+    // naive 4 096; the whole signature is a per-image projection —
+    // zero explode, zero shuffle. Bits: 4×4 low-frequency block minus
+    // DC, bit = 1 iff 15·C(u,v) > Σblock (integer compare). Planted
+    // near-dups (last char dropped) perturb one energy cell, which
+    // smears across ALL coefficients but flips only near-zero signs —
+    // the report shows dup-pair hamming far under the random-pair
+    // baseline (adjacent doc ids; equi-join, no window). At 100 TB the
+    // 15-bit hash band-joins exactly like mm05's aHash; max magnitude
+    // 8·8·260100·10⁴·10⁴ ≈ 1.7e15 stays in int64.
+    Q(
+      "mm13_phash_dct",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    substr(text, 1, length(text) - 1) AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |tb AS (SELECT [10000, 10000, 10000, 10000, 10000, 10000, 10000, 10000,
+        |  9808, 8315, 5556, 1951, -1951, -5556, -8315, -9808,
+        |  9239, 3827, -3827, -9239, -9239, -3827, 3827, 9239,
+        |  8315, -1951, -9808, -5556, 5556, 9808, 1951, -8315,
+        |  7071, -7071, -7071, 7071, 7071, -7071, -7071, 7071,
+        |  5556, -9808, 1951, 8315, -8315, -1951, 9808, -5556,
+        |  3827, -9239, 9239, -3827, -3827, 9239, -9239, 3827,
+        |  1951, -5556, 8315, -9808, 9808, -8315, 5556, -1951] AS tt),
+        |en AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 63), f ->
+        |      CAST(coalesce(list_aggregate(list_transform(
+        |        generate_series(f*4+1, least(f*4+4, length(text))),
+        |        i -> ascii(substr(text, CAST(i AS INTEGER), 1))
+        |           * ascii(substr(text, CAST(i AS INTEGER), 1))),
+        |        'sum'), 0) AS BIGINT)) AS es
+        |  FROM corpus),
+        |rr AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 63), i ->
+        |      CAST(list_aggregate(list_transform(generate_series(0, 7),
+        |        y -> es[(i // 8) * 8 + y + 1] * tt[(i % 8) * 8 + y + 1]),
+        |        'sum') AS BIGINT)) AS r
+        |  FROM en CROSS JOIN tb),
+        |dd AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 63), j ->
+        |      CAST(list_aggregate(list_transform(generate_series(0, 7),
+        |        x -> r[x * 8 + (j % 8) + 1] * tt[(j // 8) * 8 + x + 1]),
+        |        'sum') AS BIGINT)) AS dct
+        |  FROM rr CROSS JOIN tb),
+        |lfr AS (
+        |  SELECT doc_id,
+        |    list_transform([1, 2, 3, 8, 9, 10, 11, 16, 17, 18, 19,
+        |      24, 25, 26, 27], j -> dct[j + 1]) AS lf
+        |  FROM dd),
+        |sig AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(lf, c ->
+        |      CASE WHEN c * 15 > list_aggregate(lf, 'sum')
+        |        THEN '1' ELSE '0' END), '') AS phash
+        |  FROM lfr),
+        |dup AS (SELECT a.phash AS pa, b.phash AS pb
+        |  FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 100000
+        |  WHERE a.doc_id % 10 = 0 AND a.doc_id < 100000),
+        |rnd AS (SELECT a.phash AS pa, b.phash AS pb
+        |  FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id < 100000 AND b.doc_id < 100000),
+        |ham AS (
+        |  SELECT 'dup' AS pair_type, list_aggregate(list_transform(
+        |    generate_series(1, 15), i -> CASE WHEN substr(pa, i, 1)
+        |      <> substr(pb, i, 1) THEN 1 ELSE 0 END), 'sum') AS h FROM dup
+        |  UNION ALL
+        |  SELECT 'rand' AS pair_type, list_aggregate(list_transform(
+        |    generate_series(1, 15), i -> CASE WHEN substr(pa, i, 1)
+        |      <> substr(pb, i, 1) THEN 1 ELSE 0 END), 'sum') AS h FROM rnd)
+        |SELECT pair_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(CAST(sum(h) AS DOUBLE) / count(*), 6) AS avg_hamming,
+        |  CAST(max(h) AS BIGINT) AS max_hamming
+        |FROM ham GROUP BY pair_type ORDER BY pair_type""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.Stage
+      val dctTable = Seq(10000, 10000, 10000, 10000, 10000, 10000, 10000,
+        10000, 9808, 8315, 5556, 1951, -1951, -5556, -8315, -9808,
+        9239, 3827, -3827, -9239, -9239, -3827, 3827, 9239,
+        8315, -1951, -9808, -5556, 5556, 9808, 1951, -8315,
+        7071, -7071, -7071, 7071, 7071, -7071, -7071, 7071,
+        5556, -9808, 1951, 8315, -8315, -1951, 9808, -5556,
+        3827, -9239, 9239, -3827, -3827, 9239, -9239, 3827,
+        1951, -5556, 8315, -9808, 9808, -8315, 5556, -1951).map(_.toLong)
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(
+        docs.filter(col("doc_id") % 10 === 0)
+          .select(Q.plantedId(col("doc_id"), 100000).as("doc_id"),
+            expr("substr(text, 1, length(text) - 1)").as("text")))
+      // The DCT runs as ROW explosion + codegen'd partial aggs, NOT a
+      // chain of nested higher-order-function lambdas: a producer
+      // column referenced inside a consumer's lambda is re-evaluated
+      // once per lambda ITERATION after CollapseProject merges the
+      // projects, so a 3-deep HOF chain (energies → row-DCT → col-DCT)
+      // multiplies to ~10¹⁰ interpreted ops per row (measured: minutes
+      // at sf0.001; this shape runs in milliseconds and is the form
+      // that scales anyway — every pass is a hash-partitioned partial
+      // agg inside whole-stage codegen).
+      val tt = typedLit(dctTable)
+      val en = corpus
+        .withColumn("f", explode(sequence(lit(0), lit(63))))
+        .withColumn("frame",
+          col("text").substr((col("f") * 4 + 1).cast("int"), lit(4)))
+        .select(col("doc_id"), col("f"),
+          aggregate(
+            transform(filter(split(col("frame"), ""), c => c =!= ""),
+              c => (ascii(c) * ascii(c)).cast("long")),
+            lit(0L), (a, x) => a + x).as("e"))
+      // separable 2D DCT: rows pass R(x,v) = Σ_y e(x,y)·T[v,y], then
+      // columns pass C(u,v) = Σ_x R(x,v)·T[u,x]
+      val rr = en
+        .select(col("doc_id"), (col("f") / 8).cast("int").as("x"),
+          (col("f") % 8).as("y"), col("e"))
+        .withColumn("v", explode(sequence(lit(0), lit(7))))
+        .groupBy(col("doc_id"), col("x"), col("v"))
+        .agg(sum(col("e") *
+          element_at(tt, (col("v") * 8 + col("y") + 1).cast("int"))).as("r"))
+      val dd = rr
+        .withColumn("u", explode(sequence(lit(0), lit(7))))
+        .groupBy(col("doc_id"), col("u"), col("v"))
+        .agg(sum(col("r") *
+          element_at(tt, (col("u") * 8 + col("x") + 1).cast("int"))).as("c"))
+      val sig = dd
+        .filter(col("u") < 4 && col("v") < 4 &&
+          !(col("u") === 0 && col("v") === 0))
+        .select(col("doc_id"), (col("u") * 8 + col("v")).as("j"), col("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("ts"),
+          sort_array(collect_list(struct(col("j"), col("c")))).as("cs"))
+        .select(col("doc_id"),
+          conv(array_join(transform(col("cs"), s =>
+            when(s("c") * 15 > col("ts"), lit("1")).otherwise(lit("0"))), ""),
+            2, 10).cast("long").as("pbits"))
+        .transform(Stage.stage) // one signature pass feeds both pair studies
+      val dup = sig.as("a")
+        .filter(col("a.doc_id") % 10 === 0 && col("a.doc_id") < 100000)
+        .join(sig.as("b"), col("b.doc_id") === col("a.doc_id") + 100000)
+        .select(lit("dup").as("pair_type"),
+          bit_count(col("a.pbits").bitwiseXOR(col("b.pbits"))).as("h"))
+      val rnd = sig.as("a").filter(col("a.doc_id") < 100000)
+        .join(sig.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 1 && col("b.doc_id") < 100000)
+        .select(lit("rand").as("pair_type"),
+          bit_count(col("a.pbits").bitwiseXOR(col("b.pbits"))).as("h"))
+      dup.unionByName(rnd)
+        .groupBy(col("pair_type"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          // exact integer sum, ONE double division (avg()'s incremental
+          // path isn't bit-identical across engines)
+          round(sum(col("h")).cast("double") / count(lit(1)), 6)
+            .as("avg_hamming"),
+          max(col("h")).cast("long").as("max_hamming"))
+        .orderBy(col("pair_type"))
     }
   )
 }

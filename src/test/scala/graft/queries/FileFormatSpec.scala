@@ -33,6 +33,17 @@ class FileFormatSpec extends SparkSpec {
     }
   }
 
+  test("xml format round-trips a table slice (built-in since Spark 4)") {
+    val src = Tables(spark, dir, "nation").orderBy("n_nationkey")
+    val out = tmpDir("fmt-xml") + "/data"
+    src.write.mode("overwrite").option("rowTag", "nation")
+      .format("xml").save(out)
+    val back = spark.read.option("rowTag", "nation").schema(src.schema)
+      .format("xml").load(out).orderBy("n_nationkey")
+    assert(back.collect().map(_.toSeq).toSeq ==
+      src.collect().map(_.toSeq).toSeq, "xml round trip diverged")
+  }
+
   test("text format reads raw lines") {
     val out = tmpDir("fmt-text") + "/data"
     Tables(spark, dir, "region").select(col("r_name"))

@@ -107,4 +107,22 @@ class MultimodalRecallSpec extends SparkSpec {
     val recall = got.size.toDouble / truth.size
     assert(recall >= 0.9, s"recall $recall (${got.size}/${truth.size})")
   }
+
+  test("mm13: DCT pHash separates planted dups from the random baseline") {
+    // the report's own numbers ARE the contract: planted near-dups
+    // (one energy cell perturbed) must sit far below unrelated
+    // adjacent-id pairs in hamming distance, or the frequency-domain
+    // hash carries no signal and the query is a tautology
+    val out = QueryRegistry.byName("mm13_phash_dct").run(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet == Set("dup", "rand"), out.keySet.toString)
+    val (nDup, avgDup, maxDup) = out("dup")
+    val (nRand, avgRand, _) = out("rand")
+    assert(nDup > 0 && nRand > 0, s"degenerate fixture: $out")
+    assert(avgDup * 2 < avgRand,
+      s"no separation: dup avg $avgDup vs rand avg $avgRand")
+    assert(maxDup <= 4, s"a planted dup drifted to hamming $maxDup")
+  }
 }

@@ -563,7 +563,8 @@ class PlanSpec extends SparkSpec {
       "q45_triangle_count", "s13_mmr_rerank", "t17_vocab_coverage",
       "d18_band_tuning", "t20_langid_confusion", "d19_threshold_sweep",
       "q43_equidepth_histogram", "q38_spend_quartiles",
-      "q57_exact_quantiles", "d21_cdc_chunks", "d22_overlap_stitch")
+      "q57_exact_quantiles", "d21_cdc_chunks", "d22_overlap_stitch",
+      "mm13_phash_dct")
     QueryRegistry.all
       .filterNot(q => isStreamLoop(q.name) || checkpoints.contains(q.name))
       .foreach { q =>
