@@ -1827,6 +1827,96 @@ object PipelineQueries {
       c.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
         round(po, 6).as("agreement"),
         round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+    },
+
+    // ---------------------------------------------------------------
+    // p31 — DSIR-style importance weighting (Data Selection via
+    // Importance Resampling, Xie et al., NeurIPS 2023): score every
+    // document by how target-like its hashed n-gram feature profile is,
+    // log w(d) = Σ_b c_b(d)·ln(p_target(b)/p_raw(b)), with 256 md5
+    // buckets over word unigrams+bigrams, Laplace-smoothed bucket
+    // probabilities, target = the 'en' slice. Determinism: bucket keys
+    // are 2-hex-char strings (no int conversion), probabilities are
+    // ratios of exact integer products (< 2⁵³, so the doubles are
+    // exact), ONE ln per bucket, and the per-doc sum is an ORDERED fold
+    // over the bucket-sorted term list (float addition isn't
+    // commutative-associative; an unordered SUM would be partitioning-
+    // dependent). Scale: feature explode → ONE (doc, bucket) partial
+    // agg; the 256-row weight table broadcasts; top-50 is
+    // TakeOrderedAndProject. No all-pairs, no window.
+    Q(
+      "p31_dsir_importance",
+      """WITH ws AS (
+        |  SELECT doc_id, source, lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |fe AS (
+        |  SELECT doc_id, substr(md5(f), 1, 2) AS b, count(*) AS c
+        |  FROM (
+        |    SELECT doc_id, unnest(w) AS f FROM ws
+        |    UNION ALL
+        |    SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+        |      THEN list_transform(generate_series(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1])
+        |      ELSE CAST([] AS VARCHAR[]) END) AS f FROM ws)
+        |  GROUP BY doc_id, b),
+        |tl AS (
+        |  SELECT fe.b,
+        |    CAST(sum(CASE WHEN d.lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS tb,
+        |    CAST(sum(c) AS BIGINT) AS rb
+        |  FROM fe JOIN ws d USING (doc_id) GROUP BY fe.b),
+        |tot AS (SELECT CAST(sum(tb) AS BIGINT) AS t,
+        |  CAST(sum(rb) AS BIGINT) AS r FROM tl),
+        |wt AS (
+        |  SELECT b, ln(CAST((tb + 1) * (r + 256) AS DOUBLE)
+        |    / CAST((rb + 1) * (t + 256) AS DOUBLE)) AS lr
+        |  FROM tl CROSS JOIN tot),
+        |dw AS (
+        |  SELECT doc_id,
+        |    list_aggregate(list(c * lr ORDER BY b), 'sum') AS wgt
+        |  FROM fe JOIN wt USING (b) GROUP BY doc_id)
+        |SELECT d.doc_id, d.source, d.lang, round(dw.wgt, 6) AS log_weight
+        |FROM dw JOIN ws d USING (doc_id)
+        |ORDER BY round(dw.wgt, 6) DESC, d.doc_id LIMIT 50""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          DedupOps.words(col("text")).as("w"))
+      val uni = docs.select(col("doc_id"), explode(col("w")).as("f"))
+      val big = docs
+        .select(col("doc_id"), explode(when(size(col("w")) >= 2,
+          expr("transform(sequence(1, size(w) - 1)," +
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+          .otherwise(array().cast("array<string>"))).as("f"))
+      val fe = uni.unionByName(big)
+        .groupBy(col("doc_id"), substring(md5(col("f")), 1, 2).as("b"))
+        .agg(count(lit(1)).as("c"))
+        .transform(Stage.stage) // feeds the bucket stats AND the doc fold
+      val tl = fe
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("b"))
+        .agg(sum(when(col("lang") === "en", col("c")).otherwise(0L))
+          .cast("long").as("tb"),
+          sum(col("c")).cast("long").as("rb"))
+      val tot = tl.agg(sum(col("tb")).cast("long").as("t"),
+        sum(col("rb")).cast("long").as("r"))
+      val wt = tl.crossJoin(broadcast(tot))
+        .select(col("b"),
+          log(((col("tb") + 1) * (col("r") + 256)).cast("double")
+            / ((col("rb") + 1) * (col("t") + 256)).cast("double")).as("lr"))
+      val dw = fe.join(broadcast(wt), Seq("b"))
+        .select(col("doc_id"), col("b"), (col("c") * col("lr")).as("term"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("b"), col("term")))).as("ts"))
+        .select(col("doc_id"),
+          aggregate(col("ts"), lit(0.0),
+            (a, s) => a + s("term")).as("wgt"))
+      dw.join(docs.select(col("doc_id"), col("source"), col("lang")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          round(col("wgt"), 6).as("log_weight"))
+        .orderBy(col("log_weight").desc, col("doc_id"))
+        .limit(50)
     }
   )
 

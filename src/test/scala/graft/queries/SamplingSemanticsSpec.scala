@@ -43,6 +43,18 @@ class SamplingSemanticsSpec extends SparkSpec {
       s"${off.keys.map(out).mkString(", ")}")
   }
 
+  test("p31: importance weights select target-like (en) documents") {
+    // DSIR's whole point: the top-50 by log p_target/p_raw must
+    // over-represent the target slice well beyond its population
+    // share (~44% en in the fixture). A flipped ratio (or a fold over
+    // the wrong distribution) selects AGAINST the target instead —
+    // and still hash-matches the mirrored oracle.
+    val sel = QueryRegistry.byName("p31_dsir_importance").run(spark, dir)
+    val enFrac = sel.agg(
+      avg(when(col("lang") === "en", 1.0).otherwise(0.0))).head.getDouble(0)
+    assert(enFrac >= 0.6, s"top-50 en fraction $enFrac not target-enriched")
+  }
+
   test("q39: pagerank mass concentrates on high-degree parts") {
     // on an undirected graph PageRank correlates with degree — the
     // top-50 scored parts must have a higher mean co-purchase degree
