@@ -85,6 +85,37 @@ class CdcStitchSpec extends SparkSpec {
     }
   }
 
+  test("cdcBoundaries matches the reference on 300 random word soups") {
+    // fixed-seed randomized sweep, ONE Spark pass: every doc length
+    // 0..120 over a tiny alphabet (forces repeated windows, the case
+    // hand-picked fixtures under-sample), expression output must equal
+    // the plain-Scala boundary set exactly
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "ab", "ba", "x")
+    val docs = (1 to 300).map { i =>
+      val n = rnd.nextInt(121)
+      (i.toLong, (1 to n).map(_ => vocab(rnd.nextInt(vocab.length))))
+    }
+    val expected = docs.map { case (id, ws) =>
+      val n = ws.length
+      id -> (4 to n - 1).filter { j =>
+        md5hex(ws.slice(j - 4, j).mkString(" ")).startsWith("0")
+      }.toSeq
+    }.toMap
+    val got = docs.toDF("doc_id", "w")
+      .select(col("doc_id"),
+        graft.operators.DedupOps.cdcBoundaries(col("w"), size(col("w")))
+          .as("b"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).map(_.toInt)).toMap
+    docs.foreach { case (id, _) =>
+      assert(got(id) == expected(id),
+        s"doc $id: got ${got(id)} want ${expected(id)}")
+    }
+  }
+
   test("d22 recovers planted splits with overlap exactly q, plus natural overlap") {
     import spark.implicits._
     val dir = tmpDir("stitch")

@@ -303,6 +303,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("d21: first-occurrence accounting is a min_by agg — no window over the chunk stream") {
+    // the chunk stream is corpus-sized; a row_number window over it
+    // would be the q43 shape the global lint exists for. Ownership
+    // must reduce via the chunk-hash groupBy (partial agg), never rank.
+    val p = planOf("d21_cdc_chunks")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d22: overlap candidates come from equi-joins; no all-pairs scan") {
+    val p = planOf("d22_overlap_stitch")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q58: rolling distinct is agg passes + a broadcast max-date; no window") {
+    val p = planOf("q58_rolling_distinct")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the 1-row max-date bound rides back as a broadcast, not a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("p31: the bucket weight table broadcasts; top-50 never full-sorts") {
+    val p = planOf("p31_dsir_importance")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("p07: the per-language threshold table broadcasts; the corpus never shuffles") {
     val p = planOf("p07_token_rebalance")
     assert(p.contains("BroadcastHashJoin"), p)
