@@ -1132,6 +1132,93 @@ object SimilarityQueries {
           "rank", col("cos").desc, col("neighbor_id").asc)
         .select(col("q_id"), col("neighbor_id"), col("cos"), col("rank"))
         .orderBy(col("q_id"), col("rank"))
+    },
+
+    // ---------------------------------------------------------------
+    // s17 — IVF probe sweep: the recall-vs-cost FRONTIER of the s04
+    // index, nprobe ∈ {1, 2, 4} against brute-force truth — the tuning
+    // table an ANN deployment reads to pick its operating point (the
+    // IVF sibling of d18's band tuning and d19's threshold sweep; s14
+    // reports the index's balance, this reports what probing more of
+    // it buys). The index side is assigned ONCE (nprobe=1 cells,
+    // staged) and reused by all three sweeps; each sweep re-routes only
+    // the 20-query side. avg_candidates is the exact per-query scan
+    // cost (each corpus vector lives in exactly one cell, so probe
+    // streams are disjoint — no dedup); mean_recall = hits/60, both
+    // exact-integer ratios. Scale: candidates come from the cell-key
+    // equi-join; probing p cells fans out only the tiny query side p×.
+    Q(
+      "s17_ann_probe_sweep",
+      s"""WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id AS BIGINT) AS pivot_id, v AS pv
+        |       FROM base WHERE vec_id < 8),
+        |a1 AS (${assignSql("base", "c0", 1)}),
+        |c1 AS (${centroidSql("a1")}),
+        |a2 AS (${assignSql("base", "c1", 1)}),
+        |c2 AS (${centroidSql("a2")}),
+        |af AS (${assignSql("base", "c2", 1)}),
+        |qq AS (SELECT vec_id, v FROM base
+        |       WHERE vec_id >= 100 AND vec_id < 120),
+        |truth AS (
+        |  SELECT q_id, neighbor_id FROM (
+        |    SELECT qq.vec_id AS q_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY qq.vec_id
+        |        ORDER BY ${cosineSql("qq.v", "c.v", 64)} DESC,
+        |          c.vec_id ASC) AS rank
+        |    FROM qq CROSS JOIN base c WHERE c.vec_id <> qq.vec_id) t
+        |  WHERE rank <= 3),
+        |${Seq(1, 2, 4).map(sweepSql).mkString(",\n")}
+        |SELECT * FROM sw1 UNION ALL SELECT * FROM sw2
+        |UNION ALL SELECT * FROM sw4 ORDER BY nprobe""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.Stage
+      val base0 = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      val centroids =
+        VectorOps.kmeansCentroids(base0, k = 8, iters = 2, dims = 64)
+      val withNorm = base0.withColumn("nv", VectorOps.norm(col("v")))
+      val assigned = VectorOps.assignCellsAuto(withNorm, centroids,
+          nprobe = 1, normCol = Some("nv"))
+        .transform(Stage.stage) // one index, three sweeps
+      val queries = withNorm
+        .filter(col("vec_id") >= 100 && col("vec_id") < 120)
+      val truth = graft.plans.GroupTopK.topKRanked(
+          broadcast(queries.select(col("vec_id").as("q_id"),
+            col("v").as("qv"), col("nv").as("nq")))
+            .join(withNorm, col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id").as("neighbor_id"),
+              VectorOps.cosineWithNorms(col("qv"), col("v"),
+                col("nq"), col("nv")).as("cos")),
+          Seq(col("q_id")), 3, "rank", col("cos").desc,
+          col("neighbor_id").asc)
+        .select(col("q_id"), col("neighbor_id"))
+        .transform(Stage.stage) // one truth, three sweeps
+      val sweeps = Seq(1, 2, 4).map { p =>
+        val qa = VectorOps.assignCellsAuto(queries, centroids,
+            nprobe = p, normCol = Some("nv"))
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nv").as("nq"), col("pivot_id").as("q_pivot"))
+        val cands = qa.join(assigned.as("c"),
+            col("c.pivot_id") === col("q_pivot") &&
+            col("c.vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("c.vec_id").as("neighbor_id"),
+            VectorOps.cosineWithNorms(col("qv"), col("c.v"),
+              col("nq"), col("c.nv")).as("cos"))
+        val approx = graft.plans.GroupTopK.topKRanked(cands,
+            Seq(col("q_id")), 3, "rank", col("cos").desc,
+            col("neighbor_id").asc)
+          .select(col("q_id"), col("neighbor_id"))
+        val nc = cands.agg(count(lit(1)).as("n_cands"))
+        val nh = truth.join(approx, Seq("q_id", "neighbor_id"))
+          .agg(count(lit(1)).as("n_hits"))
+        nc.crossJoin(broadcast(nh))
+          .select(lit(p).as("nprobe"),
+            round(col("n_cands") / 20.0, 6).as("avg_candidates"),
+            round(col("n_hits") / 60.0, 6).as("mean_recall"))
+      }
+      sweeps.reduce(_ unionByName _).orderBy(col("nprobe"))
     }
   )
 
@@ -1215,6 +1302,30 @@ object SimilarityQueries {
        |        ORDER BY ${cosineSql("b.v", "p.pv", 64)} DESC, p.pivot_id ASC) AS rn
        |    FROM $baseT b CROSS JOIN $cT p) t
        |  WHERE rn <= $nprobe""".stripMargin
+
+  /** DuckDB rendering of one s17 probe sweep (expects `qq`, `c2`, `af`,
+    * `truth`): candidates from the nprobe-cell equi-join, top-3 by
+    * rounded cosine, then the (nprobe, avg_candidates, mean_recall)
+    * frontier row. */
+  private def sweepSql(p: Int): String =
+    s"""ca$p AS (
+       |  SELECT qa.vec_id AS q_id, qa.v AS qv,
+       |    c.vec_id AS neighbor_id, c.v AS cv
+       |  FROM (${assignSql("qq", "c2", p)}) qa
+       |  JOIN af c ON c.pivot_id = qa.pivot_id AND c.vec_id <> qa.vec_id),
+       |ap$p AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY ${cosineSql("qv", "cv", 64)} DESC,
+       |          neighbor_id ASC) AS rank
+       |    FROM ca$p) t WHERE rank <= 3),
+       |sw$p AS (
+       |  SELECT $p AS nprobe,
+       |    round((SELECT count(*) FROM ca$p) / 20.0, 6) AS avg_candidates,
+       |    round((SELECT count(*) FROM truth t JOIN ap$p a
+       |      ON t.q_id = a.q_id AND t.neighbor_id = a.neighbor_id) / 60.0, 6)
+       |      AS mean_recall)""".stripMargin
 
   /** DuckDB rendering of one Lloyd recenter: per-cell, per-dimension
     * round(avg, 6), reassembled in dimension order. */
