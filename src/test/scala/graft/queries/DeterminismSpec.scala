@@ -1,0 +1,54 @@
+package graft.queries
+
+import graft.{QueryRegistry, SparkSpec}
+
+/** Partitioning-independence audit for the float-heavy queries. The
+  * determinism contract (Q.scala, ARCHITECTURE.md) claims results are
+  * bit-identical regardless of physical parallelism — exact integer /
+  * DECIMAL sums with one final cast, ORDERED folds for float
+  * accumulation, total ORDER BY everywhere. This spec PROVES it for
+  * the queries with the most floating-point surface: each runs under
+  * two different shuffle-partition settings and the full collected
+  * output must match byte-for-byte. A partitioning-dependent double
+  * SUM (the bug class the ordered-fold rule exists for) diverges here
+  * while still hash-matching the single-threaded DuckDB oracle.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private val floatHeavy = Seq(
+    "p31_dsir_importance",   // ordered ln-term fold per doc
+    "t09_bigram_ppl",        // per-doc ln sums
+    "t15_char_entropy",      // entropy terms
+    "t18_zipf_slope",        // ln-ln regression moments
+    "s01_ann_bruteforce",    // cosine folds + top-k ties
+    "s17_ann_probe_sweep",   // k-means + recall ratios
+    "q02_forecast_revenue",  // decimal->double discipline
+    "q52_regression_agg",    // decimal moment sums
+    "q55_time_weighted_avg", // decimal x interval products
+    "mm13_phash_dct",        // integer DCT + hamming means
+    "d05_embedding_neardup", // cosine over LSH candidates
+    "q41_rolling_anomaly"    // windowed mean/stddev
+  )
+
+  test("float-heavy queries are bit-identical across shuffle parallelism") {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    try {
+      floatHeavy.foreach { name =>
+        val q = QueryRegistry.byName(name)
+        spark.conf.set(key, "3")
+        val a = q.run(spark, dir).collect().map(_.toString).toSeq
+        spark.conf.set(key, "7")
+        val b = q.run(spark, dir).collect().map(_.toString).toSeq
+        assert(a.nonEmpty, s"$name returned no rows — vacuous check")
+        assert(a == b, {
+          val diff = a.zipAll(b, "<missing>", "<missing>")
+            .filter { case (x, y) => x != y }.take(3)
+          s"$name diverges across partitioning: $diff"
+        })
+      }
+    } finally spark.conf.set(key, saved)
+  }
+}
