@@ -1093,6 +1093,152 @@ object TextQueries {
         .select(col("lang"), col("predicted"), col("n"),
           round(col("n").cast("double") / col("n_lang"), 6).as("share"))
         .orderBy(col("lang"), col("predicted"))
+    },
+
+    // ---------------------------------------------------------------
+    // t21 — trigram LM with Stupid Backoff (Brants et al., EMNLP 2007
+    // — the web-scale LM scoring CCNet's KenLM filter is built on,
+    // without Kneser-Ney's tuned discounts): train trigram/bigram/
+    // unigram counts on the 'en' slice, score EVERY document's
+    // positions i ≥ 3 with S = c₃/c₂ctx, else 0.4·c₂/c₁ctx, else
+    // 0.16·c₁/N, else the 0.16/(N+1) OOV floor — in-domain text backs
+    // off rarely, out-of-domain text cascades to unigram/OOV, and the
+    // per-level counters expose exactly that. The LM IS three count
+    // TABLES (t09's discipline — never a driver model); scoring is
+    // five LEFT equi-joins of the position stream against them
+    // (vocabulary-scale, not assumed broadcastable). Determinism:
+    // each term is round(ln(ratio-of-exact-ints), 6) summed as
+    // DECIMAL(28,6) — order-free — then ONE division; avg_logprob is
+    // deliberately NOT re-rounded (t09's 7th-decimal half-boundary
+    // lesson). The backoff chain is airtight without smoothing:
+    // c₃ > 0 ⇒ its prefix bigram count > 0, c₂ > 0 ⇒ c₁(ctx) > 0.
+    Q(
+      "t21_lm_backoff",
+      """WITH ws AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |wn AS (SELECT doc_id, lang, w, len(w) AS n FROM ws),
+        |en AS (SELECT w, n FROM wn WHERE lang = 'en'),
+        |uni AS (SELECT g, count(*) AS c FROM
+        |  (SELECT unnest(w) AS g FROM en) GROUP BY g),
+        |big AS (SELECT g, count(*) AS c FROM
+        |  (SELECT unnest(list_transform(generate_series(1, n - 1),
+        |     i -> w[i] || ' ' || w[i+1])) AS g FROM en WHERE n >= 2)
+        |  GROUP BY g),
+        |tri AS (SELECT g, count(*) AS c FROM
+        |  (SELECT unnest(list_transform(generate_series(1, n - 2),
+        |     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |   FROM en WHERE n >= 3) GROUP BY g),
+        |nn AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM en),
+        |pos AS (SELECT doc_id, unnest(generate_series(3, n)) AS i, w
+        |        FROM wn WHERE n >= 3),
+        |pw AS (SELECT doc_id, w[i-2] AS wa, w[i-1] AS wb, w[i] AS wc
+        |       FROM pos),
+        |sc AS (
+        |  SELECT pw.doc_id,
+        |    CASE WHEN t.c IS NOT NULL THEN 1 ELSE 0 END AS k3,
+        |    CASE WHEN t.c IS NULL AND b2.c IS NOT NULL
+        |      THEN 1 ELSE 0 END AS k2,
+        |    CASE WHEN t.c IS NULL AND b2.c IS NULL AND u2.c IS NOT NULL
+        |      THEN 1 ELSE 0 END AS k1,
+        |    CASE WHEN t.c IS NULL AND b2.c IS NULL AND u2.c IS NULL
+        |      THEN 1 ELSE 0 END AS k0,
+        |    round(ln(CASE
+        |      WHEN t.c IS NOT NULL THEN CAST(t.c AS DOUBLE) / b1.c
+        |      WHEN b2.c IS NOT NULL THEN 0.4 * CAST(b2.c AS DOUBLE) / u1.c
+        |      WHEN u2.c IS NOT NULL THEN 0.16 * CAST(u2.c AS DOUBLE) / nn.nt
+        |      ELSE 0.16 / (nn.nt + 1) END), 6) AS lp
+        |  FROM pw
+        |  LEFT JOIN tri t ON t.g = pw.wa || ' ' || pw.wb || ' ' || pw.wc
+        |  LEFT JOIN big b1 ON b1.g = pw.wa || ' ' || pw.wb
+        |  LEFT JOIN big b2 ON b2.g = pw.wb || ' ' || pw.wc
+        |  LEFT JOIN uni u1 ON u1.g = pw.wb
+        |  LEFT JOIN uni u2 ON u2.g = pw.wc
+        |  CROSS JOIN nn),
+        |pd AS (SELECT doc_id, count(*) AS ns,
+        |  CAST(sum(k3) AS BIGINT) AS n_tri, CAST(sum(k2) AS BIGINT) AS n_big,
+        |  CAST(sum(k1) AS BIGINT) AS n_uni, CAST(sum(k0) AS BIGINT) AS n_oov,
+        |  CAST(sum(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) AS slp
+        |  FROM sc GROUP BY doc_id)
+        |SELECT w.doc_id, w.lang, CAST(COALESCE(ns, 0) AS BIGINT) AS n_scored,
+        |  COALESCE(n_tri, 0) AS n_tri, COALESCE(n_big, 0) AS n_big,
+        |  COALESCE(n_uni, 0) AS n_uni, COALESCE(n_oov, 0) AS n_oov,
+        |  slp / ns AS avg_logprob
+        |FROM wn w LEFT JOIN pd ON w.doc_id = pd.doc_id
+        |ORDER BY w.doc_id""".stripMargin
+    ) { (s, dir) =>
+      // staged: ONE tokenization pass feeds the three count tables,
+      // the position stream, and the final accounting join
+      val wn = Stage.stage(Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          DedupOps.words(col("text")).as("w"))
+        .withColumn("n", size(col("w"))))
+      val en = wn.filter(col("lang") === "en")
+      def gramCounts(k: Int): org.apache.spark.sql.DataFrame = en
+        .select(explode(when(col("n") >= k,
+          expr(s"transform(sequence(1, n - ${k - 1}), i -> " +
+            (0 until k).map(j => s"element_at(w, i + $j)")
+              .mkString("concat_ws(' ', ", ", ", ")") + ")"))
+          .otherwise(array().cast("array<string>"))).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      val uni = gramCounts(1)
+      val big = gramCounts(2)
+      val tri = gramCounts(3)
+      val nn = en.agg(sum(col("n")).cast("long").as("nt"))
+      val pw = wn.filter(col("n") >= 3)
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(3), col("n"))).as("i"))
+        .select(col("doc_id"),
+          element_at(col("w"), col("i") - 2).as("wa"),
+          element_at(col("w"), col("i") - 1).as("wb"),
+          element_at(col("w"), col("i")).as("wc"))
+      val sc = pw
+        .join(tri.select(col("g").as("g3"), col("c").as("c3")),
+          concat_ws(" ", col("wa"), col("wb"), col("wc")) === col("g3"),
+          "left_outer")
+        .join(big.select(col("g").as("gb1"), col("c").as("cb1")),
+          concat_ws(" ", col("wa"), col("wb")) === col("gb1"), "left_outer")
+        .join(big.select(col("g").as("gb2"), col("c").as("cb2")),
+          concat_ws(" ", col("wb"), col("wc")) === col("gb2"), "left_outer")
+        .join(uni.select(col("g").as("gu1"), col("c").as("cu1")),
+          col("wb") === col("gu1"), "left_outer")
+        .join(uni.select(col("g").as("gu2"), col("c").as("cu2")),
+          col("wc") === col("gu2"), "left_outer")
+        .crossJoin(broadcast(nn))
+        .select(col("doc_id"),
+          when(col("c3").isNotNull, 1L).otherwise(0L).as("k3"),
+          when(col("c3").isNull && col("cb2").isNotNull, 1L)
+            .otherwise(0L).as("k2"),
+          when(col("c3").isNull && col("cb2").isNull &&
+            col("cu2").isNotNull, 1L).otherwise(0L).as("k1"),
+          when(col("c3").isNull && col("cb2").isNull &&
+            col("cu2").isNull, 1L).otherwise(0L).as("k0"),
+          round(log(
+            when(col("c3").isNotNull,
+              col("c3").cast("double") / col("cb1"))
+            .when(col("cb2").isNotNull,
+              lit(0.4) * col("cb2").cast("double") / col("cu1"))
+            .when(col("cu2").isNotNull,
+              lit(0.16) * col("cu2").cast("double") / col("nt"))
+            .otherwise(lit(0.16) / (col("nt") + 1))), 6).as("lp"))
+      val pd = sc.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("ns"),
+          sum(col("k3")).cast("long").as("n_tri"),
+          sum(col("k2")).cast("long").as("n_big"),
+          sum(col("k1")).cast("long").as("n_uni"),
+          sum(col("k0")).cast("long").as("n_oov"),
+          sum(col("lp").cast("decimal(28,6)")).cast("double").as("slp"))
+      wn.select(col("doc_id"), col("lang"))
+        .join(pd, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("ns"), lit(0L)).cast("long").as("n_scored"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          coalesce(col("n_big"), lit(0L)).as("n_big"),
+          coalesce(col("n_uni"), lit(0L)).as("n_uni"),
+          coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+          (col("slp") / col("ns")).as("avg_logprob"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -44,4 +44,26 @@ class BigramPplSpec extends SparkSpec {
     assert(byId(3L).getLong(1) == 0L)
     assert(byId(3L).isNullAt(2) && byId(3L).isNullAt(3), byId(3L).toString)
   }
+
+  test("t21: in-domain text scores higher and backs off less than out-of-domain") {
+    // Stupid Backoff's point on the fixture: 'en' (the training slice)
+    // must beat every other language on mean log-prob AND trigram-hit
+    // rate — a flipped backoff chain or a ratio inverted toward the
+    // raw corpus erases this while still hash-matching the mirrored
+    // oracle.
+    import org.apache.spark.sql.functions._
+    val out = graft.QueryRegistry.byName("t21_lm_backoff")
+      .run(spark, "/root/testdata/sf0.001")
+      .filter(col("n_scored") > 0)
+      .groupBy(col("lang"))
+      .agg(avg(col("avg_logprob")).as("lp"),
+        avg(col("n_tri").cast("double") / col("n_scored")).as("tri_frac"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val (enLp, enTri) = out("en")
+    out.filter(_._1 != "en").foreach { case (lang, (lp, tri)) =>
+      assert(enLp > lp, s"en $enLp not above $lang $lp")
+      assert(enTri > tri, s"en tri-hit $enTri not above $lang $tri")
+    }
+  }
 }

@@ -594,7 +594,8 @@ class PlanSpec extends SparkSpec {
       "d18_band_tuning", "t20_langid_confusion", "d19_threshold_sweep",
       "q43_equidepth_histogram", "q38_spend_quartiles",
       "q57_exact_quantiles", "d21_cdc_chunks", "d22_overlap_stitch",
-      "mm13_phash_dct", "p31_dsir_importance", "s17_ann_probe_sweep")
+      "mm13_phash_dct", "p31_dsir_importance", "s17_ann_probe_sweep",
+      "t21_lm_backoff")
     QueryRegistry.all
       .filterNot(q => isStreamLoop(q.name) || checkpoints.contains(q.name))
       .foreach { q =>
