@@ -78,9 +78,19 @@ object DedupOps {
     * layout, so the property is stable across ingest cycles.
     * Plan shape pinned by SeenSetBucketingSpec. */
   def writeSeenSetBucketed(seen: DataFrame, table: String,
-      buckets: Int = 64): Unit =
+      buckets: Int = 64): Unit = {
+    val spark = seen.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // with the in-memory catalog a previous JVM's managed-table
+    // LOCATION survives its (gone) catalog entry and saveAsTable
+    // refuses to reuse it — remove the stale directory first
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     seen.write.bucketBy(buckets, "text_hash").sortBy("text_hash")
       .mode("overwrite").saveAsTable(table)
+  }
 
   /** Anti-join `incoming` (must carry `text_hash`) against a seen-set
     * table written by [[writeSeenSetBucketed]]. The merge hint keeps the

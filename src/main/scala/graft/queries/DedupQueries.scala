@@ -37,6 +37,66 @@ object DedupQueries {
       |  SELECT doc_id + 100000 AS doc_id, substr(text, strpos(text, ' ') + 1) AS text
       |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
+  /** DuckDB rendering of the CDC chunk stream (expects
+    * `corpus(doc_id, source, text)`; yields `r` (doc_id, source, idx,
+    * h, chars)) — shared by d21 (storage accounting) and d23
+    * (incremental chunk dedup). Mirrors [[cdcChunkRows]]. */
+  private val cdcChunkSql =
+    """ws AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM corpus),
+      |wn AS (SELECT doc_id, source, w, len(w) AS n FROM ws WHERE len(w) >= 1),
+      |bp AS (
+      |  SELECT doc_id, source, w, n,
+      |    CASE WHEN n >= 5 THEN
+      |      list_filter(generate_series(4, n - 1),
+      |        i -> substr(md5(array_to_string(w[i-3:i], ' ')), 1, 1) = '0')
+      |    ELSE CAST([] AS BIGINT[]) END AS bpos
+      |  FROM wn),
+      |se AS (
+      |  SELECT doc_id, source, w,
+      |    list_prepend(CAST(1 AS BIGINT), list_transform(bpos, b -> b + 1))
+      |      AS starts,
+      |    list_append(bpos, CAST(n AS BIGINT)) AS ends
+      |  FROM bp),
+      |ck AS (
+      |  SELECT doc_id, source, w, starts, ends,
+      |    unnest(generate_series(1, len(starts))) AS idx
+      |  FROM se),
+      |ch AS (
+      |  SELECT doc_id, source, idx,
+      |    array_to_string(w[starts[idx]:ends[idx]], ' ') AS ctext
+      |  FROM ck),
+      |r AS (SELECT doc_id, source, idx, md5(ctext) AS h,
+      |  length(ctext) AS chars FROM ch)""".stripMargin
+
+  /** CDC chunk rows for a corpus(doc_id, source, text): one row per
+    * chunk with its md5 and char length. Pure per-doc array projection
+    * + one explode — zero shuffle (see [[DedupOps.cdcBoundaries]]);
+    * starts/ends are materialized as columns BEFORE the chunk slicing
+    * (inlining them re-evaluates the whole boundary array per chunk —
+    * no CSE across lambda bodies). */
+  private def cdcChunkRows(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("doc_id"), col("source"),
+        DedupOps.words(col("text")).as("w"))
+      .withColumn("n", size(col("w")))
+      .filter(col("n") >= 1)
+      .withColumn("bpos", DedupOps.cdcBoundaries(col("w"), col("n")))
+      .withColumn("starts",
+        concat(array(lit(1)), transform(col("bpos"), b => b + 1)))
+      .withColumn("ends", concat(col("bpos"), array(col("n"))))
+      .select(col("doc_id"), col("source"), col("w"), col("starts"),
+        col("ends"),
+        explode(sequence(lit(1), size(col("starts")))).as("idx"))
+      .select(col("doc_id"), col("source"), col("idx"),
+        array_join(slice(col("w"), element_at(col("starts"), col("idx")),
+          element_at(col("ends"), col("idx"))
+            - element_at(col("starts"), col("idx")) + 1), " ").as("ctext"))
+      .select(col("doc_id"), col("source"), col("idx"),
+        md5(col("ctext")).as("h"), length(col("ctext")).as("chars"))
+
   /** DuckDB rendering of [[repeatedSpans]] (expects `corpus`; yields
     * `ws` (doc_id, w) and `spans` (doc_id, island, s, e)) — shared by
     * d10 (span accounting) and d11 (span strip). */
@@ -1267,40 +1327,13 @@ object DedupQueries {
     // dedup shape — one hash-partitioned pass, no sort.
     Q(
       "d21_cdc_chunks",
-      """WITH corpus AS (
+      s"""WITH corpus AS (
         |  SELECT doc_id, source, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 100000 AS doc_id, source,
         |    substr(text, strpos(text, ' ') + 1) AS text
         |  FROM documents WHERE doc_id % 10 = 0),
-        |ws AS (
-        |  SELECT doc_id, source,
-        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
-        |  FROM corpus),
-        |wn AS (SELECT doc_id, source, w, len(w) AS n FROM ws WHERE len(w) >= 1),
-        |bp AS (
-        |  SELECT doc_id, source, w, n,
-        |    CASE WHEN n >= 5 THEN
-        |      list_filter(generate_series(4, n - 1),
-        |        i -> substr(md5(array_to_string(w[i-3:i], ' ')), 1, 1) = '0')
-        |    ELSE CAST([] AS BIGINT[]) END AS bpos
-        |  FROM wn),
-        |se AS (
-        |  SELECT doc_id, source, w,
-        |    list_prepend(CAST(1 AS BIGINT), list_transform(bpos, b -> b + 1))
-        |      AS starts,
-        |    list_append(bpos, CAST(n AS BIGINT)) AS ends
-        |  FROM bp),
-        |ck AS (
-        |  SELECT doc_id, source, w, starts, ends,
-        |    unnest(generate_series(1, len(starts))) AS idx
-        |  FROM se),
-        |ch AS (
-        |  SELECT doc_id, source, idx,
-        |    array_to_string(w[starts[idx]:ends[idx]], ' ') AS ctext
-        |  FROM ck),
-        |r AS (SELECT doc_id, source, idx, md5(ctext) AS h,
-        |  length(ctext) AS chars FROM ch),
+        |$cdcChunkSql,
         |st AS (SELECT r.*, row_number()
         |  OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn FROM r),
         |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS chunks_total,
@@ -1320,29 +1353,7 @@ object DedupQueries {
           .select(Q.plantedId(col("doc_id"), 100000).as("doc_id"),
             col("source"),
             expr("substr(text, instr(text, ' ') + 1)").as("text")))
-      val ws = corpus
-        .select(col("doc_id"), col("source"),
-          DedupOps.words(col("text")).as("w"))
-        .withColumn("n", size(col("w")))
-        .filter(col("n") >= 1)
-      // starts/ends materialized as columns BEFORE the chunk slicing —
-      // inlining them re-evaluates the whole boundary array per chunk
-      // (no CSE across lambda bodies)
-      val se = ws
-        .withColumn("bpos", DedupOps.cdcBoundaries(col("w"), col("n")))
-        .withColumn("starts",
-          concat(array(lit(1)), transform(col("bpos"), b => b + 1)))
-        .withColumn("ends", concat(col("bpos"), array(col("n"))))
-      val r = se
-        .select(col("doc_id"), col("source"), col("w"), col("starts"),
-          col("ends"),
-          explode(sequence(lit(1), size(col("starts")))).as("idx"))
-        .select(col("doc_id"), col("source"), col("idx"),
-          array_join(slice(col("w"), element_at(col("starts"), col("idx")),
-            element_at(col("ends"), col("idx"))
-              - element_at(col("starts"), col("idx")) + 1), " ").as("ctext"))
-        .select(col("doc_id"), col("source"), col("idx"),
-          md5(col("ctext")).as("h"), length(col("ctext")).as("chars"))
+      val r = cdcChunkRows(corpus)
         .transform(Stage.stage) // feeds both rollups below
       val tot = r.groupBy(col("source"))
         .agg(count(lit(1)).cast("long").as("chunks_total"),
@@ -1451,6 +1462,74 @@ object DedupQueries {
           (max(col("len_a")) + max(col("len_b")) - max(col("ov")))
             .cast("long").as("merged_words"))
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // d23 — INCREMENTAL chunk-level dedup: d21's content-defined
+    // chunks anti-joined against a persisted seen-chunk history,
+    // through d07's 100 TB layout — the history is written BUCKETED
+    // BY HASH (DedupOps.writeSeenSetBucketed) and the anti join reads
+    // its bucket files in place (merge-hinted: no broadcast, no
+    // shuffle of the history; only the incoming batch exchanges —
+    // plan shape pinned by SeenSetBucketingSpec for the shared
+    // machinery). Split is by doc-id parity (scale-free); incoming
+    // includes planted drop-first-word re-crawls of HISTORY docs
+    // (id+100001 → odd, so they land incoming) whose resynchronized
+    // chunks the anti join must drop — storage-level incremental
+    // dedup, the chunk-granularity sibling of d07's whole-doc form.
+    Q(
+      "d23_incremental_chunks",
+      s"""WITH corpus AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100001 AS doc_id, source,
+        |    substr(text, strpos(text, ' ') + 1) AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |$cdcChunkSql,
+        |hist AS (SELECT DISTINCT h FROM r WHERE doc_id % 2 = 0),
+        |inc AS (SELECT * FROM r WHERE doc_id % 2 = 1),
+        |fr AS (SELECT i.* FROM inc i LEFT JOIN hist ON i.h = hist.h
+        |  WHERE hist.h IS NULL),
+        |ti AS (SELECT source, CAST(count(*) AS BIGINT) AS chunks_in,
+        |  CAST(sum(chars) AS BIGINT) AS chars_in FROM inc GROUP BY source),
+        |tf AS (SELECT source, CAST(count(*) AS BIGINT) AS chunks_new,
+        |  CAST(sum(chars) AS BIGINT) AS chars_new FROM fr GROUP BY source)
+        |SELECT ti.source, chunks_in, COALESCE(chunks_new, 0) AS chunks_new,
+        |  chars_in, COALESCE(chars_new, 0) AS chars_new,
+        |  round(CAST(COALESCE(chunks_new, 0) AS DOUBLE) / chunks_in, 6)
+        |    AS new_frac
+        |FROM ti LEFT JOIN tf ON ti.source = tf.source
+        |ORDER BY ti.source""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("source"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select(Q.plantedId(col("doc_id"), 100001).as("doc_id"),
+            col("source"),
+            expr("substr(text, instr(text, ' ') + 1)").as("text")))
+      val r = cdcChunkRows(corpus)
+        .transform(Stage.stage) // feeds history, incoming, and accounting
+      val hist = r.filter(col("doc_id") % 2 === 0)
+        .select(col("h").as("text_hash")).distinct()
+      s.sql("DROP TABLE IF EXISTS graft_d23_seen")
+      DedupOps.writeSeenSetBucketed(hist, "graft_d23_seen", buckets = 16)
+      val inc = r.filter(col("doc_id") % 2 === 1)
+        .withColumnRenamed("h", "text_hash")
+      val fr = DedupOps.antiJoinSeenBucketed(s, inc, "graft_d23_seen")
+      val ti = inc.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("chunks_in"),
+          sum(col("chars")).cast("long").as("chars_in"))
+      val tf = fr.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("chunks_new"),
+          sum(col("chars")).cast("long").as("chars_new"))
+      ti.join(tf, Seq("source"), "left_outer")
+        .select(col("source"), col("chunks_in"),
+          coalesce(col("chunks_new"), lit(0L)).as("chunks_new"),
+          col("chars_in"),
+          coalesce(col("chars_new"), lit(0L)).as("chars_new"),
+          round(coalesce(col("chunks_new"), lit(0L)).cast("double")
+            / col("chunks_in"), 6).as("new_frac"))
+        .orderBy(col("source"))
     }
   )
 
