@@ -151,4 +151,58 @@ class AdversarialFixtureSpec extends SparkSpec {
     check("skewed", Seq(1000, 3, 3, 3, 3, 3))
     check("two", Seq(10, 990))
   }
+
+  test("degenerate documents: CDC/LM/stitch family keeps accounting straight") {
+    // empty, whitespace-only, single-word and sub-window docs — below
+    // every window/ngram threshold the fixture's 10+-word docs never
+    // cross. Each query must complete AND account for them correctly
+    // (the d09/t09 short-doc lesson, applied to this session's ops).
+    import spark.implicits._
+    val dir = tmpDir("adv-degen")
+    val doc6 = (1 to 30).map(i => s"w$i").mkString(" ")
+    Seq(
+      (1L, "srcA", "en", ""),         // 0 words
+      (2L, "srcA", "en", "   "),      // whitespace-only -> 0 words
+      (3L, "srcA", "en", "one"),      // 1 word
+      (4L, "srcB", "fr", "a b"),      // below the trigram/window floor
+      (5L, "srcB", "en", "a b c d"),  // exactly at the boundary window
+      (6L, "srcB", "en", doc6)
+    ).toDF("doc_id", "source", "lang", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // d21: zero-word docs contribute NO chunks; srcA is exactly doc 3
+    val d21 = QueryRegistry.byName("d21_cdc_chunks").run(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(d21("srcA") == ((1L, 1L, 3L, 3L)), s"srcA: ${d21("srcA")}")
+    val (ct, cs, _, _) = d21("srcB")
+    assert(cs <= ct && ct >= 3, s"srcB: ${d21("srcB")}")
+
+    // t21: every doc keeps a row; n_scored = max(0, n-2); NULL score
+    // exactly below the trigram floor
+    val t21 = QueryRegistry.byName("t21_lm_backoff").run(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.isNullAt(7)))).toMap
+    assert(t21.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L), t21.keySet.toString)
+    val wantScored = Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+      5L -> 2L, 6L -> 28L)
+    wantScored.foreach { case (id, ns) =>
+      assert(t21(id)._1 == ns, s"doc $id n_scored ${t21(id)._1} want $ns")
+      assert(t21(id)._2 == (ns == 0L), s"doc $id null-score ${t21(id)._2}")
+    }
+
+    // d22/d23/p31: complete on the degenerate corpus with sane shapes
+    val d22 = QueryRegistry.byName("d22_overlap_stitch").run(spark, dir)
+      .collect()
+    assert(d22.forall(r => r.getLong(2) >= 8), "overlap below gram width")
+    val d23 = QueryRegistry.byName("d23_incremental_chunks").run(spark, dir)
+      .collect()
+    d23.foreach(r => assert(r.getLong(2) <= r.getLong(1),
+      s"chunks_new > chunks_in: $r"))
+    val p31 = QueryRegistry.byName("p31_dsir_importance").run(spark, dir)
+      .collect()
+    assert(p31.length <= 50 &&
+      p31.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite),
+      "p31 weight not finite")
+  }
 }
