@@ -1835,7 +1835,17 @@ object PipelineQueries {
     // document by how target-like its hashed n-gram feature profile is,
     // log w(d) = Σ_b c_b(d)·ln(p_target(b)/p_raw(b)), with 256 md5
     // buckets over word unigrams+bigrams, Laplace-smoothed bucket
-    // probabilities, target = the 'en' slice. Determinism: bucket keys
+    // probabilities, target = the 'en' slice. Honesty note: in THIS
+    // fixture `lang` is assigned independently of text (all five
+    // languages share one 31-word vocabulary at matched frequencies —
+    // measured during the rejected LR-trainer investigation, see
+    // ARCHITECTURE.md), so the top-50 'en' enrichment the direction
+    // spec pins is driven by SELF-INCLUSION: each target doc's own
+    // tokens tilt p_target toward its own buckets. That is the
+    // textbook estimator computed faithfully (production DSIR uses a
+    // held-out target for exactly this reason), and the spec's teeth
+    // are real either way — a flipped ratio anti-enriches and fails
+    // it. Determinism: bucket keys
     // are 2-hex-char strings (no int conversion), probabilities are
     // ratios of exact integer products (< 2⁵³, so the doubles are
     // exact), ONE ln per bucket, and the per-doc sum is an ORDERED fold
