@@ -1219,6 +1219,135 @@ object SimilarityQueries {
             round(col("n_hits") / 60.0, 6).as("mean_recall"))
       }
       sweeps.reduce(_ unionByName _).orderBy(col("nprobe"))
+    },
+
+    // ---------------------------------------------------------------
+    // s18 — cluster↔label alignment of the s04 IVF index: per-cell
+    // majority-label purity plus corpus-level purity and normalized
+    // mutual information — the external-validity report an embedding
+    // pipeline runs to check whether its index's space agrees with the
+    // labels it serves (the fixture's labels ARE vector-correlated;
+    // measured 0.87 LR-separability on the balanced 0-vs-9 pair).
+    // s14 reports the index's internal balance; this reports what the
+    // cells MEAN. Determinism: the whole report derives from the
+    // (cell, label) contingency table — exact integer counts; every
+    // ln term is round(ln(exact-int ratio), 6) DECIMAL-summed (t09's
+    // discipline), ONE division + sqrt at the end; the per-cell
+    // majority is a struct-max (max count, ties to the LOWEST label),
+    // no window. Scale: one (cell, label) partial-agg'd shuffle; the
+    // k-row and 10-row marginals broadcast; NMI folds over ≤ k·labels
+    // contingency rows.
+    Q(
+      "s18_cluster_purity",
+      s"""WITH base AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id AS BIGINT) AS pivot_id, v AS pv
+        |       FROM base WHERE vec_id < 8),
+        |a1 AS (${assignSql("base", "c0", 1)}),
+        |c1 AS (${centroidSql("a1")}),
+        |a2 AS (${assignSql("base", "c1", 1)}),
+        |c2 AS (${centroidSql("a2")}),
+        |af AS (${assignSql("base", "c2", 1)}),
+        |al AS (SELECT af.vec_id, af.pivot_id, b.label
+        |       FROM af JOIN base b ON b.vec_id = af.vec_id),
+        |cl AS (SELECT pivot_id, label, CAST(count(*) AS BIGINT) AS n_cl
+        |       FROM al GROUP BY pivot_id, label),
+        |nc AS (SELECT pivot_id, CAST(sum(n_cl) AS BIGINT) AS n_c
+        |       FROM cl GROUP BY pivot_id),
+        |nl AS (SELECT label, CAST(sum(n_cl) AS BIGINT) AS n_l
+        |       FROM cl GROUP BY label),
+        |tot AS (SELECT CAST(sum(n_cl) AS BIGINT) AS n FROM cl),
+        |top AS (
+        |  SELECT pivot_id, label AS top_label, n_cl AS n_top FROM (
+        |    SELECT pivot_id, label, n_cl, row_number() OVER (
+        |      PARTITION BY pivot_id ORDER BY n_cl DESC, label ASC) AS rn
+        |    FROM cl) t WHERE rn = 1),
+        |mi AS (
+        |  SELECT CAST(sum(CAST(round(
+        |      (CAST(n_cl AS DOUBLE) / n)
+        |        * ln(CAST(n * n_cl AS DOUBLE) / CAST(n_c * n_l AS DOUBLE)),
+        |      6) AS DECIMAL(28,6))) AS DOUBLE) AS i
+        |  FROM cl JOIN nc USING (pivot_id) JOIN nl USING (label)
+        |  CROSS JOIN tot),
+        |hc AS (
+        |  SELECT CAST(sum(CAST(round(
+        |      -(CAST(n_c AS DOUBLE) / n) * ln(CAST(n_c AS DOUBLE) / n),
+        |      6) AS DECIMAL(28,6))) AS DOUBLE) AS h
+        |  FROM nc CROSS JOIN tot),
+        |hl AS (
+        |  SELECT CAST(sum(CAST(round(
+        |      -(CAST(n_l AS DOUBLE) / n) * ln(CAST(n_l AS DOUBLE) / n),
+        |      6) AS DECIMAL(28,6))) AS DOUBLE) AS h
+        |  FROM nl CROSS JOIN tot),
+        |gl AS (
+        |  SELECT round(CAST((SELECT CAST(sum(n_top) AS BIGINT) FROM top)
+        |      AS DOUBLE) / n, 6) AS global_purity,
+        |    round((SELECT i FROM mi)
+        |      / sqrt((SELECT h FROM hc) * (SELECT h FROM hl)), 6) AS nmi
+        |  FROM tot)
+        |SELECT nc.pivot_id, nc.n_c AS n_vecs, top.top_label, top.n_top,
+        |  round(CAST(top.n_top AS DOUBLE) / nc.n_c, 6) AS cell_purity,
+        |  gl.global_purity, gl.nmi
+        |FROM nc JOIN top USING (pivot_id) CROSS JOIN gl
+        |ORDER BY nc.pivot_id""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val base = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          VectorOps.toDouble(col("embedding")).as("v"))
+      val centroids = VectorOps.kmeansCentroids(
+        base.select(col("vec_id"), col("v")), k = 8, iters = 2, dims = 64)
+      val withNorm = base.withColumn("nv", VectorOps.norm(col("v")))
+      val cl = VectorOps.assignCellsAuto(withNorm, centroids, nprobe = 1,
+          normCol = Some("nv"))
+        .groupBy(col("pivot_id"), col("label"))
+        .agg(count(lit(1)).cast("long").as("n_cl"))
+        .transform(graft.operators.Stage.stage) // feeds marginals + MI + top
+      val nc = cl.groupBy(col("pivot_id"))
+        .agg(sum(col("n_cl")).cast("long").as("n_c"))
+      val nl = cl.groupBy(col("label"))
+        .agg(sum(col("n_cl")).cast("long").as("n_l"))
+      val tot = cl.agg(sum(col("n_cl")).cast("long").as("n"))
+      // majority label per cell: max count, ties to the LOWEST label —
+      // struct-max over (n_cl, -label), no window
+      val top = cl.groupBy(col("pivot_id"))
+        .agg(max(struct(col("n_cl"), (-col("label")).as("neg"))).as("m"))
+        .select(col("pivot_id"), (-col("m.neg")).as("top_label"),
+          col("m.n_cl").as("n_top"))
+      val mi = cl.join(broadcast(nc), Seq("pivot_id"))
+        .join(broadcast(nl), Seq("label"))
+        .crossJoin(broadcast(tot))
+        .agg(sum(round((col("n_cl").cast("double") / col("n"))
+            * log((col("n") * col("n_cl")).cast("double")
+              / (col("n_c") * col("n_l")).cast("double")), 6)
+          .cast(DecimalType(28, 6))).cast("double").as("i"))
+      def entropy(marg: org.apache.spark.sql.DataFrame,
+          cnt: org.apache.spark.sql.Column) =
+        marg.crossJoin(broadcast(tot))
+          .agg(sum(round(-(cnt.cast("double") / col("n"))
+              * log(cnt.cast("double") / col("n")), 6)
+            .cast(DecimalType(28, 6))).cast("double").as("h"))
+      val hc = entropy(nc, col("n_c"))
+      val hl = entropy(nl, col("n_l"))
+      val gp = top.agg(sum(col("n_top")).cast("long").as("st"))
+        .crossJoin(broadcast(tot))
+        .select(round(col("st").cast("double") / col("n"), 6)
+          .as("global_purity"))
+      val nmi = mi.crossJoin(broadcast(hc.select(col("h").as("h_c"))))
+        .crossJoin(broadcast(hl.select(col("h").as("h_l"))))
+        .select(round(col("i") / sqrt(col("h_c") * col("h_l")), 6)
+          .as("nmi"))
+      nc.join(top, Seq("pivot_id"))
+        .crossJoin(broadcast(gp))
+        .crossJoin(broadcast(nmi))
+        .select(col("pivot_id"), col("n_c").as("n_vecs"), col("top_label"),
+          col("n_top"),
+          round(col("n_top").cast("double") / col("n_c"), 6)
+            .as("cell_purity"),
+          col("global_purity"), col("nmi"))
+        .orderBy(col("pivot_id"))
     }
   )
 

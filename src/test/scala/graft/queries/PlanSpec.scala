@@ -595,7 +595,7 @@ class PlanSpec extends SparkSpec {
       "q43_equidepth_histogram", "q38_spend_quartiles",
       "q57_exact_quantiles", "d21_cdc_chunks", "d22_overlap_stitch",
       "mm13_phash_dct", "p31_dsir_importance", "s17_ann_probe_sweep",
-      "t21_lm_backoff", "d23_incremental_chunks")
+      "t21_lm_backoff", "d23_incremental_chunks", "s18_cluster_purity")
     QueryRegistry.all
       .filterNot(q => isStreamLoop(q.name) || checkpoints.contains(q.name))
       .foreach { q =>

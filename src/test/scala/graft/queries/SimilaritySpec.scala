@@ -137,4 +137,25 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(strict > 0, "MMR never improved diversity over top-4 — penalty dead?")
   }
+
+  test("s18: purity/NMI invariants hold and the report covers the corpus") {
+    import org.apache.spark.sql.functions._
+    val out = graft.QueryRegistry.byName("s18_cluster_purity")
+      .run(spark, "/root/testdata/sf0.001").collect()
+    val n = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings").count()
+    assert(out.map(_.getLong(1)).sum == n, "cells don't partition the corpus")
+    out.foreach { r =>
+      val cp = r.getDouble(4)
+      assert(cp > 0 && cp <= 1, s"cell purity $cp out of range: $r")
+      assert(r.getLong(3) <= r.getLong(1), s"majority exceeds cell: $r")
+    }
+    val (gp, nmi) = (out.head.getDouble(5), out.head.getDouble(6))
+    // global purity can never fall below the plurality-class share
+    // (assign every cell the global majority and you're already there)
+    val plurality = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .groupBy(col("label")).count().agg(max("count")).head.getLong(0)
+      .toDouble / n
+    assert(gp >= plurality - 1e-9, s"purity $gp below plurality $plurality")
+    assert(nmi >= 0 && nmi <= 1, s"NMI $nmi out of [0,1]")
+  }
 }
