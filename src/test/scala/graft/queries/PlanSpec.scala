@@ -543,14 +543,41 @@ class PlanSpec extends SparkSpec {
 
   test("no CartesianProduct in any registered query plan") {
     // a broadcast nested-loop against a bounded side is fine (s01's
-    // query set); an unbroadcast cartesian of two big sides never is
+    // query set); an unbroadcast cartesian of two big sides never is.
+    // Piggybacked on the same plan walk: output column names must be
+    // DISTINCT — the driver's compare sorts columns BY NAME before
+    // hashing, so a duplicate name silently scrambles the comparison.
     QueryRegistry.all
       .filterNot(q => isStreamLoop(q.name))
       .foreach { q =>
-        val plan = q.run(spark, dir).queryExecution.executedPlan.toString
+        val df = q.run(spark, dir)
+        val plan = df.queryExecution.executedPlan.toString
         assert(!plan.contains("CartesianProduct"),
           s"${q.name} plans a cartesian product:\n$plan")
+        val names = df.schema.fieldNames
+        assert(names.distinct.length == names.length,
+          s"${q.name} emits duplicate column names: ${names.mkString(",")}")
       }
+  }
+
+  test("registry contract: names, oracles, and the flagship entry") {
+    // the driver's interface assumptions, pinned: every query has an
+    // oracle (a missing one silently downgrades to a rows-only check),
+    // names are lowercase identifiers, every oracle reads at least one
+    // fixture table, and SparkEntry.entry answers with rows (the t1
+    // smoke the driver runs before anything else)
+    val tables = Seq("documents", "embeddings", "events", "orders",
+      "lineitem", "customer", "supplier", "part", "nation", "region")
+    graft.SparkEntry.queries.keySet.foreach { n =>
+      assert(n.matches("[a-z][a-z0-9_]*"), s"bad query name: $n")
+      val sql = graft.SparkEntry.oracleSql.get(n)
+      assert(sql.isDefined, s"$n has no oracle — driver drops to rows-only")
+      assert(tables.exists(sql.get.contains),
+        s"$n's oracle references no fixture table")
+    }
+    assert(graft.SparkEntry.oracleSql.keySet ==
+      graft.SparkEntry.queries.keySet, "oracle/query key sets diverge")
+    assert(graft.SparkEntry.entry(spark).count() > 0, "flagship entry empty")
   }
 
   test("no registry query materializes rows on the driver (memory sink / collect)") {
