@@ -79,6 +79,12 @@ object DedupOps {
     * Plan shape pinned by SeenSetBucketingSpec. */
   def writeSeenSetBucketed(seen: DataFrame, table: String,
       buckets: Int = 64): Unit = {
+    // the stale-location cleanup below derives the managed path as
+    // <warehouse>/<table>; a qualified name ("db.tbl") or anything
+    // path-like would make the recursive delete aim at the wrong
+    // directory — refuse rather than guess (advisor, round 7)
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"writeSeenSetBucketed needs an unqualified table name, got '$table'")
     val spark = seen.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     // with the in-memory catalog a previous JVM's managed-table

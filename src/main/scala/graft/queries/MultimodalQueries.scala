@@ -704,8 +704,12 @@ object MultimodalQueries {
     // smears across ALL coefficients but flips only near-zero signs —
     // the report shows dup-pair hamming far under the random-pair
     // baseline (adjacent doc ids; equi-join, no window). At 100 TB the
-    // 15-bit hash band-joins exactly like mm05's aHash; max magnitude
-    // 8·8·260100·10⁴·10⁴ ≈ 1.7e15 stays in int64.
+    // 15-bit hash band-joins exactly like mm05's aHash. Int64 headroom
+    // is guaranteed by construction, not by fixture: the energy input
+    // is ascii(c) % 256 in BOTH engines (a multibyte codepoint — up to
+    // 1.1e6 — would push the second DCT pass past int64, where Spark
+    // silently wraps and DuckDB raises; advisor, round 7), so max
+    // magnitude is 8·8·260100·10⁴·10⁴ ≈ 1.7e15, safely in int64.
     Q(
       "mm13_phash_dct",
       """WITH corpus AS (
@@ -727,8 +731,8 @@ object MultimodalQueries {
         |    list_transform(generate_series(0, 63), f ->
         |      CAST(coalesce(list_aggregate(list_transform(
         |        generate_series(f*4+1, least(f*4+4, length(text))),
-        |        i -> ascii(substr(text, CAST(i AS INTEGER), 1))
-        |           * ascii(substr(text, CAST(i AS INTEGER), 1))),
+        |        i -> (ascii(substr(text, CAST(i AS INTEGER), 1)) % 256)
+        |           * (ascii(substr(text, CAST(i AS INTEGER), 1)) % 256)),
         |        'sum'), 0) AS BIGINT)) AS es
         |  FROM corpus),
         |rr AS (
@@ -806,7 +810,9 @@ object MultimodalQueries {
         .select(col("doc_id"), col("f"),
           aggregate(
             transform(filter(split(col("frame"), ""), c => c =!= ""),
-              c => (ascii(c) * ascii(c)).cast("long")),
+              // % 256: int64 headroom by construction (see header)
+              c => (pmod(ascii(c), lit(256)) * pmod(ascii(c), lit(256)))
+                .cast("long")),
             lit(0L), (a, x) => a + x).as("e"))
       // separable 2D DCT: rows pass R(x,v) = Σ_y e(x,y)·T[v,y], then
       // columns pass C(u,v) = Σ_x R(x,v)·T[u,x]

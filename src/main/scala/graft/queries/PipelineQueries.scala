@@ -1848,12 +1848,15 @@ object PipelineQueries {
     // it. Determinism: bucket keys
     // are 2-hex-char strings (no int conversion), probabilities are
     // ratios of exact integer products (< 2⁵³, so the doubles are
-    // exact), ONE ln per bucket, and the per-doc sum is an ORDERED fold
-    // over the bucket-sorted term list (float addition isn't
-    // commutative-associative; an unordered SUM would be partitioning-
-    // dependent). Scale: feature explode → ONE (doc, bucket) partial
-    // agg; the 256-row weight table broadcasts; top-50 is
-    // TakeOrderedAndProject. No all-pairs, no window.
+    // exact), ONE ln per bucket, and each per-bucket term c·ln(ratio)
+    // is round(·,6)-then-DECIMAL(28,6)-summed — t09/t21's order-free
+    // discipline, so the sum is partitioning-independent by arithmetic
+    // AND immune to JVM-vs-libm last-ulp ln drift that a large c
+    // multiplier could push across a 6th-decimal half boundary (the
+    // round-7 ordered fold fixed only the former). Scale: feature
+    // explode → ONE (doc, bucket) partial agg; the 256-row weight
+    // table broadcasts; top-50 is TakeOrderedAndProject. No all-pairs,
+    // no window.
     Q(
       "p31_dsir_importance",
       """WITH ws AS (
@@ -1883,7 +1886,8 @@ object PipelineQueries {
         |  FROM tl CROSS JOIN tot),
         |dw AS (
         |  SELECT doc_id,
-        |    list_aggregate(list(c * lr ORDER BY b), 'sum') AS wgt
+        |    CAST(sum(CAST(round(c * lr, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |      AS wgt
         |  FROM fe JOIN wt USING (b) GROUP BY doc_id)
         |SELECT d.doc_id, d.source, d.lang, round(dw.wgt, 6) AS log_weight
         |FROM dw JOIN ws d USING (doc_id)
@@ -1915,12 +1919,10 @@ object PipelineQueries {
           log(((col("tb") + 1) * (col("r") + 256)).cast("double")
             / ((col("rb") + 1) * (col("t") + 256)).cast("double")).as("lr"))
       val dw = fe.join(broadcast(wt), Seq("b"))
-        .select(col("doc_id"), col("b"), (col("c") * col("lr")).as("term"))
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(struct(col("b"), col("term")))).as("ts"))
         .select(col("doc_id"),
-          aggregate(col("ts"), lit(0.0),
-            (a, s) => a + s("term")).as("wgt"))
+          round(col("c") * col("lr"), 6).cast("decimal(28,6)").as("term"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("term")).cast("double").as("wgt"))
       dw.join(docs.select(col("doc_id"), col("source"), col("lang")),
           Seq("doc_id"))
         .select(col("doc_id"), col("source"), col("lang"),

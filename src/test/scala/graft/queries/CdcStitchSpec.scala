@@ -143,4 +143,52 @@ class CdcStitchSpec extends SparkSpec {
     assert(!out.exists { case ((a, _), (ov, _)) =>
       a >= 200000 && a < 300000 && ov >= 20 }, "A-fragment containment leaked")
   }
+
+  test("d22 recovers overlaps past 39 words (strided suffix anchors)") {
+    import spark.implicits._
+    val dir = tmpDir("stitch100")
+    val o100 = toks("o", 100)
+    Seq(
+      // natural 100-word overlap: doc3's suffix == doc7's prefix.
+      // Round 7's single last-8-gram anchor needed a prefix gram at
+      // position ov-7 = 93 > the 32-position cap — undetectable; the
+      // 32-stride anchors place one anchor inside b's gram window for
+      // any overlap length.
+      (3L, (toks("x", 10) ++ o100).mkString(" ")),     // len 110
+      (7L, (o100 ++ toks("y", 10)).mkString(" ")),     // len 110
+      // planted split with q = 42 > 39: n = 126, A = w[1..84],
+      // B = w[43..126], overlap exactly 42
+      (20L, toks("a", 126).mkString(" ")),
+      (9L, toks("z", 15).mkString(" "))                // innocent bystander
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+
+    val out = QueryRegistry.byName("d22_overlap_stitch").run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out((3L, 7L)) == ((100L, 120L)),
+      s"100-word natural overlap: ${out.get((3L, 7L))}")
+    assert(out((200020L, 300020L)) == ((42L, 126L)),
+      s"q=42 planted split: ${out.get((200020L, 300020L))}")
+  }
+
+  test("d21 keeps the accounting row of a source that stores nothing") {
+    import spark.implicits._
+    val dir = tmpDir("cdczero")
+    val t = toks("t", 40).mkString(" ")
+    // srcB's only doc is an exact copy of srcA's earlier doc: every
+    // srcB chunk first occurs under srcA, so srcB stores zero chunks —
+    // the report must still carry its row (chunks_stored = 0), not
+    // silently drop it (inner-join regression, advisor round 7)
+    Seq((1L, "srcA", t), (2L, "srcB", t))
+      .toDF("doc_id", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = QueryRegistry.byName("d21_cdc_chunks").run(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet == Set("srcA", "srcB"), out.keySet.toString)
+    val (aTot, aSto, _, _) = out("srcA")
+    val (bTot, bSto, _, bChars) = out("srcB")
+    assert(aTot == bTot && aSto == aTot, s"srcA owns everything: ${out("srcA")}")
+    assert(bSto == 0L && bChars == 0L, s"srcB must store nothing: ${out("srcB")}")
+  }
 }
