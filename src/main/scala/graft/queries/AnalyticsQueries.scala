@@ -429,10 +429,10 @@ object AnalyticsQueries {
         |    CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
         |      * CAST(0.001 AS DECIMAL(4,3)) AS DECIMAL(24,5))), 4)
         |      AS DOUBLE) AS sy,
-        |    CAST(round(sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
-        |      * CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
         |        * CAST(0.001 AS DECIMAL(4,3)) AS DECIMAL(24,5))
-        |      AS DECIMAL(38,7))), 4) AS DOUBLE) AS sxy,
+        |        AS DECIMAL(19,5))), 4) AS DOUBLE) AS sxy,
         |    CAST(round(sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
         |      * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))), 4)
         |      AS DOUBLE) AS sxx,
@@ -465,16 +465,19 @@ object AnalyticsQueries {
       // — error up to 5e-7/row accumulating as ~√n·3e-7 per group,
       // which crosses round(sum,4)'s 5e-5 granularity near 10⁴–10⁵
       // rows/group; advisor-caught round 7) while DuckDB multiplies the
-      // same operands on its int128 path at (37,10), also exact. sxy is
-      // SAFE at its shrunken scale: l_quantity is integer-valued, so
-      // xd·yk's true scale is 5 and Spark's 6-decimal result loses
-      // nothing. width 19 on one operand keeps DuckDB off int64 (the
-      // overflow lesson in the q55 comment).
+      // same operands on its int128 path at (37,10), also exact. sxy
+      // narrows yk to (19,5) first so (18,2)×(19,5) = 38 digits is
+      // Spark-exact BY WIDTH (round 7 relied on l_quantity being
+      // integer-valued to make the (18,2)×(24,5) shrink lossless —
+      // true but a fixture fact, not arithmetic; the decimal-parity
+      // lint in PlanSpec now bans the shape outright). width 19 on one
+      // operand keeps DuckDB off int64 (the overflow lesson in the q55
+      // comment).
       val m = Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).cast("double").as("n"),
           mom(xd).as("sx"), mom(yk).as("sy"),
-          mom((xd * yk).cast(DecimalType(38, 7))).as("sxy"),
+          mom(xd * yk.cast(DecimalType(19, 5))).as("sxy"),
           mom((xd * xd).cast(DecimalType(38, 4))).as("sxx"),
           mom(yk.cast(DecimalType(19, 5)) * yk.cast(DecimalType(18, 5)))
             .as("syy"))
@@ -762,8 +765,8 @@ object AnalyticsQueries {
     // days it covers, dedup (target, cust), count — three
     // hash-partitioned partial-agg passes, no window, no self-join.
     // 100 TB: for wider windows the explode factor grows linearly —
-    // the sketch path is one HLL per (day) merged over 28 days
-    // (q24's machinery); the exact form stays the oracle.
+    // the sketch path (one HLL per day merged over the window) is
+    // IMPLEMENTED as q59 below; this exact form stays the oracle.
     Q(
       "q58_rolling_distinct",
       """WITH ks AS (SELECT CAST(unnest(generate_series(0, 27)) AS INTEGER) AS k),
@@ -804,8 +807,79 @@ object AnalyticsQueries {
         .filter(col("day") <= col("md"))
         .select(col("day"), col("n_active"), col("n_orders"))
         .orderBy(col("day"))
+    },
+
+    // ---------------------------------------------------------------
+    // q59 — q58's WIDE-WINDOW scale path, implemented (round 7 only
+    // named it in a comment): one HLL sketch per day, merged across
+    // the trailing 28 days. The exact form's explode factor grows
+    // linearly with window width and its (day, cust) dedup shuffles
+    // customer-cardinality rows; here each day collapses to ONE
+    // fixed-size Datasketches HLL (hll_sketch_agg, register max —
+    // insertion-order and partitioning independent by construction),
+    // and the window merge moves O(days·window) sketches of a few KB
+    // regardless of cardinality — the form that survives a 365-day
+    // window at 100 TB. Gating is q24's bound-style oracle: DuckDB
+    // recomputes the exact trailing-28-day distinct count (q58's
+    // shape) and a TRUE flag; Spark emits its exact count
+    // (hash-checked) plus whether the merged-sketch estimate landed
+    // within 5% — an estimate outside the bound hash-mismatches.
+    // lgConfigK=12 ⇒ rsd ≈ 1.6%, so 5% is > 3 rsd. The per-day
+    // relative error vs exact is additionally spec-pinned
+    // (HllRollingSpec) at both fixture scales.
+    Q(
+      "q59_rolling_distinct_hll",
+      """WITH ks AS (SELECT CAST(unnest(generate_series(0, 27)) AS INTEGER) AS k),
+        |dc AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d, o_custkey AS c
+        |  FROM orders),
+        |act AS (SELECT DISTINCT d + k AS day, c FROM dc CROSS JOIN ks),
+        |a AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active
+        |  FROM act GROUP BY day),
+        |mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS md FROM orders)
+        |SELECT a.day, a.n_active, CAST(TRUE AS BOOLEAN) AS within_5pct
+        |FROM a CROSS JOIN mx
+        |WHERE day <= md ORDER BY day""".stripMargin
+    ) { (s, dir) =>
+      val orders = Tables(s, dir, "orders")
+      val off = explode(sequence(lit(0), lit(27))).as("k")
+      val approx = hllRollingDistinct(orders)
+      val exact = orders
+        .select(to_date(col("o_orderdate")).as("d"), col("o_custkey").as("c"))
+        .distinct()
+        .select(col("d"), col("c"), off)
+        .select(date_add(col("d"), col("k")).as("day"), col("c"))
+        .distinct()
+        .groupBy(col("day"))
+        .agg(count(lit(1)).cast("long").as("n_active"))
+      val mx = orders.agg(max(to_date(col("o_orderdate"))).as("md"))
+      exact.join(approx, Seq("day"))
+        .crossJoin(broadcast(mx))
+        .filter(col("day") <= col("md"))
+        .select(col("day"), col("n_active"),
+          (abs(col("approx_active") - col("n_active"))
+            <= col("n_active") * 0.05).as("within_5pct"))
+        .orderBy(col("day"))
     }
   )
+
+  /** q59's sketch pipeline, shared with HllRollingSpec: one
+    * fixed-size HLL sketch per order day (lgConfigK=12), exploded to
+    * the `windowDays` target days it covers and union-merged per
+    * target day. Returns (day, approx_active). Sketch state is a
+    * register max — partitioning- and order-independent, so the
+    * estimate is deterministic for a given input set. */
+  private[queries] def hllRollingDistinct(
+      orders: org.apache.spark.sql.DataFrame,
+      windowDays: Int = 28): org.apache.spark.sql.DataFrame =
+    orders
+      .select(to_date(col("o_orderdate")).as("d"), col("o_custkey").as("c"))
+      .groupBy(col("d"))
+      .agg(expr("hll_sketch_agg(c, 12)").as("sk"))
+      .select(col("d"), col("sk"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("k"))
+      .select(date_add(col("d"), col("k")).as("day"), col("sk"))
+      .groupBy(col("day"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_active"))
 
   /** One ANSI text, two engines: Catalyst executes this same string the
     * DuckDB oracle runs (see the q51 comment above). Lazy: `all` above

@@ -327,6 +327,15 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q59: sketch merge is partial aggs; no window, no cartesian blowup") {
+    val p = planOf("q59_rolling_distinct_hll")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // per-day sketches union-merge in an aggregate (partial+final),
+    // not a self-join of the day stream
+    assert(p.contains("hll_union_agg") || p.contains("HllUnionAgg"), p)
+  }
+
   test("p31: the bucket weight table broadcasts; top-50 never full-sorts") {
     val p = planOf("p31_dsir_importance")
     assert(p.contains("BroadcastHashJoin"), p)
@@ -539,6 +548,57 @@ class PlanSpec extends SparkSpec {
             s"(single-task sort of the whole child at scale):\n${bad.head}")
         graft.operators.Stage.drain(spark)
       }
+  }
+
+  test("decimal-parity lint: every decimal multiply/divide is Spark-exact") {
+    // the q52/q55 class made structural: when a decimal product needs
+    // p1+p2+1 > 38 digits Spark SHRINKS the result scale with per-row
+    // half-up rounding while DuckDB keeps exact int128 — an error that
+    // accumulates ~sqrt(n) per group, so sf0.01 passes the oracle and
+    // sf0.1+ drifts (found by hand twice; this lint would have caught
+    // both before the advisor did). Rule: every Multiply/Divide whose
+    // operands are both DecimalType must land inside 38 digits
+    // (multiply: p1+p2+1; divide: p1-s1+s2+max(6, s1+p2+1), Spark's
+    // own result-type formulas), or the site must be allowlisted with
+    // a measured-safe rationale.
+    import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply}
+    import org.apache.spark.sql.types.DecimalType
+    val allow: Map[String, String] = Map.empty
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    QueryRegistry.all
+      .filterNot(q => isStreamLoop(q.name) || allow.contains(q.name))
+      .foreach { q =>
+        val plan = q.run(spark, dir).queryExecution.analyzed
+        plan.foreach { node =>
+          node.expressions.foreach { root =>
+            root.foreach {
+              case m: Multiply => (m.left.dataType, m.right.dataType) match {
+                case (a: DecimalType, b: DecimalType)
+                    if a.precision + b.precision + 1 > 38 =>
+                  bad += s"${q.name}: decimal multiply " +
+                    s"(${a.precision},${a.scale})·(${b.precision},${b.scale})" +
+                    s" needs ${a.precision + b.precision + 1} > 38 digits —" +
+                    s" Spark shrinks scale with per-row rounding: $m"
+                case _ => ()
+              }
+              case d: Divide => (d.left.dataType, d.right.dataType) match {
+                case (a: DecimalType, b: DecimalType)
+                    if a.precision - a.scale + b.scale +
+                      math.max(6, a.scale + b.precision + 1) > 38 =>
+                  bad += s"${q.name}: decimal divide " +
+                    s"(${a.precision},${a.scale})/(${b.precision},${b.scale})" +
+                    s" needs ${a.precision - a.scale + b.scale +
+                      math.max(6, a.scale + b.precision + 1)} > 38 digits —" +
+                    s" Spark shrinks scale: $d"
+                case _ => ()
+              }
+              case _ => ()
+            }
+          }
+        }
+        graft.operators.Stage.drain(spark)
+      }
+    assert(bad.isEmpty, bad.mkString("\n"))
   }
 
   test("no CartesianProduct in any registered query plan") {
