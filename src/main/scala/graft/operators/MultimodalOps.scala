@@ -149,8 +149,8 @@ object MultimodalOps {
     * The gated queries keep the stub (its features have a
     * DuckDB-expressible oracle; codec output does not) — this is the
     * production decoder, spec-verified on REAL WAV bytes generated
-    * through the same JDK encoder (WavDecodeSpec). Video remains a
-    * documented stub: the container ships no video codec at all. */
+    * through the same JDK encoder (WavDecodeSpec). Video has the same
+    * treatment via [[aviMjpegDecode]] (MJPEG-in-AVI, pure JVM). */
   def wavDecode(r: AudioRow): DecodedAudio = {
     val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(r.data))
@@ -208,6 +208,102 @@ object MultimodalOps {
   def decodeAudioReal(spark: SparkSession, audio: DataFrame): Dataset[DecodedAudio] = {
     import spark.implicits._
     audio.as[AudioRow].mapPartitions(_.map(wavDecode))
+  }
+
+  /** A video payload riding as opaque bytes. */
+  final case class VideoRow(video_id: Long, data: Array[Byte])
+
+  /** Codec-derived video features — the honest version of the
+    * text-frame stub contract (there: 16-byte frames, Σ byte²; here:
+    * decoded frames, Σ luma² per frame — same shape, real pixels).
+    * Dims come from the CODEC (first decoded frame), never trusted
+    * from container metadata. */
+  final case class DecodedVideo(
+      video_id: Long, width: Int, height: Int, n_frames: Long,
+      frame_energies: Array[Long])
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  private def u32le(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  /** REAL video codec behind the SAME seam as [[imageioDecode]] /
+    * [[wavDecode]], closing the last stub codec: MJPEG-in-AVI is
+    * decodable in pure JVM — a RIFF chunk walk (AVI is 'RIFF' size
+    * 'AVI ' of nested LIST chunks; frames are '##dc'/'##db' chunks
+    * inside LIST 'movi', chunk bodies padded to even offsets) plus
+    * per-frame JPEG decode through the JDK's `javax.imageio`. Features
+    * per frame: Σ luma² (ITU-R BT.601 integer weights) — the honest
+    * version of the stub's per-frame text energies, and the input
+    * shape mm11's shot-bound delta logic runs on. Malformed
+    * containers, zero frames, undecodable frames, or mid-stream
+    * dimension changes fail loudly rather than minting fake features
+    * (the imageioDecode rule). The gated queries keep the stub (its
+    * features have a DuckDB-expressible oracle; codec output does
+    * not) — this is the production decoder, spec-verified on REAL
+    * AVIs assembled from JDK-encoded JPEG frames (AviDecodeSpec). */
+  def aviMjpegDecode(r: VideoRow): DecodedVideo = {
+    val b = r.data
+    require(b.length >= 12 && fourcc(b, 0) == "RIFF" &&
+      fourcc(b, 8) == "AVI ",
+      s"payload of video ${r.video_id} is not a RIFF/AVI container")
+    val riffEnd = math.min(b.length.toLong, 8L + u32le(b, 4)).toInt
+    val energies = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var w = -1
+    var h = -1
+    // walk a chunk range; recurse into LISTs so movi is found at any
+    // nesting (RIFF allows LIST 'rec ' groups inside movi)
+    def walk(from: Int, to: Int): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val id = fourcc(b, off)
+        val size = u32le(b, off + 4).toInt
+        val body = off + 8
+        val end = math.min(body + size, to)
+        if (id == "RIFF" || id == "LIST") {
+          walk(body + 4, end) // skip the 4-byte list type, walk inside
+        } else if (id.length == 4 &&
+            (id.endsWith("dc") || id.endsWith("db")) &&
+            id.take(2).forall(_.isDigit) && size > 0) {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(b, body, end - body))
+          require(img != null,
+            s"video ${r.video_id}: frame ${energies.length} does not decode")
+          if (w < 0) { w = img.getWidth; h = img.getHeight }
+          require(img.getWidth == w && img.getHeight == h,
+            s"video ${r.video_id}: frame ${energies.length} is " +
+              s"${img.getWidth}x${img.getHeight}, stream is ${w}x$h")
+          var e = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val luma = (299 * ((rgb >> 16) & 0xff) +
+                587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+              e += luma.toLong * luma
+              x += 1
+            }
+            y += 1
+          }
+          energies += e
+        }
+        off = body + size + (size & 1) // chunk bodies pad to even
+      }
+    }
+    walk(12, riffEnd)
+    require(energies.nonEmpty, s"video ${r.video_id}: no MJPEG frames found")
+    DecodedVideo(r.video_id, w, h, energies.length.toLong, energies.toArray)
+  }
+
+  /** [[aviMjpegDecode]] as a typed per-partition pass — identical
+    * plumbing to [[decodeImagesReal]]/[[decodeAudioReal]]: media bytes
+    * stay executor-side one partition at a time, never collected. */
+  def decodeVideoReal(spark: SparkSession, video: DataFrame): Dataset[DecodedVideo] = {
+    import spark.implicits._
+    video.as[VideoRow].mapPartitions(_.map(aviMjpegDecode))
   }
 
   /** Frame sampling over a "video" payload: fixed-size frames, keep every

@@ -302,8 +302,11 @@ object MessageQueries {
           .option("topicNames", "hop-in")
           .option("subscriptionInitialPosition", "Earliest")
           // several epochs per pass, so the replayed epoch is a real
-          // mid-stream batch, not the whole topic
-          .option("batchingMaxMessages", "2000")
+          // mid-stream batch, not the whole topic: 4000 gives 3 epochs
+          // at sf0.01 and 25 at sf0.1 (2000 doubled the epoch count —
+          // and per-epoch trigger ceremony, not data, dominates this
+          // query's wall time; round-8 choreography shave)
+          .option("batchingMaxMessages", "4000")
           .load()
           // the transform leg: drop text/plain (pushed to the source scan)
           .filter(col("content_type") =!= "text/plain")
@@ -313,7 +316,7 @@ object MessageQueries {
           .option("serviceUrl", "pulsar://local")
           .option("topicNames", "hop-out")
           .option("enableTransaction", "true")
-          .option("batchingMaxMessages", "2000")
+          .option("batchingMaxMessages", "4000")
           .option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
@@ -369,7 +372,14 @@ object MessageQueries {
         .option("topicNames", "hop-in")
         .option("subscriptionName", "sub-relay")
         .option("subscriptionInitialPosition", "Earliest")
-        .option("batchingMaxMessages", "4000")
+        // m14 proves TOPOLOGY (source → sink → fresh subscription);
+        // multi-epoch cursor advance is m06/m13/ps01's business, so the
+        // admission limit here only needs to keep the bench-scale run
+        // multi-epoch (5 epochs/leg at sf0.1). 4000 made 25 epochs/leg
+        // whose per-epoch trigger ceremony, not data volume, was the
+        // whole wall time (round-8 choreography shave: 10.3 s → under
+        // the 6 s target, gated rows unchanged)
+        .option("batchingMaxMessages", "20000")
         .load()
         .writeStream
         .format("pulsarlike")
@@ -377,7 +387,7 @@ object MessageQueries {
         .option("serviceUrl", "pulsar://local")
         .option("topicNames", "hop-out")
         .option("enableTransaction", "true")
-        .option("batchingMaxMessages", "4000")
+        .option("batchingMaxMessages", "20000")
         .option("checkpointLocation", ckptRelay)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -389,7 +399,7 @@ object MessageQueries {
         .option("topicNames", "hop-out")
         .option("subscriptionName", "sub-down")
         .option("subscriptionInitialPosition", "Earliest")
-        .option("batchingMaxMessages", "4000")
+        .option("batchingMaxMessages", "20000")
         .load()
         .writeStream
         .option("checkpointLocation", ckptDown)
