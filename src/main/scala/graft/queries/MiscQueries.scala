@@ -213,6 +213,207 @@ object MiscQueries {
     },
 
     // ---------------------------------------------------------------
+    // v02 — variant typed-path extraction over HETEROGENEOUS payloads
+    // (SURVEY §1.4: VariantType is the heterogeneous-JSON answer; v01
+    // was one flat key). Payload SHAPE varies by event_type — nested
+    // object (click/view), numeric field + array (purchase), string
+    // field (everything else) — built deterministically from integer
+    // columns so both engines assemble byte-identical JSON. Parse
+    // ONCE to variant, then typed-path extraction: a path absent in a
+    // row's shape yields SQL NULL (never an error) — the contract
+    // that lets one reader serve a topic of mixed producers. Scale:
+    // parse + gets are a single codegen'd projection; at 100 TB the
+    // variant binary encoding shreds columnar and paths prune at the
+    // scan (the reason to prefer it over per-query JSON re-parsing).
+    Q(
+      "v02_variant_typed_paths",
+      """WITH p AS (
+        |  SELECT event_id,
+        |    CASE
+        |      WHEN event_type IN ('click', 'view') THEN
+        |        '{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR) ||
+        |        ',"pos":{"x":' || CAST(user_id % 100 AS VARCHAR) ||
+        |        ',"y":' || CAST(event_id % 37 AS VARCHAR) || '}}'
+        |      WHEN event_type = 'purchase' THEN
+        |        '{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR) ||
+        |        ',"cents":' || CAST((event_id * 37 + user_id) % 10000 AS VARCHAR) ||
+        |        ',"items":[' || CAST(event_id % 5 AS VARCHAR) || ',' ||
+        |        CAST(event_id % 7 AS VARCHAR) || ']}'
+        |      ELSE
+        |        '{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR) ||
+        |        ',"msg":"e' || CAST(event_id % 13 AS VARCHAR) || '"}'
+        |    END AS payload
+        |  FROM events)
+        |SELECT event_id,
+        |  CAST(json_extract(payload, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract(payload, '$.pos.x') AS BIGINT) AS pos_x,
+        |  CAST(json_extract(payload, '$.cents') AS BIGINT) AS cents,
+        |  CAST(json_extract(payload, '$.items[0]') AS BIGINT) AS item0,
+        |  json_extract_string(payload, '$.msg') AS msg
+        |FROM p ORDER BY event_id""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val k = variant_get(parse_json(col("props")), "$.k", "bigint")
+        .cast("string")
+      val payload = when(col("event_type").isin("click", "view"),
+          concat(lit("{\"k\":"), k,
+            lit(",\"pos\":{\"x\":"), (col("user_id") % 100).cast("string"),
+            lit(",\"y\":"), (col("event_id") % 37).cast("string"),
+            lit("}}")))
+        .when(col("event_type") === "purchase",
+          concat(lit("{\"k\":"), k,
+            lit(",\"cents\":"),
+            ((col("event_id") * 37 + col("user_id")) % 10000).cast("string"),
+            lit(",\"items\":["), (col("event_id") % 5).cast("string"),
+            lit(","), (col("event_id") % 7).cast("string"), lit("]}")))
+        .otherwise(
+          concat(lit("{\"k\":"), k,
+            lit(",\"msg\":\"e"), (col("event_id") % 13).cast("string"),
+            lit("\"}")))
+      ev.select(col("event_id"), parse_json(payload).as("v"))
+        .select(col("event_id"),
+          variant_get(col("v"), "$.k", "bigint").as("k"),
+          variant_get(col("v"), "$.pos.x", "bigint").as("pos_x"),
+          variant_get(col("v"), "$.cents", "bigint").as("cents"),
+          variant_get(col("v"), "$.items[0]", "bigint").as("item0"),
+          variant_get(col("v"), "$.msg", "string").as("msg"))
+        .orderBy(col("event_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // v03 — schema DRIFT in one topic: v1 producers emit {"k":n}, v2
+    // producers add a nested meta block — the mid-rollout reality of
+    // any long-lived stream. One variant reader serves both: new
+    // fields read as NULL on old rows and coalesce to rollout
+    // defaults, so the drift report (rows + k-mass per producer
+    // version/source) needs no schema migration, no reprocess, no
+    // dual pipeline. Aggregation is one partial-agg'd pass over a
+    // codegen'd projection.
+    Q(
+      "v03_variant_schema_drift",
+      """WITH p AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 3 = 0 THEN
+        |      '{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR) ||
+        |      ',"meta":{"ver":2,"src":"ing-' ||
+        |      CAST(event_id % 4 AS VARCHAR) || '"}}'
+        |    ELSE
+        |      '{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR) || '}'
+        |    END AS payload
+        |  FROM events)
+        |SELECT
+        |  COALESCE(CAST(json_extract(payload, '$.meta.ver') AS BIGINT), 1)
+        |    AS ver,
+        |  COALESCE(json_extract_string(payload, '$.meta.src'), 'legacy')
+        |    AS src,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract(payload, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k
+        |FROM p GROUP BY 1, 2 ORDER BY ver, src""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val k = variant_get(parse_json(col("props")), "$.k", "bigint")
+        .cast("string")
+      val payload = when(col("event_id") % 3 === 0,
+          concat(lit("{\"k\":"), k,
+            lit(",\"meta\":{\"ver\":2,\"src\":\"ing-"),
+            (col("event_id") % 4).cast("string"), lit("\"}}")))
+        .otherwise(concat(lit("{\"k\":"), k, lit("}")))
+      ev.select(parse_json(payload).as("v"))
+        .select(
+          coalesce(variant_get(col("v"), "$.meta.ver", "bigint"), lit(1L))
+            .as("ver"),
+          coalesce(variant_get(col("v"), "$.meta.src", "string"),
+            lit("legacy")).as("src"),
+          variant_get(col("v"), "$.k", "bigint").as("k"))
+        .groupBy(col("ver"), col("src"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("k")).cast("long").as("sum_k"))
+        .orderBy(col("ver"), col("src"))
+    },
+
+    // ---------------------------------------------------------------
+    // v04 — per-row TYPE dispatch + cast-vs-variant coercion: field v
+    // is a number, a string (sometimes numeric-looking), an array, or
+    // JSON null depending on the row. schema_of_variant drives the
+    // dispatch (BIGINT/STRING/ARRAY<...>/VOID — probed vocabulary,
+    // VariantProbe), is_variant_null separates JSON null from a
+    // missing path, and try_variant_get shows cast semantics: a
+    // numeric STRING coerces to bigint ("42" → 42, the variant cast
+    // rule), a non-numeric one nulls instead of erroring — mirrored
+    // in DuckDB by json_type + TRY_CAST of the extracted text. The
+    // report aggregates per dispatched type: row count, variant-null
+    // count, how many rows coerced, and the coerced mass.
+    Q(
+      "v04_variant_type_dispatch",
+      """WITH p AS (
+        |  SELECT event_id, user_id,
+        |    CASE CAST(event_id % 4 AS INTEGER)
+        |      WHEN 0 THEN '{"v":' || CAST(user_id % 1000 AS VARCHAR) || '}'
+        |      WHEN 1 THEN CASE WHEN event_id % 8 = 1
+        |        THEN '{"v":"' || CAST(user_id % 1000 AS VARCHAR) || '"}'
+        |        ELSE '{"v":"s' || CAST(event_id % 11 AS VARCHAR) || '"}' END
+        |      WHEN 2 THEN '{"v":[' || CAST(event_id % 5 AS VARCHAR) || ',' ||
+        |        CAST(user_id % 9 AS VARCHAR) || ']}'
+        |      ELSE '{"v":null}'
+        |    END AS payload
+        |  FROM events),
+        |t AS (
+        |  SELECT
+        |    CASE json_type(payload, '$.v')
+        |      WHEN 'UBIGINT' THEN 'num' WHEN 'BIGINT' THEN 'num'
+        |      WHEN 'VARCHAR' THEN 'str'
+        |      WHEN 'ARRAY' THEN 'arr'
+        |      WHEN 'NULL' THEN 'vnull'
+        |      ELSE 'other' END AS vtype,
+        |    CASE WHEN json_type(payload, '$.v') = 'NULL' THEN 1 ELSE 0 END
+        |      AS is_vnull,
+        |    TRY_CAST(json_extract_string(payload, '$.v') AS BIGINT)
+        |      AS coerced
+        |  FROM p)
+        |SELECT vtype, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(is_vnull) AS BIGINT) AS n_variant_null,
+        |  CAST(count(coerced) AS BIGINT) AS n_coerced,
+        |  CAST(sum(coerced) AS BIGINT) AS coerced_mass
+        |FROM t GROUP BY vtype ORDER BY vtype""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val payload = when(col("event_id") % 4 === 0,
+          concat(lit("{\"v\":"), (col("user_id") % 1000).cast("string"),
+            lit("}")))
+        .when(col("event_id") % 4 === 1,
+          when(col("event_id") % 8 === 1,
+            concat(lit("{\"v\":\""), (col("user_id") % 1000).cast("string"),
+              lit("\"}")))
+          .otherwise(concat(lit("{\"v\":\"s"),
+            (col("event_id") % 11).cast("string"), lit("\"}"))))
+        .when(col("event_id") % 4 === 2,
+          concat(lit("{\"v\":["), (col("event_id") % 5).cast("string"),
+            lit(","), (col("user_id") % 9).cast("string"), lit("]}")))
+        .otherwise(lit("{\"v\":null}"))
+      ev.select(parse_json(payload).as("v"))
+        .select(
+          when(expr("schema_of_variant(variant_get(v, '$.v'))") === "VOID",
+              "vnull")
+            .when(expr("schema_of_variant(variant_get(v, '$.v'))")
+              .isin("TINYINT", "SMALLINT", "INT", "BIGINT"), "num")
+            .when(expr("schema_of_variant(variant_get(v, '$.v'))")
+              === "STRING", "str")
+            .when(expr("schema_of_variant(variant_get(v, '$.v'))")
+              .startsWith("ARRAY"), "arr")
+            .otherwise("other").as("vtype"),
+          when(expr("is_variant_null(variant_get(v, '$.v'))"), 1L)
+            .otherwise(0L).as("is_vnull"),
+          expr("try_variant_get(v, '$.v', 'bigint')").as("coerced"))
+        .groupBy(col("vtype"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("is_vnull")).cast("long").as("n_variant_null"),
+          count(col("coerced")).cast("long").as("n_coerced"),
+          sum(col("coerced")).cast("long").as("coerced_mass"))
+        .orderBy(col("vtype"))
+    },
+
+    // ---------------------------------------------------------------
     // q29 — unpivot/melt (the inverse of q23's pivot): wide per-flag
     // aggregate metrics melted to (key, metric, value) long form — the
     // normalization step a metrics/feature pipeline runs before a
