@@ -30,11 +30,13 @@ object ScaleSoak {
     spark.sparkContext.setLogLevel("WARN")
 
     def replicate(name: String, f: (DataFrame, Int) => DataFrame): Unit = {
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$soakDir/$name.parquet"))) return
       val src = Tables(spark, base, name)
       val out = (0 until 10).map(i => f(src, i)).reduce(_ unionByName _)
       out.write.mode("overwrite").parquet(s"$soakDir/$name.parquet")
     }
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(soakDir))) {
+    locally {
       // ts as BIGINT nanos: graft.Tables reads the fixture's
       // TIMESTAMP(NANOS) as long and does `ts div 1000` — a plain long
       // column takes the same path
@@ -87,12 +89,31 @@ object ScaleSoak {
            slice(col("embedding"), 1, 7 * i)))
           .as("embedding"),
         col("label")))
+      // orders/lineitem (round 8, for q57/q58/q59 and the relational
+      // order-stat family): 10× volume over the SAME date range and
+      // value distribution — distinct customers per day scale 10×
+      // (shifted custkeys), quantile targets keep their distribution.
+      // Dates are NOT shifted: a window operator's honest scale-up is
+      // more volume per window, not a longer history at equal density.
+      replicate("orders", (df, i) => df.select(
+        (col("o_orderkey") + i * 1000000L).as("o_orderkey"),
+        (col("o_custkey") + i * 100000L).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority")))
+      replicate("lineitem", (df, i) => df.select(
+        (col("l_orderkey") + i * 1000000L).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate")))
       println(s"[soak] generated $soakDir")
     }
     // dimension/fact tables that are NOT scaled ride through unchanged
     // (10× facts against same-size dims is the realistic scale-up);
     // added lazily so an existing soak dir gains them on next run
-    Tables.names.filterNot(Set("events", "documents", "embeddings")).foreach { t =>
+    Tables.names.filterNot(
+        Set("events", "documents", "embeddings", "orders", "lineitem"))
+      .foreach { t =>
       if (!java.nio.file.Files.exists(
           java.nio.file.Paths.get(s"$soakDir/$t.parquet")))
         Tables(spark, base, t).write.mode("overwrite")
