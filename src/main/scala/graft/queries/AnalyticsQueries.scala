@@ -149,11 +149,15 @@ object AnalyticsQueries {
         .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
         .agg(count(lit(1)).cast("long").as("n_both"))
         .filter(col("n_both") >= 3)
+      // the per-item support table's key domain is the CATALOG, which
+      // scales with the corpus — no forced broadcast (round-8 lint);
+      // these are plain equi-joins on the part key that stats/AQE
+      // broadcast while supp fits and shuffle at catalog scale
       pairs
-        .join(broadcast(supp.select(col("pk").as("k1"),
-          col("np").as("n_p1"))), col("k1") === col("p1"))
-        .join(broadcast(supp.select(col("pk").as("k2"),
-          col("np").as("n_p2"))), col("k2") === col("p2"))
+        .join(supp.select(col("pk").as("k1"),
+          col("np").as("n_p1")), col("k1") === col("p1"))
+        .join(supp.select(col("pk").as("k2"),
+          col("np").as("n_p2")), col("k2") === col("p2"))
         .crossJoin(broadcast(nOrders))
         .select(col("p1"), col("p2"), col("n_both"), col("n_p1"),
           col("n_p2"),
@@ -859,8 +863,95 @@ object AnalyticsQueries {
           (abs(col("approx_active") - col("n_active"))
             <= col("n_active") * 0.05).as("within_5pct"))
         .orderBy(col("day"))
+    },
+
+    // ---------------------------------------------------------------
+    // q60 — sketch set ALGEBRA: month-over-month distinct-customer
+    // retention by HLL inclusion-exclusion, |A∩B| ≈ est|A| + est|B| −
+    // est|A∪B| with the union from the BINARY hll_union of two
+    // pre-built month sketches. This is the capability q59's merge
+    // only hints at: at 100 TB the per-month sketches are built once
+    // (a few KB each), and ANY pairwise retention/overlap question —
+    // month-over-month, cohort × cohort, region × region — is then
+    // answered from sketches alone, no re-scan of the fact table and
+    // no distinct-pair join. Gated q24-style: exact per-month
+    // cardinalities and the exact retained count (one equi-join on
+    // (cust, month−1)) hash-check, and the sketch estimate must land
+    // within 5% of the exact UNION (+1 for integer edges) — the
+    // principled bound, since inclusion-exclusion error scales with
+    // the union, not the intersection. HllRollingSpec pins measured
+    // errors at two fixture scales.
+    Q(
+      "q60_retention_hll",
+      """WITH mo AS (SELECT DISTINCT
+        |    date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+        |    o_custkey AS c
+        |  FROM orders),
+        |a AS (SELECT m, CAST(count(*) AS BIGINT) AS n FROM mo GROUP BY m),
+        |ret AS (
+        |  SELECT cur.m AS m, CAST(count(*) AS BIGINT) AS n_retained
+        |  FROM mo cur JOIN mo prv
+        |    ON prv.c = cur.c AND prv.m = cur.m - INTERVAL 1 MONTH
+        |  GROUP BY cur.m)
+        |SELECT cur.m AS month, cur.n AS n_cur, prv.n AS n_prev,
+        |  COALESCE(ret.n_retained, 0) AS n_retained,
+        |  CAST(TRUE AS BOOLEAN) AS within_5pct_of_union
+        |FROM a cur
+        |JOIN a prv ON prv.m = cur.m - INTERVAL 1 MONTH
+        |LEFT JOIN ret ON ret.m = cur.m
+        |ORDER BY month""".stripMargin
+    ) { (s, dir) =>
+      val orders = Tables(s, dir, "orders")
+      val mo = orders
+        .select(trunc(col("o_orderdate"), "month").as("m"),
+          col("o_custkey").as("c"))
+        .distinct()
+      val a = mo.groupBy(col("m")).agg(count(lit(1)).cast("long").as("n"))
+      val ret = mo.as("cur")
+        .join(mo.as("prv"),
+          col("prv.c") === col("cur.c") &&
+            expr("prv.m = add_months(cur.m, -1)"))
+        .groupBy(col("cur.m").as("m"))
+        .agg(count(lit(1)).cast("long").as("n_retained"))
+      val est = hllMonthlyRetention(orders)
+      a.as("cur")
+        .join(a.as("prv"), expr("prv.m = add_months(cur.m, -1)"))
+        .select(col("cur.m").as("m"), col("cur.n").as("n_cur"),
+          col("prv.n").as("n_prev"))
+        .join(ret, Seq("m"), "left_outer")
+        .join(est, Seq("m"))
+        .select(col("m").as("month"), col("n_cur"), col("n_prev"),
+          coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+          (abs((col("est_cur") + col("est_prv") - col("est_union"))
+              - coalesce(col("n_retained"), lit(0L)))
+            <= (col("n_cur") + col("n_prev")
+              - coalesce(col("n_retained"), lit(0L))) * 0.05 + 1)
+            .as("within_5pct_of_union"))
+        .orderBy(col("month"))
     }
   )
+
+  /** q60's sketch pipeline, shared with HllRollingSpec: per month one
+    * HLL over distinct customers, consecutive months joined, union via
+    * the binary hll_union — the set-ALGEBRA face of the q59 machinery
+    * (estimates for |cur|, |prev|, |cur ∪ prev|; the caller derives
+    * the intersection by inclusion-exclusion). */
+  private[queries] def hllMonthlyRetention(
+      orders: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sk = orders
+      .select(trunc(col("o_orderdate"), "month").as("m"),
+        col("o_custkey").as("c"))
+      .groupBy(col("m"))
+      .agg(expr("hll_sketch_agg(c, 12)").as("sk"))
+    sk.as("cur")
+      .join(sk.as("prv"), expr("prv.m = add_months(cur.m, -1)"))
+      .select(col("cur.m").as("m"),
+        expr("hll_sketch_estimate(cur.sk)").as("est_cur"),
+        expr("hll_sketch_estimate(prv.sk)").as("est_prv"),
+        expr("hll_sketch_estimate(hll_union(cur.sk, prv.sk))")
+          .as("est_union"))
+  }
 
   /** q59's sketch pipeline, shared with HllRollingSpec: one
     * fixed-size HLL sketch per order day (lgConfigK=12), exploded to

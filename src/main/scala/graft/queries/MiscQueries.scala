@@ -1134,8 +1134,10 @@ object MiscQueries {
         |ORDER BY nation""".stripMargin
     ) { (s, dir) =>
       import org.apache.spark.sql.types.DecimalType
+      // customer scales with SF — no forced broadcast (round-8 lint);
+      // nation is contract-bounded (25 rows) and keeps its hint
       val wk = Tables(s, dir, "orders")
-        .join(broadcast(Tables(s, dir, "customer")),
+        .join(Tables(s, dir, "customer"),
           col("c_custkey") === col("o_custkey"))
         .join(broadcast(Tables(s, dir, "nation")),
           col("n_nationkey") === col("c_nationkey"))

@@ -859,6 +859,112 @@ object MultimodalQueries {
             .as("avg_hamming"),
           max(col("h")).cast("long").as("max_hamming"))
         .orderBy(col("pair_type"))
+    },
+
+    // ---------------------------------------------------------------
+    // mm14 — landmark audio fingerprinting (the Shazam constellation,
+    // Wang ISMIR 2003, re-expressed as dataflow): per clip, energy
+    // PEAKS (strict-left / non-strict-right local maxima — the
+    // asymmetry keeps plateaus from double-counting) become landmarks;
+    // each landmark pairs with the next landmarks in a 6-frame target
+    // zone, and the fingerprint key hashes (quantized e1, quantized
+    // e2, Δframe) — TIME-SHIFT INVARIANT by construction, because the
+    // key carries only relative structure. Matching is the inverted
+    // index as an equi-join on the key; a true copy shows a DOMINANT
+    // consistent anchor-offset delta (the vote histogram), random
+    // collisions scatter across deltas and die under the ≥4-vote
+    // floor. Planted truth: every 10th clip (≥96 chars) re-ingested
+    // with its first 32 bytes (2 frames) cut — a frame-aligned crop,
+    // which the detector must match at offset_delta exactly +2.
+    // Scale posture: peaks from a doc_id-partitioned window; pairing
+    // is a per-clip self-equi-join bounded by the 64-frame budget;
+    // candidate matching is ONE equi-join on the fingerprint key
+    // (index-shaped, never clip×clip); votes are a partial agg.
+    Q(
+      "mm14_audio_fingerprint",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, substr(text, 33) AS text
+        |  FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 96),
+        |fr AS (
+        |  SELECT doc_id, f,
+        |    CAST(list_aggregate(list_transform(
+        |      generate_series(CAST(f * 16 + 1 AS BIGINT),
+        |        CAST(least(f * 16 + 16, length(text)) AS BIGINT)),
+        |      i -> ascii(substr(text, CAST(i AS INTEGER), 1))
+        |         * ascii(substr(text, CAST(i AS INTEGER), 1))),
+        |      'sum') AS BIGINT) AS e
+        |  FROM corpus
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS f) g
+        |  WHERE f < ceil(length(text) / 16.0)),
+        |pk AS (
+        |  SELECT doc_id, f, e FROM (
+        |    SELECT doc_id, f, e,
+        |      lag(e) OVER (PARTITION BY doc_id ORDER BY f) AS ep,
+        |      lead(e) OVER (PARTITION BY doc_id ORDER BY f) AS en
+        |    FROM fr) t
+        |  WHERE ep IS NOT NULL AND en IS NOT NULL AND e > ep AND e >= en),
+        |fp AS (
+        |  SELECT p1.doc_id AS doc_id, p1.f AS anchor,
+        |    md5(CAST(p1.e // 1000 AS VARCHAR) || ':' ||
+        |        CAST(p2.e // 1000 AS VARCHAR) || ':' ||
+        |        CAST(p2.f - p1.f AS VARCHAR)) AS k
+        |  FROM pk p1 JOIN pk p2 ON p2.doc_id = p1.doc_id
+        |    AND p2.f - p1.f BETWEEN 1 AND 6),
+        |m AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    a.anchor - b.anchor AS offset_delta
+        |  FROM fp a JOIN fp b ON a.k = b.k AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, CAST(offset_delta AS BIGINT) AS offset_delta,
+        |  CAST(count(*) AS BIGINT) AS votes
+        |FROM m GROUP BY 1, 2, 3 HAVING count(*) >= 4
+        |ORDER BY a_id, b_id, offset_delta""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.Stage
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(
+        docs.filter(col("doc_id") % 10 === 0 && length(col("text")) >= 96)
+          .select(Q.plantedId(col("doc_id"), 100000).as("doc_id"),
+            expr("substr(text, 33)").as("text")))
+      val fr = corpus
+        .withColumn("f", explode(sequence(lit(0L), least(
+          ceil(length(col("text")) / 16.0).cast("long") - 1, lit(63L)))))
+        .withColumn("frame",
+          col("text").substr((col("f") * 16 + 1).cast("int"), lit(16)))
+        .select(col("doc_id"), col("f"),
+          aggregate(
+            transform(split(col("frame"), ""),
+              c => (ascii(c) * ascii(c)).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("e"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("f"))
+      val pk = fr
+        .withColumn("ep", lag(col("e"), 1).over(w))
+        .withColumn("en", lead(col("e"), 1).over(w))
+        .filter(col("ep").isNotNull && col("en").isNotNull &&
+          col("e") > col("ep") && col("e") >= col("en"))
+        .select(col("doc_id"), col("f"), col("e"))
+      val fp = pk.as("p1")
+        .join(pk.as("p2"),
+          col("p2.doc_id") === col("p1.doc_id") &&
+            col("p2.f") - col("p1.f") >= 1 && col("p2.f") - col("p1.f") <= 6)
+        .select(col("p1.doc_id").as("doc_id"), col("p1.f").as("anchor"),
+          md5(concat_ws(":",
+            (col("p1.e") / 1000).cast("long"),
+            (col("p2.e") / 1000).cast("long"),
+            (col("p2.f") - col("p1.f")))).as("k"))
+        .transform(Stage.stage) // one fingerprint pass feeds both join sides
+      fp.as("a")
+        .join(fp.as("b"),
+          col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          (col("a.anchor") - col("b.anchor")).as("offset_delta"))
+        .groupBy(col("a_id"), col("b_id"), col("offset_delta"))
+        .agg(count(lit(1)).cast("long").as("votes"))
+        .filter(col("votes") >= 4)
+        .select(col("a_id"), col("b_id"),
+          col("offset_delta").cast("long").as("offset_delta"), col("votes"))
+        .orderBy(col("a_id"), col("b_id"), col("offset_delta"))
     }
   )
 }

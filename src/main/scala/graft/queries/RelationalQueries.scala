@@ -119,8 +119,11 @@ object RelationalQueries {
         .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
       val l = Tables(s, dir, "lineitem")
         .filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast("timestamp"))
-      // customer is the small side at any SF ratio — broadcast it.
-      o.join(broadcast(c), col("c_custkey") === col("o_custkey"))
+      // customer is the smaller side at any SF ratio but SCALES with
+      // SF — no forced broadcast (round-8 lint): stats/AQE broadcast
+      // it while it fits and shuffle it at 100 TB, which a hard hint
+      // would override into an OOM.
+      o.join(c, col("c_custkey") === col("o_custkey"))
         .join(l, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(sum((dec(col("l_extendedprice")) *
@@ -183,9 +186,13 @@ object RelationalQueries {
       val sup = Tables(s, dir, "supplier")
       val n = Tables(s, dir, "nation")
       val r = Tables(s, dir, "region").filter(col("r_name") === "ASIA")
+      // nation/region are contract-bounded (25/5 rows) — forced
+      // broadcast is safe at any scale. customer/supplier SCALE with
+      // SF: no hint (round-8 lint), stats/AQE pick broadcast while
+      // they fit and shuffle when they don't.
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("c_custkey") === col("o_custkey"))
-        .join(broadcast(sup),
+        .join(c, col("c_custkey") === col("o_custkey"))
+        .join(sup,
           col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))

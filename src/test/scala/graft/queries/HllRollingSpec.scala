@@ -47,6 +47,43 @@ class HllRollingSpec extends SparkSpec {
     }
   }
 
+  test("q60: inclusion-exclusion overlap error <= 5% of the exact union per month") {
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val orders = Tables(spark, dir, "orders")
+      val mo = orders
+        .select(trunc(col("o_orderdate"), "month").as("m"),
+          col("o_custkey").as("c"))
+        .distinct()
+      val a = mo.groupBy(col("m")).agg(count(lit(1)).cast("long").as("n"))
+      val ret = mo.as("cur")
+        .join(mo.as("prv"),
+          col("prv.c") === col("cur.c") &&
+            expr("prv.m = add_months(cur.m, -1)"))
+        .groupBy(col("cur.m").as("m"))
+        .agg(count(lit(1)).cast("long").as("n_retained"))
+      val rows = a.as("cur")
+        .join(a.as("prv"), expr("prv.m = add_months(cur.m, -1)"))
+        .select(col("cur.m").as("m"), col("cur.n").as("n_cur"),
+          col("prv.n").as("n_prev"))
+        .join(ret, Seq("m"), "left_outer")
+        .join(AnalyticsQueries.hllMonthlyRetention(orders), Seq("m"))
+        .collect()
+      assert(rows.nonEmpty, s"no month pairs at $dir")
+      val errs = rows.map { r =>
+        val exact = if (r.isNullAt(3)) 0L else r.getLong(3)
+        val union = r.getLong(1) + r.getLong(2) - exact
+        val est = r.getLong(4) + r.getLong(5) - r.getLong(6)
+        (r.get(0), exact, est, math.abs(est - exact).toDouble / union.max(1L))
+      }
+      val worst = errs.maxBy(_._4)
+      assert(worst._4 <= 0.05,
+        s"$dir month ${worst._1}: exact ${worst._2} est ${worst._3} " +
+          f"err-of-union ${worst._4 * 100}%.2f%%")
+      info(f"$dir: ${errs.length} month pairs, worst err-of-union " +
+        f"${worst._4 * 100}%.2f%% (exact overlap ${worst._2})")
+    }
+  }
+
   test("q59's gated flag is TRUE on every row at sf0.001") {
     val out = QueryRegistry.byName("q59_rolling_distinct_hll")
       .run(spark, "/root/testdata/sf0.001").collect()

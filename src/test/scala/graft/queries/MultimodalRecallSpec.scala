@@ -125,4 +125,29 @@ class MultimodalRecallSpec extends SparkSpec {
       s"no separation: dup avg $avgDup vs rand avg $avgRand")
     assert(maxDup <= 4, s"a planted dup drifted to hamming $maxDup")
   }
+
+  test("mm14: every detected planted crop matches at offset +2; recall floor holds") {
+    // sf0.01: richer peak population than sf0.001 (the vote floor
+    // needs >= 4 shared landmark pairs)
+    val d01 = "/root/testdata/sf0.01"
+    val out = QueryRegistry.byName("mm14_audio_fingerprint")
+      .run(spark, d01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val planted = out.filter { case (a, b, _, _) => b == a + 100000 }
+    // the fingerprint key is time-shift invariant, so a frame-aligned
+    // 2-frame crop can ONLY match at anchor delta +2 — any other delta
+    // on a planted pair is a correctness bug, not a recall miss
+    assert(planted.nonEmpty)
+    planted.foreach { case (a, _, d, v) =>
+      assert(d == 2L, s"planted pair of $a matched at delta $d")
+      assert(v >= 4L)
+    }
+    val eligible = Tables(spark, d01, "documents")
+      .filter(col("doc_id") % 10 === 0 && length(col("text")) >= 96)
+      .count()
+    val recall = planted.map(_._1).distinct.length.toDouble / eligible
+    // a vote-floor detector trades recall for precision; pin the trade
+    // (measured 32/49 = 0.65 — short clips lack 4 shared landmarks)
+    assert(recall >= 0.6, f"planted-crop recall $recall%.2f < 0.6")
+  }
 }

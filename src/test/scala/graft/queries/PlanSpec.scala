@@ -12,6 +12,7 @@ import graft.{QueryRegistry, SparkSpec, Tables}
 class PlanSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
+  private val dir10 = "/root/testdata/sf0.01" // 10x rows, for scale lints
 
   // queries whose run() executes a stream end-to-end (publish + consume
   // + landed parquet) — their executed plan is the final parquet read,
@@ -601,6 +602,46 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, bad.mkString("\n"))
   }
 
+  test("broadcast lint: no forced-broadcast side scales with the corpus") {
+    // a broadcast() hint is a 100 TB liability exactly when the hinted
+    // side grows with the data — a model table, a bounded query set,
+    // or a global/bounded-domain aggregate stays O(1)-ish while the
+    // corpus 10×es. Structural proofs are brittle (an Aggregate's
+    // output may or may not be bounded — the q38 lesson), so this lint
+    // MEASURES: every ResolvedHint(broadcast) subtree is counted at
+    // sf0.001 and at sf0.01 (10× the rows); a side whose cardinality
+    // grows > 3× (above a 64-row noise floor) is data-scaling and
+    // fails. It would catch a broadcast(vocabulary) or
+    // broadcast(fact-aggregate) the moment it is written.
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, ResolvedHint}
+    def hintSides(q: graft.Q, d: String): Seq[LogicalPlan] =
+      q.run(spark, d).queryExecution.analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.exists(
+            _.toString.contains("broadcast")) => h.child
+      }
+    def rows(p: LogicalPlan): Long =
+      spark.sessionState.executePlan(p).toRdd.count()
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    QueryRegistry.all
+      .filterNot(q => isStreamLoop(q.name))
+      .foreach { q =>
+        val s = hintSides(q, dir)
+        val l = hintSides(q, dir10)
+        // hint sites are positional in the plan walk: same code path,
+        // same order at both scales
+        assert(s.length == l.length, s"${q.name}: hint-count drift")
+        s.zip(l).zipWithIndex.foreach { case ((ps, pl), i) =>
+          val (ns, nl) = (rows(ps), rows(pl))
+          if (nl > 3 * math.max(ns, 64L))
+            bad += s"${q.name} hint #$i: broadcast side grew $ns -> $nl " +
+              "rows from sf0.001 to sf0.01 — it scales with the corpus " +
+              "and cannot broadcast at 100 TB"
+        }
+        graft.operators.Stage.drain(spark)
+      }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
   test("no CartesianProduct in any registered query plan") {
     // a broadcast nested-loop against a bounded side is fine (s01's
     // query set); an unbroadcast cartesian of two big sides never is.
@@ -682,7 +723,8 @@ class PlanSpec extends SparkSpec {
       "q43_equidepth_histogram", "q38_spend_quartiles",
       "q57_exact_quantiles", "d21_cdc_chunks", "d22_overlap_stitch",
       "mm13_phash_dct", "p31_dsir_importance", "s17_ann_probe_sweep",
-      "t21_lm_backoff", "d23_incremental_chunks", "s18_cluster_purity")
+      "t21_lm_backoff", "d23_incremental_chunks", "s18_cluster_purity",
+      "mm14_audio_fingerprint")
     QueryRegistry.all
       .filterNot(q => isStreamLoop(q.name) || checkpoints.contains(q.name))
       .foreach { q =>
