@@ -41,7 +41,7 @@ object DedupQueries {
     * `corpus(doc_id, source, text)`; yields `r` (doc_id, source, idx,
     * h, chars)) — shared by d21 (storage accounting) and d23
     * (incremental chunk dedup). Mirrors [[cdcChunkRows]]. */
-  private val cdcChunkSql =
+  private[queries] val cdcChunkSql =
     """ws AS (
       |  SELECT doc_id, source,
       |    list_filter(string_split(text, ' '), x -> x <> '') AS w
@@ -77,7 +77,7 @@ object DedupQueries {
     * starts/ends are materialized as columns BEFORE the chunk slicing
     * (inlining them re-evaluates the whole boundary array per chunk —
     * no CSE across lambda bodies). */
-  private def cdcChunkRows(corpus: DataFrame): DataFrame =
+  private[queries] def cdcChunkRows(corpus: DataFrame): DataFrame =
     corpus
       .select(col("doc_id"), col("source"),
         DedupOps.words(col("text")).as("w"))

@@ -867,15 +867,27 @@ object MultimodalQueries {
     // PEAKS (strict-left / non-strict-right local maxima — the
     // asymmetry keeps plateaus from double-counting) become landmarks;
     // each landmark pairs with the next landmarks in a 6-frame target
-    // zone, and the fingerprint key hashes (quantized e1, quantized
-    // e2, Δframe) — TIME-SHIFT INVARIANT by construction, because the
-    // key carries only relative structure. Matching is the inverted
-    // index as an equi-join on the key; a true copy shows a DOMINANT
-    // consistent anchor-offset delta (the vote histogram), random
-    // collisions scatter across deltas and die under the ≥4-vote
-    // floor. Planted truth: every 10th clip (≥96 chars) re-ingested
-    // with its first 32 bytes (2 frames) cut — a frame-aligned crop,
-    // which the detector must match at offset_delta exactly +2.
+    // zone, and the fingerprint key hashes (e1, e2, Δframe) —
+    // TIME-SHIFT INVARIANT by construction, because the key carries
+    // only relative structure. Matching is the inverted index as an
+    // equi-join on the key; a true copy shows a DOMINANT consistent
+    // anchor-offset delta (the vote histogram), random collisions
+    // scatter across deltas and die under the ≥4-vote floor. Planted
+    // truth: every 10th clip (≥96 chars) re-ingested with its first
+    // 32 bytes (2 frames) cut — a frame-aligned crop, which the
+    // detector must match at offset_delta exactly +2.
+    // Keys carry EXACT energies, measured lesson: a first cut
+    // quantized them (e div 1000, real-audio robustness theater), and
+    // the key vocabulary SATURATED — at 10× rows the per-key
+    // multiplicity histogram went from Σm²=798k/max 49 to
+    // Σm²=204.6M/max 1168 (256× candidate output for 14× input; soak
+    // ratio 18). The stub's crop transform is exact, so exact keys
+    // keep the detection contract while multiplicity tracks TRUE
+    // duplication (Σm² 14× for 14× input, max 5 at both scales). With
+    // real noisy audio the keys must coarsen again — and then
+    // ALL-PAIRS matching is off the table: quantized-key matching has
+    // to be probe-vs-index (a bounded incoming batch against the
+    // catalog), exactly mm05/mm06's collision-rare-band lesson.
     // Scale posture: peaks from a doc_id-partitioned window; pairing
     // is a per-clip self-equi-join bounded by the 64-frame budget;
     // candidate matching is ONE equi-join on the fingerprint key
@@ -907,8 +919,8 @@ object MultimodalQueries {
         |  WHERE ep IS NOT NULL AND en IS NOT NULL AND e > ep AND e >= en),
         |fp AS (
         |  SELECT p1.doc_id AS doc_id, p1.f AS anchor,
-        |    md5(CAST(p1.e // 1000 AS VARCHAR) || ':' ||
-        |        CAST(p2.e // 1000 AS VARCHAR) || ':' ||
+        |    md5(CAST(p1.e AS VARCHAR) || ':' ||
+        |        CAST(p2.e AS VARCHAR) || ':' ||
         |        CAST(p2.f - p1.f AS VARCHAR)) AS k
         |  FROM pk p1 JOIN pk p2 ON p2.doc_id = p1.doc_id
         |    AND p2.f - p1.f BETWEEN 1 AND 6),
@@ -949,9 +961,7 @@ object MultimodalQueries {
           col("p2.doc_id") === col("p1.doc_id") &&
             col("p2.f") - col("p1.f") >= 1 && col("p2.f") - col("p1.f") <= 6)
         .select(col("p1.doc_id").as("doc_id"), col("p1.f").as("anchor"),
-          md5(concat_ws(":",
-            (col("p1.e") / 1000).cast("long"),
-            (col("p2.e") / 1000).cast("long"),
+          md5(concat_ws(":", col("p1.e"), col("p2.e"),
             (col("p2.f") - col("p1.f")))).as("k"))
         .transform(Stage.stage) // one fingerprint pass feeds both join sides
       fp.as("a")

@@ -1929,6 +1929,118 @@ object PipelineQueries {
           round(col("wgt"), 6).as("log_weight"))
         .orderBy(col("log_weight").desc, col("doc_id"))
         .limit(50)
+    },
+
+    // ---------------------------------------------------------------
+    // p32 — takedown CASCADE (right-to-be-forgotten / DMCA removal
+    // propagated through derived artifacts): a removal notice set
+    // (doc_id % 17 = 3 — the deterministic stand-in for a legal list)
+    // must not just delete source documents; every derived artifact a
+    // pipeline materializes has to be re-audited. Three stages here,
+    // each a real artifact family this engine builds:
+    //   documents — rows leaving the corpus;
+    //   chunks    — the d21 CDC store: a chunk hash leaves storage
+    //               only if EVERY occurrence was in removed docs; a
+    //               surviving chunk whose first-occurrence OWNER was
+    //               removed is RE-OWNED by the minimum surviving
+    //               (doc, idx) — the accounting a dedup store must
+    //               replay or it under-reports retained bytes;
+    //   trigrams  — the t21 LM count tables: a trigram drops only if
+    //               it was exclusive to removed docs (counts for
+    //               shared ones merely decrease).
+    // One report row per artifact: n_before, n_removed, n_reowned,
+    // n_after. Scale posture: every stage is a hash groupBy on the
+    // content key with min/max partial aggs — d01's one-shuffle shape;
+    // ownership is min(doc_id) per hash (first occurrence), never a
+    // window; no anti-join materializes the removed set (the predicate
+    // rides into the aggregates).
+    Q(
+      "p32_takedown_cascade",
+      s"""WITH corpus AS (SELECT doc_id, source, text FROM documents),
+        |${DedupQueries.cdcChunkSql},
+        |drow AS (SELECT 'documents' AS artifact,
+        |  CAST(count(*) AS BIGINT) AS n_before,
+        |  CAST(sum(CASE WHEN doc_id % 17 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(0 AS BIGINT) AS n_reowned,
+        |  CAST(sum(CASE WHEN doc_id % 17 <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_after
+        |  FROM corpus),
+        |cho AS (SELECT h, min(doc_id) AS mindoc,
+        |  max(CASE WHEN doc_id % 17 <> 3 THEN 1 ELSE 0 END) AS surv
+        |  FROM r GROUP BY h),
+        |chrow AS (SELECT 'chunks' AS artifact,
+        |  CAST(count(*) AS BIGINT) AS n_before,
+        |  CAST(sum(1 - surv) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN surv = 1 AND mindoc % 17 = 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_reowned,
+        |  CAST(sum(surv) AS BIGINT) AS n_after
+        |  FROM cho),
+        |tg AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |        FROM ws WHERE len(w) >= 3) t),
+        |tga AS (SELECT g,
+        |  max(CASE WHEN doc_id % 17 <> 3 THEN 1 ELSE 0 END) AS surv
+        |  FROM tg GROUP BY g),
+        |tgrow AS (SELECT 'trigrams' AS artifact,
+        |  CAST(count(*) AS BIGINT) AS n_before,
+        |  CAST(sum(1 - surv) AS BIGINT) AS n_removed,
+        |  CAST(0 AS BIGINT) AS n_reowned,
+        |  CAST(sum(surv) AS BIGINT) AS n_after
+        |  FROM tga)
+        |SELECT * FROM drow UNION ALL SELECT * FROM chrow
+        |UNION ALL SELECT * FROM tgrow
+        |ORDER BY artifact""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val removed = col("doc_id") % 17 === 3
+      val drow = docs
+        .agg(count(lit(1)).as("nb"),
+          sum(when(removed, 1L).otherwise(0L)).as("nr"))
+        .select(lit("documents").as("artifact"),
+          col("nb").cast("long").as("n_before"),
+          col("nr").cast("long").as("n_removed"),
+          lit(0L).as("n_reowned"),
+          (col("nb") - col("nr")).cast("long").as("n_after"))
+      val ch = DedupQueries.cdcChunkRows(docs)
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("mindoc"),
+          max(when(!removed, 1).otherwise(0)).as("surv"))
+      val chrow = ch
+        .agg(count(lit(1)).as("nb"),
+          sum(lit(1) - col("surv")).as("nr"),
+          sum(when(col("surv") === 1 && col("mindoc") % 17 === 3, 1L)
+            .otherwise(0L)).as("nre"),
+          sum(col("surv")).as("na"))
+        .select(lit("chunks").as("artifact"),
+          col("nb").cast("long").as("n_before"),
+          col("nr").cast("long").as("n_removed"),
+          col("nre").cast("long").as("n_reowned"),
+          col("na").cast("long").as("n_after"))
+      val tga = docs
+        .select(col("doc_id"), DedupOps.words(col("text")).as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(1), size(col("w")) - 2)).as("i"))
+        .select(col("doc_id"), concat_ws(" ",
+          element_at(col("w"), col("i")),
+          element_at(col("w"), col("i") + 1),
+          element_at(col("w"), col("i") + 2)).as("g"))
+        .groupBy(col("g"))
+        .agg(max(when(!removed, 1).otherwise(0)).as("surv"))
+      val tgrow = tga
+        .agg(count(lit(1)).as("nb"),
+          sum(lit(1) - col("surv")).as("nr"),
+          sum(col("surv")).as("na"))
+        .select(lit("trigrams").as("artifact"),
+          col("nb").cast("long").as("n_before"),
+          col("nr").cast("long").as("n_removed"),
+          lit(0L).as("n_reowned"),
+          col("na").cast("long").as("n_after"))
+      drow.unionByName(chrow).unionByName(tgrow)
+        .orderBy(col("artifact"))
     }
   )
 
