@@ -2041,6 +2041,70 @@ object PipelineQueries {
           col("na").cast("long").as("n_after"))
       drow.unionByName(chrow).unionByName(tgrow)
         .orderBy(col("artifact"))
+    },
+
+    // ---------------------------------------------------------------
+    // p33 — rendezvous (highest-random-weight) resharding stability:
+    // how a 100 TB bucketed corpus store grows its shard set WITHOUT a
+    // full rewrite. Every doc goes to argmax over shards of
+    // md5(doc_id:shard) (Thaler & Ravishankar 1998); when the set grows
+    // 8 → 9, a doc moves only if the NEW shard wins its argmax — so
+    // exactly ~1/9 of docs move and every move targets shard 9 (the
+    // gated n_moved_elsewhere column is the invariant, 0 by
+    // construction). Contrast mod-N hashing, where growth reshuffles
+    // (N-1)/N of the corpus. Scale posture: assignment is ONE stateless
+    // projection per doc — a fold over a constant S-element shard array
+    // (the oracle's unnest+arg_max shape is the SQL rendering; the
+    // Spark plan never explodes) — and the only exchange is the final
+    // S-group agg. At 100 TB only the moved 1/(S+1) re-materializes;
+    // md5 ties are impossible (distinct inputs), so the argmax is
+    // deterministic in any engine with md5.
+    Q(
+      "p33_rendezvous_reshard",
+      """WITH sh8 AS (
+        |  SELECT doc_id,
+        |    arg_max(s, md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)))
+        |      AS shard_old
+        |  FROM documents CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS s) g
+        |  GROUP BY doc_id),
+        |sh9 AS (
+        |  SELECT doc_id,
+        |    arg_max(s, md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)))
+        |      AS shard_new
+        |  FROM documents CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS s) g
+        |  GROUP BY doc_id),
+        |j AS (SELECT sh8.doc_id, shard_old, shard_new
+        |      FROM sh8 JOIN sh9 USING (doc_id))
+        |SELECT CAST(shard_old AS BIGINT) AS shard_old,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN shard_new <> shard_old THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_moved,
+        |  CAST(sum(CASE WHEN shard_new <> shard_old AND shard_new <> 9
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_elsewhere,
+        |  round(sum(CASE WHEN shard_new <> shard_old THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 6) AS moved_frac
+        |FROM j GROUP BY shard_old ORDER BY shard_old""".stripMargin
+    ) { (s, dir) =>
+      // argmax via array_max over (hash, shard) structs — struct
+      // ordering compares hk first; md5 over distinct inputs never
+      // ties, so the shard field never decides.
+      def hrw(n: Int): org.apache.spark.sql.Column =
+        array_max(transform(sequence(lit(1), lit(n)), sh =>
+          struct(md5(concat(col("doc_id").cast("string"), lit(":"),
+            sh.cast("string"))).as("hk"), sh.as("shard"))))
+          .getField("shard").cast("long")
+      val moved = col("shard_new") =!= col("shard_old")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          hrw(8).as("shard_old"), hrw(9).as("shard_new"))
+        .groupBy(col("shard_old"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(moved, 1L).otherwise(0L)).cast("long").as("n_moved"),
+          sum(when(moved && col("shard_new") =!= 9, 1L).otherwise(0L))
+            .cast("long").as("n_moved_elsewhere"),
+          round(sum(when(moved, 1L).otherwise(0L))
+            / count(lit(1)).cast("double"), 6).as("moved_frac"))
+        .orderBy(col("shard_old"))
     }
   )
 

@@ -1348,6 +1348,89 @@ object SimilarityQueries {
             .as("cell_purity"),
           col("global_purity"), col("nmi"))
         .orderBy(col("pivot_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // s19 — matryoshka truncation recall: recall@10 of brute-force
+    // search over the FIRST d dims (d ∈ {8, 16, 32}) against the full
+    // 64-dim ground truth — the eval that licenses prefix-truncated
+    // retrieval (Kusupati et al., "Matryoshka Representation Learning",
+    // NeurIPS 2022). At 100 TB the payoff is storage-side: the corpus
+    // scan reads a d-dim prefix column (8× fewer bytes at d=8) and only
+    // top-k survivors ever touch the full vectors — the same
+    // prune-then-rerank discipline as s06/s08. Eval cost discipline is
+    // s01's: the 20-query set broadcasts, the corpus scans ONCE into a
+    // staged pair table carrying all four rounded cosines, and each of
+    // the four rankings is a GroupTopK off that staged table (per-
+    // partition heaps — the q·n stream never reaches an exchange
+    // unranked). Prefix norms are computed per ROW before the join,
+    // never per pair; every cosine is the index-order fold both engines
+    // share, rounded to 6 decimals (the repo-wide float contract).
+    Q(
+      "s19_matryoshka_recall",
+      s"""WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM base
+        |      WHERE vec_id >= 300 AND vec_id < 320),
+        |pairs AS (
+        |  SELECT q_id, c.vec_id AS neighbor_id,
+        |    ${cosPrefixSql("qv", "c.v", 8)} AS cos8,
+        |    ${cosPrefixSql("qv", "c.v", 16)} AS cos16,
+        |    ${cosPrefixSql("qv", "c.v", 32)} AS cos32,
+        |    ${cosineSql("qv", "c.v", 64)} AS cos64
+        |  FROM q CROSS JOIN base c WHERE c.vec_id <> q_id),
+        |truth AS (
+        |  SELECT q_id, neighbor_id FROM (
+        |    SELECT q_id, neighbor_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos64 DESC, neighbor_id ASC) AS rank
+        |    FROM pairs) t WHERE rank <= 10),
+        |${Seq(8, 16, 32).map(matryoshkaSweepSql).mkString(",\n")}
+        |SELECT * FROM r8 UNION ALL SELECT * FROM r16
+        |UNION ALL SELECT * FROM r32 ORDER BY d""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.Stage
+      val dims = Seq(8, 16, 32)
+      def pre(df: org.apache.spark.sql.DataFrame) =
+        dims.foldLeft(df.withColumn("nv", VectorOps.norm(col("v")))) {
+          (d, k) => d.withColumn(s"v$k", slice(col("v"), 1, k))
+            .withColumn(s"n$k", VectorOps.norm(col(s"v$k")))
+        }
+      val base = pre(Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v")))
+      val q = base.filter(col("vec_id") >= 300 && col("vec_id") < 320)
+        .select(col("vec_id").as("q_id") +: col("v").as("qv") +:
+          col("nv").as("nq") +:
+          dims.flatMap(k => Seq(col(s"v$k").as(s"q$k"),
+            col(s"n$k").as(s"nq$k"))): _*)
+      val pairs = broadcast(q).join(base, col("vec_id") =!= col("q_id"))
+        .select(col("q_id") +: col("vec_id").as("neighbor_id") +:
+          (dims.map(k => VectorOps.cosineWithNorms(col(s"q$k"), col(s"v$k"),
+            col(s"nq$k"), col(s"n$k")).as(s"cos$k")) :+
+           VectorOps.cosineWithNorms(col("qv"), col("v"),
+             col("nq"), col("nv")).as("cos64")): _*)
+        .transform(Stage.stage) // one corpus scan, four rankings
+      def top10(by: String) = graft.plans.GroupTopK.topKRanked(pairs,
+          Seq(col("q_id")), 10, "rank", col(by).desc,
+          col("neighbor_id").asc)
+        .select(col("q_id"), col("neighbor_id"))
+      val truth = top10("cos64").transform(Stage.stage)
+      val qids = pairs.select(col("q_id")).distinct()
+      val rows = dims.map { k =>
+        val hits = truth.join(top10(s"cos$k"), Seq("q_id", "neighbor_id"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("nh"))
+        qids.join(hits, Seq("q_id"), "left")
+          .select(coalesce(col("nh"), lit(0L)).as("nh"))
+          .agg(count(lit(1)).as("nq"),
+            sum(col("nh")).cast("long").as("sum_hits"),
+            min(col("nh")).cast("long").as("min_hits"),
+            max(col("nh")).cast("long").as("max_hits"))
+          .select(lit(k).as("d"), col("nq").cast("long").as("n_queries"),
+            col("sum_hits"), col("min_hits"), col("max_hits"),
+            round(col("sum_hits") / (lit(10.0) * col("nq")), 6)
+              .as("mean_recall"))
+      }
+      rows.reduce(_ unionByName _).orderBy(col("d"))
     }
   )
 
@@ -1464,6 +1547,37 @@ object SimilarityQueries {
        |    FROM $aT CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
        |    GROUP BY pivot_id, i) s
        |  GROUP BY pivot_id""".stripMargin
+
+  /** DuckDB rendering of a prefix-truncated cosine (s19): dot and BOTH
+    * norms over the first `d` dims only — the same index-order fold as
+    * cosineSql, rounded to 6 decimals. */
+  private def cosPrefixSql(a: String, b: String, d: Int): String =
+    s"""round(list_aggregate(list_transform(generate_series(1, $d), i -> $a[i] * $b[i]), 'sum')
+       | / (sqrt(list_aggregate(list_transform($a[1:$d], x -> x * x), 'sum'))
+       |    * sqrt(list_aggregate(list_transform($b[1:$d], x -> x * x), 'sum'))), 6)"""
+      .stripMargin.replace("\n", " ")
+
+  /** DuckDB rendering of one s19 truncation sweep (expects `pairs`,
+    * `truth`, `q`): top-10 by the d-dim cosine, hit counts vs truth,
+    * then the (d, n_queries, sum/min/max hits, mean_recall) row. */
+  private def matryoshkaSweepSql(d: Int): String =
+    s"""ap$d AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos$d DESC, neighbor_id ASC) AS rank
+       |    FROM pairs) t WHERE rank <= 10),
+       |h$d AS (
+       |  SELECT t.q_id, count(*) AS nh FROM truth t JOIN ap$d a
+       |    ON t.q_id = a.q_id AND t.neighbor_id = a.neighbor_id
+       |  GROUP BY t.q_id),
+       |r$d AS (
+       |  SELECT $d AS d, CAST(count(*) AS BIGINT) AS n_queries,
+       |    CAST(sum(COALESCE(nh, 0)) AS BIGINT) AS sum_hits,
+       |    CAST(min(COALESCE(nh, 0)) AS BIGINT) AS min_hits,
+       |    CAST(max(COALESCE(nh, 0)) AS BIGINT) AS max_hits,
+       |    round(sum(COALESCE(nh, 0)) / (10.0 * count(*)), 6) AS mean_recall
+       |  FROM (SELECT DISTINCT q_id FROM q) qq
+       |  LEFT JOIN h$d ON qq.q_id = h$d.q_id)""".stripMargin
 
   /** DuckDB rendering of VectorOps.srpBucket(v, 64, 6). */
   private def srpBucketSql6(v: String): String =

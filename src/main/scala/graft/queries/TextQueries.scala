@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.operators.{DedupOps, Stage, TextOps}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1239,6 +1239,187 @@ object TextQueries {
           coalesce(col("n_oov"), lit(0L)).as("n_oov"),
           (col("slp") / col("ns")).as("avg_logprob"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // t22 — per-source distribution drift: KL(source ‖ corpus) over a
+    // 256-bucket hashed char-trigram profile — the monitoring report a
+    // training-data pipeline runs per ingest batch to catch a crawl
+    // source whose character statistics shifted (encoding regressions,
+    // template floods, language drift) BEFORE it pollutes the mix.
+    // Hashed buckets bound the vocabulary exactly as p31/DSIR does
+    // (Xie et al. 2023 use the same trick); by the data-processing
+    // inequality the bucketed KL lower-bounds the true trigram KL, so
+    // a nonzero alarm is never hash noise. Zero-count buckets
+    // contribute 0 (lim p→0 of p·ln p), and the corpus marginal
+    // includes the source itself, so every ln argument is finite —
+    // no smoothing constant to tune. Scale posture: the trigram
+    // stream partial-aggregates map-side into ≤ |sources|·256 rows —
+    // the ONLY exchange is that (source, bucket) agg; the source and
+    // corpus marginals are broadcast-sized; the monitor costs one
+    // corpus scan regardless of corpus size. Determinism: counts are
+    // exact ints; each term is round(c·ln(ratio-of-exact-int
+    // products), 6) summed as DECIMAL(28,6) (p31's advisor-hardened
+    // discipline), then ONE division by the source total. The int64
+    // products c_sb·C / c_s·C_b stay far below 2⁶³ at any input this
+    // fold sees (≤ 10⁹·10¹² at a full 100 TB shard — the comment-level
+    // guard is the same as t21's count tables: shard the monitor per
+    // ingest batch, not per corpus-lifetime).
+    Q(
+      "t22_source_drift",
+      """WITH tri AS (
+        |  SELECT source,
+        |    substr(md5(substr(text, CAST(i AS INT), 3)), 1, 2) AS b
+        |  FROM (SELECT source, text,
+        |          unnest(generate_series(1, length(text) - 2)) AS i
+        |        FROM documents WHERE length(text) >= 3) t),
+        |sc AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c_sb
+        |       FROM tri GROUP BY source, b),
+        |st AS (SELECT source, CAST(sum(c_sb) AS BIGINT) AS c_s,
+        |         CAST(count(*) AS BIGINT) AS n_buckets
+        |       FROM sc GROUP BY source),
+        |cb AS (SELECT b, CAST(sum(c_sb) AS BIGINT) AS c_b
+        |       FROM sc GROUP BY b),
+        |ct AS (SELECT CAST(sum(c_sb) AS BIGINT) AS c FROM sc),
+        |terms AS (
+        |  SELECT sc.source,
+        |    CAST(round(sc.c_sb * ln(CAST(sc.c_sb * ct.c AS DOUBLE)
+        |      / CAST(st.c_s * cb.c_b AS DOUBLE)), 6) AS DECIMAL(28,6))
+        |      AS term
+        |  FROM sc JOIN st USING (source) JOIN cb USING (b) CROSS JOIN ct)
+        |SELECT st.source, st.c_s AS n_trigrams, st.n_buckets,
+        |  round(CAST(a.tsum AS DOUBLE) / CAST(st.c_s AS DOUBLE), 6)
+        |    AS kl_nats
+        |FROM (SELECT source, sum(term) AS tsum FROM terms GROUP BY source) a
+        |JOIN st USING (source)
+        |ORDER BY st.source""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.Stage
+      val sc = Tables(s, dir, "documents")
+        .filter(length(col("text")) >= 3)
+        .select(col("source"),
+          explode(TextOps.charNgrams(col("text"), 3)).as("g"))
+        .select(col("source"), substring(md5(col("g")), 1, 2).as("b"))
+        .groupBy(col("source"), col("b"))
+        .agg(count(lit(1)).cast("long").as("c_sb"))
+        .transform(Stage.stage) // feeds both marginals AND the terms
+      val st = sc.groupBy(col("source"))
+        .agg(sum(col("c_sb")).cast("long").as("c_s"),
+          count(lit(1)).cast("long").as("n_buckets"))
+      val cb = sc.groupBy(col("b"))
+        .agg(sum(col("c_sb")).cast("long").as("c_b"))
+      val ct = sc.agg(sum(col("c_sb")).cast("long").as("c"))
+      val agg = sc.join(broadcast(st.select(col("source"), col("c_s"))),
+          Seq("source"))
+        .join(broadcast(cb), Seq("b"))
+        .crossJoin(broadcast(ct))
+        .select(col("source"),
+          round(col("c_sb") * log((col("c_sb") * col("c")).cast("double")
+            / (col("c_s") * col("c_b")).cast("double")), 6)
+            .cast("decimal(28,6)").as("term"))
+        .groupBy(col("source")).agg(sum(col("term")).as("tsum"))
+      agg.join(broadcast(st), Seq("source"))
+        .select(col("source"), col("c_s").as("n_trigrams"),
+          col("n_buckets"),
+          round(col("tsum").cast("double") / col("c_s").cast("double"), 6)
+            .as("kl_nats"))
+        .orderBy(col("source"))
+    },
+
+    // ---------------------------------------------------------------
+    // t23 — distributed BPE trainer iterations (Sennrich et al., ACL
+    // 2016): the first three merges of byte-pair encoding learned over
+    // the 'en' corpus slice, entirely as relational algebra — the
+    // tokenizer-training loop a data pipeline runs BEFORE any token
+    // count in it means anything. Corpus state is a SYMBOL TABLE
+    // (doc_id, word, pos, sym) — never a driver-side vocabulary; one
+    // iteration = (1) adjacent-pair counts via lead() over each word
+    // (partial-agg'd, key space ≤ vocab²), (2) the argmax pair as a
+    // 1-row TakeOrderedAndProject broadcast, (3) greedy left-to-right
+    // merge application: matches on consecutive SYMBOL ROWS form
+    // gaps-and-islands (grp = global rn − per-match rn), greedy takes
+    // the odd positions of each island (handles the aa|aa overlap case
+    // exactly), and a consumed row is simply one whose left neighbour
+    // merged — lag(do_merge). Every window is partitioned by
+    // (doc, word) — parallel over words, no global order anywhere;
+    // at 100 TB each iteration is the same two bounded exchanges per
+    // pass over the symbol table, and real trainers run exactly this
+    // shape with thousands of iterations checkpointing the symbol
+    // table (the comment-level loop; three unrolled here keep the
+    // oracle finite). All-integer outputs — no float surface at all.
+    // Cross-check built into the report: n_syms_after(i) must equal
+    // n_syms_before(i+1), and pair_count ≥ n_merges with equality iff
+    // no occurrences overlapped.
+    Q(
+      "t23_bpe_merges",
+      s"""WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents WHERE lang = 'en'),
+        |wx AS (
+        |  SELECT doc_id, CAST(wi AS BIGINT) AS wi, w[CAST(wi AS INT)] AS word
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS wi
+        |        FROM ws) t),
+        |s0 AS (
+        |  SELECT doc_id, wi, CAST(p AS BIGINT) AS pos,
+        |    substr(word, CAST(p AS INT), 1) AS sym
+        |  FROM (SELECT doc_id, wi, word,
+        |          unnest(generate_series(1, length(word))) AS p FROM wx) t),
+        |${bpeIterSql(1, "s0")},
+        |${bpeIterSql(2, "s1")},
+        |${bpeIterSql(3, "s2")}
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL
+        |SELECT * FROM r3 ORDER BY iter""".stripMargin
+    ) { (s, dir) =>
+      def bpeIter(prev: DataFrame, i: Int): (DataFrame, DataFrame) = {
+        val w = Window.partitionBy(col("doc_id"), col("wi"))
+          .orderBy(col("pos"))
+        val adj = prev
+          .withColumn("nxt", lead(col("sym"), 1).over(w))
+          .withColumn("rn_all", row_number().over(w))
+          .transform(Stage.stage) // feeds the pair count AND the apply
+        val top = adj.filter(col("nxt").isNotNull)
+          .groupBy(col("sym").as("ta"), col("nxt").as("tb"))
+          .agg(count(lit(1)).cast("long").as("tc"))
+          .orderBy(col("tc").desc, col("ta").asc, col("tb").asc)
+          .limit(1)
+        val m = adj.crossJoin(broadcast(top))
+          .withColumn("matched", col("sym") === col("ta") &&
+            coalesce(col("nxt") === col("tb"), lit(false)))
+        val g = m.withColumn("grp", col("rn_all") - row_number().over(
+          Window.partitionBy(col("doc_id"), col("wi"), col("matched"))
+            .orderBy(col("pos"))))
+        val h = g.withColumn("do_merge", col("matched") &&
+          row_number().over(Window.partitionBy(col("doc_id"), col("wi"),
+            col("matched"), col("grp")).orderBy(col("pos"))) % 2 === 1)
+        val k = h.withColumn("consumed",
+          coalesce(lag(col("do_merge"), 1).over(w), lit(false)))
+        val next = k.filter(!col("consumed"))
+          .select(col("doc_id"), col("wi"), col("pos"),
+            when(col("do_merge"), concat(col("sym"), col("nxt")))
+              .otherwise(col("sym")).as("sym"))
+        val nb = adj.agg(count(lit(1)).cast("long").as("n_syms_before"))
+        val nm = k.agg(sum(when(col("do_merge"), 1L).otherwise(0L))
+          .cast("long").as("n_merges"))
+        val report = nb.crossJoin(broadcast(top)).crossJoin(broadcast(nm))
+          .select(lit(i).as("iter"), col("ta").as("sym_a"),
+            col("tb").as("sym_b"), col("tc").as("pair_count"),
+            col("n_syms_before"), col("n_merges"),
+            (col("n_syms_before") - col("n_merges")).as("n_syms_after"))
+        (next, report)
+      }
+      val s0 = Tables(s, dir, "documents")
+        .filter(col("lang") === "en")
+        .select(col("doc_id"),
+          posexplode(DedupOps.words(col("text"))).as(Seq("wi0", "word")))
+        .select(col("doc_id"), (col("wi0") + 1).cast("long").as("wi"),
+          col("word"),
+          explode(sequence(lit(1), length(col("word")))).as("p"))
+        .select(col("doc_id"), col("wi"), col("p").cast("long").as("pos"),
+          expr("substring(word, p, 1)").as("sym"))
+      val (s1, r1) = bpeIter(s0, 1)
+      val (s2, r2) = bpeIter(s1, 2)
+      val (_, r3) = bpeIter(s2, 3)
+      r1.unionByName(r2).unionByName(r3).orderBy(col("iter"))
     }
   )
 
@@ -1275,4 +1456,53 @@ object TextQueries {
       .select(col("doc_id"), col("lang"), col("p_lang").as("predicted"),
         col("score"))
   }
+
+  /** DuckDB rendering of one t23 BPE merge iteration over symbol table
+    * `prev` (doc_id, wi, pos, sym): pair counts via lead(), the argmax
+    * pair (ties count DESC → pair ASC), greedy application via
+    * gaps-and-islands on consecutive matched ROWS (odd island
+    * positions merge; a row whose LEFT neighbour merged is consumed).
+    * Emits s$i (the merged symbol table) and r$i (the report row). */
+  private def bpeIterSql(i: Int, prev: String): String =
+    s"""adj$i AS (
+       |  SELECT doc_id, wi, pos, sym,
+       |    lead(sym) OVER (PARTITION BY doc_id, wi ORDER BY pos) AS nxt,
+       |    row_number() OVER (PARTITION BY doc_id, wi ORDER BY pos) AS rn_all
+       |  FROM $prev),
+       |top$i AS (
+       |  SELECT sym AS ta, nxt AS tb, CAST(count(*) AS BIGINT) AS tc
+       |  FROM adj$i WHERE nxt IS NOT NULL
+       |  GROUP BY sym, nxt ORDER BY tc DESC, ta ASC, tb ASC LIMIT 1),
+       |m$i AS (
+       |  SELECT a.*, t.ta, t.tb, t.tc,
+       |    (a.sym = t.ta AND COALESCE(a.nxt = t.tb, FALSE)) AS matched
+       |  FROM adj$i a CROSS JOIN top$i t),
+       |g$i AS (
+       |  SELECT *, rn_all - row_number() OVER (
+       |      PARTITION BY doc_id, wi, matched ORDER BY pos) AS grp
+       |  FROM m$i),
+       |h$i AS (
+       |  SELECT *, (matched AND row_number() OVER (
+       |      PARTITION BY doc_id, wi, matched, grp ORDER BY pos) % 2 = 1)
+       |    AS do_merge
+       |  FROM g$i),
+       |k$i AS (
+       |  SELECT *, COALESCE(
+       |      lag(do_merge) OVER (PARTITION BY doc_id, wi ORDER BY pos),
+       |      FALSE) AS consumed
+       |  FROM h$i),
+       |s$i AS (
+       |  SELECT doc_id, wi, pos,
+       |    CASE WHEN do_merge THEN sym || nxt ELSE sym END AS sym
+       |  FROM k$i WHERE NOT consumed),
+       |r$i AS (
+       |  SELECT $i AS iter, t.ta AS sym_a, t.tb AS sym_b,
+       |    t.tc AS pair_count,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM adj$i) AS n_syms_before,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM k$i WHERE do_merge)
+       |      AS n_merges,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM adj$i)
+       |      - (SELECT CAST(count(*) AS BIGINT) FROM k$i WHERE do_merge)
+       |      AS n_syms_after
+       |  FROM top$i t)""".stripMargin
 }

@@ -29,7 +29,9 @@ class DeterminismSpec extends SparkSpec {
     "q55_time_weighted_avg", // decimal x interval products
     "mm13_phash_dct",        // integer DCT + hamming means
     "d05_embedding_neardup", // cosine over LSH candidates
-    "q41_rolling_anomaly"    // windowed mean/stddev
+    "q41_rolling_anomaly",   // windowed mean/stddev
+    "t22_source_drift",      // KL ln-term DECIMAL fold per source
+    "s19_matryoshka_recall"  // prefix-cosine folds + top-k ties
   )
 
   test("float-heavy queries are bit-identical across shuffle parallelism") {

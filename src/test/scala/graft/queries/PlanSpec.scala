@@ -706,6 +706,39 @@ class PlanSpec extends SparkSpec {
     } finally sources.close()
   }
 
+  test("p33: HRW assignment is a join-free projection into one agg — no explode") {
+    // the whole point vs the oracle's unnest+arg_max rendering: the
+    // Spark plan assigns both shard sets in ONE stateless pass (a fold
+    // over a constant shard array), so the only exchange is the final
+    // S-group agg and the row count never multiplies by the shard count
+    val p = planOf("p33_rendezvous_reshard")
+    assert(!p.contains("Join"), s"p33 plans a join:\n$p")
+    assert(!p.contains("Generate"), s"p33 explodes the shard array:\n$p")
+    val exchanges = p.split("Exchange").length - 1
+    assert(exchanges <= 2, s"p33 shuffles beyond the final agg:\n$p")
+    assert(p.contains("partial"), s"p33 missing map-side partial agg:\n$p")
+  }
+
+  test("s19: all four rankings ride GroupTopK off ONE staged pair scan") {
+    val p = planOf("s19_matryoshka_recall")
+    // four rankings (8/16/32 + truth) — each a GroupTopKExec, never a
+    // global sort of the q·n pair stream
+    val topks = p.split("GroupTopK").length - 1
+    assert(topks >= 4, s"s19 rankings fell off GroupTopK ($topks):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"s19 pair generation degraded to a cartesian:\n$p")
+  }
+
+  test("t22: the trigram stream partial-aggregates before its ONE exchange; " +
+    "marginals broadcast back") {
+    val p = planOf("t22_source_drift")
+    assert(p.contains("partial"), s"t22 missing map-side partial agg:\n$p")
+    // corpus-scale side never sort-merges: the source/bucket marginals
+    // are broadcast-sized and must come back as broadcast joins
+    assert(!p.contains("SortMergeJoin"),
+      s"t22 joins a marginal by shuffle:\n$p")
+  }
+
   test("every registered query stays off RDD fallbacks (no collect-driven loops)") {
     // structural smoke: building each plan succeeds and none mention
     // 'Scan ExistingRDD' (a sign of driver-side materialization).
@@ -724,7 +757,8 @@ class PlanSpec extends SparkSpec {
       "q57_exact_quantiles", "d21_cdc_chunks", "d22_overlap_stitch",
       "mm13_phash_dct", "p31_dsir_importance", "s17_ann_probe_sweep",
       "t21_lm_backoff", "d23_incremental_chunks", "s18_cluster_purity",
-      "mm14_audio_fingerprint")
+      "mm14_audio_fingerprint", "s19_matryoshka_recall",
+      "t22_source_drift", "t23_bpe_merges")
     QueryRegistry.all
       .filterNot(q => isStreamLoop(q.name) || checkpoints.contains(q.name))
       .foreach { q =>

@@ -1,0 +1,185 @@
+package graft.queries
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryRegistry, SparkSpec, Tables}
+
+/** Semantic pins for the round-8 additions (p33, s19, t22). Each
+  * oracle MIRRORS its query's formula, so a wrong-direction bug
+  * reproduces identically in DuckDB and still hash-matches; these
+  * tests re-derive each result through an INDEPENDENT implementation —
+  * pure-Scala MessageDigest md5 instead of the engines' md5, plain
+  * Scala doubles/BigDecimal instead of Catalyst folds — and assert
+  * exact agreement on the driver fixture.
+  */
+class Round8AdditionsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def hrw(docId: Long, n: Int): Int =
+    (1 to n).maxBy(sh => (md5hex(s"$docId:$sh"), sh))
+
+  test("p33: pure-Scala HRW reproduces the report exactly; growth " +
+    "moves docs only to the new shard") {
+    val docIds = Tables(spark, dir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val rows = docIds.map(id => (hrw(id, 8), hrw(id, 9)))
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (old, g) =>
+        val moved = g.count { case (o, n) => n != o }
+        val elsewhere = g.count { case (o, n) => n != o && n != 9 }
+        (old.toLong, g.length.toLong, moved.toLong, elsewhere.toLong,
+          BigDecimal(moved.toDouble / g.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = QueryRegistry.byName("p33_rendezvous_reshard")
+      .run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected, s"HRW report diverges from the " +
+      s"independent MessageDigest argmax:\n got $got\n exp $expected")
+    // the rendezvous invariant: a grown shard set captures docs, it
+    // never re-deals between survivors
+    assert(got.forall(_._4 == 0L), "a doc moved to a SURVIVING shard")
+    val (moved, total) = (got.map(_._3).sum, got.map(_._2).sum)
+    assert(total == docIds.length)
+    val frac = moved.toDouble / total
+    assert(frac > 0.05 && frac < 0.20,
+      s"moved fraction $frac implausibly far from 1/9")
+  }
+
+  test("s19: plain-Scala brute force reproduces every sweep row; " +
+    "recall is monotone in the prefix width") {
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.operators.VectorOps.toDouble(col("embedding")).as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val qids = vecs.keys.filter(id => id >= 300 && id < 320).toSeq.sorted
+    def cos(a: Array[Double], b: Array[Double], d: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < d) { dot += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def top10(q: Long, d: Int): Set[Long] =
+      vecs.keys.filter(_ != q).toSeq
+        .map(c => (c, cos(vecs(q), vecs(c), d)))
+        .sortBy { case (c, s) => (-s, c) }.take(10).map(_._1).toSet
+    val truth = qids.map(q => q -> top10(q, 64)).toMap
+    val expected = Seq(8, 16, 32).map { d =>
+      val hits = qids.map(q => (top10(q, d) & truth(q)).size)
+      (d, qids.length.toLong, hits.sum.toLong, hits.min.toLong,
+        hits.max.toLong,
+        BigDecimal(hits.sum / (10.0 * qids.length))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = QueryRegistry.byName("s19_matryoshka_recall")
+      .run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expected,
+      s"matryoshka sweep diverges from plain-Scala brute force:\n" +
+        s" got $got\n exp $expected")
+    val recalls = got.map(_._6)
+    assert(recalls == recalls.sorted,
+      s"recall not monotone in prefix width: $recalls")
+    assert(recalls.last < 1.0,
+      "recall@32 hit 1.0 — the truncation sweep is vacuous")
+  }
+
+  test("t22: plain-Scala contingency KL reproduces every source row; " +
+    "KL is non-negative (Gibbs)") {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val counts = collection.mutable.Map.empty[(String, String), Long]
+    docs.foreach { case (src, text) =>
+      if (text.length >= 3)
+        (0 to text.length - 3).foreach { i =>
+          val b = md5hex(text.substring(i, i + 3)).take(2)
+          counts((src, b)) = counts.getOrElse((src, b), 0L) + 1L
+        }
+    }
+    val cS = counts.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val cB = counts.groupBy(_._1._2).map { case (b, m) => b -> m.values.sum }
+    val cTot = counts.values.sum
+    val expected = cS.keys.toSeq.sorted.map { src =>
+      val terms = counts.collect { case ((s, b), c) if s == src =>
+        // the query's discipline: round each c·ln term to 6 decimals,
+        // DECIMAL-sum, ONE division at the end
+        BigDecimal(c * math.log((c.toDouble * cTot) / (cS(src).toDouble * cB(b))))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      // the query divides the DECIMAL sum by c_s AS DOUBLES — mirror
+      // that exactly (an exact-BigDecimal division can differ in the
+      // last ulp and flip the 6th-decimal rounding)
+      val kl = BigDecimal(terms.sum.toDouble / cS(src).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (src, cS(src),
+        counts.keys.count(_._1 == src).toLong, kl)
+    }
+    val got = QueryRegistry.byName("t22_source_drift")
+      .run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == expected, s"KL drift report diverges from the " +
+      s"independent contingency fold:\n got $got\n exp $expected")
+    assert(got.forall(_._4 >= 0.0),
+      s"negative KL — marginals swapped? ${got.filter(_._4 < 0.0)}")
+  }
+
+  test("t23: a sequential pure-Scala BPE trainer reproduces all three " +
+    "merge iterations exactly") {
+    // the classic in-memory trainer — mutable greedy scan, nothing
+    // relational — must agree with the windowed gaps-and-islands form
+    // on every report column (including the aa|aa overlap parity)
+    def greedyMerge(syms: Vector[String], a: String, b: String)
+        : (Vector[String], Int) = {
+      val out = Vector.newBuilder[String]
+      var i = 0; var merges = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); merges += 1; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      (out.result(), merges)
+    }
+    var words = Tables(spark, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("text")).collect().map(_.getString(0))
+      .flatMap(_.split(" ").filter(_.nonEmpty))
+      .map(w => w.map(_.toString).toVector).toVector
+    val expected = (1 to 3).map { it =>
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      words.foreach(w => w.zip(w.tail).foreach(p =>
+        counts(p) = counts.getOrElse(p, 0L) + 1L))
+      val ((a, b), c) = counts.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+      val before = words.map(_.length.toLong).sum
+      val merged = words.map(w => greedyMerge(w, a, b))
+      val nMerges = merged.map(_._2.toLong).sum
+      words = merged.map(_._1)
+      (it, a, b, c, before, nMerges, before - nMerges)
+    }
+    val got = QueryRegistry.byName("t23_bpe_merges")
+      .run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expected, s"BPE merge report diverges from the " +
+      s"sequential trainer:\n got $got\n exp $expected")
+    // internal consistency: the symbol ledger must balance across
+    // iterations, and adjacency counts bound merges from above
+    got.sliding(2).foreach { case Seq(p, n) =>
+      assert(p._7 == n._5, s"symbol ledger breaks between $p and $n")
+    }
+    assert(got.forall(r => r._4 >= r._6),
+      s"more merges than pair occurrences: $got")
+  }
+}
