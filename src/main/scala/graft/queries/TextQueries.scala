@@ -1337,16 +1337,21 @@ object TextQueries {
     // (partial-agg'd, key space ≤ vocab²), (2) the argmax pair as a
     // 1-row TakeOrderedAndProject broadcast, (3) greedy left-to-right
     // merge application: matches on consecutive SYMBOL ROWS form
-    // gaps-and-islands (grp = global rn − per-match rn), greedy takes
-    // the odd positions of each island (handles the aa|aa overlap case
-    // exactly), and a consumed row is simply one whose left neighbour
-    // merged — lag(do_merge). Every window is partitioned by
-    // (doc, word) — parallel over words, no global order anywhere;
-    // at 100 TB each iteration is the same two bounded exchanges per
-    // pass over the symbol table, and real trainers run exactly this
-    // shape with thousands of iterations checkpointing the symbol
-    // table (the comment-level loop; three unrolled here keep the
-    // oracle finite). All-integer outputs — no float surface at all.
+    // islands; greedy takes the even OFFSETS from each island's start
+    // (handles the aa|aa overlap case exactly), and a consumed row is
+    // one whose left neighbour merged (opposite parity, same island).
+    // ALL the apply-side flags — island start (lag), island-start rn
+    // (running max), parities — are window functions over the ONE
+    // (doc, word) ORDER BY pos spec, so each iteration costs exactly
+    // ONE symbol-table exchange (the first cut partitioned islands by
+    // (doc, word, matched, grp) — three extra full shuffles per
+    // iteration; the running-max rewrite took the 10× soak from
+    // 8.9×/69 s to linear/seconds). Parallel over words, no global
+    // order anywhere; at 100 TB each iteration is that same bounded
+    // exchange, and real trainers run exactly this shape with
+    // thousands of iterations checkpointing the symbol table (the
+    // comment-level loop; three unrolled here keep the oracle
+    // finite). All-integer outputs — no float surface at all.
     // Cross-check built into the report: n_syms_after(i) must equal
     // n_syms_before(i+1), and pair_count ≥ n_merges with equality iff
     // no occurrences overlapped.
@@ -1373,26 +1378,36 @@ object TextQueries {
       def bpeIter(prev: DataFrame, i: Int): (DataFrame, DataFrame) = {
         val w = Window.partitionBy(col("doc_id"), col("wi"))
           .orderBy(col("pos"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
         val adj = prev
           .withColumn("nxt", lead(col("sym"), 1).over(w))
-          .withColumn("rn_all", row_number().over(w))
+          .withColumn("rn", row_number().over(w))
           .transform(Stage.stage) // feeds the pair count AND the apply
         val top = adj.filter(col("nxt").isNotNull)
           .groupBy(col("sym").as("ta"), col("nxt").as("tb"))
           .agg(count(lit(1)).cast("long").as("tc"))
           .orderBy(col("tc").desc, col("ta").asc, col("tb").asc)
           .limit(1)
+        // all apply-side flags ride the SAME (doc, word) window spec:
+        // the broadcast pair join preserves the adj exchange, and the
+        // chained lag/running-max WindowExecs reuse it — one shuffle
+        // of the symbol table per iteration, total
         val m = adj.crossJoin(broadcast(top))
           .withColumn("matched", col("sym") === col("ta") &&
             coalesce(col("nxt") === col("tb"), lit(false)))
-        val g = m.withColumn("grp", col("rn_all") - row_number().over(
-          Window.partitionBy(col("doc_id"), col("wi"), col("matched"))
-            .orderBy(col("pos"))))
-        val h = g.withColumn("do_merge", col("matched") &&
-          row_number().over(Window.partitionBy(col("doc_id"), col("wi"),
-            col("matched"), col("grp")).orderBy(col("pos"))) % 2 === 1)
-        val k = h.withColumn("consumed",
-          coalesce(lag(col("do_merge"), 1).over(w), lit(false)))
+          .withColumn("pm", coalesce(lag(col("matched"), 1).over(w),
+            lit(false)))
+        val g = m
+          .withColumn("srn", max(when(col("matched") && !col("pm"),
+            col("rn"))).over(wRun))
+        // greedy = even offsets from the island start; the consumed
+        // row is the one at ODD offset whose LEFT neighbour merged
+        val k = g
+          .withColumn("do_merge",
+            col("matched") && (col("rn") - col("srn")) % 2 === 0)
+          .withColumn("consumed",
+            col("pm") && (col("rn") - 1 - col("srn")) % 2 === 0)
         val next = k.filter(!col("consumed"))
           .select(col("doc_id"), col("wi"), col("pos"),
             when(col("do_merge"), concat(col("sym"), col("nxt")))
@@ -1459,15 +1474,16 @@ object TextQueries {
 
   /** DuckDB rendering of one t23 BPE merge iteration over symbol table
     * `prev` (doc_id, wi, pos, sym): pair counts via lead(), the argmax
-    * pair (ties count DESC → pair ASC), greedy application via
-    * gaps-and-islands on consecutive matched ROWS (odd island
-    * positions merge; a row whose LEFT neighbour merged is consumed).
-    * Emits s$i (the merged symbol table) and r$i (the report row). */
+    * pair (ties count DESC → pair ASC), greedy application via island
+    * arithmetic over the single (doc, word) window — island start by
+    * lag, island-start rn by running max, merge at even offsets,
+    * consumed at odd offsets whose left neighbour matched. Emits s$i
+    * (the merged symbol table) and r$i (the report row). */
   private def bpeIterSql(i: Int, prev: String): String =
     s"""adj$i AS (
        |  SELECT doc_id, wi, pos, sym,
        |    lead(sym) OVER (PARTITION BY doc_id, wi ORDER BY pos) AS nxt,
-       |    row_number() OVER (PARTITION BY doc_id, wi ORDER BY pos) AS rn_all
+       |    row_number() OVER (PARTITION BY doc_id, wi ORDER BY pos) AS rn
        |  FROM $prev),
        |top$i AS (
        |  SELECT sym AS ta, nxt AS tb, CAST(count(*) AS BIGINT) AS tc
@@ -1478,18 +1494,18 @@ object TextQueries {
        |    (a.sym = t.ta AND COALESCE(a.nxt = t.tb, FALSE)) AS matched
        |  FROM adj$i a CROSS JOIN top$i t),
        |g$i AS (
-       |  SELECT *, rn_all - row_number() OVER (
-       |      PARTITION BY doc_id, wi, matched ORDER BY pos) AS grp
+       |  SELECT *, COALESCE(
+       |      lag(matched) OVER (PARTITION BY doc_id, wi ORDER BY pos),
+       |      FALSE) AS pm
        |  FROM m$i),
        |h$i AS (
-       |  SELECT *, (matched AND row_number() OVER (
-       |      PARTITION BY doc_id, wi, matched, grp ORDER BY pos) % 2 = 1)
-       |    AS do_merge
+       |  SELECT *, max(CASE WHEN matched AND NOT pm THEN rn END) OVER (
+       |      PARTITION BY doc_id, wi ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS srn
        |  FROM g$i),
        |k$i AS (
-       |  SELECT *, COALESCE(
-       |      lag(do_merge) OVER (PARTITION BY doc_id, wi ORDER BY pos),
-       |      FALSE) AS consumed
+       |  SELECT *, (matched AND (rn - srn) % 2 = 0) AS do_merge,
+       |    (pm AND (rn - 1 - srn) % 2 = 0) AS consumed
        |  FROM h$i),
        |s$i AS (
        |  SELECT doc_id, wi, pos,
