@@ -59,4 +59,66 @@ object TextOps {
         lit(0.5) * (uniq / nTok) +
         lit(0.25) * least(meanLen / lit(8.0), lit(1.0)), 6).as("quality")): _*)
   }
+
+  /** One distributed BPE merge iteration (Sennrich et al., ACL 2016)
+    * over a symbol table (doc_id, wi, pos, sym): counts adjacent pairs
+    * per word, picks the argmax pair (ties count DESC → pair ASC), and
+    * applies it greedy-left-to-right. Returns the merged symbol table
+    * and a one-row report (iter, sym_a, sym_b, pair_count,
+    * n_syms_before, n_merges, n_syms_after).
+    *
+    * Apply-side flags all ride the ONE (doc, word) ORDER BY pos window
+    * spec — island start via lag, island-start rn via running max,
+    * merge at even offsets from the start, consumed at odd offsets
+    * whose LEFT neighbour matched — so each iteration shuffles the
+    * symbol table exactly once (the islands-by-(matched, grp) form
+    * costs three more full exchanges; measured 8.9× vs 3.1× on the
+    * 10× soak). The input is staged because the pair count and the
+    * apply both consume it. Greedy parity is exact on aa|aa overlap
+    * runs: a run of k equal symbols merges ⌊k/2⌋ times.
+    */
+  def bpeMergeIteration(prev: DataFrame, iter: Int)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"), col("wi"))
+      .orderBy(col("pos"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val adj = prev
+      .withColumn("nxt", lead(col("sym"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .transform(Stage.stage) // feeds the pair count AND the apply
+    val top = adj.filter(col("nxt").isNotNull)
+      .groupBy(col("sym").as("ta"), col("nxt").as("tb"))
+      .agg(count(lit(1)).cast("long").as("tc"))
+      .orderBy(col("tc").desc, col("ta").asc, col("tb").asc)
+      .limit(1)
+    // the broadcast pair join preserves the adj exchange, and the
+    // chained lag/running-max WindowExecs reuse it — one shuffle of
+    // the symbol table per iteration, total
+    val m = adj.crossJoin(broadcast(top))
+      .withColumn("matched", col("sym") === col("ta") &&
+        coalesce(col("nxt") === col("tb"), lit(false)))
+      .withColumn("pm", coalesce(lag(col("matched"), 1).over(w),
+        lit(false)))
+    val g = m.withColumn("srn",
+      max(when(col("matched") && !col("pm"), col("rn"))).over(wRun))
+    val k = g
+      .withColumn("do_merge",
+        col("matched") && (col("rn") - col("srn")) % 2 === 0)
+      .withColumn("consumed",
+        col("pm") && (col("rn") - 1 - col("srn")) % 2 === 0)
+    val next = k.filter(!col("consumed"))
+      .select(col("doc_id"), col("wi"), col("pos"),
+        when(col("do_merge"), concat(col("sym"), col("nxt")))
+          .otherwise(col("sym")).as("sym"))
+    val nb = adj.agg(count(lit(1)).cast("long").as("n_syms_before"))
+    val nm = k.agg(sum(when(col("do_merge"), 1L).otherwise(0L))
+      .cast("long").as("n_merges"))
+    val report = nb.crossJoin(broadcast(top)).crossJoin(broadcast(nm))
+      .select(lit(iter).as("iter"), col("ta").as("sym_a"),
+        col("tb").as("sym_b"), col("tc").as("pair_count"),
+        col("n_syms_before"), col("n_merges"),
+        (col("n_syms_before") - col("n_merges")).as("n_syms_after"))
+    (next, report)
+  }
 }

@@ -1375,53 +1375,6 @@ object TextQueries {
         |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL
         |SELECT * FROM r3 ORDER BY iter""".stripMargin
     ) { (s, dir) =>
-      def bpeIter(prev: DataFrame, i: Int): (DataFrame, DataFrame) = {
-        val w = Window.partitionBy(col("doc_id"), col("wi"))
-          .orderBy(col("pos"))
-        val wRun = w.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)
-        val adj = prev
-          .withColumn("nxt", lead(col("sym"), 1).over(w))
-          .withColumn("rn", row_number().over(w))
-          .transform(Stage.stage) // feeds the pair count AND the apply
-        val top = adj.filter(col("nxt").isNotNull)
-          .groupBy(col("sym").as("ta"), col("nxt").as("tb"))
-          .agg(count(lit(1)).cast("long").as("tc"))
-          .orderBy(col("tc").desc, col("ta").asc, col("tb").asc)
-          .limit(1)
-        // all apply-side flags ride the SAME (doc, word) window spec:
-        // the broadcast pair join preserves the adj exchange, and the
-        // chained lag/running-max WindowExecs reuse it — one shuffle
-        // of the symbol table per iteration, total
-        val m = adj.crossJoin(broadcast(top))
-          .withColumn("matched", col("sym") === col("ta") &&
-            coalesce(col("nxt") === col("tb"), lit(false)))
-          .withColumn("pm", coalesce(lag(col("matched"), 1).over(w),
-            lit(false)))
-        val g = m
-          .withColumn("srn", max(when(col("matched") && !col("pm"),
-            col("rn"))).over(wRun))
-        // greedy = even offsets from the island start; the consumed
-        // row is the one at ODD offset whose LEFT neighbour merged
-        val k = g
-          .withColumn("do_merge",
-            col("matched") && (col("rn") - col("srn")) % 2 === 0)
-          .withColumn("consumed",
-            col("pm") && (col("rn") - 1 - col("srn")) % 2 === 0)
-        val next = k.filter(!col("consumed"))
-          .select(col("doc_id"), col("wi"), col("pos"),
-            when(col("do_merge"), concat(col("sym"), col("nxt")))
-              .otherwise(col("sym")).as("sym"))
-        val nb = adj.agg(count(lit(1)).cast("long").as("n_syms_before"))
-        val nm = k.agg(sum(when(col("do_merge"), 1L).otherwise(0L))
-          .cast("long").as("n_merges"))
-        val report = nb.crossJoin(broadcast(top)).crossJoin(broadcast(nm))
-          .select(lit(i).as("iter"), col("ta").as("sym_a"),
-            col("tb").as("sym_b"), col("tc").as("pair_count"),
-            col("n_syms_before"), col("n_merges"),
-            (col("n_syms_before") - col("n_merges")).as("n_syms_after"))
-        (next, report)
-      }
       val s0 = Tables(s, dir, "documents")
         .filter(col("lang") === "en")
         .select(col("doc_id"),
@@ -1431,9 +1384,9 @@ object TextQueries {
           explode(sequence(lit(1), length(col("word")))).as("p"))
         .select(col("doc_id"), col("wi"), col("p").cast("long").as("pos"),
           expr("substring(word, p, 1)").as("sym"))
-      val (s1, r1) = bpeIter(s0, 1)
-      val (s2, r2) = bpeIter(s1, 2)
-      val (_, r3) = bpeIter(s2, 3)
+      val (s1, r1) = TextOps.bpeMergeIteration(s0, 1)
+      val (s2, r2) = TextOps.bpeMergeIteration(s1, 2)
+      val (_, r3) = TextOps.bpeMergeIteration(s2, 3)
       r1.unionByName(r2).unionByName(r3).orderBy(col("iter"))
     }
   )
