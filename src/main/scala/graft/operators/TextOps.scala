@@ -79,40 +79,11 @@ object TextOps {
     */
   def bpeMergeIteration(prev: DataFrame, iter: Int)
       : (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("doc_id"), col("wi"))
-      .orderBy(col("pos"))
-    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val adj = prev
-      .withColumn("nxt", lead(col("sym"), 1).over(w))
-      .withColumn("rn", row_number().over(w))
-      .transform(Stage.stage) // feeds the pair count AND the apply
-    val top = adj.filter(col("nxt").isNotNull)
-      .groupBy(col("sym").as("ta"), col("nxt").as("tb"))
-      .agg(count(lit(1)).cast("long").as("tc"))
-      .orderBy(col("tc").desc, col("ta").asc, col("tb").asc)
-      .limit(1)
-    // the broadcast pair join preserves the adj exchange, and the
-    // chained lag/running-max WindowExecs reuse it — one shuffle of
-    // the symbol table per iteration, total
-    val m = adj.crossJoin(broadcast(top))
-      .withColumn("matched", col("sym") === col("ta") &&
-        coalesce(col("nxt") === col("tb"), lit(false)))
-      .withColumn("pm", coalesce(lag(col("matched"), 1).over(w),
-        lit(false)))
-    val g = m.withColumn("srn",
-      max(when(col("matched") && !col("pm"), col("rn"))).over(wRun))
-    val k = g
-      .withColumn("do_merge",
-        col("matched") && (col("rn") - col("srn")) % 2 === 0)
-      .withColumn("consumed",
-        col("pm") && (col("rn") - 1 - col("srn")) % 2 === 0)
-    val next = k.filter(!col("consumed"))
-      .select(col("doc_id"), col("wi"), col("pos"),
-        when(col("do_merge"), concat(col("sym"), col("nxt")))
-          .otherwise(col("sym")).as("sym"))
+    val adj = bpeAdjacency(prev)
+    val top = bpeTopPair(adj)
+    val (next, flagged) = bpeApply(adj, top)
     val nb = adj.agg(count(lit(1)).cast("long").as("n_syms_before"))
-    val nm = k.agg(sum(when(col("do_merge"), 1L).otherwise(0L))
+    val nm = flagged.agg(sum(when(col("do_merge"), 1L).otherwise(0L))
       .cast("long").as("n_merges"))
     val report = nb.crossJoin(broadcast(top)).crossJoin(broadcast(nm))
       .select(lit(iter).as("iter"), col("ta").as("sym_a"),
@@ -120,5 +91,62 @@ object TextOps {
         col("n_syms_before"), col("n_merges"),
         (col("n_syms_before") - col("n_merges")).as("n_syms_after"))
     (next, report)
+  }
+
+  private def bpeWindow = {
+    import org.apache.spark.sql.expressions.Window
+    Window.partitionBy(col("doc_id"), col("wi")).orderBy(col("pos"))
+  }
+
+  /** Symbol table + (next symbol, row number) per word. The one
+    * symbol-table exchange of a BPE step happens here. Staged by
+    * default because TRAINING consumes it twice (pair count + apply);
+    * an encode-only chain has a single consumer and must pass
+    * stage = false — pipelining three applies beats materializing
+    * three corpus-sized tables (t24's 10× soak: 8.4× → linear), and
+    * the chained window specs share one partitioning anyway. */
+  def bpeAdjacency(prev: DataFrame, stage: Boolean = true): DataFrame = {
+    val adj = prev
+      .withColumn("nxt", lead(col("sym"), 1).over(bpeWindow))
+      .withColumn("rn", row_number().over(bpeWindow))
+    if (stage) Stage.stage(adj) else adj
+  }
+
+  /** The corpus-argmax adjacent pair (ties count DESC → pair ASC) as a
+    * 1-row broadcastable (ta, tb, tc). */
+  def bpeTopPair(adj: DataFrame): DataFrame =
+    adj.filter(col("nxt").isNotNull)
+      .groupBy(col("sym").as("ta"), col("nxt").as("tb"))
+      .agg(count(lit(1)).cast("long").as("tc"))
+      .orderBy(col("tc").desc, col("ta").asc, col("tb").asc)
+      .limit(1)
+
+  /** Applies a 1-row (ta, tb[, ...]) pair to a bpeAdjacency table,
+    * greedy left-to-right. Returns (merged symbol table, the flagged
+    * pre-filter table — for merge accounting). The broadcast pair join
+    * preserves the adjacency exchange and the chained lag/running-max
+    * WindowExecs reuse it — no additional shuffle. */
+  def bpeApply(adj: DataFrame, pair: DataFrame)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = bpeWindow
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = adj.crossJoin(broadcast(pair.select(col("ta"), col("tb"))))
+      .withColumn("matched", col("sym") === col("ta") &&
+        coalesce(col("nxt") === col("tb"), lit(false)))
+      .withColumn("pm", coalesce(lag(col("matched"), 1).over(w),
+        lit(false)))
+    val g = m.withColumn("srn",
+      max(when(col("matched") && !col("pm"), col("rn"))).over(wRun))
+    val flagged = g
+      .withColumn("do_merge",
+        col("matched") && (col("rn") - col("srn")) % 2 === 0)
+      .withColumn("consumed",
+        col("pm") && (col("rn") - 1 - col("srn")) % 2 === 0)
+    val next = flagged.filter(!col("consumed"))
+      .select(col("doc_id"), col("wi"), col("pos"),
+        when(col("do_merge"), concat(col("sym"), col("nxt")))
+          .otherwise(col("sym")).as("sym"))
+    (next, flagged)
   }
 }

@@ -1388,6 +1388,132 @@ object TextQueries {
       val (s2, r2) = TextOps.bpeMergeIteration(s1, 2)
       val (_, r3) = TextOps.bpeMergeIteration(s2, 3)
       r1.unionByName(r2).unionByName(r3).orderBy(col("iter"))
+    },
+
+    // ---------------------------------------------------------------
+    // t24 — tokenizer fertility with a LEARNED vocabulary: the encode
+    // half of t23's trainer. Three merges are learned on a
+    // deterministic 'en' subsample (doc_id % 3 = 0 — tokenizers train
+    // on samples), then applied IN LEARNED ORDER to the full
+    // multilingual corpus; the report is per-language fertility
+    // (symbols per word — the tokens-per-word number a multilingual
+    // data pipeline budgets by) and compression (chars per symbol).
+    // On a real multilingual corpus this report shows the fertility
+    // inequity production tokenizers measure (the training language
+    // compresses best; under-served languages pay more symbols per
+    // word). The driver fixture's langs are labels over a SHARED
+    // vocabulary (er/in/or top pairs in every lang), so fertility
+    // lands near-uniform (~4.12–4.14) — stated here so nobody reads
+    // the flat column as a bug; the operator's gate is the exact
+    // sequential trainer+encoder cross-check in the spec. Encode
+    // reuses TextOps.bpeApply: each merge application is ONE symbol-
+    // table exchange (broadcast pair, window-chain reuse); the final
+    // per-doc symbol counts equi-join doc metadata and reduce to
+    // |langs| rows. All counts exact ints; the two ratios are single
+    // int/int double divisions rounded to 6 (the repo float contract).
+    Q(
+      "t24_bpe_fertility",
+      s"""WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents WHERE lang = 'en' AND doc_id % 3 = 0),
+        |wx AS (
+        |  SELECT doc_id, CAST(wi AS BIGINT) AS wi, w[CAST(wi AS INT)] AS word
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS wi
+        |        FROM ws) t),
+        |s0 AS (
+        |  SELECT doc_id, wi, CAST(p AS BIGINT) AS pos,
+        |    substr(word, CAST(p AS INT), 1) AS sym
+        |  FROM (SELECT doc_id, wi, word,
+        |          unnest(generate_series(1, length(word))) AS p FROM wx) t),
+        |${bpeIterSql(1, "s0")},
+        |${bpeIterSql(2, "s1")},
+        |${bpeIterSql(3, "s2")},
+        |fws AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |fwx AS (
+        |  SELECT doc_id, CAST(wi AS BIGINT) AS wi, w[CAST(wi AS INT)] AS word
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS wi
+        |        FROM fws) t),
+        |fs0 AS (
+        |  SELECT doc_id, wi, CAST(p AS BIGINT) AS pos,
+        |    substr(word, CAST(p AS INT), 1) AS sym
+        |  FROM (SELECT doc_id, wi, word,
+        |          unnest(generate_series(1, length(word))) AS p FROM fwx) t),
+        |${bpeApplySql("1", "fs0", "top1")},
+        |${bpeApplySql("2", "es1", "top2")},
+        |${bpeApplySql("3", "es2", "top3")},
+        |c0 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nc
+        |       FROM fs0 GROUP BY doc_id),
+        |cs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ns
+        |       FROM es3 GROUP BY doc_id),
+        |rep AS (
+        |  SELECT f.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(f.w)) AS BIGINT) AS n_words,
+        |    CAST(sum(c0.nc) AS BIGINT) AS n_chars,
+        |    CAST(sum(cs.ns) AS BIGINT) AS n_syms
+        |  FROM fws f JOIN c0 USING (doc_id) JOIN cs USING (doc_id)
+        |  GROUP BY f.lang)
+        |SELECT lang, n_docs, n_words, n_chars, n_syms,
+        |  round(CAST(n_syms AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+        |    AS fertility,
+        |  round(CAST(n_chars AS DOUBLE) / CAST(n_syms AS DOUBLE), 6)
+        |    AS compression
+        |FROM rep ORDER BY lang""".stripMargin
+    ) { (s, dir) =>
+      def symTable(df: DataFrame): DataFrame = df
+        .select(col("doc_id"),
+          posexplode(DedupOps.words(col("text"))).as(Seq("wi0", "word")))
+        .select(col("doc_id"), (col("wi0") + 1).cast("long").as("wi"),
+          col("word"),
+          explode(sequence(lit(1), length(col("word")))).as("p"))
+        .select(col("doc_id"), col("wi"), col("p").cast("long").as("pos"),
+          expr("substring(word, p, 1)").as("sym"))
+      val docsAll = Tables(s, dir, "documents")
+      // train on the 'en' subsample; stage each learned pair (1 row)
+      // so the training lineage runs once however many times the pair
+      // broadcasts (train-side apply + encode-side apply)
+      var cur = symTable(
+        docsAll.filter(col("lang") === "en" && col("doc_id") % 3 === 0))
+      val tops = (1 to 3).map { _ =>
+        val adj = TextOps.bpeAdjacency(cur)
+        val top = TextOps.bpeTopPair(adj).transform(Stage.stage)
+        cur = TextOps.bpeApply(adj, top)._1
+        top
+      }
+      // encode the FULL corpus with the learned merges, in order —
+      // unstaged adjacencies: one consumer each, so the three applies
+      // pipeline through a single exchange + sort (window specs share
+      // the (doc, word) partitioning)
+      var enc = symTable(docsAll)
+      tops.foreach { top =>
+        enc = TextOps.bpeApply(
+          TextOps.bpeAdjacency(enc, stage = false), top)._1
+      }
+      // chars-in-words per doc: a stateless projection (equals the
+      // oracle's count over the exploded char table, without the
+      // second corpus-wide explode)
+      val c0 = docsAll.select(col("doc_id"),
+        length(concat_ws("", DedupOps.words(col("text"))))
+          .cast("long").as("nc"))
+      val cs = enc.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("ns"))
+      docsAll.select(col("doc_id"), col("lang"),
+          size(DedupOps.words(col("text"))).cast("long").as("nw"))
+        .join(c0, Seq("doc_id")).join(cs, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("nw")).cast("long").as("n_words"),
+          sum(col("nc")).cast("long").as("n_chars"),
+          sum(col("ns")).cast("long").as("n_syms"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_chars"), col("n_syms"),
+          round(col("n_syms").cast("double")
+            / col("n_words").cast("double"), 6).as("fertility"),
+          round(col("n_chars").cast("double")
+            / col("n_syms").cast("double"), 6).as("compression"))
+        .orderBy(col("lang"))
     }
   )
 
@@ -1474,4 +1600,38 @@ object TextQueries {
        |      - (SELECT CAST(count(*) AS BIGINT) FROM k$i WHERE do_merge)
        |      AS n_syms_after
        |  FROM top$i t)""".stripMargin
+
+  /** DuckDB rendering of TextOps.bpeApply for t24: applies the 1-row
+    * pair CTE `topCte` (ta, tb) to symbol table `prev`, emitting the
+    * merged table es$tag — same greedy island arithmetic as
+    * bpeIterSql, without learning a pair. */
+  private def bpeApplySql(tag: String, prev: String,
+      topCte: String): String =
+    s"""eadj$tag AS (
+       |  SELECT doc_id, wi, pos, sym,
+       |    lead(sym) OVER (PARTITION BY doc_id, wi ORDER BY pos) AS nxt,
+       |    row_number() OVER (PARTITION BY doc_id, wi ORDER BY pos) AS rn
+       |  FROM $prev),
+       |em$tag AS (
+       |  SELECT a.*, t.ta, t.tb,
+       |    (a.sym = t.ta AND COALESCE(a.nxt = t.tb, FALSE)) AS matched
+       |  FROM eadj$tag a CROSS JOIN $topCte t),
+       |eg$tag AS (
+       |  SELECT *, COALESCE(
+       |      lag(matched) OVER (PARTITION BY doc_id, wi ORDER BY pos),
+       |      FALSE) AS pm
+       |  FROM em$tag),
+       |eh$tag AS (
+       |  SELECT *, max(CASE WHEN matched AND NOT pm THEN rn END) OVER (
+       |      PARTITION BY doc_id, wi ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS srn
+       |  FROM eg$tag),
+       |ek$tag AS (
+       |  SELECT *, (matched AND (rn - srn) % 2 = 0) AS do_merge,
+       |    (pm AND (rn - 1 - srn) % 2 = 0) AS consumed
+       |  FROM eh$tag),
+       |es$tag AS (
+       |  SELECT doc_id, wi, pos,
+       |    CASE WHEN do_merge THEN sym || nxt ELSE sym END AS sym
+       |  FROM ek$tag WHERE NOT consumed)""".stripMargin
 }

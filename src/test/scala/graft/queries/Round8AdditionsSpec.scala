@@ -182,4 +182,60 @@ class Round8AdditionsSpec extends SparkSpec {
     assert(got.forall(r => r._4 >= r._6),
       s"more merges than pair occurrences: $got")
   }
+
+  test("t24: sequential train-on-sample + encode-all reproduces the " +
+    "per-language fertility report exactly") {
+    def greedyMerge(syms: Vector[String], a: String, b: String)
+        : Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toWords(text: String) =
+      text.split(" ").filter(_.nonEmpty)
+        .map(_.map(_.toString).toVector).toVector
+    // train three merges on the en doc_id%3==0 subsample
+    var sample = docs.filter(d => d._2 == "en" && d._1 % 3 == 0)
+      .flatMap(d => toWords(d._3)).toVector
+    val merges = (1 to 3).map { _ =>
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      sample.foreach(w => w.zip(w.tail).foreach(p =>
+        counts(p) = counts.getOrElse(p, 0L) + 1L))
+      val (pair, _) = counts.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+      sample = sample.map(w => greedyMerge(w, pair._1, pair._2))
+      pair
+    }
+    // encode every doc with the learned merges, in order
+    val perLang = docs.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (lang, ds) =>
+        val words = ds.flatMap(d => toWords(d._3))
+        val encoded = words.map(w =>
+          merges.foldLeft(w)((v, p) => greedyMerge(v, p._1, p._2)))
+        val (nw, nc, ns) = (words.length.toLong,
+          words.map(_.length.toLong).sum,
+          encoded.map(_.length.toLong).sum)
+        (lang, ds.length.toLong, nw, nc, ns,
+          BigDecimal(ns.toDouble / nw.toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(nc.toDouble / ns.toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = QueryRegistry.byName("t24_bpe_fertility")
+      .run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got == perLang, s"fertility report diverges from the " +
+      s"sequential encoder:\n got $got\n exp $perLang")
+    // each merge only shrinks: chars >= symbols >= words
+    assert(got.forall(r => r._4 >= r._5 && r._5 >= r._3),
+      s"symbol ledger out of order: $got")
+  }
 }
