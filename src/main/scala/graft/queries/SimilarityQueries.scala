@@ -1431,6 +1431,122 @@ object SimilarityQueries {
               .as("mean_recall"))
       }
       rows.reduce(_ unionByName _).orderBy(col("d"))
+    },
+
+    // ---------------------------------------------------------------
+    // s20 — compression frontier at EQUAL byte budgets: the deployment
+    // question s06/s19 each answer half of. For a 64-dim float32
+    // corpus (256 B/vec stored), both a 16-dim float prefix and an
+    // int8-quantized full vector cost 64 B/vec — a 4× scan-byte
+    // reduction at 100 TB — but they spend those bytes differently
+    // (all dims coarsely vs a quarter of the dims exactly). This
+    // report measures recall@10 vs the exact full-precision truth for
+    // both, plus the full-precision anchor row (recall 1 by
+    // construction — the sanity anchor that the harness itself is
+    // sound). On the fixture SQ8 wins decisively (~0.97 vs ~0.14):
+    // these embeddings spread signal evenly across dims, so coarse-
+    // everywhere beats exact-somewhere — the measurement a deployment
+    // makes BEFORE picking its compression. Cost discipline is s19's:
+    // one staged pair table carrying all three rounded cosines (the
+    // dequantized corpus is computed per ROW before the join), three
+    // GroupTopK rankings off it; the quantization params are one
+    // posexplode agg reassembled as single-row broadcast arrays
+    // (s06's trainer shape, no driver hop).
+    Q(
+      "s20_compression_frontier",
+      s"""WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |stats AS (
+        |  SELECT i AS d, min(v[i]) AS mn, max(v[i]) AS mx
+        |  FROM base CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+        |  GROUP BY i),
+        |params AS (
+        |  SELECT list(mn ORDER BY d) AS mins,
+        |    list((mx - mn) / 256.0 ORDER BY d) AS steps
+        |  FROM stats),
+        |deq AS (
+        |  SELECT vec_id, v,
+        |    list_transform(generate_series(1, 64), d ->
+        |      CASE WHEN steps[d] = 0 THEN mins[d]
+        |           ELSE mins[d] + (least(greatest(floor((v[d] - mins[d]) / steps[d]), 0), 255) + 0.5) * steps[d]
+        |      END) AS vq
+        |  FROM base CROSS JOIN params),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM base
+        |      WHERE vec_id >= 400 AND vec_id < 420),
+        |pairs AS (
+        |  SELECT q_id, c.vec_id AS neighbor_id,
+        |    ${cosineSql("qv", "c.v", 64)} AS cos_full,
+        |    ${cosPrefixSql("qv", "c.v", 16)} AS cos_p16,
+        |    ${cosineSql("qv", "c.vq", 64)} AS cos_sq8
+        |  FROM q CROSS JOIN deq c WHERE c.vec_id <> q_id),
+        |truth AS (
+        |  SELECT q_id, neighbor_id FROM (
+        |    SELECT q_id, neighbor_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos_full DESC, neighbor_id ASC) AS rank
+        |    FROM pairs) t WHERE rank <= 10),
+        |${frontierSweepSql("full_f32", 256, "cos_full")},
+        |${frontierSweepSql("prefix16_f32", 64, "cos_p16")},
+        |${frontierSweepSql("sq8", 64, "cos_sq8")}
+        |SELECT * FROM r_full_f32 UNION ALL SELECT * FROM r_prefix16_f32
+        |UNION ALL SELECT * FROM r_sq8 ORDER BY method""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.Stage
+      val base = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        .withColumn("nv", VectorOps.norm(col("v")))
+        .withColumn("v16", slice(col("v"), 1, 16))
+        .withColumn("n16", VectorOps.norm(col("v16")))
+      val stats = base.select(posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("d"))
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val params = stats
+        .agg(array_sort(collect_list(struct(col("d"), col("mn"), col("mx"))))
+          .as("sorted"))
+        .select(
+          transform(col("sorted"), e => e.getField("mn")).as("mins"),
+          transform(col("sorted"),
+            e => (e.getField("mx") - e.getField("mn")) / 256.0).as("steps"))
+      val coded = base.crossJoin(broadcast(params))
+        .withColumn("vq", VectorOps.sq8Dequant(
+          VectorOps.sq8Encode(col("v"), col("mins"), col("steps")),
+          col("mins"), col("steps")))
+        .withColumn("nvq", VectorOps.norm(col("vq")))
+      val q = base.filter(col("vec_id") >= 400 && col("vec_id") < 420)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nv").as("nq"), col("v16").as("q16"), col("n16").as("nq16"))
+      val pairs = broadcast(q).join(coded, col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          VectorOps.cosineWithNorms(col("qv"), col("v"),
+            col("nq"), col("nv")).as("cos_full"),
+          VectorOps.cosineWithNorms(col("q16"), col("v16"),
+            col("nq16"), col("n16")).as("cos_p16"),
+          round(VectorOps.dot(col("qv"), col("vq"))
+            / (col("nq") * col("nvq")), 6).as("cos_sq8"))
+        .transform(Stage.stage) // one corpus scan, three rankings
+      def top10(by: String) = graft.plans.GroupTopK.topKRanked(pairs,
+          Seq(col("q_id")), 10, "rank", col(by).desc,
+          col("neighbor_id").asc)
+        .select(col("q_id"), col("neighbor_id"))
+      val truth = top10("cos_full").transform(Stage.stage)
+      val qids = pairs.select(col("q_id")).distinct()
+      def row(method: String, bytes: Int, by: String) = {
+        val hits = truth.join(top10(by), Seq("q_id", "neighbor_id"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("nh"))
+        qids.join(hits, Seq("q_id"), "left")
+          .select(coalesce(col("nh"), lit(0L)).as("nh"))
+          .agg(count(lit(1)).as("nq"),
+            sum(col("nh")).cast("long").as("sum_hits"))
+          .select(lit(method).as("method"),
+            lit(bytes).as("bytes_per_vec"),
+            col("nq").cast("long").as("n_queries"), col("sum_hits"),
+            round(col("sum_hits") / (lit(10.0) * col("nq")), 6)
+              .as("mean_recall"))
+      }
+      Seq(row("full_f32", 256, "cos_full"),
+          row("prefix16_f32", 64, "cos_p16"),
+          row("sq8", 64, "cos_sq8"))
+        .reduce(_ unionByName _).orderBy(col("method"))
     }
   )
 
@@ -1578,6 +1694,29 @@ object SimilarityQueries {
        |    round(sum(COALESCE(nh, 0)) / (10.0 * count(*)), 6) AS mean_recall
        |  FROM (SELECT DISTINCT q_id FROM q) qq
        |  LEFT JOIN h$d ON qq.q_id = h$d.q_id)""".stripMargin
+
+  /** DuckDB rendering of one s20 frontier row (expects `pairs`,
+    * `truth`, `q`): top-10 by `scoreCol`, hit counts vs truth, then
+    * the (method, bytes_per_vec, n_queries, sum_hits, mean_recall)
+    * row. */
+  private def frontierSweepSql(method: String, bytes: Int,
+      scoreCol: String): String =
+    s"""ap_$method AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY $scoreCol DESC, neighbor_id ASC) AS rank
+       |    FROM pairs) t WHERE rank <= 10),
+       |h_$method AS (
+       |  SELECT t.q_id, count(*) AS nh FROM truth t JOIN ap_$method a
+       |    ON t.q_id = a.q_id AND t.neighbor_id = a.neighbor_id
+       |  GROUP BY t.q_id),
+       |r_$method AS (
+       |  SELECT '$method' AS method, $bytes AS bytes_per_vec,
+       |    CAST(count(*) AS BIGINT) AS n_queries,
+       |    CAST(sum(COALESCE(nh, 0)) AS BIGINT) AS sum_hits,
+       |    round(sum(COALESCE(nh, 0)) / (10.0 * count(*)), 6) AS mean_recall
+       |  FROM (SELECT DISTINCT q_id FROM q) qq
+       |  LEFT JOIN h_$method ON qq.q_id = h_$method.q_id)""".stripMargin
 
   /** DuckDB rendering of VectorOps.srpBucket(v, 64, 6). */
   private def srpBucketSql6(v: String): String =

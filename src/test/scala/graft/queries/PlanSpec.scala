@@ -758,7 +758,8 @@ class PlanSpec extends SparkSpec {
       "mm13_phash_dct", "p31_dsir_importance", "s17_ann_probe_sweep",
       "t21_lm_backoff", "d23_incremental_chunks", "s18_cluster_purity",
       "mm14_audio_fingerprint", "s19_matryoshka_recall",
-      "t22_source_drift", "t23_bpe_merges", "t24_bpe_fertility")
+      "t22_source_drift", "t23_bpe_merges", "t24_bpe_fertility",
+      "s20_compression_frontier")
     QueryRegistry.all
       .filterNot(q => isStreamLoop(q.name) || checkpoints.contains(q.name))
       .foreach { q =>

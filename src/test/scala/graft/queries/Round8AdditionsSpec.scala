@@ -238,4 +238,65 @@ class Round8AdditionsSpec extends SparkSpec {
     assert(got.forall(r => r._4 >= r._5 && r._5 >= r._3),
       s"symbol ledger out of order: $got")
   }
+
+  test("s20: plain-Scala scoring reproduces the frontier; the anchor " +
+    "row is exactly recall 1") {
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.operators.VectorOps.toDouble(col("embedding")).as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val dims = 64
+    // per-dim (min, step) — then the SQ8 round trip in plain doubles
+    val mins = (0 until dims).map(d => vecs.values.map(_(d)).min).toArray
+    val steps = (0 until dims)
+      .map(d => (vecs.values.map(_(d)).max - mins(d)) / 256.0).toArray
+    def dequant(x: Array[Double]): Array[Double] =
+      (0 until dims).map { d =>
+        if (steps(d) == 0) mins(d)
+        else mins(d) + (math.min(math.max(
+          math.floor((x(d) - mins(d)) / steps(d)), 0), 255) + 0.5) * steps(d)
+      }.toArray
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double], d: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < d) { dot += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      r6(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    // asymmetric: exact query vs dequantized corpus, FULL norms
+    def cosSq8(a: Array[Double], b: Array[Double]): Double = {
+      val bq = dequant(b)
+      var dot = 0.0; var i = 0
+      while (i < dims) { dot += a(i) * bq(i); i += 1 }
+      def n(x: Array[Double]) = math.sqrt(x.map(e => e * e).sum)
+      r6(dot / (n(a) * n(bq)))
+    }
+    val qids = vecs.keys.filter(id => id >= 400 && id < 420).toSeq.sorted
+    def top10(q: Long, score: (Array[Double], Array[Double]) => Double)
+        : Set[Long] =
+      vecs.keys.filter(_ != q).toSeq
+        .map(c => (c, score(vecs(q), vecs(c))))
+        .sortBy { case (c, sc) => (-sc, c) }.take(10).map(_._1).toSet
+    val truth = qids.map(q => q -> top10(q, cos(_, _, dims))).toMap
+    def rowFor(method: String, bytes: Int,
+        score: (Array[Double], Array[Double]) => Double) = {
+      val hits = qids.map(q => (top10(q, score) & truth(q)).size)
+      (method, bytes, qids.length.toLong, hits.sum.toLong,
+        r6(hits.sum / (10.0 * qids.length)))
+    }
+    val expected = Seq(
+      rowFor("full_f32", 256, cos(_, _, dims)),
+      rowFor("prefix16_f32", 64, cos(_, _, 16)),
+      rowFor("sq8", 64, cosSq8)).sortBy(_._1)
+    val got = QueryRegistry.byName("s20_compression_frontier")
+      .run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected, s"frontier diverges from plain-Scala " +
+      s"scoring:\n got $got\n exp $expected")
+    val anchor = got.find(_._1 == "full_f32").get
+    assert(anchor._5 == 1.0, s"anchor recall ${anchor._5} != 1.0")
+  }
 }
