@@ -2105,6 +2105,90 @@ object PipelineQueries {
           round(sum(when(moved, 1L).otherwise(0L))
             / count(lit(1)).cast("double"), 6).as("moved_frac"))
         .orderBy(col("shard_old"))
+    },
+
+    // ---------------------------------------------------------------
+    // p34 — k-anonymity audit with a generalization ladder (Sweeney
+    // 2002): the privacy review a dataset release walks BEFORE
+    // publishing — group the corpus by its quasi-identifier columns,
+    // count re-identifiable rows (groups smaller than k = 5), then
+    // coarsen the identifiers level by level until the risk is gone,
+    // quantifying the utility lost at each step. Levels here:
+    //   0 (finest)  — nation × segment × account-balance bucket
+    //   1           — nation × segment
+    //   2 (coarsest)— segment only
+    // The fixture fails k = 5 at level 0 (singleton balance buckets),
+    // and the ladder shows exactly where it starts holding — the
+    // compliance twin of p32's takedown cascade. Scale posture: each
+    // level is ONE hash partial-agg over its (bounded) quasi-id key
+    // space into a 5-number reduce — d01's one-shuffle shape, three
+    // levels = three column-pruned scans (a real release audits far
+    // fewer levels than it has rows). All-integer counts; the one
+    // ratio is a single int/int double division (repo float
+    // contract). Balance buckets TRUNCATE toward zero in both engines
+    // — Spark's double→int cast truncates but DuckDB's CAST ROUNDS,
+    // so the oracle wraps the bucket in trunc() (caught by the
+    // sf0.001 gate: 141 vs 144 small groups).
+    Q(
+      "p34_k_anonymity",
+      """WITH g0 AS (
+        |  SELECT count(*) AS c FROM customer
+        |  GROUP BY c_nationkey, c_mktsegment,
+        |    CAST(trunc(c_acctbal / 1000.0) AS INT)),
+        |g1 AS (SELECT count(*) AS c FROM customer
+        |       GROUP BY c_nationkey, c_mktsegment),
+        |g2 AS (SELECT count(*) AS c FROM customer GROUP BY c_mktsegment),
+        |r0 AS (SELECT 0 AS level,
+        |    'nation,segment,balance_1k' AS quasi_ids,
+        |    CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(min(c) AS BIGINT) AS min_group,
+        |    CAST(sum(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS groups_lt_k,
+        |    CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT)
+        |      AS rows_at_risk,
+        |    round(sum(CASE WHEN c < 5 THEN c ELSE 0 END)
+        |      / CAST(sum(c) AS DOUBLE), 6) AS pct_at_risk
+        |  FROM g0),
+        |r1 AS (SELECT 1, 'nation,segment', CAST(count(*) AS BIGINT),
+        |    CAST(min(c) AS BIGINT),
+        |    CAST(sum(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT),
+        |    round(sum(CASE WHEN c < 5 THEN c ELSE 0 END)
+        |      / CAST(sum(c) AS DOUBLE), 6)
+        |  FROM g1),
+        |r2 AS (SELECT 2, 'segment', CAST(count(*) AS BIGINT),
+        |    CAST(min(c) AS BIGINT),
+        |    CAST(sum(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT),
+        |    round(sum(CASE WHEN c < 5 THEN c ELSE 0 END)
+        |      / CAST(sum(c) AS DOUBLE), 6)
+        |  FROM g2)
+        |SELECT * FROM r0 UNION ALL SELECT * FROM r1
+        |UNION ALL SELECT * FROM r2 ORDER BY level""".stripMargin
+    ) { (s, dir) =>
+      val cust = Tables(s, dir, "customer")
+      def ladder(level: Int, label: String, keys: Seq[org.apache.spark.sql.Column]) =
+        cust.groupBy(keys: _*).agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).cast("long").as("n_groups"),
+            min(col("c")).cast("long").as("min_group"),
+            sum(when(col("c") < 5, 1L).otherwise(0L)).cast("long")
+              .as("groups_lt_k"),
+            sum(when(col("c") < 5, col("c")).otherwise(0L)).cast("long")
+              .as("rows_at_risk"),
+            sum(col("c")).as("total"))
+          .select(lit(level).as("level"), lit(label).as("quasi_ids"),
+            col("n_groups"), col("min_group"), col("groups_lt_k"),
+            col("rows_at_risk"),
+            round(col("rows_at_risk") / col("total").cast("double"), 6)
+              .as("pct_at_risk"))
+      Seq(
+        ladder(0, "nation,segment,balance_1k",
+          Seq(col("c_nationkey"), col("c_mktsegment"),
+            (col("c_acctbal") / 1000.0).cast("int"))),
+        ladder(1, "nation,segment",
+          Seq(col("c_nationkey"), col("c_mktsegment"))),
+        ladder(2, "segment", Seq(col("c_mktsegment"))))
+        .reduce(_ unionByName _).orderBy(col("level"))
     }
   )
 

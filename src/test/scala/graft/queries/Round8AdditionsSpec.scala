@@ -299,4 +299,36 @@ class Round8AdditionsSpec extends SparkSpec {
     val anchor = got.find(_._1 == "full_f32").get
     assert(anchor._5 == 1.0, s"anchor recall ${anchor._5} != 1.0")
   }
+
+  test("p34: a plain-Scala contingency recount reproduces every ladder " +
+    "level; risk is monotone non-increasing under generalization") {
+    val rows = Tables(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    def level(keyOf: ((Int, String, Double)) => Any, lvl: Int,
+        label: String) = {
+      val sizes = rows.groupBy(keyOf).values.map(_.length.toLong).toSeq
+      val risk = sizes.filter(_ < 5).sum
+      (lvl, label, sizes.length.toLong, sizes.min,
+        sizes.count(_ < 5).toLong, risk,
+        BigDecimal(risk.toDouble / sizes.sum.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val expected = Seq(
+      // .toInt truncates toward zero — the contract both engines pin
+      level(r => (r._1, r._2, (r._3 / 1000.0).toInt), 0,
+        "nation,segment,balance_1k"),
+      level(r => (r._1, r._2), 1, "nation,segment"),
+      level(r => r._2, 2, "segment"))
+    val got = QueryRegistry.byName("p34_k_anonymity")
+      .run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(got == expected, s"k-anonymity ladder diverges from the " +
+      s"contingency recount:\n got $got\n exp $expected")
+    val risks = got.map(_._7)
+    assert(risks == risks.sorted.reverse,
+      s"coarsening INCREASED re-identification risk: $risks")
+  }
 }
