@@ -928,6 +928,249 @@ object AnalyticsQueries {
               - coalesce(col("n_retained"), lit(0L))) * 0.05 + 1)
             .as("within_5pct_of_union"))
         .orderBy(col("month"))
+    },
+
+    // ---------------------------------------------------------------
+    // q61 — EXACT Shapley channel attribution over the coverage game
+    // (the game-theoretic answer to q54's last-touch heuristic, and
+    // the Shapley-valuation shape of Ghorbani & Zou 2019 applied to
+    // marketing touchpoints): channels C = 4 deterministic touch
+    // channels; for a coalition S ⊆ C the characteristic value
+    // v(S) = # converted users reached by at least one channel in S
+    // BEFORE their first purchase. φ_c = Σ_{S ∌ c} |S|!(|C|−|S|−1)!/|C|!
+    // · (v(S∪c) − v(S)) — exact, in integer arithmetic: every v is a
+    // count, every weight ·4! is one of {6,2,2,6}, so φ_c·24 is an
+    // exact BIGINT and the only float op is the final display division.
+    // Scale shape: the corpus-sized work is ONE equi-join (touches ⋈
+    // per-user first purchase) plus ONE per-user bit_or partial agg;
+    // everything after lives on the ≤15-row mask histogram — the 2^|C|
+    // subset algebra never touches row data, so |C| up to ~20 channels
+    // costs only the 2^|C|-row literal table. Efficiency axiom
+    // Σφ_c = v(C) is spec-pinned (Round8AdditionsSpec).
+    Q(
+      "q61_shapley_attribution",
+      """WITH tc AS (
+        |  SELECT user_id, ts, CAST(event_id % 4 AS INTEGER) AS ch
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |fp AS (
+        |  SELECT user_id, min(ts) AS fp_ts FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id),
+        |mk AS (
+        |  SELECT t.user_id, bit_or(CASE t.ch WHEN 0 THEN 1 WHEN 1 THEN 2
+        |      WHEN 2 THEN 4 ELSE 8 END) AS m
+        |  FROM tc t JOIN fp ON t.user_id = fp.user_id AND t.ts < fp.fp_ts
+        |  GROUP BY t.user_id),
+        |nm AS (SELECT m, CAST(count(*) AS BIGINT) AS n FROM mk GROUP BY m),
+        |subs AS (SELECT CAST(unnest(generate_series(0, 15)) AS INTEGER) AS s),
+        |v AS (
+        |  SELECT subs.s,
+        |    COALESCE(sum(CASE WHEN (nm.m & subs.s) <> 0 THEN nm.n END), 0)
+        |      AS vv
+        |  FROM subs LEFT JOIN nm ON TRUE GROUP BY subs.s),
+        |ch4 AS (
+        |  SELECT CAST(unnest(generate_series(0, 3)) AS INTEGER) AS c,
+        |    CAST(unnest([1, 2, 4, 8]) AS INTEGER) AS bit),
+        |contrib AS (
+        |  SELECT ch4.c,
+        |    sum((CASE bit_count(CAST(subs.s AS BIGINT)) WHEN 0 THEN 6
+        |        WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END)
+        |      * (v1.vv - v0.vv)) AS phi24
+        |  FROM ch4 JOIN subs ON (subs.s & ch4.bit) = 0
+        |  JOIN v v0 ON v0.s = subs.s
+        |  JOIN v v1 ON v1.s = subs.s + ch4.bit
+        |  GROUP BY ch4.c),
+        |touched AS (
+        |  SELECT ch4.c,
+        |    COALESCE(sum(CASE WHEN (nm.m & ch4.bit) <> 0 THEN nm.n END), 0)
+        |      AS n_users
+        |  FROM ch4 LEFT JOIN nm ON TRUE GROUP BY ch4.c)
+        |SELECT CASE t.c WHEN 0 THEN 'search' WHEN 1 THEN 'social'
+        |    WHEN 2 THEN 'email' ELSE 'direct' END AS channel,
+        |  CAST(t.n_users AS BIGINT) AS n_users,
+        |  CAST(co.phi24 AS BIGINT) AS shapley_num24,
+        |  round(CAST(co.phi24 AS DOUBLE) / 24.0, 6) AS shapley
+        |FROM touched t JOIN contrib co ON co.c = t.c
+        |ORDER BY channel""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      // corpus-scale leg: touches before the user's first purchase,
+      // reduced to one 4-bit mask per converted user (bit_or partial
+      // agg), then to the <=15-row mask histogram
+      val tc = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("ts"),
+          (col("event_id") % 4).cast("int").as("ch"))
+      val fp = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("fp_ts"))
+      val bitOf: Column => Column = c =>
+        when(c === 0, 1).when(c === 1, 2).when(c === 2, 4).otherwise(8)
+      // STAGED: nm (<=15 rows) is consumed three times downstream (v
+      // twice, touched once) — without the stage each consumer would
+      // re-run the corpus-scale join + per-user agg
+      val nm = tc.join(fp, tc("user_id") === fp("user_id") &&
+          col("ts") < col("fp_ts"))
+        .groupBy(tc("user_id"))
+        .agg(expr("bit_or(CASE ch WHEN 0 THEN 1 WHEN 1 THEN 2 " +
+          "WHEN 2 THEN 4 ELSE 8 END)").as("m"))
+        .groupBy(col("m")).agg(count(lit(1)).cast("long").as("n"))
+        .transform(stage)
+      // subset algebra: literal 16-row table; v(S) by bit-intersection
+      // against the broadcast mask histogram
+      val subs = s.range(1).select(
+          explode(sequence(lit(0), lit(15))).as("s0"))
+        .select(col("s0").cast("int").as("s"))
+      val v = subs.join(broadcast(nm), lit(true), "left_outer")
+        .groupBy(col("s"))
+        .agg(coalesce(sum(when(expr("(m & s) <> 0"), col("n"))), lit(0L))
+          .as("vv"))
+      val ch4 = s.range(1).select(
+          explode(sequence(lit(0), lit(3))).as("c0"))
+        .select(col("c0").cast("int").as("c"))
+        .withColumn("bit", bitOf(col("c")))
+      val contrib = ch4.join(broadcast(v.as("sv")
+            .join(subs, col("sv.s") === subs("s")).select(col("sv.s"),
+              col("vv"))),
+          expr("(s & bit) = 0"))
+        .join(broadcast(v.as("v1")
+          .select(col("s").as("s1"), col("vv").as("vv1"))),
+          expr("s1 = s + bit"))
+        .groupBy(col("c"))
+        .agg(sum((when(expr("bit_count(cast(s as bigint))") === 0, 6)
+            .when(expr("bit_count(cast(s as bigint))") === 1, 2)
+            .when(expr("bit_count(cast(s as bigint))") === 2, 2)
+            .otherwise(6))
+          * (col("vv1") - col("vv"))).as("phi24"))
+      val touched = ch4.join(broadcast(nm), lit(true), "left_outer")
+        .groupBy(col("c"))
+        .agg(coalesce(sum(when(expr("(m & bit) <> 0"), col("n"))), lit(0L))
+          .as("n_users"))
+      touched.join(contrib, Seq("c"))
+        .select(
+          when(col("c") === 0, "search").when(col("c") === 1, "social")
+            .when(col("c") === 2, "email").otherwise("direct")
+            .as("channel"),
+          col("n_users").cast("long").as("n_users"),
+          col("phi24").cast("long").as("shapley_num24"),
+          round(col("phi24").cast("double") / 24.0, 6).as("shapley"))
+        .orderBy(col("channel"))
+    },
+
+    // ---------------------------------------------------------------
+    // q62 — Kaplan–Meier survival over time-to-first-purchase (event-
+    // history analysis, Kaplan & Meier 1958): cohort = users with a
+    // click; duration = days from first click to first purchase at or
+    // after it, right-CENSORED at the observation end (max event ts)
+    // for users who never convert — the estimator that makes the
+    // conversion curve honest when most users haven't converted YET.
+    // S(t) = Π_{t_i ≤ t} (1 − d_i/n_i) over event days t_i with d_i
+    // conversions among n_i still at risk. Exactness: d_i and n_i are
+    // exact integer suffix/prefix sums; the product is carried as a
+    // MICRO-LN sum (each ln term rounded to an integer count of 1e-6,
+    // summed as BIGINT — order-free, engine-parity by the t21/p31
+    // discipline; one IEEE division renders it back to a double). If
+    // the final at-risk set converts entirely (d = n, possible only on
+    // the max duration day), S hits exactly 0 and the log is emitted
+    // as NULL from that day on — in BOTH renderings, never a ln(0).
+    // Scale shape: two per-user partial aggs (first click, first
+    // purchase) + one duration histogram agg reduce the corpus to a
+    // day-level table bounded by the observation span; the suffix
+    // (at-risk) and prefix (log-survival) accumulations run as
+    // single-row sorted-array folds over that bounded table — the
+    // EquiDepth offsets pattern, NO unpartitioned window, no
+    // single-task sort of row data, no self-join.
+    Q(
+      "q62_survival_km",
+      """WITH fc AS (
+        |  SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id),
+        |fpx AS (
+        |  SELECT e.user_id, min(e.ts) AS tp
+        |  FROM events e JOIN fc ON e.user_id = fc.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= fc.t0
+        |  GROUP BY e.user_id),
+        |mx AS (SELECT max(ts) AS tmax FROM events),
+        |du AS (
+        |  SELECT fc.user_id,
+        |    date_diff('day', CAST(fc.t0 AS DATE),
+        |      CAST(COALESCE(fpx.tp, mx.tmax) AS DATE)) AS dur,
+        |    CASE WHEN fpx.tp IS NULL THEN 0 ELSE 1 END AS ev
+        |  FROM fc LEFT JOIN fpx ON fc.user_id = fpx.user_id
+        |  CROSS JOIN mx),
+        |dt AS (
+        |  SELECT dur, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(ev) AS BIGINT) AS d
+        |  FROM du GROUP BY dur),
+        |km AS (
+        |  SELECT dur, cnt, d,
+        |    sum(cnt) OVER (ORDER BY dur DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nrisk
+        |  FROM dt)
+        |SELECT dur AS duration_day, CAST(nrisk AS BIGINT) AS n_at_risk,
+        |  d AS n_events,
+        |  cnt - d AS n_censored,
+        |  CASE WHEN max(CASE WHEN d >= nrisk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY dur
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+        |    THEN NULL
+        |    ELSE round(CAST(sum(CASE WHEN d > 0 AND d < nrisk
+        |      THEN CAST(round(
+        |      ln(1.0 - CAST(d AS DOUBLE) / nrisk) * 1000000.0, 0)
+        |      AS BIGINT) ELSE 0 END) OVER (ORDER BY dur
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) / 1000000.0, 6) END AS km_log_survival
+        |FROM km ORDER BY duration_day""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val fc = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      val fpx = ev.filter(col("event_type") === "purchase").as("e")
+        .join(fc.as("f"), col("e.user_id") === col("f.user_id") &&
+          col("e.ts") >= col("f.t0"))
+        .groupBy(col("e.user_id").as("user_id"))
+        .agg(min(col("e.ts")).as("tp"))
+      val mx = ev.agg(max(col("ts")).as("tmax"))
+      val dt = fc
+        .join(fpx, Seq("user_id"), "left_outer")
+        .crossJoin(broadcast(mx))
+        .select(
+          datediff(to_date(coalesce(col("tp"), col("tmax"))),
+            to_date(col("t0"))).cast("long").as("dur"),
+          when(col("tp").isNull, 0L).otherwise(1L).as("ev"))
+        .groupBy(col("dur"))
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          sum(col("ev")).cast("long").as("d"))
+      // bounded day-level table -> single-row sorted-array folds
+      // (suffix sum = at-risk set, prefix sum = micro-ln survival);
+      // O(D^2) on D = distinct durations, zero unpartitioned windows
+      dt.agg(array_sort(collect_list(struct(col("dur"), col("cnt"),
+          col("d")))).as("a"))
+        .select(explode(expr(
+          """transform(a, (x, i) -> named_struct(
+            |  'duration_day', x.dur,
+            |  'n_at_risk', aggregate(slice(a, i + 1, size(a) - i), 0L,
+            |    (acc, y) -> acc + y.cnt),
+            |  'n_events', x.d,
+            |  'n_censored', x.cnt - x.d))""".stripMargin)).as("r"))
+        .select(col("r.*"))
+        .groupBy()
+        .agg(array_sort(collect_list(struct(col("duration_day"),
+          col("n_at_risk"), col("n_events"), col("n_censored")))).as("b"))
+        .select(explode(expr(
+          """transform(b, (x, i) -> named_struct(
+            |  'duration_day', x.duration_day,
+            |  'n_at_risk', x.n_at_risk,
+            |  'n_events', x.n_events,
+            |  'n_censored', x.n_censored,
+            |  'km_log_survival', CASE WHEN exists(slice(b, 1, i + 1),
+            |      y -> y.n_events >= y.n_at_risk) THEN CAST(NULL AS DOUBLE)
+            |    ELSE round(cast(aggregate(slice(b, 1, i + 1),
+            |    0L, (acc, y) -> acc + (CASE WHEN y.n_events > 0
+            |        AND y.n_events < y.n_at_risk
+            |      THEN cast(round(ln(1.0 - cast(y.n_events as double)
+            |        / y.n_at_risk) * 1000000.0, 0) as bigint)
+            |      ELSE 0L END)) as double) / 1000000.0, 6) END))""".stripMargin))
+          .as("r"))
+        .select(col("r.*"))
+        .orderBy(col("duration_day"))
     }
   )
 

@@ -1514,6 +1514,140 @@ object TextQueries {
           round(col("n_chars").cast("double")
             / col("n_syms").cast("double"), 6).as("compression"))
         .orderBy(col("lang"))
+    },
+
+    // ---------------------------------------------------------------
+    // t25 — Heaps'-law vocabulary growth (Heaps 1978; t18's Zipf is
+    // the rank-frequency face, this is the type-token face): per
+    // source, V(n) = distinct types among the first n tokens of the
+    // corpus stream, fit as ln V = β·ln n + ln K — the curve that
+    // sizes a tokenizer vocabulary and predicts how many NEW types
+    // the next 10× of corpus brings. The naive form (count distinct
+    // per prefix) is O(prefixes · corpus); here V(n) needs only each
+    // type's FIRST-occurrence position: V(n) = #{types: first ≤ n}.
+    // Position in the stream is the EXACT GLOBAL RANK over (source,
+    // doc_id, pos) via EquiDepth (one range exchange + pid-local
+    // window — no single-task sort); per-source position subtracts
+    // the broadcast ≤|sources|-row offset table. First occurrences
+    // bin by floor(log2 f) — computed EXACTLY as length(bin(f))-1,
+    // never float log2 at a power-of-two boundary — so the sample
+    // grid n_b = min(2^(b+1)-1, N) needs only a cumulative sum over
+    // the ≤40-row-per-source bin table (source-partitioned window).
+    // The fit reuses t18's deterministic moment contract: ln values
+    // rounded to 6, exact DECIMAL moment sums, one cast to double.
+    // Honest fixture note: the synthetic corpus is templated, so the
+    // vocabulary saturates early and β lands well below the ~0.7 of
+    // natural text — the spec pins V's monotonicity and the exact
+    // cross-check against a sequential pure-Scala recount instead of
+    // a naturalness claim.
+    Q(
+      "t25_heaps_law",
+      """WITH ws AS (
+        |  SELECT source, doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |tok AS (
+        |  SELECT source, doc_id, p, w[p] AS term
+        |  FROM (SELECT source, doc_id, w,
+        |          unnest(generate_series(1, len(w))) AS p FROM ws)),
+        |pos AS (
+        |  SELECT source, term,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id, p)
+        |      AS ps
+        |  FROM tok),
+        |src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tok
+        |        FROM pos GROUP BY source),
+        |fo AS (SELECT source, term, min(ps) AS f
+        |       FROM pos GROUP BY source, term),
+        |bins AS (
+        |  SELECT source, length(bin(CAST(f AS BIGINT))) - 1 AS b,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM fo GROUP BY source, b),
+        |cum AS (
+        |  SELECT source, b, cnt,
+        |    sum(cnt) OVER (PARTITION BY source ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vt
+        |  FROM bins),
+        |pts AS (
+        |  SELECT c.source, c.cnt,
+        |    CAST(round(ln(CAST(least((CAST(1 AS BIGINT) << (b + 1)) - 1,
+        |      s.n_tok) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+        |    CAST(round(ln(CAST(vt AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y,
+        |    s.n_tok
+        |  FROM cum c JOIN src s ON s.source = c.source),
+        |m AS (
+        |  SELECT source, max(n_tok) AS n_tokens,
+        |    CAST(sum(cnt) AS BIGINT) AS n_types,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(round(sum(x), 6) AS DOUBLE) AS sx,
+        |    CAST(round(sum(y), 6) AS DOUBLE) AS sy,
+        |    CAST(round(sum(CAST(x * y AS DECIMAL(38,12))), 6) AS DOUBLE)
+        |      AS sxy,
+        |    CAST(round(sum(CAST(x * x AS DECIMAL(38,12))), 6) AS DOUBLE)
+        |      AS sxx,
+        |    CAST(round(sum(CAST(y * y AS DECIMAL(38,12))), 6) AS DOUBLE)
+        |      AS syy
+        |  FROM pts GROUP BY source)
+        |SELECT source, n_tokens, n_types, CAST(n AS BIGINT) AS n_points,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+        |    6) AS lnk,
+        |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM m ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val tok = Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          posexplode(DedupOps.words(col("text"))).as(Seq("p0", "term")))
+        .select(col("source"), col("doc_id"),
+          (col("p0") + 1).cast("long").as("p"), col("term"))
+      val ranked = graft.operators.EquiDepth.withGlobalRank(tok,
+        Seq(col("source"), col("doc_id"), col("p")), "r", "tot")
+      // per-source stream offset: source is the LEADING order column,
+      // so min(global rank) - 1 within a source IS the token count of
+      // all earlier sources; <=|sources| rows, broadcast back
+      val src = ranked.groupBy(col("source"))
+        .agg((min(col("r")) - 1).as("off"),
+          count(lit(1)).cast("long").as("n_tok"))
+      val fo = ranked.join(broadcast(src), Seq("source"))
+        .select(col("source"), col("term"),
+          (col("r") - col("off")).as("ps"), col("n_tok"))
+        .groupBy(col("source"), col("term"))
+        .agg(min(col("ps")).as("f"), max(col("n_tok")).as("n_tok"))
+      val bins = fo.groupBy(col("source"),
+          (length(bin(col("f"))) - 1).as("b"))
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          max(col("n_tok")).as("n_tok"))
+      val wc = Window.partitionBy(col("source")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pts = bins.withColumn("vt", sum(col("cnt")).over(wc))
+        .select(col("source"), col("cnt"), col("n_tok"),
+          round(log(least(
+            expr("shiftleft(cast(1 as bigint), cast(b + 1 as int))") - 1,
+            col("n_tok")).cast("double")), 6)
+            .cast(DecimalType(18, 6)).as("x"),
+          round(log(col("vt").cast("double")), 6)
+            .cast(DecimalType(18, 6)).as("y"))
+      def mom6(c: Column): Column = round(sum(c), 6).cast("double")
+      val m = pts.groupBy(col("source"))
+        .agg(max(col("n_tok")).as("n_tokens"),
+          sum(col("cnt")).cast("long").as("n_types"),
+          count(lit(1)).cast("double").as("n"),
+          mom6(col("x")).as("sx"), mom6(col("y")).as("sy"),
+          mom6((col("x") * col("y")).cast(DecimalType(38, 12))).as("sxy"),
+          mom6((col("x") * col("x")).cast(DecimalType(38, 12))).as("sxx"),
+          mom6((col("y") * col("y")).cast(DecimalType(38, 12))).as("syy"))
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val denX = col("n") * col("sxx") - col("sx") * col("sx")
+      val denY = col("n") * col("syy") - col("sy") * col("sy")
+      m.select(col("source"), col("n_tokens"), col("n_types"),
+          col("n").cast("bigint").as("n_points"),
+          round(num / denX, 6).as("beta"),
+          round((col("sy") - num / denX * col("sx")) / col("n"), 6)
+            .as("lnk"),
+          round(num * num / (denX * denY), 6).as("r2"))
+        .orderBy(col("source"))
     }
   )
 

@@ -31,7 +31,10 @@ class DeterminismSpec extends SparkSpec {
     "d05_embedding_neardup", // cosine over LSH candidates
     "q41_rolling_anomaly",   // windowed mean/stddev
     "t22_source_drift",      // KL ln-term DECIMAL fold per source
-    "s19_matryoshka_recall"  // prefix-cosine folds + top-k ties
+    "s19_matryoshka_recall", // prefix-cosine folds + top-k ties
+    "t25_heaps_law",         // ln-ln regression over global-rank bins
+    "q62_survival_km",       // micro-ln BIGINT survival folds
+    "q61_shapley_attribution" // integer algebra + one display division
   )
 
   test("float-heavy queries are bit-identical across shuffle parallelism") {

@@ -739,6 +739,55 @@ class PlanSpec extends SparkSpec {
       s"t22 joins a marginal by shuffle:\n$p")
   }
 
+  test("q61: one staged corpus pass; the subset algebra is all broadcast") {
+    // the mask histogram (<=15 rows by the 2^4 data contract) is the
+    // ONLY product of corpus-scale work; staged so v(S) (read twice)
+    // and the touched counts never re-run the touches |><| purchase
+    // join. Everything after must be broadcast joins over literal
+    // ranges — a sort-merge here would mean a corpus-sized key leaked
+    // into the subset algebra.
+    val p = planOf("q61_shapley_attribution")
+    assert(!p.contains("SortMergeJoin"),
+      s"subset algebra fell off broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    val corpusScans = p.linesIterator.count(_.contains("Scan ExistingRDD"))
+    assert(corpusScans >= 3,
+      s"expected the staged mask histogram at every consumer:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"a consumer bypassed the stage and re-reads the corpus:\n$p")
+  }
+
+  test("q62: the survival curve has NO window — bounded-table folds only") {
+    // corpus-scale work is two per-user aggs + one duration-histogram
+    // agg; the at-risk suffix and log-survival prefix accumulate as
+    // single-row sorted-array folds over the bounded day table, so no
+    // Window node (and hence no single-task sort of row data) exists
+    // anywhere in the plan
+    val p = planOf("q62_survival_km")
+    assert(!p.contains("Window"), s"q62 grew a window:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange SinglePartition")) <= 2,
+      s"more single-partition exchanges than the two bounded folds:\n$p")
+  }
+
+  test("t25: positions ride EquiDepth's range exchange; bin cumsum is " +
+    "source-partitioned") {
+    // the token stream is ranked by ONE range exchange + pid-local
+    // window (EquiDepth), never a single-task sort; the only other
+    // corpus-scale exchange is the (source, term) first-occurrence
+    // agg; the cumulative-V window runs source-PARTITIONED over the
+    // <=40-row-per-source bin table
+    val p = planOf("t25_heaps_law")
+    assert(p.contains("windowspecdefinition(__gr_pid"),
+      s"EquiDepth's pid-partitioned rank window is missing:\n$p")
+    assert(p.contains("windowspecdefinition(source"),
+      s"bin cumsum must partition by source:\n$p")
+    val unpart = p.linesIterator.count(l =>
+      l.contains("windowspecdefinition(") && !l.contains(
+        "windowspecdefinition(__gr_pid") && !l.contains(
+        "windowspecdefinition(source"))
+    assert(unpart == 0, s"unexpected window spec in t25:\n$p")
+  }
+
   test("every registered query stays off RDD fallbacks (no collect-driven loops)") {
     // structural smoke: building each plan succeeds and none mention
     // 'Scan ExistingRDD' (a sign of driver-side materialization).
@@ -759,7 +808,8 @@ class PlanSpec extends SparkSpec {
       "t21_lm_backoff", "d23_incremental_chunks", "s18_cluster_purity",
       "mm14_audio_fingerprint", "s19_matryoshka_recall",
       "t22_source_drift", "t23_bpe_merges", "t24_bpe_fertility",
-      "s20_compression_frontier")
+      "s20_compression_frontier", "t25_heaps_law",
+      "q61_shapley_attribution")
     QueryRegistry.all
       .filterNot(q => isStreamLoop(q.name) || checkpoints.contains(q.name))
       .foreach { q =>

@@ -331,4 +331,151 @@ class Round8AdditionsSpec extends SparkSpec {
     assert(risks == risks.sorted.reverse,
       s"coarsening INCREASED re-identification risk: $risks")
   }
+
+  test("q61: pure-Scala subset enumeration reproduces the exact Shapley " +
+    "report; the efficiency axiom holds") {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+        r.getString(3)))
+    val fp = ev.filter(_._4 == "purchase").groupBy(_._2)
+      .map { case (u, g) => u -> g.map(_._3).min }
+    val masks = ev
+      .filter(e => e._4 == "click" || e._4 == "view")
+      .filter(e => fp.get(e._2).exists(e._3 < _))
+      .groupBy(_._2).values
+      .map(_.map(e => 1 << (e._1 % 4).toInt).reduce(_ | _)).toSeq
+    val nm: Map[Int, Long] =
+      masks.groupBy(identity).map { case (m, g) => m -> g.length.toLong }
+    def v(setMask: Int): Long =
+      nm.collect { case (m, n) if (m & setMask) != 0 => n }.sum
+    val w = Array(6L, 2L, 2L, 6L) // |S|!(3-|S|)! for |S| = 0..3
+    val names = Array("search", "social", "email", "direct")
+    val expected = (0 to 3).map { c =>
+      val bit = 1 << c
+      val phi24 = (0 to 15).filter(s => (s & bit) == 0)
+        .map(s => w(Integer.bitCount(s)) * (v(s | bit) - v(s))).sum
+      val nUsers = nm.collect { case (m, n) if (m & bit) != 0 => n }.sum
+      (names(c), nUsers, phi24,
+        BigDecimal(phi24.toDouble / 24.0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    val got = QueryRegistry.byName("q61_shapley_attribution")
+      .run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == expected, s"Shapley report diverges from the " +
+      s"independent subset enumeration:\n got $got\n exp $expected")
+    // efficiency axiom: the channel credits sum exactly to the grand
+    // coalition's value (every reached converted user), in 24ths
+    assert(got.map(_._3).sum == 24L * v(15),
+      s"sum of phi*24 = ${got.map(_._3).sum} != 24*v(C) = ${24L * v(15)}")
+    assert(v(15) == masks.length.toLong)
+  }
+
+  test("q62: a sequential Kaplan-Meier recount reproduces every row; " +
+    "at-risk counts strictly decrease and log-survival never rises") {
+    import java.time.ZoneOffset
+    import java.time.temporal.ChronoUnit
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toInstant, r.getString(2)))
+    val t0 = ev.filter(_._3 == "click").groupBy(_._1)
+      .map { case (u, g) => u -> g.map(_._2).min }
+    val tp = ev.filter(_._3 == "purchase")
+      .filter(e => t0.get(e._1).exists(t => !e._2.isBefore(t)))
+      .groupBy(_._1).map { case (u, g) => u -> g.map(_._2).min }
+    val tmax = ev.map(_._2).max
+    def day(i: java.time.Instant) = i.atZone(ZoneOffset.UTC).toLocalDate
+    val durs = t0.toSeq.map { case (u, t) =>
+      val end = tp.getOrElse(u, tmax)
+      (ChronoUnit.DAYS.between(day(t), day(end)), tp.contains(u))
+    }
+    val byDay = durs.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (d, g) =>
+        (d, g.length.toLong, g.count(_._2).toLong) }
+    var remaining = durs.length.toLong
+    var lnMicro = 0L
+    var dead = false
+    val expected = byDay.map { case (dur, cnt, d) =>
+      val nrisk = remaining
+      remaining -= cnt
+      if (d > 0 && d < nrisk)
+        lnMicro += BigDecimal(math.log(1.0 - d.toDouble / nrisk) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      if (d >= nrisk) dead = true
+      val km: Option[Double] = if (dead) None
+        else Some(BigDecimal(lnMicro.toDouble / 1000000.0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (dur, nrisk, d, cnt - d, km)
+    }
+    val got = QueryRegistry.byName("q62_survival_km")
+      .run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(got == expected, s"Kaplan-Meier curve diverges from the " +
+      s"sequential recount:\n got $got\n exp $expected")
+    val risks = got.map(_._2)
+    assert(risks == risks.sorted.reverse && risks.distinct == risks,
+      s"at-risk set must strictly shrink: $risks")
+    val kms = got.flatMap(_._5)
+    assert(kms == kms.sorted.reverse,
+      s"log-survival increased along the curve: $kms")
+    assert(got.map(r => r._3 + r._4).sum == t0.size.toLong,
+      "events + censored must account for the whole cohort")
+  }
+
+  test("t25: a sequential first-occurrence scan reproduces the Heaps " +
+    "fit exactly; type growth is monotone") {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    def mom(terms: Seq[BigDecimal]): Double =
+      terms.sum.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expected = docs.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (src, g) =>
+        val toks = g.sortBy(_._2)
+          .flatMap(_._3.split(" ").filter(_.nonEmpty))
+        val seen = collection.mutable.Set.empty[String]
+        val firsts = toks.zipWithIndex.collect {
+          case (t, i) if seen.add(t) => i + 1L
+        }
+        val nTok = toks.length.toLong
+        val bins = firsts.groupBy(f => 63 - java.lang.Long
+            .numberOfLeadingZeros(f)).toSeq.sortBy(_._1)
+          .map { case (b, fs) => (b, fs.length.toLong) }
+        var vt = 0L
+        val pts = bins.map { case (b, cnt) =>
+          vt += cnt
+          (r6(math.log(math.min((1L << (b + 1)) - 1, nTok).toDouble)),
+            r6(math.log(vt.toDouble)))
+        }
+        val n = pts.length.toDouble
+        val sx = mom(pts.map(_._1)); val sy = mom(pts.map(_._2))
+        val sxy = mom(pts.map(p => p._1 * p._2))
+        val sxx = mom(pts.map(p => p._1 * p._1))
+        val syy = mom(pts.map(p => p._2 * p._2))
+        val num = n * sxy - sx * sy
+        val denX = n * sxx - sx * sx
+        val denY = n * syy - sy * sy
+        (src, nTok, vt, pts.length.toLong,
+          r6(num / denX).toDouble,
+          r6((sy - num / denX * sx) / n).toDouble,
+          r6(num * num / (denX * denY)).toDouble)
+    }
+    val got = QueryRegistry.byName("t25_heaps_law")
+      .run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got == expected, s"Heaps fit diverges from the sequential " +
+      s"first-occurrence scan:\n got $got\n exp $expected")
+    // the fit must be over at least a few octaves, and V <= n always
+    assert(got.forall(_._4 >= 3), s"too few sample points: $got")
+    assert(got.forall(r => r._3 <= r._2),
+      "more types than tokens — rank/offset arithmetic broke")
+  }
 }
