@@ -1171,6 +1171,66 @@ object AnalyticsQueries {
           .as("r"))
         .select(col("r.*"))
         .orderBy(col("duration_day"))
+    },
+
+    // ---------------------------------------------------------------
+    // q63 — absorbing-Markov conversion probability (the chain q44
+    // only ESTIMATES, actually solved): with 'purchase' made
+    // absorbing, the probability that a user in state s reaches
+    // purchase within 6 transitions is p_6 from the recursion
+    // p_k(s) = Σ_t P(s,t)·p_{k-1}(t), p_k(purchase) = 1 — six
+    // relational matrix-vector products. Exactness: probabilities are
+    // carried as MICRO-units (1e-9) in BIGINT; each step is an exact
+    // integer Σ n(s,t)·p(t) followed by ONE truncating division by
+    // the row total (identical in both engines for non-negative
+    // operands: Spark div truncates, DuckDB // floors), so no float
+    // enters until the final display division — the per-iteration
+    // truncation bias is < 1e-9·K, far under the display precision.
+    // Scale shape: the corpus reduces to the ≤|types|²-row transition
+    // table in ONE user-keyed window + one partial agg; the table is
+    // STAGED so the six iterations and the row-total table never
+    // re-scan the corpus. Observed post-purchase transitions are
+    // reported (n_out) but excluded from the chain — first-passage
+    // semantics.
+    Q("q63_absorbing_markov", q63Sql) { (s, dir) =>
+      val order = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      val trans = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          col("event_type").as("cur"), unix_millis(col("ts")).as("ms"))
+        .withColumn("nxt", lead(col("cur"), 1).over(order))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("cur"), col("nxt"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .transform(stage) // <=16 rows; feeds ntot + all 6 iterations
+      val ntot = trans.groupBy(col("cur"))
+        .agg(sum(col("n")).cast("long").as("tot"))
+      val states = trans.select(col("cur").as("state"))
+        .union(trans.select(col("nxt"))).distinct()
+      val p0 = states.withColumn("p",
+        when(col("state") === "purchase", lit(1000000000L))
+          .otherwise(lit(0L)))
+      val pK = (1 to 6).foldLeft(p0) { (p, _) =>
+        states
+          .join(trans.filter(col("cur") =!= "purchase"),
+            col("state") === col("cur"), "left_outer")
+          .join(p.select(col("state").as("pst"), col("p").as("pn")),
+            col("nxt") === col("pst"), "left_outer")
+          .groupBy(col("state"))
+          .agg(sum(col("n") * col("pn")).as("num"))
+          .join(ntot.select(col("cur").as("nst"), col("tot")),
+            col("state") === col("nst"), "left_outer")
+          .select(col("state"),
+            when(col("state") === "purchase", lit(1000000000L))
+              .otherwise(coalesce(expr("num div tot"), lit(0L))).as("p"))
+      }
+      pK.join(ntot.select(col("cur").as("ost"), col("tot")),
+          pK("state") === col("ost"), "left_outer")
+        .select(col("state"),
+          coalesce(col("tot"), lit(0L)).cast("long").as("n_out"),
+          col("p").cast("long").as("p_absorb_micro"),
+          (col("p").cast("double") / 1e9).as("p_absorb"))
+        .orderBy(col("state"))
     }
   )
 
@@ -1219,6 +1279,48 @@ object AnalyticsQueries {
     * DuckDB oracle runs (see the q51 comment above). Lazy: `all` above
     * initializes first and captures this — a plain val would still be
     * null at that point. */
+  /** q63's DuckDB rendering: the six micro-unit matrix-vector steps
+    * unrolled as CTEs (the t23 unrolled-iteration trick). Lazy for the
+    * same object-initialization reason as q51Sql below. */
+  private lazy val q63Sql: String = {
+    val iters = (1 to 6).map { i =>
+      s"""it$i AS (
+         |  SELECT s.state,
+         |    CAST(CASE WHEN s.state = 'purchase' THEN 1000000000
+         |      ELSE COALESCE((
+         |        SELECT CAST(sum(t.n * p.p) // max(nt.tot) AS BIGINT)
+         |        FROM trans t
+         |        JOIN it${i - 1} p ON p.state = t.nxt
+         |        JOIN ntot nt ON nt.cur = t.cur
+         |        WHERE t.cur = s.state AND t.cur <> 'purchase'), 0)
+         |      END AS BIGINT) AS p
+         |  FROM states s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT event_type AS cur,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_ms(ts), event_id) AS nxt
+       |  FROM events),
+       |trans AS (
+       |  SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+       |  FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+       |ntot AS (SELECT cur, CAST(sum(n) AS BIGINT) AS tot
+       |         FROM trans GROUP BY cur),
+       |states AS (SELECT DISTINCT state FROM (
+       |  SELECT cur AS state FROM trans
+       |  UNION ALL SELECT nxt FROM trans)),
+       |it0 AS (
+       |  SELECT state, CAST(CASE WHEN state = 'purchase'
+       |    THEN 1000000000 ELSE 0 END AS BIGINT) AS p FROM states),
+       |$iters
+       |SELECT s.state, CAST(COALESCE(nt.tot, 0) AS BIGINT) AS n_out,
+       |  it6.p AS p_absorb_micro,
+       |  CAST(it6.p AS DOUBLE) / 1000000000.0 AS p_absorb
+       |FROM states s JOIN it6 ON it6.state = s.state
+       |LEFT JOIN ntot nt ON nt.cur = s.state
+       |ORDER BY s.state""".stripMargin
+  }
+
   private lazy val q51Sql: String =
     """SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_custs,
       |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)

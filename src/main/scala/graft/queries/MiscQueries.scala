@@ -414,6 +414,127 @@ object MiscQueries {
     },
 
     // ---------------------------------------------------------------
+    // v05 — SHREDDING profile: the report an ingest pipeline runs over
+    // a variant column to decide which paths to materialize as typed
+    // parquet columns (Spark's variant shredding writes exactly these:
+    // per path — presence, JSON-null rate, type mix, and whether the
+    // path coerces cleanly to the target type). Payload is v02's
+    // heterogeneous mix plus a JSON null at $.k on every 5th event, so
+    // all three per-path states (missing / JSON null / typed) occur.
+    // Shape at 100 TB: ONE partial-agg'd pass computes all 6 paths ×
+    // 6 measures as flat aggregate columns (no per-path explode — the
+    // row stream is scanned once); the 1-row aggregate then unpivots
+    // via stack to the per-path report. A path's n_num vs n_str split
+    // IS the shredding decision; shred_sum is the mass the typed
+    // column would carry.
+    Q(
+      "v05_variant_shredding",
+      """WITH p AS (
+        |  SELECT event_id,
+        |    CASE
+        |      WHEN event_type IN ('click', 'view') THEN
+        |        '{"k":' || (CASE WHEN event_id % 5 = 0 THEN 'null'
+        |          ELSE CAST(json_extract(props, '$.k') AS VARCHAR) END) ||
+        |        ',"pos":{"x":' || CAST(user_id % 100 AS VARCHAR) ||
+        |        ',"y":' || CAST(event_id % 37 AS VARCHAR) || '}}'
+        |      WHEN event_type = 'purchase' THEN
+        |        '{"k":' || (CASE WHEN event_id % 5 = 0 THEN 'null'
+        |          ELSE CAST(json_extract(props, '$.k') AS VARCHAR) END) ||
+        |        ',"cents":' || CAST((event_id * 37 + user_id) % 10000 AS VARCHAR) ||
+        |        ',"items":[' || CAST(event_id % 5 AS VARCHAR) || ',' ||
+        |        CAST(event_id % 7 AS VARCHAR) || ']}'
+        |      ELSE
+        |        '{"k":' || (CASE WHEN event_id % 5 = 0 THEN 'null'
+        |          ELSE CAST(json_extract(props, '$.k') AS VARCHAR) END) ||
+        |        ',"msg":"e' || CAST(event_id % 13 AS VARCHAR) || '"}'
+        |    END AS payload
+        |  FROM events),
+        |t AS (
+        |  -- json_type is the presence probe: it returns 'NULL' for a
+        |  -- JSON null (present) and SQL NULL only for a MISSING path,
+        |  -- where json_extract collapses both to SQL NULL. Paths are
+        |  -- unrolled as CONSTANTS: DuckDB's column-path json_type
+        |  -- variant conflates JSON null with missing (measured).
+        |  SELECT '$.k' AS path, json_type(payload, '$.k') AS jt,
+        |    TRY_CAST(json_extract_string(payload, '$.k') AS BIGINT) AS co
+        |  FROM p
+        |  UNION ALL SELECT '$.pos.x', json_type(payload, '$.pos.x'),
+        |    TRY_CAST(json_extract_string(payload, '$.pos.x') AS BIGINT)
+        |  FROM p
+        |  UNION ALL SELECT '$.cents', json_type(payload, '$.cents'),
+        |    TRY_CAST(json_extract_string(payload, '$.cents') AS BIGINT)
+        |  FROM p
+        |  UNION ALL SELECT '$.items[0]', json_type(payload, '$.items[0]'),
+        |    TRY_CAST(json_extract_string(payload, '$.items[0]') AS BIGINT)
+        |  FROM p
+        |  UNION ALL SELECT '$.items[1]', json_type(payload, '$.items[1]'),
+        |    TRY_CAST(json_extract_string(payload, '$.items[1]') AS BIGINT)
+        |  FROM p
+        |  UNION ALL SELECT '$.msg', json_type(payload, '$.msg'),
+        |    TRY_CAST(json_extract_string(payload, '$.msg') AS BIGINT)
+        |  FROM p)
+        |SELECT path,
+        |  CAST(count(jt) AS BIGINT) AS n_present,
+        |  CAST(count(CASE WHEN jt = 'NULL' THEN 1 END) AS BIGINT)
+        |    AS n_vnull,
+        |  CAST(count(CASE WHEN jt IN ('BIGINT', 'UBIGINT') THEN 1 END)
+        |    AS BIGINT) AS n_num,
+        |  CAST(count(CASE WHEN jt = 'VARCHAR' THEN 1 END) AS BIGINT)
+        |    AS n_str,
+        |  CAST(count(co) AS BIGINT) AS n_coerced,
+        |  CAST(COALESCE(sum(co), 0) AS BIGINT) AS shred_sum
+        |FROM t GROUP BY path ORDER BY path""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val k = variant_get(parse_json(col("props")), "$.k", "bigint")
+        .cast("string")
+      val kOrNull = when(col("event_id") % 5 === 0, lit("null")).otherwise(k)
+      val payload = when(col("event_type").isin("click", "view"),
+          concat(lit("{\"k\":"), kOrNull,
+            lit(",\"pos\":{\"x\":"), (col("user_id") % 100).cast("string"),
+            lit(",\"y\":"), (col("event_id") % 37).cast("string"),
+            lit("}}")))
+        .when(col("event_type") === "purchase",
+          concat(lit("{\"k\":"), kOrNull,
+            lit(",\"cents\":"),
+            ((col("event_id") * 37 + col("user_id")) % 10000).cast("string"),
+            lit(",\"items\":["), (col("event_id") % 5).cast("string"),
+            lit(","), (col("event_id") % 7).cast("string"), lit("]}")))
+        .otherwise(
+          concat(lit("{\"k\":"), kOrNull,
+            lit(",\"msg\":\"e"), (col("event_id") % 13).cast("string"),
+            lit("\"}")))
+      val paths = Seq("$.k" -> "k", "$.pos.x" -> "posx",
+        "$.cents" -> "cents", "$.items[0]" -> "item0",
+        "$.items[1]" -> "item1", "$.msg" -> "msg")
+      val aggs = paths.flatMap { case (p, t) =>
+        val num = Seq("TINYINT", "SMALLINT", "INT", "BIGINT")
+        Seq(
+          sum(when(expr(s"variant_get(v, '$p') IS NOT NULL"), 1L)
+            .otherwise(0L)).as(s"${t}_present"),
+          sum(when(expr(s"is_variant_null(variant_get(v, '$p'))"), 1L)
+            .otherwise(0L)).as(s"${t}_vnull"),
+          sum(when(expr(s"schema_of_variant(variant_get(v, '$p'))")
+            .isin(num: _*), 1L).otherwise(0L)).as(s"${t}_num"),
+          sum(when(expr(s"schema_of_variant(variant_get(v, '$p'))")
+            === "STRING", 1L).otherwise(0L)).as(s"${t}_str"),
+          sum(when(expr(s"try_variant_get(v, '$p', 'bigint') IS NOT NULL"),
+            1L).otherwise(0L)).as(s"${t}_coerced"),
+          coalesce(sum(expr(s"try_variant_get(v, '$p', 'bigint')")),
+            lit(0L)).as(s"${t}_sum"))
+      }
+      val onePass = ev.select(parse_json(payload).as("v"))
+        .agg(aggs.head, aggs.tail: _*)
+      val stackExpr = paths.map { case (p, t) =>
+        s"'$p', ${t}_present, ${t}_vnull, ${t}_num, ${t}_str, " +
+          s"${t}_coerced, ${t}_sum"
+      }.mkString(s"stack(${paths.size}, ", ", ",
+        ") as (path, n_present, n_vnull, n_num, n_str, n_coerced, " +
+          "shred_sum)")
+      onePass.selectExpr(stackExpr).orderBy(col("path"))
+    },
+
+    // ---------------------------------------------------------------
     // q29 — unpivot/melt (the inverse of q23's pivot): wide per-flag
     // aggregate metrics melted to (key, metric, value) long form — the
     // normalization step a metrics/feature pipeline runs before a

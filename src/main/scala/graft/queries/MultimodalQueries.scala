@@ -975,6 +975,85 @@ object MultimodalQueries {
         .select(col("a_id"), col("b_id"),
           col("offset_delta").cast("long").as("offset_delta"), col("votes"))
         .orderBy(col("a_id"), col("b_id"), col("offset_delta"))
+    },
+
+    // ---------------------------------------------------------------
+    // mm15 — keyframe selection per shot (the step after mm11's shot
+    // bounds: a video pipeline embeds ONE representative frame per
+    // shot, not all frames): frames and their squared-ASCII energies
+    // under mm03/mm11's 16-char-frame 64-frame-cap contract; a shot
+    // starts where the energy jump exceeds mm11's threshold; the
+    // keyframe is the shot's max-energy frame (ties → earliest, so
+    // the argmax is a total order and both engines agree). Per (clip,
+    // shot): start frame, length, keyframe index + energy. Shape at
+    // 100 TB: the frame explode is bounded 64×, ONE doc_id exchange
+    // serves the lag window, the cumulative shot-id window, and the
+    // (doc, shot) agg — the argmax is an exact integer max(struct),
+    // never a per-shot sort.
+    Q(
+      "mm15_keyframes",
+      """WITH fr AS (
+        |  SELECT doc_id, f,
+        |    CAST(list_aggregate(list_transform(
+        |      generate_series(CAST(f * 16 + 1 AS BIGINT),
+        |        CAST(least(f * 16 + 16, length(text)) AS BIGINT)),
+        |      i -> ascii(substr(text, CAST(i AS INTEGER), 1))
+        |        * ascii(substr(text, CAST(i AS INTEGER), 1))),
+        |      'sum') AS BIGINT) AS energy
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS f) g
+        |  WHERE f < ceil(length(text) / 16.0)),
+        |d AS (
+        |  SELECT doc_id, f, energy,
+        |    CASE WHEN abs(energy - lag(energy) OVER (
+        |      PARTITION BY doc_id ORDER BY f)) > 20000 THEN 1 ELSE 0 END
+        |      AS cut
+        |  FROM fr),
+        |sh AS (
+        |  SELECT doc_id, f, energy,
+        |    1 + sum(cut) OVER (PARTITION BY doc_id ORDER BY f
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot
+        |  FROM d),
+        |rk AS (
+        |  SELECT doc_id, shot, f, energy,
+        |    row_number() OVER (PARTITION BY doc_id, shot
+        |      ORDER BY energy DESC, f ASC) AS rn
+        |  FROM sh)
+        |SELECT doc_id, CAST(shot AS BIGINT) AS shot,
+        |  CAST(min(f) AS BIGINT) AS start_f,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(max(CASE WHEN rn = 1 THEN f END) AS BIGINT) AS key_f,
+        |  CAST(max(CASE WHEN rn = 1 THEN energy END) AS BIGINT)
+        |    AS key_energy
+        |FROM rk GROUP BY doc_id, shot
+        |ORDER BY doc_id, shot""".stripMargin
+    ) { (s, dir) =>
+      val fr = Tables(s, dir, "documents")
+        .withColumn("f", explode(sequence(lit(0L), least(
+          ceil(length(col("text")) / 16.0).cast("long") - 1, lit(63L)))))
+        .withColumn("frame",
+          col("text").substr((col("f") * 16 + 1).cast("int"), lit(16)))
+        .select(col("doc_id"), col("f"),
+          aggregate(
+            transform(split(col("frame"), ""), c => ascii(c) * ascii(c)),
+            lit(0L), (acc, x) => acc + x).as("energy"))
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("f"))
+      val cum = byDoc.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      fr.withColumn("cut",
+          when(abs(col("energy") - lag(col("energy"), 1).over(byDoc))
+            > 20000, 1L).otherwise(0L))
+        .withColumn("shot", lit(1L) + sum(col("cut")).over(cum))
+        .groupBy(col("doc_id"), col("shot"))
+        .agg(min(col("f")).cast("long").as("start_f"),
+          count(lit(1)).cast("long").as("n_frames"),
+          max(struct(col("energy").as("energy"),
+            (-col("f")).as("negf"))).as("kf"))
+        .select(col("doc_id"), col("shot").cast("long").as("shot"),
+          col("start_f"), col("n_frames"),
+          (-col("kf.negf")).cast("long").as("key_f"),
+          col("kf.energy").cast("long").as("key_energy"))
+        .orderBy(col("doc_id"), col("shot"))
     }
   )
 }

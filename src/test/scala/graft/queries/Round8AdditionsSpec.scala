@@ -478,4 +478,125 @@ class Round8AdditionsSpec extends SparkSpec {
     assert(got.forall(r => r._3 <= r._2),
       "more types than tokens — rank/offset arithmetic broke")
   }
+
+  test("mm15: a sequential shot-segmentation scan reproduces every " +
+    "keyframe row; shots partition the frame stream") {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.sortBy(_._1).flatMap { case (id, text) =>
+      val nf = math.min(63L, math.ceil(text.length / 16.0).toLong - 1)
+      val energies = (0L to nf).map { f =>
+        text.substring((f * 16).toInt,
+          math.min((f * 16 + 16).toInt, text.length))
+          .map(c => c.toLong * c.toLong).sum
+      }
+      var shot = 1L
+      val tagged = energies.zipWithIndex.map { case (e, f) =>
+        if (f > 0 && math.abs(e - energies(f - 1)) > 20000) shot += 1
+        (shot, f.toLong, e)
+      }
+      tagged.groupBy(_._1).toSeq.sortBy(_._1).map { case (s, fr) =>
+        val (kf, ke) = fr.map(x => (x._2, x._3))
+          .maxBy { case (f, e) => (e, -f) } match {
+            case (f, e) => (f, e)
+          }
+        (id, s, fr.map(_._2).min, fr.length.toLong, kf, ke)
+      }
+    }.toSeq
+    val got = QueryRegistry.byName("mm15_keyframes")
+      .run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected, s"keyframe report diverges from the " +
+      s"sequential scan:\n got ${got.take(5)}\n exp ${expected.take(5)}")
+    // shots PARTITION each clip's frames; the keyframe sits inside its
+    // shot's frame range
+    got.groupBy(_._1).foreach { case (id, shots) =>
+      val total = shots.map(_._4).sum
+      val text = docs.find(_._1 == id).get._2
+      val nf = math.min(64L, math.ceil(text.length / 16.0).toLong)
+      assert(total == nf, s"doc $id: shots cover $total of $nf frames")
+      shots.foreach { s =>
+        assert(s._5 >= s._3 && s._5 < s._3 + s._4,
+          s"doc $id shot ${s._2}: keyframe ${s._5} outside its shot")
+      }
+    }
+  }
+
+  test("v05: the shredding profile matches first-principles counts " +
+    "derived from the raw columns (no JSON in the check)") {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val n = ev.length.toLong
+    val click = ev.filter(e => e._3 == "click" || e._3 == "view")
+    val buy = ev.filter(_._3 == "purchase")
+    val other = ev.filter(e => e._3 != "click" && e._3 != "view" &&
+      e._3 != "purchase")
+    val kNull = ev.count(_._1 % 5 == 0).toLong
+    val kTyped = ev.filter(_._1 % 5 != 0)
+    val expected = Seq(
+      ("$.cents", buy.length.toLong, 0L, buy.length.toLong, 0L,
+        buy.length.toLong, buy.map(e => (e._1 * 37 + e._2) % 10000).sum),
+      ("$.items[0]", buy.length.toLong, 0L, buy.length.toLong, 0L,
+        buy.length.toLong, buy.map(_._1 % 5).sum),
+      ("$.items[1]", buy.length.toLong, 0L, buy.length.toLong, 0L,
+        buy.length.toLong, buy.map(_._1 % 7).sum),
+      ("$.k", n, kNull, n - kNull, 0L, n - kNull, kTyped.map(_._4).sum),
+      ("$.msg", other.length.toLong, 0L, 0L, other.length.toLong, 0L, 0L),
+      ("$.pos.x", click.length.toLong, 0L, click.length.toLong, 0L,
+        click.length.toLong, click.map(_._2 % 100).sum))
+    val got = QueryRegistry.byName("v05_variant_shredding")
+      .run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expected, s"shredding profile diverges from the " +
+      s"first-principles recount:\n got $got\n exp $expected")
+  }
+
+  test("q63: a sequential micro-unit matrix-vector recursion reproduces " +
+    "the absorption report; purchase is exactly absorbed") {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_millis(ts)").as("ms"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val trans = collection.mutable.Map.empty[(String, String), Long]
+    ev.groupBy(_._1).values.foreach { g =>
+      val seq = g.sortBy(e => (e._4, e._2)).map(_._3)
+      seq.zip(seq.tail).foreach(p =>
+        trans(p) = trans.getOrElse(p, 0L) + 1L)
+    }
+    val ntot = trans.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val states = (trans.keys.map(_._1) ++ trans.keys.map(_._2)).toSeq
+      .distinct.sorted
+    var p: Map[String, Long] =
+      states.map(s => s -> (if (s == "purchase") 1000000000L else 0L)).toMap
+    (1 to 6).foreach { _ =>
+      p = states.map { s =>
+        s -> (if (s == "purchase") 1000000000L
+          else {
+            val num = trans.collect { case ((c, t), cnt) if c == s =>
+              cnt * p(t) }.sum
+            if (ntot.getOrElse(s, 0L) == 0L) 0L else num / ntot(s)
+          })
+      }.toMap
+    }
+    val expected = states.map { s =>
+      (s, ntot.getOrElse(s, 0L), p(s), p(s).toDouble / 1e9)
+    }
+    val got = QueryRegistry.byName("q63_absorbing_markov")
+      .run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == expected, s"absorption report diverges from the " +
+      s"sequential recursion:\n got $got\n exp $expected")
+    assert(got.find(_._1 == "purchase").exists(_._3 == 1000000000L),
+      "the absorbing state must have probability exactly 1")
+    assert(got.forall(r => r._3 >= 0L && r._3 <= 1000000000L),
+      s"a probability left [0, 1]: $got")
+  }
 }
