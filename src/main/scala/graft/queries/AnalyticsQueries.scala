@@ -1231,6 +1231,57 @@ object AnalyticsQueries {
           col("p").cast("long").as("p_absorb_micro"),
           (col("p").cast("double") / 1e9).as("p_absorb"))
         .orderBy(col("state"))
+    },
+
+    // ---------------------------------------------------------------
+    // q64 — frequent-path mining (the free-order complement of q34's
+    // fixed funnel): every 3-event window of a user's stream becomes a
+    // path string; the report is the top-20 paths by frequency with
+    // their share of all 3-windows. Two leads over ONE user-keyed
+    // window exchange, a partial-agg'd count onto the ≤|types|³ key
+    // space, TakeOrderedAndProject for the cut (never a global sort),
+    // and the grand total joins back as a broadcast scalar; the share
+    // is one unrounded IEEE division (q44's convention). At 100 TB
+    // the path-key space stays |types|³ regardless of corpus size —
+    // the agg is the only corpus-scale exchange after the window.
+    Q(
+      "q64_path_mining",
+      """WITH seq AS (
+        |  SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY epoch_ms(ts), event_id)),
+        |paths AS (
+        |  SELECT e1 || '>' || e2 || '>' || e3 AS path,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM paths)
+        |SELECT path, n, CAST(n AS DOUBLE) / t AS share
+        |FROM (SELECT * FROM paths ORDER BY n DESC, path ASC LIMIT 20)
+        |CROSS JOIN tot
+        |ORDER BY n DESC, path ASC""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      val paths = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          col("event_type").as("e1"), unix_millis(col("ts")).as("ms"))
+        .withColumn("e2", lead(col("e1"), 1).over(w))
+        .withColumn("e3", lead(col("e1"), 2).over(w))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .transform(stage) // <=|types|^3 rows; feeds top-20 AND the total
+      val tot = paths.agg(sum(col("n")).cast("long").as("t"))
+      paths.orderBy(col("n").desc, col("path").asc).limit(20)
+        .crossJoin(broadcast(tot))
+        .select(col("path"), col("n"),
+          (col("n").cast("double") / col("t")).as("share"))
+        .orderBy(col("n").desc, col("path").asc)
     }
   )
 

@@ -1648,6 +1648,81 @@ object TextQueries {
             .as("lnk"),
           round(num * num / (denX * denY), 6).as("r2"))
         .orderBy(col("source"))
+    },
+
+    // ---------------------------------------------------------------
+    // t26 — term burstiness (Church & Gale 1995's dispersion): for the
+    // top-100 corpus terms, the variance-to-mean ratio of per-document
+    // counts WITH zeros — a Poisson-spread function word sits near
+    // VMR ≈ 1, a topical term clumps (VMR ≫ 1). The signal stopword
+    // lists approximate and a pipeline can measure instead. Exactness:
+    // with s1 = Σc, s2 = Σc², N docs, VMR = (N·s2 − s1²)/(N·s1) — an
+    // exact RATIONAL carried as DECIMAL(18,0) products (≤37 digits,
+    // Spark-exact per the decimal lint) and emitted as numerator/
+    // denominator plus one IEEE division. Shape at 100 TB: one
+    // (doc, term) exchange builds counts (STAGED — totals and the s2
+    // pass both read it), the top-100 cut is TakeOrderedAndProject
+    // (never a global sort), and s2 runs behind a broadcast semi-join
+    // of the 100-term set; N is a broadcast scalar.
+    Q(
+      "t26_burstiness",
+      """WITH dtc AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(string_split(text, ' '),
+        |            x -> x <> '')) AS term
+        |        FROM documents)
+        |  GROUP BY doc_id, term),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |tot AS (
+        |  SELECT term, CAST(sum(c) AS BIGINT) AS s1,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    -- (19,0): n·s2 is then (18,0)x(19,0) = 38 digits, the
+        |    -- widest Spark computes EXACTLY (the decimal lint's bound)
+        |    CAST(sum(CAST(c AS DECIMAL(18,0))
+        |      * CAST(c AS DECIMAL(18,0))) AS DECIMAL(19,0)) AS s2
+        |  FROM dtc GROUP BY term),
+        |top AS (SELECT * FROM tot ORDER BY s1 DESC, term ASC LIMIT 100)
+        |SELECT term, s1 AS n_occurrences, n_docs,
+        |  CAST(CAST(nd.n AS DECIMAL(18,0)) * s2
+        |    - CAST(s1 AS DECIMAL(18,0)) * CAST(s1 AS DECIMAL(18,0))
+        |    AS BIGINT) AS vmr_num,
+        |  CAST(CAST(nd.n AS DECIMAL(18,0)) * CAST(s1 AS DECIMAL(18,0))
+        |    AS BIGINT) AS vmr_den,
+        |  CAST(CAST(nd.n AS DECIMAL(18,0)) * s2
+        |      - CAST(s1 AS DECIMAL(18,0)) * CAST(s1 AS DECIMAL(18,0))
+        |      AS DOUBLE)
+        |    / CAST(CAST(nd.n AS DECIMAL(18,0)) * CAST(s1 AS DECIMAL(18,0))
+        |      AS DOUBLE) AS vmr
+        |FROM top CROSS JOIN nd
+        |ORDER BY n_occurrences DESC, term ASC""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val docs = Tables(s, dir, "documents")
+      val dtc = docs
+        .select(col("doc_id"), explode(DedupOps.words(col("text")))
+          .as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).cast("long").as("c"))
+        .transform(Stage.stage) // read by the totals AND the s2 pass
+      val nd = docs.agg(count(lit(1)).cast("long").as("n"))
+      val d18 = DecimalType(18, 0)
+      val top = dtc.groupBy(col("term"))
+        .agg(sum(col("c")).cast("long").as("s1"),
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("c").cast(d18) * col("c").cast(d18))
+            .cast(DecimalType(19, 0)).as("s2"))
+        .orderBy(col("s1").desc, col("term").asc)
+        .limit(100)
+      val num = (col("n").cast(d18) * col("s2")) -
+        (col("s1").cast(d18) * col("s1").cast(d18))
+      val den = col("n").cast(d18) * col("s1").cast(d18)
+      top.crossJoin(broadcast(nd))
+        .select(col("term"), col("s1").as("n_occurrences"), col("n_docs"),
+          num.cast("long").as("vmr_num"),
+          den.cast("long").as("vmr_den"),
+          (num.cast("double") / den.cast("double")).as("vmr"))
+        .orderBy(col("n_occurrences").desc, col("term").asc)
     }
   )
 

@@ -599,4 +599,67 @@ class Round8AdditionsSpec extends SparkSpec {
     assert(got.forall(r => r._3 >= 0L && r._3 <= 1000000000L),
       s"a probability left [0, 1]: $got")
   }
+
+  test("t26: an exact BigInt dispersion recount reproduces every VMR " +
+    "row; the rational is in lowest meaningful form") {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = BigInt(docs.length)
+    val perDoc = docs.map { case (_, t) =>
+      t.split(" ").filter(_.nonEmpty).groupBy(identity)
+        .map { case (w, g) => w -> g.length.toLong }
+    }
+    val terms = perDoc.flatMap(_.keys).distinct
+    val expected = terms.map { w =>
+      val cs = perDoc.flatMap(_.get(w))
+      val s1 = BigInt(cs.sum)
+      val s2 = cs.map(c => BigInt(c) * BigInt(c)).sum
+      val num = n * s2 - s1 * s1
+      val den = n * s1
+      (w, cs.sum, cs.length.toLong, num.toLong, den.toLong,
+        num.toLong.toDouble / den.toLong.toDouble)
+    }.sortBy(r => (-r._2, r._1)).take(100).toSeq
+    val got = QueryRegistry.byName("t26_burstiness")
+      .run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expected, s"burstiness diverges from the BigInt " +
+      s"recount:\n got ${got.take(3)}\n exp ${expected.take(3)}")
+    // variance is non-negative, so VMR is; a term in every doc with
+    // equal counts would hit exactly 0
+    assert(got.forall(_._6 >= 0.0), s"negative VMR: $got")
+    assert(got.forall(r => r._3 <= docs.length.toLong))
+  }
+
+  test("q64: a sequential trigram-path scan reproduces the top-20; " +
+    "shares refer to ALL windows, not just the reported ones") {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_millis(ts)").as("ms"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val counts = collection.mutable.Map.empty[String, Long]
+    ev.groupBy(_._1).values.foreach { g =>
+      val seq = g.sortBy(e => (e._4, e._2)).map(_._3)
+      seq.sliding(3).filter(_.length == 3).foreach { w =>
+        val p = w.mkString(">")
+        counts(p) = counts.getOrElse(p, 0L) + 1L
+      }
+    }
+    val total = counts.values.sum
+    val expected = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+      .map { case (p, c) => (p, c, c.toDouble / total) }
+    val got = QueryRegistry.byName("q64_path_mining")
+      .run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected, s"path mining diverges from the sequential " +
+      s"scan:\n got ${got.take(3)}\n exp ${expected.take(3)}")
+    // the denominator is every 3-window in the corpus: sum over users
+    // of max(0, len - 2)
+    val nWindows = ev.groupBy(_._1).values
+      .map(g => math.max(0, g.length - 2).toLong).sum
+    assert(total == nWindows, s"window accounting broke: $total != $nWindows")
+    assert(got.map(_._2).sum <= total)
+  }
 }
