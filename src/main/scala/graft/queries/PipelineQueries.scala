@@ -2189,6 +2189,80 @@ object PipelineQueries {
           Seq(col("c_nationkey"), col("c_mktsegment"))),
         ladder(2, "segment", Seq(col("c_mktsegment"))))
         .reduce(_ unionByName _).orderBy(col("level"))
+    },
+
+    // ---------------------------------------------------------------
+    // p35 — incremental corpus statistics via MERGEABLE sufficient
+    // stats (the pattern that keeps dataset cards and mixture weights
+    // current without rescanning 100 TB per ingest): the standing
+    // corpus (doc_id % 10 ≠ 0) owns a per-source stats table of
+    // (n, Σchars, Σchars², min, max) — all merge under + / min / max —
+    // and each ingest batch (the % 10 = 0 delta here) contributes its
+    // own; the published stats are the MERGE, never a rescan. The
+    // oracle computes the DIRECT full-corpus stats, so the hash gate
+    // is an exactness proof of the merge algebra (count/sum/sumsq/
+    // min/max are lossless; mean and population variance derive from
+    // merged sums: var = (N·s2 − s1²)/N², DECIMAL(18,0) products —
+    // inside Spark's exact range — and one IEEE division each).
+    // Shape: two partial-agg passes (one per side) + a |sources|-size
+    // merge agg; at 100 TB the standing side's pass is amortized (the
+    // table persists), so maintenance cost is o(delta).
+    Q(
+      "p35_incremental_stats",
+      """WITH d AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS c FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(c) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0)))
+        |    AS BIGINT) AS sumsq_chars,
+        |  CAST(min(c) AS BIGINT) AS min_chars,
+        |  CAST(max(c) AS BIGINT) AS max_chars,
+        |  CAST(sum(c) AS DOUBLE) / count(*) AS mean_chars,
+        |  CAST(CAST(count(*) AS DECIMAL(18,0))
+        |      * CAST(sum(CAST(c AS DECIMAL(18,0))
+        |        * CAST(c AS DECIMAL(18,0))) AS DECIMAL(19,0))
+        |      - CAST(sum(c) AS DECIMAL(18,0))
+        |        * CAST(sum(c) AS DECIMAL(18,0)) AS DOUBLE)
+        |    / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE))
+        |    AS var_chars
+        |FROM d GROUP BY source ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val d18 = DecimalType(18, 0)
+      val docs = Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          col("n_chars").cast("long").as("c"))
+      // per-side sufficient stats (standing corpus vs ingest delta) —
+      // the only corpus-scale passes; each is one partial-agg'd shuffle
+      def stats(side: org.apache.spark.sql.DataFrame) = side
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("c")).cast("long").as("s1"),
+          sum(col("c").cast(d18) * col("c").cast(d18))
+            .cast(DecimalType(19, 0)).as("s2"),
+          min(col("c")).cast("long").as("mn"),
+          max(col("c")).cast("long").as("mx"))
+      val standing = stats(docs.filter(col("doc_id") % 10 =!= 0))
+      val delta = stats(docs.filter(col("doc_id") % 10 === 0))
+      // the MERGE: pure +/min/max over the two |sources|-sized tables
+      val merged = standing.unionByName(delta)
+        .groupBy(col("source"))
+        .agg(sum(col("n")).cast("long").as("n_docs"),
+          sum(col("s1")).cast("long").as("sum_chars"),
+          sum(col("s2")).cast(DecimalType(19, 0)).as("s2"),
+          min(col("mn")).cast("long").as("min_chars"),
+          max(col("mx")).cast("long").as("max_chars"))
+      val num = (col("n_docs").cast(d18) * col("s2")) -
+        (col("sum_chars").cast(d18) * col("sum_chars").cast(d18))
+      merged.select(col("source"), col("n_docs"), col("sum_chars"),
+          col("s2").cast("long").as("sumsq_chars"),
+          col("min_chars"), col("max_chars"),
+          (col("sum_chars").cast("double") / col("n_docs"))
+            .as("mean_chars"),
+          (num.cast("double")
+            / (col("n_docs").cast("double") * col("n_docs").cast("double")))
+            .as("var_chars"))
+        .orderBy(col("source"))
     }
   )
 

@@ -1547,6 +1547,118 @@ object SimilarityQueries {
           row("prefix16_f32", 64, "cos_p16"),
           row("sq8", 64, "cos_sq8"))
         .reduce(_ unionByName _).orderBy(col("method"))
+    },
+
+    // ---------------------------------------------------------------
+    // s21 — DELETION-aware ANN (the maintenance half s10's inserts
+    // left open): 6% of the corpus (vec_id % 17 = 0) is tombstoned;
+    // the LSH index is NOT rebuilt — the deletion list applies as an
+    // anti-filter on the candidate stream at query time, the standard
+    // tombstone pattern (FAISS remove_ids / Lucene deletes defer the
+    // same way). Per query: live/filtered candidate counts, the
+    // post-deletion top-1, the exact top-1 over the LIVE corpus, and
+    // whether they agree — the "how much recall did deferred deletes
+    // cost" report that schedules index rebuilds. Shape at 100 TB:
+    // the bucketed index is STAGED once (queries, candidates, and the
+    // eval leg all read it); candidates come from the bucket
+    // equi-join; the tombstone list joins by key (a real deployment
+    // keys it bucketed/bloomed — it scales with deletions, so it is
+    // deliberately NOT broadcast-hinted); the exact leg is an EVAL
+    // harness (s05's methodology), not the serving path. A query
+    // whose bucket empties entirely keeps its row (zeros + NULL
+    // top-1, hit = false) — the d09 accounting lesson.
+    Q(
+      "s21_ann_tombstones",
+      s"""WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |bk AS (SELECT vec_id, v, ${srpBucketSql6("v")} AS bucket FROM base),
+        |tomb AS (SELECT vec_id AS tid FROM base WHERE vec_id % 17 = 0),
+        |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bk
+        |      WHERE vec_id >= 100 AND vec_id < 120 AND vec_id % 17 <> 0),
+        |cand AS (
+        |  SELECT q_id, c.vec_id AS nid, ${cosineSql("qv", "c.v", 64)} AS cos,
+        |    (t.tid IS NOT NULL) AS dead
+        |  FROM q JOIN bk c ON c.bucket = q.bucket AND c.vec_id <> q_id
+        |  LEFT JOIN tomb t ON t.tid = c.vec_id),
+        |agg AS (
+        |  SELECT q_id,
+        |    CAST(sum(CASE WHEN NOT dead THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cand_live,
+        |    CAST(sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_filtered
+        |  FROM cand GROUP BY q_id),
+        |live1 AS (
+        |  SELECT q_id, nid AS ann_top1, cos AS ann_cos FROM (
+        |    SELECT q_id, nid, cos, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, nid ASC) AS rn
+        |    FROM cand WHERE NOT dead) WHERE rn = 1),
+        |truth AS (
+        |  SELECT q_id, nid AS exact_top1 FROM (
+        |    SELECT q_id, c.vec_id AS nid,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY ${cosineSql("qv", "c.v", 64)} DESC, c.vec_id ASC)
+        |        AS rn
+        |    FROM q JOIN base c
+        |      ON c.vec_id <> q_id AND c.vec_id % 17 <> 0) WHERE rn = 1)
+        |SELECT q.q_id, COALESCE(agg.n_cand_live, 0) AS n_cand_live,
+        |  COALESCE(agg.n_filtered, 0) AS n_filtered,
+        |  live1.ann_top1, live1.ann_cos, truth.exact_top1,
+        |  COALESCE(live1.ann_top1 = truth.exact_top1, FALSE) AS hit
+        |FROM q LEFT JOIN agg ON agg.q_id = q.q_id
+        |LEFT JOIN live1 ON live1.q_id = q.q_id
+        |LEFT JOIN truth ON truth.q_id = q.q_id
+        |ORDER BY q.q_id""".stripMargin
+    ) { (s, dir) =>
+      val base = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        .withColumn("nv", VectorOps.norm(col("v")))
+        .withColumn("bucket", VectorOps.srpBucket(col("v"), 64, 6))
+        .transform(graft.operators.Stage.stage)
+      val tomb = base.filter(col("vec_id") % 17 === 0)
+        .select(col("vec_id").as("tid"))
+      val q = base.filter(col("vec_id") >= 100 && col("vec_id") < 120 &&
+          col("vec_id") % 17 =!= 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nv").as("nq"), col("bucket"))
+      val cand = broadcast(q).join(base.as("c"),
+          col("c.bucket") === q("bucket") && col("c.vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("c.vec_id").as("nid"),
+          VectorOps.cosineWithNorms(col("qv"), col("c.v"),
+            col("nq"), col("c.nv")).as("cos"))
+        .join(tomb, col("nid") === col("tid"), "left_outer")
+        .withColumn("dead", col("tid").isNotNull)
+      val agg = cand.groupBy(col("q_id"))
+        .agg(sum(when(!col("dead"), 1L).otherwise(0L)).cast("long")
+            .as("n_cand_live"),
+          sum(when(col("dead"), 1L).otherwise(0L)).cast("long")
+            .as("n_filtered"))
+      val live1 = graft.plans.GroupTopK.topKRanked(
+          cand.filter(!col("dead")).select(col("q_id"), col("nid"),
+            col("cos")),
+          Seq(col("q_id")), 1, "rn", col("cos").desc, col("nid").asc)
+        .select(col("q_id"), col("nid").as("ann_top1"),
+          col("cos").as("ann_cos"))
+      val truthCand = broadcast(q).join(
+          base.as("c").filter(col("c.vec_id") % 17 =!= 0),
+          col("c.vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("c.vec_id").as("nid"),
+          VectorOps.cosineWithNorms(col("qv"), col("c.v"),
+            col("nq"), col("c.nv")).as("cos"))
+      val truth = graft.plans.GroupTopK.topKRanked(truthCand,
+          Seq(col("q_id")), 1, "rn", col("cos").desc, col("nid").asc)
+        .select(col("q_id"), col("nid").as("exact_top1"))
+      q.select(col("q_id"))
+        .join(agg, Seq("q_id"), "left_outer")
+        .join(live1, Seq("q_id"), "left_outer")
+        .join(truth, Seq("q_id"), "left_outer")
+        .select(col("q_id"),
+          coalesce(col("n_cand_live"), lit(0L)).as("n_cand_live"),
+          coalesce(col("n_filtered"), lit(0L)).as("n_filtered"),
+          col("ann_top1"), col("ann_cos"), col("exact_top1"),
+          coalesce(col("ann_top1") === col("exact_top1"), lit(false))
+            .as("hit"))
+        .orderBy(col("q_id"))
     }
   )
 

@@ -662,4 +662,91 @@ class Round8AdditionsSpec extends SparkSpec {
     assert(total == nWindows, s"window accounting broke: $total != $nWindows")
     assert(got.map(_._2).sum <= total)
   }
+
+  test("p35: merging independently-computed standing/delta stats " +
+    "reproduces the direct full-corpus stats exactly") {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    case class St(n: Long, s1: Long, s2: BigInt, mn: Long, mx: Long)
+    def statsOf(g: Seq[Long]) = St(g.length.toLong, g.sum,
+      g.map(c => BigInt(c) * BigInt(c)).sum, g.min, g.max)
+    def merge(a: St, b: St) = St(a.n + b.n, a.s1 + b.s1, a.s2 + b.s2,
+      math.min(a.mn, b.mn), math.max(a.mx, b.mx))
+    val expected = docs.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (src, g) =>
+        val standing = g.filter(_._2 % 10 != 0).map(_._3)
+        val delta = g.filter(_._2 % 10 == 0).map(_._3)
+        // the algebraic point: merge(stats(a), stats(b)) == stats(a++b)
+        val m =
+          if (standing.isEmpty) statsOf(delta)
+          else if (delta.isEmpty) statsOf(standing)
+          else merge(statsOf(standing), statsOf(delta))
+        assert(m == statsOf(g.map(_._3)), s"merge algebra broke for $src")
+        val varNum = BigInt(m.n) * m.s2 - BigInt(m.s1) * BigInt(m.s1)
+        (src, m.n, m.s1, m.s2.toLong, m.mn, m.mx,
+          m.s1.toDouble / m.n,
+          varNum.toDouble / (m.n.toDouble * m.n.toDouble))
+    }
+    val got = QueryRegistry.byName("p35_incremental_stats")
+      .run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7))).toSeq
+    assert(got == expected, s"merged stats diverge from the direct " +
+      s"recount:\n got ${got.take(2)}\n exp ${expected.take(2)}")
+    assert(got.forall(_._8 >= 0.0), "negative variance")
+  }
+
+  test("s21: a plain-Scala tombstone-filtered search reproduces every " +
+    "row; no tombstoned id survives anywhere in the report") {
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.operators.VectorOps.toDouble(col("embedding")).as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // the SRP bucket, re-derived from the md5 contract (VectorOps):
+    // weight(b, i) = +1 iff the first hex digit of md5("b:i") is odd
+    def bucket(v: Array[Double]): String =
+      (0 until 6).map { b =>
+        val proj = v.indices.map { i =>
+          val w = if ("13579bdf".contains(md5hex(s"$b:$i").charAt(0)))
+            1.0 else -1.0
+          v(i) * w
+        }.sum
+        if (proj > 0) '1' else '0'
+      }.mkString
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < 64) { dot += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val buckets = vecs.map { case (id, v) => id -> bucket(v) }
+    val qids = vecs.keys.filter(id =>
+      id >= 100 && id < 120 && id % 17 != 0).toSeq.sorted
+    val expected = qids.map { qid =>
+      val cands = vecs.keys.filter(c =>
+        c != qid && buckets(c) == buckets(qid)).toSeq
+      val (deadC, liveC) = cands.partition(_ % 17 == 0)
+      val live1 = liveC.map(c => (c, cos(vecs(qid), vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }.headOption
+      val truth = vecs.keys.filter(c => c != qid && c % 17 != 0).toSeq
+        .map(c => (c, cos(vecs(qid), vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }.head._1
+      (qid, liveC.length.toLong, deadC.length.toLong,
+        live1.map(_._1), live1.map(_._2), truth,
+        live1.exists(_._1 == truth))
+    }
+    val got = QueryRegistry.byName("s21_ann_tombstones")
+      .run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getLong(5), r.getBoolean(6))).toSeq
+    assert(got == expected, s"tombstone search diverges from the " +
+      s"plain-Scala scan:\n got ${got.take(3)}\n exp ${expected.take(3)}")
+    assert(got.forall(r => r._4.forall(_ % 17 != 0) && r._6 % 17 != 0),
+      s"a tombstoned id survived into the report: $got")
+  }
 }
