@@ -1282,6 +1282,195 @@ object AnalyticsQueries {
         .select(col("path"), col("n"),
           (col("n").cast("double") / col("t")).as("share"))
         .orderBy(col("n").desc, col("path").asc)
+    },
+
+    // ---------------------------------------------------------------
+    // q65 — Poisson bootstrap confidence intervals (Chamandy et al.,
+    // Google 2012 — THE way to bootstrap at scale: resampling-with-
+    // replacement is a per-row independent Poisson(1) weight, so a
+    // bootstrap replicate never materializes a resample): 32
+    // replicates of the mean order value per priority, weight drawn
+    // DETERMINISTICALLY by inverting the Poisson(1) CDF on a 48-bit
+    // md5 uniform — compared as fixed-width lowercase HEX STRINGS
+    // against precomputed threshold literals (lexicographic order on
+    // equal-length hex IS numeric order, so both engines branch
+    // identically with no hex→int conversion). Weighted sums are
+    // exact DECIMALs with ONE IEEE division per replicate; the CI is
+    // an exact order statistic (2nd / 31st of the 32 sorted replicate
+    // means — a ~94% interval) via a single-row sorted-array agg, no
+    // window. Shape at 100 TB: the ×32 explode is a bounded constant
+    // and partial-aggregates map-side onto the |prios|×32 key space —
+    // the classic bootstrap-without-a-shuffle-per-replicate.
+    Q(
+      "q65_poisson_bootstrap",
+      """WITH reps AS (
+        |  SELECT o_orderpriority AS prio, b,
+        |    CASE
+        |      WHEN u < '5e2d58d8b3bc' THEN 0 WHEN u < 'bc5ab1b16779' THEN 1
+        |      WHEN u < 'eb715e1dc158' THEN 2 WHEN u < 'fb23979734a2' THEN 3
+        |      WHEN u < 'ff1025f59174' THEN 4 WHEN u < 'ffd90f3ba405' THEN 5
+        |      WHEN u < 'fffa8b71fc72' THEN 6 WHEN u < 'ffff540c0914' THEN 7
+        |      WHEN u < 'ffffed1f4aa8' THEN 8 ELSE 9 END AS w,
+        |    o_totalprice AS price
+        |  FROM (
+        |    SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |      CAST(unnest(generate_series(0, 31)) AS INTEGER) AS b
+        |    FROM orders) x
+        |  CROSS JOIN LATERAL (SELECT substr(md5(
+        |    CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)),
+        |    1, 12) AS u) h),
+        |rm AS (
+        |  SELECT prio, b,
+        |    CAST(sum(CAST(w AS DECIMAL(2,0))
+        |        * CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+        |      / CAST(sum(w) AS BIGINT) AS m
+        |  FROM reps GROUP BY prio, b),
+        |ci AS (
+        |  SELECT prio, list_sort(list(m))[2] AS ci_lo,
+        |    list_sort(list(m))[31] AS ci_hi
+        |  FROM rm GROUP BY prio),
+        |pt AS (
+        |  SELECT o_orderpriority AS prio, CAST(count(*) AS BIGINT)
+        |      AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      / count(*) AS mean_price
+        |  FROM orders GROUP BY 1)
+        |SELECT pt.prio, pt.n_orders, pt.mean_price, ci.ci_lo, ci.ci_hi
+        |FROM pt JOIN ci ON ci.prio = pt.prio
+        |ORDER BY pt.prio""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val orders = Tables(s, dir, "orders")
+      val th = Seq("5e2d58d8b3bc", "bc5ab1b16779", "eb715e1dc158",
+        "fb23979734a2", "ff1025f59174", "ffd90f3ba405", "fffa8b71fc72",
+        "ffff540c0914", "ffffed1f4aa8")
+      val w = th.zipWithIndex.foldRight(lit(9): Column) {
+        case ((t, k), rest) => when(col("u") < t, k).otherwise(rest)
+      }
+      val rm = orders
+        .select(col("o_orderpriority").as("prio"), col("o_orderkey"),
+          col("o_totalprice").as("price"),
+          explode(sequence(lit(0), lit(31))).as("b"))
+        .withColumn("u", substring(md5(concat(
+          col("o_orderkey").cast("string"), lit(":"),
+          col("b").cast("string"))), 1, 12))
+        .withColumn("w", w)
+        .groupBy(col("prio"), col("b"))
+        .agg((sum(col("w").cast(DecimalType(2, 0))
+              * col("price").cast(DecimalType(18, 2))).cast("double")
+            / sum(col("w")).cast("long")).as("m"))
+      val ci = rm.groupBy(col("prio"))
+        .agg(array_sort(collect_list(col("m"))).as("a"))
+        .select(col("prio"), element_at(col("a"), 2).as("ci_lo"),
+          element_at(col("a"), 31).as("ci_hi"))
+      val pt = orders.groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          (sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double") / count(lit(1))).as("mean_price"))
+      pt.join(ci, Seq("prio")).orderBy(col("prio"))
+    },
+
+    // ---------------------------------------------------------------
+    // q66 — multiple linear regression by NORMAL EQUATIONS (the
+    // 2-feature extension of q52's single-var moments): fit
+    // l_extendedprice ~ quantity + discount from NINE exact moment
+    // sums in ONE partial-agg'd pass, then solve the 3×3 system by
+    // Cramer's rule — a fixed arithmetic expression over the nine
+    // doubles, written with IDENTICAL parenthesization in both
+    // renderings so IEEE evaluates bit-identically (the q52/t18
+    // moment contract, extended to a solve). R² derives from the same
+    // moments (SSE = Syy − b0·Sy − b1·Sx1y − b2·Sx2y), so the whole
+    // fit is one scan, no second residual pass. Operand widths keep
+    // every decimal product inside Spark's 38-digit exact range
+    // (decimal lint). At 100 TB: normal equations ARE the scalable
+    // closed-form for small feature counts — the moment matrix is
+    // p², independent of rows. Honest fixture note: the synthetic
+    // extendedprice is generated independently of quantity/discount,
+    // so r² lands near 0 — the gate proves the ARITHMETIC (spec
+    // recounts it in BigDecimal), not fit quality.
+    Q(
+      "q66_multiple_regression",
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sx1,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(9,6))) AS DOUBLE) AS sx2,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |      AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(9,2))
+        |      * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sx1x1,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(9,6))
+        |      * CAST(l_discount AS DECIMAL(9,6))) AS DOUBLE) AS sx2x2,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(9,2))
+        |      * CAST(l_discount AS DECIMAL(9,6))) AS DOUBLE) AS sx1x2,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(9,2))
+        |      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sx1y,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(9,6))
+        |      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sx2y,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT n, sx1, sx2, sy, sx1y, sx2y, syy,
+        |    (n * (sx1x1 * sx2x2 - sx1x2 * sx1x2)
+        |      - sx1 * (sx1 * sx2x2 - sx1x2 * sx2)
+        |      + sx2 * (sx1 * sx1x2 - sx1x1 * sx2)) AS det,
+        |    (sy * (sx1x1 * sx2x2 - sx1x2 * sx1x2)
+        |      - sx1 * (sx1y * sx2x2 - sx1x2 * sx2y)
+        |      + sx2 * (sx1y * sx1x2 - sx1x1 * sx2y)) AS det0,
+        |    (n * (sx1y * sx2x2 - sx1x2 * sx2y)
+        |      - sy * (sx1 * sx2x2 - sx1x2 * sx2)
+        |      + sx2 * (sx1 * sx2y - sx1y * sx2)) AS det1,
+        |    (n * (sx1x1 * sx2y - sx1y * sx1x2)
+        |      - sx1 * (sx1 * sx2y - sx1y * sx2)
+        |      + sy * (sx1 * sx1x2 - sx1x1 * sx2)) AS det2
+        |  FROM m)
+        |SELECT CAST(n AS BIGINT) AS n_rows,
+        |  round(det0 / det, 6) AS b0,
+        |  round(det1 / det, 6) AS b1,
+        |  round(det2 / det, 6) AS b2,
+        |  round(1.0 - (syy - (det0 / det) * sy - (det1 / det) * sx1y
+        |      - (det2 / det) * sx2y)
+        |    / (syy - sy * sy / n), 6) AS r2
+        |FROM s""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val q = col("l_quantity").cast(DecimalType(9, 2))
+      val d = col("l_discount").cast(DecimalType(9, 6))
+      val y = col("l_extendedprice").cast(DecimalType(12, 2))
+      val m = Tables(s, dir, "lineitem").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(q).cast("double").as("sx1"),
+        sum(d).cast("double").as("sx2"),
+        sum(y).cast("double").as("sy"),
+        sum(q * q).cast("double").as("sx1x1"),
+        sum(d * d).cast("double").as("sx2x2"),
+        sum(q * d).cast("double").as("sx1x2"),
+        sum(q * y).cast("double").as("sx1y"),
+        sum(d * y).cast("double").as("sx2y"),
+        sum(y * y).cast("double").as("syy"))
+      // Cramer's rule with the SAME parenthesization as the oracle —
+      // bit-identical IEEE evaluation is the determinism contract here
+      val solved = m.selectExpr("n", "sx1", "sx2", "sy", "sx1y", "sx2y",
+        "syy",
+        """(n * (sx1x1 * sx2x2 - sx1x2 * sx1x2)
+          | - sx1 * (sx1 * sx2x2 - sx1x2 * sx2)
+          | + sx2 * (sx1 * sx1x2 - sx1x1 * sx2)) AS det""".stripMargin,
+        """(sy * (sx1x1 * sx2x2 - sx1x2 * sx1x2)
+          | - sx1 * (sx1y * sx2x2 - sx1x2 * sx2y)
+          | + sx2 * (sx1y * sx1x2 - sx1x1 * sx2y)) AS det0""".stripMargin,
+        """(n * (sx1y * sx2x2 - sx1x2 * sx2y)
+          | - sy * (sx1 * sx2x2 - sx1x2 * sx2)
+          | + sx2 * (sx1 * sx2y - sx1y * sx2)) AS det1""".stripMargin,
+        """(n * (sx1x1 * sx2y - sx1y * sx1x2)
+          | - sx1 * (sx1 * sx2y - sx1y * sx2)
+          | + sy * (sx1 * sx1x2 - sx1x1 * sx2)) AS det2""".stripMargin)
+      solved.selectExpr("CAST(n AS BIGINT) AS n_rows",
+        "round(det0 / det, 6) AS b0",
+        "round(det1 / det, 6) AS b1",
+        "round(det2 / det, 6) AS b2",
+        """round(1.0 - (syy - (det0 / det) * sy - (det1 / det) * sx1y
+          | - (det2 / det) * sx2y)
+          | / (syy - sy * sy / n), 6) AS r2""".stripMargin)
     }
   )
 

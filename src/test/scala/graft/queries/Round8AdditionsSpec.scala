@@ -749,4 +749,95 @@ class Round8AdditionsSpec extends SparkSpec {
     assert(got.forall(r => r._4.forall(_ % 17 != 0) && r._6 % 17 != 0),
       s"a tombstoned id survived into the report: $got")
   }
+
+  test("q65: a MessageDigest Poisson-weight recount reproduces every " +
+    "CI row; weights average to ~1 as Poisson(1) must") {
+    val th = Seq("5e2d58d8b3bc", "bc5ab1b16779", "eb715e1dc158",
+      "fb23979734a2", "ff1025f59174", "ffd90f3ba405", "fffa8b71fc72",
+      "ffff540c0914", "ffffed1f4aa8")
+    def weight(key: Long, b: Int): Int = {
+      val u = md5hex(s"$key:$b").substring(0, 12)
+      val i = th.indexWhere(u < _)
+      if (i < 0) 9 else i
+    }
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    var wSum = 0L
+    val expected = orders.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (prio, g) =>
+        val means = (0 to 31).map { b =>
+          val ws = g.map(o => (weight(o._2, b), o._3))
+          wSum += ws.map(_._1.toLong).sum
+          val num = ws.map { case (w, p) =>
+            BigDecimal(w) * BigDecimal(p)
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP) }.sum
+          num.toDouble / ws.map(_._1.toLong).sum
+        }.sorted
+        val mean = g.map(o => BigDecimal(o._3)
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+          .toDouble / g.length
+        (prio, g.length.toLong, mean, means(1), means(30))
+    }
+    val got = QueryRegistry.byName("q65_poisson_bootstrap")
+      .run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == expected, s"bootstrap CI diverges from the " +
+      s"MessageDigest recount:\n got ${got.take(2)}\n exp ${expected.take(2)}")
+    assert(got.forall(r => r._4 <= r._5), s"inverted CI: $got")
+    val meanW = wSum.toDouble / (orders.length.toLong * 32)
+    assert(meanW > 0.9 && meanW < 1.1,
+      s"mean Poisson weight $meanW implausibly far from 1")
+  }
+
+  test("q66: a BigDecimal-moments + same-parenthesization Cramer solve " +
+    "reproduces the fit exactly") {
+    val rows = Tables(spark, dir, "lineitem")
+      .select(col("l_quantity"), col("l_discount"), col("l_extendedprice"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    def s2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    def s6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val n = rows.length.toDouble
+    val sx1 = rows.map(r => s2(r._1)).sum.toDouble
+    val sx2 = rows.map(r => s6(r._2)).sum.toDouble
+    val sy = rows.map(r => s2(r._3)).sum.toDouble
+    val sx1x1 = rows.map(r => s2(r._1) * s2(r._1)).sum.toDouble
+    val sx2x2 = rows.map(r => s6(r._2) * s6(r._2)).sum.toDouble
+    val sx1x2 = rows.map(r => s2(r._1) * s6(r._2)).sum.toDouble
+    val sx1y = rows.map(r => s2(r._1) * s2(r._3)).sum.toDouble
+    val sx2y = rows.map(r => s6(r._2) * s2(r._3)).sum.toDouble
+    val syy = rows.map(r => s2(r._3) * s2(r._3)).sum.toDouble
+    val det = n * (sx1x1 * sx2x2 - sx1x2 * sx1x2) -
+      sx1 * (sx1 * sx2x2 - sx1x2 * sx2) +
+      sx2 * (sx1 * sx1x2 - sx1x1 * sx2)
+    val det0 = sy * (sx1x1 * sx2x2 - sx1x2 * sx1x2) -
+      sx1 * (sx1y * sx2x2 - sx1x2 * sx2y) +
+      sx2 * (sx1y * sx1x2 - sx1x1 * sx2y)
+    val det1 = n * (sx1y * sx2x2 - sx1x2 * sx2y) -
+      sy * (sx1 * sx2x2 - sx1x2 * sx2) +
+      sx2 * (sx1 * sx2y - sx1y * sx2)
+    val det2 = n * (sx1x1 * sx2y - sx1y * sx1x2) -
+      sx1 * (sx1 * sx2y - sx1y * sx2) +
+      sy * (sx1 * sx1x2 - sx1x1 * sx2)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (rows.length.toLong, r6(det0 / det), r6(det1 / det),
+      r6(det2 / det),
+      r6(1.0 - (syy - (det0 / det) * sy - (det1 / det) * sx1y -
+        (det2 / det) * sx2y) / (syy - sy * sy / n)))
+    val got = QueryRegistry.byName("q66_multiple_regression")
+      .run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).head
+    assert(got == expected, s"normal-equation fit diverges from the " +
+      s"BigDecimal recount:\n got $got\n exp $expected")
+    // honest fixture note: the synthetic extendedprice is generated
+    // independently of quantity/discount, so the fit finds ~no signal
+    // (r2 ~ 3e-4) — the gate is the EXACT arithmetic, not the fit
+    // quality; a real TPC-H corpus would put b1 near the unit price
+    assert(got._5 >= 0 && got._5 <= 1, s"r2 out of range: $got")
+  }
 }
