@@ -1471,6 +1471,156 @@ object AnalyticsQueries {
         """round(1.0 - (syy - (det0 / det) * sy - (det1 / det) * sx1y
           | - (det2 / det) * sx2y)
           | / (syy - sy * sy / n), 6) AS r2""".stripMargin)
+    },
+
+    // ---------------------------------------------------------------
+    // q67 — decile lift / gains chart (the ranking-model eval a
+    // targeting pipeline runs before deploying a score): clicks
+    // carry a score (the payload's k field standing in for a model
+    // score); outcome = the user purchases within 1 hour. Rank ALL
+    // clicks by score and cut into EXACT global deciles — via
+    // EquiDepth.ntileExact (one range exchange + pid-local window),
+    // never `ntile() OVER (ORDER BY ...)`'s single-task sort — then
+    // per decile: conversions, rate, and lift vs the overall rate,
+    // plus cumulative gain (what fraction of all conversions the top
+    // k deciles capture). The cumulative pass runs as a single-row
+    // sorted-array fold over the 10-row decile table (no
+    // unpartitioned window). Outcome attach is a user-keyed interval
+    // equi-join (per-user event lists are bounded); the only other
+    // corpus-scale move is the range exchange.
+    Q(
+      "q67_decile_lift",
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS score
+        |  FROM events WHERE event_type = 'click'),
+        |conv AS (
+        |  SELECT c.event_id,
+        |    CASE WHEN count(p.user_id) > 0 THEN 1 ELSE 0 END AS cv
+        |  FROM c LEFT JOIN events p
+        |    ON p.user_id = c.user_id AND p.event_type = 'purchase'
+        |      AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |  GROUP BY c.event_id),
+        |ranked AS (
+        |  SELECT c.event_id, conv.cv,
+        |    ntile(10) OVER (ORDER BY c.score DESC, c.event_id ASC)
+        |      AS decile
+        |  FROM c JOIN conv ON conv.event_id = c.event_id),
+        |d AS (
+        |  SELECT decile, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cv) AS BIGINT) AS n_conv
+        |  FROM ranked GROUP BY decile),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+        |    CAST(sum(n_conv) AS BIGINT) AS tc FROM d)
+        |SELECT CAST(decile AS BIGINT) AS decile, n, n_conv,
+        |  CAST(n_conv AS DOUBLE) / n AS conv_rate,
+        |  (CAST(n_conv AS DOUBLE) / n) / (CAST(tc AS DOUBLE) / tn)
+        |    AS lift,
+        |  CAST(sum(n_conv) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / tc AS cum_gain
+        |FROM d CROSS JOIN tot
+        |ORDER BY decile""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          variant_get(parse_json(col("props")), "$.k", "bigint")
+            .as("score"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("ts").as("p_ts"))
+      val conv = c.join(p,
+          col("p_uid") === col("user_id") && col("p_ts") > col("ts") &&
+            col("p_ts") <= col("ts") + expr("INTERVAL 1 HOUR"),
+          "left_outer")
+        .groupBy(col("event_id"), col("score"))
+        .agg(when(count(col("p_uid")) > 0, 1L).otherwise(0L).as("cv"))
+      val d = graft.operators.EquiDepth.ntileExact(conv, 10,
+          Seq(col("score").desc, col("event_id").asc), "decile")
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("cv")).cast("long").as("n_conv"))
+      // cumulative gain over the 10-row decile table: single-row
+      // sorted-array fold (the q62 pattern), no unpartitioned window
+      d.agg(array_sort(collect_list(struct(col("decile"), col("n"),
+          col("n_conv")))).as("a"))
+        .select(explode(expr(
+          """transform(a, (x, i) -> named_struct(
+            |  'decile', x.decile, 'n', x.n, 'n_conv', x.n_conv,
+            |  'cum_conv', aggregate(slice(a, 1, i + 1), 0L,
+            |    (acc, y) -> acc + y.n_conv),
+            |  'tn', aggregate(a, 0L, (acc, y) -> acc + y.n),
+            |  'tc', aggregate(a, 0L, (acc, y) -> acc + y.n_conv)))"""
+            .stripMargin)).as("r"))
+        .select(col("r.decile").cast("long").as("decile"), col("r.n"),
+          col("r.n_conv"),
+          (col("r.n_conv").cast("double") / col("r.n")).as("conv_rate"),
+          ((col("r.n_conv").cast("double") / col("r.n"))
+            / (col("r.tc").cast("double") / col("r.tn"))).as("lift"),
+          (col("r.cum_conv").cast("double") / col("r.tc")).as("cum_gain"))
+        .orderBy(col("decile"))
+    },
+
+    // ---------------------------------------------------------------
+    // q68 — calibration curve (reliability diagram): does a score of
+    // 0.8 convert 80% of the time? Clicks bin by predicted
+    // probability p̂ = score/100 into 10 fixed-width bins; per bin the
+    // report compares mean p̂ against the OBSERVED conversion rate,
+    // with the per-bin |gap| that an expected-calibration-error audit
+    // sums. Same outcome join as q67; the binning is a stateless
+    // integer projection (least(9, score div 10) — no float
+    // boundaries), everything reduces in one partial-agg'd pass onto
+    // 10 keys. Exactness: mean p̂ = exact integer score sum / (100·n),
+    // observed rate = exact counts, one IEEE division each, gap =
+    // abs of their difference (same two doubles in both engines).
+    // Honest fixture note: k is uniform noise, so observed rates are
+    // flat across bins — the report SHOWS miscalibration (that is the
+    // operator's job); the spec pins the exact arithmetic.
+    Q(
+      "q68_calibration",
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS score
+        |  FROM events WHERE event_type = 'click'),
+        |conv AS (
+        |  SELECT c.event_id, c.score,
+        |    CASE WHEN count(p.user_id) > 0 THEN 1 ELSE 0 END AS cv
+        |  FROM c LEFT JOIN events p
+        |    ON p.user_id = c.user_id AND p.event_type = 'purchase'
+        |      AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |  GROUP BY c.event_id, c.score)
+        |SELECT CAST(least(9, score // 10) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cv) AS BIGINT) AS n_conv,
+        |  CAST(sum(score) AS DOUBLE) / (100.0 * count(*)) AS mean_p,
+        |  CAST(sum(cv) AS DOUBLE) / count(*) AS obs_rate,
+        |  abs(CAST(sum(score) AS DOUBLE) / (100.0 * count(*))
+        |    - CAST(sum(cv) AS DOUBLE) / count(*)) AS gap
+        |FROM conv GROUP BY 1 ORDER BY bin""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          variant_get(parse_json(col("props")), "$.k", "bigint")
+            .as("score"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("ts").as("p_ts"))
+      val conv = c.join(p,
+          col("p_uid") === col("user_id") && col("p_ts") > col("ts") &&
+            col("p_ts") <= col("ts") + expr("INTERVAL 1 HOUR"),
+          "left_outer")
+        .groupBy(col("event_id"), col("score"))
+        .agg(when(count(col("p_uid")) > 0, 1L).otherwise(0L).as("cv"))
+      val meanP = sum(col("score")).cast("double") /
+        (lit(100.0) * count(lit(1)))
+      val obs = sum(col("cv")).cast("double") / count(lit(1))
+      conv.groupBy(least(lit(9), expr("score div 10")).cast("long")
+          .as("bin"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("cv")).cast("long").as("n_conv"),
+          meanP.as("mean_p"), obs.as("obs_rate"),
+          abs(meanP - obs).as("gap"))
+        .orderBy(col("bin"))
     }
   )
 

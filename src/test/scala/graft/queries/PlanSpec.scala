@@ -810,7 +810,8 @@ class PlanSpec extends SparkSpec {
       "t22_source_drift", "t23_bpe_merges", "t24_bpe_fertility",
       "s20_compression_frontier", "t25_heaps_law",
       "q61_shapley_attribution", "q63_absorbing_markov",
-      "t26_burstiness", "q64_path_mining", "s21_ann_tombstones")
+      "t26_burstiness", "q64_path_mining", "s21_ann_tombstones",
+      "q67_decile_lift")
     QueryRegistry.all
       .filterNot(q => isStreamLoop(q.name) || checkpoints.contains(q.name))
       .foreach { q =>

@@ -840,4 +840,78 @@ class Round8AdditionsSpec extends SparkSpec {
     // quality; a real TPC-H corpus would put b1 near the unit price
     assert(got._5 >= 0 && got._5 <= 1, s"r2 out of range: $got")
   }
+
+  private def clickConversions(): Seq[(Long, Long, Int)] = {
+    // (event_id, score, converted-within-1h) — shared by q67/q68
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).toInstant.getEpochSecond * 1000000L +
+          r.getTimestamp(2).toInstant.getNano / 1000L,
+        r.getString(3), r.getLong(4)))
+    val buys = ev.filter(_._4 == "purchase").groupBy(_._2)
+      .map { case (u, g) => u -> g.map(_._3).sorted }
+    ev.filter(_._4 == "click").map { c =>
+      val cv = buys.get(c._2).exists(_.exists(t =>
+        t > c._3 && t <= c._3 + 3600000000L))
+      (c._1, c._5, if (cv) 1 else 0)
+    }.toSeq
+  }
+
+  test("q67: a sequential exact-decile recount reproduces lift and " +
+    "cumulative gain; gains are monotone and end at 1") {
+    val clicks = clickConversions()
+    val sorted = clicks.sortBy(c => (-c._2, c._1))
+    val n = sorted.length
+    val (q, rem) = (n / 10, n % 10)
+    def decileOf(rank1: Int): Int =
+      if (rank1 <= rem * (q + 1)) (rank1 - 1) / (q + 1) + 1
+      else rem + (rank1 - 1 - rem * (q + 1)) / q + 1
+    val byDec = sorted.zipWithIndex
+      .groupBy { case (_, i) => decileOf(i + 1) }.toSeq.sortBy(_._1)
+      .map { case (d, g) =>
+        (d.toLong, g.length.toLong, g.map(_._1._3.toLong).sum) }
+    val (tn, tc) = (byDec.map(_._2).sum, byDec.map(_._3).sum)
+    var cum = 0L
+    val expected = byDec.map { case (d, nn, nc) =>
+      cum += nc
+      (d, nn, nc, nc.toDouble / nn,
+        (nc.toDouble / nn) / (tc.toDouble / tn), cum.toDouble / tc)
+    }
+    val got = QueryRegistry.byName("q67_decile_lift")
+      .run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expected, s"decile lift diverges from the sequential " +
+      s"recount:\n got ${got.take(3)}\n exp ${expected.take(3)}")
+    val gains = got.map(_._6)
+    assert(gains == gains.sorted && math.abs(gains.last - 1.0) < 1e-12,
+      s"cumulative gain must rise to 1: $gains")
+    assert(got.map(_._2).sum == n.toLong)
+  }
+
+  test("q68: a sequential calibration recount reproduces every bin; " +
+    "bins partition the click stream") {
+    val clicks = clickConversions()
+    val expected = clicks.groupBy(c => math.min(9L, c._2 / 10))
+      .toSeq.sortBy(_._1).map { case (b, g) =>
+        val nn = g.length
+        val meanP = g.map(_._2).sum.toDouble / (100.0 * nn)
+        val obs = g.map(_._3.toLong).sum.toDouble / nn
+        (b, nn.toLong, g.map(_._3.toLong).sum, meanP, obs,
+          math.abs(meanP - obs))
+      }
+    val got = QueryRegistry.byName("q68_calibration")
+      .run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expected, s"calibration diverges from the sequential " +
+      s"recount:\n got ${got.take(3)}\n exp ${expected.take(3)}")
+    assert(got.map(_._2).sum == clicks.length.toLong,
+      "bins must partition the click stream")
+    assert(got.forall(r => r._6 >= 0.0 && r._6 <= 1.0))
+  }
 }
