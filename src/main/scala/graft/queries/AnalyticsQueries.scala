@@ -1621,8 +1621,333 @@ object AnalyticsQueries {
           meanP.as("mean_p"), obs.as("obs_rate"),
           abs(meanP - obs).as("gap"))
         .orderBy(col("bin"))
+    },
+
+    // ---------------------------------------------------------------
+    // q69 — exact ROC AUC via the tie-corrected Mann-Whitney rank sum,
+    // completing the q67/q68 ranking-eval family (lift says "the top
+    // decile converts 3×"; AUC is the threshold-free summary a model
+    // gate actually thresholds on). Scores are integers 0..99, so the
+    // per-score group table is BOUNDED (≤100 rows): one partial-agg'd
+    // reduce onto ≤100 keys, then the U statistic as a single-row
+    // sorted-array fold — 2U = Σ_g pos_g·(2·neg_below_g + neg_g),
+    // which IS the average-rank tie correction (each tied pair
+    // contributes exactly 1 to 2U) — all in exact BIGINT; AUC and
+    // Gini are single IEEE divisions off the integer numerator. At
+    // 100 TB the shape is unchanged: the fold input is the SCORE
+    // DOMAIN (≤100 rows for integer scores, ≤|distinct scores|
+    // generally), never the click stream; products stay under 2⁶³
+    // for n_pos·n_neg < 9.2e18 — shard the eval per model version
+    // long before that.
+    Q(
+      "q69_auc_roc",
+      s"""WITH $convSql,
+        |g AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cv) AS BIGINT) AS pos FROM conv GROUP BY score),
+        |w AS (SELECT score, n, pos, n - pos AS neg,
+        |    COALESCE(sum(n - pos) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS neg_lt
+        |  FROM g),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_clicks,
+        |    CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(neg) AS BIGINT) AS n_neg,
+        |    CAST(sum(pos * (2 * neg_lt + neg)) AS BIGINT) AS u2_num
+        |  FROM w),
+        |a AS (SELECT n_clicks, n_pos, n_neg, u2_num,
+        |    CAST(u2_num AS DOUBLE) / (2.0 * n_pos * n_neg) AS auc
+        |  FROM t)
+        |SELECT n_clicks, n_pos, n_neg, u2_num, auc,
+        |  2.0 * auc - 1.0 AS gini
+        |FROM a""".stripMargin
+    ) { (s, dir) =>
+      val g = clickConversions(s, dir)
+        .groupBy(col("score"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("cv")).cast("long").as("pos"))
+      g.agg(array_sort(collect_list(struct(col("score"), col("n"),
+          col("pos")))).as("a"))
+        .select(
+          expr("aggregate(a, 0L, (acc, y) -> acc + y.n)").as("n_clicks"),
+          expr("aggregate(a, 0L, (acc, y) -> acc + y.pos)").as("n_pos"),
+          expr("aggregate(a, 0L, (acc, y) -> acc + y.n - y.pos)")
+            .as("n_neg"),
+          expr(
+            """aggregate(transform(a, (x, i) ->
+              |  x.pos * (2 * aggregate(slice(a, 1, i), 0L,
+              |      (acc, y) -> acc + y.n - y.pos)
+              |    + (x.n - x.pos))), 0L, (acc, t) -> acc + t)"""
+              .stripMargin).as("u2_num"))
+        .withColumn("auc", col("u2_num").cast("double")
+          / (lit(2.0) * col("n_pos") * col("n_neg")))
+        .select(col("n_clicks"), col("n_pos"), col("n_neg"),
+          col("u2_num"), col("auc"),
+          (lit(2.0) * col("auc") - lit(1.0)).as("gini"))
+    },
+
+    // ---------------------------------------------------------------
+    // q70 — Kolmogorov-Smirnov separation between the positive- and
+    // negative-class score CDFs, plus the maximizing threshold (the
+    // Youden-style cut a deployment actually configures). Same
+    // bounded score-domain table as q69; per candidate threshold g
+    // the exact integer statistic is D_g = |cumPos_g·n_neg −
+    // cumNeg_g·n_pos| (both CDFs on the common denominator
+    // n_pos·n_neg), the max + earliest-score argmax taken by a
+    // single-row fold scanning ascending with a strict >. One IEEE
+    // division at the end. The O(|scores|²) slice work is on the
+    // ≤100-row score domain, not the corpus.
+    Q(
+      "q70_ks_separation",
+      s"""WITH $convSql,
+        |g AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cv) AS BIGINT) AS pos FROM conv GROUP BY score),
+        |w AS (SELECT score,
+        |    sum(pos) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos,
+        |    sum(n - pos) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cneg
+        |  FROM g),
+        |t AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(n - pos) AS BIGINT) AS n_neg FROM g),
+        |d AS (SELECT w.score,
+        |    abs(w.cpos * t.n_neg - w.cneg * t.n_pos) AS d
+        |  FROM w CROSS JOIN t),
+        |b AS (SELECT score, CAST(d AS BIGINT) AS d FROM d
+        |  ORDER BY d DESC, score ASC LIMIT 1)
+        |SELECT t.n_pos, t.n_neg, b.d AS ks_num, b.score AS best_score,
+        |  CAST(b.d AS DOUBLE) / (CAST(t.n_pos AS DOUBLE) * t.n_neg)
+        |    AS ks
+        |FROM t CROSS JOIN b""".stripMargin
+    ) { (s, dir) =>
+      val g = clickConversions(s, dir)
+        .groupBy(col("score"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("cv")).cast("long").as("pos"))
+      g.agg(array_sort(collect_list(struct(col("score"), col("n"),
+          col("pos")))).as("a"))
+        .select(
+          expr("aggregate(a, 0L, (acc, y) -> acc + y.pos)").as("n_pos"),
+          expr("aggregate(a, 0L, (acc, y) -> acc + y.n - y.pos)")
+            .as("n_neg"),
+          expr(
+            """aggregate(transform(a, (x, i) -> named_struct(
+              |    'd', abs(aggregate(slice(a, 1, i + 1), 0L,
+              |        (acc, y) -> acc + y.pos)
+              |      * aggregate(a, 0L, (acc, y) -> acc + y.n - y.pos)
+              |      - aggregate(slice(a, 1, i + 1), 0L,
+              |        (acc, y) -> acc + y.n - y.pos)
+              |      * aggregate(a, 0L, (acc, y) -> acc + y.pos)),
+              |    'score', x.score)),
+              |  named_struct('d', -1L, 'score', -1L),
+              |  (acc, x) -> CASE WHEN x.d > acc.d THEN x ELSE acc END)"""
+              .stripMargin).as("best"))
+        .select(col("n_pos"), col("n_neg"), col("best.d").as("ks_num"),
+          col("best.score").as("best_score"),
+          (col("best.d").cast("double")
+            / (col("n_pos").cast("double") * col("n_neg"))).as("ks"))
+    },
+
+    // ---------------------------------------------------------------
+    // q71 — Population Stability Index between the reference score
+    // window (first half of January) and the current window (second
+    // half) — THE production drift alarm for a deployed score: PSI =
+    // Σ_b (p_ref − p_cur)·ln(p_ref/p_cur) over the 10 fixed score
+    // bins. Laplace add-one smoothing on the bin counts (standard PSI
+    // practice) makes empty bins finite in both engines instead of a
+    // ln(0)/÷0 divergence; a 10-row spine LEFT-joined to the counts
+    // keeps structurally-empty bins in the report (the d09 accounting
+    // lesson). Float discipline is t22's: each term is round(·, 6) →
+    // DECIMAL(28,6), summed order-free; the only corpus-scale work is
+    // one partial-agg'd reduce onto ≤10 (bin) keys, everything after
+    // runs on the 10-row table (spine join + two broadcast scalars).
+    Q(
+      "q71_psi_drift",
+      """WITH c AS (
+        |  SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS score, ts
+        |  FROM events WHERE event_type = 'click'),
+        |b AS (SELECT least(9, score // 10) AS bin,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+        |      AS is_ref
+        |  FROM c),
+        |g AS (SELECT bin, CAST(sum(is_ref) AS BIGINT) AS r_n,
+        |    CAST(sum(1 - is_ref) AS BIGINT) AS c_n FROM b GROUP BY bin),
+        |sp AS (SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT)
+        |    AS bin),
+        |f AS (SELECT sp.bin, COALESCE(r_n, 0) AS r_n,
+        |    COALESCE(c_n, 0) AS c_n,
+        |    COALESCE(r_n, 0) + 1 AS r1, COALESCE(c_n, 0) + 1 AS c1
+        |  FROM sp LEFT JOIN g ON g.bin = sp.bin),
+        |t AS (SELECT CAST(sum(r1) AS BIGINT) AS rt,
+        |    CAST(sum(c1) AS BIGINT) AS ct FROM f),
+        |p AS (SELECT bin, r_n, c_n,
+        |    CAST(r1 AS DOUBLE) / rt AS p_ref,
+        |    CAST(c1 AS DOUBLE) / ct AS p_cur
+        |  FROM f CROSS JOIN t),
+        |tm AS (SELECT bin, r_n, c_n, p_ref, p_cur,
+        |    CAST(round((p_ref - p_cur) * ln(p_ref / p_cur), 6)
+        |      AS DECIMAL(28,6)) AS term
+        |  FROM p),
+        |st AS (SELECT CAST(sum(term) AS DOUBLE) AS psi FROM tm)
+        |SELECT bin, r_n, c_n, p_ref, p_cur, term, psi
+        |FROM tm CROSS JOIN st ORDER BY bin""".stripMargin
+    ) { (s, dir) =>
+      val clicks = Tables(s, dir, "events")
+        .filter(col("event_type") === "click")
+        .select(variant_get(parse_json(col("props")), "$.k", "bigint")
+            .as("score"),
+          (col("ts") < lit("2024-01-16").cast("timestamp")).as("is_ref"))
+        .select(least(lit(9), expr("score div 10")).cast("long")
+            .as("bin"),
+          col("is_ref"))
+      val counts = clicks.groupBy(col("bin"))
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).cast("long")
+            .as("r_n"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).cast("long")
+            .as("c_n"))
+      val spine = s.range(0, 10).select(col("id").as("bin"))
+      val filled = spine.join(broadcast(counts), Seq("bin"), "left_outer")
+        .select(col("bin"), coalesce(col("r_n"), lit(0L)).as("r_n"),
+          coalesce(col("c_n"), lit(0L)).as("c_n"))
+        .select(col("bin"), col("r_n"), col("c_n"),
+          (col("r_n") + lit(1L)).as("r1"), (col("c_n") + lit(1L)).as("c1"))
+      val tot = filled.agg(sum(col("r1")).cast("long").as("rt"),
+        sum(col("c1")).cast("long").as("ct"))
+      val terms = filled.crossJoin(broadcast(tot))
+        .select(col("bin"), col("r_n"), col("c_n"),
+          (col("r1").cast("double") / col("rt")).as("p_ref"),
+          (col("c1").cast("double") / col("ct")).as("p_cur"))
+        .select(col("bin"), col("r_n"), col("c_n"), col("p_ref"),
+          col("p_cur"),
+          round((col("p_ref") - col("p_cur"))
+              * log(col("p_ref") / col("p_cur")), 6)
+            .cast("decimal(28,6)").as("term"))
+      val psiTot = terms.agg(sum(col("term")).cast("double").as("psi"))
+      terms.crossJoin(broadcast(psiTot))
+        .select(col("bin"), col("r_n"), col("c_n"), col("p_ref"),
+          col("p_cur"), col("term"), col("psi"))
+        .orderBy(col("bin"))
+    },
+
+    // ---------------------------------------------------------------
+    // q73 — CUSUM mean-shift changepoint over monthly order revenue:
+    // the structural-break detector a data-quality monitor runs on
+    // every ingest metric (volume, mean quality score, dedup rate).
+    // S'_k = n·prefix_k − k·total in exact BIGINT cents (the
+    // mean-centered cumulative sum scaled by n to stay integer); the
+    // changepoint is argmax_k |S'_k| for k < n, earliest month on
+    // ties. The corpus contributes ONE partial-agg'd reduce onto the
+    // bounded month table (~80 keys regardless of corpus size);
+    // prefix sums, max, and argmax all run as a single-row
+    // sorted-array fold — no window anywhere. Headroom: n·total
+    // cents must stay < 2⁶³ (here ~2.4e14); at 100 TB lift cents to
+    // DECIMAL(38,0) in the same fold. The three output means/max are
+    // one IEEE division each off exact integers.
+    Q(
+      "q73_cusum_changepoint",
+      """WITH mo AS (
+        |  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT m, cents,
+        |    row_number() OVER (ORDER BY m) AS k,
+        |    sum(cents) OVER (ORDER BY m
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pref
+        |  FROM mo),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS total FROM mo),
+        |d AS (SELECT w.m, w.k, w.pref,
+        |    abs(t.n * w.pref - w.k * t.total) AS d
+        |  FROM w CROSS JOIN t WHERE w.k < t.n),
+        |b AS (SELECT m, k, pref, CAST(d AS BIGINT) AS d FROM d
+        |  ORDER BY d DESC, m ASC LIMIT 1)
+        |SELECT t.n AS n_months, b.m AS cp_month,
+        |  CAST(b.k AS BIGINT) AS k_before,
+        |  CAST(b.d AS DOUBLE) / (100.0 * t.n) AS cusum_max,
+        |  CAST(b.pref AS DOUBLE) / (100.0 * b.k) AS mean_before,
+        |  CAST(t.total - b.pref AS DOUBLE) / (100.0 * (t.n - b.k))
+        |    AS mean_after
+        |FROM t CROSS JOIN b""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val monthly = Tables(s, dir, "orders")
+        .groupBy(trunc(col("o_orderdate"), "month").as("m"))
+        .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast("long")).cast("long").as("cents"))
+      monthly
+        .agg(array_sort(collect_list(struct(col("m"), col("cents"))))
+          .as("a"))
+        .select(expr("size(a)").cast("long").as("n_months"),
+          expr("aggregate(a, 0L, (acc, y) -> acc + y.cents)").as("total"),
+          // argmax over k = 1..n-1 (S'_n ≡ 0 by construction, and its
+          // exclusion keeps mean_after's divisor nonzero); strict >
+          // scanning ascending = earliest month on ties
+          expr(
+            """aggregate(transform(slice(a, 1, size(a) - 1),
+              |    (x, i) -> named_struct(
+              |  'd', abs(size(a) * aggregate(slice(a, 1, i + 1), 0L,
+              |        (acc, y) -> acc + y.cents)
+              |    - (i + 1) * aggregate(a, 0L,
+              |        (acc, y) -> acc + y.cents)),
+              |  'k', i + 1, 'm', x.m,
+              |  'pref', aggregate(slice(a, 1, i + 1), 0L,
+              |    (acc, y) -> acc + y.cents))),
+              |  named_struct('d', -1L, 'k', 0, 'm', DATE '1970-01-01',
+              |    'pref', 0L),
+              |  (acc, x) -> CASE WHEN x.d > acc.d THEN x ELSE acc END)"""
+              .stripMargin).as("best"))
+        .select(col("n_months"), col("best.m").as("cp_month"),
+          col("best.k").cast("long").as("k_before"),
+          (col("best.d").cast("double")
+            / (lit(100.0) * col("n_months"))).as("cusum_max"),
+          (col("best.pref").cast("double")
+            / (lit(100.0) * col("best.k"))).as("mean_before"),
+          ((col("total") - col("best.pref")).cast("double")
+            / (lit(100.0) * (col("n_months") - col("best.k"))))
+            .as("mean_after"))
     }
   )
+
+  /** Shared click/outcome stream for the model-eval family (q69/q70;
+    * q67/q68 predate the factoring and inline the identical logic):
+    * clicks scored by the payload's k field (0..99), outcome = the
+    * user purchases within 1 hour of the click. The outcome attach is
+    * a user-keyed interval equi-join — per-user event lists are
+    * bounded — partial-agg'd back onto event_id. */
+  private[queries] def clickConversions(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        variant_get(parse_json(col("props")), "$.k", "bigint")
+          .as("score"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("ts").as("p_ts"))
+    c.join(p,
+        col("p_uid") === col("user_id") && col("p_ts") > col("ts") &&
+          col("p_ts") <= col("ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .groupBy(col("event_id"), col("score"))
+      .agg(when(count(col("p_uid")) > 0, 1L).otherwise(0L).as("cv"))
+  }
+
+  /** The q67/q68 click/conversion CTE pair, shared by the q69/q70
+    * oracles (a def, not a val: `all` initializes first and a val
+    * would still be null when its interpolation runs — the q63Sql
+    * lesson). */
+  private def convSql: String =
+    """c AS (
+      |  SELECT event_id, user_id, ts,
+      |    CAST(json_extract(props, '$.k') AS BIGINT) AS score
+      |  FROM events WHERE event_type = 'click'),
+      |conv AS (
+      |  SELECT c.event_id, c.score,
+      |    CASE WHEN count(p.user_id) > 0 THEN 1 ELSE 0 END AS cv
+      |  FROM c LEFT JOIN events p
+      |    ON p.user_id = c.user_id AND p.event_type = 'purchase'
+      |      AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      |  GROUP BY c.event_id, c.score)""".stripMargin
 
   /** q60's sketch pipeline, shared with HllRollingSpec: per month one
     * HLL over distinct customers, consecutive months joined, union via
