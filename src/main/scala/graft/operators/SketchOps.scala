@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Mergeable quantile sketches (Karnin–Lang–Liberty, FOCS 2016) as a
+  * typed Aggregator — the UDAF surface (SURVEY §2B), same machinery as
+  * q22's WeightedAvg. Why a sketch when q57 already computes EXACT
+  * quantiles: EquiDepth's exact form costs one range exchange of the
+  * full corpus per question asked; a KLL sketch is a few KB of state
+  * that is built ONCE per shard/ingest batch map-side, merged
+  * associatively (Spark's partial/final aggregation IS the merge
+  * tree), stored beside the shard, and then answers ANY quantile
+  * question later without re-reading data — the p35 mergeable-stats
+  * story for order statistics. At 100 TB: per-partition sketches are
+  * O(k·log n) memory, the merge reduces to the driver-side bytes of
+  * ONE sketch, and the rank-error guarantee ε(k) is independent of n.
+  *
+  * KLL compaction is RANDOMIZED (coin flips choose surviving items),
+  * so estimates vary run to run within the guarantee — which is why
+  * q72 gates the EXACT quantile values plus a rank-error flag (q59's
+  * sketch-gating pattern), never the estimate itself.
+  */
+object SketchOps {
+
+  /** Aggregation buffer: a KLL sketch behind java-serialization hooks
+    * that write the sketch's own compact byte form. The buffer object
+    * lives DESERIALIZED inside ObjectHashAggregate between updates;
+    * serialization happens only at partial-output/shuffle boundaries,
+    * so per-row cost is one sketch update, not a codec round-trip. */
+  final class KllBuf(@transient var sk: KllDoublesSketch)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      val b = sk.toByteArray
+      out.writeInt(b.length)
+      out.write(b)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      sk = KllDoublesSketch.heapify(Memory.wrap(b))
+    }
+  }
+
+  /** KLL quantile aggregator: update per row map-side, sketch-merge at
+    * the partial/final boundary. finish() returns the INCLUSIVE
+    * quantile estimates for `qs` (the classic "smallest retained value
+    * whose cumulative weight covers rank q"). */
+  final class KllQuantiles(k: Int, qs: Seq[Double])
+      extends Aggregator[Double, KllBuf, Seq[Double]] {
+    override def zero: KllBuf =
+      new KllBuf(KllDoublesSketch.newHeapInstance(k))
+    override def reduce(b: KllBuf, x: Double): KllBuf = {
+      b.sk.update(x); b
+    }
+    override def merge(a: KllBuf, b: KllBuf): KllBuf = {
+      a.sk.merge(b.sk); a
+    }
+    override def finish(r: KllBuf): Seq[Double] =
+      qs.map(q => r.sk.getQuantile(q, QuantileSearchCriteria.INCLUSIVE))
+    override def bufferEncoder: Encoder[KllBuf] =
+      Encoders.javaSerialization[KllBuf]
+    override def outputEncoder: Encoder[Seq[Double]] =
+      ExpressionEncoder[Seq[Double]]()
+  }
+}

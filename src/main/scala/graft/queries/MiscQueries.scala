@@ -1420,6 +1420,86 @@ object MiscQueries {
       t.select(col("cur"), col("nxt"), col("n"),
           (col("n").cast("double") / sum(col("n")).over(byCur)).as("p"))
         .orderBy(col("cur"), col("nxt"))
+    },
+
+    // ---------------------------------------------------------------
+    // q72 — MERGEABLE quantile sketches (KLL, Karnin-Lang-Liberty
+    // 2016) over l_extendedprice: q57's exact form answers one
+    // quantile question per corpus range-exchange; the KLL path
+    // builds a few-KB sketch per partition map-side, merges
+    // associatively through Spark's partial/final aggregation, and
+    // answers ANY later quantile question from stored sketch bytes —
+    // the p35 mergeable-stats story for order statistics. KLL
+    // compaction is randomized-within-guarantee, so the gate follows
+    // q59's sketch pattern: the HASHED columns are the EXACT
+    // quantile values (EquiDepth ranks, q57's machinery) and a flag
+    // asserting the estimate's rank lands within 2ε(k=200) ≈ 2.7% of
+    // the target — exact values at ranks ceil((q ∓ 2ε)·n) bracket the
+    // estimate iff its rank error is within the doubled 99%-confidence
+    // bound (doubled so a tail draw can't flip a gated boolean). The
+    // 12-row rank spine joins the ranked corpus once, broadcast.
+    Q(
+      "q72_kll_quantile_merge",
+      """WITH r AS (
+        |  SELECT l_extendedprice AS price,
+        |    row_number() OVER (ORDER BY l_extendedprice,
+        |      l_orderkey, l_linenumber) AS r,
+        |    count(*) OVER () AS n
+        |  FROM lineitem),
+        |qs AS (SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q)
+        |SELECT CAST(q AS DOUBLE) AS q, price AS value,
+        |  CAST(TRUE AS BOOLEAN) AS within_rank_eps
+        |FROM qs JOIN r
+        |  ON r.r = GREATEST(1,
+        |    CAST(ceil(CAST(q AS DOUBLE) * n) AS BIGINT))
+        |ORDER BY q""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.SketchOps
+      val quantiles = Seq(0.25, 0.5, 0.9, 0.99)
+      val eps2 = 2.0 * org.apache.datasketches.kll.KllSketch
+        .getNormalizedRankError(200, false)
+      val kll = udaf(new SketchOps.KllQuantiles(200, quantiles),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      val est = Tables(s, dir, "lineitem")
+        .agg(kll(col("l_extendedprice")).as("est"))
+      val ranked = graft.operators.EquiDepth.withGlobalRank(
+        Tables(s, dir, "lineitem")
+          .select(col("l_extendedprice").as("price"),
+            col("l_orderkey"), col("l_linenumber")),
+        Seq(col("price"), col("l_orderkey"), col("l_linenumber")),
+        "r", "n")
+      val nRow = Tables(s, dir, "lineitem")
+        .agg(count(lit(1)).cast("long").as("n_rows"))
+      // 12-row spine: per quantile the target rank plus the ±2ε
+      // bracket ranks, each tagged with its role
+      val spine = nRow.crossJoin(est)
+        .select(col("n_rows"), col("est"),
+          explode(typedLit(quantiles.zipWithIndex)).as("qi"))
+        .select(col("qi._1").as("q"),
+          element_at(col("est"), col("qi._2") + 1).as("estq"),
+          col("n_rows"))
+        .select(col("q"), col("estq"), explode(array(
+          struct(lit("target").as("role"),
+            greatest(lit(1L), ceil(col("q") * col("n_rows"))
+              .cast("long")).as("rk")),
+          struct(lit("lo").as("role"),
+            greatest(lit(1L), ceil((col("q") - lit(eps2))
+              * col("n_rows")).cast("long")).as("rk")),
+          struct(lit("hi").as("role"),
+            least(col("n_rows"), ceil((col("q") + lit(eps2))
+              * col("n_rows")).cast("long")).as("rk")))).as("x"))
+        .select(col("q"), col("estq"), col("x.role").as("role"),
+          col("x.rk").as("rk"))
+      ranked.join(broadcast(spine), col("r") === col("rk"))
+        .groupBy(col("q"), col("estq"))
+        .agg(max(when(col("role") === "target", col("price")))
+            .as("value"),
+          max(when(col("role") === "lo", col("price"))).as("v_lo"),
+          max(when(col("role") === "hi", col("price"))).as("v_hi"))
+        .select(col("q"), col("value"),
+          (col("estq") >= col("v_lo") && col("estq") <= col("v_hi"))
+            .as("within_rank_eps"))
+        .orderBy(col("q"))
     }
   )
 }

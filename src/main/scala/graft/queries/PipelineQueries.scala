@@ -2263,6 +2263,105 @@ object PipelineQueries {
             / (col("n_docs").cast("double") * col("n_docs").cast("double")))
             .as("var_chars"))
         .orderBy(col("source"))
+    },
+
+    // ---------------------------------------------------------------
+    // p36 — l-diversity audit, the companion to p34's k-anonymity
+    // ladder: k-anonymity says every quasi-identifier class is big
+    // enough to hide in; l-diversity says the SENSITIVE attribute
+    // inside each class is varied enough that membership reveals
+    // nothing (Machanavajjhala et al., ICDE 2006 — a k-anonymous
+    // class whose members all share one sensitive value still leaks
+    // it). Classes are p34's level-1 quasi-identifiers (nation,
+    // segment); the sensitive attribute is the 2k-wide balance band.
+    // Output is the distribution of distinct-sensitive-count l across
+    // classes with the rows-at-risk share for l < 3. One class-keyed
+    // partial agg over the corpus (count + count distinct on a
+    // ≤6-value attribute), then everything runs on the class table.
+    // At 100 TB the class table is |nations|×|segments| — bounded —
+    // and the distinct count stays a low-cardinality hash agg.
+    Q(
+      "p36_l_diversity",
+      """WITH cls AS (
+        |  SELECT count(*) AS nr,
+        |    count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS INT)) AS l
+        |  FROM customer GROUP BY c_nationkey, c_mktsegment),
+        |t AS (SELECT CAST(sum(nr) AS BIGINT) AS total FROM cls)
+        |SELECT CAST(l AS BIGINT) AS l,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(nr) AS BIGINT) AS n_rows,
+        |  round(sum(nr) / CAST(t.total AS DOUBLE), 6) AS pct_rows,
+        |  l < 3 AS at_risk
+        |FROM cls CROSS JOIN t GROUP BY l, t.total
+        |ORDER BY l""".stripMargin
+    ) { (s, dir) =>
+      val cls = Tables(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("nr"),
+          countDistinct(floor(col("c_acctbal") / 2000.0).cast("int"))
+            .as("l"))
+      val tot = cls.agg(sum(col("nr")).cast("long").as("total"))
+      cls.groupBy(col("l").cast("long").as("l"))
+        .agg(count(lit(1)).cast("long").as("n_classes"),
+          sum(col("nr")).cast("long").as("n_rows"))
+        .crossJoin(broadcast(tot))
+        .select(col("l"), col("n_classes"), col("n_rows"),
+          round(col("n_rows") / col("total").cast("double"), 6)
+            .as("pct_rows"),
+          (col("l") < 3).as("at_risk"))
+        .orderBy(col("l"))
+    },
+
+    // ---------------------------------------------------------------
+    // p37 — corpus concentration: the exact Gini coefficient of
+    // per-document token counts plus the top-decile token share — the
+    // "does 10% of the corpus carry half the tokens" audit that
+    // decides whether a mixing/cap policy (p10, p24) is even needed.
+    // Gini = Σ(2·rank − n − 1)·x / (n·Σx) over the GLOBAL token-count
+    // order; rank comes from EquiDepth's range exchange + pid-local
+    // window (never a single-task sort), ties are rank-order-free in
+    // the sum (a tie block's coefficient total is fixed), and both
+    // numerator and denominator stay exact BIGINT until two final
+    // IEEE divisions. Headroom: 2·rank·nw needs rank·nw < 4.6e18 —
+    // fine to ~10¹² docs × 10⁶ tokens sharded per corpus snapshot.
+    Q(
+      "p37_token_gini",
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS nw
+        |  FROM documents),
+        |r AS (SELECT nw, row_number() OVER (ORDER BY nw, doc_id) AS r,
+        |    count(*) OVER () AS n FROM w),
+        |t AS (SELECT CAST(max(n) AS BIGINT) AS n_docs,
+        |    CAST(sum(nw) AS BIGINT) AS total_tokens,
+        |    CAST(sum((2 * r - n - 1) * nw) AS BIGINT) AS gnum,
+        |    CAST(sum(CASE WHEN r > n - n // 10 THEN nw ELSE 0 END)
+        |      AS BIGINT) AS top_toks
+        |  FROM r)
+        |SELECT n_docs, total_tokens,
+        |  CAST(gnum AS DOUBLE) / (CAST(n_docs AS DOUBLE) * total_tokens)
+        |    AS gini,
+        |  CAST(top_toks AS DOUBLE) / total_tokens AS top_decile_share
+        |FROM t""".stripMargin
+    ) { (s, dir) =>
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(DedupOps.words(col("text"))).cast("long").as("nw"))
+      val ranked = graft.operators.EquiDepth.withGlobalRank(
+        toks, Seq(col("nw"), col("doc_id")), "r", "n")
+      ranked.agg(max(col("n")).as("n_docs"),
+          sum(col("nw")).cast("long").as("total_tokens"),
+          sum((lit(2L) * col("r") - col("n") - lit(1L)) * col("nw"))
+            .cast("long").as("gnum"),
+          sum(when(col("r") > col("n") - expr("n DIV 10"), col("nw"))
+            .otherwise(0L)).cast("long").as("top_toks"))
+        .select(col("n_docs"), col("total_tokens"),
+          (col("gnum").cast("double")
+            / (col("n_docs").cast("double") * col("total_tokens")))
+            .as("gini"),
+          (col("top_toks").cast("double") / col("total_tokens"))
+            .as("top_decile_share"))
     }
   )
 

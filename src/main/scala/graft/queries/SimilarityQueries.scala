@@ -1659,6 +1659,109 @@ object SimilarityQueries {
           coalesce(col("ann_top1") === col("exact_top1"), lit(false))
             .as("hit"))
         .orderBy(col("q_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // s22 — reciprocal rank fusion (Cormack et al., SIGIR 2009) of two
+    // retrievers: exact brute-force cosine (s01's shape, high recall,
+    // expensive) and the SRP-bucket retriever (s02's shape, cheap,
+    // bucket-limited recall). RRF score = Σ_r 1/(60 + rank_r), the
+    // rank-only fusion a hybrid retrieval stack runs because it needs
+    // no score calibration between retrievers. Determinism: each
+    // reciprocal is the exact integer 1e9 DIV (60 + rank) — truncating
+    // division agrees in both engines on positives, so the fused score
+    // is an exact BIGINT sum of micro-units, never float addition.
+    // Shape at 100 TB: both retrievers fan out only the 20-query side
+    // (per-partition GroupTopK heaps cut the scored streams before any
+    // exchange); fusion is a full-outer equi-join of two ≤20-row-per-
+    // query rank lists on (q_id, neighbor) — |q|·40 rows, no corpus
+    // re-scan; missing-from-one-list candidates keep their row with
+    // a NULL rank (contribution 0), the d09 accounting rule.
+    Q(
+      "s22_rrf_fusion",
+      s"""WITH base AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM base
+        |  WHERE vec_id < 20),
+        |r1 AS (
+        |  SELECT q_id, neighbor_id, rank FROM (
+        |    SELECT q_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY ${cosineSql("qv", "c.v", 64)} DESC,
+        |          c.vec_id ASC) AS rank
+        |    FROM q CROSS JOIN base c WHERE c.vec_id <> q_id) z
+        |  WHERE rank <= 20),
+        |bucketed AS (SELECT vec_id, v, ${srpBucketSql6("v")} AS bucket
+        |  FROM base),
+        |qb AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bucketed
+        |  WHERE vec_id < 20),
+        |r2 AS (
+        |  SELECT q_id, neighbor_id, rank FROM (
+        |    SELECT q_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY ${cosineSql("qv", "c.v", 64)} DESC,
+        |          c.vec_id ASC) AS rank
+        |    FROM qb JOIN bucketed c
+        |      ON c.bucket = qb.bucket AND c.vec_id <> q_id) z
+        |  WHERE rank <= 20),
+        |fused AS (
+        |  SELECT COALESCE(r1.q_id, r2.q_id) AS q_id,
+        |    COALESCE(r1.neighbor_id, r2.neighbor_id) AS neighbor_id,
+        |    CAST(COALESCE(1000000000 // (60 + r1.rank), 0)
+        |      + COALESCE(1000000000 // (60 + r2.rank), 0) AS BIGINT)
+        |      AS fused_micro,
+        |    r1.rank AS r1_rank, r2.rank AS r2_rank
+        |  FROM r1 FULL OUTER JOIN r2
+        |    ON r2.q_id = r1.q_id AND r2.neighbor_id = r1.neighbor_id),
+        |top AS (
+        |  SELECT q_id, neighbor_id, fused_micro, r1_rank, r2_rank,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY fused_micro DESC, neighbor_id ASC) AS rank
+        |  FROM fused)
+        |SELECT q_id, rank, neighbor_id, fused_micro, r1_rank, r2_rank
+        |FROM top WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    ) { (s, dir) =>
+      val base = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        .withColumn("nv", VectorOps.norm(col("v"))) // per row, not per pair
+        .withColumn("bucket", VectorOps.srpBucket(col("v"), 64, 6))
+      val q = base.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nv").as("nq"), col("bucket").as("qbucket"))
+      val scored1 = broadcast(q.drop("qbucket"))
+        .join(base, col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          VectorOps.cosineWithNorms(col("qv"), col("v"),
+            col("nq"), col("nv")).as("cos"))
+      val r1 = graft.plans.GroupTopK.topKRanked(scored1,
+          Seq(col("q_id")), 20, "rank", col("cos").desc,
+          col("neighbor_id").asc)
+        .select(col("q_id"), col("neighbor_id"),
+          col("rank").as("r1_rank"))
+      val scored2 = q.join(base.as("c"),
+          col("c.bucket") === col("qbucket") &&
+            col("c.vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("c.vec_id").as("neighbor_id"),
+          VectorOps.cosineWithNorms(col("qv"), col("c.v"),
+            col("nq"), col("c.nv")).as("cos"))
+      val r2 = graft.plans.GroupTopK.topKRanked(scored2,
+          Seq(col("q_id")), 20, "rank", col("cos").desc,
+          col("neighbor_id").asc)
+        .select(col("q_id"), col("neighbor_id"),
+          col("rank").as("r2_rank"))
+      val fused = r1.join(r2, Seq("q_id", "neighbor_id"), "full_outer")
+        .select(col("q_id"), col("neighbor_id"),
+          (coalesce(expr("1000000000L DIV (60 + r1_rank)"), lit(0L))
+            + coalesce(expr("1000000000L DIV (60 + r2_rank)"), lit(0L)))
+            .as("fused_micro"),
+          col("r1_rank"), col("r2_rank"))
+      graft.plans.GroupTopK.topKRanked(fused, Seq(col("q_id")), 5,
+          "rank", col("fused_micro").desc, col("neighbor_id").asc)
+        .select(col("q_id"), col("rank"), col("neighbor_id"),
+          col("fused_micro"), col("r1_rank"), col("r2_rank"))
+        .orderBy(col("q_id"), col("rank"))
     }
   )
 

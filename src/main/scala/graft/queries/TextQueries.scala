@@ -1723,6 +1723,78 @@ object TextQueries {
           den.cast("long").as("vmr_den"),
           (num.cast("double") / den.cast("double")).as("vmr"))
         .orderBy(col("n_occurrences").desc, col("term").asc)
+    },
+
+    // ---------------------------------------------------------------
+    // t27 — PMI collocation extraction (Church & Hanks, CL 1990): the
+    // top-20 adjacent word pairs by pointwise mutual information,
+    // PMI = ln(p(x,y) / (p(x)p(y))) with p(x,y) = c_xy/N_bi and
+    // p(x) = c_x/N_uni, min pair count 5 (PMI is unstable on rare
+    // pairs — the standard cutoff). The phrase-mining primitive a
+    // tokenizer/vocabulary pipeline runs to decide what deserves a
+    // single token. Shape: one tokenization pass staged (t09's move),
+    // pair counts partial-agg'd then FILTERED to c≥5 before the two
+    // unigram equi-joins (vocabulary-scale, never broadcast — the t21
+    // discipline), totals as two broadcast scalars, final cut via
+    // TakeOrderedAndProject. PMI is round(ln, 6) computed on doubles
+    // with identical operand order in both engines, and the ORDER BY
+    // ranks the ROUNDED value with (w1, w2) tiebreak — a total order.
+    Q(
+      "t27_pmi_collocations",
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1])) AS bg
+        |  FROM ws WHERE len(w) >= 2),
+        |pc AS (SELECT split_part(bg, ' ', 1) AS w1,
+        |    split_part(bg, ' ', 2) AS w2,
+        |    CAST(count(*) AS BIGINT) AS c_pair
+        |  FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+        |un AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM
+        |    (SELECT unnest(w) AS t FROM ws) z GROUP BY t),
+        |nbt AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bg),
+        |nut AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM un)
+        |SELECT w1, w2, c_pair, u1.c AS c_w1, u2.c AS c_w2,
+        |  round(ln((CAST(c_pair AS DOUBLE) * nu * nu)
+        |    / (CAST(nb AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+        |FROM pc JOIN un u1 ON u1.t = w1 JOIN un u2 ON u2.t = w2
+        |CROSS JOIN nbt CROSS JOIN nut
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      val ws = Tables(s, dir, "documents")
+        .select(col("doc_id"), DedupOps.words(col("text")).as("w"))
+      // staged: the bigram stream feeds the pair counts AND the total
+      val bg = Stage.stage(ws.select(
+        explode(when(size(col("w")) >= 2,
+            expr("transform(sequence(1, size(w) - 1)," +
+              " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+          .otherwise(array().cast("array<string>"))).as("bg")))
+      val un = Stage.stage(ws.select(explode(col("w")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).cast("long").as("c")))
+      val pc = bg
+        .select(substring_index(col("bg"), " ", 1).as("w1"),
+          substring_index(col("bg"), " ", -1).as("w2"))
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).cast("long").as("c_pair"))
+        .filter(col("c_pair") >= 5)
+      val nbt = bg.agg(count(lit(1)).cast("long").as("nb"))
+      val nut = un.agg(sum(col("c")).cast("long").as("nu"))
+      pc.join(un.select(col("t"), col("c").as("c_w1")),
+          col("t") === col("w1")).drop("t")
+        .join(un.select(col("t"), col("c").as("c_w2")),
+          col("t") === col("w2")).drop("t")
+        .crossJoin(broadcast(nbt)).crossJoin(broadcast(nut))
+        .select(col("w1"), col("w2"), col("c_pair"), col("c_w1"),
+          col("c_w2"),
+          round(log((col("c_pair").cast("double") * col("nu")
+              * col("nu"))
+            / (col("nb").cast("double") * col("c_w1") * col("c_w2"))), 6)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
     }
   )
 

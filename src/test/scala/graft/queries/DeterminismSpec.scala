@@ -34,7 +34,17 @@ class DeterminismSpec extends SparkSpec {
     "s19_matryoshka_recall", // prefix-cosine folds + top-k ties
     "t25_heaps_law",         // ln-ln regression over global-rank bins
     "q62_survival_km",       // micro-ln BIGINT survival folds
-    "q61_shapley_attribution" // integer algebra + one display division
+    "q61_shapley_attribution", // integer algebra + one display division
+    "q69_auc_roc",           // integer rank-sum + two display divisions
+    "q70_ks_separation",     // integer CDF gaps + argmax fold
+    "q71_psi_drift",         // ln-term DECIMAL sum over 10 bins
+    "q73_cusum_changepoint", // BIGINT-cents fold + display divisions
+    "p37_token_gini",        // global-rank integer sums
+    "t27_pmi_collocations",  // rounded-ln ranking + top-k ties
+    "s22_rrf_fusion",        // integer reciprocal-rank micro-units
+    "q72_kll_quantile_merge" // exact values + sketch flag (randomized
+                             // within guarantee — flag must hold under
+                             // any merge order)
   )
 
   test("float-heavy queries are bit-identical across shuffle parallelism") {

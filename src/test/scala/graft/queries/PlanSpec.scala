@@ -811,7 +811,8 @@ class PlanSpec extends SparkSpec {
       "s20_compression_frontier", "t25_heaps_law",
       "q61_shapley_attribution", "q63_absorbing_markov",
       "t26_burstiness", "q64_path_mining", "s21_ann_tombstones",
-      "q67_decile_lift")
+      "q67_decile_lift", "p37_token_gini", "t27_pmi_collocations",
+      "q72_kll_quantile_merge")
     QueryRegistry.all
       .filterNot(q => isStreamLoop(q.name) || checkpoints.contains(q.name))
       .foreach { q =>

@@ -1,0 +1,281 @@
+package graft.queries
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryRegistry, SparkSpec, Tables}
+
+/** Semantic pins for the round-8 fourth-session additions (q69-q73,
+  * p36, p37, s22, t27). Each oracle MIRRORS its query's formula, so a
+  * wrong-direction bug reproduces identically in DuckDB and still
+  * hash-matches; these tests re-derive each result through an
+  * INDEPENDENT implementation — naive O(n²) pairwise statistics, the
+  * mean-absolute-difference Gini identity, plain-Scala folds — and
+  * assert exact agreement on the driver fixture.
+  */
+class Round8EvalSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** (score, converted) per click, re-derived with a plain-Scala scan
+    * of the events fixture (micros precision, (ts, ts+1h] window). */
+  private lazy val clicks: Seq[(Long, Boolean)] = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"), col("props"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getString(4)))
+    val purchases = ev.filter(_._3 == "purchase")
+      .groupBy(_._2).view.mapValues(_.map(_._4)).toMap
+    val kRe = """"k"\s*:\s*(\d+)""".r
+    ev.filter(_._3 == "click").toSeq.map { case (_, uid, _, us, props) =>
+      val score = kRe.findFirstMatchIn(props).get.group(1).toLong
+      val cv = purchases.getOrElse(uid, Array.empty[Long])
+        .exists(p => p > us && p <= us + 3600000000L)
+      (score, cv)
+    }
+  }
+
+  test("q69: naive O(pos x neg) pairwise AUC reproduces the rank-sum " +
+    "exactly (ties = half)") {
+    val pos = clicks.filter(_._2).map(_._1)
+    val neg = clicks.filterNot(_._2).map(_._1)
+    // 2U counted pair by pair: win = 2, tie = 1 — no rank arithmetic
+    val u2 = (for (p <- pos; n <- neg) yield {
+      if (p > n) 2L else if (p == n) 1L else 0L
+    }).sum
+    val row = QueryRegistry.byName("q69_auc_roc").run(spark, dir)
+      .collect().head
+    assert(row.getLong(0) == clicks.length.toLong)
+    assert(row.getLong(1) == pos.length.toLong, "n_pos diverges")
+    assert(row.getLong(2) == neg.length.toLong, "n_neg diverges")
+    assert(row.getLong(3) == u2,
+      s"u2_num ${row.getLong(3)} != pairwise $u2")
+    val auc = u2.toDouble / (2.0 * pos.length * neg.length)
+    assert(row.getDouble(4) == auc, "auc diverges from pairwise form")
+    assert(row.getDouble(5) == 2.0 * auc - 1.0)
+    assert(auc > 0.3 && auc < 0.7,
+      s"fixture sanity: k is noise, AUC $auc should be near 0.5")
+  }
+
+  test("q70: threshold scan reproduces the KS statistic and the " +
+    "earliest maximizing score") {
+    val pos = clicks.filter(_._2).map(_._1)
+    val neg = clicks.filterNot(_._2).map(_._1)
+    val (np, nn) = (pos.length.toLong, neg.length.toLong)
+    val cand = clicks.map(_._1).distinct.sorted
+    val stats = cand.map { t =>
+      val d = math.abs(pos.count(_ <= t) * nn - neg.count(_ <= t) * np)
+      (t, d)
+    }
+    val maxD = stats.map(_._2).max
+    val bestScore = stats.filter(_._2 == maxD).map(_._1).min
+    val row = QueryRegistry.byName("q70_ks_separation").run(spark, dir)
+      .collect().head
+    assert(row.getLong(0) == np && row.getLong(1) == nn)
+    assert(row.getLong(2) == maxD, s"ks_num ${row.getLong(2)} != $maxD")
+    assert(row.getLong(3) == bestScore,
+      s"best_score ${row.getLong(3)} != $bestScore")
+    assert(row.getDouble(4) == maxD.toDouble / (np.toDouble * nn))
+  }
+
+  test("q71: plain-Scala smoothed PSI reproduces every bin term; " +
+    "PSI is non-negative (Gibbs)") {
+    val refCut = java.time.LocalDate.of(2024, 1, 16)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+    val cutUs = refCut.getEpochSecond * 1000000L
+    val ev = Tables(spark, dir, "events")
+      .filter(col("event_type") === "click")
+      .select(expr("unix_micros(ts)").as("us"), col("props"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val kRe = """"k"\s*:\s*(\d+)""".r
+    val binned = ev.map { case (us, props) =>
+      val k = kRe.findFirstMatchIn(props).get.group(1).toLong
+      (math.min(9L, k / 10), us < cutUs)
+    }
+    val (rt, ct) = (binned.count(_._2) + 10L, binned.count(!_._2) + 10L)
+    val expected = (0L to 9L).map { b =>
+      val r1 = binned.count(x => x._1 == b && x._2) + 1L
+      val c1 = binned.count(x => x._1 == b && !x._2) + 1L
+      val (pr, pc) = (r1.toDouble / rt, c1.toDouble / ct)
+      (b, r1 - 1, c1 - 1, pr, pc, round6((pr - pc) * math.log(pr / pc)))
+    }
+    val got = QueryRegistry.byName("q71_psi_drift").run(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4),
+        r.getDecimal(5).doubleValue(), r.getDouble(6)))
+    assert(got.map(x => (x._1, x._2, x._3, x._4, x._5, x._6)).toSeq
+      == expected,
+      s"PSI bins diverge:\n got ${got.toSeq}\n exp $expected")
+    val psi = got.head._7
+    assert(math.abs(psi - expected.map(_._6).sum) < 1e-9)
+    assert(psi >= 0.0, s"smoothed PSI must be >= 0, got $psi")
+  }
+
+  test("q73: plain-Scala CUSUM over monthly cents finds the same " +
+    "changepoint, statistic, and split means") {
+    val months = Tables(spark, dir, "orders")
+      .select(col("o_orderdate").cast("date"), col("o_totalprice"))
+      .collect()
+      .map { r =>
+        val d = r.getDate(0).toLocalDate
+        val cents = BigDecimal(r.getDouble(1))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100
+        (d.withDayOfMonth(1), cents.toLongExact)
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toSeq.sortBy(_._1.toString)
+    val n = months.length.toLong
+    val total = months.map(_._2).sum
+    val folds = months.init.zipWithIndex.map { case (_, i) =>
+      val pref = months.take(i + 1).map(_._2).sum
+      (math.abs(n * pref - (i + 1) * total), i + 1, months(i)._1, pref)
+    }
+    val maxD = folds.map(_._1).max
+    val best = folds.find(_._1 == maxD).get
+    val row = QueryRegistry.byName("q73_cusum_changepoint")
+      .run(spark, dir).collect().head
+    assert(row.getLong(0) == n)
+    assert(row.getDate(1).toLocalDate == best._3,
+      s"cp_month ${row.getDate(1)} != ${best._3}")
+    assert(row.getLong(2) == best._2.toLong)
+    assert(row.getDouble(3) == best._1.toDouble / (100.0 * n))
+    assert(row.getDouble(4) == best._4.toDouble / (100.0 * best._2))
+    assert(row.getDouble(5)
+      == (total - best._4).toDouble / (100.0 * (n - best._2)))
+  }
+
+  test("p36: plain-Scala class scan reproduces the l distribution") {
+    val rows = Tables(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect()
+      .map(r => ((r.get(0).toString, r.getString(1)),
+        math.floor(r.getDouble(2) / 2000.0).toInt))
+    val classes = rows.groupBy(_._1).values
+      .map(g => (g.map(_._2).distinct.size.toLong, g.length.toLong))
+    val total = rows.length.toLong
+    val expected = classes.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (l, g) =>
+        val nr = g.map(_._2).sum
+        (l, g.size.toLong, nr, round6(nr.toDouble / total), l < 3)
+    }
+    val got = QueryRegistry.byName("p36_l_diversity").run(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got == expected, s"\n got $got\n exp $expected")
+  }
+
+  test("p37: the mean-absolute-difference identity reproduces the " +
+    "rank-form Gini exactly") {
+    val nw = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getString(1).split(" ").count(_.nonEmpty).toLong)
+    val n = nw.length.toLong
+    val tot = nw.sum
+    // Σ_{i<j} |x_i − x_j| equals Σ(2r − n − 1)x_r on the sorted order
+    val sumAbs = (for (i <- nw.indices; j <- (i + 1) until nw.length)
+      yield math.abs(nw(i) - nw(j)).toLong).sum
+    val topToks = nw.sorted.takeRight((n / 10).toInt).sum
+    val row = QueryRegistry.byName("p37_token_gini").run(spark, dir)
+      .collect().head
+    assert(row.getLong(0) == n && row.getLong(1) == tot)
+    assert(row.getDouble(2)
+      == sumAbs.toDouble / (n.toDouble * tot),
+      "rank-form Gini != mean-absolute-difference form")
+    assert(row.getDouble(3) == topToks.toDouble / tot)
+    assert(row.getDouble(2) > 0.0 && row.getDouble(2) < 1.0)
+  }
+
+  test("t27: plain-Scala PMI over the bigram stream reproduces the " +
+    "top-20 exactly") {
+    val texts = Tables(spark, dir, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val words = texts.map(_.split(" ").filter(_.nonEmpty))
+    val bigrams = words.filter(_.length >= 2)
+      .flatMap(w => w.sliding(2).map(p => (p(0), p(1))))
+    val uni = words.flatten.groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val nu = words.map(_.length.toLong).sum
+    val nb = bigrams.length.toLong
+    val expected = bigrams.groupBy(identity).toSeq
+      .map { case ((w1, w2), g) => (w1, w2, g.length.toLong) }
+      .filter(_._3 >= 5L)
+      .map { case (w1, w2, c) =>
+        val pmi = round6(math.log(
+          (c.toDouble * nu * nu) / (nb.toDouble * uni(w1) * uni(w2))))
+        (w1, w2, c, uni(w1), uni(w2), pmi)
+      }
+      .sortBy { case (w1, w2, _, _, _, pmi) => (-pmi, w1, w2) }
+      .take(20)
+    val got = QueryRegistry.byName("t27_pmi_collocations")
+      .run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expected, s"\n got $got\n exp $expected")
+  }
+
+  test("s22: plain-Scala RRF over independently computed retriever " +
+    "ranks reproduces all fused rows") {
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.operators.VectorOps.toDouble(col("embedding")).as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < 64) { dot += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    def bucket(v: Array[Double]): String =
+      (0 until 6).map { b =>
+        val s = v.indices.map { i =>
+          v(i) * (if ("13579bdf".contains(md5hex(s"$b:$i").head)) 1.0
+                  else -1.0)
+        }.sum
+        if (s > 0) '1' else '0'
+      }.mkString
+    val buckets = vecs.view.mapValues(bucket).toMap
+    val qids = vecs.keys.filter(_ < 20).toSeq.sorted
+    def ranks(q: Long, cands: Seq[Long]): Map[Long, Long] =
+      cands.map(c => (c, cos(vecs(q), vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(20)
+        .zipWithIndex.map { case ((c, _), i) => c -> (i + 1L) }.toMap
+    val expected = qids.flatMap { q =>
+      val all = vecs.keys.filter(_ != q).toSeq
+      val r1 = ranks(q, all)
+      val r2 = ranks(q, all.filter(c => buckets(c) == buckets(q)))
+      val fused = (r1.keySet ++ r2.keySet).toSeq.map { c =>
+        val f = r1.get(c).map(r => 1000000000L / (60 + r)).getOrElse(0L) +
+          r2.get(c).map(r => 1000000000L / (60 + r)).getOrElse(0L)
+        (c, f)
+      }
+      fused.sortBy { case (c, f) => (-f, c) }.take(5).zipWithIndex.map {
+        case ((c, f), i) =>
+          (q, i + 1L, c, f, r1.get(c), r2.get(c))
+      }
+    }
+    val got = QueryRegistry.byName("s22_rrf_fusion").run(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSeq
+    assert(got == expected,
+      s"RRF fusion diverges:\n got ${got.take(8)}\n exp ${expected.take(8)}")
+    // fusion must be able to disagree with both inputs somewhere, or
+    // the second retriever is vacuous
+    assert(got.exists(_._6.isEmpty) && got.exists(_._5.nonEmpty),
+      "every fused row came from both lists — bucket retriever vacuous")
+  }
+}
