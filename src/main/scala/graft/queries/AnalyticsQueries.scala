@@ -1905,6 +1905,168 @@ object AnalyticsQueries {
           ((col("total") - col("best.pref")).cast("double")
             / (lit(100.0) * (col("n_months") - col("best.k"))))
             .as("mean_after"))
+    },
+
+    // ---------------------------------------------------------------
+    // q74 — classical additive seasonal decomposition of monthly
+    // revenue (trend + seasonal + residual), q73's companion: CUSUM
+    // flags a level shift, decomposition separates the recurring
+    // month-of-year pattern from it so the alarm doesn't fire every
+    // December. Centered 12-month MA as the EXACT integer trend24 =
+    // c_{k−6} + c_{k+6} + 2·Σ_{k−5..k+5} c (24× the half-weighted
+    // endpoint MA — no division until display); detrended d24 =
+    // 24·c_k − trend24; seasonal index = per-month-of-year mean of
+    // d24 over the ≤12-row group table. Corpus work is q73's single
+    // month agg; the MA, detrending, and argmax-free joins all run on
+    // the bounded ~80-row month table (single-row fold + 12-row
+    // broadcast). Edge months (k<7, k>n−6) keep their rows with NULL
+    // trend/residual — the d09 accounting rule — and the seasonal
+    // join is LEFT so a month-of-year with no defined detrended value
+    // still reports.
+    Q(
+      "q74_seasonal_decompose",
+      """WITH mo AS (
+        |  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT m, cents, month(m) AS moy,
+        |    row_number() OVER (ORDER BY m) AS k,
+        |    count(*) OVER () AS n,
+        |    lag(cents, 6) OVER (ORDER BY m) AS cm6,
+        |    lead(cents, 6) OVER (ORDER BY m) AS cp6,
+        |    sum(cents) OVER (ORDER BY m
+        |      ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS s11
+        |  FROM mo),
+        |d AS (SELECT m, moy, cents,
+        |    CASE WHEN k >= 7 AND k <= n - 6
+        |      THEN cm6 + cp6 + 2 * s11 END AS trend24
+        |  FROM w),
+        |e AS (SELECT m, moy, cents, trend24,
+        |    24 * cents - trend24 AS detr24 FROM d),
+        |sz AS (SELECT moy, CAST(sum(detr24) AS BIGINT) AS s24,
+        |    CAST(count(detr24) AS BIGINT) AS cnt
+        |  FROM e WHERE detr24 IS NOT NULL GROUP BY moy)
+        |SELECT e.m, CAST(e.moy AS BIGINT) AS moy,
+        |  CAST(e.cents AS DOUBLE) / 100.0 AS revenue,
+        |  CAST(e.trend24 AS DOUBLE) / 2400.0 AS trend,
+        |  CAST(sz.s24 AS DOUBLE) / (2400.0 * sz.cnt) AS seasonal,
+        |  CAST(e.detr24 AS DOUBLE) / 2400.0
+        |    - CAST(sz.s24 AS DOUBLE) / (2400.0 * sz.cnt) AS residual
+        |FROM e LEFT JOIN sz ON sz.moy = e.moy
+        |ORDER BY e.m""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val monthly = Tables(s, dir, "orders")
+        .groupBy(trunc(col("o_orderdate"), "month").as("m"))
+        .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast("long")).cast("long").as("cents"))
+      // single-row fold: per index the exact 24x centered MA when the
+      // full 13-month stencil exists (1-based positions i-5 .. i+7)
+      val rows = monthly
+        .agg(array_sort(collect_list(struct(col("m"), col("cents"))))
+          .as("a"))
+        .select(explode(expr(
+          """transform(a, (x, i) -> named_struct(
+            |  'm', x.m, 'cents', x.cents,
+            |  'trend24', CASE WHEN i >= 6 AND i <= size(a) - 7 THEN
+            |    element_at(a, i - 5).cents + element_at(a, i + 7).cents
+            |      + 2 * aggregate(slice(a, i - 4, 11), 0L,
+            |          (acc, y) -> acc + y.cents)
+            |    END))""".stripMargin)).as("r"))
+        .select(col("r.m").as("m"), month(col("r.m")).as("moy"),
+          col("r.cents").as("cents"), col("r.trend24").as("trend24"),
+          (lit(24L) * col("r.cents") - col("r.trend24")).as("detr24"))
+      val sz = rows.filter(col("detr24").isNotNull)
+        .groupBy(col("moy"))
+        .agg(sum(col("detr24")).cast("long").as("s24"),
+          count(col("detr24")).cast("long").as("cnt"))
+      rows.join(broadcast(sz), Seq("moy"), "left_outer")
+        .select(col("m"), col("moy").cast("long").as("moy"),
+          (col("cents").cast("double") / lit(100.0)).as("revenue"),
+          (col("trend24").cast("double") / lit(2400.0)).as("trend"),
+          (col("s24").cast("double") / (lit(2400.0) * col("cnt")))
+            .as("seasonal"),
+          (col("detr24").cast("double") / lit(2400.0)
+            - col("s24").cast("double") / (lit(2400.0) * col("cnt")))
+            .as("residual"))
+        .orderBy(col("m"))
+    },
+
+    // ---------------------------------------------------------------
+    // q75 — funnel latency: exact histogram quantiles (p50/p90) and
+    // the mean of the inter-event gap per (event → next-event)
+    // transition — "how long does click→purchase actually take".
+    // Scale shape is deliberately the HISTOGRAM form (the Prometheus
+    // pattern): the corpus reduces to per-(pair, whole-second) counts
+    // in one partial agg off the user-keyed lead exchange, the
+    // cumulative window runs over HISTOGRAM rows partitioned by pair
+    // (never the event stream), and the quantile is the smallest
+    // bucket whose cumulative count reaches the integer rank target
+    // ((n+1) DIV 2, (9n+9) DIV 10 — integer ceilings, no 0.9·n float
+    // whose binary representation could round the target up). The
+    // mean keeps exact micros sums, one IEEE division.
+    Q(
+      "q75_funnel_latency",
+      """WITH seq AS (
+        |  SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS nxt,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS gap_us
+        |  FROM events),
+        |g AS (SELECT cur, nxt, gap_us, gap_us // 1000000 AS gap_s
+        |  FROM seq WHERE nxt IS NOT NULL),
+        |h AS (SELECT cur, nxt, gap_s, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(gap_us) AS BIGINT) AS sus
+        |  FROM g GROUP BY 1, 2, 3),
+        |t AS (SELECT cur, nxt, CAST(sum(cnt) AS BIGINT) AS n,
+        |    CAST(sum(sus) AS BIGINT) AS total_us FROM h GROUP BY 1, 2),
+        |c AS (SELECT h.*, sum(cnt) OVER (PARTITION BY cur, nxt
+        |    ORDER BY gap_s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h)
+        |SELECT c.cur, c.nxt, t.n,
+        |  CAST(min(CASE WHEN cum >= (t.n + 1) // 2 THEN gap_s END)
+        |    AS BIGINT) AS p50_s,
+        |  CAST(min(CASE WHEN cum >= (9 * t.n + 9) // 10 THEN gap_s END)
+        |    AS BIGINT) AS p90_s,
+        |  CAST(t.total_us AS DOUBLE) / (1000000.0 * t.n) AS mean_s
+        |FROM c JOIN t USING (cur, nxt)
+        |GROUP BY c.cur, c.nxt, t.n, t.total_us
+        |ORDER BY cur, nxt""".stripMargin
+    ) { (s, dir) =>
+      val order = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val g = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          col("event_type").as("cur"), unix_micros(col("ts")).as("us"))
+        .withColumn("nxt", lead(col("cur"), 1).over(order))
+        .withColumn("nus", lead(col("us"), 1).over(order))
+        .filter(col("nxt").isNotNull)
+        .select(col("cur"), col("nxt"),
+          (col("nus") - col("us")).as("gap_us"))
+        .withColumn("gap_s", expr("gap_us DIV 1000000"))
+      val h = g.groupBy(col("cur"), col("nxt"), col("gap_s"))
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          sum(col("gap_us")).cast("long").as("sus"))
+      val t = h.groupBy(col("cur"), col("nxt"))
+        .agg(sum(col("cnt")).cast("long").as("n"),
+          sum(col("sus")).cast("long").as("total_us"))
+      val byPair = Window.partitionBy(col("cur"), col("nxt"))
+        .orderBy(col("gap_s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.withColumn("cum", sum(col("cnt")).over(byPair))
+        .join(broadcast(t), Seq("cur", "nxt"))
+        .groupBy(col("cur"), col("nxt"))
+        .agg(max(col("n")).as("n"),
+          min(when(col("cum") >= expr("(n + 1) DIV 2"), col("gap_s")))
+            .cast("long").as("p50_s"),
+          min(when(col("cum") >= expr("(9 * n + 9) DIV 10"),
+            col("gap_s"))).cast("long").as("p90_s"),
+          (max(col("total_us")).cast("double")
+            / (lit(1000000.0) * max(col("n")))).as("mean_s"))
+        .orderBy(col("cur"), col("nxt"))
     }
   )
 

@@ -42,9 +42,11 @@ class DeterminismSpec extends SparkSpec {
     "p37_token_gini",        // global-rank integer sums
     "t27_pmi_collocations",  // rounded-ln ranking + top-k ties
     "s22_rrf_fusion",        // integer reciprocal-rank micro-units
-    "q72_kll_quantile_merge" // exact values + sketch flag (randomized
+    "q72_kll_quantile_merge", // exact values + sketch flag (randomized
                              // within guarantee — flag must hold under
                              // any merge order)
+    "q74_seasonal_decompose", // integer MA/detrend + display divisions
+    "q75_funnel_latency"     // histogram ranks + exact micros means
   )
 
   test("float-heavy queries are bit-identical across shuffle parallelism") {

@@ -155,6 +155,82 @@ class Round8EvalSpec extends SparkSpec {
       == (total - best._4).toDouble / (100.0 * (n - best._2)))
   }
 
+  test("q74: plain-Scala centered-MA decomposition reproduces every " +
+    "month row; seasonal indexes reconstruct the detrended series") {
+    val months = Tables(spark, dir, "orders")
+      .select(col("o_orderdate").cast("date"), col("o_totalprice"))
+      .collect()
+      .map { r =>
+        val d = r.getDate(0).toLocalDate
+        val cents = BigDecimal(r.getDouble(1))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100
+        (d.withDayOfMonth(1), cents.toLongExact)
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toSeq.sortBy(_._1.toString)
+    val n = months.length
+    val trend24 = months.indices.map { i =>
+      if (i >= 6 && i <= n - 7)
+        Some(months(i - 6)._2 + months(i + 6)._2
+          + 2 * (i - 5 to i + 5).map(months(_)._2).sum)
+      else None
+    }
+    val detr = months.indices.map(i =>
+      trend24(i).map(t => 24 * months(i)._2 - t))
+    val byMoy = months.indices.groupBy(i => months(i)._1.getMonthValue)
+      .view.mapValues(_.flatMap(detr(_))).toMap
+    val got = QueryRegistry.byName("q74_seasonal_decompose")
+      .run(spark, dir).collect()
+    assert(got.length == n)
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getDate(0).toLocalDate == months(i)._1)
+      assert(r.getLong(1) == months(i)._1.getMonthValue.toLong)
+      assert(r.getDouble(2) == months(i)._2.toDouble / 100.0)
+      val moyD = byMoy(months(i)._1.getMonthValue)
+      val seasonal = moyD.sum.toDouble / (2400.0 * moyD.length)
+      assert(r.getDouble(4) == seasonal, s"seasonal at $i diverges")
+      trend24(i) match {
+        case Some(t) =>
+          assert(r.getDouble(3) == t.toDouble / 2400.0)
+          assert(r.getDouble(5)
+            == detr(i).get.toDouble / 2400.0 - seasonal)
+        case None =>
+          assert(r.isNullAt(3) && r.isNullAt(5),
+            s"edge month $i should have NULL trend/residual")
+      }
+    }
+  }
+
+  test("q75: naive per-pair gap sort reproduces the histogram " +
+    "quantiles and exact means") {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    val gaps = ev.groupBy(_._1).values.toSeq.flatMap { g =>
+      val sorted = g.sortBy(x => (x._4, x._2))
+      sorted.zip(sorted.tail).map { case (a, b) =>
+        ((a._3, b._3), b._4 - a._4)
+      }
+    }
+    val expected = gaps.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case ((cur, nxt), g) =>
+        val n = g.length.toLong
+        val secs = g.map(_._2 / 1000000L).sorted
+        def at(target: Long) = secs((target - 1).toInt)
+        (cur, nxt, n, at((n + 1) / 2), at((9 * n + 9) / 10),
+          g.map(_._2).sum.toDouble / (1000000.0 * n))
+    }
+    val got = QueryRegistry.byName("q75_funnel_latency")
+      .run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expected, s"\n got ${got.take(5)}\n exp ${expected.take(5)}")
+    assert(got.forall(r => r._4 <= r._5), "p50 > p90 somewhere")
+  }
+
   test("p36: plain-Scala class scan reproduces the l distribution") {
     val rows = Tables(spark, dir, "customer")
       .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
