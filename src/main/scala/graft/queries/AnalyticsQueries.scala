@@ -2067,6 +2067,64 @@ object AnalyticsQueries {
           (max(col("total_us")).cast("double")
             / (lit(1000000.0) * max(col("n")))).as("mean_s"))
         .orderBy(col("cur"), col("nxt"))
+    },
+
+    // ---------------------------------------------------------------
+    // q76 — the precision/recall curve table, completing the eval
+    // family (q67 lift, q68 calibration, q69 AUC, q70 KS): for every
+    // candidate threshold t ("predict positive when score ≥ t") the
+    // exact confusion counts and precision/recall/F1. Same bounded
+    // score-domain table as q69/q70; tp/fp are SUFFIX sums over the
+    // ≤100-row fold (slice from the threshold's index to the end),
+    // every ratio a single IEEE division off exact BIGINTs (F1
+    // simplifies to 2tp/(pp+np) — one division, no nested ratio
+    // arithmetic to drift). The curve is what picks the deployment
+    // threshold; q70's KS point is one row of it.
+    Q(
+      "q76_pr_curve",
+      s"""WITH $convSql,
+        |g AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cv) AS BIGINT) AS pos FROM conv GROUP BY score),
+        |t AS (SELECT CAST(sum(pos) AS BIGINT) AS np FROM g),
+        |w AS (SELECT score,
+        |    sum(pos) OVER (ORDER BY score
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tp,
+        |    sum(n) OVER (ORDER BY score
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS pp
+        |  FROM g)
+        |SELECT w.score AS threshold, CAST(w.tp AS BIGINT) AS tp,
+        |  CAST(w.pp - w.tp AS BIGINT) AS fp,
+        |  CAST(t.np - w.tp AS BIGINT) AS fn,
+        |  CAST(w.tp AS DOUBLE) / w.pp AS precision,
+        |  CAST(w.tp AS DOUBLE) / t.np AS recall,
+        |  CAST(2 * w.tp AS DOUBLE) / (w.pp + t.np) AS f1
+        |FROM w CROSS JOIN t
+        |ORDER BY threshold""".stripMargin
+    ) { (s, dir) =>
+      val g = clickConversions(s, dir)
+        .groupBy(col("score"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("cv")).cast("long").as("pos"))
+      g.agg(array_sort(collect_list(struct(col("score"), col("n"),
+          col("pos")))).as("a"))
+        .select(explode(expr(
+          """transform(a, (x, i) -> named_struct(
+            |  'threshold', x.score,
+            |  'tp', aggregate(slice(a, i + 1, size(a) - i), 0L,
+            |    (acc, y) -> acc + y.pos),
+            |  'pp', aggregate(slice(a, i + 1, size(a) - i), 0L,
+            |    (acc, y) -> acc + y.n),
+            |  'np', aggregate(a, 0L, (acc, y) -> acc + y.pos)))"""
+            .stripMargin)).as("r"))
+        .select(col("r.threshold").as("threshold"),
+          col("r.tp").as("tp"),
+          (col("r.pp") - col("r.tp")).as("fp"),
+          (col("r.np") - col("r.tp")).as("fn"),
+          (col("r.tp").cast("double") / col("r.pp")).as("precision"),
+          (col("r.tp").cast("double") / col("r.np")).as("recall"),
+          ((lit(2L) * col("r.tp")).cast("double")
+            / (col("r.pp") + col("r.np"))).as("f1"))
+        .orderBy(col("threshold"))
     }
   )
 

@@ -1640,6 +1640,114 @@ object StreamingQueries {
         .groupBy(col("doc_id"))
         .agg(max(col("earlier")).as("is_candidate"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // ws11 — STREAMING drift alarm: q71's PSI running against the live
+    // message stream — the deployment that actually catches a score
+    // distribution going stale. A static reference profile (the stored
+    // first-half bin shares, computed once from the table — the
+    // production analog of a persisted baseline) broadcasts onto
+    // per-day watermarked tumbling-window bin counts consumed through
+    // the `pulsarlike` source; PSI per day window composes AFTER
+    // landing from exact counts, with q71's add-one smoothing +
+    // round(ln, 6) DECIMAL(28,6) term discipline. Rides ws01's
+    // two-pass sentinel choreography, so the oracle counts only the
+    // on-time (event_id % 3 <> 0) deliveries — late rows DROP from the
+    // day windows and the alarm never double-counts a replay. The
+    // message property map (not the payload) carries the score, so the
+    // bin projection is content-type-independent. 100 TB: the
+    // stream-side state is 10 counters per open day window; the
+    // reference is a 10-row broadcast; PSI runs on the bounded
+    // (days × 10) table.
+    Q(
+      "ws11_stream_psi",
+      """WITH ref AS (
+        |  SELECT least(9, CAST(json_extract(props, '$.k') AS BIGINT)
+        |      // 10) AS bin,
+        |    count(*) AS r_n
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+        |rt AS (SELECT CAST(sum(r_n) + 10 AS BIGINT) AS rtot FROM ref),
+        |cur AS (
+        |  SELECT make_timestamp((epoch_ms(ts) // 86400000)
+        |      * 86400000 * 1000) AS day,
+        |    least(9, CAST(json_extract(props, '$.k') AS BIGINT) // 10)
+        |      AS bin,
+        |    count(*) AS c_n
+        |  FROM events
+        |  WHERE event_id % 3 <> 0 AND ts >= TIMESTAMP '2024-01-16'
+        |  GROUP BY 1, 2),
+        |days AS (SELECT day, CAST(sum(c_n) + 10 AS BIGINT) AS ctot
+        |  FROM cur GROUP BY day),
+        |sp AS (SELECT d.day, b.bin, d.ctot
+        |  FROM days d CROSS JOIN
+        |    (SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT)
+        |       AS bin) b),
+        |tm AS (
+        |  SELECT sp.day,
+        |    CAST(round(
+        |      (CAST(COALESCE(r.r_n, 0) + 1 AS DOUBLE) / rt.rtot
+        |        - CAST(COALESCE(c.c_n, 0) + 1 AS DOUBLE) / sp.ctot)
+        |      * ln((CAST(COALESCE(r.r_n, 0) + 1 AS DOUBLE) / rt.rtot)
+        |        / (CAST(COALESCE(c.c_n, 0) + 1 AS DOUBLE) / sp.ctot)),
+        |      6) AS DECIMAL(28,6)) AS term,
+        |    COALESCE(c.c_n, 0) AS c_n
+        |  FROM sp
+        |  LEFT JOIN cur c ON c.day = sp.day AND c.bin = sp.bin
+        |  LEFT JOIN ref r ON r.bin = sp.bin
+        |  CROSS JOIN rt)
+        |SELECT day, CAST(sum(c_n) AS BIGINT) AS n_cur,
+        |  CAST(sum(term) AS DOUBLE) AS psi
+        |FROM tm GROUP BY day ORDER BY day""".stripMargin
+    ) { (s, dir) =>
+      val cutoff = lit("2024-01-16").cast("timestamp")
+      // the stored baseline: full first-half bin profile off the table
+      val ref = Tables(s, dir, "events")
+        .filter(col("ts") < cutoff)
+        .groupBy(least(lit(9L),
+          expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 10"))
+          .as("bin"))
+        .agg(count(lit(1)).cast("long").as("r_n"))
+      // NO pre-agg filter on the sentinel: Catalyst pushes a
+      // deterministic filter BELOW the EventTimeWatermark node, so a
+      // properties-based filter would drop the sentinel before the
+      // watermark operator collects its 2035 event time and the last
+      // day's window never flushes (observed: 14 of 15 days). The
+      // sentinel instead rides through the agg as a NULL bin inside
+      // its own 2035 window — which never finalizes, so it never
+      // lands; try_cast keeps its non-numeric key ANSI-safe (ws01).
+      val landed = StreamingWindowGate.run(s, dir, "graft-wpsi",
+        df => df
+          .groupBy(window(col("event_time"), "1 day"),
+            least(lit(9L),
+              expr("try_cast(element_at(properties, 'k') AS BIGINT)" +
+                " div 10")).as("bin"))
+          .agg(count(lit(1)).cast("long").as("c_n"))
+          .select(col("window.start").as("day"), col("bin"), col("c_n")),
+        Seq("day", "bin"))
+        .filter(col("day") >= cutoff)
+      val days = landed.groupBy(col("day"))
+        .agg((sum(col("c_n")) + 10L).cast("long").as("ctot"))
+      val spine = days.crossJoin(
+        broadcast(s.range(0, 10).select(col("id").as("bin"))))
+      val rt = ref.agg((sum(col("r_n")) + 10L).cast("long").as("rtot"))
+      val terms = spine
+        .join(landed, Seq("day", "bin"), "left_outer")
+        .join(broadcast(ref), Seq("bin"), "left_outer")
+        .crossJoin(broadcast(rt))
+        .select(col("day"), coalesce(col("c_n"), lit(0L)).as("c_n"),
+          ((coalesce(col("r_n"), lit(0L)) + 1L).cast("double")
+            / col("rtot")).as("p_ref"),
+          ((coalesce(col("c_n"), lit(0L)) + 1L).cast("double")
+            / col("ctot")).as("p_cur"))
+        .select(col("day"), col("c_n"),
+          round((col("p_ref") - col("p_cur"))
+              * log(col("p_ref") / col("p_cur")), 6)
+            .cast("decimal(28,6)").as("term"))
+      terms.groupBy(col("day"))
+        .agg(sum(col("c_n")).cast("long").as("n_cur"),
+          sum(col("term")).cast("double").as("psi"))
+        .orderBy(col("day"))
     }
   )
 }

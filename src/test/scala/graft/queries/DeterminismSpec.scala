@@ -46,7 +46,8 @@ class DeterminismSpec extends SparkSpec {
                              // within guarantee — flag must hold under
                              // any merge order)
     "q74_seasonal_decompose", // integer MA/detrend + display divisions
-    "q75_funnel_latency"     // histogram ranks + exact micros means
+    "q75_funnel_latency",    // histogram ranks + exact micros means
+    "q76_pr_curve"           // integer suffix sums + ratio divisions
   )
 
   test("float-heavy queries are bit-identical across shuffle parallelism") {

@@ -231,6 +231,64 @@ class Round8EvalSpec extends SparkSpec {
     assert(got.forall(r => r._4 <= r._5), "p50 > p90 somewhere")
   }
 
+  test("q76: naive per-threshold confusion counts reproduce the PR " +
+    "curve; recall is monotone decreasing in the threshold") {
+    val np = clicks.count(_._2).toLong
+    val thresholds = clicks.map(_._1).distinct.sorted
+    val expected = thresholds.map { t =>
+      val tp = clicks.count(c => c._1 >= t && c._2).toLong
+      val pp = clicks.count(_._1 >= t).toLong
+      (t, tp, pp - tp, np - tp, tp.toDouble / pp, tp.toDouble / np,
+        (2 * tp).toDouble / (pp + np))
+    }
+    val got = QueryRegistry.byName("q76_pr_curve").run(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got == expected, s"\n got ${got.take(5)}\n exp ${expected.take(5)}")
+    val recalls = got.map(_._6)
+    assert(recalls == recalls.sorted.reverse, "recall not monotone")
+    assert(recalls.head == 1.0, "lowest threshold must recall everything")
+  }
+
+  test("ws11: plain-Scala PSI over the on-time subset reproduces " +
+    "every day row of the streaming drift alarm") {
+    val cutUs = java.time.LocalDate.of(2024, 1, 16)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+      .getEpochSecond * 1000000L
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), expr("unix_micros(ts)").as("us"),
+        col("props"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val kRe = """"k"\s*:\s*(\d+)""".r
+    def bin(props: String): Long =
+      math.min(9L, kRe.findFirstMatchIn(props).get.group(1).toLong / 10)
+    // reference: the FULL first half (the stored profile)
+    val refCounts = (0L to 9L).map { b =>
+      b -> ev.count(e => e._2 < cutUs && bin(e._3) == b).toLong
+    }.toMap
+    val rt = refCounts.values.sum + 10L
+    // current: only on-time deliveries (event_id % 3 <> 0) per day
+    val cur = ev.filter(e => e._1 % 3 != 0 && e._2 >= cutUs)
+      .groupBy(e => e._2 / 86400000000L)
+    val expected = cur.toSeq.sortBy(_._1).map { case (dayIdx, g) =>
+      val ct = g.length + 10L
+      val psi = (0L to 9L).map { b =>
+        val pr = (refCounts(b) + 1).toDouble / rt
+        val pc = (g.count(e => bin(e._3) == b) + 1).toDouble / ct
+        BigDecimal((pr - pc) * math.log(pr / pc))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      (dayIdx * 86400L, g.length.toLong, psi.toDouble)
+    }
+    val got = QueryRegistry.byName("ws11_stream_psi").run(spark, dir)
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000L, r.getLong(1),
+        r.getDouble(2))).toSeq
+    assert(got == expected, s"\n got ${got.take(4)}\n exp ${expected.take(4)}")
+    assert(got.forall(_._3 >= 0.0), "smoothed PSI must be >= 0")
+  }
+
   test("p36: plain-Scala class scan reproduces the l distribution") {
     val rows = Tables(spark, dir, "customer")
       .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
