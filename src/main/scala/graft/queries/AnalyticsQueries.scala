@@ -1655,7 +1655,8 @@ object AnalyticsQueries {
         |    CAST(sum(pos * (2 * neg_lt + neg)) AS BIGINT) AS u2_num
         |  FROM w),
         |a AS (SELECT n_clicks, n_pos, n_neg, u2_num,
-        |    CAST(u2_num AS DOUBLE) / (2.0 * n_pos * n_neg) AS auc
+        |    CAST(u2_num AS DOUBLE) / (2.0 * nullif(n_pos * n_neg, 0))
+        |      AS auc
         |  FROM t)
         |SELECT n_clicks, n_pos, n_neg, u2_num, auc,
         |  2.0 * auc - 1.0 AS gini
@@ -1678,8 +1679,11 @@ object AnalyticsQueries {
               |      (acc, y) -> acc + y.n - y.pos)
               |    + (x.n - x.pos))), 0L, (acc, t) -> acc + t)"""
               .stripMargin).as("u2_num"))
-        .withColumn("auc", col("u2_num").cast("double")
-          / (lit(2.0) * col("n_pos") * col("n_neg")))
+        // nullif: a stream with no positives (or no negatives) must
+        // report NULL, not throw — ANSI Spark raises DIVIDE_BY_ZERO
+        // even for double 0/0, and DuckDB agrees on x/NULLIF(y,0)
+        .withColumn("auc", expr(
+          "CAST(u2_num AS DOUBLE) / (2.0 * nullif(n_pos * n_neg, 0))"))
         .select(col("n_clicks"), col("n_pos"), col("n_neg"),
           col("u2_num"), col("auc"),
           (lit(2.0) * col("auc") - lit(1.0)).as("gini"))
@@ -1715,8 +1719,8 @@ object AnalyticsQueries {
         |b AS (SELECT score, CAST(d AS BIGINT) AS d FROM d
         |  ORDER BY d DESC, score ASC LIMIT 1)
         |SELECT t.n_pos, t.n_neg, b.d AS ks_num, b.score AS best_score,
-        |  CAST(b.d AS DOUBLE) / (CAST(t.n_pos AS DOUBLE) * t.n_neg)
-        |    AS ks
+        |  CAST(b.d AS DOUBLE) / nullif(CAST(t.n_pos AS DOUBLE)
+        |    * t.n_neg, 0.0) AS ks
         |FROM t CROSS JOIN b""".stripMargin
     ) { (s, dir) =>
       val g = clickConversions(s, dir)
@@ -1743,8 +1747,10 @@ object AnalyticsQueries {
               .stripMargin).as("best"))
         .select(col("n_pos"), col("n_neg"), col("best.d").as("ks_num"),
           col("best.score").as("best_score"),
-          (col("best.d").cast("double")
-            / (col("n_pos").cast("double") * col("n_neg"))).as("ks"))
+          // nullif: single-class stream reports NULL instead of an
+          // ANSI DIVIDE_BY_ZERO (see q69)
+          expr("CAST(best.d AS DOUBLE) / nullif(CAST(n_pos AS DOUBLE)" +
+            " * n_neg, 0.0)").as("ks"))
     },
 
     // ---------------------------------------------------------------
@@ -2096,7 +2102,7 @@ object AnalyticsQueries {
         |  CAST(w.pp - w.tp AS BIGINT) AS fp,
         |  CAST(t.np - w.tp AS BIGINT) AS fn,
         |  CAST(w.tp AS DOUBLE) / w.pp AS precision,
-        |  CAST(w.tp AS DOUBLE) / t.np AS recall,
+        |  CAST(w.tp AS DOUBLE) / nullif(t.np, 0) AS recall,
         |  CAST(2 * w.tp AS DOUBLE) / (w.pp + t.np) AS f1
         |FROM w CROSS JOIN t
         |ORDER BY threshold""".stripMargin
@@ -2121,7 +2127,9 @@ object AnalyticsQueries {
           (col("r.pp") - col("r.tp")).as("fp"),
           (col("r.np") - col("r.tp")).as("fn"),
           (col("r.tp").cast("double") / col("r.pp")).as("precision"),
-          (col("r.tp").cast("double") / col("r.np")).as("recall"),
+          // pp >= 1 always (a threshold is an existing score's group);
+          // np = 0 (no positives anywhere) reports NULL recall (q69)
+          expr("CAST(r.tp AS DOUBLE) / nullif(r.np, 0)").as("recall"),
           ((lit(2L) * col("r.tp")).cast("double")
             / (col("r.pp") + col("r.np"))).as("f1"))
         .orderBy(col("threshold"))
