@@ -2133,6 +2133,161 @@ object AnalyticsQueries {
           ((lit(2L) * col("r.tp")).cast("double")
             / (col("r.pp") + col("r.np"))).as("f1"))
         .orderBy(col("threshold"))
+    },
+
+    // ---------------------------------------------------------------
+    // q77 — split-conformal calibration (Vovk; Angelopoulos & Bates
+    // 2021): the distribution-free coverage machinery a production
+    // model wraps around raw scores. Calibration half (even event_id
+    // clicks): nonconformity of the TRUE label s = 100−k for
+    // converters, k for non-converters (integer 0..100); q̂ = the
+    // ⌈(n+1)(1−α)⌉-th smallest calibration score (α = 0.1), an EXACT
+    // order statistic off the bounded score-domain fold (integer
+    // ceiling (9n+18) DIV 10, capped at n). Eval half (odd): covered
+    // iff s_true ≤ q̂; set size = [s₁ ≤ q̂] + [s₀ ≤ q̂]. Everything
+    // reduces to two ≤202-row histograms + exact counts; coverage and
+    // size are single divisions. At 100 TB the calibration fold input
+    // is the nonconformity DOMAIN (≤101 values), never the stream.
+    Q(
+      "q77_conformal_coverage",
+      s"""WITH $convSql,
+        |cal AS (
+        |  SELECT CASE WHEN cv = 1 THEN 100 - score ELSE score END AS s
+        |  FROM conv WHERE event_id % 2 = 0),
+        |ch AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM cal
+        |  GROUP BY s),
+        |ct AS (SELECT CAST(sum(c) AS BIGINT) AS n_cal FROM ch),
+        |cw AS (SELECT s, sum(c) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM ch),
+        |qh AS (SELECT CAST(min(CASE WHEN cum >=
+        |      least(ct.n_cal, (9 * ct.n_cal + 18) // 10)
+        |      THEN s END) AS BIGINT) AS qhat
+        |  FROM cw CROSS JOIN ct GROUP BY ct.n_cal),
+        |ev AS (
+        |  SELECT score,
+        |    CASE WHEN cv = 1 THEN 100 - score ELSE score END AS s_true
+        |  FROM conv WHERE event_id % 2 = 1),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_eval,
+        |    CAST(sum(CASE WHEN s_true <= qh.qhat THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS covered,
+        |    CAST(sum((CASE WHEN 100 - score <= qh.qhat THEN 1 ELSE 0
+        |        END)
+        |      + (CASE WHEN score <= qh.qhat THEN 1 ELSE 0 END))
+        |      AS BIGINT) AS set_total
+        |  FROM ev CROSS JOIN qh GROUP BY qh.qhat)
+        |SELECT ct.n_cal, qh.qhat, agg.n_eval, agg.covered,
+        |  CAST(agg.covered AS DOUBLE) / agg.n_eval AS coverage,
+        |  CAST(agg.set_total AS DOUBLE) / agg.n_eval AS avg_set_size
+        |FROM agg CROSS JOIN qh CROSS JOIN ct""".stripMargin
+    ) { (s, dir) =>
+      val conv = clickConversions(s, dir)
+      val cal = conv.filter(expr("event_id % 2 = 0"))
+        .select(when(col("cv") === 1, lit(100L) - col("score"))
+          .otherwise(col("score")).as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).cast("long").as("c"))
+      val qh = cal
+        .agg(array_sort(collect_list(struct(col("s"), col("c"))))
+          .as("a"))
+        .select(expr("aggregate(a, 0L, (acc, y) -> acc + y.c)")
+            .as("n_cal"),
+          expr(
+            """aggregate(transform(a, (x, i) -> named_struct(
+              |  's', x.s,
+              |  'hit', aggregate(slice(a, 1, i + 1), 0L,
+              |      (acc, y) -> acc + y.c)
+              |    >= least(aggregate(a, 0L, (acc, y) -> acc + y.c),
+              |      (9 * aggregate(a, 0L, (acc, y) -> acc + y.c) + 18)
+              |        DIV 10))),
+              |  named_struct('s', CAST(NULL AS BIGINT), 'hit', false),
+              |  (acc, x) -> CASE WHEN acc.s IS NULL AND x.hit
+              |    THEN x ELSE acc END).s""".stripMargin).as("qhat"))
+      val agg = conv.filter(expr("event_id % 2 = 1"))
+        .select(col("score"),
+          when(col("cv") === 1, lit(100L) - col("score"))
+            .otherwise(col("score")).as("s_true"))
+        .crossJoin(broadcast(qh))
+        .groupBy(col("n_cal"), col("qhat"))
+        .agg(count(lit(1)).cast("long").as("n_eval"),
+          sum(when(col("s_true") <= col("qhat"), 1L).otherwise(0L))
+            .cast("long").as("covered"),
+          sum(when(lit(100L) - col("score") <= col("qhat"), 1L)
+              .otherwise(0L)
+            + when(col("score") <= col("qhat"), 1L).otherwise(0L))
+            .cast("long").as("set_total"))
+      agg.select(col("n_cal"), col("qhat"), col("n_eval"),
+        col("covered"),
+        (col("covered").cast("double") / col("n_eval")).as("coverage"),
+        (col("set_total").cast("double") / col("n_eval"))
+          .as("avg_set_size"))
+    },
+
+    // ---------------------------------------------------------------
+    // q78 — two-proportion A/B significance (the pooled z-test a
+    // conversion experiment reports): arm A = even user_id clicks,
+    // arm B = odd; outcome = the 1-hour purchase. All counts exact;
+    // rates, risk difference, pooled rate, and z are IEEE expressions
+    // with IDENTICAL operand order in both renderings (q66's
+    // discipline — sqrt of the same double is the same double);
+    // the 5% verdict is |z| > 1.96 on that shared double. One
+    // corpus-scale partial agg onto 2 keys; the z algebra runs on a
+    // 1-row table. Fixture honesty: k-noise outcomes differ only by
+    // sampling, so the verdict SHOULD usually be 'not significant' —
+    // reporting that is the operator's job.
+    Q(
+      "q78_ab_significance",
+      s"""WITH $convSql,
+        |armed AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+        |    AS arm, cv
+        |  FROM conv JOIN c USING (event_id)),
+        |g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cv) AS BIGINT) AS x FROM armed GROUP BY arm),
+        |w AS (SELECT
+        |    max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+        |    max(CASE WHEN arm = 'A' THEN x END) AS x_a,
+        |    max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+        |    max(CASE WHEN arm = 'B' THEN x END) AS x_b
+        |  FROM g),
+        |r AS (SELECT n_a, x_a, n_b, x_b,
+        |    CAST(x_a AS DOUBLE) / n_a AS p_a,
+        |    CAST(x_b AS DOUBLE) / n_b AS p_b,
+        |    CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) AS p_pool
+        |  FROM w),
+        |z AS (SELECT *,
+        |    (p_a - p_b) / sqrt(p_pool * (1.0 - p_pool)
+        |      * (1.0 / n_a + 1.0 / n_b)) AS z
+        |  FROM r)
+        |SELECT n_a, x_a, n_b, x_b, p_a, p_b, p_a - p_b AS risk_diff,
+        |  z, abs(z) > 1.96 AS significant_5pct
+        |FROM z""".stripMargin
+    ) { (s, dir) =>
+      // clickConversions drops user_id in its event-keyed agg; re-join
+      // the click stream to recover the arm (the oracle mirrors with
+      // JOIN c USING (event_id))
+      val ev = Tables(s, dir, "events")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"))
+      val armed = clickConversions(s, dir).join(c, Seq("event_id"))
+        .select(when(expr("user_id % 2 = 0"), lit("A")).otherwise("B")
+          .as("arm"), col("cv"))
+      val g = armed.groupBy(col("arm"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("cv")).cast("long").as("x"))
+      g.agg(max(when(col("arm") === "A", col("n"))).as("n_a"),
+          max(when(col("arm") === "A", col("x"))).as("x_a"),
+          max(when(col("arm") === "B", col("n"))).as("n_b"),
+          max(when(col("arm") === "B", col("x"))).as("x_b"))
+        .withColumn("p_a", expr("CAST(x_a AS DOUBLE) / n_a"))
+        .withColumn("p_b", expr("CAST(x_b AS DOUBLE) / n_b"))
+        .withColumn("p_pool",
+          expr("CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)"))
+        .withColumn("z", expr("(p_a - p_b) / sqrt(p_pool" +
+          " * (1.0 - p_pool) * (1.0 / n_a + 1.0 / n_b))"))
+        .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+          col("p_a"), col("p_b"), (col("p_a") - col("p_b"))
+            .as("risk_diff"),
+          col("z"), (abs(col("z")) > 1.96).as("significant_5pct"))
     }
   )
 

@@ -47,7 +47,9 @@ class DeterminismSpec extends SparkSpec {
                              // any merge order)
     "q74_seasonal_decompose", // integer MA/detrend + display divisions
     "q75_funnel_latency",    // histogram ranks + exact micros means
-    "q76_pr_curve"           // integer suffix sums + ratio divisions
+    "q76_pr_curve",          // integer suffix sums + ratio divisions
+    "q77_conformal_coverage", // exact order statistic + two divisions
+    "q78_ab_significance"    // exact counts + shared-double z algebra
   )
 
   test("float-heavy queries are bit-identical across shuffle parallelism") {

@@ -25,9 +25,10 @@ class Round8EvalSpec extends SparkSpec {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** (score, converted) per click, re-derived with a plain-Scala scan
-    * of the events fixture (micros precision, (ts, ts+1h] window). */
-  private lazy val clicks: Seq[(Long, Boolean)] = {
+  /** (event_id, user_id, score, converted) per click, re-derived with
+    * a plain-Scala scan of the events fixture (micros precision,
+    * (ts, ts+1h] window). */
+  private lazy val clicksFull: Seq[(Long, Long, Long, Boolean)] = {
     val ev = Tables(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("unix_micros(ts)").as("us"), col("props"))
@@ -37,13 +38,16 @@ class Round8EvalSpec extends SparkSpec {
     val purchases = ev.filter(_._3 == "purchase")
       .groupBy(_._2).view.mapValues(_.map(_._4)).toMap
     val kRe = """"k"\s*:\s*(\d+)""".r
-    ev.filter(_._3 == "click").toSeq.map { case (_, uid, _, us, props) =>
+    ev.filter(_._3 == "click").toSeq.map { case (id, uid, _, us, props) =>
       val score = kRe.findFirstMatchIn(props).get.group(1).toLong
       val cv = purchases.getOrElse(uid, Array.empty[Long])
         .exists(p => p > us && p <= us + 3600000000L)
-      (score, cv)
+      (id, uid, score, cv)
     }
   }
+
+  private lazy val clicks: Seq[(Long, Boolean)] =
+    clicksFull.map(c => (c._3, c._4))
 
   test("q69: naive O(pos x neg) pairwise AUC reproduces the rank-sum " +
     "exactly (ties = half)") {
@@ -287,6 +291,49 @@ class Round8EvalSpec extends SparkSpec {
         r.getDouble(2))).toSeq
     assert(got == expected, s"\n got ${got.take(4)}\n exp ${expected.take(4)}")
     assert(got.forall(_._3 >= 0.0), "smoothed PSI must be >= 0")
+  }
+
+  test("q77: plain-Scala split-conformal reproduces qhat, coverage, " +
+    "and set size exactly") {
+    val cal = clicksFull.filter(_._1 % 2 == 0)
+      .map(c => if (c._4) 100L - c._3 else c._3).sorted
+    val n = cal.length.toLong
+    val target = math.min(n, (9 * n + 18) / 10)
+    val qhat = cal((target - 1).toInt)
+    val ev = clicksFull.filter(_._1 % 2 == 1)
+    val covered = ev.count(c =>
+      (if (c._4) 100L - c._3 else c._3) <= qhat).toLong
+    val setTotal = ev.map(c =>
+      (if (100L - c._3 <= qhat) 1L else 0L)
+        + (if (c._3 <= qhat) 1L else 0L)).sum
+    val r = QueryRegistry.byName("q77_conformal_coverage")
+      .run(spark, dir).collect().head
+    assert(r.getLong(0) == n && r.getLong(1) == qhat,
+      s"qhat ${r.getLong(1)} != order statistic $qhat at rank $target")
+    assert(r.getLong(2) == ev.length.toLong)
+    assert(r.getLong(3) == covered)
+    assert(r.getDouble(4) == covered.toDouble / ev.length)
+    assert(r.getDouble(5) == setTotal.toDouble / ev.length)
+    // split-conformal's reason to exist: empirical coverage near 1-α
+    assert(r.getDouble(4) >= 0.85,
+      s"coverage ${r.getDouble(4)} far below the 0.9 target")
+  }
+
+  test("q78: plain-Scala pooled z reproduces the A/B verdict") {
+    val byArm = clicksFull.groupBy(_._2 % 2 == 0)
+    val (na, xa) = (byArm(true).length.toLong,
+      byArm(true).count(_._4).toLong)
+    val (nb, xb) = (byArm(false).length.toLong,
+      byArm(false).count(_._4).toLong)
+    val (pa, pb) = (xa.toDouble / na, xb.toDouble / nb)
+    val pp = (xa + xb).toDouble / (na + nb)
+    val z = (pa - pb) / math.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    val r = QueryRegistry.byName("q78_ab_significance")
+      .run(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((na, xa, nb, xb)))
+    assert(r.getDouble(7) == z, s"z ${r.getDouble(7)} != $z")
+    assert(r.getBoolean(8) == (math.abs(z) > 1.96))
   }
 
   test("p36: plain-Scala class scan reproduces the l distribution") {
