@@ -2288,6 +2288,78 @@ object AnalyticsQueries {
           col("p_a"), col("p_b"), (col("p_a") - col("p_b"))
             .as("risk_diff"),
           col("z"), (abs(col("z")) > 1.96).as("significant_5pct"))
+    },
+
+    // ---------------------------------------------------------------
+    // q79 — difference-in-differences over the q78 arms: the causal
+    // estimate an experiment FALLS BACK to when assignment wasn't
+    // randomized at the cutover — (treated post − treated pre) minus
+    // (control post − control pre), which cancels both the arm-level
+    // baseline and the period-level shock under parallel trends.
+    // Cells: arm = user parity (A treated), period = the Jan-16 split
+    // q71 monitors. One corpus partial agg onto 4 (arm, period)
+    // cells; every rate is a single IEEE division off exact counts,
+    // the DiD is pure double arithmetic with identical operand order
+    // in both renderings. Fixture honesty: outcomes are k-noise, so
+    // the estimate should hover near zero — its JOB is to say so.
+    Q(
+      "q79_did",
+      s"""WITH $convSql,
+        |cells AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+        |      AS arm,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END
+        |      AS post,
+        |    cv
+        |  FROM conv JOIN c USING (event_id)),
+        |g AS (SELECT arm, post, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cv) AS BIGINT) AS x
+        |  FROM cells GROUP BY arm, post),
+        |w AS (SELECT
+        |    max(CASE WHEN arm = 'A' AND post = 0 THEN n END) AS n_a0,
+        |    max(CASE WHEN arm = 'A' AND post = 0 THEN x END) AS x_a0,
+        |    max(CASE WHEN arm = 'A' AND post = 1 THEN n END) AS n_a1,
+        |    max(CASE WHEN arm = 'A' AND post = 1 THEN x END) AS x_a1,
+        |    max(CASE WHEN arm = 'B' AND post = 0 THEN n END) AS n_b0,
+        |    max(CASE WHEN arm = 'B' AND post = 0 THEN x END) AS x_b0,
+        |    max(CASE WHEN arm = 'B' AND post = 1 THEN n END) AS n_b1,
+        |    max(CASE WHEN arm = 'B' AND post = 1 THEN x END) AS x_b1
+        |  FROM g),
+        |r AS (SELECT *,
+        |    CAST(x_a0 AS DOUBLE) / n_a0 AS p_a0,
+        |    CAST(x_a1 AS DOUBLE) / n_a1 AS p_a1,
+        |    CAST(x_b0 AS DOUBLE) / n_b0 AS p_b0,
+        |    CAST(x_b1 AS DOUBLE) / n_b1 AS p_b1
+        |  FROM w)
+        |SELECT n_a0, x_a0, n_a1, x_a1, n_b0, x_b0, n_b1, x_b1,
+        |  p_a0, p_a1, p_b0, p_b1,
+        |  (p_a1 - p_a0) - (p_b1 - p_b0) AS did
+        |FROM r""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val cells = clickConversions(s, dir).join(c, Seq("event_id"))
+        .select(when(expr("user_id % 2 = 0"), lit("A")).otherwise("B")
+            .as("arm"),
+          when(col("ts") < lit("2024-01-16").cast("timestamp"), 0)
+            .otherwise(1).as("post"),
+          col("cv"))
+      val g = cells.groupBy(col("arm"), col("post"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("cv")).cast("long").as("x"))
+      def cell(a: String, p: Int, v: String) =
+        max(when(col("arm") === a && col("post") === p, col(v)))
+      g.agg(cell("A", 0, "n").as("n_a0"), cell("A", 0, "x").as("x_a0"),
+          cell("A", 1, "n").as("n_a1"), cell("A", 1, "x").as("x_a1"),
+          cell("B", 0, "n").as("n_b0"), cell("B", 0, "x").as("x_b0"),
+          cell("B", 1, "n").as("n_b1"), cell("B", 1, "x").as("x_b1"))
+        .withColumn("p_a0", expr("CAST(x_a0 AS DOUBLE) / n_a0"))
+        .withColumn("p_a1", expr("CAST(x_a1 AS DOUBLE) / n_a1"))
+        .withColumn("p_b0", expr("CAST(x_b0 AS DOUBLE) / n_b0"))
+        .withColumn("p_b1", expr("CAST(x_b1 AS DOUBLE) / n_b1"))
+        .withColumn("did",
+          expr("(p_a1 - p_a0) - (p_b1 - p_b0)"))
     }
   )
 

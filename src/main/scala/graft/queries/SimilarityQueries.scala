@@ -1762,6 +1762,88 @@ object SimilarityQueries {
         .select(col("q_id"), col("rank"), col("neighbor_id"),
           col("fused_micro"), col("r1_rank"), col("r2_rank"))
         .orderBy(col("q_id"), col("rank"))
+    },
+
+    // ---------------------------------------------------------------
+    // s23 — BM25 lexical retrieval (Robertson-Sparck Jones; the
+    // Lucene-form IDF ln((N−df+0.5)/(df+0.5)+1) that stays positive),
+    // k1 = 1.2, b = 0.75: the keyword half of the hybrid stack whose
+    // vector half is s01/s02 and whose fusion is s22. Query terms are
+    // the top-5 document-frequency terms (deterministic (df, term)
+    // cut); per (term, doc) the score is one rounded double with
+    // IDENTICAL operand order in both renderings, ranked on the
+    // ROUNDED value with doc tiebreak (t27's total-order rule).
+    // Shape at 100 TB: ONE tokenization pass staged into posting
+    // lists (term-keyed partial agg), df derived from the postings,
+    // the 5-term query set broadcast back onto the posting stream,
+    // per-term GroupTopK heaps cut before any exchange; doc lengths
+    // ride a doc-keyed equi-join, corpus stats are one broadcast
+    // scalar row.
+    Q(
+      "s23_bm25",
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |lens AS (SELECT doc_id, len(w) AS len FROM ws),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len) AS BIGINT) AS total_len FROM lens),
+        |post AS (SELECT doc_id, t AS term,
+        |    CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(w) AS t FROM ws) z
+        |  GROUP BY doc_id, t),
+        |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM post GROUP BY term),
+        |qt AS (SELECT term, df FROM dfs
+        |  ORDER BY df DESC, term ASC LIMIT 5),
+        |scored AS (
+        |  SELECT p.term, p.doc_id, p.tf, CAST(l.len AS BIGINT) AS len,
+        |    round(ln((s.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+        |      * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * l.len
+        |        / (CAST(s.total_len AS DOUBLE) / s.n_docs))), 6)
+        |      AS score
+        |  FROM post p JOIN qt q ON q.term = p.term
+        |  JOIN lens l ON l.doc_id = p.doc_id CROSS JOIN stats s),
+        |ranked AS (SELECT term, doc_id, tf, len, score,
+        |    row_number() OVER (PARTITION BY term
+        |      ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM scored)
+        |SELECT term, rank, doc_id, tf, len, score FROM ranked
+        |WHERE rank <= 10 ORDER BY term, rank""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.Stage
+      val ws = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.DedupOps.words(col("text")).as("w"))
+      val lens = Stage.stage(ws
+        .select(col("doc_id"), size(col("w")).cast("long").as("len")))
+      val stats = lens.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("len")).cast("long").as("total_len"))
+      // staged: the posting list feeds df AND the scoring join
+      val post = Stage.stage(ws
+        .select(col("doc_id"), explode(col("w")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).cast("long").as("tf")))
+      val qt = post.groupBy(col("term"))
+        .agg(count(lit(1)).cast("long").as("df"))
+        .orderBy(col("df").desc, col("term").asc)
+        .limit(5)
+      val scored = post.join(broadcast(qt), Seq("term"))
+        .join(lens, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("term"), col("doc_id"), col("tf"), col("len"),
+          round(log((col("n_docs") - col("df") + lit(0.5))
+                / (col("df") + lit(0.5)) + lit(1.0))
+              * (col("tf") * lit(2.2))
+              / (col("tf") + lit(1.2) * (lit(0.25)
+                + lit(0.75) * col("len")
+                  / (col("total_len").cast("double") / col("n_docs")))),
+            6).as("score"))
+      graft.plans.GroupTopK.topKRanked(scored, Seq(col("term")), 10,
+          "rank", col("score").desc, col("doc_id").asc)
+        .select(col("term"), col("rank"), col("doc_id"), col("tf"),
+          col("len"), col("score"))
+        .orderBy(col("term"), col("rank"))
     }
   )
 

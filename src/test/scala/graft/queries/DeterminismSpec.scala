@@ -49,7 +49,9 @@ class DeterminismSpec extends SparkSpec {
     "q75_funnel_latency",    // histogram ranks + exact micros means
     "q76_pr_curve",          // integer suffix sums + ratio divisions
     "q77_conformal_coverage", // exact order statistic + two divisions
-    "q78_ab_significance"    // exact counts + shared-double z algebra
+    "q78_ab_significance",   // exact counts + shared-double z algebra
+    "q79_did",               // exact cell counts + double algebra
+    "s23_bm25"               // rounded-ln scoring + top-k ties
   )
 
   test("float-heavy queries are bit-identical across shuffle parallelism") {

