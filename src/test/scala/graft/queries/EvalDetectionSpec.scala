@@ -118,6 +118,55 @@ class EvalDetectionSpec extends SparkSpec {
     assert(psiStill < 0.1, s"identical halves scored $psiStill")
   }
 
+  test("randomized sweep: three seeded tie-heavy draws reproduce " +
+    "naive AUC, KS, PR rows, and the conformal order statistic") {
+    for (seed <- Seq(7, 41, 97)) {
+      val rnd = new scala.util.Random(seed)
+      val dir = tmpDir(s"det-rand$seed")
+      // scores drawn from a COARSE domain (0, 5, ..., 45) so ties are
+      // the norm, not the exception — the tie-correction arithmetic is
+      // exactly what the fixture (uniform 0..99) underexercises
+      val rows = (1L to 120L).map { i =>
+        (i, i, rnd.nextInt(10) * 5L, rnd.nextDouble() < 0.3, true)
+      }
+      writeTable(dir, "events", clickRows(rows))
+      val data = rows.map(r => (r._1, r._3, r._4))
+      val pos = data.filter(_._3).map(_._2)
+      val neg = data.filterNot(_._3).map(_._2)
+      // q69 vs naive pairwise
+      val u2 = (for (p <- pos; n <- neg)
+        yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+      val auc = QueryRegistry.byName("q69_auc_roc").run(spark, dir)
+        .collect().head
+      assert(auc.getLong(3) == u2, s"seed $seed: u2 diverges")
+      // q70 vs naive threshold scan
+      val (np, nn) = (pos.length.toLong, neg.length.toLong)
+      val ksNaive = data.map(_._2).distinct.sorted.map { t =>
+        math.abs(pos.count(_ <= t) * nn - neg.count(_ <= t) * np)
+      }.max
+      val ks = QueryRegistry.byName("q70_ks_separation").run(spark, dir)
+        .collect().head
+      assert(ks.getLong(2) == ksNaive, s"seed $seed: ks_num diverges")
+      // q76 vs naive confusion counts at every threshold
+      val prGot = QueryRegistry.byName("q76_pr_curve").run(spark, dir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      data.map(_._2).distinct.foreach { t =>
+        val tp = data.count(d => d._2 >= t && d._3).toLong
+        val fp = data.count(d => d._2 >= t && !d._3).toLong
+        assert(prGot(t) == ((tp, fp)), s"seed $seed: PR row at $t")
+      }
+      // q77 vs the sorted calibration order statistic
+      val cal = data.filter(_._1 % 2 == 0)
+        .map(d => if (d._3) 100L - d._2 else d._2).sorted
+      val n = cal.length.toLong
+      val qhat = cal((math.min(n, (9 * n + 18) / 10) - 1).toInt)
+      val conf = QueryRegistry.byName("q77_conformal_coverage")
+        .run(spark, dir).collect().head
+      assert(conf.getLong(1) == qhat, s"seed $seed: qhat diverges")
+    }
+  }
+
   test("q73: a planted level shift is the CUSUM argmax month") {
     import spark.implicits._
     val dir = tmpDir("det-shift")

@@ -788,6 +788,77 @@ class PlanSpec extends SparkSpec {
     assert(unpart == 0, s"unexpected window spec in t25:\n$p")
   }
 
+  test("q69/q70/q76/q77: eval statistics run fold-only — no Window, " +
+    "one bounded single-partition collect each") {
+    // corpus-scale work is the conv interval join + ONE partial agg
+    // onto the <=100-key score domain; the statistic itself is a
+    // single-row sorted-array fold — so no Window node may exist, and
+    // the only SinglePartition exchanges are the bounded folds (q77
+    // adds the broadcast of its 1-row qhat)
+    Seq("q69_auc_roc", "q70_ks_separation", "q76_pr_curve").foreach {
+      n =>
+        val p = planOf(n)
+        assert(!p.contains("Window"), s"$n grew a window:\n$p")
+        assert(p.linesIterator
+          .count(_.contains("Exchange SinglePartition")) <= 1,
+          s"$n: more single-partition exchanges than its one fold:\n$p")
+    }
+    val p77 = planOf("q77_conformal_coverage")
+    assert(!p77.contains("Window"), s"q77 grew a window:\n$p77")
+  }
+
+  test("q73/q74: changepoint and decomposition are fold-only over " +
+    "the bounded month table") {
+    Seq("q73_cusum_changepoint", "q74_seasonal_decompose").foreach { n =>
+      val p = planOf(n)
+      assert(!p.contains("Window"), s"$n grew a window:\n$p")
+    }
+  }
+
+  test("q72: the KLL buffer aggregates on the object-hash path and " +
+    "exact values ride EquiDepth's pid window") {
+    val p = planOf("q72_kll_quantile_merge")
+    assert(p.contains("ObjectHashAggregate"),
+      s"sketch buffer fell off ObjectHashAggregate (per-row codec " +
+        s"round-trips on the sort path):\n$p")
+    assert(p.contains("windowspecdefinition(__gr_pid"),
+      s"EquiDepth's pid-partitioned rank window is missing:\n$p")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"the 12-row rank spine must broadcast:\n$p")
+  }
+
+  test("q75: the cumulative window runs over HISTOGRAM rows, " +
+    "pair-partitioned; the pair-totals side broadcasts") {
+    val p = planOf("q75_funnel_latency")
+    assert(p.contains("windowspecdefinition(cur"),
+      s"histogram cumsum must partition by the transition pair:\n$p")
+    assert(p.contains("windowspecdefinition(user_id") ||
+      p.contains("PartitionBy: [user_id"),
+      s"the lead stream must stay user-partitioned:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"pair totals must broadcast onto the histogram:\n$p")
+  }
+
+  test("s23: the 5-term query set broadcasts onto the postings; " +
+    "per-term cuts ride GroupTopK") {
+    val p = planOf("s23_bm25")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-term set must broadcast:\n$p")
+    assert(p.contains("GroupTopK"),
+      s"per-term top-10 must plan through GroupTopK:\n$p")
+    assert(!p.contains("SortMergeJoin") ||
+      p.linesIterator.count(_.contains("SortMergeJoin")) <= 1,
+      s"postings x lens may sort-merge at most once:\n$p")
+  }
+
+  test("s22: both retriever streams cut through GroupTopK before " +
+    "the fusion join") {
+    val p = planOf("s22_rrf_fusion")
+    assert(p.linesIterator.count(_.contains("GroupTopK")) >= 3,
+      s"expected GroupTopK on r1, r2, and the fused cut:\n$p")
+  }
+
   test("every registered query stays off RDD fallbacks (no collect-driven loops)") {
     // structural smoke: building each plan succeeds and none mention
     // 'Scan ExistingRDD' (a sign of driver-side materialization).
