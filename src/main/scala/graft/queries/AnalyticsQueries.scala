@@ -2360,6 +2360,97 @@ object AnalyticsQueries {
         .withColumn("p_b1", expr("CAST(x_b1 AS DOUBLE) / n_b1"))
         .withColumn("did",
           expr("(p_a1 - p_a0) - (p_b1 - p_b0)"))
+    },
+
+    // ---------------------------------------------------------------
+    // q80 — Mann-Kendall monotone-trend test over monthly revenue,
+    // completing the ingest-monitor trio: q73 finds a level SHIFT,
+    // q74 removes the SEASON, Mann-Kendall answers "is there a
+    // monotone drift at all" without assuming linearity or a
+    // distribution. S = Σ_{i<j} sign(c_j − c_i) in exact BIGINT via
+    // the O(n²)-on-80-rows pair fold (bounded month table, 3 160
+    // pairs — never the corpus); the tie-corrected variance numerator
+    // n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) stays integer (one Σ over the
+    // equal-value groups); z applies the standard ±1 continuity
+    // correction and the 5% verdict is |z| vs 1.96 on the shared
+    // double. Corpus-scale work: q73's one month agg.
+    Q(
+      "q80_mann_kendall",
+      """WITH mo AS (
+        |  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM mo),
+        |s AS (SELECT CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+        |      WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS BIGINT)
+        |    AS s_stat
+        |  FROM mo a JOIN mo b ON b.m > a.m),
+        |ties AS (SELECT COALESCE(CAST(sum(t0.c * (t0.c - 1)
+        |      * (2 * t0.c + 5)) AS BIGINT), 0) AS tt
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM mo
+        |        GROUP BY cents) t0
+        |  WHERE t0.c > 1),
+        |v AS (SELECT t.n, s.s_stat,
+        |    t.n * (t.n - 1) * (2 * t.n + 5) - ties.tt AS var_num
+        |  FROM t CROSS JOIN s CROSS JOIN ties),
+        |z AS (SELECT n, s_stat, var_num,
+        |    CASE WHEN s_stat > 0
+        |        THEN (s_stat - 1) / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+        |      WHEN s_stat < 0
+        |        THEN (s_stat + 1) / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+        |      ELSE 0.0 END AS z
+        |  FROM v)
+        |SELECT n AS n_months, s_stat, CAST(var_num AS BIGINT)
+        |    AS var_num, z,
+        |  CASE WHEN z > 1.96 THEN 'increasing'
+        |    WHEN z < -1.96 THEN 'decreasing'
+        |    ELSE 'none' END AS trend
+        |FROM z""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val monthly = Tables(s, dir, "orders")
+        .groupBy(trunc(col("o_orderdate"), "month").as("m"))
+        .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast("long")).cast("long").as("cents"))
+      monthly
+        .agg(array_sort(collect_list(struct(col("m"), col("cents"))))
+          .as("a"))
+        .select(expr("size(a)").cast("long").as("n"),
+          // S over pairs j < i with sign(c_i − c_j): 80² lambda ops
+          // on ONE row, never a corpus join
+          expr(
+            """aggregate(transform(a, (x, i) ->
+              |  aggregate(slice(a, 1, i), 0L, (acc, y) ->
+              |    acc + CASE WHEN x.cents > y.cents THEN 1L
+              |      WHEN x.cents < y.cents THEN -1L ELSE 0L END)),
+              |  0L, (acc, t) -> acc + t)""".stripMargin).as("s_stat"),
+          // tie term: fold equal-cents group sizes from the SORTED
+          // array (a run of equal cents is contiguous after the sort
+          // only if cents is the sort key — it is not, so count
+          // per-value multiplicities with a nested filter instead;
+          // values are distinct-month cents, n ≤ 80 so n² is fine)
+          expr(
+            """aggregate(transform(a, (x, i) -> CASE
+              |  WHEN size(filter(slice(a, 1, i), y ->
+              |      y.cents = x.cents)) > 0 THEN 0L
+              |  ELSE CAST(size(filter(a, y -> y.cents = x.cents))
+              |    AS BIGINT) END), 0L, (acc, c) -> acc
+              |  + c * (c - 1) * (2 * c + 5))""".stripMargin).as("tt"))
+        .select(col("n").as("n_months"), col("s_stat"),
+          (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5)
+            - col("tt")).as("var_num"))
+        .withColumn("z", expr(
+          """CASE WHEN s_stat > 0
+            |    THEN (s_stat - 1) / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+            |  WHEN s_stat < 0
+            |    THEN (s_stat + 1) / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+            |  ELSE 0.0 END""".stripMargin))
+        .select(col("n_months"), col("s_stat"),
+          col("var_num").cast("long").as("var_num"), col("z"),
+          when(col("z") > 1.96, "increasing")
+            .when(col("z") < -1.96, "decreasing")
+            .otherwise("none").as("trend"))
     }
   )
 

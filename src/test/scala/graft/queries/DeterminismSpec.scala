@@ -51,7 +51,8 @@ class DeterminismSpec extends SparkSpec {
     "q77_conformal_coverage", // exact order statistic + two divisions
     "q78_ab_significance",   // exact counts + shared-double z algebra
     "q79_did",               // exact cell counts + double algebra
-    "s23_bm25"               // rounded-ln scoring + top-k ties
+    "s23_bm25",              // rounded-ln scoring + top-k ties
+    "q80_mann_kendall"       // integer pair fold + shared-double z
   )
 
   test("float-heavy queries are bit-identical across shuffle parallelism") {

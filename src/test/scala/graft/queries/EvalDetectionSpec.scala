@@ -192,6 +192,41 @@ class EvalDetectionSpec extends SparkSpec {
     assert(r.getDouble(5) == 2500.0, "post-shift monthly mean")
   }
 
+  test("q80: a planted monotone ramp is 'increasing'; a planted " +
+    "shuffle of the same values is 'none'") {
+    import spark.implicits._
+    def orders(vals: Seq[Double], dirTag: String): String = {
+      val dir = tmpDir(dirTag)
+      val rows = vals.zipWithIndex.flatMap { case (p, m) =>
+        (0 until 5).map(i => ((m * 5 + i).toLong, i.toLong, "O", p,
+          Timestamp.valueOf(f"2020-${m % 12 + 1}%02d-15 00:00:00")
+            .toLocalDateTime.plusYears(m / 12).toString
+            .replace("T", " ")))
+      }
+      writeTable(dir, "orders", rows
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "d")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"),
+          col("d").cast("timestamp").as("o_orderdate"),
+          lit("1-URGENT").as("o_orderpriority")))
+      dir
+    }
+    val ramp = orders((1 to 24).map(_ * 10.0), "det-mk-up")
+    val up = QueryRegistry.byName("q80_mann_kendall").run(spark, ramp)
+      .collect().head
+    assert(up.getString(4) == "increasing",
+      s"monotone ramp graded '${up.getString(4)}' (z=${up.getDouble(3)})")
+    assert(up.getLong(1) == 24L * 23L / 2L, "S must be every pair")
+    // same multiset, alternating order — no monotone trend
+    val mixed = orders((1 to 24).map(i =>
+      (if (i % 2 == 0) i else 25 - i) * 10.0), "det-mk-mix")
+    val none = QueryRegistry.byName("q80_mann_kendall")
+      .run(spark, mixed).collect().head
+    assert(none.getString(4) == "none",
+      s"alternating series graded '${none.getString(4)}'")
+  }
+
   test("q74: planted December bumps top the seasonal index and " +
     "leave a near-flat trend elsewhere") {
     import spark.implicits._

@@ -400,6 +400,36 @@ class Round8EvalSpec extends SparkSpec {
     assert(got.map(_._6).exists(_ > 0.0), "all scores zero")
   }
 
+  test("q80: naive pairwise Mann-Kendall reproduces S, the tie-" +
+    "corrected variance, and z") {
+    val months = Tables(spark, dir, "orders")
+      .select(col("o_orderdate").cast("date"), col("o_totalprice"))
+      .collect()
+      .map { r =>
+        (r.getDate(0).toLocalDate.withDayOfMonth(1),
+          (BigDecimal(r.getDouble(1))
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100)
+            .toLongExact)
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toSeq.sortBy(_._1.toString).map(_._2)
+    val n = months.length.toLong
+    val sStat = (for (i <- months.indices; j <- (i + 1) until months.length)
+      yield java.lang.Long.signum(months(j) - months(i)).toLong).sum
+    val tt = months.groupBy(identity).values.map(_.length.toLong)
+      .map(c => c * (c - 1) * (2 * c + 5)).sum
+    val varNum = n * (n - 1) * (2 * n + 5) - tt
+    val z =
+      if (sStat > 0) (sStat - 1) / math.sqrt(varNum.toDouble / 18.0)
+      else if (sStat < 0) (sStat + 1) / math.sqrt(varNum.toDouble / 18.0)
+      else 0.0
+    val r = QueryRegistry.byName("q80_mann_kendall").run(spark, dir)
+      .collect().head
+    assert(r.getLong(0) == n && r.getLong(1) == sStat)
+    assert(r.getLong(2) == varNum)
+    assert(r.getDouble(3) == z, s"z ${r.getDouble(3)} != $z")
+  }
+
   test("p36: plain-Scala class scan reproduces the l distribution") {
     val rows = Tables(spark, dir, "customer")
       .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
