@@ -2451,6 +2451,69 @@ object AnalyticsQueries {
           when(col("z") > 1.96, "increasing")
             .when(col("z") < -1.96, "decreasing")
             .otherwise("none").as("trend"))
+    },
+
+    // ---------------------------------------------------------------
+    // q81 — Benford first-digit audit over order totals: the
+    // data-quality screen that flags fabricated or truncated numeric
+    // feeds (organic multi-scale amounts follow P(d) = log10(1+1/d);
+    // uniform synthetics don't — and the fixture's totals are exactly
+    // such synthetics, so the report SHOWS the violation, which is
+    // the operator's job). First digit via a string projection (no
+    // float log on the hot path); one partial agg onto 9 keys;
+    // expected shares computed in-engine as ln(1+1/d)/ln(10) with
+    // identical text both sides (the ln-constant discipline);
+    // deviations and the total-variation distance are doubles off
+    // exact counts, TVD summed over the 9-row table as a
+    // round(·,6)-DECIMAL fold.
+    Q(
+      "q81_benford_audit",
+      """WITH digits AS (
+        |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice
+        |      AS DECIMAL(12,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1)
+        |      AS BIGINT) AS d
+        |  FROM orders
+        |  WHERE o_totalprice > 0),
+        |g AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits
+        |  GROUP BY d),
+        |sp AS (SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT)
+        |    AS d),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g),
+        |rows_ AS (SELECT sp.d, COALESCE(g.n, 0) AS n,
+        |    CAST(COALESCE(g.n, 0) AS DOUBLE) / t.total AS obs_share,
+        |    ln(1e0 + 1e0 / sp.d) / ln(1e1) AS benford_p
+        |  FROM sp LEFT JOIN g ON g.d = sp.d CROSS JOIN t),
+        |dev AS (SELECT d, n, obs_share, benford_p,
+        |    abs(obs_share - benford_p) AS abs_dev,
+        |    CAST(round(abs(obs_share - benford_p), 6)
+        |      AS DECIMAL(28,6)) AS dev6
+        |  FROM rows_),
+        |tv AS (SELECT CAST(sum(dev6) AS DOUBLE) / 2.0 AS tvd FROM dev)
+        |SELECT d, n, obs_share, benford_p, abs_dev, tvd
+        |FROM dev CROSS JOIN tv ORDER BY d""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val g = Tables(s, dir, "orders")
+        .filter(col("o_totalprice") > 0)
+        .select(substring((col("o_totalprice").cast(DecimalType(12, 2))
+            * 100).cast("long").cast("string"), 1, 1)
+          .cast("long").as("d"))
+        .groupBy(col("d")).agg(count(lit(1)).cast("long").as("n"))
+      val sp = s.range(1, 10).select(col("id").as("d"))
+      val t = g.agg(sum(col("n")).cast("long").as("total"))
+      val rows = sp.join(broadcast(g), Seq("d"), "left_outer")
+        .crossJoin(broadcast(t))
+        .select(col("d"), coalesce(col("n"), lit(0L)).as("n"),
+          (coalesce(col("n"), lit(0L)).cast("double") / col("total"))
+            .as("obs_share"),
+          expr("ln(1e0 + 1e0 / d) / ln(1e1)").as("benford_p"))
+        .select(col("d"), col("n"), col("obs_share"), col("benford_p"),
+          abs(col("obs_share") - col("benford_p")).as("abs_dev"),
+          round(abs(col("obs_share") - col("benford_p")), 6)
+            .cast("decimal(28,6)").as("dev6"))
+      val tv = rows.agg((sum(col("dev6")).cast("double") / lit(2.0))
+        .as("tvd"))
+      rows.drop("dev6").crossJoin(broadcast(tv)).orderBy(col("d"))
     }
   )
 

@@ -52,7 +52,8 @@ class DeterminismSpec extends SparkSpec {
     "q78_ab_significance",   // exact counts + shared-double z algebra
     "q79_did",               // exact cell counts + double algebra
     "s23_bm25",              // rounded-ln scoring + top-k ties
-    "q80_mann_kendall"       // integer pair fold + shared-double z
+    "q80_mann_kendall",      // integer pair fold + shared-double z
+    "q81_benford_audit"      // exact digit counts + ln-constant shares
   )
 
   test("float-heavy queries are bit-identical across shuffle parallelism") {

@@ -430,6 +430,42 @@ class Round8EvalSpec extends SparkSpec {
     assert(r.getDouble(3) == z, s"z ${r.getDouble(3)} != $z")
   }
 
+  test("q81: plain-Scala digit histogram reproduces the Benford " +
+    "report; shares sum to 1 and TVD is substantial on synthetics") {
+    val cents = Tables(spark, dir, "orders")
+      .select(col("o_totalprice")).collect()
+      .map(r => (BigDecimal(r.getDouble(0))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100)
+        .toLongExact)
+      .filter(_ > 0)
+    val byD = cents.map(_.toString.head.asDigit.toLong)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = cents.length.toLong
+    val expected = (1L to 9L).map { d =>
+      val n = byD.getOrElse(d, 0L)
+      (d, n, n.toDouble / total, math.log(1.0 + 1.0 / d) / math.log(10.0))
+    }
+    val got = QueryRegistry.byName("q81_benford_audit").run(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.map(x => (x._1, x._2, x._3, x._4)).toSeq == expected,
+      s"\n got ${got.take(3).toSeq}\n exp ${expected.take(3)}")
+    got.foreach { r =>
+      assert(r._5 == math.abs(r._3 - r._4), s"abs_dev at d=${r._1}")
+    }
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-12)
+    val tvd = got.head._6
+    val tvdNaive = expected.map { case (_, _, obs, p) =>
+      BigDecimal(math.abs(obs - p))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble / 2.0
+    assert(tvd == tvdNaive, s"tvd $tvd != $tvdNaive")
+    // the fixture's totals are uniform synthetics — Benford must FLAG
+    // them (TVD well above the ~0.01 organic-data band)
+    assert(tvd > 0.05, s"synthetic totals scored TVD $tvd — audit blind")
+  }
+
   test("p36: plain-Scala class scan reproduces the l distribution") {
     val rows = Tables(spark, dir, "customer")
       .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
