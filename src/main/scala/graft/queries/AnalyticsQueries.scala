@@ -2514,6 +2514,77 @@ object AnalyticsQueries {
       val tv = rows.agg((sum(col("dev6")).cast("double") / lit(2.0))
         .as("tvd"))
       rows.drop("dev6").crossJoin(broadcast(tv)).orderBy(col("d"))
+    },
+
+    // ---------------------------------------------------------------
+    // q82 — cohort LTV curve: cumulative revenue per acquisition
+    // cohort by months-since-first-order — the MONEY companion to
+    // q35's retention counts (retention says who comes back; LTV says
+    // what a cohort member is worth k months in, the number an
+    // acquisition budget is actually set against). Exactness: month
+    // index as the integer year·12+month (never months_between's
+    // fractional days), revenue in exact BIGINT cents, the cumulative
+    // pass as a cohort-PARTITIONED window over the bounded
+    // (cohort × offset) table (≤80² rows after the one corpus agg),
+    // LTV one division per row. Corpus-scale work: the per-customer
+    // min-month agg and the (cohort, offset) revenue agg, both
+    // partial-agg'd; cohort sizes broadcast back.
+    Q(
+      "q82_cohort_ltv",
+      """WITH o AS (
+        |  SELECT o_custkey AS cust,
+        |    (year(o_orderdate) * 12 + month(o_orderdate)) AS mi,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |firsts AS (SELECT cust, min(mi) AS cohort FROM o GROUP BY cust),
+        |sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_custs
+        |  FROM firsts GROUP BY cohort),
+        |g AS (SELECT f.cohort, o.mi - f.cohort AS offs,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(o.cents) AS BIGINT) AS cents
+        |  FROM o JOIN firsts f ON f.cust = o.cust
+        |  GROUP BY f.cohort, o.mi - f.cohort),
+        |c AS (SELECT g.*, CAST(sum(cents) OVER (PARTITION BY cohort
+        |    ORDER BY offs
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_cents
+        |  FROM g)
+        |SELECT CAST(c.cohort AS BIGINT) AS cohort,
+        |  CAST(c.offs AS BIGINT) AS offs, c.n_orders, s.n_custs,
+        |  CAST(c.cum_cents AS DOUBLE) / 100.0 AS cum_revenue,
+        |  CAST(c.cum_cents AS DOUBLE) / (100.0 * s.n_custs) AS ltv
+        |FROM c JOIN sizes s ON s.cohort = c.cohort
+        |ORDER BY cohort, offs""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val o = Tables(s, dir, "orders")
+        .select(col("o_custkey").as("cust"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .as("mi"),
+          (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+            .cast("long").as("cents"))
+      val firsts = o.groupBy(col("cust")).agg(min(col("mi")).as("cohort"))
+      val sizes = firsts.groupBy(col("cohort"))
+        .agg(count(lit(1)).cast("long").as("n_custs"))
+      val g = o.join(firsts, Seq("cust"))
+        .groupBy(col("cohort"), (col("mi") - col("cohort")).as("offs"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          sum(col("cents")).cast("long").as("cents"))
+      val byCohort = Window.partitionBy(col("cohort"))
+        .orderBy(col("offs"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("cum_cents",
+          sum(col("cents")).over(byCohort).cast("long"))
+        .join(broadcast(sizes), Seq("cohort"))
+        .select(col("cohort").cast("long").as("cohort"),
+          col("offs").cast("long").as("offs"), col("n_orders"),
+          col("n_custs"),
+          (col("cum_cents").cast("double") / lit(100.0))
+            .as("cum_revenue"),
+          (col("cum_cents").cast("double")
+            / (lit(100.0) * col("n_custs"))).as("ltv"))
+        .orderBy(col("cohort"), col("offs"))
     }
   )
 

@@ -53,7 +53,8 @@ class DeterminismSpec extends SparkSpec {
     "q79_did",               // exact cell counts + double algebra
     "s23_bm25",              // rounded-ln scoring + top-k ties
     "q80_mann_kendall",      // integer pair fold + shared-double z
-    "q81_benford_audit"      // exact digit counts + ln-constant shares
+    "q81_benford_audit",     // exact digit counts + ln-constant shares
+    "q82_cohort_ltv"         // BIGINT cents cumsum + display divisions
   )
 
   test("float-heavy queries are bit-identical across shuffle parallelism") {

@@ -466,6 +466,42 @@ class Round8EvalSpec extends SparkSpec {
     assert(tvd > 0.05, s"synthetic totals scored TVD $tvd — audit blind")
   }
 
+  test("q82: plain-Scala cohort fold reproduces every LTV row; the " +
+    "curve is non-decreasing per cohort") {
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("date"),
+        col("o_totalprice")).collect()
+      .map { r =>
+        val d = r.getDate(1).toLocalDate
+        (r.getLong(0), d.getYear * 12 + d.getMonthValue,
+          (BigDecimal(r.getDouble(2))
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100)
+            .toLongExact)
+      }
+    val cohorts = orders.groupBy(_._1).view.mapValues(_.map(_._2).min)
+      .toMap
+    val sizes = cohorts.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val cells = orders.groupBy(o => (cohorts(o._1), o._2 - cohorts(o._1)))
+      .view.mapValues(g => (g.length.toLong, g.map(_._3).sum)).toMap
+    val expected = cells.keys.toSeq.sorted.map { case (co, off) =>
+      val cum = cells.filter { case ((c2, o2), _) =>
+        c2 == co && o2 <= off
+      }.values.map(_._2).sum
+      (co.toLong, off.toLong, cells((co, off))._1, sizes(co),
+        cum.toDouble / 100.0, cum.toDouble / (100.0 * sizes(co)))
+    }
+    val got = QueryRegistry.byName("q82_cohort_ltv").run(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expected, s"\n got ${got.take(3)}\n exp ${expected.take(3)}")
+    got.groupBy(_._1).values.foreach { rows =>
+      val ltvs = rows.sortBy(_._2).map(_._6)
+      assert(ltvs == ltvs.sorted, "LTV must be non-decreasing in offset")
+    }
+  }
+
   test("p36: plain-Scala class scan reproduces the l distribution") {
     val rows = Tables(spark, dir, "customer")
       .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
