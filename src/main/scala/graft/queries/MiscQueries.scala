@@ -1446,12 +1446,12 @@ object MiscQueries {
         |      l_orderkey, l_linenumber) AS r,
         |    count(*) OVER () AS n
         |  FROM lineitem),
-        |qs AS (SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q)
+        |qs AS (SELECT * FROM (VALUES (0.25, 1, 4), (0.5, 1, 2),
+        |    (0.9, 9, 10), (0.99, 99, 100)) AS v(q, qn, qd))
         |SELECT CAST(q AS DOUBLE) AS q, price AS value,
         |  CAST(TRUE AS BOOLEAN) AS within_rank_eps
         |FROM qs JOIN r
-        |  ON r.r = GREATEST(1,
-        |    CAST(ceil(CAST(q AS DOUBLE) * n) AS BIGINT))
+        |  ON r.r = GREATEST(1, (qn * n + qd - 1) // qd)
         |ORDER BY q""".stripMargin
     ) { (s, dir) =>
       import graft.operators.SketchOps
@@ -1471,17 +1471,29 @@ object MiscQueries {
       val nRow = Tables(s, dir, "lineitem")
         .agg(count(lit(1)).cast("long").as("n_rows"))
       // 12-row spine: per quantile the target rank plus the ±2ε
-      // bracket ranks, each tagged with its role
+      // bracket ranks, each tagged with its role. The TARGET rank is
+      // an integer ceiling ⌈qn·n/qd⌉ = (qn·n + qd − 1) div qd (q75's
+      // discipline: float ceil(0.9·n) can round UP off a binary
+      // representation at round n); the ±2ε brackets stay float —
+      // ε is irrational and they only feed the Spark-side flag.
+      val ratio = quantiles.zipWithIndex.map {
+        case (0.25, i) => (0.25, 1L, 4L, i)
+        case (0.5, i)  => (0.5, 1L, 2L, i)
+        case (0.9, i)  => (0.9, 9L, 10L, i)
+        case (0.99, i) => (0.99, 99L, 100L, i)
+        case (q, _) => sys.error(s"no exact rational for quantile $q")
+      }
       val spine = nRow.crossJoin(est)
         .select(col("n_rows"), col("est"),
-          explode(typedLit(quantiles.zipWithIndex)).as("qi"))
+          explode(typedLit(ratio)).as("qi"))
         .select(col("qi._1").as("q"),
-          element_at(col("est"), col("qi._2") + 1).as("estq"),
+          col("qi._2").as("qn"), col("qi._3").as("qd"),
+          element_at(col("est"), col("qi._4") + 1).as("estq"),
           col("n_rows"))
         .select(col("q"), col("estq"), explode(array(
           struct(lit("target").as("role"),
-            greatest(lit(1L), ceil(col("q") * col("n_rows"))
-              .cast("long")).as("rk")),
+            greatest(lit(1L),
+              expr("(qn * n_rows + qd - 1) div qd")).as("rk")),
           struct(lit("lo").as("role"),
             greatest(lit(1L), ceil((col("q") - lit(eps2))
               * col("n_rows")).cast("long")).as("rk")),

@@ -90,6 +90,62 @@ class BenchRescueSpec extends AnyFunSuite {
     assert(Bench.freshMedians("/nonexistent/path.json").isEmpty)
   }
 
+  test("pressured flag: fires on a >2x-of-fresh median, not on a " +
+    "genuinely-slow query whose fresh reference moved with it") {
+    // sustained pressure: the recording's median never recovered but
+    // the committed fresh reference is fast -> annotate
+    assert(Bench.pressuredAfter(5.0, Some(1.0)))
+    // genuinely slow code: bench_fresh.sh regenerated the reference
+    // WITH the slow code, so fresh sits at the median -> no flag
+    assert(!Bench.pressuredAfter(5.0, Some(4.8)))
+    // exactly-2x is the boundary the rescue itself uses: not flagged
+    assert(!Bench.pressuredAfter(5.0, Some(2.5)))
+    // sub-floor medians are milliseconds of scheduler noise
+    assert(!Bench.pressuredAfter(0.2, Some(0.05)))
+    // no committed reference -> nothing to disagree with
+    assert(!Bench.pressuredAfter(5.0, None))
+  }
+
+  test("sustained synthetic pressure across ALL reps: rescue cannot " +
+    "recover, pressuredAfter annotates the recording") {
+    def work(): Double = {
+      val t0 = System.nanoTime()
+      var s = 0L
+      var i = 0
+      while (i < 200_000_000) { s += i * 31 + (s >> 7); i += 1 }
+      if (s == 42) println(s)
+      (System.nanoTime() - t0) / 1e9
+    }
+    (1 to 2).foreach(_ => work())
+    val freshMed = Bench.median((1 to 3).map(_ => work()))
+    val on = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val burners = (1 to Runtime.getRuntime.availableProcessors * 4)
+      .map { _ =>
+        val t = new Thread(() => {
+          var s = 0L
+          while (on.get()) { s += s * 17 + 1 }
+          if (s == 42) println(s)
+        })
+        t.setDaemon(true)
+        t.start()
+        t
+      }
+    try {
+      // pressure holds for the base reps AND every rescue rep — the
+      // round-8 driver shape (q38 at 10.7x with rescues exhausted)
+      val (med, _) = Bench.measureWithRescue(
+        3, () => work(), fresh = Some(freshMed))
+      // only assert the annotation when the host actually delivered
+      // sustained pressure (a very wide box could absorb the burners)
+      if (med > 2.0 * freshMed)
+        assert(Bench.pressuredAfter(med, Some(freshMed)),
+          s"sustained-pressure median $med (fresh $freshMed) must " +
+            "carry the pressured annotation")
+      else cancel(s"host absorbed the synthetic pressure " +
+        s"(med=$med fresh=$freshMed); annotation path not exercised")
+    } finally { on.set(false); burners.foreach(_.join(2000)) }
+  }
+
   test("synthetic pressure: sibling CPU burn during base reps, rescued median within 1.5x fresh") {
     // the timed workload: a fixed CPU-bound loop (deterministic work,
     // wall time varies with scheduler contention)

@@ -52,10 +52,34 @@ class AqeSkewSpec extends SparkSpec {
           max(col("payload")).as("p"))
       val row = joined.collect().head
       assert(row.getLong(0) == 400000L, "join lost rows under AQE")
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("skew=true"),
-        s"AQE did not mark the skewed join — no skew=true in:\n" +
-          plan.linesIterator.take(25).mkString("\n"))
+      // inspect the plan TREE for isSkewJoin on the shuffled-join node
+      // (not a plan-string substring, which is brittle to formatting
+      // changes across Spark versions). ShuffledJoin covers both
+      // SortMergeJoinExec and ShuffledHashJoinExec — AQE may pick
+      // either shuffle-side strategy and both carry the skew mark.
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{
+        AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.joins.ShuffledJoin
+      def collectJoins(p: SparkPlan): Seq[ShuffledJoin] = {
+        val self = p match {
+          case a: AdaptiveSparkPlanExec => collectJoins(a.executedPlan)
+          case q: QueryStageExec => collectJoins(q.plan)
+          case s: ShuffledJoin => Seq(s)
+          case _ => Seq.empty
+        }
+        self ++ p.children.flatMap(collectJoins) ++
+          p.subqueries.flatMap(collectJoins)
+      }
+      val joins = collectJoins(joined.queryExecution.executedPlan)
+      assert(joins.nonEmpty, "expected a shuffled join in the plan:\n" +
+        joined.queryExecution.executedPlan.toString
+          .linesIterator.take(25).mkString("\n"))
+      assert(joins.exists(_.isSkewJoin),
+        s"AQE did not mark the skewed join — no ShuffledJoin with " +
+          s"isSkewJoin=true among ${joins.size} node(s):\n" +
+          joined.queryExecution.executedPlan.toString
+            .linesIterator.take(25).mkString("\n"))
     } finally saved.foreach {
       case (k, Some(v)) => s.conf.set(k, v)
       case (k, None) => s.conf.unset(k)

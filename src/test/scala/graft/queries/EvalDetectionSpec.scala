@@ -103,19 +103,37 @@ class EvalDetectionSpec extends SparkSpec {
     writeTable(drift, "events", clickRows(
       (1L to 200L).map(i => (i, i, i % 100, false, true)) ++
         (201L to 400L).map(i => (i, i, 95L, false, false))))
-    val psiDrift = QueryRegistry.byName("q71_psi_drift")
-      .run(spark, drift).collect().head.getDouble(6)
+    // the gated surface carries exact DECIMAL(18,9) probabilities and
+    // bands (q71's round-9 hardening); the numeric PSI for the
+    // separation claim is recomputed here from those exact decimals
+    def psiOf(rows: Array[org.apache.spark.sql.Row]): Double =
+      rows.map { r =>
+        val (pr, pc) =
+          (r.getDecimal(3).doubleValue, r.getDecimal(4).doubleValue)
+        (pr - pc) * math.log(pr / pc)
+      }.sum
+    val driftRows = QueryRegistry.byName("q71_psi_drift")
+      .run(spark, drift).collect()
+    val psiDrift = psiOf(driftRows)
     val still = tmpDir("det-still")
     writeTable(still, "events", clickRows(
       (1L to 200L).map(i => (i, i, i % 100, false, true)) ++
         (201L to 400L).map(i => (i, i, i % 100, false, false))))
-    val psiStill = QueryRegistry.byName("q71_psi_drift")
-      .run(spark, still).collect().head.getDouble(6)
+    val stillRows = QueryRegistry.byName("q71_psi_drift")
+      .run(spark, still).collect()
+    val psiStill = psiOf(stillRows)
     assert(psiDrift > 1.0, s"planted total drift only scored $psiDrift")
     assert(psiDrift > 10.0 * math.max(psiStill, 1e-9),
       s"drift $psiDrift not separable from floor $psiStill")
-    // the standard industry rule of thumb: PSI < 0.1 is 'no change'
-    assert(psiStill < 0.1, s"identical halves scored $psiStill")
+    // the gated alarm itself must fire: planted drift lands in the
+    // 'major' band, identical halves in 'stable' (< 0.1, the standard
+    // industry rule of thumb), and the all-mass bin-9 term is 'major'
+    assert(driftRows.forall(_.getString(6) == "major"),
+      s"drift psi_band ${driftRows.head.getString(6)} != major")
+    assert(stillRows.forall(_.getString(6) == "stable"),
+      s"still psi_band ${stillRows.head.getString(6)} != stable")
+    assert(driftRows.find(_.getLong(0) == 9L).get.getString(5)
+      == "major", "bin-9 term_band must be major under total drift")
   }
 
   test("randomized sweep: three seeded tie-heavy draws reproduce " +
@@ -280,5 +298,56 @@ class EvalDetectionSpec extends SparkSpec {
     assert(r.head.getDouble(5) == (1 to 100).map(_ * 1000L).sum
       / (1000000.0 * 100L) * 1000.0,
       "mean must be the exact micros sum over 1e6·n")
+  }
+
+  test("degenerate inputs match the oracle's shape: empty stream, " +
+    "single-month corpus, empty calibration half") {
+    import spark.implicits._
+    // empty click stream — the oracle's global aggregate row is
+    // all-NULL for q69; its LIMIT-1/GROUP-BY pipelines emit ZERO rows
+    // for q70/q77 (round-9 guards; unreachable on the driver fixture
+    // but a real pipeline sees empty partitions routinely)
+    val empty = tmpDir("det-empty")
+    writeTable(empty, "events", clickRows(Seq.empty))
+    val auc = QueryRegistry.byName("q69_auc_roc").run(spark, empty)
+      .collect()
+    assert(auc.length == 1 && (0 to 5).forall(auc.head.isNullAt),
+      s"empty stream must yield one all-NULL q69 row: ${auc.toSeq}")
+    assert(QueryRegistry.byName("q70_ks_separation").run(spark, empty)
+      .collect().isEmpty, "empty stream must yield zero q70 rows")
+    assert(QueryRegistry.byName("q77_conformal_coverage")
+      .run(spark, empty).collect().isEmpty,
+      "empty stream must yield zero q77 rows")
+    // q77 with a NON-empty eval half but an EMPTY calibration half
+    // (all odd event_ids): the oracle's qh GROUP BY over nothing
+    // leaves eval clicks joining to zero qhat rows
+    val calEmpty = tmpDir("det-cal-empty")
+    writeTable(calEmpty, "events", clickRows(
+      (1L to 99L by 2).map(i => (i, i, i % 100, false, true))))
+    assert(QueryRegistry.byName("q77_conformal_coverage")
+      .run(spark, calEmpty).collect().isEmpty,
+      "empty calibration half must yield zero q77 rows")
+    // q73 on a 1-month corpus (no k < n candidate) and a 0-order
+    // corpus: the oracle's WHERE k < n + LIMIT 1 emits zero rows
+    def ordersFix(nMonths: Int, tag: String): String = {
+      val dir = tmpDir(tag)
+      val rows = for (m <- 0 until nMonths; i <- 0 until 3) yield
+        ((m * 3 + i).toLong, i.toLong, "O", 100.0,
+          f"2020-${m + 1}%02d-15 00:00:00")
+      writeTable(dir, "orders", rows
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "d")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"),
+          col("d").cast("timestamp").as("o_orderdate"),
+          lit("1-URGENT").as("o_orderpriority")))
+      dir
+    }
+    assert(QueryRegistry.byName("q73_cusum_changepoint")
+      .run(spark, ordersFix(1, "det-1mo")).collect().isEmpty,
+      "single-month corpus must yield zero q73 rows")
+    assert(QueryRegistry.byName("q73_cusum_changepoint")
+      .run(spark, ordersFix(0, "det-0mo")).collect().isEmpty,
+      "empty corpus must yield zero q73 rows")
   }
 }

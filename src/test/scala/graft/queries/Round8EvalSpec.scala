@@ -39,7 +39,12 @@ class Round8EvalSpec extends SparkSpec {
       .groupBy(_._2).view.mapValues(_.map(_._4)).toMap
     val kRe = """"k"\s*:\s*(\d+)""".r
     ev.filter(_._3 == "click").toSeq.map { case (id, uid, _, us, props) =>
-      val score = kRe.findFirstMatchIn(props).get.group(1).toLong
+      // informative failure on fixture drift: a click without a
+      // non-negative-integer 'k' prop must name the row, not throw a
+      // bare NoSuchElementException out of Option.get
+      val score = kRe.findFirstMatchIn(props).map(_.group(1).toLong)
+        .getOrElse(fail(s"click event_id=$id has no integer 'k' prop " +
+          s"in props=$props — fixture drift?"))
       val cv = purchases.getOrElse(uid, Array.empty[Long])
         .exists(p => p > us && p <= us + 3600000000L)
       (id, uid, score, cv, us)
@@ -107,23 +112,44 @@ class Round8EvalSpec extends SparkSpec {
       (math.min(9L, k / 10), us < cutUs)
     }
     val (rt, ct) = (binned.count(_._2) + 10L, binned.count(!_._2) + 10L)
+    // the round-9 gated surface: exact floor-ratio DECIMAL(18,9)
+    // probabilities and threshold BANDS for the transcendental term
+    // (the q59/q72 sketch-gate pattern; see q71's Scaladoc)
+    def dec9(num: Long, den: Long): java.math.BigDecimal =
+      new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(num * 1000000000L / den), 9)
     val expected = (0L to 9L).map { b =>
       val r1 = binned.count(x => x._1 == b && x._2) + 1L
       val c1 = binned.count(x => x._1 == b && !x._2) + 1L
-      val (pr, pc) = (r1.toDouble / rt, c1.toDouble / ct)
-      (b, r1 - 1, c1 - 1, pr, pc, round6((pr - pc) * math.log(pr / pc)))
+      val (pr, pc) = (dec9(r1, rt), dec9(c1, ct))
+      val term = (pr.doubleValue - pc.doubleValue) *
+        math.log(pr.doubleValue / pc.doubleValue)
+      val band =
+        if (term < 0.0001) "negligible"
+        else if (term < 0.01) "minor"
+        else "major"
+      (b, r1 - 1, c1 - 1, pr, pc, term, band)
     }
+    val psi = expected.map(x =>
+      new java.math.BigDecimal(x._6)
+        .setScale(18, java.math.RoundingMode.HALF_UP))
+      .reduce(_.add(_))
+    val psiBand =
+      if (psi.doubleValue < 0.1) "stable"
+      else if (psi.doubleValue < 0.25) "moderate"
+      else "major"
     val got = QueryRegistry.byName("q71_psi_drift").run(spark, dir)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getDouble(3), r.getDouble(4),
-        r.getDecimal(5).doubleValue(), r.getDouble(6)))
+        r.getDecimal(3), r.getDecimal(4), r.getString(5),
+        r.getString(6)))
     assert(got.map(x => (x._1, x._2, x._3, x._4, x._5, x._6)).toSeq
-      == expected,
+      == expected.map(x => (x._1, x._2, x._3, x._4, x._5, x._7)),
       s"PSI bins diverge:\n got ${got.toSeq}\n exp $expected")
-    val psi = got.head._7
-    assert(math.abs(psi - expected.map(_._6).sum) < 1e-9)
-    assert(psi >= 0.0, s"smoothed PSI must be >= 0, got $psi")
+    assert(got.forall(_._7 == psiBand),
+      s"psi_band ${got.head._7} != $psiBand (psi=$psi)")
+    assert(psi.doubleValue >= 0.0,
+      s"smoothed PSI must be >= 0, got $psi")
   }
 
   test("q73: plain-Scala CUSUM over monthly cents finds the same " +
