@@ -67,4 +67,74 @@ object SketchOps {
     override def outputEncoder: Encoder[Seq[Double]] =
       ExpressionEncoder[Seq[Double]]()
   }
+
+  /** Theta-sketch buffer (Datasketches theta family): a Union acting
+    * as an updating sketch, serialized as the compact ordered byte
+    * form at shuffle boundaries (same seam as KllBuf). Unlike KLL,
+    * a theta sketch's retained set — the k smallest seeded hash
+    * values — is ORDER-INDEPENDENT, so the merged sketch (and its
+    * compact bytes) is bit-deterministic for a given input set no
+    * matter how Spark partitions or interleaves the updates. */
+  final class ThetaBuf(
+      @transient var u: org.apache.datasketches.theta.Union)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      val b = u.getResult().toByteArray
+      out.writeInt(b.length)
+      out.write(b)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      u = org.apache.datasketches.theta.SetOperation.builder()
+        .buildUnion()
+      u.union(org.apache.datasketches.theta.Sketches.wrapSketch(
+        Memory.wrap(b)))
+    }
+  }
+
+  /** Theta distinct-count sketch over 64-bit keys: update per row
+    * map-side, sketch-union at the partial/final boundary; finish()
+    * returns the compact ordered bytes — the mergeable artifact set
+    * algebra (union / intersect / A-not-B) runs on WITHOUT rescanning
+    * any source (q83). lgK=12 (4096 nominal entries) is the
+    * datasketches default: exact below ~4096 distinct keys, ~1.6%
+    * RSE above. */
+  final class ThetaDistinct(lgK: Int = 12)
+      extends Aggregator[Long, ThetaBuf, Array[Byte]] {
+    override def zero: ThetaBuf = new ThetaBuf(
+      org.apache.datasketches.theta.SetOperation.builder()
+        .setLogNominalEntries(lgK).buildUnion())
+    override def reduce(b: ThetaBuf, x: Long): ThetaBuf = {
+      b.u.update(x); b
+    }
+    override def merge(a: ThetaBuf, b: ThetaBuf): ThetaBuf = {
+      a.u.union(b.u.getResult()); a
+    }
+    override def finish(r: ThetaBuf): Array[Byte] =
+      r.u.getResult().toByteArray
+    override def bufferEncoder: Encoder[ThetaBuf] =
+      Encoders.javaSerialization[ThetaBuf]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Per-key theta sketches, collected as driver-side MODEL STATE (the
+    * VectorOps k-means/PQ precedent, and the reason this collect lives
+    * here and not in a query body — PlanSpec's driver-materialization
+    * lint bans collects in queries/): one ~lgK-bounded sketch per key
+    * regardless of corpus size, sorted by key for deterministic
+    * iteration. */
+  def thetaPerKey(df: org.apache.spark.sql.DataFrame,
+      key: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column, lgK: Int = 12)
+      : Seq[(String, org.apache.datasketches.theta.Sketch)] = {
+    val theta = org.apache.spark.sql.functions.udaf(
+      new ThetaDistinct(lgK), Encoders.scalaLong)
+    df.groupBy(key.as("k")).agg(theta(value).as("sk")).collect()
+      .map(r => r.getString(0) ->
+        (org.apache.datasketches.theta.Sketches.wrapSketch(
+          Memory.wrap(r.getAs[Array[Byte]](1)))
+          : org.apache.datasketches.theta.Sketch))
+      .toSeq.sortBy(_._1)
+  }
 }

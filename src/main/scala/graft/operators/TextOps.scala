@@ -41,23 +41,47 @@ object TextOps {
 
   /** Quality features + composite score. The score is a fixed linear
     * blend of deterministic ratios (stopword ratio, unique-token ratio,
-    * mean token length, alpha ratio), rounded to 6 decimals. */
+    * mean token length) — every output is a RATIONAL with denominator
+    * 32n, so (round-9 RoundTieSpec finding: 11 of 500 fixture scores
+    * sat EXACTLY on a 6-decimal .5 boundary, where Spark's
+    * BigDecimal-exact HALF_UP and an oracle engine's double-multiply
+    * rounding may disagree) the 6-decimal rounding is done in exact
+    * BIGINT arithmetic: round6(num/den) = (2e6·num + den) div (2·den),
+    * then ONE exact cast — the e6 integer is < 2⁵³ so its double is
+    * itself, and /1e6 is a single shared IEEE op. No float round()
+    * anywhere; both engines compute the identical integer. */
+  /** Exact BIGINT integral division (`a div b`) as a Column. */
+  def idiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      expression(a), expression(b)))
+  }
+
+  /** round-half-up(num·10⁶ / den) in exact BIGINT — the e6 fixed-point
+    * form of a 6-decimal rounded non-negative rational, identical in
+    * any engine (DuckDB: `(num*2000000 + den) // (2*den)`). */
+  def r6e6(num: Column, den: Column): Column =
+    idiv(num * lit(2000000L) + den, den * lit(2L))
+
   def qualityScore(docs: DataFrame, idCol: String, textCol: String,
       passthrough: Seq[String] = Nil): DataFrame = {
+    def r6(num: Column, den: Column): Column =
+      r6e6(num, den).cast("double") / lit(1000000.0)
     val t = tokens(col(textCol))
-    val nTok = size(t).cast("double")
-    val stop = size(filter(t, w => w.isin("a", "the"))).cast("double")
-    val uniq = size(array_distinct(t)).cast("double")
-    val meanLen = (length(col(textCol)).cast("double") - (size(t) - 1)) / nTok
+    val n = size(t).cast("long")
+    val s = size(filter(t, w => w.isin("a", "the"))).cast("long")
+    val u = size(array_distinct(t)).cast("long")
+    val mNum = length(col(textCol)).cast("long") - n + lit(1L)
+    val qNum = lit(8L) * (n - s) + lit(16L) * u + least(mNum, lit(8L) * n)
+    // n = 0 guard: NULL features instead of an ANSI div-by-zero (no
+    // shipped fixture has empty docs; planted spec fixtures might)
+    def g(c: Column): Column = when(n > 0L, c)
     docs.select((col(idCol) +: passthrough.map(col)) ++ Seq(
-      size(t).cast("long").as("n_tokens"),
-      round(stop / nTok, 6).as("stopword_ratio"),
-      round(uniq / nTok, 6).as("unique_ratio"),
-      round(meanLen, 6).as("mean_token_len"),
-      round(
-        lit(0.25) * (lit(1.0) - stop / nTok) +
-        lit(0.5) * (uniq / nTok) +
-        lit(0.25) * least(meanLen / lit(8.0), lit(1.0)), 6).as("quality")): _*)
+      n.as("n_tokens"),
+      g(r6(s, n)).as("stopword_ratio"),
+      g(r6(u, n)).as("unique_ratio"),
+      g(r6(mNum, n)).as("mean_token_len"),
+      g(r6(qNum, lit(32L) * n)).as("quality")): _*)
   }
 
   /** One distributed BPE merge iteration (Sennrich et al., ACL 2016)

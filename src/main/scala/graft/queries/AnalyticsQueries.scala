@@ -1111,12 +1111,12 @@ object AnalyticsQueries {
         |      OVER (ORDER BY dur
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
         |    THEN NULL
-        |    ELSE round(CAST(sum(CASE WHEN d > 0 AND d < nrisk
+        |    ELSE CAST(sum(CASE WHEN d > 0 AND d < nrisk
         |      THEN CAST(round(
         |      ln(1.0 - CAST(d AS DOUBLE) / nrisk) * 1000000.0, 0)
         |      AS BIGINT) ELSE 0 END) OVER (ORDER BY dur
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS DOUBLE) / 1000000.0, 6) END AS km_log_survival
+        |    AS DOUBLE) / 1000000.0 END AS km_log_survival
         |FROM km ORDER BY duration_day""".stripMargin
     ) { (s, dir) =>
       val ev = Tables(s, dir, "events")
@@ -1151,9 +1151,24 @@ object AnalyticsQueries {
             |  'n_events', x.d,
             |  'n_censored', x.cnt - x.d))""".stripMargin)).as("r"))
         .select(col("r.*"))
+        // round-9: the micro-ln term and absorption flag are computed
+        // per ROW in a Project (codegen'd, and RoundTieSpec can tap the
+        // round's margins — a round inside a fold lambda is invisible
+        // to the lint's plan surgery); the fold then only prefix-sums
+        // exact BIGINTs, and the display division of an e6 integer
+        // needs no outer round at all
+        .withColumn("l_e6",
+          when(col("n_events") > 0L &&
+              col("n_events") < col("n_at_risk"),
+            round(log(lit(1.0) - col("n_events").cast("double")
+              / col("n_at_risk")) * 1000000.0, 0).cast("long"))
+            .otherwise(0L))
+        .withColumn("absorb",
+          (col("n_events") >= col("n_at_risk")).cast("int"))
         .groupBy()
         .agg(array_sort(collect_list(struct(col("duration_day"),
-          col("n_at_risk"), col("n_events"), col("n_censored")))).as("b"))
+          col("n_at_risk"), col("n_events"), col("n_censored"),
+          col("l_e6"), col("absorb")))).as("b"))
         .select(explode(expr(
           """transform(b, (x, i) -> named_struct(
             |  'duration_day', x.duration_day,
@@ -1161,13 +1176,10 @@ object AnalyticsQueries {
             |  'n_events', x.n_events,
             |  'n_censored', x.n_censored,
             |  'km_log_survival', CASE WHEN exists(slice(b, 1, i + 1),
-            |      y -> y.n_events >= y.n_at_risk) THEN CAST(NULL AS DOUBLE)
-            |    ELSE round(cast(aggregate(slice(b, 1, i + 1),
-            |    0L, (acc, y) -> acc + (CASE WHEN y.n_events > 0
-            |        AND y.n_events < y.n_at_risk
-            |      THEN cast(round(ln(1.0 - cast(y.n_events as double)
-            |        / y.n_at_risk) * 1000000.0, 0) as bigint)
-            |      ELSE 0L END)) as double) / 1000000.0, 6) END))""".stripMargin))
+            |      y -> y.absorb = 1) THEN CAST(NULL AS DOUBLE)
+            |    ELSE cast(aggregate(slice(b, 1, i + 1),
+            |      0L, (acc, y) -> acc + y.l_e6) as double) / 1000000.0
+            |    END))""".stripMargin))
           .as("r"))
         .select(col("r.*"))
         .orderBy(col("duration_day"))

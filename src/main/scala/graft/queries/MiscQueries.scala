@@ -1512,6 +1512,134 @@ object MiscQueries {
           (col("estq") >= col("v_lo") && col("estq") <= col("v_hi"))
             .as("within_rank_eps"))
         .orderBy(col("q"))
+    },
+
+    // ---------------------------------------------------------------
+    // q83 — THETA-SKETCH SET ALGEBRA across sources (Datasketches
+    // theta family): the mergeable-stats leg p35/q59/q72 left open.
+    // Question: how much 3-gram PHRASING does source A share with B
+    // (cross-source contamination / provenance), i.e. |A∩B|, |A∪B|,
+    // |A∖B| over each source's distinct shingle set. The exact
+    // renderings are gated (distinct (source, shingle) → pair
+    // equi-join; spine keeps zero-overlap pairs, d09 accounting); the
+    // SCALE PATH is the theta side: ONE pass builds a ~32 KB sketch
+    // per source through partial/final aggregation
+    // (SketchOps.ThetaDistinct), and union/intersection/A-not-B then
+    // answer ANY cross-source question from stored sketch bytes —
+    // at 100 TB you never rescan either source, and sketches built
+    // per ingest batch merge associatively. Gate follows q59/q72's
+    // sketch pattern: exact values hashed + a flag asserting the
+    // exact count lies within the sketch's 3-σ interval (the library
+    // maximum; at 2-σ the 570 deterministic flags at sf0.1's
+    // estimation scale hit their expected ~5% per-flag miss rate —
+    // 2 pairs — while 3-σ covers every pair at every shipped SF). At
+    // the DRIVER's gate SF every per-source set is < 4096 keys, so
+    // the sketches are in EXACT mode and the flags are structurally
+    // true regardless; the 8-shard error-bound contract is pinned
+    // separately in ThetaSketchSpec. Theta flags cannot FLAKE either
+    // way — the retained set is a pure function of the input set.
+    // Driver-side work is the set algebra on 20 collected sketches —
+    // model-state bytes, the k-means/PQ precedent — never row data.
+    // Shingles travel as xxhash64 keys (d04's dictionary-encoding
+    // argument: collisions ~|V|²/2⁶⁴ are negligible and counts are
+    // identical, so the string-side oracle still matches).
+    Q(
+      "q83_theta_source_overlap",
+      """WITH toks AS (
+        |  SELECT source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source,
+        |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |  FROM toks, unnest(generate_series(1,
+        |    greatest(0, len(ws) - 2))) AS t(i)
+        |  WHERE len(ws) >= 3),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM sh GROUP BY source),
+        |pr AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(count(*) AS BIGINT) AS n_inter
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT x.source AS src_a, y.source AS src_b,
+        |    x.n AS n_a, y.n AS n_b
+        |  FROM ns x JOIN ns y ON x.source < y.source)
+        |SELECT sp.src_a, sp.src_b, n_a, n_b,
+        |  COALESCE(n_inter, 0) AS n_inter,
+        |  n_a + n_b - COALESCE(n_inter, 0) AS n_union,
+        |  n_a - COALESCE(n_inter, 0) AS n_anotb,
+        |  CAST(TRUE AS BOOLEAN) AS inter_in_bounds,
+        |  CAST(TRUE AS BOOLEAN) AS union_in_bounds,
+        |  CAST(TRUE AS BOOLEAN) AS anotb_in_bounds
+        |FROM sp LEFT JOIN pr
+        |  ON pr.src_a = sp.src_a AND pr.src_b = sp.src_b
+        |ORDER BY sp.src_a, sp.src_b""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.{DedupOps, SketchOps}
+      import org.apache.datasketches.theta.SetOperation
+      // distinct (source, shingle-hash): ONE corpus pass feeds both
+      // the exact side and the sketches
+      val ks = Tables(s, dir, "documents")
+        .select(col("source"),
+          explode(DedupOps.shingles(DedupOps.words(col("text")), 3))
+            .as("g"))
+        .select(col("source"), xxhash64(col("g")).as("gh"))
+        .distinct()
+      // per-source sketches: the mergeable artifacts (model-state
+      // bytes — ~32 KB per source regardless of corpus size)
+      val sks = SketchOps.thetaPerKey(ks, col("source"), col("gh"))
+      val bounds = for {
+        ((a, sa), i) <- sks.zipWithIndex
+        (b, sb) <- sks.drop(i + 1)
+      } yield {
+        val in = SetOperation.builder().buildIntersection()
+        in.intersect(sa); in.intersect(sb)
+        val is = in.getResult()
+        val un = SetOperation.builder().buildUnion()
+        un.union(sa); un.union(sb)
+        val us = un.getResult()
+        val ab = SetOperation.builder().buildANotB().aNotB(sa, sb)
+        (a, b, is.getLowerBound(3), is.getUpperBound(3),
+          us.getLowerBound(3), us.getUpperBound(3),
+          ab.getLowerBound(3), ab.getUpperBound(3))
+      }
+      val boundsDf = s.createDataFrame(bounds.toSeq)
+        .toDF("src_a", "src_b", "i_lb", "i_ub", "u_lb", "u_ub",
+          "a_lb", "a_ub")
+      val perSrc = ks.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val spine = perSrc.select(col("source").as("src_a"),
+          col("n").as("n_a"))
+        .join(perSrc.select(col("source").as("src_b"),
+          col("n").as("n_b")), col("src_a") < col("src_b"))
+      val pairs = ks.as("a")
+        .join(ks.as("b"), col("a.gh") === col("b.gh") &&
+          col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"),
+          col("b.source").as("src_b"))
+        .agg(count(lit(1)).cast("long").as("n_inter"))
+      spine.join(pairs, Seq("src_a", "src_b"), "left_outer")
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+          (col("n_a") + col("n_b") -
+            coalesce(col("n_inter"), lit(0L))).as("n_union"),
+          (col("n_a") - coalesce(col("n_inter"), lit(0L)))
+            .as("n_anotb"))
+        .join(broadcast(boundsDf), Seq("src_a", "src_b"))
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          col("n_inter"), col("n_union"), col("n_anotb"),
+          (col("n_inter").cast("double") >= col("i_lb") &&
+            col("n_inter").cast("double") <= col("i_ub"))
+            .as("inter_in_bounds"),
+          (col("n_union").cast("double") >= col("u_lb") &&
+            col("n_union").cast("double") <= col("u_ub"))
+            .as("union_in_bounds"),
+          (col("n_anotb").cast("double") >= col("a_lb") &&
+            col("n_anotb").cast("double") <= col("a_ub"))
+            .as("anotb_in_bounds"))
+        .orderBy(col("src_a"), col("src_b"))
     }
   )
 }

@@ -437,9 +437,13 @@ object PipelineQueries {
         |scored AS (
         |  SELECT doc_id, source,
         |    CAST(len(ts) AS BIGINT) AS n_tokens,
-        |    round(0.25 * (1.0 - CAST(len(list_filter(ts, x -> x = 'a' OR x = 'the')) AS DOUBLE) / len(ts))
-        |        + 0.5 * (CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts))
-        |        + 0.25 * least((n_chars - (len(ts) - 1)) / len(ts) / 8.0, 1.0), 6) AS quality
+        |    CAST(((8 * (CAST(len(ts) AS BIGINT)
+        |          - len(list_filter(ts, x -> x = 'a' OR x = 'the')))
+        |        + 16 * len(list_distinct(ts))
+        |        + least(CAST(n_chars AS BIGINT) - len(ts) + 1,
+        |            8 * len(ts))) * 2000000
+        |      + 32 * len(ts)) // (64 * len(ts)) AS DOUBLE)
+        |      / 1000000.0 AS quality
         |  FROM f),
         |ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY source
@@ -570,9 +574,13 @@ object PipelineQueries {
         |    min(lab) OVER (PARTITION BY k2)) AS lab FROM i2),
         |q AS (
         |  SELECT doc_id,
-        |    round(0.25 * (1.0 - CAST(len(list_filter(ts, x -> x = 'a' OR x = 'the')) AS DOUBLE) / len(ts))
-        |        + 0.5 * (CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts))
-        |        + 0.25 * least((n_chars - (len(ts) - 1)) / len(ts) / 8.0, 1.0), 6) AS quality
+        |    CAST(((8 * (CAST(len(ts) AS BIGINT)
+        |          - len(list_filter(ts, x -> x = 'a' OR x = 'the')))
+        |        + 16 * len(list_distinct(ts))
+        |        + least(CAST(n_chars AS BIGINT) - len(ts) + 1,
+        |            8 * len(ts))) * 2000000
+        |      + 32 * len(ts)) // (64 * len(ts)) AS DOUBLE)
+        |      / 1000000.0 AS quality
         |  FROM (SELECT doc_id,
         |          list_filter(string_split(text, ' '), x -> x <> '') AS ts,
         |          CAST(length(text) AS DOUBLE) AS n_chars
@@ -1697,9 +1705,13 @@ object PipelineQueries {
         |  FROM documents),
         |q AS (
         |  SELECT CAST(len(ts) AS BIGINT) AS n_tokens,
-        |    round(0.25 * (1.0 - CAST(len(list_filter(ts, x -> x = 'a' OR x = 'the')) AS DOUBLE) / len(ts))
-        |        + 0.5 * (CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts))
-        |        + 0.25 * least((n_chars - (len(ts) - 1)) / len(ts) / 8.0, 1.0), 6) AS quality
+        |    CAST(((8 * (CAST(len(ts) AS BIGINT)
+        |          - len(list_filter(ts, x -> x = 'a' OR x = 'the')))
+        |        + 16 * len(list_distinct(ts))
+        |        + least(CAST(n_chars AS BIGINT) - len(ts) + 1,
+        |            8 * len(ts))) * 2000000
+        |      + 32 * len(ts)) // (64 * len(ts)) AS DOUBLE)
+        |      / 1000000.0 AS quality
         |  FROM f),
         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS all_tokens FROM q),
         |sw AS (
@@ -1762,12 +1774,15 @@ object PipelineQueries {
         |    CAST(len(list_filter(ts,
         |      x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS BIGINT)
         |      AS nstop,
-        |    round(0.25 * (1.0 - CAST(len(list_filter(ts, x -> x = 'a' OR x = 'the')) AS DOUBLE) / len(ts))
-        |        + 0.5 * (CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts))
-        |        + 0.25 * least((n_chars - (len(ts) - 1)) / len(ts) / 8.0, 1.0), 6) AS q
+        |    ((8 * (CAST(len(ts) AS BIGINT)
+        |          - len(list_filter(ts, x -> x = 'a' OR x = 'the')))
+        |        + 16 * len(list_distinct(ts))
+        |        + least(CAST(n_chars AS BIGINT) - len(ts) + 1,
+        |            8 * len(ts))) * 2000000
+        |      + 32 * len(ts)) // (64 * len(ts)) AS q_e6
         |  FROM f),
         |lab AS (
-        |  SELECT q >= 0.6 AS ka,
+        |  SELECT q_e6 >= 600000 AS ka,
         |    nw >= 50 AND nw <= 100000 AND sumlen >= 3 * nw
         |      AND sumlen <= 10 * nw AND nstop >= 2 AS kb
         |  FROM sig),
@@ -1789,24 +1804,29 @@ object PipelineQueries {
         |FROM c""".stripMargin
     ) { (s, dir) =>
       val ts = DedupOps.words(col("text"))
+      // t02's exact-BIGINT quality (TextOps.r6e6): the ka label is an
+      // INTEGER comparison (q_e6 >= 600000 ⟺ round6(q) >= 0.6), so no
+      // float rounding can sit near the gate threshold (RoundTieSpec)
       val sig = Tables(s, dir, "documents")
         .select(col("doc_id"), ts.as("ts"),
-          length(col("text")).cast("double").as("n_chars"))
+          length(col("text")).cast("long").as("n_chars"))
         .select(
           size(col("ts")).cast("long").as("nw"),
           length(array_join(col("ts"), "")).cast("long").as("sumlen"),
           size(filter(col("ts"),
             x => x.isin("the", "a", "and", "of", "to")))
             .cast("long").as("nstop"),
-          round(lit(0.25) * (lit(1.0)
-              - size(filter(col("ts"), x => x === "a" || x === "the"))
-                .cast("double") / size(col("ts")))
-            + lit(0.5) * (size(array_distinct(col("ts"))).cast("double")
-              / size(col("ts")))
-            + lit(0.25) * least((col("n_chars")
-              - (size(col("ts")) - 1)) / size(col("ts")) / 8.0,
-              lit(1.0)), 6).as("q"))
-      val lab = sig.select((col("q") >= 0.6).as("ka"),
+          {
+            val n = size(col("ts")).cast("long")
+            val st = size(filter(col("ts"),
+              x => x === "a" || x === "the")).cast("long")
+            val u = size(array_distinct(col("ts"))).cast("long")
+            val mNum = col("n_chars") - n + lit(1L)
+            val qNum = lit(8L) * (n - st) + lit(16L) * u +
+              least(mNum, lit(8L) * n)
+            graft.operators.TextOps.r6e6(qNum, lit(32L) * n).as("q_e6")
+          })
+      val lab = sig.select((col("q_e6") >= 600000L).as("ka"),
         (col("nw") >= 50 && col("nw") <= 100000 &&
           col("sumlen") >= col("nw") * 3 &&
           col("sumlen") <= col("nw") * 10 && col("nstop") >= 2).as("kb"))
@@ -2362,6 +2382,225 @@ object PipelineQueries {
             .as("gini"),
           (col("top_toks").cast("double") / col("total_tokens"))
             .as("top_decile_share"))
+    },
+
+    // ---------------------------------------------------------------
+    // p39 — t-CLOSENESS audit (Li, Li & Venkatasubramanian, ICDE
+    // 2007), completing the privacy ladder p34 (k-anonymity) and p36
+    // (l-diversity) climb: an l-diverse class can still leak when its
+    // sensitive values, though distinct, SKEW far from the corpus —
+    // t-closeness bounds each class's Earth Mover's Distance to the
+    // corpus marginal. Classes are p34's level-1 quasi-identifiers
+    // (nation, segment); the sensitive attribute is p36's ordered 2k
+    // balance band, so EMD takes the ordered-distance form
+    // EMD = Σᵢ |Σ_{j≤i}(p_j − q_j)| / (m−1) over the m-band domain.
+    // Exactness: p_j − q_j = (c_j·N − g_j·N_c)/(N_c·N), so the
+    // cumulative sums run in exact BIGINT over the (class × band)
+    // spine (zero-count bands INCLUDED — the d09 accounting rule —
+    // because they still carry cumulative mass), and the one display
+    // division is pure IEEE off exact integers — bit-identical in any
+    // engine, so the t = 0.25 flag is deterministic (nearest fixture
+    // EMD sits 5.6% away; the value itself is gated regardless).
+    // Scale: ONE class×band partial agg bounds everything after to
+    // |nations|·|segments|·|bands| rows; the marginal and the two
+    // scalars broadcast; the window is PARTITIONED by class.
+    // Monotonicity under p34's generalization ladder (coarser classes
+    // ⇒ max-EMD can only fall, by convexity of EMD in the mixture) is
+    // pinned in TClosenessSpec.
+    Q(
+      "p39_t_closeness",
+      """WITH b AS (
+        |  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal / 2000.0) AS INT) AS band
+        |  FROM customer),
+        |g AS (SELECT band, CAST(count(*) AS BIGINT) AS gn
+        |  FROM b GROUP BY band),
+        |n AS (SELECT CAST(sum(gn) AS BIGINT) AS n FROM g),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM g),
+        |cls AS (SELECT nat, seg, band, CAST(count(*) AS BIGINT) AS cn
+        |  FROM b GROUP BY 1, 2, 3),
+        |nc AS (SELECT nat, seg, CAST(sum(cn) AS BIGINT) AS ncr
+        |  FROM cls GROUP BY 1, 2),
+        |sp AS (SELECT nc.nat, nc.seg, nc.ncr, g.band, g.gn
+        |  FROM nc CROSS JOIN g),
+        |d AS (SELECT sp.nat, sp.seg, sp.ncr, sp.band,
+        |    COALESCE(cls.cn, 0) * n.n - sp.gn * sp.ncr AS diff
+        |  FROM sp LEFT JOIN cls ON cls.nat = sp.nat
+        |    AND cls.seg = sp.seg AND cls.band = sp.band
+        |  CROSS JOIN n),
+        |c AS (SELECT nat, seg, ncr,
+        |    sum(diff) OVER (PARTITION BY nat, seg ORDER BY band
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d),
+        |e AS (SELECT nat, seg, ncr, CAST(sum(abs(cum)) AS BIGINT) AS s
+        |  FROM c GROUP BY 1, 2, 3)
+        |SELECT CAST(nat AS BIGINT) AS c_nationkey,
+        |  seg AS c_mktsegment, ncr AS n_rows,
+        |  CAST(s AS DOUBLE) / (CAST(ncr AS DOUBLE) * n.n * (m.m - 1))
+        |    AS emd,
+        |  CAST(s AS DOUBLE) / (CAST(ncr AS DOUBLE) * n.n * (m.m - 1))
+        |    > 0.25 AS exceeds_t
+        |FROM e CROSS JOIN n CROSS JOIN m
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val b = Tables(s, dir, "customer")
+        .select(col("c_nationkey").as("nat"),
+          col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") / 2000.0).cast("int").as("band"))
+      val g = b.groupBy(col("band"))
+        .agg(count(lit(1)).cast("long").as("gn"))
+      val nT = g.agg(sum(col("gn")).cast("long").as("n"))
+      val mT = g.agg(count(lit(1)).cast("long").as("m"))
+      val cls = b.groupBy(col("nat"), col("seg"), col("band"))
+        .agg(count(lit(1)).cast("long").as("cn"))
+      val nc = cls.groupBy(col("nat"), col("seg"))
+        .agg(sum(col("cn")).cast("long").as("ncr"))
+      val d = nc.crossJoin(broadcast(g))
+        .join(cls, Seq("nat", "seg", "band"), "left_outer")
+        .crossJoin(broadcast(nT))
+        .select(col("nat"), col("seg"), col("ncr"), col("band"),
+          (coalesce(col("cn"), lit(0L)) * col("n")
+            - col("gn") * col("ncr")).as("diff"))
+      val w = Window.partitionBy(col("nat"), col("seg"))
+        .orderBy(col("band"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val e = d.withColumn("cum", sum(col("diff")).over(w))
+        .groupBy(col("nat"), col("seg"), col("ncr"))
+        .agg(sum(abs(col("cum"))).cast("long").as("s"))
+      val emd = col("s").cast("double") /
+        (col("ncr").cast("double") * col("n") * (col("m") - lit(1L)))
+      e.crossJoin(broadcast(nT)).crossJoin(broadcast(mT))
+        .select(col("nat").cast("long").as("c_nationkey"),
+          col("seg").as("c_mktsegment"), col("ncr").as("n_rows"),
+          emd.as("emd"), (emd > 0.25).as("exceeds_t"))
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    },
+
+    // ---------------------------------------------------------------
+    // p38 — STREAMING takedown: p32's cascade driven by a CONTINUOUS
+    // removal-notice stream consumed through the `pulsarlike` source —
+    // compliance teams process takedowns as they arrive, not as a
+    // batch replay. A notice is a high-severity message (property
+    // k ≥ 80); its target is (key·100 + k) mod |corpus|, so the
+    // notice→document mapping needs no payload parse (content-type-
+    // independent, ws11's discipline). Notices land through a
+    // watermarked 1-day tumbling window under the ws sentinel
+    // choreography — the LATE replay (event_id % 3 = 0, published
+    // after the sentinel advanced the watermark) is DROPPED by the
+    // window operator, so a replayed notice can never re-trigger or
+    // double-count a removal (proven by the gate's
+    // numRowsDroppedByWatermark in StreamTakedownSpec); non-notices
+    // ride through the aggregation as a NULL target group (a filter
+    // before the watermark would push below it and starve the
+    // sentinel — the ws11 lesson) and are dropped after landing. The
+    // landed notice set then replays p32's cascade: documents leave
+    // the corpus, a d21 chunk leaves storage only if EVERY occurrence
+    // was removed, a surviving chunk whose first-occurrence owner was
+    // removed is re-owned. Scale: stream state is one counter per
+    // (open-day × target); the landed set joins the corpus/chunk
+    // store by KEY (equi-join, broadcastable while small, partitioned
+    // when a mass event isn't) — removal never rescans text.
+    Q(
+      "p38_stream_takedown",
+      s"""WITH corpus AS (SELECT doc_id, source, text FROM documents),
+        |${DedupQueries.cdcChunkSql},
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM corpus),
+        |ntc AS (
+        |  SELECT user_id,
+        |    CAST(json_extract(props, '$$.k') AS BIGINT) AS k
+        |  FROM events
+        |  WHERE event_id % 3 <> 0
+        |    AND CAST(json_extract(props, '$$.k') AS BIGINT) >= 80),
+        |rset AS (SELECT DISTINCT (user_id * 100 + k) % nd.n AS doc_id
+        |  FROM ntc CROSS JOIN nd),
+        |nrow AS (SELECT 'notices' AS artifact,
+        |  CAST((SELECT count(*) FROM ntc) AS BIGINT) AS n_before,
+        |  CAST(0 AS BIGINT) AS n_removed,
+        |  CAST(0 AS BIGINT) AS n_reowned,
+        |  CAST((SELECT count(*) FROM rset JOIN corpus USING (doc_id))
+        |    AS BIGINT) AS n_after),
+        |drow AS (SELECT 'documents' AS artifact,
+        |  CAST(count(*) AS BIGINT) AS n_before,
+        |  CAST(sum(CASE WHEN rs.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_removed,
+        |  CAST(0 AS BIGINT) AS n_reowned,
+        |  CAST(sum(CASE WHEN rs.doc_id IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_after
+        |  FROM corpus c LEFT JOIN rset rs ON rs.doc_id = c.doc_id),
+        |cho AS (SELECT h, min(ch.doc_id) AS mindoc,
+        |    max(CASE WHEN rs.doc_id IS NULL THEN 1 ELSE 0 END) AS surv
+        |  FROM r ch LEFT JOIN rset rs ON rs.doc_id = ch.doc_id
+        |  GROUP BY h),
+        |chrow AS (SELECT 'chunks' AS artifact,
+        |  CAST(count(*) AS BIGINT) AS n_before,
+        |  CAST(sum(1 - surv) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN surv = 1 AND mindoc IN
+        |      (SELECT doc_id FROM rset) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_reowned,
+        |  CAST(sum(surv) AS BIGINT) AS n_after
+        |  FROM cho)
+        |SELECT * FROM chrow UNION ALL SELECT * FROM drow
+        |UNION ALL SELECT * FROM nrow ORDER BY artifact""".stripMargin
+    ) { (s, dir) =>
+      val landed = StreamingWindowGate.run(s, dir, "graft-wtkd",
+        df => df
+          .groupBy(window(col("event_time"), "1 day"),
+            when(expr("try_cast(element_at(properties, 'k') AS BIGINT)")
+                >= 80L,
+              expr("try_cast(key AS BIGINT) * 100L + " +
+                "try_cast(element_at(properties, 'k') AS BIGINT)"))
+              .as("tgt"))
+          .agg(count(lit(1)).cast("long").as("n_notices"))
+          .select(col("window.start").as("day"), col("tgt"),
+            col("n_notices")),
+        Seq("day", "tgt"))
+        .filter(col("tgt").isNotNull)
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val nd = docs.agg(count(lit(1)).cast("long").as("n"))
+      val removedSet = landed.crossJoin(broadcast(nd))
+        .select(pmod(col("tgt"), col("n")).as("doc_id")).distinct()
+      val rm = removedSet.withColumn("rm", lit(1))
+      val nrow = landed
+        .agg(sum(col("n_notices")).cast("long").as("n_before"))
+        .crossJoin(removedSet
+          .join(docs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .agg(count(lit(1)).cast("long").as("n_after")))
+        .select(lit("notices").as("artifact"), col("n_before"),
+          lit(0L).as("n_removed"), lit(0L).as("n_reowned"),
+          col("n_after"))
+      val flagged = docs.join(rm, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("source"), col("text"),
+          coalesce(col("rm"), lit(0)).as("rm"))
+      val drow = flagged
+        .agg(count(lit(1)).as("nb"),
+          sum(when(col("rm") === 1, 1L).otherwise(0L)).as("nr"))
+        .select(lit("documents").as("artifact"),
+          col("nb").cast("long").as("n_before"),
+          col("nr").cast("long").as("n_removed"),
+          lit(0L).as("n_reowned"),
+          (col("nb") - col("nr")).cast("long").as("n_after"))
+      val cho = DedupQueries.cdcChunkRows(docs)
+        .join(rm, Seq("doc_id"), "left_outer")
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("mindoc"),
+          max(when(col("rm").isNull, 1).otherwise(0)).as("surv"))
+        .join(rm.select(col("doc_id").as("mindoc"),
+          col("rm").as("mrm")), Seq("mindoc"), "left_outer")
+      val chrow = cho
+        .agg(count(lit(1)).as("nb"),
+          sum(lit(1) - col("surv")).as("nr"),
+          sum(when(col("surv") === 1 && col("mrm") === 1, 1L)
+            .otherwise(0L)).as("nre"),
+          sum(col("surv")).as("na"))
+        .select(lit("chunks").as("artifact"),
+          col("nb").cast("long").as("n_before"),
+          col("nr").cast("long").as("n_removed"),
+          col("nre").cast("long").as("n_reowned"),
+          col("na").cast("long").as("n_after"))
+      chrow.unionByName(drow).unionByName(nrow)
+        .orderBy(col("artifact"))
     }
   )
 

@@ -863,7 +863,7 @@ object SimilarityQueries {
         |s3 AS (${mmrRoundSql("sel2", 3)}),
         |sel3 AS (SELECT q_id, cid FROM sel2 UNION ALL SELECT q_id, cid FROM s3),
         |s4 AS (${mmrRoundSql("sel3", 4)})
-        |SELECT q_id, cid AS neighbor_id, mmr_rank, round(score, 6) AS score
+        |SELECT q_id, cid AS neighbor_id, mmr_rank, score
         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
         |      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4) u
         |ORDER BY q_id, mmr_rank""".stripMargin
@@ -910,8 +910,15 @@ object SimilarityQueries {
         sel = graft.operators.Stage.stage(
           sel.unionByName(pick(remScored, t)))
       }
+      // score gated UNROUNDED (round-9): it is pure IEEE arithmetic
+      // (dot/mul/sub; sqrt is correctly rounded) with identical operand
+      // order in both renderings, so the raw double is bit-identical in
+      // any compliant engine — while round(·,6) exposed a value 1e-7
+      // from a .5 boundary (RoundTieSpec), where Spark's
+      // BigDecimal-exact HALF_UP and an oracle's multiply-based round
+      // can disagree. Unrounded is strictly MORE robust here.
       sel.select(col("q_id"), col("cid").as("neighbor_id"),
-          col("mmr_rank"), round(col("score"), 6).as("score"))
+          col("mmr_rank"), col("score"))
         .orderBy(col("q_id"), col("mmr_rank"))
     },
 

@@ -58,17 +58,26 @@ object TextQueries {
       """WITH f AS (
         |  SELECT doc_id,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS ts,
-        |    CAST(length(text) AS DOUBLE) AS n_chars
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CAST(len(ts) AS BIGINT) AS n_tokens,
-        |  round(CAST(len(list_filter(ts, x -> x = 'a' OR x = 'the')) AS DOUBLE) / len(ts), 6) AS stopword_ratio,
-        |  round(CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts), 6) AS unique_ratio,
-        |  round((n_chars - (len(ts) - 1)) / len(ts), 6) AS mean_token_len,
-        |  round(0.25 * (1.0 - CAST(len(list_filter(ts, x -> x = 'a' OR x = 'the')) AS DOUBLE) / len(ts))
-        |      + 0.5 * (CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts))
-        |      + 0.25 * least((n_chars - (len(ts) - 1)) / len(ts) / 8.0, 1.0), 6) AS quality
-        |FROM f ORDER BY doc_id""".stripMargin
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) AS BIGINT) AS n,
+        |    CAST(len(list_filter(ts, x -> x = 'a' OR x = 'the'))
+        |      AS BIGINT) AS s,
+        |    CAST(len(list_distinct(ts)) AS BIGINT) AS u,
+        |    n_chars - CAST(len(ts) AS BIGINT) + 1 AS mnum
+        |  FROM f)
+        |SELECT doc_id, n AS n_tokens,
+        |  CAST((s * 2000000 + n) // (2 * n) AS DOUBLE) / 1000000.0
+        |    AS stopword_ratio,
+        |  CAST((u * 2000000 + n) // (2 * n) AS DOUBLE) / 1000000.0
+        |    AS unique_ratio,
+        |  CAST((mnum * 2000000 + n) // (2 * n) AS DOUBLE) / 1000000.0
+        |    AS mean_token_len,
+        |  CAST(((8 * (n - s) + 16 * u + least(mnum, 8 * n)) * 2000000
+        |      + 32 * n) // (64 * n) AS DOUBLE) / 1000000.0 AS quality
+        |FROM g ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
       TextOps.qualityScore(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
@@ -559,10 +568,17 @@ object TextQueries {
     // (max(1, count of [aeiou]+ runs) per word); the fixture has no
     // sentence punctuation, so sentences are the deterministic
     // ceil(words/10) proxy — the formula's shape, not a parser, is
-    // what's under test. Counts are exact integers; the grade is two
-    // IEEE divisions + multiply-adds in a fixed order, so both
-    // engines round the same double to 4 places. Shape at 100 TB: one
-    // stateless projection, no shuffle but the presentation sort.
+    // what's under test. Counts are exact integers; the grade is an
+    // exact RATIONAL (39·nw² + 1180·nsy·ns − 1559·ns·nw)/(100·ns·nw),
+    // so (RoundTieSpec: 10 of 500 fixture grades sat exactly ON a
+    // 4-decimal .5 boundary under the old two-IEEE-divisions form) the
+    // 4-decimal rounding runs in exact BIGINT with a sign split
+    // (HALF_UP = away-from-zero; both engines' integer division is
+    // floor/trunc-identical on NON-negative operands only), then one
+    // exact cast. Sentence proxy is the integer ceiling (nw+9) div 10
+    // (q75's discipline). Headroom: num < 2⁶³/2e4 ⇒ docs to ~1e6
+    // words at 1e5 sentences. Shape at 100 TB: one stateless
+    // projection, no shuffle but the presentation sort.
     Q(
       "t12_readability",
       """WITH f AS (
@@ -572,31 +588,45 @@ object TextQueries {
         |c AS (
         |  SELECT doc_id,
         |    CAST(len(ws) AS BIGINT) AS nw,
-        |    CAST(ceil(len(ws) / 10.0) AS BIGINT) AS ns,
+        |    (CAST(len(ws) AS BIGINT) + 9) // 10 AS ns,
         |    CAST(list_aggregate(list_transform(ws,
         |      w -> greatest(1, len(regexp_extract_all(w, '[aeiou]+')))),
         |      'sum') AS BIGINT) AS nsy
-        |  FROM f)
-        |SELECT doc_id, nw AS n_words, ns AS n_sentences, nsy AS n_syllables,
-        |  round(0.39 * (CAST(nw AS DOUBLE) / ns)
-        |    + 11.8 * (CAST(nsy AS DOUBLE) / nw) - 15.59, 4) AS fk_grade
-        |FROM c ORDER BY doc_id""".stripMargin
+        |  FROM f),
+        |d AS (
+        |  SELECT doc_id, nw, ns, nsy,
+        |    39 * nw * nw + 1180 * nsy * ns - 1559 * ns * nw AS num,
+        |    100 * ns * nw AS den
+        |  FROM c)
+        |SELECT doc_id, nw AS n_words, ns AS n_sentences,
+        |  nsy AS n_syllables,
+        |  CAST(CASE WHEN num >= 0 THEN (num * 20000 + den) // (2 * den)
+        |       ELSE -(((-num) * 20000 + den) // (2 * den)) END
+        |    AS DOUBLE) / 10000.0 AS fk_grade
+        |FROM d ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
+      import graft.operators.TextOps.idiv
       val ws = graft.operators.DedupOps.words(col("text"))
       val counts = Tables(s, dir, "documents")
         .select(col("doc_id"), ws.as("ws"))
         .select(col("doc_id"),
           size(col("ws")).cast("long").as("nw"),
-          ceil(size(col("ws")) / 10.0).cast("long").as("ns"),
+          idiv(size(col("ws")).cast("long") + lit(9L), lit(10L))
+            .as("ns"),
           aggregate(
             transform(col("ws"), w => greatest(lit(1),
               size(regexp_extract_all(w, lit("[aeiou]+"), lit(0))))),
             lit(0L), (acc, x) => acc + x).as("nsy"))
+      val num = lit(39L) * col("nw") * col("nw") +
+        lit(1180L) * col("nsy") * col("ns") -
+        lit(1559L) * col("ns") * col("nw")
+      val den = lit(100L) * col("ns") * col("nw")
+      val e4 = when(num >= 0L,
+        idiv(num * lit(20000L) + den, den * lit(2L)))
+        .otherwise(-idiv((-num) * lit(20000L) + den, den * lit(2L)))
       counts.select(col("doc_id"), col("nw").as("n_words"),
           col("ns").as("n_sentences"), col("nsy").as("n_syllables"),
-          round(lit(0.39) * (col("nw").cast("double") / col("ns"))
-            + lit(11.8) * (col("nsy").cast("double") / col("nw"))
-            - 15.59, 4).as("fk_grade"))
+          (e4.cast("double") / lit(10000.0)).as("fk_grade"))
         .orderBy(col("doc_id"))
     },
 

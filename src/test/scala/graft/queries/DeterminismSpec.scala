@@ -37,7 +37,7 @@ class DeterminismSpec extends SparkSpec {
     "q61_shapley_attribution", // integer algebra + one display division
     "q69_auc_roc",           // integer rank-sum + two display divisions
     "q70_ks_separation",     // integer CDF gaps + argmax fold
-    "q71_psi_drift",         // ln-term DECIMAL sum over 10 bins
+    "q71_psi_drift",         // exact decimal ratios + banded ln terms
     "q73_cusum_changepoint", // BIGINT-cents fold + display divisions
     "p37_token_gini",        // global-rank integer sums
     "t27_pmi_collocations",  // rounded-ln ranking + top-k ties
@@ -54,7 +54,12 @@ class DeterminismSpec extends SparkSpec {
     "s23_bm25",              // rounded-ln scoring + top-k ties
     "q80_mann_kendall",      // integer pair fold + shared-double z
     "q81_benford_audit",     // exact digit counts + ln-constant shares
-    "q82_cohort_ltv"         // BIGINT cents cumsum + display divisions
+    "q82_cohort_ltv",        // BIGINT cents cumsum + display divisions
+    "q83_theta_source_overlap", // theta retained set is order-free;
+                             // exact counts + 2-sigma bound flags
+    "s13_mmr_rerank",        // unrounded pure-IEEE MMR scores (r9)
+    "t02_quality_score",     // exact-BIGINT rational rounding (r9)
+    "t12_readability"        // exact-BIGINT rational rounding (r9)
   )
 
   test("float-heavy queries are bit-identical across shuffle parallelism") {

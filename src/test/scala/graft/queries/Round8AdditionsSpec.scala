@@ -406,9 +406,10 @@ class Round8AdditionsSpec extends SparkSpec {
         lnMicro += BigDecimal(math.log(1.0 - d.toDouble / nrisk) * 1e6)
           .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
       if (d >= nrisk) dead = true
+      // round-9: the query renders the e6 integer with ONE exact IEEE
+      // division (no outer round — see q62's Scaladoc)
       val km: Option[Double] = if (dead) None
-        else Some(BigDecimal(lnMicro.toDouble / 1000000.0)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else Some(lnMicro.toDouble / 1000000.0)
       (dur, nrisk, d, cnt - d, km)
     }
     val got = QueryRegistry.byName("q62_survival_km")

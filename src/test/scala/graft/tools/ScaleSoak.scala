@@ -11,15 +11,29 @@ import org.apache.spark.sql.functions._
   * scale them quadratically and measure a different workload). Soak
   * input only — oracle queries always run on driver-generated data.
   *
-  * Usage: Test/runMain graft.ScaleSoak [genDir [queryName...]]
+  * Usage: Test/runMain graft.ScaleSoak [genDir [--reps N] [queryName...]]
   * Runs the given queries (default: the 6 most expensive) at sf0.1 and
-  * at the 10× derivative, reports wall times, the 10×/1× ratio per
-  * query (flat per-row cost ⇒ ratio ≈ 10 of the data-bound part), and
-  * peak driver heap.
+  * at the N× derivative (default 10), reports wall times, the N×/1×
+  * ratio per query (flat per-row cost ⇒ ratio ≈ N of the data-bound
+  * part), and peak driver heap.
+  *
+  * Replica-count ceilings (round 9, for the 100× runs): queries that
+  * PLANT ids (Q.plantedId offsets 100000+) raise on derived doc_ids ≥
+  * their offset, so planting queries cap at 19 replicas (19 × 5000 =
+  * 95000 < 100000) — run them with `--reps 19`; the embedding rotation
+  * repeats after 64 replicas (7i mod 64 cycles), so embedding-pair
+  * queries are only linear-faithful to 64× — none of the round-9 100×
+  * targets read embeddings.
   */
 object ScaleSoak {
   def main(args: Array[String]): Unit = {
     val soakDir = if (args.nonEmpty) args(0) else "/tmp/sf1soak"
+    val repsIdx = args.indexOf("--reps")
+    val reps = if (repsIdx >= 0) args(repsIdx + 1).toInt else 10
+    val queryArgs =
+      if (repsIdx >= 0)
+        args.drop(1).patch(repsIdx - 1, Nil, 2).toSeq
+      else args.drop(1).toSeq
     val base = "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -33,7 +47,7 @@ object ScaleSoak {
       if (java.nio.file.Files.exists(
           java.nio.file.Paths.get(s"$soakDir/$name.parquet"))) return
       val src = Tables(spark, base, name)
-      val out = (0 until 10).map(i => f(src, i)).reduce(_ unionByName _)
+      val out = (0 until reps).map(i => f(src, i)).reduce(_ unionByName _)
       out.write.mode("overwrite").parquet(s"$soakDir/$name.parquet")
     }
     locally {
@@ -84,10 +98,12 @@ object ScaleSoak {
         // shift makes each high-i replica internally near-duplicate
         // (all vectors → the 1-direction as c grows — d05's 43 true
         // pairs exploded to 43.7M).
-        (if (i == 0) col("embedding")
-         else concat(slice(col("embedding"), 7 * i + 1, 64 - 7 * i),
-           slice(col("embedding"), 1, 7 * i)))
-          .as("embedding"),
+        {
+          val r = (7 * i) % 64
+          (if (r == 0) col("embedding")
+           else concat(slice(col("embedding"), r + 1, 64 - r),
+             slice(col("embedding"), 1, r)))
+        }.as("embedding"),
         col("label")))
       // orders/lineitem (round 8, for q57/q58/q59 and the relational
       // order-stat family): 10× volume over the SAME date range and
@@ -121,7 +137,7 @@ object ScaleSoak {
     }
 
     val names =
-      if (args.length > 1) args.drop(1).toSeq
+      if (queryArgs.nonEmpty) queryArgs
       else Seq("t01_langid_ngram", "w04_stream_interval_join",
         "p06_connected_components", "ps01_stream_ingest", "p04_dup_clusters",
         "s03_ann_ml_lsh")
@@ -145,7 +161,7 @@ object ScaleSoak {
       .filter(_.getType == java.lang.management.MemoryType.HEAP)
       .map(_.getPeakUsage.getUsed).sum / (1 << 20)
 
-    println(f"${"query"}%-26s ${"sf0.1_s"}%8s ${"10x_s"}%8s ratio  peakHeapMB")
+    println(f"${"query"}%-26s ${"sf0.1_s"}%8s ${reps + "x_s"}%8s ratio  peakHeapMB")
     names.foreach { n =>
       run(n, base) // warm
       val t1 = run(n, base)
