@@ -1764,6 +1764,78 @@ object StreamingQueries {
   * negative ids null-safely on BOTH columns (a right-unmatched full
   * outer row carries a null click_id).
   */
+/** Round-9 choreography-constant shave (VERDICT Next #7): the five
+  * StreamOuterJoinGate queries each published their own full copy of
+  * the events topic (fromEvents projection + routed write — the
+  * dominant shared setup cost). The topic CONTENT is identical across
+  * them, so it is now published ONCE per (session, fixture dir) and
+  * each query gets a byte-identical filesystem COPY under its own
+  * root — same files, same message ids, same partition routing; the
+  * per-query pass-2 sentinel still appends to the private copy, so
+  * the two-pass watermark choreography under test is untouched. */
+private[queries] object SharedEventsTopic {
+  import org.apache.spark.sql.SparkSession
+  private val cache = scala.collection.mutable.HashMap.empty[String, String]
+
+  /** Root holding a published-once `events` topic: the full fixture
+    * plus the two 2035 per-side watermark sentinels. */
+  def base(s: SparkSession, dir: String): String = synchronized {
+    cache.getOrElseUpdate(dir, {
+      val root = graft.TempRoots.create("graft-soj-base")
+      TopicStore.publish(s,
+        MessageOps.fromEvents(Tables(s, dir, "events")), root, "events", 4)
+      val farFuture = java.sql.Timestamp.valueOf("2035-01-01 00:00:00")
+      import s.implicits._
+      TopicStore.publish(s,
+        Seq(
+          ("-1", """{"event_id":-1,"event_type":"click","value":0.0}"""),
+          ("-2", """{"event_id":-2,"event_type":"purchase","value":0.0}"""))
+          .toDF("key", "value_str")
+          .withColumn("publish_time", lit(farFuture))
+          .withColumn("event_time", lit(farFuture))
+          .withColumn("content_type", lit("application/json")),
+        root, "events", 4)
+      root
+    })
+  }
+
+  /** Root holding the StreamingWindowGate pass-1 content: the ON-TIME
+    * subset (event_id % 3 <> 0) plus the single 2035 wm-sentinel.
+    * Pass 2's late-subset publish stays per-query (it appends to the
+    * private copy mid-choreography). */
+  def baseOnTime(s: SparkSession, dir: String): String = synchronized {
+    cache.getOrElseUpdate("ontime:" + dir, {
+      val root = graft.TempRoots.create("graft-wgate-base")
+      val events = Tables(s, dir, "events")
+      TopicStore.publish(s,
+        MessageOps.fromEvents(
+          events.filter(pmod(col("event_id"), lit(3)) =!= 0)),
+        root, "events", 4)
+      val sentinelTs = java.sql.Timestamp.valueOf("2035-01-01 00:00:00")
+      import s.implicits._
+      TopicStore.publish(s,
+        Seq(("wm-sentinel", "flush")).toDF("key", "value_str")
+          .withColumn("publish_time", lit(sentinelTs))
+          .withColumn("event_time", lit(sentinelTs)),
+        root, "events", 4)
+      root
+    })
+  }
+
+  /** Recursive file copy of the base topic into a fresh query root. */
+  def copyInto(baseRoot: String, root: String): Unit = {
+    val src = java.nio.file.Paths.get(baseRoot)
+    val dst = java.nio.file.Paths.get(root)
+    java.nio.file.Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+}
+
 private[queries] object StreamOuterJoinGate {
   import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -1777,21 +1849,11 @@ private[queries] object StreamOuterJoinGate {
     val root = graft.TempRoots.create(tag)
     val ckpt = graft.TempRoots.create(tag + "-ckpt")
     val outDir = root + "/joined"
-    TopicStore.publish(s,
-      MessageOps.fromEvents(Tables(s, dir, "events")), root, "events", 4)
-    // per-side watermark sentinels: parseable payloads, far-future
-    // event time, user ids no real row carries
-    val farFuture = java.sql.Timestamp.valueOf("2035-01-01 00:00:00")
-    val sentinels = Seq(
-      ("-1", """{"event_id":-1,"event_type":"click","value":0.0}"""),
-      ("-2", """{"event_id":-2,"event_type":"purchase","value":0.0}"""))
+    // byte-identical copy of the shared published topic (full events
+    // fixture + the two 2035 per-side watermark sentinels — parseable
+    // payloads, far-future event time, user ids no real row carries)
+    SharedEventsTopic.copyInto(SharedEventsTopic.base(s, dir), root)
     import s.implicits._
-    TopicStore.publish(s,
-      sentinels.toDF("key", "value_str")
-        .withColumn("publish_time", lit(farFuture))
-        .withColumn("event_time", lit(farFuture))
-        .withColumn("content_type", lit("application/json")),
-      root, "events", 4)
 
     val payloadSchema = MessageOps.payloadSchema
     def side(eventType: String, idAs: String, tsAs: String) = {
@@ -1816,7 +1878,25 @@ private[queries] object StreamOuterJoinGate {
         .withWatermark(tsAs, "1 hour")
     }
     def runPass(): Unit = {
-      StreamHarness.withShufflePartitions(s, "8") {
+      // 4 (not the loops' 8): a stream-stream join carries FOUR state
+      // stores per partition per side, so this gate's per-pass setup
+      // cost is dominated by store instantiation — 4 partitions
+      // halves it while the landed output (then globally sorted) is
+      // partition-count independent. The fixture's per-partition state
+      // stays trivially small; a production deployment sizes this to
+      // volume as usual.
+      //
+      // noDataMicroBatches OFF for this gate: the choreography
+      // explicitly feeds a DATA batch after every watermark advance
+      // that matters (pass 2's 2036 sentinel exists for exactly this),
+      // so the automatic post-advance empty batch only re-loads and
+      // re-commits every state store to flush rows the landed filter
+      // discards anyway (the 2035 sentinels' own unmatched-outer
+      // rows). Gated output is byte-identical; one full batch of
+      // store ceremony per pass is saved.
+      StreamHarness.withConf(s,
+        "spark.sql.streaming.noDataMicroBatches.enabled", "false") {
+      StreamHarness.withShufflePartitions(s, "4") {
         val clicks = side("click", "click_id", "click_ts")
         val buys = side("purchase", "buy_id", "buy_ts")
         val joined = clicks.join(buys,
@@ -1852,6 +1932,7 @@ private[queries] object StreamOuterJoinGate {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+      }
       }
     }
     runPass()
@@ -1919,15 +2000,16 @@ private[queries] object StreamingWindowGate {
       s"fixture events reach $maxTs, at or above the $sentinelTs watermark " +
         "sentinel minus the 1 h delay - the gate's drop accounting is " +
         "invalid for this fixture")
-    val sentinel = events.limit(1).select(
-      lit("wm-sentinel").as("key"),
-      lit("flush").as("value_str"),
-      lit(sentinelTs).as("publish_time"),
-      lit(sentinelTs).as("event_time"))
-
     var observed = 0L
     var dropped = 0L
     def runPass(): Unit = {
+      // noDataMicroBatches stays ON here, unlike StreamOuterJoinGate:
+      // this gate's pass 2 depends on the ADVANCED watermark to DROP
+      // the late replay, and the pass-1 no-data batch is what persists
+      // that advance for the restart (measured round 9: with it off,
+      // every late row landed — 15 of 15 ws11 day rows over-counted).
+      // The soj gate survives because its pass 2 only needs outer-row
+      // FLUSH, which the commit-log watermark recovery provides.
       StreamHarness.withShufflePartitions(s, "8") {
         val src = s.readStream.format("pulsarlike")
           .option("path", root)
@@ -1965,10 +2047,10 @@ private[queries] object StreamingWindowGate {
       }
     }
 
-    TopicStore.publish(s,
-      MessageOps.fromEvents(events.filter(pmod(col("event_id"), lit(3)) =!= 0)),
-      root, "events", 4)
-    TopicStore.publish(s, sentinel, root, "events", 4)
+    // byte-identical copy of the shared pass-1 topic (on-time subset +
+    // the 2035 wm-sentinel); pass 2's late publish appends per query
+    SharedEventsTopic.copyInto(
+      SharedEventsTopic.baseOnTime(s, dir), root)
     runPass()
     TopicStore.publish(s,
       MessageOps.fromEvents(events.filter(pmod(col("event_id"), lit(3)) === 0)),
@@ -1991,6 +2073,18 @@ private[queries] object StreamHarness {
     s.conf.set("spark.sql.shuffle.partitions", n)
     try body
     finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Scoped session-conf override (same restore discipline). */
+  def withConf[T](s: org.apache.spark.sql.SparkSession, key: String,
+      v: String)(body: => T): T = {
+    val prev = util.Try(Option(s.conf.get(key))).toOption.flatten
+    s.conf.set(key, v)
+    try body
+    finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None => s.conf.unset(key)
+    }
   }
 
   /** transformWithState requires the RocksDB state-store provider —
