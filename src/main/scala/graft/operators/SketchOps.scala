@@ -127,13 +127,17 @@ object SketchOps {
   def thetaPerKey(df: org.apache.spark.sql.DataFrame,
       key: org.apache.spark.sql.Column,
       value: org.apache.spark.sql.Column, lgK: Int = 12)
-      : Seq[(String, org.apache.datasketches.theta.Sketch)] = {
-    val theta = org.apache.spark.sql.functions.udaf(
-      new ThetaDistinct(lgK), Encoders.scalaLong)
-    df.groupBy(key.as("k")).agg(theta(value).as("sk")).collect()
-      .map(r => r.getString(0) ->
-        (org.apache.datasketches.theta.Sketches.wrapSketch(
-          Memory.wrap(r.getAs[Array[Byte]](1)))
+      : Seq[(String, Long, org.apache.datasketches.theta.Sketch)] = {
+    import org.apache.spark.sql.functions.{count, lit, udaf}
+    val theta = udaf(new ThetaDistinct(lgK), Encoders.scalaLong)
+    // the exact per-key row count rides the SAME partial aggregation
+    // (one shuffle for sketch + count instead of two)
+    df.groupBy(key.as("k"))
+      .agg(count(lit(1)).cast("long").as("n"), theta(value).as("sk"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        org.apache.datasketches.theta.Sketches.wrapSketch(
+          Memory.wrap(r.getAs[Array[Byte]](2)))
           : org.apache.datasketches.theta.Sketch))
       .toSeq.sortBy(_._1)
   }

@@ -2656,6 +2656,194 @@ object AnalyticsQueries {
           (col("cum_cents").cast("double")
             / (lit(100.0) * col("n_custs"))).as("ltv"))
         .orderBy(col("cohort"), col("offs"))
+    },
+
+    // ---------------------------------------------------------------
+    // q84 — source × lang INDEPENDENCE audit (Pearson χ² + Cramér's V):
+    // the dataset-card question "is language balanced across sources,
+    // or does dropping a source skew the language mix?". Exactness:
+    // the contingency table, row/column margins and N are exact
+    // BIGINTs over the FULL nr×nc spine (zero cells carry expected
+    // mass — the d09 rule); each cell's χ² term is the exact-integer
+    // identity (o·N − r·c)²/(N·r·c) evaluated as one shared-order IEEE
+    // division, then round(·,6)→DECIMAL(28,6) and summed order-free
+    // (t22's discipline); V = sqrt(χ²/(N·(min(nr,nc)−1))) is a single
+    // correctly-rounded sqrt of the shared double, so it gates RAW,
+    // with a banded verdict whose nearest fixture value sits ≥33% from
+    // a threshold. Expected counts render as exact e9 floor-ratio
+    // DECIMAL(18,9) (q71's trick). Headroom: (o·N)² < 2⁶³ holds to
+    // N ≈ 55 M docs per audited slice; shard the audit (or lift the
+    // diff into DECIMAL(38,0)) beyond that. Scale shape: ONE (source,
+    // lang) partial agg bounds everything after to nr·nc rows; margins
+    // and scalars broadcast.
+    Q(
+      "q84_source_lang_independence",
+      """WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT source, CAST(sum(o) AS BIGINT) AS r
+        |  FROM c GROUP BY 1),
+        |ct AS (SELECT lang, CAST(sum(o) AS BIGINT) AS cc
+        |  FROM c GROUP BY 1),
+        |nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c),
+        |dm AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM rt) AS nr,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ct) AS nc),
+        |cells AS (
+        |  SELECT rt.source, ct.lang, COALESCE(c.o, 0) AS o, rt.r, ct.cc
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN c ON c.source = rt.source AND c.lang = ct.lang),
+        |tm AS (
+        |  SELECT source, lang, o, r, cc,
+        |    CAST(CAST((r * cc * 1000000000) // nt.n AS DECIMAL(18,0))
+        |      * CAST(0.000000001 AS DECIMAL(9,9)) AS DECIMAL(18,9))
+        |      AS expected,
+        |    CAST(round(
+        |      CAST((o * nt.n - r * cc) * (o * nt.n - r * cc) AS DOUBLE)
+        |        / (CAST(nt.n AS DOUBLE) * r * cc), 6)
+        |      AS DECIMAL(28,6)) AS term
+        |  FROM cells CROSS JOIN nt),
+        |st AS (SELECT CAST(sum(term) AS DOUBLE) AS chi2 FROM tm)
+        |SELECT source, lang, o AS observed, expected, term,
+        |  st.chi2,
+        |  sqrt(st.chi2 / (CAST(nt.n AS DOUBLE)
+        |    * (least(dm.nr, dm.nc) - 1))) AS cramers_v,
+        |  CASE WHEN sqrt(st.chi2 / (CAST(nt.n AS DOUBLE)
+        |      * (least(dm.nr, dm.nc) - 1))) < 0.1 THEN 'negligible'
+        |    WHEN sqrt(st.chi2 / (CAST(nt.n AS DOUBLE)
+        |      * (least(dm.nr, dm.nc) - 1))) < 0.3 THEN 'weak'
+        |    ELSE 'strong' END AS assoc_band
+        |FROM tm CROSS JOIN st CROSS JOIN nt CROSS JOIN dm
+        |ORDER BY source, lang""".stripMargin
+    ) { (s, dir) =>
+      val c = Tables(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).cast("long").as("o"))
+      val rt = c.groupBy(col("source"))
+        .agg(sum(col("o")).cast("long").as("r"))
+      val ct = c.groupBy(col("lang"))
+        .agg(sum(col("o")).cast("long").as("cc"))
+      val nt = c.agg(sum(col("o")).cast("long").as("n"))
+      val dm = rt.agg(count(lit(1)).cast("long").as("nr"))
+        .crossJoin(broadcast(ct.agg(count(lit(1)).cast("long")
+          .as("nc"))))
+      val cells = rt.crossJoin(broadcast(ct))
+        .join(c, Seq("source", "lang"), "left_outer")
+        .select(col("source"), col("lang"),
+          coalesce(col("o"), lit(0L)).as("o"), col("r"), col("cc"))
+      val tm = cells.crossJoin(broadcast(nt))
+        .select(col("source"), col("lang"), col("o"), col("r"),
+          col("cc"),
+          (expr("(r * cc * 1000000000L) div n").cast("decimal(18,0)")
+            * lit("0.000000001").cast("decimal(9,9)"))
+            .cast("decimal(18,9)").as("expected"),
+          round(((col("o") * col("n") - col("r") * col("cc"))
+              * (col("o") * col("n") - col("r") * col("cc")))
+              .cast("double")
+            / (col("n").cast("double") * col("r") * col("cc")), 6)
+            .cast("decimal(28,6)").as("term"))
+      val st = tm.agg(sum(col("term")).cast("double").as("chi2"))
+      val v = sqrt(col("chi2") / (col("n").cast("double")
+        * (least(col("nr"), col("nc")) - lit(1L))))
+      tm.crossJoin(broadcast(st)).crossJoin(broadcast(nt))
+        .crossJoin(broadcast(dm))
+        .select(col("source"), col("lang"), col("o").as("observed"),
+          col("expected"), col("term"), col("chi2"),
+          v.as("cramers_v"),
+          when(v < 0.1, "negligible").when(v < 0.3, "weak")
+            .otherwise("strong").as("assoc_band"))
+        .orderBy(col("source"), col("lang"))
+    },
+
+    // ---------------------------------------------------------------
+    // q85 — Spearman rank correlation between the t02 quality score
+    // and raw document length: the "is my quality filter secretly a
+    // length filter?" audit (on this fixture it IS — ρ ≈ −0.95: longer
+    // synthetic docs repeat tokens, crushing the unique-token ratio).
+    // Exactness: tie-averaged ranks come from ONE EquiDepth global
+    // rank per variable (range exchange + pid-local window — never a
+    // single-task sort) with per-VALUE min/max rank aggregation, so
+    // 2·avgrank = min+max is an exact integer; all five moments are
+    // exact BIGINT sums; ρ is the Pearson identity on the 2·rank
+    // integers — two correctly-rounded sqrts and one division of the
+    // same doubles in both engines, gated RAW. Σx = Σy = n(n+1) is
+    // emitted as a self-check column. Headroom: n·Σxy < 2⁶³ to
+    // n ≈ 1.2 M docs per audited slice; lift the moments to
+    // DECIMAL(38,0) beyond that (p35's shape).
+    Q(
+      "q85_quality_length_spearman",
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS n,
+        |    CAST(len(list_filter(list_filter(string_split(text, ' '),
+        |      x -> x <> ''), x -> x = 'a' OR x = 'the')) AS BIGINT) AS s,
+        |    CAST(len(list_distinct(list_filter(string_split(text, ' '),
+        |      x -> x <> ''))) AS BIGINT) AS u,
+        |    CAST(length(text) AS BIGINT) AS nc
+        |  FROM documents),
+        |q AS (SELECT doc_id, nc,
+        |    ((8 * (n - s) + 16 * u + least(nc - n + 1, 8 * n)) * 2000000
+        |      + 32 * n) // (64 * n) AS qe6
+        |  FROM g),
+        |ha AS (SELECT qe6 AS v, count(*) AS c FROM q GROUP BY 1),
+        |ra AS (SELECT v,
+        |    2 * (sum(c) OVER (ORDER BY v) - c) + c + 1 AS r2 FROM ha),
+        |hb AS (SELECT nc AS v, count(*) AS c FROM q GROUP BY 1),
+        |rb AS (SELECT v,
+        |    2 * (sum(c) OVER (ORDER BY v) - c) + c + 1 AS r2 FROM hb),
+        |j AS (SELECT ra.r2 AS x, rb.r2 AS y
+        |  FROM q JOIN ra ON q.qe6 = ra.v JOIN rb ON q.nc = rb.v),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy FROM j)
+        |SELECT n AS n_docs, sx, sy, sxx, syy, sxy,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho
+        |FROM m""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.{EquiDepth, TextOps}
+      val ws = graft.operators.DedupOps.words(col("text"))
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), ws.as("ts"),
+          length(col("text")).cast("long").as("nc"))
+        .select(col("doc_id"), col("nc"), {
+          val n = size(col("ts")).cast("long")
+          val st = size(filter(col("ts"),
+            x => x === "a" || x === "the")).cast("long")
+          val u = size(array_distinct(col("ts"))).cast("long")
+          val mNum = col("nc") - n + lit(1L)
+          val qNum = lit(8L) * (n - st) + lit(16L) * u +
+            least(mNum, lit(8L) * n)
+          TextOps.r6e6(qNum, lit(32L) * n).as("qe6")
+        })
+      // tie-averaged double ranks per VALUE: EquiDepth global rank,
+      // then min+max per tie group (consecutive ranks ⇒ 2·avg)
+      def ranks2(valueCol: String): org.apache.spark.sql.DataFrame =
+        EquiDepth.withGlobalRank(
+            base.select(col(valueCol).as("v"), col("doc_id")),
+            Seq(col("v"), col("doc_id")), "r", "ntot")
+          .groupBy(col("v"))
+          .agg((min(col("r")) + max(col("r"))).as("r2"))
+      val ra = ranks2("qe6").withColumnRenamed("v", "qe6")
+        .withColumnRenamed("r2", "x")
+      val rb = ranks2("nc").withColumnRenamed("v", "nc")
+        .withColumnRenamed("r2", "y")
+      val m = base.join(ra, Seq("qe6")).join(rb, Seq("nc"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("x")).cast("long").as("sx"),
+          sum(col("y")).cast("long").as("sy"),
+          sum(col("x") * col("x")).cast("long").as("sxx"),
+          sum(col("y") * col("y")).cast("long").as("syy"),
+          sum(col("x") * col("y")).cast("long").as("sxy"))
+      m.select(col("n").as("n_docs"), col("sx"), col("sy"),
+        col("sxx"), col("syy"), col("sxy"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"))
+            * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+              .cast("double")))).as("rho"))
     }
   )
 

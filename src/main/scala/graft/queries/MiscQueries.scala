@@ -1580,19 +1580,23 @@ object MiscQueries {
       import graft.operators.{DedupOps, SketchOps}
       import org.apache.datasketches.theta.SetOperation
       // distinct (source, shingle-hash): ONE corpus pass feeds both
-      // the exact side and the sketches
-      val ks = Tables(s, dir, "documents")
+      // the exact side and the sketches — STAGED, because four
+      // consumers (sketch agg, per-source totals, both pair-join
+      // sides) would otherwise each re-run the explode+distinct
+      // (measured 11.1 s → staged 4.4 s fresh at sf0.1)
+      val ks = graft.operators.Stage.stage(Tables(s, dir, "documents")
         .select(col("source"),
           explode(DedupOps.shingles(DedupOps.words(col("text")), 3))
             .as("g"))
         .select(col("source"), xxhash64(col("g")).as("gh"))
-        .distinct()
+        .distinct())
       // per-source sketches: the mergeable artifacts (model-state
       // bytes — ~32 KB per source regardless of corpus size)
+      // per-source sketches + EXACT totals off ONE partial aggregation
       val sks = SketchOps.thetaPerKey(ks, col("source"), col("gh"))
       val bounds = for {
-        ((a, sa), i) <- sks.zipWithIndex
-        (b, sb) <- sks.drop(i + 1)
+        ((a, na, sa), i) <- sks.zipWithIndex
+        (b, nb, sb) <- sks.drop(i + 1)
       } yield {
         val in = SetOperation.builder().buildIntersection()
         in.intersect(sa); in.intersect(sb)
@@ -1601,33 +1605,32 @@ object MiscQueries {
         un.union(sa); un.union(sb)
         val us = un.getResult()
         val ab = SetOperation.builder().buildANotB().aNotB(sa, sb)
-        (a, b, is.getLowerBound(3), is.getUpperBound(3),
+        (a, b, na, nb, is.getLowerBound(3), is.getUpperBound(3),
           us.getLowerBound(3), us.getUpperBound(3),
           ab.getLowerBound(3), ab.getUpperBound(3))
       }
+      // the 190-row pair spine (keys, exact totals, sketch bounds) is
+      // itself model-state-sized and broadcasts; the only remaining
+      // corpus-side work is the intersection pair join
       val boundsDf = s.createDataFrame(bounds.toSeq)
-        .toDF("src_a", "src_b", "i_lb", "i_ub", "u_lb", "u_ub",
-          "a_lb", "a_ub")
-      val perSrc = ks.groupBy(col("source"))
-        .agg(count(lit(1)).cast("long").as("n"))
-      val spine = perSrc.select(col("source").as("src_a"),
-          col("n").as("n_a"))
-        .join(perSrc.select(col("source").as("src_b"),
-          col("n").as("n_b")), col("src_a") < col("src_b"))
+        .toDF("src_a", "src_b", "n_a", "n_b", "i_lb", "i_ub",
+          "u_lb", "u_ub", "a_lb", "a_ub")
       val pairs = ks.as("a")
         .join(ks.as("b"), col("a.gh") === col("b.gh") &&
           col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("src_a"),
           col("b.source").as("src_b"))
         .agg(count(lit(1)).cast("long").as("n_inter"))
-      spine.join(pairs, Seq("src_a", "src_b"), "left_outer")
+      broadcast(boundsDf)
+        .join(pairs, Seq("src_a", "src_b"), "left_outer")
         .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
           coalesce(col("n_inter"), lit(0L)).as("n_inter"),
           (col("n_a") + col("n_b") -
             coalesce(col("n_inter"), lit(0L))).as("n_union"),
           (col("n_a") - coalesce(col("n_inter"), lit(0L)))
-            .as("n_anotb"))
-        .join(broadcast(boundsDf), Seq("src_a", "src_b"))
+            .as("n_anotb"),
+          col("i_lb"), col("i_ub"), col("u_lb"), col("u_ub"),
+          col("a_lb"), col("a_ub"))
         .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
           col("n_inter"), col("n_union"), col("n_anotb"),
           (col("n_inter").cast("double") >= col("i_lb") &&

@@ -59,7 +59,9 @@ class DeterminismSpec extends SparkSpec {
                              // exact counts + 2-sigma bound flags
     "s13_mmr_rerank",        // unrounded pure-IEEE MMR scores (r9)
     "t02_quality_score",     // exact-BIGINT rational rounding (r9)
-    "t12_readability"        // exact-BIGINT rational rounding (r9)
+    "t12_readability",       // exact-BIGINT rational rounding (r9)
+    "q84_source_lang_independence", // decimal chi2 term sum + one sqrt
+    "q85_quality_length_spearman"   // exact rank moments + IEEE rho
   )
 
   test("float-heavy queries are bit-identical across shuffle parallelism") {

@@ -883,7 +883,8 @@ class PlanSpec extends SparkSpec {
       "q61_shapley_attribution", "q63_absorbing_markov",
       "t26_burstiness", "q64_path_mining", "s21_ann_tombstones",
       "q67_decile_lift", "p37_token_gini", "t27_pmi_collocations",
-      "q72_kll_quantile_merge", "s23_bm25")
+      "q72_kll_quantile_merge", "s23_bm25",
+      "q83_theta_source_overlap", "q85_quality_length_spearman")
     QueryRegistry.all
       .filterNot(q => isStreamLoop(q.name) || checkpoints.contains(q.name))
       .foreach { q =>
