@@ -118,6 +118,73 @@ object SketchOps {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** Frequent-items buffer (Datasketches frequencies family — the
+    * Misra–Gries / space-saving lineage): same serialization seam as
+    * KllBuf/ThetaBuf — the sketch lives DESERIALIZED between updates,
+    * compact bytes only at shuffle boundaries. Unlike theta, which
+    * items survive a purge DEPENDS on stream order, so per-item
+    * estimates are not deterministic across partitionings — but the
+    * two guarantees (the true count lies in [getLowerBound,
+    * getUpperBound], an interval never wider than getMaximumError;
+    * and every item with true count > maxError is retained) hold for
+    * EVERY order, which is what q86 gates (q72's discipline: exact
+    * values hashed, sketch enters only through structurally-true
+    * flags). */
+  final class FreqBuf(
+      @transient var sk: org.apache.datasketches.frequencies.LongsSketch)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      val b = sk.toByteArray
+      out.writeInt(b.length)
+      out.write(b)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      sk = org.apache.datasketches.frequencies.LongsSketch
+        .getInstance(Memory.wrap(b))
+    }
+  }
+
+  /** Frequent-items (heavy-hitter) aggregator over 64-bit keys:
+    * update per row map-side, Misra–Gries merge at the partial/final
+    * boundary (error bounds ADD under merge, staying ≤ N/maxMapSize
+    * overall — the mergeability theorem of Agarwal et al.,
+    * "Mergeable Summaries", PODS 2012). maxMapSize bounds memory at
+    * O(maxMapSize) per partial regardless of input size; below
+    * 0.75·maxMapSize distinct keys the sketch is EXACT (no purges,
+    * maxError 0). */
+  final class FreqLongs(maxMapSize: Int)
+      extends Aggregator[Long, FreqBuf, Array[Byte]] {
+    override def zero: FreqBuf = new FreqBuf(
+      new org.apache.datasketches.frequencies.LongsSketch(maxMapSize))
+    override def reduce(b: FreqBuf, x: Long): FreqBuf = {
+      b.sk.update(x); b
+    }
+    override def merge(a: FreqBuf, b: FreqBuf): FreqBuf = {
+      a.sk.merge(b.sk); a
+    }
+    override def finish(r: FreqBuf): Array[Byte] = r.sk.toByteArray
+    override def bufferEncoder: Encoder[FreqBuf] =
+      Encoders.javaSerialization[FreqBuf]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Corpus-wide frequent-items sketch, collected as driver-side MODEL
+    * STATE (a single ≤maxMapSize-entry summary — the k-means/PQ
+    * precedent; the collect lives here, not in queries/, per
+    * PlanSpec's driver-materialization lint). */
+  def freqSketch(df: org.apache.spark.sql.DataFrame,
+      value: org.apache.spark.sql.Column, maxMapSize: Int = 1024)
+      : org.apache.datasketches.frequencies.LongsSketch = {
+    import org.apache.spark.sql.functions.udaf
+    val freq = udaf(new FreqLongs(maxMapSize), Encoders.scalaLong)
+    val bytes = df.agg(freq(value).as("sk"))
+      .collect()(0).getAs[Array[Byte]](0)
+    org.apache.datasketches.frequencies.LongsSketch
+      .getInstance(Memory.wrap(bytes))
+  }
+
   /** Per-key theta sketches, collected as driver-side MODEL STATE (the
     * VectorOps k-means/PQ precedent, and the reason this collect lives
     * here and not in a query body — PlanSpec's driver-materialization

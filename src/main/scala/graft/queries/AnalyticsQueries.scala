@@ -2844,6 +2844,90 @@ object AnalyticsQueries {
               .cast("double"))
             * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
               .cast("double")))).as("rho"))
+    },
+
+    // ---------------------------------------------------------------
+    // q87 — ISOTONIC CALIBRATION (pool-adjacent-violators): q68's
+    // reliability diagram SHOWS miscalibration; q87 FIXES it — the
+    // weighted isotonic regression of observed conversion rate on
+    // score is the monotone recalibration map g(score) a serving
+    // layer applies on top of a ranking model (Zadrozny & Elkan, KDD
+    // 2002). PAV itself is sequential, but its solution has the
+    // closed minimax form fitted(i) = max_{j≤i} min_{k≥i}
+    // mean(cv over scores j..k) — and because integer scores bound
+    // the domain at ≤100 groups, that form evaluates as two
+    // aggregations over a bounded triple join on the SCORE DOMAIN
+    // (q69's argument: the per-score table is the reduce target of
+    // one partial-agg'd pass over the click stream; everything after
+    // is broadcast-sized regardless of corpus scale). Determinism:
+    // pooled means are exact-BIGINT prefix-sum differences and ONE
+    // IEEE division each — both engines produce bit-identical
+    // doubles — and min/max over identical doubles is exact, so
+    // `fitted` is gated RAW (no rounding, nothing for RoundTieSpec
+    // to flag). Degenerate input (empty click stream) yields zero
+    // rows in both renderings. The PAV pooled-means property and
+    // monotonicity vs an independent sequential PAV are pinned in
+    // Round9EvalSpec.
+    Q(
+      "q87_isotonic_calibration",
+      s"""WITH $convSql,
+        |g AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cv) AS BIGINT) AS pos FROM conv GROUP BY score),
+        |p AS (SELECT score, n, pos,
+        |    sum(n) OVER (ORDER BY score) AS cn,
+        |    sum(pos) OVER (ORDER BY score) AS cpos
+        |  FROM g),
+        |r AS (
+        |  SELECT j.score AS sj, k.score AS sk,
+        |    CAST(k.cpos - j.cpos + j.pos AS DOUBLE)
+        |      / (k.cn - j.cn + j.n) AS ratio
+        |  FROM p j JOIN p k ON j.score <= k.score),
+        |mj AS (
+        |  SELECT i.score AS si, r.sj, min(r.ratio) AS m
+        |  FROM g i JOIN r ON r.sj <= i.score AND r.sk >= i.score
+        |  GROUP BY i.score, r.sj),
+        |f AS (SELECT si AS score, max(m) AS fitted FROM mj GROUP BY si)
+        |SELECT g.score, g.n, g.pos,
+        |  CAST(g.pos AS DOUBLE) / g.n AS obs_rate, f.fitted
+        |FROM g JOIN f ON g.score = f.score
+        |ORDER BY g.score""".stripMargin
+    ) { (s, dir) =>
+      // one corpus-scale pass: clicks reduce onto the ≤100-key score
+      // domain; the minimax evaluation below never touches row data
+      val g = stage(clickConversions(s, dir)
+        .groupBy(col("score"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("cv")).cast("long").as("pos")))
+      // bounded-domain range joins: every join below is on the ≤100-row
+      // SCORE DOMAIN (broadcast nested-loop by construction, q69's
+      // fold precedent), never on the click stream; prefix sums come
+      // from a range join rather than an unpartitioned window so the
+      // global-window lint's single-task-sort concern never arises
+      // explicit broadcast on the bounded side: staged tables carry no
+      // catalog statistics, and an unhinted non-equi join would fall
+      // back to CartesianProduct instead of broadcast nested-loop
+      val p = stage(g.as("i")
+        .join(broadcast(g.as("j")), col("j.score") <= col("i.score"))
+        .groupBy(col("i.score").as("score"), col("i.n").as("n"),
+          col("i.pos").as("pos"))
+        .agg(sum(col("j.n")).as("cn"), sum(col("j.pos")).as("cpos")))
+      val r = p.as("j")
+        .join(broadcast(p.as("k")), col("j.score") <= col("k.score"))
+        .select(col("j.score").as("sj"), col("k.score").as("sk"),
+          ((col("k.cpos") - col("j.cpos") + col("j.pos")).cast("double")
+            / (col("k.cn") - col("j.cn") + col("j.n"))).as("ratio"))
+      val mj = r
+        .join(broadcast(g.select(col("score").as("si"))),
+          col("sj") <= col("si") && col("sk") >= col("si"))
+        .groupBy(col("si"), col("sj"))
+        .agg(min(col("ratio")).as("m"))
+      val f = mj.groupBy(col("si").as("score"))
+        .agg(max(col("m")).as("fitted"))
+      g.join(f, Seq("score"))
+        .select(col("score"), col("n"), col("pos"),
+          (col("pos").cast("double") / col("n")).as("obs_rate"),
+          col("fitted"))
+        .orderBy(col("score"))
     }
   )
 

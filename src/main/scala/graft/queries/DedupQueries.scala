@@ -1550,6 +1550,100 @@ object DedupQueries {
           round(coalesce(col("chunks_new"), lit(0L)).cast("double")
             / col("chunks_in"), 6).as("new_frac"))
         .orderBy(col("source"))
+    },
+
+    // ---------------------------------------------------------------
+    // d24 — WINNOWING fingerprints (Schleimer, Wilkerson & Aiken,
+    // "Winnowing: Local Algorithms for Document Fingerprinting",
+    // SIGMOD 2003 — the MOSS algorithm): d10 indexes EVERY k-gram
+    // position to reconstruct duplicated spans exactly; winnowing is
+    // the sub-sampled alternative when the question is "which doc
+    // PAIRS overlap", not "which spans" — per position-window of w
+    // consecutive k-gram hashes keep only the window MINIMUM, giving
+    // (a) the guarantee that any shared run of ≥ w+k−1 tokens (here
+    // 5+4−1 = 8, d10's threshold) still shares a fingerprint, and
+    // (b) expected density 2/(w+1) — the fingerprint index is a
+    // ~3× smaller table to build, shuffle and store than d10's
+    // every-position gram index, and w is the dial between index
+    // size and the guarantee. Hash = md5 of the gram (the repo's
+    // cross-engine deterministic hash primitive); window minima are
+    // lexicographic string minima, identical in both engines; docs
+    // with fewer grams than w degenerate to one whole-doc window
+    // (both engines clip the frame at the partition edge). Pipeline:
+    // gram hashes → partitioned-window min → DISTINCT per-doc
+    // fingerprint set (STAGED — it feeds the per-doc counts and both
+    // sides of the pair join) → candidate pairs via fingerprint
+    // equi-join (≥2 shared fingerprints drops the stray random-gram
+    // collision) → fingerprint-Jaccard accounting. At 100 TB: the
+    // only corpus-wide shuffles are the window partition on doc_id
+    // and the pair join keyed on the fingerprint hash, and the pair
+    // join's input is the winnowed (2/(w+1))-density table, never
+    // the full gram index.
+    Q(
+      "d24_winnowing",
+      s"""WITH $corpusSql,
+        |ws AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM corpus),
+        |g AS (
+        |  SELECT doc_id, i AS pos, len(w) - 3 AS np,
+        |    md5(array_to_string(w[i:i+3], ' ')) AS h
+        |  FROM ws, unnest(generate_series(1, greatest(0, len(w) - 3))) AS t(i)
+        |  WHERE len(w) >= 4),
+        |wmin AS (
+        |  SELECT doc_id, pos, np,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fph
+        |  FROM g),
+        |fp AS (
+        |  SELECT DISTINCT doc_id, fph FROM wmin
+        |  WHERE pos <= greatest(1, np - 4)),
+        |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp
+        |  FROM fp GROUP BY doc_id),
+        |pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM fp a JOIN fp b ON a.fph = b.fph AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT doc_a, doc_b, x.nfp AS n_fp_a, y.nfp AS n_fp_b, n_shared,
+        |  CAST(n_shared AS DOUBLE) / (x.nfp + y.nfp - n_shared) AS fp_jaccard
+        |FROM pr JOIN nf x ON x.doc_id = pr.doc_a
+        |  JOIN nf y ON y.doc_id = pr.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin
+    ) { (s, dir) =>
+      val ws = corpusWithNearDups(Tables(s, dir, "documents"))
+        .select(col("doc_id"), DedupOps.words(col("text")).as("w"))
+      val g = ws.filter(size(col("w")) >= 4)
+        .select(col("doc_id"), (size(col("w")) - 3).as("np"),
+          posexplode(DedupOps.shingles(col("w"), 4)).as(Seq("p0", "gram")))
+        .select(col("doc_id"), col("np"), (col("p0") + 1).as("pos"),
+          md5(col("gram")).as("h"))
+      val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.currentRow, 4)
+      val fp = Stage.stage(g
+        .select(col("doc_id"), col("pos"), col("np"),
+          min(col("h")).over(win).as("fph"))
+        .filter(col("pos") <= greatest(lit(1), col("np") - 4))
+        .select(col("doc_id"), col("fph"))
+        .distinct())
+      val nf = fp.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("nfp"))
+      val pr = fp.as("a")
+        .join(fp.as("b"), col("a.fph") === col("b.fph") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).cast("long").as("n_shared"))
+        .filter(col("n_shared") >= 2)
+      pr.join(nf.select(col("doc_id").as("doc_a"), col("nfp").as("n_fp_a")),
+          Seq("doc_a"))
+        .join(nf.select(col("doc_id").as("doc_b"), col("nfp").as("n_fp_b")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("n_fp_a"), col("n_fp_b"),
+          col("n_shared"),
+          (col("n_shared").cast("double") /
+            (col("n_fp_a") + col("n_fp_b") - col("n_shared")))
+            .as("fp_jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }
   )
 

@@ -1643,6 +1643,75 @@ object MiscQueries {
             col("n_anotb").cast("double") <= col("a_ub"))
             .as("anotb_in_bounds"))
         .orderBy(col("src_a"), col("src_b"))
+    },
+
+    // ---------------------------------------------------------------
+    // q86 — FREQUENT-ITEMS (heavy-hitter) sketch over corpus tokens:
+    // the last leg of the mergeable-summary story (p35 moments, q59
+    // HLL distinct, q72 KLL quantiles, q83 theta set algebra — this
+    // adds FREQUENCIES, Agarwal et al. "Mergeable Summaries", PODS
+    // 2012). Question: the corpus's dominant tokens — the input to
+    // stopword lists, domain caps (p10) and q47-style abuse triage —
+    // answered two ways: the exact top-20 (count, total-order
+    // tie-break on the token) is gated value-for-value, and a
+    // Datasketches LongsSketch built in ONE pass through partial/
+    // final aggregation (SketchOps.FreqLongs) enters through two
+    // STRUCTURALLY-TRUE flags: `in_bounds` (the sketch's per-item
+    // [lb, ub] brackets the exact count — the Misra–Gries guarantee,
+    // order-independent even though the estimates themselves are
+    // not) and `no_false_negative` (every item with true count >
+    // maxError is retained; untracked items are provably ≤ maxError).
+    // Flags cannot flake — they hold for every purge order — so the
+    // oracle renders them as literal TRUE (q83's pattern); the
+    // forced-purge error-bound contract and the 8-shard merge are
+    // pinned separately in FreqSketchSpec. At 100 TB: per-partition
+    // sketches are O(maxMapSize) memory, the merged summary is ~16 KB
+    // of driver model state per corpus/shard, built once per ingest
+    // batch and merged associatively — top-token monitoring without
+    // ever re-scanning, vs the exact side's full token shuffle.
+    // Tokens travel as xxhash64 keys inside the sketch (q83's
+    // dictionary argument); the gated strings come from the exact
+    // side, so collisions cannot corrupt the output.
+    Q(
+      "q86_frequent_tokens",
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |    AS token
+        |  FROM documents),
+        |cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+        |  FROM tok GROUP BY token)
+        |SELECT token, n, CAST(TRUE AS BOOLEAN) AS in_bounds,
+        |  CAST(TRUE AS BOOLEAN) AS no_false_negative
+        |FROM cnt ORDER BY n DESC, token LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.{DedupOps, SketchOps, Stage}
+      // one tokenization pass feeds the sketch build AND the exact
+      // counts (two consumers — staged, q83's rationale)
+      val toks = Stage.stage(Tables(s, dir, "documents")
+        .select(explode(DedupOps.words(col("text"))).as("token"))
+        .select(col("token"), xxhash64(col("token")).as("th")))
+      val sk = SketchOps.freqSketch(toks, col("th"), 1024)
+      val maxErr = sk.getMaximumError
+      // every retained item with its bounds (threshold 0 keeps the
+      // whole ≤1024-entry map) — model-state-sized, broadcast back
+      val rows = sk.getFrequentItems(0L,
+          org.apache.datasketches.frequencies.ErrorType.NO_FALSE_NEGATIVES)
+        .map(r => (r.getItem, r.getEstimate, r.getLowerBound,
+          r.getUpperBound)).toSeq
+      val skDf = s.createDataFrame(rows)
+        .toDF("th", "est", "lb", "ub")
+      val top = toks.groupBy(col("token"), col("th"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+      top.join(broadcast(skDf), Seq("th"), "left_outer")
+        .select(col("token"), col("n"),
+          (col("n") >= coalesce(col("lb"), lit(0L)) &&
+            col("n") <= coalesce(col("ub"), lit(maxErr)))
+            .as("in_bounds"),
+          (coalesce(col("est"), lit(0L)) > 0 || col("n") <= lit(maxErr))
+            .as("no_false_negative"))
+        .orderBy(col("n").desc, col("token"))
     }
   )
 }

@@ -1851,6 +1851,134 @@ object SimilarityQueries {
         .select(col("term"), col("rank"), col("doc_id"), col("tf"),
           col("len"), col("score"))
         .orderBy(col("term"), col("rank"))
+    },
+
+    // ---------------------------------------------------------------
+    // s24 — grid-blocked DBSCAN (Ester et al., KDD 1996; the
+    // distributed cell decomposition of MR-DBSCAN, He et al. 2011):
+    // DENSITY clustering for the low-dimensional feature spaces a
+    // pipeline actually density-scans — 2-D projections (UMAP/PCA
+    // coordinates, geo points, the (x, y) slice of the embedding
+    // used here); high-dim cosine neighborhoods stay with d08's
+    // semdedup/k-means, where blocking is metric-complete. Unlike
+    // k-means (s04's cells), DBSCAN finds arbitrarily-shaped
+    // clusters and an explicit NOISE set — the "dense blob vs stray
+    // outlier" separation a curation pass wants. eps-neighborhoods
+    // come from a grid of eps-sized cells: each point probes its 3×3
+    // cell neighborhood (every eps-pair is in adjacent cells, so the
+    // equi-join on cell keys is EXACT — no recall loss, no O(n²));
+    // cores (≥ minPts−1 = 3 neighbors) cluster by min-label
+    // connected components with pointer jumping (p06's O(log
+    // diameter) loop); borders attach to their minimum core
+    // neighbor's cluster (deterministic tie-break); the rest is
+    // noise. All comparisons are exact-IEEE on doubles cast from the
+    // same floats in both engines. At 100 TB: the corpus shuffles on
+    // the cell key (9× fan-out on the probe side only), neighbor
+    // lists stay cell-local, and the CC loop runs on the CORE GRAPH,
+    // whose size scales with density, not corpus bytes. The oracle
+    // is a DuckDB recursive-CTE transitive closure over the same
+    // eps-graph (brute-force pairs — oracle-side only).
+    Q(
+      "s24_dbscan",
+      """WITH RECURSIVE
+        |p AS (SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
+        |    CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+        |nbr AS (
+        |  SELECT a.id AS aid, b.id AS bid FROM p a JOIN p b
+        |  ON a.id <> b.id AND (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)
+        |    <= CAST(0.02 AS DOUBLE)*CAST(0.02 AS DOUBLE)),
+        |deg AS (SELECT aid AS id, count(*) AS nn FROM nbr GROUP BY aid),
+        |core AS (SELECT id FROM deg WHERE nn >= 3),
+        |ce AS (SELECT aid, bid FROM nbr
+        |  WHERE aid IN (SELECT id FROM core)
+        |    AND bid IN (SELECT id FROM core)),
+        |walk(id, lab) AS (
+        |  SELECT id, id FROM core
+        |  UNION
+        |  SELECT e.bid, w.lab FROM walk w JOIN ce e ON e.aid = w.id
+        |    WHERE w.lab < e.bid),
+        |cl AS (SELECT id, min(lab) AS cluster_id FROM walk GROUP BY id),
+        |bor AS (
+        |  SELECT n.aid AS id, min(cl.cluster_id) AS cluster_id
+        |  FROM nbr n JOIN cl ON n.bid = cl.id
+        |  WHERE n.aid NOT IN (SELECT id FROM core)
+        |  GROUP BY n.aid)
+        |SELECT p.id AS vec_id,
+        |  CASE WHEN cl.id IS NOT NULL THEN 'core'
+        |       WHEN bor.id IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  COALESCE(cl.cluster_id, bor.cluster_id) AS cluster_id
+        |FROM p LEFT JOIN cl ON p.id = cl.id
+        |  LEFT JOIN bor ON p.id = bor.id
+        |ORDER BY vec_id""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.Stage.stage
+      val eps = lit(0.02)
+      val pts = Tables(s, dir, "embeddings").select(
+        col("vec_id").as("id"),
+        element_at(col("embedding"), 1).cast("double").as("x"),
+        element_at(col("embedding"), 2).cast("double").as("y"))
+      val cells = pts.select(col("id"), col("x"), col("y"),
+        floor(col("x") / eps).cast("long").as("cx"),
+        floor(col("y") / eps).cast("long").as("cy"))
+      val offs = for { dx <- Seq(-1L, 0L, 1L); dy <- Seq(-1L, 0L, 1L) }
+        yield (dx, dy)
+      val probes = cells.select(col("id").as("aid"), col("x").as("ax"),
+          col("y").as("ay"),
+          explode(array(offs.map { case (dx, dy) =>
+            struct((col("cx") + dx).as("px"), (col("cy") + dy).as("py"))
+          }: _*)).as("pc"))
+        .select(col("aid"), col("ax"), col("ay"),
+          col("pc.px").as("px"), col("pc.py").as("py"))
+      // exact eps-graph: each ordered pair found exactly once (b lives
+      // in ONE cell; a probes that cell once) — directed both ways by
+      // symmetry of the construction
+      val nbr = stage(probes
+        .join(cells, col("px") === col("cx") && col("py") === col("cy"))
+        .filter(col("aid") =!= col("id") &&
+          ((col("ax") - col("x")) * (col("ax") - col("x")) +
+            (col("ay") - col("y")) * (col("ay") - col("y"))) <= eps * eps)
+        .select(col("aid"), col("id").as("bid")))
+      val core = stage(nbr.groupBy(col("aid")).agg(count(lit(1)).as("nn"))
+        .filter(col("nn") >= 3).select(col("aid").as("id")))
+      val ce = stage(nbr
+        .join(core.select(col("id").as("aid")), Seq("aid"), "left_semi")
+        .join(core.select(col("id").as("bid")), Seq("bid"), "left_semi"))
+      // min-label CC with pointer jumping over the CORE graph (p06)
+      var lab = core.select(col("id"), col("id").as("lab"))
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val viaEdges = ce.join(lab, col("aid") === col("id"))
+          .select(col("bid").as("id"), col("lab"))
+        val prop = lab.unionByName(viaEdges)
+          .groupBy(col("id")).agg(min(col("lab")).as("lab"))
+        val next = stage(prop
+          .join(prop.select(col("id").as("lid"), col("lab").as("llab")),
+            col("lab") === col("lid"))
+          .select(col("id"), col("llab").as("lab")))
+        converged = next.as("n")
+          .join(lab.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.lab") =!= col("o.lab"))
+          .limit(1).count() == 0
+        lab = next
+        rounds += 1
+      }
+      val bor = nbr
+        .join(core.select(col("id").as("aid")), Seq("aid"), "left_anti")
+        .join(lab.select(col("id").as("bid"), col("lab")), Seq("bid"))
+        .groupBy(col("aid")).agg(min(col("lab")).as("bor_cl"))
+      pts.select(col("id"))
+        .join(lab.select(col("id"), col("lab").as("core_cl")),
+          Seq("id"), "left_outer")
+        .join(bor.select(col("aid").as("id"), col("bor_cl")),
+          Seq("id"), "left_outer")
+        .select(col("id").as("vec_id"),
+          when(col("core_cl").isNotNull, "core")
+            .when(col("bor_cl").isNotNull, "border")
+            .otherwise("noise").as("role"),
+          coalesce(col("core_cl"), col("bor_cl")).as("cluster_id"))
+        .orderBy(col("vec_id"))
     }
   )
 

@@ -61,7 +61,12 @@ class DeterminismSpec extends SparkSpec {
     "t02_quality_score",     // exact-BIGINT rational rounding (r9)
     "t12_readability",       // exact-BIGINT rational rounding (r9)
     "q84_source_lang_independence", // decimal chi2 term sum + one sqrt
-    "q85_quality_length_spearman"   // exact rank moments + IEEE rho
+    "q85_quality_length_spearman",  // exact rank moments + IEEE rho
+    "d24_winnowing",         // string-min fingerprints + one division
+    "q86_frequent_tokens",   // exact counts; MG flags hold under ANY
+                             // purge/merge order (structural truth)
+    "q87_isotonic_calibration", // minimax over exact-long ratios
+    "s24_dbscan"             // exact-IEEE eps compares + min labels
   )
 
   test("float-heavy queries are bit-identical across shuffle parallelism") {

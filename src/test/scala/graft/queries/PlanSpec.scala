@@ -884,7 +884,9 @@ class PlanSpec extends SparkSpec {
       "t26_burstiness", "q64_path_mining", "s21_ann_tombstones",
       "q67_decile_lift", "p37_token_gini", "t27_pmi_collocations",
       "q72_kll_quantile_merge", "s23_bm25",
-      "q83_theta_source_overlap", "q85_quality_length_spearman")
+      "q83_theta_source_overlap", "q85_quality_length_spearman",
+      "d24_winnowing", "q86_frequent_tokens",
+      "q87_isotonic_calibration", "s24_dbscan")
     QueryRegistry.all
       .filterNot(q => isStreamLoop(q.name) || checkpoints.contains(q.name))
       .foreach { q =>

@@ -1,0 +1,278 @@
+package graft.queries
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryRegistry, SparkSpec, Tables}
+
+/** Semantic pins for the round-9 second-session additions (d24
+  * winnowing, q86 frequent-items sketch, q87 isotonic calibration,
+  * s24 grid DBSCAN). Discipline as in Round8EvalSpec /
+  * Round8AdditionsSpec: every oracle MIRRORS its query's formula, so a
+  * wrong-direction bug reproduces identically in DuckDB and still
+  * hash-matches — these tests re-derive each result through an
+  * INDEPENDENT implementation (sequential winnowing scan, sequential
+  * stack-based PAV, brute-force DBSCAN) and planted-truth fixtures
+  * (known shared runs, known blobs, forced sketch purges).
+  */
+class Round9AdditionsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  // -----------------------------------------------------------------
+  // d24 winnowing
+
+  /** Sequential winnowing (k=4, w=5) of one token list: every window
+    * of 5 consecutive gram hashes contributes its minimum; docs with
+    * fewer grams than w degenerate to one whole-doc window. Returns
+    * the distinct fingerprint set. */
+  private def winnow(toks: Seq[String]): Set[String] = {
+    if (toks.length < 4) return Set.empty
+    val hs = toks.sliding(4).map(g => md5hex(g.mkString(" "))).toVector
+    val starts = 1 to math.max(1, hs.length - 4)
+    starts.map(s0 => hs.slice(s0 - 1, s0 - 1 + 5).min).toSet
+  }
+
+  test("d24: a sequential winnowing scan reproduces every pair row " +
+    "(fingerprint sets, shared counts, jaccard) on the fixture") {
+    val base = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // corpusWithNearDups: every 10th doc re-appears at id+100000 with
+    // its first word dropped
+    val corpus = base.toSeq ++ base.filter(_._1 % 10 == 0)
+      .map { case (id, t) => (id + 100000L, t.split(" ").filter(_.nonEmpty)
+        .drop(1).mkString(" ")) }
+    val fps = corpus.map { case (id, t) =>
+      id -> winnow(t.split(" ").filter(_.nonEmpty).toSeq)
+    }.toMap
+    val expected = (for {
+      (a, fa) <- fps.toSeq; (b, fb) <- fps.toSeq if a < b
+      shared = (fa & fb).size if shared >= 2
+    } yield (a, b, fa.size.toLong, fb.size.toLong, shared.toLong,
+      shared.toDouble / (fa.size + fb.size - shared)))
+      .sortBy(t => (t._1, t._2))
+    val got = QueryRegistry.byName("d24_winnowing").run(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expected,
+      s"winnowing pair accounting diverged: got ${got.take(3)}... " +
+        s"expected ${expected.take(3)}...")
+    assert(expected.nonEmpty, "fixture produced no winnowing pairs — " +
+      "the planted near-dups should share fingerprints")
+  }
+
+  test("d24: the w+k-1 guarantee and density bound on planted docs — " +
+    "a 20-token shared run is found, disjoint-gram docs are not") {
+    import spark.implicits._
+    val d = tmpDir("winnow")
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    def uniq(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    // ids chosen non-multiples of 10 so corpusWithNearDups plants no
+    // copies that would add pairs beyond the constructed truth
+    Seq(
+      (1L, s"${uniq("a", 30)} $shared ${uniq("z", 30)}", "en", "s0"),
+      (3L, s"${uniq("b", 25)} $shared ${uniq("y", 25)}", "en", "s0"),
+      (7L, uniq("c", 120), "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = QueryRegistry.byName("d24_winnowing").run(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    // guarantee: a shared run of >= w+k-1 = 8 tokens shares >= 1
+    // fingerprint; 20 shared tokens give 17 shared grams = 13 full
+    // windows inside the run, hence >= ceil(13/5) >= 2 — above the
+    // query's >=2 noise filter
+    assert(rows.map(t => (t._1, t._2)).toSet == Set((1L, 3L)),
+      s"expected exactly the planted pair (1,3), got ${rows.toSeq}")
+    assert(rows.head._3 >= 2)
+    // density: fingerprints per doc ~ 2/(w+1) of windows; doc 7 has
+    // 117 grams -> 113 windows; assert the sampled index is well under
+    // half the gram index d10 would build
+    val toks7 = (1 to 120).map(i => s"c$i")
+    val nfp = winnow(toks7).size
+    assert(nfp <= 113 / 2, s"winnowing density too high: $nfp of 113")
+    assert(nfp >= 113 / 8, s"winnowing density implausibly low: $nfp")
+  }
+
+  // -----------------------------------------------------------------
+  // q86 frequent-items sketch
+
+  test("q86 operator: forced-purge FreqLongs keeps the Misra-Gries " +
+    "guarantees — bounds bracket every true count, no false negatives, " +
+    "and the guarantees survive an 8-shard merge") {
+    import graft.operators.SketchOps
+    import spark.implicits._
+    // planted zipf-ish stream: item i in 1..400 appears 401-i times;
+    // 400 distinct >> 0.75*64, so a maxMapSize=64 sketch MUST purge
+    val stream = (1 to 400).flatMap(i => Seq.fill(401 - i)(i.toLong))
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong)
+      .toMap
+    for (parts <- Seq(1, 8)) {
+      val df = stream.toDF("v").repartition(parts)
+      val sk = SketchOps.freqSketch(df, col("v"), 64)
+      val err = sk.getMaximumError
+      assert(err > 0, "purges expected: 400 distinct into a 64-slot map")
+      truth.foreach { case (item, n) =>
+        val (lb, ub) = (sk.getLowerBound(item), sk.getUpperBound(item))
+        assert(lb <= n && n <= ub,
+          s"parts=$parts item=$item n=$n outside [$lb, $ub]")
+        assert(ub - lb <= err,
+          s"bracket wider than maxError for $item: [$lb, $ub] err=$err")
+        assert(lb <= sk.getEstimate(item) && sk.getEstimate(item) <= ub,
+          s"estimate outside its own bracket for $item")
+        if (n > err) assert(sk.getEstimate(item) > 0,
+          s"false negative: item=$item n=$n > maxError=$err untracked")
+      }
+      // untracked items are provably light
+      assert(truth.filter(_._2 > err)
+        .forall { case (i, _) => sk.getEstimate(i) > 0 })
+    }
+  }
+
+  test("q86 gate: the exact top-20 equals a plain-Scala recount and " +
+    "both flags hold on the fixture") {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+      .flatMap(_.split(" ").filter(_.nonEmpty))
+    val top = toks.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(20)
+    val got = QueryRegistry.byName("q86_frequent_tokens").run(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3)))
+    assert(got.map(g => (g._1, g._2)).toSeq == top.map(t => (t._1, t._2)))
+    assert(got.forall(g => g._3 && g._4),
+      "structurally-true sketch flags must hold")
+  }
+
+  // -----------------------------------------------------------------
+  // q87 isotonic calibration
+
+  /** Sequential stack-based pool-adjacent-violators on (n, pos) per
+    * ascending score: pooled mean = exact-long ratio, one IEEE
+    * division per pool — the same arithmetic as the minimax form. */
+  private def pav(groups: Seq[(Long, Long, Long)]): Seq[(Long, Double)] = {
+    case class Pool(var n: Long, var pos: Long, var size: Int)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Pool]
+    groups.sortBy(_._1).foreach { case (_, n, pos) =>
+      stack += Pool(n, pos, 1)
+      while (stack.length >= 2 &&
+        stack(stack.length - 2).pos.toDouble / stack(stack.length - 2).n >=
+          stack.last.pos.toDouble / stack.last.n) {
+        val t = stack.remove(stack.length - 1)
+        stack.last.n += t.n; stack.last.pos += t.pos; stack.last.size += t.size
+      }
+    }
+    val fitted = stack.flatMap(p =>
+      Seq.fill(p.size)(p.pos.toDouble / p.n)).toSeq
+    groups.sortBy(_._1).map(_._1).zip(fitted)
+  }
+
+  test("q87: a sequential stack-based PAV reproduces every fitted " +
+    "value exactly, and the fit is monotone") {
+    val g = QueryRegistry.byName("q87_isotonic_calibration")
+      .run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(g.nonEmpty)
+    val seq = pav(g.map(r => (r._1, r._2, r._3)).toSeq).toMap
+    g.foreach { case (score, _, _, _, fitted) =>
+      // the minimax form and PAV pooling produce the same pooled-mean
+      // doubles: both divide the same exact longs once
+      assert(fitted == seq(score),
+        s"score=$score minimax=$fitted pav=${seq(score)}")
+    }
+    g.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 <= b._5,
+        s"isotonic fit not monotone at ${a._1}->${b._1}")
+      case _ =>
+    }
+    // PAV never moves outside the observed-rate envelope
+    val (lo, hi) = (g.map(_._4).min, g.map(_._4).max)
+    g.foreach(r => assert(r._5 >= lo && r._5 <= hi))
+  }
+
+  // -----------------------------------------------------------------
+  // s24 DBSCAN
+
+  test("s24: planted blobs, a multi-hop chain, a border and a far " +
+    "outlier get the exact DBSCAN roles and min-id cluster labels") {
+    import spark.implicits._
+    val d = tmpDir("dbscan")
+    // blob A: 4 points pairwise within eps=0.02 -> all cores (deg >= 3)
+    val blobA = Seq((10L, 0.500, 0.500), (11L, 0.508, 0.500),
+      (12L, 0.500, 0.508), (13L, 0.508, 0.508))
+    // chain B: 10 points spaced 0.009 (so +-2 indices are neighbors,
+    // +-3 are not) -> inner points are cores; the min label must
+    // travel the whole chain (pointer-jumping exercise)
+    val chain = (0 until 10).map(i => (20L + i, 0.800 + 0.009 * i, 0.200))
+    // border: within eps of cores 10 and 12 only -> deg 2 < 3
+    val border = Seq((40L, 0.483, 0.500))
+    // noise: far from everything
+    val noise = Seq((50L, 0.100, 0.900))
+    // the QUERY reads FLOAT parquet and widens to double — the
+    // reference must use the same float-rounded coordinates, and the
+    // planted spacings keep every distance well off the eps boundary
+    val pts = (blobA ++ chain ++ border ++ noise).map { case (id, x, y) =>
+      (id, x.toFloat.toDouble, y.toFloat.toDouble)
+    }
+    pts.map { case (id, x, y) =>
+      (id, Seq(x.toFloat, y.toFloat) ++ Seq.fill(62)(0f), 0)
+    }.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    // brute-force reference with the same arithmetic
+    val eps2 = 0.02 * 0.02
+    def nbrs(id: Long): Seq[Long] = {
+      val (_, ax, ay) = pts.find(_._1 == id).get
+      pts.filter { case (b, bx, by) =>
+        b != id &&
+          (ax - bx) * (ax - bx) + (ay - by) * (ay - by) <= eps2
+      }.map(_._1)
+    }
+    val cores = pts.map(_._1).filter(id => nbrs(id).size >= 3).toSet
+    val gotMap = QueryRegistry.byName("s24_dbscan").run(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(gotMap.keySet == pts.map(_._1).toSet)
+    pts.map(_._1).foreach { id =>
+      val expectedRole =
+        if (cores(id)) "core"
+        else if (nbrs(id).exists(cores)) "border"
+        else "noise"
+      assert(gotMap(id)._1 == expectedRole,
+        s"id=$id expected $expectedRole got ${gotMap(id)._1}")
+    }
+    // blob A is one cluster labeled by its min core id
+    blobA.map(_._1).foreach(id => assert(gotMap(id)._2 == 10L))
+    // the chain's cores all share ONE label = min core id of the chain,
+    // despite the label having to travel the whole chain
+    val chainCores = chain.map(_._1).filter(cores)
+    assert(chainCores.nonEmpty)
+    chainCores.foreach(id => assert(gotMap(id)._2 == chainCores.min,
+      s"chain split: $id has ${gotMap(id)._2} not ${chainCores.min}"))
+    // chain endpoints are borders of the chain cluster
+    assert(gotMap(20L) == (("border", chainCores.min)))
+    assert(gotMap(29L) == (("border", chainCores.min)))
+    // border attaches to blob A's cluster; noise has NULL cluster
+    assert(gotMap(40L) == (("border", 10L)))
+    assert(gotMap(50L) == (("noise", -1L)))
+  }
+
+  test("s24 fixture sanity: all three roles and >1 cluster exist at " +
+    "the gate SF") {
+    val rows = QueryRegistry.byName("s24_dbscan").run(spark, dir)
+      .collect()
+    val roles = rows.map(_.getString(1)).toSet
+    assert(roles == Set("core", "border", "noise"),
+      s"degenerate fixture: roles=$roles")
+    val clusters = rows.filterNot(_.isNullAt(2)).map(_.getLong(2)).toSet
+    assert(clusters.size > 1, "expected multiple density clusters")
+  }
+}
