@@ -2928,6 +2928,128 @@ object AnalyticsQueries {
           (col("pos").cast("double") / col("n")).as("obs_rate"),
           col("fitted"))
         .orderBy(col("score"))
+    },
+
+    // ---------------------------------------------------------------
+    // q88 — ADAMIC–ADAR link prediction over the co-purchase graph
+    // (Adamic & Adar, "Friends and neighbors on the Web", Social
+    // Networks 2003): q37 ranks part pairs by RAW co-occurrence,
+    // which lets one giant basket dominate; Adamic–Adar discounts
+    // each shared context by 1/ln(its size), the standard
+    // link-prediction weighting ("two parts sharing a SMALL basket
+    // are more related than two parts sharing a huge one") — the same
+    // score powers related-item candidates and dedup-cluster edge
+    // weighting. Plan shape is q37's, not the oracle's naive
+    // self-join: baskets collect once per order (bounded ≤7 lines by
+    // fixture construction; a pathological basket caps at the
+    // collect), pairs generate MAP-SIDE from each sorted basket
+    // carrying the basket size, and the only pair-keyed exchange is
+    // the partial-agg'd score. Determinism: the per-context term is
+    // round(1/ln(nb), 6) over the tiny integer basket-size domain
+    // (margins to the .5 boundary ≥ 0.02 for nb ≤ 7 — RoundTieSpec
+    // checks in situ), summed as exact DECIMAL (order-free), ONE cast
+    // to double; top-100 on a total order.
+    Q(
+      "q88_adamic_adar",
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey
+        |  FROM lineitem),
+        |bs AS (SELECT okey, CAST(count(*) AS BIGINT) AS nb
+        |  FROM items GROUP BY okey),
+        |pairs AS (
+        |  SELECT a.pkey AS p1, b.pkey AS p2, bs.nb
+        |  FROM items a JOIN items b
+        |    ON a.okey = b.okey AND a.pkey < b.pkey
+        |  JOIN bs ON bs.okey = a.okey),
+        |sc AS (
+        |  SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(round(1.0 / ln(nb), 6) AS DECIMAL(10,6)))
+        |      AS DOUBLE) AS aa_score
+        |  FROM pairs GROUP BY p1, p2)
+        |SELECT p1, p2, n_orders, aa_score FROM sc
+        |ORDER BY aa_score DESC, p1, p2 LIMIT 100""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val baskets = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("okey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(col("ps"), size(col("ps")).as("nb"))
+        .filter(col("nb") >= 2)
+      val pairs = baskets.select(col("nb"), explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |    y -> struct(x AS p1, y AS p2))))""".stripMargin)).as("pr"))
+      pairs.groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          sum(round(lit(1.0) / log(col("nb")), 6)
+            .cast(DecimalType(10, 6))).cast("double").as("aa_score"))
+        .orderBy(col("aa_score").desc, col("p1"), col("p2"))
+        .limit(100)
+    },
+
+    // ---------------------------------------------------------------
+    // q89 — robust location estimates (5% trimmed and winsorized
+    // means, Tukey's robust statistics): the corpus-health numbers a
+    // pipeline dashboards when raw means are hostage to outliers —
+    // trimming DROPS the tails, winsorizing CLAMPS them to the cut
+    // values. Exact, not quantile-sketched: rank cuts are integer
+    // rationals k = (5n) div 100 (q75's discipline — float
+    // 0.05·n can round off a binary representation at round n), the
+    // global rank comes from EquiDepth's range-exchange construction
+    // (two exchanges at ANY cardinality — never a single-task
+    // window), and all sums are exact DECIMAL with one IEEE division
+    // per reported mean. The winsorized substitution k·v_lo + k·v_hi
+    // is DECIMAL(10,0)×DECIMAL(18,2) — width-checked exact in both
+    // engines (the q55 decimal-parity rule).
+    Q(
+      "q89_robust_location",
+      """WITH t AS (
+        |  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS pd,
+        |    l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT pd,
+        |    row_number() OVER (ORDER BY pd, l_orderkey, l_linenumber)
+        |      AS r,
+        |    count(*) OVER () AS n
+        |  FROM t),
+        |a AS (
+        |  SELECT max(n) AS n, max((5 * n) // 100) AS k,
+        |    sum(pd) AS s_all,
+        |    sum(CASE WHEN r > (5 * n) // 100
+        |          AND r <= n - (5 * n) // 100 THEN pd END) AS s_kept,
+        |    max(CASE WHEN r = (5 * n) // 100 + 1 THEN pd END) AS v_lo,
+        |    max(CASE WHEN r = n - (5 * n) // 100 THEN pd END) AS v_hi
+        |  FROM r)
+        |SELECT n, k, v_lo, v_hi,
+        |  CAST(s_all AS DOUBLE) / n AS mean,
+        |  CAST(s_kept AS DOUBLE) / (n - 2 * k) AS trimmed_mean,
+        |  CAST(s_kept + CAST(k AS DECIMAL(10,0)) * v_lo
+        |    + CAST(k AS DECIMAL(10,0)) * v_hi AS DOUBLE) / n
+        |    AS winsor_mean
+        |FROM a""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val t = Tables(s, dir, "lineitem")
+        .select(col("l_extendedprice").cast(DecimalType(18, 2)).as("pd"),
+          col("l_orderkey"), col("l_linenumber"))
+      val ranked = graft.operators.EquiDepth.withGlobalRank(t,
+        Seq(col("pd"), col("l_orderkey"), col("l_linenumber")), "r", "n")
+      val k = expr("(5 * n) div 100")
+      ranked.agg(
+          max(col("n")).as("n"), max(k).as("k"),
+          sum(col("pd")).as("s_all"),
+          sum(when(col("r") > k && col("r") <= col("n") - k, col("pd")))
+            .as("s_kept"),
+          max(when(col("r") === k + 1, col("pd"))).as("v_lo"),
+          max(when(col("r") === col("n") - k, col("pd"))).as("v_hi"))
+        .select(col("n"), col("k"), col("v_lo"), col("v_hi"),
+          (col("s_all").cast("double") / col("n")).as("mean"),
+          (col("s_kept").cast("double") / (col("n") - col("k") * 2))
+            .as("trimmed_mean"),
+          ((col("s_kept") + col("k").cast(DecimalType(10, 0)) * col("v_lo")
+            + col("k").cast(DecimalType(10, 0)) * col("v_hi"))
+            .cast("double") / col("n")).as("winsor_mean"))
     }
   )
 

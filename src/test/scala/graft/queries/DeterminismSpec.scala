@@ -66,7 +66,9 @@ class DeterminismSpec extends SparkSpec {
     "q86_frequent_tokens",   // exact counts; MG flags hold under ANY
                              // purge/merge order (structural truth)
     "q87_isotonic_calibration", // minimax over exact-long ratios
-    "s24_dbscan"             // exact-IEEE eps compares + min labels
+    "s24_dbscan",            // exact-IEEE eps compares + min labels
+    "q88_adamic_adar",       // rounded-ln terms in DECIMAL + top-k ties
+    "q89_robust_location"    // exact rank cuts + three display divisions
   )
 
   test("float-heavy queries are bit-identical across shuffle parallelism") {

@@ -265,6 +265,79 @@ class Round9AdditionsSpec extends SparkSpec {
     assert(gotMap(50L) == (("noise", -1L)))
   }
 
+  // -----------------------------------------------------------------
+  // q88 Adamic-Adar
+
+  test("q88: a naive per-order recount with BigDecimal term sums " +
+    "reproduces the top-100 exactly") {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val baskets = li.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.sorted).toMap
+    val acc = scala.collection.mutable.Map
+      .empty[(Long, Long), (Long, BigDecimal)]
+    baskets.values.filter(_.size >= 2).foreach { ps =>
+      val term = BigDecimal(1.0 / math.log(ps.size.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      for (i <- ps.indices; j <- (i + 1) until ps.size) {
+        val key = (ps(i), ps(j))
+        val (c, t) = acc.getOrElse(key, (0L, BigDecimal(0)))
+        acc(key) = (c + 1, t + term)
+      }
+    }
+    val expected = acc.toSeq
+      .map { case ((p1, p2), (c, t)) => (p1, p2, c, t.toDouble) }
+      .sortBy { case (p1, p2, _, sc) => (-sc, p1, p2) }.take(100)
+    val got = QueryRegistry.byName("q88_adamic_adar").run(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == expected,
+      s"AA top-100 diverged: got ${got.take(3)} expected ${expected.take(3)}")
+    // the discount must actually reorder relative to raw co-occurrence
+    // somewhere in the fixture, or the operator adds nothing over q37
+    assert(got.map(_._3).sliding(2).exists {
+      case Seq(a, b) => a < b
+      case _ => false
+    }, "AA order degenerate: identical to raw co-occurrence everywhere")
+  }
+
+  // -----------------------------------------------------------------
+  // q89 robust location
+
+  test("q89: a sequential sorted-scan recount reproduces n, cuts and " +
+    "all three means exactly") {
+    val rows = Tables(spark, dir, "lineitem")
+      .select(col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber")).collect()
+      .map(r => (BigDecimal(r.getDouble(0))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP),
+        r.getLong(1), r.getInt(2)))
+      .sortBy(t => (t._1, t._2, t._3))
+    val n = rows.length.toLong
+    val k = 5 * n / 100
+    val kept = rows.slice(k.toInt, (n - k).toInt).map(_._1)
+    val vLo = rows(k.toInt)._1
+    val vHi = rows((n - k).toInt - 1)._1
+    val mean = rows.map(_._1).sum.toDouble / n
+    val trimmed = kept.sum.toDouble / (n - 2 * k)
+    val winsor = (kept.sum + BigDecimal(k) * vLo + BigDecimal(k) * vHi)
+      .toDouble / n
+    val g = QueryRegistry.byName("q89_robust_location").run(spark, dir)
+      .collect()(0)
+    assert(g.getLong(0) == n && g.getLong(1) == k)
+    assert(BigDecimal(g.getDecimal(2)) == vLo
+      && BigDecimal(g.getDecimal(3)) == vHi)
+    assert(g.getDouble(4) == mean, s"mean ${g.getDouble(4)} != $mean")
+    assert(g.getDouble(5) == trimmed)
+    assert(g.getDouble(6) == winsor)
+    // robustness direction on this fixture: the trimmed mean must
+    // differ from the raw mean (tails exist), and sit between the cuts
+    assert(trimmed != mean)
+    assert(g.getDouble(5) >= vLo.toDouble && g.getDouble(5) <= vHi.toDouble)
+  }
+
   test("s24 fixture sanity: all three roles and >1 cluster exist at " +
     "the gate SF") {
     val rows = QueryRegistry.byName("s24_dbscan").run(spark, dir)
