@@ -3050,6 +3050,82 @@ object AnalyticsQueries {
           ((col("s_kept") + col("k").cast(DecimalType(10, 0)) * col("v_lo")
             + col("k").cast(DecimalType(10, 0)) * col("v_hi"))
             .cast("double") / col("n")).as("winsor_mean"))
+    },
+
+    // ---------------------------------------------------------------
+    // q90 — one-way ANOVA (Fisher's F): does document LENGTH differ by
+    // source beyond within-source noise — the k-group generalization
+    // of q78's two-group z-test, the balance audit a mixture designer
+    // (p02/p16) runs before trusting per-source token budgets. All
+    // moments are exact BIGINT (n_g, Σy, Σy² per source — ONE
+    // partial-agg'd pass onto the ≤|sources| key domain); the
+    // variance decomposition uses per-group exact-integer identities,
+    // each ONE IEEE division of exact longs — SSW_g = (n_g·Q_g −
+    // S_g²)/n_g, SSB via Σ S_g²/n_g − S²/n — with the per-group terms
+    // round(·,6)→DECIMAL summed order-free (q84's chi-square
+    // discipline) so no order-dependent double accumulation exists.
+    // F = (SSB/(k−1))/(SSW/(n−k)) is shared-double algebra off those
+    // sums, NULL-guarded for the degenerate k ≤ 1 / zero-SSW inputs
+    // (the ADVICE round-8 class) in BOTH renderings. Per-group rows
+    // carry the shared statistics (q84's report shape). Int64 width:
+    // S_g² and n_g·Q_g stay under 2⁶³ for per-source Σchars < 3e9 —
+    // shard the audit per ingest batch at 100 TB, or lift the moment
+    // columns to DECIMAL(38,0) (same plan).
+    Q(
+      "q90_anova_length_by_source",
+      """WITH g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(n_chars) AS BIGINT) AS s_g,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS q_g
+        |  FROM documents GROUP BY source),
+        |t AS (
+        |  SELECT CAST(sum(n_g) AS BIGINT) AS n,
+        |    CAST(sum(s_g) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    sum(CAST(round(CAST(n_g * q_g - s_g * s_g AS DOUBLE) / n_g,
+        |      6) AS DECIMAL(28,6))) AS ssw_dec,
+        |    sum(CAST(round(CAST(s_g * s_g AS DOUBLE) / n_g, 6)
+        |      AS DECIMAL(28,6))) AS sb_dec
+        |  FROM g),
+        |f AS (
+        |  SELECT n, k,
+        |    CAST(sb_dec AS DOUBLE) - CAST(s * s AS DOUBLE) / n AS ssb,
+        |    CAST(ssw_dec AS DOUBLE) AS ssw
+        |  FROM t)
+        |SELECT g.source, g.n_g, g.s_g,
+        |  CAST(g.s_g AS DOUBLE) / g.n_g AS mean_g,
+        |  f.n, f.k, f.ssb, f.ssw,
+        |  CASE WHEN f.k > 1 AND f.ssw > 0 THEN
+        |    (f.ssb / (f.k - 1)) / (f.ssw / (f.n - f.k)) END AS f_stat
+        |FROM g CROSS JOIN f
+        |ORDER BY g.source""".stripMargin
+    ) { (s, dir) =>
+      val g = Tables(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_g"),
+          sum(col("n_chars")).cast("long").as("s_g"),
+          sum(col("n_chars") * col("n_chars")).cast("long").as("q_g"))
+      val t = g.agg(
+        sum(col("n_g")).cast("long").as("n"),
+        sum(col("s_g")).cast("long").as("s"),
+        count(lit(1)).cast("long").as("k"),
+        sum(round((col("n_g") * col("q_g") - col("s_g") * col("s_g"))
+            .cast("double") / col("n_g"), 6).cast("decimal(28,6)"))
+          .as("ssw_dec"),
+        sum(round((col("s_g") * col("s_g")).cast("double") / col("n_g"),
+            6).cast("decimal(28,6)")).as("sb_dec"))
+      val f = t.select(col("n"), col("k"),
+        (col("sb_dec").cast("double")
+          - (col("s") * col("s")).cast("double") / col("n")).as("ssb"),
+        col("ssw_dec").cast("double").as("ssw"))
+      g.crossJoin(broadcast(f))
+        .select(col("source"), col("n_g"), col("s_g"),
+          (col("s_g").cast("double") / col("n_g")).as("mean_g"),
+          col("n"), col("k"), col("ssb"), col("ssw"),
+          when(col("k") > 1 && col("ssw") > 0,
+            (col("ssb") / (col("k") - 1)) / (col("ssw") / (col("n") - col("k"))))
+            .as("f_stat"))
+        .orderBy(col("source"))
     }
   )
 

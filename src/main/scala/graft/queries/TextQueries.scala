@@ -1825,6 +1825,122 @@ object TextQueries {
             .as("pmi"))
         .orderBy(col("pmi").desc, col("w1"), col("w2"))
         .limit(20)
+    },
+
+    // ---------------------------------------------------------------
+    // t28 — Jensen–Shannon drift: each source vs the REST of the
+    // corpus over t22's 256-bucket hashed char-trigram profile. Where
+    // t22's KL(source ‖ corpus) is asymmetric and unbounded, JSD is
+    // the symmetric, √-metrizable, ln2-bounded divergence drift
+    // dashboards actually threshold — and it needs NO smoothing by
+    // construction: the mixture M = (P+Q)/2 is positive wherever
+    // either side is, so every ln argument is finite even on buckets
+    // one side has never seen (exactly the buckets a KL monitor must
+    // smooth away). Terms in exact-integer form: with c_sb/c_s the
+    // source ratio and c_qb/c_q the rest ratio, both ln arguments
+    // share the denominator D = c_sb·c_q + c_qb·c_s (2p/(p+q) =
+    // 2·c_sb·c_q/D, 2q/(p+q) = 2·c_qb·c_s/D); each count-weighted
+    // term is round(·,6)→DECIMAL summed order-free (t22/p31's
+    // discipline), one division per side, halved. The Q side must sum
+    // over buckets the SOURCE never saw, so terms run over the
+    // sources×buckets SPINE (≤ |sources|·256 rows, broadcast) left-
+    // joined to the observed counts — the corpus contributes the same
+    // single (source, bucket) partial aggregation as t22. Int64
+    // bounds: c_sb·c_q ≤ c² — shard the monitor per ingest batch at
+    // 100 TB (t21/t22's guard).
+    Q(
+      "t28_jsd_drift",
+      """WITH tri AS (
+        |  SELECT source,
+        |    substr(md5(substr(text, CAST(i AS INT), 3)), 1, 2) AS b
+        |  FROM (SELECT source, text,
+        |          unnest(generate_series(1, length(text) - 2)) AS i
+        |        FROM documents WHERE length(text) >= 3) t),
+        |sc AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c_sb
+        |       FROM tri GROUP BY source, b),
+        |st AS (SELECT source, CAST(sum(c_sb) AS BIGINT) AS c_s,
+        |         CAST(count(*) AS BIGINT) AS n_buckets
+        |       FROM sc GROUP BY source),
+        |cb AS (SELECT b, CAST(sum(c_sb) AS BIGINT) AS c_b
+        |       FROM sc GROUP BY b),
+        |ct AS (SELECT CAST(sum(c_sb) AS BIGINT) AS c FROM sc),
+        |sp AS (
+        |  SELECT st.source, st.c_s, cb.b, cb.c_b,
+        |    COALESCE(sc.c_sb, 0) AS c_sb
+        |  FROM st CROSS JOIN cb
+        |  LEFT JOIN sc ON sc.source = st.source AND sc.b = cb.b),
+        |terms AS (
+        |  SELECT sp.source,
+        |    CASE WHEN sp.c_sb > 0 THEN
+        |      CAST(round(sp.c_sb * ln(
+        |        CAST(2 * sp.c_sb * (ct.c - sp.c_s) AS DOUBLE)
+        |        / CAST(sp.c_sb * (ct.c - sp.c_s)
+        |            + (sp.c_b - sp.c_sb) * sp.c_s AS DOUBLE)), 6)
+        |        AS DECIMAL(28,6))
+        |    ELSE CAST(0 AS DECIMAL(28,6)) END AS tp,
+        |    CASE WHEN sp.c_b - sp.c_sb > 0 THEN
+        |      CAST(round((sp.c_b - sp.c_sb) * ln(
+        |        CAST(2 * (sp.c_b - sp.c_sb) * sp.c_s AS DOUBLE)
+        |        / CAST(sp.c_sb * (ct.c - sp.c_s)
+        |            + (sp.c_b - sp.c_sb) * sp.c_s AS DOUBLE)), 6)
+        |        AS DECIMAL(28,6))
+        |    ELSE CAST(0 AS DECIMAL(28,6)) END AS tq
+        |  FROM sp CROSS JOIN ct),
+        |a AS (SELECT source, sum(tp) AS tps, sum(tq) AS tqs
+        |      FROM terms GROUP BY source)
+        |SELECT st.source, st.c_s AS n_src_trigrams,
+        |  ct.c - st.c_s AS n_rest_trigrams, st.n_buckets,
+        |  round((CAST(a.tps AS DOUBLE) / CAST(st.c_s AS DOUBLE)
+        |    + CAST(a.tqs AS DOUBLE) / CAST(ct.c - st.c_s AS DOUBLE))
+        |    / 2, 6) AS jsd_nats
+        |FROM a JOIN st USING (source) CROSS JOIN ct
+        |ORDER BY st.source""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.Stage
+      val sc = Tables(s, dir, "documents")
+        .filter(length(col("text")) >= 3)
+        .select(col("source"),
+          explode(TextOps.charNgrams(col("text"), 3)).as("g"))
+        .select(col("source"), substring(md5(col("g")), 1, 2).as("b"))
+        .groupBy(col("source"), col("b"))
+        .agg(count(lit(1)).cast("long").as("c_sb"))
+        .transform(Stage.stage) // feeds both marginals AND the spine
+      val st = sc.groupBy(col("source"))
+        .agg(sum(col("c_sb")).cast("long").as("c_s"),
+          count(lit(1)).cast("long").as("n_buckets"))
+      val cb = sc.groupBy(col("b"))
+        .agg(sum(col("c_sb")).cast("long").as("c_b"))
+      val ct = sc.agg(sum(col("c_sb")).cast("long").as("c"))
+      val sp = broadcast(st.select(col("source"), col("c_s")))
+        .crossJoin(broadcast(cb))
+        .join(sc, Seq("source", "b"), "left_outer")
+        .select(col("source"), col("c_s"), col("b"), col("c_b"),
+          coalesce(col("c_sb"), lit(0L)).as("c_sb"))
+      val den = (col("c_sb") * (col("c") - col("c_s"))
+        + (col("c_b") - col("c_sb")) * col("c_s")).cast("double")
+      val a = sp.crossJoin(broadcast(ct))
+        .select(col("source"),
+          when(col("c_sb") > 0,
+            round(col("c_sb") * log(
+              (lit(2) * col("c_sb") * (col("c") - col("c_s")))
+                .cast("double") / den), 6).cast("decimal(28,6)"))
+            .otherwise(lit(0).cast("decimal(28,6)")).as("tp"),
+          when(col("c_b") - col("c_sb") > 0,
+            round((col("c_b") - col("c_sb")) * log(
+              (lit(2) * (col("c_b") - col("c_sb")) * col("c_s"))
+                .cast("double") / den), 6).cast("decimal(28,6)"))
+            .otherwise(lit(0).cast("decimal(28,6)")).as("tq"))
+        .groupBy(col("source"))
+        .agg(sum(col("tp")).as("tps"), sum(col("tq")).as("tqs"))
+      a.join(broadcast(st), Seq("source")).crossJoin(broadcast(ct))
+        .select(col("source"), col("c_s").as("n_src_trigrams"),
+          (col("c") - col("c_s")).as("n_rest_trigrams"),
+          col("n_buckets"),
+          round((col("tps").cast("double") / col("c_s").cast("double")
+            + col("tqs").cast("double")
+              / (col("c") - col("c_s")).cast("double")) / 2, 6)
+            .as("jsd_nats"))
+        .orderBy(col("source"))
     }
   )
 

@@ -68,7 +68,9 @@ class DeterminismSpec extends SparkSpec {
     "q87_isotonic_calibration", // minimax over exact-long ratios
     "s24_dbscan",            // exact-IEEE eps compares + min labels
     "q88_adamic_adar",       // rounded-ln terms in DECIMAL + top-k ties
-    "q89_robust_location"    // exact rank cuts + three display divisions
+    "q89_robust_location",   // exact rank cuts + three display divisions
+    "t28_jsd_drift",         // rounded-ln terms in DECIMAL per side
+    "q90_anova_length_by_source" // rounded per-group terms + F algebra
   )
 
   test("float-heavy queries are bit-identical across shuffle parallelism") {

@@ -886,7 +886,8 @@ class PlanSpec extends SparkSpec {
       "q72_kll_quantile_merge", "s23_bm25",
       "q83_theta_source_overlap", "q85_quality_length_spearman",
       "d24_winnowing", "q86_frequent_tokens",
-      "q87_isotonic_calibration", "s24_dbscan", "q89_robust_location")
+      "q87_isotonic_calibration", "s24_dbscan", "q89_robust_location",
+      "t28_jsd_drift")
     QueryRegistry.all
       .filterNot(q => isStreamLoop(q.name) || checkpoints.contains(q.name))
       .foreach { q =>

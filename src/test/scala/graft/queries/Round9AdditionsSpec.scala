@@ -338,6 +338,132 @@ class Round9AdditionsSpec extends SparkSpec {
     assert(g.getDouble(5) >= vLo.toDouble && g.getDouble(5) <= vHi.toDouble)
   }
 
+  // -----------------------------------------------------------------
+  // t28 Jensen-Shannon drift
+
+  /** Plain-Scala JSD(source vs rest) over the 256-bucket hashed
+    * char-trigram profile, mirroring the query's exact arithmetic
+    * (integer products, one IEEE division + ln per term, round-6
+    * BigDecimal term sums, one division per side, halved, round 6). */
+  private def jsdRecount(docs: Seq[(String, String)])
+      : Map[String, Double] = {
+    val buckets = docs.flatMap { case (src, text) =>
+      if (text.length < 3) Nil
+      else text.sliding(3).map(g => (src, md5hex(g).take(2))).toSeq
+    }
+    val cSb = buckets.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cS = buckets.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cB = buckets.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val c = buckets.size.toLong
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    cS.keys.map { src =>
+      val cs = cS(src)
+      val cq = c - cs
+      var tp = BigDecimal(0); var tq = BigDecimal(0)
+      cB.foreach { case (b, cb) =>
+        val csb = cSb.getOrElse((src, b), 0L)
+        val cqb = cb - csb
+        val den = (csb * cq + cqb * cs).toDouble
+        if (csb > 0)
+          tp += r6(csb * math.log(2L * csb * cq / den))
+        if (cqb > 0)
+          tq += r6(cqb * math.log(2L * cqb * cs / den))
+      }
+      src -> r6((tp.toDouble / cs + tq.toDouble / cq) / 2).toDouble
+    }.toMap
+  }
+
+  test("t28: a plain-Scala recount reproduces every source's JSD; " +
+    "bounds hold; a planted divergent source dominates") {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val expect = jsdRecount(docs)
+    val got = QueryRegistry.byName("t28_jsd_drift").run(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (src, j) =>
+      assert(j == expect(src), s"$src: $j != ${expect(src)}")
+      // JSD in nats is bounded by ln 2 (plus round-6 slack) and >= 0
+      assert(j >= -1e-6 && j <= math.log(2.0) + 1e-6, s"$src out of bounds: $j")
+    }
+    // planted: one source drawn from a disjoint alphabet must carry a
+    // JSD far above two identically-distributed sources
+    import spark.implicits._
+    val d = tmpDir("jsd")
+    val common = "the quick brown fox jumps over the lazy dog " * 5
+    Seq((1L, common, "en", "sA"), (2L, common, "en", "sB"),
+      (3L, "zzzqqqxxxwwwvvv" * 12, "en", "sC"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val p = QueryRegistry.byName("t28_jsd_drift").run(spark, d)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(p("sC") > 0.5, s"divergent source not flagged: ${p("sC")}")
+    assert(p("sA") < p("sC") && p("sB") < p("sC"))
+    // sA and sB are each HALF the corpus with identical profiles: their
+    // rest includes the divergent sC, so both sit strictly above zero
+    // but equal each other by symmetry of the construction
+    assert(p("sA") == p("sB"))
+  }
+
+  // -----------------------------------------------------------------
+  // q90 one-way ANOVA
+
+  test("q90: a plain-Scala moment recount reproduces every group row " +
+    "and the F statistic; degenerate inputs yield NULL F") {
+    val lens = Tables(spark, dir, "documents")
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val g = lens.groupBy(_._1).view.mapValues { ys =>
+      val v = ys.map(_._2)
+      (v.size.toLong, v.sum, v.map(y => y * y).sum)
+    }.toMap
+    val n = g.values.map(_._1).sum
+    val s = g.values.map(_._2).sum
+    val k = g.size.toLong
+    val ssw = g.values.map { case (ng, sg, qg) =>
+      r6((ng * qg - sg * sg).toDouble / ng) }.sum.toDouble
+    val ssb = g.values.map { case (ng, sg, _) =>
+      r6((sg * sg).toDouble / ng) }.sum.toDouble - (s * s).toDouble / n
+    val fStat = (ssb / (k - 1)) / (ssw / (n - k))
+    val rows = QueryRegistry.byName("q90_anova_length_by_source")
+      .run(spark, dir).collect()
+    assert(rows.length == g.size)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val (ng, sg, _) = g(src)
+      assert(r.getLong(1) == ng && r.getLong(2) == sg)
+      assert(r.getDouble(3) == sg.toDouble / ng)
+      assert(r.getLong(4) == n && r.getLong(5) == k)
+      assert(r.getDouble(6) == ssb && r.getDouble(7) == ssw)
+      assert(r.getDouble(8) == fStat, s"$src F ${r.getDouble(8)} != $fStat")
+    }
+    // degenerate guards: one group -> NULL F; zero within-variance
+    // (constant lengths per group) -> NULL F, never Inf/NaN
+    import spark.implicits._
+    val d1 = tmpDir("anova1")
+    Seq((1L, "aaa", "en", "s0"), (2L, "bbbb", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d1/documents.parquet")
+    val one = QueryRegistry.byName("q90_anova_length_by_source")
+      .run(spark, d1).collect()
+    assert(one.forall(_.isNullAt(8)), "k=1 must NULL the F statistic")
+    val d2 = tmpDir("anova2")
+    Seq((1L, "aaa", "en", "s0"), (2L, "xyz", "en", "s0"),
+      (3L, "ccccc", "en", "s1"), (4L, "ddddd", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val zero = QueryRegistry.byName("q90_anova_length_by_source")
+      .run(spark, d2).collect()
+    assert(zero.forall(_.isNullAt(8)), "ssw=0 must NULL the F statistic")
+  }
+
   test("s24 fixture sanity: all three roles and >1 cluster exist at " +
     "the gate SF") {
     val rows = QueryRegistry.byName("s24_dbscan").run(spark, dir)
