@@ -3126,6 +3126,89 @@ object AnalyticsQueries {
             (col("ssb") / (col("k") - 1)) / (col("ssw") / (col("n") - col("k"))))
             .as("f_stat"))
         .orderBy(col("source"))
+    },
+
+    // ---------------------------------------------------------------
+    // q91 — Markov removal-effect attribution (Anderl et al., "Mapping
+    // the customer journey", 2014): q54 attributes by position rules;
+    // the Markov answer asks the COUNTERFACTUAL — how much conversion
+    // probability disappears if channel c is removed from the graph
+    // (made a non-converting absorber, observed transition mass into
+    // it lost). Mechanics: q63's absorbing-chain recursion with a
+    // CHANNEL dimension — every candidate removal plus a '__base__'
+    // sentinel solves in ONE plan over the (channels × states) spine
+    // (≤ |types|² rows, broadcast); the corpus contributes exactly
+    // q63's single user-keyed window + transition partial agg, plus
+    // one first-event pass for the start distribution π. Probabilities
+    // ride as 1e-9 micro-units in BIGINT with ONE truncating division
+    // per (channel, state, iteration) — identical div/floor semantics
+    // in both engines for non-negative operands (q63's argument) —
+    // and P(convert) = Σ_s π(s)·p₆(s) is the same integer algebra.
+    // removal_effect = (P_base − P_removed)/P_base is one double
+    // division, NULL-guarded for P_base = 0.
+    Q("q91_markov_removal", q91Sql) { (s, dir) =>
+      val order = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          col("event_type").as("cur"), unix_millis(col("ts")).as("ms"))
+      val trans = ev
+        .withColumn("nxt", lead(col("cur"), 1).over(order))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("cur"), col("nxt"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .transform(stage) // <=|types|^2 rows; feeds ntot + 6 iterations
+      val ntot = trans.groupBy(col("cur"))
+        .agg(sum(col("n")).cast("long").as("tot"))
+      val states = trans.select(col("cur").as("state"))
+        .union(trans.select(col("nxt"))).distinct()
+      val ch = states.filter(col("state") =!= "purchase")
+        .select(col("state").as("ch"))
+        .unionByName(states.limit(1).select(lit("__base__").as("ch")))
+      val grid = ch.crossJoin(broadcast(states))
+      val p0 = grid.withColumn("p",
+        when(col("state") === "purchase", lit(1000000000L))
+          .otherwise(lit(0L)))
+      val pK = (1 to 6).foldLeft(p0) { (p, _) =>
+        grid
+          .join(trans.filter(col("cur") =!= "purchase"),
+            col("state") === col("cur"), "left_outer")
+          .join(p.select(col("ch").as("pch"), col("state").as("pst"),
+              col("p").as("pn")),
+            col("nxt") === col("pst") && col("ch") === col("pch"),
+            "left_outer")
+          .groupBy(col("ch"), col("state"))
+          .agg(sum(col("n") * col("pn")).as("num"))
+          .join(ntot.select(col("cur").as("nst"), col("tot")),
+            col("state") === col("nst"), "left_outer")
+          .select(col("ch"), col("state"),
+            when(col("state") === "purchase", lit(1000000000L))
+              .when(col("state") === col("ch"), lit(0L))
+              .otherwise(coalesce(expr("num div tot"), lit(0L)))
+              .as("p"))
+      }
+      val firsts = ev
+        .withColumn("rn", row_number().over(order))
+        .filter(col("rn") === 1)
+        .groupBy(col("cur").as("state"))
+        .agg(count(lit(1)).cast("long").as("n_u"))
+      val totU = firsts.agg(sum(col("n_u")).cast("long").as("nu"))
+      val pstart = pK.join(firsts, Seq("state"))
+        .groupBy(col("ch"))
+        .agg(sum(col("n_u") * col("p")).as("num"))
+        .crossJoin(broadcast(totU))
+        .select(col("ch"), expr("num div nu").cast("long").as("p_micro"))
+      val base = pstart.filter(col("ch") === "__base__")
+        .select(col("p_micro").as("p_base_micro"))
+      pstart.filter(col("ch") =!= "__base__")
+        .crossJoin(broadcast(base))
+        .select(col("ch").as("channel"),
+          col("p_base_micro"),
+          col("p_micro").as("p_removed_micro"),
+          when(col("p_base_micro") > 0,
+            (col("p_base_micro") - col("p_micro")).cast("double")
+              / col("p_base_micro")).as("removal_effect"))
+        .orderBy(col("channel"))
     }
   )
 
@@ -3255,6 +3338,69 @@ object AnalyticsQueries {
        |FROM states s JOIN it6 ON it6.state = s.state
        |LEFT JOIN ntot nt ON nt.cur = s.state
        |ORDER BY s.state""".stripMargin
+  }
+
+  /** q91's oracle: q63's micro-unit recursion with a channel
+    * dimension — one (ch, state, p) table per iteration, the removed
+    * channel pinned to 0 (a non-converting absorber), '__base__'
+    * pinning nothing. */
+  private lazy val q91Sql: String = {
+    val iters = (1 to 6).map { i =>
+      s"""it$i AS (
+         |  SELECT g.ch, g.state,
+         |    CAST(CASE WHEN g.state = 'purchase' THEN 1000000000
+         |      WHEN g.state = g.ch THEN 0
+         |      ELSE COALESCE((
+         |        SELECT CAST(sum(t.n * p.p) // max(nt.tot) AS BIGINT)
+         |        FROM trans t
+         |        JOIN it${i - 1} p ON p.state = t.nxt AND p.ch = g.ch
+         |        JOIN ntot nt ON nt.cur = t.cur
+         |        WHERE t.cur = g.state AND t.cur <> 'purchase'), 0)
+         |      END AS BIGINT) AS p
+         |  FROM grid g)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT event_type AS cur,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_ms(ts), event_id) AS nxt
+       |  FROM events),
+       |trans AS (
+       |  SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+       |  FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+       |ntot AS (SELECT cur, CAST(sum(n) AS BIGINT) AS tot
+       |         FROM trans GROUP BY cur),
+       |states AS (SELECT DISTINCT state FROM (
+       |  SELECT cur AS state FROM trans
+       |  UNION ALL SELECT nxt FROM trans)),
+       |ch AS (SELECT state AS ch FROM states WHERE state <> 'purchase'
+       |  UNION ALL SELECT '__base__'),
+       |grid AS (SELECT c.ch, s.state FROM ch c CROSS JOIN states s),
+       |it0 AS (
+       |  SELECT ch, state, CAST(CASE WHEN state = 'purchase'
+       |    THEN 1000000000 ELSE 0 END AS BIGINT) AS p FROM grid),
+       |$iters,
+       |firsts AS (
+       |  SELECT cur AS state, CAST(count(*) AS BIGINT) AS n_u
+       |  FROM (SELECT user_id, event_type AS cur,
+       |          row_number() OVER (PARTITION BY user_id
+       |            ORDER BY epoch_ms(ts), event_id) AS rn
+       |        FROM events) f WHERE rn = 1 GROUP BY 1),
+       |tot_u AS (SELECT CAST(sum(n_u) AS BIGINT) AS nu FROM firsts),
+       |pstart AS (
+       |  SELECT i.ch,
+       |    CAST(sum(f.n_u * i.p) // max(tu.nu) AS BIGINT) AS p_micro
+       |  FROM it6 i JOIN firsts f ON f.state = i.state
+       |  CROSS JOIN tot_u tu GROUP BY i.ch),
+       |base AS (SELECT p_micro AS p_base_micro FROM pstart
+       |  WHERE ch = '__base__')
+       |SELECT p.ch AS channel, b.p_base_micro,
+       |  p.p_micro AS p_removed_micro,
+       |  CASE WHEN b.p_base_micro > 0 THEN
+       |    CAST(b.p_base_micro - p.p_micro AS DOUBLE) / b.p_base_micro
+       |  END AS removal_effect
+       |FROM pstart p CROSS JOIN base b
+       |WHERE p.ch <> '__base__'
+       |ORDER BY channel""".stripMargin
   }
 
   private lazy val q51Sql: String =

@@ -70,7 +70,8 @@ class DeterminismSpec extends SparkSpec {
     "q88_adamic_adar",       // rounded-ln terms in DECIMAL + top-k ties
     "q89_robust_location",   // exact rank cuts + three display divisions
     "t28_jsd_drift",         // rounded-ln terms in DECIMAL per side
-    "q90_anova_length_by_source" // rounded per-group terms + F algebra
+    "q90_anova_length_by_source", // rounded per-group terms + F algebra
+    "q91_markov_removal"     // BIGINT micro-units + one display division
   )
 
   test("float-heavy queries are bit-identical across shuffle parallelism") {

@@ -464,6 +464,111 @@ class Round9AdditionsSpec extends SparkSpec {
     assert(zero.forall(_.isNullAt(8)), "ssw=0 must NULL the F statistic")
   }
 
+  // -----------------------------------------------------------------
+  // q91 Markov removal effects
+
+  /** Sequential micro-unit chain solve mirroring q91's arithmetic:
+    * 6 iterations, p pinned 1e9 at purchase and 0 at the removed
+    * channel, floor division by the row total per step. */
+  private def solveChain(trans: Map[(String, String), Long],
+      states: Seq[String], removed: Option[String]): Map[String, Long] = {
+    val tot = trans.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    var p = states.map(s =>
+      s -> (if (s == "purchase") 1000000000L else 0L)).toMap
+    (1 to 6).foreach { _ =>
+      p = states.map { s =>
+        s -> (
+          if (s == "purchase") 1000000000L
+          else if (removed.contains(s)) 0L
+          else tot.get(s) match {
+            case Some(t) =>
+              val num = states.map(n =>
+                trans.getOrElse((s, n), 0L) * p(n)).sum
+              Math.floorDiv(num, t)
+            case None => 0L
+          })
+      }.toMap
+    }
+    p
+  }
+
+  private def removalRecount(
+      ev: Seq[(Long, Long, String, Long)]) // (user, event_id, type, ms)
+      : Seq[(String, Long, Long, Option[Double])] = {
+    val byUser = ev.groupBy(_._1).view
+      .mapValues(_.sortBy(e => (e._4, e._2)).map(_._3)).toMap
+    val trans = byUser.values.flatMap(p => p.zip(p.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val states = trans.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct
+    val firsts = byUser.values.map(_.head).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val nu = firsts.values.sum
+    def pStart(rm: Option[String]): Long = {
+      val p = solveChain(trans, states, rm)
+      Math.floorDiv(firsts.map { case (s, n) =>
+        n * p.getOrElse(s, 0L) }.sum, nu)
+    }
+    val pb = pStart(None)
+    states.filter(_ != "purchase").sorted.map { c =>
+      val pr = pStart(Some(c))
+      (c, pb, pr,
+        if (pb > 0) Some((pb - pr).toDouble / pb) else None)
+    }
+  }
+
+  test("q91: a sequential chain solve reproduces every channel's " +
+    "removal effect exactly on the fixture") {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSeq
+    val expected = removalRecount(ev)
+    val got = QueryRegistry.byName("q91_markov_removal").run(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(got == expected,
+      s"removal effects diverged:\n got $got\n exp $expected")
+    assert(expected.nonEmpty)
+  }
+
+  test("q91: planted causal graph — the only route to purchase has " +
+    "effect 1, a dead-end channel has effect 0") {
+    import spark.implicits._
+    val d = tmpDir("markov")
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, String)]
+    var eid = 0L
+    (1L to 6L).foreach { u =>
+      Seq("start", "gate", "purchase").foreach { t =>
+        rows += ((eid, u, t)); eid += 1 }
+    }
+    (7L to 10L).foreach { u =>
+      Seq("start", "side").foreach { t =>
+        rows += ((eid, u, t)); eid += 1 }
+    }
+    rows.toSeq.toDF("event_id", "user_id", "event_type")
+      .withColumn("ts", expr(
+        "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,event_id)"))
+      .withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = QueryRegistry.byName("q91_markov_removal").run(spark, d)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))).toMap
+    // base: p(start) = 6e8 (6 of 10 users convert), every user starts
+    // at 'start'
+    assert(got.keySet == Set("start", "gate", "side"))
+    assert(got("gate") == ((600000000L, 0L, 1.0)),
+      s"gate: ${got("gate")}")
+    assert(got("side") == ((600000000L, 600000000L, 0.0)),
+      s"side: ${got("side")}")
+    assert(got("start") == ((600000000L, 0L, 1.0)),
+      s"start: ${got("start")}")
+  }
+
   test("s24 fixture sanity: all three roles and >1 cluster exist at " +
     "the gate SF") {
     val rows = QueryRegistry.byName("s24_dbscan").run(spark, dir)
