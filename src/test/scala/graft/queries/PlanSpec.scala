@@ -99,6 +99,32 @@ class PlanSpec extends SparkSpec {
     assert(d06.contains("GroupTopKPartial"), d06)
   }
 
+  test("round-9 additions: winnowing pairs key on the fingerprint " +
+    "hash; bounded minimax joins broadcast; AA top-k never sorts " +
+    "globally") {
+    // d24: pair enumeration must be an equi-join NODE keyed on the
+    // winnowed fingerprint hash (the 2/(w+1)-density table) — never a
+    // cartesian of the corpus against itself (d08/d10's pin style)
+    val d24 = planOf("d24_winnowing")
+    assert(
+      """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*fph"""
+        .r.findFirstIn(d24).isDefined,
+      s"no equi-join node keyed on fph:\n$d24")
+    assert(!d24.contains("CartesianProduct"), d24)
+    // q87: the score-domain range joins are non-equi by nature — they
+    // must plan as broadcast nested-loop against the bounded side
+    // (staged tables carry no stats; without the explicit hint this
+    // silently degrades to CartesianProduct, the bug the hints fix)
+    val q87 = planOf("q87_isotonic_calibration")
+    assert(q87.contains("BroadcastNestedLoopJoin"), q87)
+    assert(!q87.contains("CartesianProduct"), q87)
+    // q88: the top-100 must ride a per-partition heap + driver merge,
+    // never a global sort of the pair table
+    val q88 = planOf("q88_adamic_adar")
+    assert(q88.contains("TakeOrderedAndProject"), q88)
+    assert(!q88.contains("CartesianProduct"), q88)
+  }
+
   test("q30: lateral top-k decorrelates to ONE join with group-limit pruning") {
     // the correlated LATERAL subquery must become a single equi-join
     // feeding a rank filter — never a per-outer-row rescan of customer
