@@ -2601,6 +2601,80 @@ object PipelineQueries {
           col("na").cast("long").as("n_after"))
       chrow.unionByName(drow).unionByName(nrow)
         .orderBy(col("artifact"))
+    },
+
+    // ---------------------------------------------------------------
+    // p40 — cross-source QUANTILE NORMALIZATION (Bolstad et al.,
+    // Bioinformatics 2003 — the microarray batch-effect correction,
+    // applied to corpus curation): per-source quality scores are not
+    // comparable (every source's scorer has its own scale/offset), so
+    // a single global threshold (p08's cascade, p29's frontier)
+    // silently over-prunes whole sources. The fix maps each document's
+    // WITHIN-SOURCE rank onto the CORPUS-WIDE score distribution:
+    // norm(d) = corpus value at global rank ⌈r_s(d)·N / n_s⌉ — after
+    // which equal-size sources carry literally identical score
+    // multisets and a global cut removes the same QUANTILE of every
+    // source. Entirely integer-exact: within-source ranks are
+    // partitioned row_numbers on a total order, the corpus rank table
+    // is EquiDepth's range-exchange construction (two exchanges at any
+    // cardinality, never a single-task window), the target rank is the
+    // integer ceiling (r·N + n_s − 1) div n_s (q75's discipline), and
+    // the lookup is ONE corpus-scale equi-join on the rank key. No
+    // doubles anywhere — the gate is exact BIGINTs end to end.
+    Q(
+      "p40_quantile_normalize",
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars AS score FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, score,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY score, doc_id) AS src_rank,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+        |  FROM d),
+        |g AS (
+        |  SELECT score AS gscore,
+        |    row_number() OVER (ORDER BY score, doc_id) AS grank
+        |  FROM d),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |t AS (
+        |  SELECT r.*, (r.src_rank * tot.n + r.n_src - 1) // r.n_src
+        |    AS target
+        |  FROM r CROSS JOIN tot)
+        |SELECT t.doc_id, t.source, t.score,
+        |  CAST(t.src_rank AS BIGINT) AS src_rank, t.n_src,
+        |  g.gscore AS norm_score
+        |FROM t JOIN g ON g.grank = t.target
+        |ORDER BY t.doc_id""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars").as("score"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score"), col("doc_id"))
+      val r = d.select(col("doc_id"), col("source"), col("score"),
+        row_number().over(w).cast("long").as("src_rank"),
+        count(lit(1)).over(Window.partitionBy(col("source")))
+          .cast("long").as("n_src"))
+      val g = graft.operators.EquiDepth.withGlobalRank(
+          d.select(col("score"), col("doc_id")),
+          Seq(col("score"), col("doc_id")), "grank", "n")
+        .select(col("score").as("gscore"), col("grank"), col("n"))
+      // the corpus total rides the LEFT side as a broadcast scalar so
+      // the target rank is a left-only expression and the lookup plans
+      // as a rank-keyed EQUI-join — with `n` read off the right side
+      // the key mixes both inputs, Spark falls back to a nested loop,
+      // and the operator goes quadratic (caught at 22× in the 10×
+      // soak; the equi form restores ~linear)
+      val tot = g.agg(max(col("n")).as("n"))
+      val t = r.crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("source"), col("score"),
+          col("src_rank"), col("n_src"),
+          expr("(src_rank * n + n_src - 1) div n_src").as("target"))
+      t.join(g.select(col("gscore"), col("grank")),
+          col("grank") === col("target"))
+        .select(col("doc_id"), col("source"), col("score"),
+          col("src_rank"), col("n_src"),
+          col("gscore").as("norm_score"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -569,6 +569,56 @@ class Round9AdditionsSpec extends SparkSpec {
       s"start: ${got("start")}")
   }
 
+  // -----------------------------------------------------------------
+  // p40 quantile normalization
+
+  test("p40: a plain-Scala rank/lookup recount reproduces every row; " +
+    "equal-size planted sources normalize to identical multisets") {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val global = docs.sortBy(t => (t._3, t._1)).map(_._3) // rank -> score
+    val n = global.length.toLong
+    val expected = docs.groupBy(_._2).flatMap { case (src, ds) =>
+      val ns = ds.length.toLong
+      ds.sortBy(t => (t._3, t._1)).zipWithIndex.map {
+        case ((id, _, score), i) =>
+          val rank = i + 1L
+          val target = (rank * n + ns - 1) / ns
+          (id, src, score, rank, ns, global((target - 1).toInt))
+      }
+    }.toSeq.sortBy(_._1)
+    val got = QueryRegistry.byName("p40_quantile_normalize")
+      .run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected,
+      s"normalization diverged: got ${got.take(2)} exp ${expected.take(2)}")
+    // planted: two equal-size sources with SHIFTED score scales must
+    // carry identical normalized multisets (the defining property) —
+    // and a global cut then removes the same quantile of each
+    import spark.implicits._
+    val d = tmpDir("qnorm")
+    val rows = (1L to 50L).map(i => (i, "x" * (100 + i.toInt), "en", "sLo")) ++
+      (51L to 100L).map(i => (i, "x" * (5000 + 3 * i.toInt), "en", "sHi"))
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val p = QueryRegistry.byName("p40_quantile_normalize").run(spark, d)
+      .collect().map(r => (r.getString(1), r.getLong(5)))
+    val bySrc = p.groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(bySrc("sLo") == bySrc("sHi"),
+      "equal-size sources must normalize to identical score multisets")
+    // raw scales don't overlap at all, yet the normalized threshold
+    // admits exactly half of EACH source
+    val cut = bySrc("sLo")(25)
+    p.groupBy(_._1).foreach { case (src, xs) =>
+      val kept = xs.count(_._2 >= cut)
+      assert(kept == 25, s"$src keeps $kept of 50 above the median cut")
+    }
+  }
+
   test("s24 fixture sanity: all three roles and >1 cluster exist at " +
     "the gate SF") {
     val rows = QueryRegistry.byName("s24_dbscan").run(spark, dir)
