@@ -1787,17 +1787,25 @@ object AnalyticsQueries {
     // lesson). Only corpus-scale work is one partial-agg'd reduce
     // onto ≤10 (bin) keys; everything after runs on the 10-row table.
     //
-    // GATING (round-9 hardening): round 8 shipped the per-bin term as
-    // round(ln-expr, 6) and the driver's oracle env flipped one term
-    // whose pre-rounded value sat 4e-9 from the .5 boundary — rows and
-    // schema matched, hash didn't. The gated surface is now
-    // engine-version-robust: exact BIGINT counts; p_ref/p_cur as
-    // DECIMAL(18,9) built from exact integer floor-ratios
-    // ((r1·1e9) div rt, then an exact decimal rescale — no decimal
-    // division, whose rounding is engine-specific); and the
-    // transcendental term/psi gated as threshold BANDS (the q59/q72
-    // sketch-gate pattern) whose fixture margins are ≥17% relative —
-    // 14 orders of magnitude above cross-libm ulp noise. At 100 TB
+    // GATING (round-10 hardening): round 8 shipped the per-bin term as
+    // round(ln-expr, 6) and the driver's oracle env flipped one term;
+    // round 9 banded the transcendental term/psi with claimed ≥17%
+    // margins and the driver env STILL flipped the hash while local
+    // DuckDB byte-matched — so round 10 removes the libm ln entirely.
+    // The surface is now ZERO-FLOAT: exact BIGINT counts; p_ref/p_cur
+    // as DECIMAL(18,9) from exact integer floor-ratios; and the PSI
+    // term computed with a PINNED e9 FIXED-POINT LOGARITHM — range
+    // reduction by powers of two via an exact 31-row spine join
+    // (unique k with A·2^k ∈ [5e8, 1e9)), then the 5-term atanh
+    // series 2(w + w³/3 + w⁵/5 + w⁷/7 + w⁹/9) on w = (1e9−m)·1e9 div
+    // (m+1e9) ≤ 1/3·1e9 (tail < 1.1e-6), ln2 pinned as the literal
+    // 693147181. Every operand is a non-negative BIGINT (floor =
+    // truncate in both engines) so term_e9 and psi_e9 = Σterm_e9 are
+    // exact integers and the bands are exact integer comparisons — no
+    // margin argument needed. The statistic is thus PSI with a
+    // ≤2e-6-absolute pinned log, deterministic across engines and
+    // versions. Widths: m+products ≤ 4e17; |Δln|·|Δp| split as
+    // (D·(G div 1e3)) div 1e6 keeps the product ≤ 2.1e16. At 100 TB
     // (row counts > ~9e9) lift the e9 ratio scale into DECIMAL(38,0)
     // in the same shape.
     Q(
@@ -1820,26 +1828,52 @@ object AnalyticsQueries {
         |t AS (SELECT CAST(sum(r1) AS BIGINT) AS rt,
         |    CAST(sum(c1) AS BIGINT) AS ct FROM f),
         |p AS (SELECT bin, r_n, c_n,
-        |    CAST(CAST((r1 * 1000000000) // rt AS DECIMAL(18,0))
+        |    (r1 * 1000000000) // rt AS a0,
+        |    (c1 * 1000000000) // ct AS b0,
+        |    greatest((r1 * 1000000000) // rt, 1) AS av,
+        |    greatest((c1 * 1000000000) // ct, 1) AS bv
+        |  FROM f CROSS JOIN t),
+        |vals AS (SELECT DISTINCT v FROM
+        |  (SELECT av AS v FROM p UNION ALL SELECT bv AS v FROM p) u),
+        |sp2 AS (SELECT CAST(unnest(generate_series(0, 30)) AS BIGINT)
+        |    AS k),
+        |rr AS (SELECT v, k, v * (CAST(1 AS BIGINT) << k) AS m
+        |  FROM vals CROSS JOIN sp2
+        |  WHERE v * (CAST(1 AS BIGINT) << k) >= 500000000
+        |    AND v * (CAST(1 AS BIGINT) << k) < 1000000000),
+        |w1 AS (SELECT v, k,
+        |    ((1000000000 - m) * 1000000000) // (m + 1000000000) AS w
+        |  FROM rr),
+        |w2t AS (SELECT v, k, w, (w * w) // 1000000000 AS w2 FROM w1),
+        |w3t AS (SELECT v, k, w, w2, (w2 * w) // 1000000000 AS w3
+        |  FROM w2t),
+        |w5t AS (SELECT v, k, w, w2, w3, (w3 * w2) // 1000000000 AS w5
+        |  FROM w3t),
+        |w7t AS (SELECT v, k, w, w2, w3, w5,
+        |    (w5 * w2) // 1000000000 AS w7 FROM w5t),
+        |w9t AS (SELECT v, k, w, w2, w3, w5, w7,
+        |    (w7 * w2) // 1000000000 AS w9 FROM w7t),
+        |lt AS (SELECT v,
+        |    0 - 2 * (w + w3 // 3 + w5 // 5 + w7 // 7 + w9 // 9)
+        |      - k * 693147181 AS lv
+        |  FROM w9t),
+        |tm AS (SELECT p.bin, p.r_n, p.c_n,
+        |    CAST(CAST(p.a0 AS DECIMAL(18,0))
         |      * CAST(0.000000001 AS DECIMAL(9,9)) AS DECIMAL(18,9))
         |      AS p_ref,
-        |    CAST(CAST((c1 * 1000000000) // ct AS DECIMAL(18,0))
+        |    CAST(CAST(p.b0 AS DECIMAL(18,0))
         |      * CAST(0.000000001 AS DECIMAL(9,9)) AS DECIMAL(18,9))
-        |      AS p_cur
-        |  FROM f CROSS JOIN t),
-        |tm AS (SELECT bin, r_n, c_n, p_ref, p_cur,
-        |    (CAST(p_ref AS DOUBLE) - CAST(p_cur AS DOUBLE))
-        |      * ln(CAST(p_ref AS DOUBLE) / CAST(p_cur AS DOUBLE))
-        |      AS term
-        |  FROM p),
-        |st AS (SELECT CAST(sum(CAST(term AS DECIMAL(38,18)))
-        |    AS DECIMAL(38,18)) AS psi FROM tm)
+        |      AS p_cur,
+        |    (abs(p.av - p.bv) * (abs(la.lv - lb.lv) // 1000))
+        |      // 1000000 AS term_e9
+        |  FROM p JOIN lt la ON la.v = p.av JOIN lt lb ON lb.v = p.bv),
+        |st AS (SELECT CAST(sum(term_e9) AS BIGINT) AS psi_e9 FROM tm)
         |SELECT bin, r_n, c_n, p_ref, p_cur,
-        |  CASE WHEN term < 0.0001 THEN 'negligible'
-        |       WHEN term < 0.01 THEN 'minor'
+        |  CASE WHEN term_e9 < 100000 THEN 'negligible'
+        |       WHEN term_e9 < 10000000 THEN 'minor'
         |       ELSE 'major' END AS term_band,
-        |  CASE WHEN psi < CAST(0.1 AS DECIMAL(2,1)) THEN 'stable'
-        |       WHEN psi < CAST(0.25 AS DECIMAL(3,2)) THEN 'moderate'
+        |  CASE WHEN psi_e9 < 100000000 THEN 'stable'
+        |       WHEN psi_e9 < 250000000 THEN 'moderate'
         |       ELSE 'major' END AS psi_band
         |FROM tm CROSS JOIN st ORDER BY bin""".stripMargin
     ) { (s, dir) =>
@@ -1864,34 +1898,63 @@ object AnalyticsQueries {
           (col("r_n") + lit(1L)).as("r1"), (col("c_n") + lit(1L)).as("c1"))
       val tot = filled.agg(sum(col("r1")).cast("long").as("rt"),
         sum(col("c1")).cast("long").as("ct"))
-      // exact floor-ratio in e9 units (BIGINT both engines), then an
-      // exact decimal rescale: DECIMAL(18,0) × DECIMAL(9,9) multiplies
-      // unscaled integers (no rounding anywhere, unlike decimal
-      // division whose result-scale rounding is engine-specific)
-      def ratioDec(num: String, den: String): Column =
-        (expr(s"($num * 1000000000L) div $den").cast("decimal(18,0)")
-          * lit("0.000000001").cast("decimal(9,9)")).cast("decimal(18,9)")
-      val terms = filled.crossJoin(broadcast(tot))
+      // exact floor-ratio probabilities in e9 units (BIGINT both
+      // engines); `av`/`bv` are the log inputs, floored at 1 so the
+      // power-of-two spine join always matches (a0 = 0 would otherwise
+      // drop the bin row)
+      val pdf = filled.crossJoin(broadcast(tot))
         .select(col("bin"), col("r_n"), col("c_n"),
-          ratioDec("r1", "rt").as("p_ref"),
-          ratioDec("c1", "ct").as("p_cur"))
-        .select(col("bin"), col("r_n"), col("c_n"), col("p_ref"),
-          col("p_cur"),
-          ((col("p_ref").cast("double") - col("p_cur").cast("double"))
-            * log(col("p_ref").cast("double")
-              / col("p_cur").cast("double"))).as("term"))
+          expr("(r1 * 1000000000L) div rt").as("a0"),
+          expr("(c1 * 1000000000L) div ct").as("b0"))
+        .select(col("bin"), col("r_n"), col("c_n"), col("a0"),
+          col("b0"),
+          greatest(col("a0"), lit(1L)).as("av"),
+          greatest(col("b0"), lit(1L)).as("bv"))
+      // pinned e9 fixed-point log lookup: unique k with v·2^k ∈
+      // [5e8, 1e9), then the 5-term atanh series on non-negative
+      // BIGINTs; lv ≈ ln(v/1e9)·1e9 with ≤2e-6 absolute error,
+      // identical in both engines because it is pure integer math
+      val vals = pdf.select(col("av").as("v"))
+        .union(pdf.select(col("bv").as("v"))).distinct()
+      val pow2 = s.range(0, 31)
+        .select(col("id").as("k"),
+          expr("shiftleft(1L, CAST(id AS INT))").as("p2"))
+      val lut = vals.join(broadcast(pow2),
+          col("v") * col("p2") >= lit(500000000L) &&
+            col("v") * col("p2") < lit(1000000000L))
+        .withColumn("m", col("v") * col("p2"))
+        .withColumn("w",
+          expr("((1000000000L - m) * 1000000000L) div (m + 1000000000L)"))
+        .withColumn("w2", expr("(w * w) div 1000000000L"))
+        .withColumn("w3", expr("(w2 * w) div 1000000000L"))
+        .withColumn("w5", expr("(w3 * w2) div 1000000000L"))
+        .withColumn("w7", expr("(w5 * w2) div 1000000000L"))
+        .withColumn("w9", expr("(w7 * w2) div 1000000000L"))
+        .select(col("v"),
+          expr("""0L - 2L * (w + w3 div 3 + w5 div 5 + w7 div 7
+            + w9 div 9) - k * 693147181L""").as("lv"))
+      def dec9p(c: String): Column =
+        (col(c).cast("decimal(18,0)")
+          * lit("0.000000001").cast("decimal(9,9)")).cast("decimal(18,9)")
+      val terms = pdf
+        .join(broadcast(lut.select(col("v").as("av"),
+          col("lv").as("la"))), Seq("av"))
+        .join(broadcast(lut.select(col("v").as("bv"),
+          col("lv").as("lb"))), Seq("bv"))
+        .select(col("bin"), col("r_n"), col("c_n"),
+          dec9p("a0").as("p_ref"), dec9p("b0").as("p_cur"),
+          expr("(abs(av - bv) * (abs(la - lb) div 1000L)) div 1000000L")
+            .as("term_e9"))
       val psiTot = terms
-        .agg(sum(col("term").cast("decimal(38,18)"))
-          .cast("decimal(38,18)").as("psi"))
+        .agg(sum(col("term_e9")).cast("long").as("psi_e9"))
       terms.crossJoin(broadcast(psiTot))
         .select(col("bin"), col("r_n"), col("c_n"), col("p_ref"),
           col("p_cur"),
-          when(col("term") < lit(0.0001), "negligible")
-            .when(col("term") < lit(0.01), "minor")
+          when(col("term_e9") < lit(100000L), "negligible")
+            .when(col("term_e9") < lit(10000000L), "minor")
             .otherwise("major").as("term_band"),
-          when(col("psi") < lit("0.1").cast("decimal(2,1)"), "stable")
-            .when(col("psi") < lit("0.25").cast("decimal(3,2)"),
-              "moderate")
+          when(col("psi_e9") < lit(100000000L), "stable")
+            .when(col("psi_e9") < lit(250000000L), "moderate")
             .otherwise("major").as("psi_band"))
         .orderBy(col("bin"))
     },
@@ -2664,18 +2727,26 @@ object AnalyticsQueries {
     // or does dropping a source skew the language mix?". Exactness:
     // the contingency table, row/column margins and N are exact
     // BIGINTs over the FULL nr×nc spine (zero cells carry expected
-    // mass — the d09 rule); each cell's χ² term is the exact-integer
-    // identity (o·N − r·c)²/(N·r·c) evaluated as one shared-order IEEE
-    // division, then round(·,6)→DECIMAL(28,6) and summed order-free
-    // (t22's discipline); V = sqrt(χ²/(N·(min(nr,nc)−1))) is a single
-    // correctly-rounded sqrt of the shared double, so it gates RAW,
-    // with a banded verdict whose nearest fixture value sits ≥33% from
-    // a threshold. Expected counts render as exact e9 floor-ratio
-    // DECIMAL(18,9) (q71's trick). Headroom: (o·N)² < 2⁶³ holds to
-    // N ≈ 55 M docs per audited slice; shard the audit (or lift the
-    // diff into DECIMAL(38,0)) beyond that. Scale shape: ONE (source,
-    // lang) partial agg bounds everything after to nr·nc rows; margins
-    // and scalars broadcast.
+    // mass — the d09 rule). GATING (round-10 hardening): round 9
+    // shipped each χ² term as round(IEEE-division, 6) plus raw chi2 /
+    // cramers_v doubles, and the driver's oracle env flipped the hash
+    // while local DuckDB byte-matched. The surface is now ZERO-FLOAT:
+    // each cell's term is the exact-integer identity
+    // (o·N − r·c)²/(N·r·c) rendered at a pinned 1e-6 scale by SPLIT
+    // floor division (quotient, then two 3-digit remainder refinement
+    // steps — every operand non-negative so floor = truncate in both
+    // engines); χ² is the exact BIGINT sum of the e6 terms; the
+    // effect size gates as V² = χ²/(N·(min(nr,nc)−1)) — an exact e9
+    // floor-ratio DECIMAL — and assoc_band is decided by an exact
+    // INTEGER comparison (V < t ⟺ chi2_e6 < t²·N·(m−1)·1e6), so no
+    // margin argument is needed at all. Expected counts render as
+    // exact e9 floor-ratio DECIMAL(18,9) (q71's trick). Headroom:
+    // (o·N − r·c)² and N·r·c < 2⁶³ hold to N ≈ 55 M docs per audited
+    // slice (the remainder·1e3 steps need N³ < 9.2e15, N ≈ 200k, so
+    // shard the audit per ingest batch or lift the split into
+    // DECIMAL(38,0) beyond that). Scale shape: ONE (source, lang)
+    // partial agg bounds everything after to nr·nc rows; margins and
+    // scalars broadcast.
     Q(
       "q84_source_lang_independence",
       """WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
@@ -2691,25 +2762,36 @@ object AnalyticsQueries {
         |  SELECT rt.source, ct.lang, COALESCE(c.o, 0) AS o, rt.r, ct.cc
         |  FROM rt CROSS JOIN ct
         |  LEFT JOIN c ON c.source = rt.source AND c.lang = ct.lang),
+        |tm0 AS (
+        |  SELECT source, lang, o, r, cc, nt.n,
+        |    (o * nt.n - r * cc) * (o * nt.n - r * cc) AS d2,
+        |    nt.n * r * cc AS den
+        |  FROM cells CROSS JOIN nt),
         |tm AS (
-        |  SELECT source, lang, o, r, cc,
-        |    CAST(CAST((r * cc * 1000000000) // nt.n AS DECIMAL(18,0))
+        |  SELECT source, lang, o, r, cc, n,
+        |    CAST(CAST((r * cc * 1000000000) // n AS DECIMAL(18,0))
         |      * CAST(0.000000001 AS DECIMAL(9,9)) AS DECIMAL(18,9))
         |      AS expected,
-        |    CAST(round(
-        |      CAST((o * nt.n - r * cc) * (o * nt.n - r * cc) AS DOUBLE)
-        |        / (CAST(nt.n AS DOUBLE) * r * cc), 6)
-        |      AS DECIMAL(28,6)) AS term
-        |  FROM cells CROSS JOIN nt),
-        |st AS (SELECT CAST(sum(term) AS DOUBLE) AS chi2 FROM tm)
-        |SELECT source, lang, o AS observed, expected, term,
-        |  st.chi2,
-        |  sqrt(st.chi2 / (CAST(nt.n AS DOUBLE)
-        |    * (least(dm.nr, dm.nc) - 1))) AS cramers_v,
-        |  CASE WHEN sqrt(st.chi2 / (CAST(nt.n AS DOUBLE)
-        |      * (least(dm.nr, dm.nc) - 1))) < 0.1 THEN 'negligible'
-        |    WHEN sqrt(st.chi2 / (CAST(nt.n AS DOUBLE)
-        |      * (least(dm.nr, dm.nc) - 1))) < 0.3 THEN 'weak'
+        |    (d2 // den) * 1000000
+        |      + (((d2 % den) * 1000) // den) * 1000
+        |      + ((((d2 % den) * 1000) % den) * 1000) // den AS term_e6
+        |  FROM tm0),
+        |st AS (SELECT CAST(sum(term_e6) AS BIGINT) AS chi2_e6 FROM tm)
+        |SELECT source, lang, o AS observed, expected,
+        |  CAST(CAST(term_e6 AS DECIMAL(22,0))
+        |    * CAST(0.000001 AS DECIMAL(6,6)) AS DECIMAL(28,6)) AS term,
+        |  CAST(CAST(st.chi2_e6 AS DECIMAL(22,0))
+        |    * CAST(0.000001 AS DECIMAL(6,6)) AS DECIMAL(28,6)) AS chi2,
+        |  CAST(CAST((st.chi2_e6 * 1000)
+        |      // (nt.n * (least(dm.nr, dm.nc) - 1)) AS DECIMAL(20,0))
+        |    * CAST(0.000000001 AS DECIMAL(9,9)) AS DECIMAL(20,9))
+        |    AS cramers_v2,
+        |  CASE WHEN st.chi2_e6
+        |      < nt.n * (least(dm.nr, dm.nc) - 1) * 10000
+        |      THEN 'negligible'
+        |    WHEN st.chi2_e6
+        |      < nt.n * (least(dm.nr, dm.nc) - 1) * 90000
+        |      THEN 'weak'
         |    ELSE 'strong' END AS assoc_band
         |FROM tm CROSS JOIN st CROSS JOIN nt CROSS JOIN dm
         |ORDER BY source, lang""".stripMargin
@@ -2729,26 +2811,34 @@ object AnalyticsQueries {
         .join(c, Seq("source", "lang"), "left_outer")
         .select(col("source"), col("lang"),
           coalesce(col("o"), lit(0L)).as("o"), col("r"), col("cc"))
+      def dec6(c: Column): Column =
+        (c.cast("decimal(22,0)") * lit("0.000001").cast("decimal(6,6)"))
+          .cast("decimal(28,6)")
       val tm = cells.crossJoin(broadcast(nt))
+        .withColumn("d2", (col("o") * col("n") - col("r") * col("cc"))
+          * (col("o") * col("n") - col("r") * col("cc")))
+        .withColumn("den", col("n") * col("r") * col("cc"))
         .select(col("source"), col("lang"), col("o"), col("r"),
-          col("cc"),
+          col("cc"), col("n"),
           (expr("(r * cc * 1000000000L) div n").cast("decimal(18,0)")
             * lit("0.000000001").cast("decimal(9,9)"))
             .cast("decimal(18,9)").as("expected"),
-          round(((col("o") * col("n") - col("r") * col("cc"))
-              * (col("o") * col("n") - col("r") * col("cc")))
-              .cast("double")
-            / (col("n").cast("double") * col("r") * col("cc")), 6)
-            .cast("decimal(28,6)").as("term"))
-      val st = tm.agg(sum(col("term")).cast("double").as("chi2"))
-      val v = sqrt(col("chi2") / (col("n").cast("double")
-        * (least(col("nr"), col("nc")) - lit(1L))))
-      tm.crossJoin(broadcast(st)).crossJoin(broadcast(nt))
-        .crossJoin(broadcast(dm))
+          expr("""(d2 div den) * 1000000L
+            + (((d2 % den) * 1000L) div den) * 1000L
+            + ((((d2 % den) * 1000L) % den) * 1000L) div den""")
+            .as("term_e6"))
+      val st = tm.agg(sum(col("term_e6")).cast("long").as("chi2_e6"))
+      val scaleM = col("n") * (least(col("nr"), col("nc")) - lit(1L))
+      tm.crossJoin(broadcast(st)).crossJoin(broadcast(dm))
         .select(col("source"), col("lang"), col("o").as("observed"),
-          col("expected"), col("term"), col("chi2"),
-          v.as("cramers_v"),
-          when(v < 0.1, "negligible").when(v < 0.3, "weak")
+          col("expected"), dec6(col("term_e6")).as("term"),
+          dec6(col("chi2_e6")).as("chi2"),
+          (expr("(chi2_e6 * 1000L) div (n * (least(nr, nc) - 1))")
+            .cast("decimal(20,0)")
+            * lit("0.000000001").cast("decimal(9,9)"))
+            .cast("decimal(20,9)").as("cramers_v2"),
+          when(col("chi2_e6") < scaleM * lit(10000L), "negligible")
+            .when(col("chi2_e6") < scaleM * lit(90000L), "weak")
             .otherwise("strong").as("assoc_band"))
         .orderBy(col("source"), col("lang"))
     },
@@ -2997,10 +3087,18 @@ object AnalyticsQueries {
     // 0.05·n can round off a binary representation at round n), the
     // global rank comes from EquiDepth's range-exchange construction
     // (two exchanges at ANY cardinality — never a single-task
-    // window), and all sums are exact DECIMAL with one IEEE division
-    // per reported mean. The winsorized substitution k·v_lo + k·v_hi
-    // is DECIMAL(10,0)×DECIMAL(18,2) — width-checked exact in both
-    // engines (the q55 decimal-parity rule).
+    // window). GATING (round-10 hardening): round 9 shipped the three
+    // means as decimal-sum→double casts plus one IEEE division each,
+    // and the driver's oracle env flipped the hash while local DuckDB
+    // byte-matched — decimal→double conversion is engine-dependent
+    // (shortest-repr vs binary-expansion scaling). The means are now
+    // ZERO-FLOAT: exact cent sums (BIGINT), then the split integer
+    // division mean_e9 = (c div n)·1e7 + ((c mod n)·1e7) div n — every
+    // operand non-negative so floor = truncate in both engines — and
+    // an exact decimal rescale to DECIMAL(20,9). Width: cents ≤ 2.4e12
+    // at sf0.1 and the remainder term needs n ≤ 9e11, both far inside
+    // int64; at 100 TB lift the cent sums to DECIMAL(38,0) in the
+    // same split shape.
     Q(
       "q89_robust_location",
       """WITH t AS (
@@ -3020,14 +3118,31 @@ object AnalyticsQueries {
         |          AND r <= n - (5 * n) // 100 THEN pd END) AS s_kept,
         |    max(CASE WHEN r = (5 * n) // 100 + 1 THEN pd END) AS v_lo,
         |    max(CASE WHEN r = n - (5 * n) // 100 THEN pd END) AS v_hi
-        |  FROM r)
+        |  FROM r),
+        |b AS (
+        |  SELECT n, k, v_lo, v_hi,
+        |    CAST(s_all * 100 AS BIGINT) AS s_all_c,
+        |    CAST(s_kept * 100 AS BIGINT)
+        |      + k * CAST(v_lo * 100 AS BIGINT)
+        |      + k * CAST(v_hi * 100 AS BIGINT) AS w_c,
+        |    CAST(s_kept * 100 AS BIGINT) AS s_kept_c,
+        |    n - 2 * k AS n_kept
+        |  FROM a)
         |SELECT n, k, v_lo, v_hi,
-        |  CAST(s_all AS DOUBLE) / n AS mean,
-        |  CAST(s_kept AS DOUBLE) / (n - 2 * k) AS trimmed_mean,
-        |  CAST(s_kept + CAST(k AS DECIMAL(10,0)) * v_lo
-        |    + CAST(k AS DECIMAL(10,0)) * v_hi AS DOUBLE) / n
+        |  CAST(CAST((s_all_c // n) * 10000000
+        |      + ((s_all_c % n) * 10000000) // n AS DECIMAL(20,0))
+        |    * CAST(0.000000001 AS DECIMAL(9,9)) AS DECIMAL(20,9))
+        |    AS mean,
+        |  CAST(CAST((s_kept_c // n_kept) * 10000000
+        |      + ((s_kept_c % n_kept) * 10000000) // n_kept
+        |      AS DECIMAL(20,0))
+        |    * CAST(0.000000001 AS DECIMAL(9,9)) AS DECIMAL(20,9))
+        |    AS trimmed_mean,
+        |  CAST(CAST((w_c // n) * 10000000
+        |      + ((w_c % n) * 10000000) // n AS DECIMAL(20,0))
+        |    * CAST(0.000000001 AS DECIMAL(9,9)) AS DECIMAL(20,9))
         |    AS winsor_mean
-        |FROM a""".stripMargin
+        |FROM b""".stripMargin
     ) { (s, dir) =>
       import org.apache.spark.sql.types.DecimalType
       val t = Tables(s, dir, "lineitem")
@@ -3036,6 +3151,13 @@ object AnalyticsQueries {
       val ranked = graft.operators.EquiDepth.withGlobalRank(t,
         Seq(col("pd"), col("l_orderkey"), col("l_linenumber")), "r", "n")
       val k = expr("(5 * n) div 100")
+      // exact e9 mean of a non-negative BIGINT cent sum: split the
+      // scale-up across the division so no intermediate exceeds int64
+      def e9(num: String, den: String): Column = expr(
+        s"(($num div $den) * 10000000L + (($num % $den) * 10000000L) div $den)")
+      def dec9(c: Column): Column =
+        (c.cast("decimal(20,0)") * lit("0.000000001").cast("decimal(9,9)"))
+          .cast("decimal(20,9)")
       ranked.agg(
           max(col("n")).as("n"), max(k).as("k"),
           sum(col("pd")).as("s_all"),
@@ -3044,12 +3166,16 @@ object AnalyticsQueries {
           max(when(col("r") === k + 1, col("pd"))).as("v_lo"),
           max(when(col("r") === col("n") - k, col("pd"))).as("v_hi"))
         .select(col("n"), col("k"), col("v_lo"), col("v_hi"),
-          (col("s_all").cast("double") / col("n")).as("mean"),
-          (col("s_kept").cast("double") / (col("n") - col("k") * 2))
-            .as("trimmed_mean"),
-          ((col("s_kept") + col("k").cast(DecimalType(10, 0)) * col("v_lo")
-            + col("k").cast(DecimalType(10, 0)) * col("v_hi"))
-            .cast("double") / col("n")).as("winsor_mean"))
+          expr("CAST(s_all * 100 AS BIGINT)").as("s_all_c"),
+          expr("""CAST(s_kept * 100 AS BIGINT)
+            + k * CAST(v_lo * 100 AS BIGINT)
+            + k * CAST(v_hi * 100 AS BIGINT)""").as("w_c"),
+          expr("CAST(s_kept * 100 AS BIGINT)").as("s_kept_c"),
+          (col("n") - lit(2L) * col("k")).as("n_kept"))
+        .select(col("n"), col("k"), col("v_lo"), col("v_hi"),
+          dec9(e9("s_all_c", "n")).as("mean"),
+          dec9(e9("s_kept_c", "n_kept")).as("trimmed_mean"),
+          dec9(e9("w_c", "n")).as("winsor_mean"))
     },
 
     // ---------------------------------------------------------------

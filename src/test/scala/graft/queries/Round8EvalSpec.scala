@@ -112,31 +112,49 @@ class Round8EvalSpec extends SparkSpec {
       (math.min(9L, k / 10), us < cutUs)
     }
     val (rt, ct) = (binned.count(_._2) + 10L, binned.count(!_._2) + 10L)
-    // the round-9 gated surface: exact floor-ratio DECIMAL(18,9)
-    // probabilities and threshold BANDS for the transcendental term
-    // (the q59/q72 sketch-gate pattern; see q71's Scaladoc)
+    // the round-10 gated surface: exact floor-ratio DECIMAL(18,9)
+    // probabilities and bands decided on the PINNED e9 fixed-point
+    // log (see q71's Scaladoc) — replicated here in plain Long math
     def dec9(num: Long, den: Long): java.math.BigDecimal =
       new java.math.BigDecimal(
         java.math.BigInteger.valueOf(num * 1000000000L / den), 9)
+    def lnE9(v0: Long): Long = {
+      val v = math.max(v0, 1L)
+      val k = (0 to 30).find(i => v * (1L << i) >= 500000000L &&
+        v * (1L << i) < 1000000000L).get
+      val m = v * (1L << k)
+      val w = ((1000000000L - m) * 1000000000L) / (m + 1000000000L)
+      val w2 = w * w / 1000000000L
+      val w3 = w2 * w / 1000000000L
+      val w5 = w3 * w2 / 1000000000L
+      val w7 = w5 * w2 / 1000000000L
+      val w9 = w7 * w2 / 1000000000L
+      0L - 2L * (w + w3 / 3 + w5 / 5 + w7 / 7 + w9 / 9) -
+        k * 693147181L
+    }
     val expected = (0L to 9L).map { b =>
       val r1 = binned.count(x => x._1 == b && x._2) + 1L
       val c1 = binned.count(x => x._1 == b && !x._2) + 1L
-      val (pr, pc) = (dec9(r1, rt), dec9(c1, ct))
-      val term = (pr.doubleValue - pc.doubleValue) *
-        math.log(pr.doubleValue / pc.doubleValue)
+      val (a0, b0) = (r1 * 1000000000L / rt, c1 * 1000000000L / ct)
+      val (av, bv) = (math.max(a0, 1L), math.max(b0, 1L))
+      // the pinned log must sit within its documented 2e-6 absolute
+      // envelope of the true ln — the semantic anchor for the bands
+      Seq(av, bv).foreach { v =>
+        val err = math.abs(lnE9(v) / 1e9 - math.log(v / 1e9))
+        assert(err < 2e-6, s"pinned log off by $err at v=$v")
+      }
+      val termE9 = (math.abs(av - bv) *
+        (math.abs(lnE9(av) - lnE9(bv)) / 1000L)) / 1000000L
       val band =
-        if (term < 0.0001) "negligible"
-        else if (term < 0.01) "minor"
+        if (termE9 < 100000L) "negligible"
+        else if (termE9 < 10000000L) "minor"
         else "major"
-      (b, r1 - 1, c1 - 1, pr, pc, term, band)
+      (b, r1 - 1, c1 - 1, dec9(r1, rt), dec9(c1, ct), termE9, band)
     }
-    val psi = expected.map(x =>
-      new java.math.BigDecimal(x._6)
-        .setScale(18, java.math.RoundingMode.HALF_UP))
-      .reduce(_.add(_))
+    val psiE9 = expected.map(_._6).sum
     val psiBand =
-      if (psi.doubleValue < 0.1) "stable"
-      else if (psi.doubleValue < 0.25) "moderate"
+      if (psiE9 < 100000000L) "stable"
+      else if (psiE9 < 250000000L) "moderate"
       else "major"
     val got = QueryRegistry.byName("q71_psi_drift").run(spark, dir)
       .collect()
@@ -147,9 +165,8 @@ class Round8EvalSpec extends SparkSpec {
       == expected.map(x => (x._1, x._2, x._3, x._4, x._5, x._7)),
       s"PSI bins diverge:\n got ${got.toSeq}\n exp $expected")
     assert(got.forall(_._7 == psiBand),
-      s"psi_band ${got.head._7} != $psiBand (psi=$psi)")
-    assert(psi.doubleValue >= 0.0,
-      s"smoothed PSI must be >= 0, got $psi")
+      s"psi_band ${got.head._7} != $psiBand (psi_e9=$psiE9)")
+    assert(psiE9 >= 0L, s"smoothed PSI must be >= 0, got $psiE9")
   }
 
   test("q73: plain-Scala CUSUM over monthly cents finds the same " +

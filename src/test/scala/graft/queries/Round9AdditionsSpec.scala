@@ -320,22 +320,37 @@ class Round9AdditionsSpec extends SparkSpec {
     val kept = rows.slice(k.toInt, (n - k).toInt).map(_._1)
     val vLo = rows(k.toInt)._1
     val vHi = rows((n - k).toInt - 1)._1
-    val mean = rows.map(_._1).sum.toDouble / n
-    val trimmed = kept.sum.toDouble / (n - 2 * k)
-    val winsor = (kept.sum + BigDecimal(k) * vLo + BigDecimal(k) * vHi)
-      .toDouble / n
+    // the round-10 gated surface: exact cent sums, then the split
+    // integer division (c div n)·1e7 + ((c mod n)·1e7) div n rendered
+    // as DECIMAL(20,9) — replicated here in plain Long math
+    def e9(cents: Long, den: Long): java.math.BigDecimal =
+      new java.math.BigDecimal(java.math.BigInteger.valueOf(
+        (cents / den) * 10000000L + ((cents % den) * 10000000L) / den),
+        9)
+    val sAllC = (rows.map(_._1).sum * 100).toLongExact
+    val sKeptC = (kept.sum * 100).toLongExact
+    val wC = sKeptC + k * (vLo * 100).toLongExact +
+      k * (vHi * 100).toLongExact
+    val mean = e9(sAllC, n)
+    val trimmed = e9(sKeptC, n - 2 * k)
+    val winsor = e9(wC, n)
     val g = QueryRegistry.byName("q89_robust_location").run(spark, dir)
       .collect()(0)
     assert(g.getLong(0) == n && g.getLong(1) == k)
     assert(BigDecimal(g.getDecimal(2)) == vLo
       && BigDecimal(g.getDecimal(3)) == vHi)
-    assert(g.getDouble(4) == mean, s"mean ${g.getDouble(4)} != $mean")
-    assert(g.getDouble(5) == trimmed)
-    assert(g.getDouble(6) == winsor)
+    assert(g.getDecimal(4).compareTo(mean) == 0,
+      s"mean ${g.getDecimal(4)} != $mean")
+    assert(g.getDecimal(5).compareTo(trimmed) == 0)
+    assert(g.getDecimal(6).compareTo(winsor) == 0)
+    // semantic anchor: the pinned-scale means sit within 1e-9 of the
+    // real-valued BigDecimal quotients
+    assert((BigDecimal(mean) - rows.map(_._1).sum / n).abs < 1e-9)
+    assert((BigDecimal(trimmed) - kept.sum / (n - 2 * k)).abs < 1e-9)
     // robustness direction on this fixture: the trimmed mean must
     // differ from the raw mean (tails exist), and sit between the cuts
-    assert(trimmed != mean)
-    assert(g.getDouble(5) >= vLo.toDouble && g.getDouble(5) <= vHi.toDouble)
+    assert(trimmed.compareTo(mean) != 0)
+    assert(BigDecimal(trimmed) >= vLo && BigDecimal(trimmed) <= vHi)
   }
 
   // -----------------------------------------------------------------

@@ -32,31 +32,49 @@ class Round9EvalSpec extends SparkSpec {
     val rT = docs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
     val cT = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     val n = docs.length.toLong
-    def round6(x: Double): java.math.BigDecimal =
-      new java.math.BigDecimal(x)
-        .setScale(6, java.math.RoundingMode.HALF_UP)
+    // the round-10 gated surface: term as an exact split floor ratio
+    // at 1e-6 scale, chi2 its exact BIGINT sum, V² as an exact e9
+    // floor ratio — replicated here in plain Long math
+    def termE6(d2: Long, den: Long): Long =
+      (d2 / den) * 1000000L + ((d2 % den) * 1000L / den) * 1000L +
+        (((d2 % den) * 1000L % den) * 1000L) / den
     val cells = for (s <- rT.keys.toSeq.sorted; l <- cT.keys.toSeq.sorted)
       yield {
         val (r, c) = (rT(s), cT(l))
         val ob = o.getOrElse((s, l), 0L)
         val diff = ob * n - r * c
-        val term = round6(diff.toDouble * diff / (n.toDouble * r * c))
+        val te6 = termE6(diff * diff, n * r * c)
+        // semantic anchor: the pinned-scale term sits within 1e-6 of
+        // the real-valued chi-square term
+        assert(math.abs(te6 / 1e6 -
+          diff.toDouble * diff / (n.toDouble * r * c)) < 1e-6 + 1e-9,
+          s"split floor ratio off at ($s,$l)")
         val expE9 = r * c * 1000000000L / n
         (s, l, ob, new java.math.BigDecimal(
-          java.math.BigInteger.valueOf(expE9), 9), term)
+          java.math.BigInteger.valueOf(expE9), 9), te6)
       }
-    val chi2 = cells.map(_._5).reduce(_.add(_)).doubleValue
-    val v = math.sqrt(chi2 / (n.toDouble *
-      (math.min(rT.size, cT.size) - 1)))
+    val chi2E6 = cells.map(_._5).sum
+    val m1 = math.min(rT.size, cT.size).toLong - 1L
+    val v2E9 = chi2E6 * 1000L / (n * m1)
+    val band =
+      if (chi2E6 < n * m1 * 10000L) "negligible"
+      else if (chi2E6 < n * m1 * 90000L) "weak"
+      else "strong"
+    def dec(e: Long, scale: Int): java.math.BigDecimal =
+      new java.math.BigDecimal(java.math.BigInteger.valueOf(e), scale)
     val got = QueryRegistry.byName("q84_source_lang_independence")
       .run(spark, dir).collect()
     assert(got.length == cells.length)
     got.zip(cells).foreach { case (g, e) =>
       assert((g.getString(0), g.getString(1), g.getLong(2),
         g.getDecimal(3), g.getDecimal(4).stripTrailingZeros,
-        g.getDouble(5), g.getDouble(6)) ==
-        (e._1, e._2, e._3, e._4, e._5.stripTrailingZeros, chi2, v),
-        s"cell mismatch: got $g expected $e (chi2=$chi2 v=$v)")
+        g.getDecimal(5).stripTrailingZeros,
+        g.getDecimal(6).stripTrailingZeros, g.getString(7)) ==
+        (e._1, e._2, e._3, e._4, dec(e._5, 6).stripTrailingZeros,
+          dec(chi2E6, 6).stripTrailingZeros,
+          dec(v2E9, 9).stripTrailingZeros, band),
+        s"cell mismatch: got $g expected $e (chi2_e6=$chi2E6 " +
+          s"v2_e9=$v2E9 band=$band)")
     }
   }
 
@@ -70,9 +88,10 @@ class Round9EvalSpec extends SparkSpec {
       .byName("q84_source_lang_independence").run(spark, dep).collect()
     assert(depRows.forall(_.getString(7) == "strong"),
       s"dependency not flagged: ${depRows.head}")
-    assert(depRows.head.getDouble(6) == 1.0,
-      s"deterministic mapping must score V=1, got " +
-        s"${depRows.head.getDouble(6)}")
+    assert(depRows.head.getDecimal(6).compareTo(
+        java.math.BigDecimal.ONE) == 0,
+      s"deterministic mapping must score V² = 1, got " +
+        s"${depRows.head.getDecimal(6)}")
     val ind = tmpDir("r9-ind")
     // perfectly balanced grid: every (source, lang) cell equal
     writeDocs(ind, (0L until 200L).map(i =>
@@ -81,7 +100,8 @@ class Round9EvalSpec extends SparkSpec {
       .byName("q84_source_lang_independence").run(spark, ind).collect()
     assert(indRows.forall(_.getString(7) == "negligible"),
       s"balanced grid flagged: ${indRows.head}")
-    assert(indRows.head.getDouble(5) == 0.0, "exact balance has chi2 0")
+    assert(indRows.head.getDecimal(5).signum == 0,
+      "exact balance has chi2 0")
   }
 
   test("q85: plain-Scala tie-averaged Spearman reproduces the moments " +
