@@ -3196,7 +3196,11 @@ object AnalyticsQueries {
     // carry the shared statistics (q84's report shape). Int64 width:
     // S_g² and n_g·Q_g stay under 2⁶³ for per-source Σchars < 3e9 —
     // shard the audit per ingest batch at 100 TB, or lift the moment
-    // columns to DECIMAL(38,0) (same plan).
+    // columns to DECIMAL(38,0) (same plan). The CORPUS-total square S²
+    // is deliberately squared AFTER the double cast (it appears only
+    // inside the already-double SSB term), so a corpus of many
+    // in-bounds sources cannot overflow int64 silently — the integer
+    // width guard only needs to bound the per-source terms.
     Q(
       "q90_anova_length_by_source",
       """WITH g AS (
@@ -3215,7 +3219,8 @@ object AnalyticsQueries {
         |  FROM g),
         |f AS (
         |  SELECT n, k,
-        |    CAST(sb_dec AS DOUBLE) - CAST(s * s AS DOUBLE) / n AS ssb,
+        |    CAST(sb_dec AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n AS ssb,
         |    CAST(ssw_dec AS DOUBLE) AS ssw
         |  FROM t)
         |SELECT g.source, g.n_g, g.s_g,
@@ -3242,7 +3247,8 @@ object AnalyticsQueries {
             6).cast("decimal(28,6)")).as("sb_dec"))
       val f = t.select(col("n"), col("k"),
         (col("sb_dec").cast("double")
-          - (col("s") * col("s")).cast("double") / col("n")).as("ssb"),
+          - col("s").cast("double") * col("s").cast("double")
+            / col("n")).as("ssb"),
         col("ssw_dec").cast("double").as("ssw"))
       g.crossJoin(broadcast(f))
         .select(col("source"), col("n_g"), col("s_g"),

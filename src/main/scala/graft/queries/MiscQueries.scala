@@ -1656,22 +1656,26 @@ object MiscQueries {
     // tie-break on the token) is gated value-for-value, and a
     // Datasketches LongsSketch built in ONE pass through partial/
     // final aggregation (SketchOps.FreqLongs) enters through two
-    // STRUCTURALLY-TRUE flags: `in_bounds` (the sketch's per-item
-    // [lb, ub] brackets the exact count — the Misra–Gries guarantee,
-    // order-independent even though the estimates themselves are
-    // not) and `no_false_negative` (every item with true count >
-    // maxError is retained; untracked items are provably ≤ maxError).
-    // Flags cannot flake — they hold for every purge order — so the
-    // oracle renders them as literal TRUE (q83's pattern); the
+    // STRUCTURALLY-TRUE flags: `in_bounds` (the exact count does not
+    // exceed the sketch's upper bound — the collision-safe HALF of
+    // the Misra–Gries bracket: tokens travel as xxhash64 keys, and a
+    // 64-bit collision MERGES two tokens' counts, which can only
+    // raise the shared key's lb/ub — so `n ≤ ub` survives collisions
+    // while `lb ≤ n` does not, and only the former is gated) and
+    // `no_false_negative` (every item with true count > maxError is
+    // retained; untracked items are provably ≤ maxError — collisions
+    // only ADD retained mass, so this too is collision-safe). Flags
+    // cannot flake — they hold for every purge order — so the oracle
+    // renders them as literal TRUE (q83's pattern); the TWO-SIDED
+    // [lb, ub] bracket (valid on collision-free keys), the
     // forced-purge error-bound contract and the 8-shard merge are
     // pinned separately in FreqSketchSpec. At 100 TB: per-partition
     // sketches are O(maxMapSize) memory, the merged summary is ~16 KB
     // of driver model state per corpus/shard, built once per ingest
     // batch and merged associatively — top-token monitoring without
-    // ever re-scanning, vs the exact side's full token shuffle.
-    // Tokens travel as xxhash64 keys inside the sketch (q83's
-    // dictionary argument); the gated strings come from the exact
-    // side, so collisions cannot corrupt the output.
+    // ever re-scanning, vs the exact side's full token shuffle. The
+    // gated token strings come from the exact side, so collisions
+    // cannot corrupt the reported counts.
     Q(
       "q86_frequent_tokens",
       """WITH tok AS (
@@ -1706,8 +1710,7 @@ object MiscQueries {
         .limit(20)
       top.join(broadcast(skDf), Seq("th"), "left_outer")
         .select(col("token"), col("n"),
-          (col("n") >= coalesce(col("lb"), lit(0L)) &&
-            col("n") <= coalesce(col("ub"), lit(maxErr)))
+          (col("n") <= coalesce(col("ub"), lit(maxErr)))
             .as("in_bounds"),
           (coalesce(col("est"), lit(0L)) > 0 || col("n") <= lit(maxErr))
             .as("no_false_negative"))

@@ -2620,7 +2620,11 @@ object PipelineQueries {
     // cardinality, never a single-task window), the target rank is the
     // integer ceiling (r·N + n_s − 1) div n_s (q75's discipline), and
     // the lookup is ONE corpus-scale equi-join on the rank key. No
-    // doubles anywhere — the gate is exact BIGINTs end to end.
+    // doubles anywhere — the gate is exact BIGINTs end to end. Int64
+    // width: the ceiling's r·N term approaches N² at the top rank, so
+    // it stays under 2⁶³ for N < ~3e9 rows — at 100 TB shard the
+    // normalization per ingest batch (the q90/t21 guard) or lift the
+    // product into DECIMAL(38,0) in the same ceiling shape.
     Q(
       "p40_quantile_normalize",
       """WITH d AS (

@@ -1847,7 +1847,12 @@ object TextQueries {
     // joined to the observed counts — the corpus contributes the same
     // single (source, bucket) partial aggregation as t22. Int64
     // bounds: c_sb·c_q ≤ c² — shard the monitor per ingest batch at
-    // 100 TB (t21/t22's guard).
+    // 100 TB (t21/t22's guard). Degenerate input: a SINGLE-source
+    // corpus has no "rest" (c = c_s), where the term denominator and
+    // the jsd division are 0/0 — Spark and DuckDB disagree on
+    // NaN-vs-NULL there, so both renderings gate the tp term and
+    // jsd_nats behind c > c_s and yield NULL identically (the q90
+    // degenerate-input rule).
     Q(
       "t28_jsd_drift",
       """WITH tri AS (
@@ -1871,7 +1876,7 @@ object TextQueries {
         |  LEFT JOIN sc ON sc.source = st.source AND sc.b = cb.b),
         |terms AS (
         |  SELECT sp.source,
-        |    CASE WHEN sp.c_sb > 0 THEN
+        |    CASE WHEN sp.c_sb > 0 AND ct.c > sp.c_s THEN
         |      CAST(round(sp.c_sb * ln(
         |        CAST(2 * sp.c_sb * (ct.c - sp.c_s) AS DOUBLE)
         |        / CAST(sp.c_sb * (ct.c - sp.c_s)
@@ -1890,9 +1895,10 @@ object TextQueries {
         |      FROM terms GROUP BY source)
         |SELECT st.source, st.c_s AS n_src_trigrams,
         |  ct.c - st.c_s AS n_rest_trigrams, st.n_buckets,
-        |  round((CAST(a.tps AS DOUBLE) / CAST(st.c_s AS DOUBLE)
-        |    + CAST(a.tqs AS DOUBLE) / CAST(ct.c - st.c_s AS DOUBLE))
-        |    / 2, 6) AS jsd_nats
+        |  CASE WHEN ct.c > st.c_s THEN
+        |    round((CAST(a.tps AS DOUBLE) / CAST(st.c_s AS DOUBLE)
+        |      + CAST(a.tqs AS DOUBLE) / CAST(ct.c - st.c_s AS DOUBLE))
+        |      / 2, 6) END AS jsd_nats
         |FROM a JOIN st USING (source) CROSS JOIN ct
         |ORDER BY st.source""".stripMargin
     ) { (s, dir) =>
@@ -1920,7 +1926,7 @@ object TextQueries {
         + (col("c_b") - col("c_sb")) * col("c_s")).cast("double")
       val a = sp.crossJoin(broadcast(ct))
         .select(col("source"),
-          when(col("c_sb") > 0,
+          when(col("c_sb") > 0 && col("c") > col("c_s"),
             round(col("c_sb") * log(
               (lit(2) * col("c_sb") * (col("c") - col("c_s")))
                 .cast("double") / den), 6).cast("decimal(28,6)"))
@@ -1936,9 +1942,11 @@ object TextQueries {
         .select(col("source"), col("c_s").as("n_src_trigrams"),
           (col("c") - col("c_s")).as("n_rest_trigrams"),
           col("n_buckets"),
-          round((col("tps").cast("double") / col("c_s").cast("double")
-            + col("tqs").cast("double")
-              / (col("c") - col("c_s")).cast("double")) / 2, 6)
+          when(col("c") > col("c_s"),
+            round((col("tps").cast("double")
+                / col("c_s").cast("double")
+              + col("tqs").cast("double")
+                / (col("c") - col("c_s")).cast("double")) / 2, 6))
             .as("jsd_nats"))
         .orderBy(col("source"))
     }

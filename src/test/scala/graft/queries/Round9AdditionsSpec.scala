@@ -423,6 +423,24 @@ class Round9AdditionsSpec extends SparkSpec {
     assert(p("sA") == p("sB"))
   }
 
+  test("t28: a single-source corpus has no 'rest' and yields NULL " +
+    "jsd_nats (not NaN/inf) — the degenerate-input guard") {
+    import spark.implicits._
+    val d = tmpDir("jsd-single")
+    Seq((1L, "the quick brown fox jumps over the lazy dog", "en", "sOnly"),
+      (2L, "pack my box with five dozen liquor jugs", "en", "sOnly"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$d/documents.parquet")
+    val rows = QueryRegistry.byName("t28_jsd_drift").run(spark, d)
+      .collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "sOnly")
+    assert(rows.head.getLong(2) == 0L, "rest count must be 0")
+    assert(rows.head.isNullAt(4),
+      s"single-source jsd_nats must be NULL, got ${rows.head.get(4)}")
+  }
+
   // -----------------------------------------------------------------
   // q90 one-way ANOVA
 
