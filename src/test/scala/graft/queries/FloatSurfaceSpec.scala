@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.{QueryRegistry, SparkSpec}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, StructType}
+
+/** Gated-surface float audit (VERDICT round-9 task #2). The driver's
+  * oracle hash gate compares Spark output against DuckDB byte-for-byte,
+  * and three rounds of red rows (q71 r8/r9, q84/q89 r9) all came from
+  * the same class: a Double column in GATED output whose value pipeline
+  * is not reproducible across engines/versions (libm transcendentals,
+  * decimal→double casts, round() on knife-edge ties). The RoundTie lint
+  * only tapped Round/BRound nodes and was blind to raw un-rounded
+  * doubles (q89 rounds nothing).
+  *
+  * This audit starts from the OUTPUT SCHEMA, not from plan nodes: every
+  * DoubleType/FloatType column of every registry query must carry an
+  * inventory entry classifying its pipeline as one of
+  *
+  *   - SharedIeee: provably shared-order pure-IEEE — exact integer /
+  *     DECIMAL inputs with a bounded, ORDER-FREE chain of IEEE ops
+  *     (casts of exactly-representable values, one division, one sqrt,
+  *     ...), identical under round-to-nearest in both engines. The
+  *     expression chain is recorded in the entry.
+  *   - Banded(bandCol): the double is advisory/test-side and the GATED
+  *     decision rides a companion band/flag column decided on exact
+  *     arithmetic (q71/q84's round-10 shape) — the band column must
+  *     exist in the same schema.
+  *   - Transcendental(justification): the value traverses libm (ln/exp/
+  *     pow) or another non-portable step but is still gated because the
+  *     full pipeline is SHARED-ORDER on inputs that are themselves
+  *     exact and identical in both engines, and the oracle evaluates
+  *     the bit-identical double expression (both engines use correctly
+  *     rounded basic ops on identical operand sequences); the entry
+  *     records why cross-engine 1-ulp wobble cannot surface (e.g.
+  *     round-6 display of a value whose scale makes 1 ulp invisible,
+  *     with RoundTieSpec measuring the tie margins at sf0.01).
+  *
+  * An UNCLASSIFIED double column fails this spec — a new query cannot
+  * ship a gated float surface without stating which class it is in.
+  * Stale entries (column vanished) fail too, so the inventory cannot
+  * rot. The retro-test plants the pre-fix q89 surface (raw decimal-sum
+  * →double ÷ bigint means, no round() anywhere) and asserts the audit
+  * flags it — the case the Round-node lint demonstrably missed.
+  */
+class FloatSurfaceSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // inventory value shapes: ("ieee", chain) — SharedIeee;
+  // ("banded", companionColumn) — Banded; ("libm", why) — Transcendental
+  import FloatSurfaceInventory.inventory
+
+  /** The audit primitive: problems for one query's output schema. */
+  private def audit(name: String, schema: StructType): Seq[String] = {
+    def isFloat(dt: DataType): Boolean =
+      dt == DoubleType || dt == FloatType
+    schema.fields.filter(f => isFloat(f.dataType)).toSeq.flatMap { f =>
+      FloatSurfaceInventory.inventory.get((name, f.name)) match {
+        case None =>
+          Seq(s"$name.${f.name}: UNCLASSIFIED ${f.dataType.simpleString}" +
+            " column in gated output — add a FloatSurfaceInventory entry" +
+            " (SharedIeee chain / Banded bandCol / Transcendental why)" +
+            " or render it DECIMAL")
+        case Some(("banded", bandCol)) =>
+          if (!schema.fieldNames.contains(bandCol))
+            Seq(s"$name.${f.name}: Banded entry names companion column" +
+              s" '$bandCol' which is not in the output schema")
+          else Nil
+        case Some(_) => Nil
+      }
+    }
+  }
+
+  test("every Double/Float column in every gated output is classified " +
+    "in the inventory; Banded companions exist; no stale entries") {
+    val problems = Seq.newBuilder[String]
+    val seenFloatCols = Set.newBuilder[(String, String)]
+    QueryRegistry.all.foreach { q =>
+      val schema =
+        try q.run(spark, dir).schema
+        catch {
+          case e: Throwable =>
+            problems += s"${q.name}: schema derivation failed: " +
+              s"${e.getMessage}"
+            new StructType()
+        }
+      schema.fields.foreach { f =>
+        if (f.dataType == DoubleType || f.dataType == FloatType)
+          seenFloatCols += ((q.name, f.name))
+      }
+      problems ++= audit(q.name, schema)
+    }
+    val seen = seenFloatCols.result()
+    inventory.keys.filterNot(seen.contains).toSeq.sorted.foreach { k =>
+      problems += s"${k._1}.${k._2}: stale inventory entry — the " +
+        "column is no longer a float in the gated output (delete it)"
+    }
+    val out = problems.result()
+    assert(out.isEmpty, out.sorted.mkString("\n", "\n", ""))
+  }
+
+  test("retro-flag: the pre-fix q89 surface (raw decimal-sum→double ÷ " +
+    "bigint, no round()) is caught — the case the Round-node lint missed") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val df = spark.range(10)
+      .select(col("id").cast(DecimalType(18, 2)).as("pd"))
+      .agg(sum(col("pd")).as("s_all"), count(lit(1)).as("n"))
+      .select((col("s_all").cast("double") / col("n")).as("mean"))
+    val flagged = audit("q89_prefix_shape", df.schema)
+    assert(flagged.exists(_.contains("UNCLASSIFIED")),
+      s"audit must flag the raw double mean, got: $flagged")
+  }
+}

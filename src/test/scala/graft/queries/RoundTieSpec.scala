@@ -18,6 +18,15 @@ import graft.{QueryRegistry, SparkSpec}
   * caught it before the driver did, and proves no other query ships on
   * that knife edge.
   *
+  * SCOPE (round 10): this lint measures MARGINS for round()-bearing
+  * surfaces only — it is deliberately blind to raw un-rounded doubles
+  * (round 9's q89 had no Round node at all). COVERAGE is owned by
+  * FloatSurfaceSpec, which enumerates every Double/Float column of
+  * every gated OUTPUT SCHEMA and requires a classified inventory
+  * entry; the "libm" entries there cite THIS spec's in-situ margin
+  * measurement as their evidence. The two are complements: schema
+  * audit for reach, node tap for depth.
+  *
   * Mechanics: for each registry query, walk the ANALYZED plan, find
   * every `Round`/`BRound` whose child is DOUBLE/FLOAT (rounds on
   * DECIMAL are exact decimal arithmetic, identical in both engines, and
