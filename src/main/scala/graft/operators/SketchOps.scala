@@ -170,6 +170,176 @@ object SketchOps {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** KLL sketch aggregator that finishes to the sketch's compact BYTE
+    * form instead of quantile estimates — the persistable artifact for
+    * the q92 sketch store (answer quantile questions later from the
+    * bytes, never re-reading data). */
+  final class KllBytes(k: Int)
+      extends Aggregator[Double, KllBuf, Array[Byte]] {
+    override def zero: KllBuf =
+      new KllBuf(KllDoublesSketch.newHeapInstance(k))
+    override def reduce(b: KllBuf, x: Double): KllBuf = {
+      b.sk.update(x); b
+    }
+    override def merge(a: KllBuf, b: KllBuf): KllBuf = {
+      a.sk.merge(b.sk); a
+    }
+    override def finish(r: KllBuf): Array[Byte] = r.sk.toByteArray
+    override def bufferEncoder: Encoder[KllBuf] =
+      Encoders.javaSerialization[KllBuf]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Persist per-key mergeable-summary artifacts as a parquet STORE at
+    * `path`: one row per (key, kind) with kind ∈ {theta, kll, freq} —
+    * the summary table a 100 TB pipeline keeps per ingest batch so any
+    * later distinct/quantile/heavy-hitter question is answered from
+    * stored bytes without rescanning (Agarwal et al., PODS 2012). All
+    * three sketches build in ONE partial/final aggregation pass over
+    * the input. */
+  def writeSketchStore(df: org.apache.spark.sql.DataFrame,
+      key: org.apache.spark.sql.Column,
+      thetaVal: org.apache.spark.sql.Column,
+      kllVal: org.apache.spark.sql.Column,
+      freqVal: org.apache.spark.sql.Column, path: String): Unit = {
+    import org.apache.spark.sql.functions.{array, col, explode, lit,
+      struct, udaf}
+    val theta = udaf(new ThetaDistinct(12), Encoders.scalaLong)
+    val kll = udaf(new KllBytes(200), Encoders.scalaDouble)
+    val freq = udaf(new FreqLongs(1024), Encoders.scalaLong)
+    df.groupBy(key.as("k"))
+      .agg(theta(thetaVal).as("t"), kll(kllVal.cast("double")).as("q"),
+        freq(freqVal).as("f"))
+      .select(col("k"), explode(array(
+        struct(lit("theta").as("kind"), col("t").as("bytes")),
+        struct(lit("kll").as("kind"), col("q").as("bytes")),
+        struct(lit("freq").as("kind"), col("f").as("bytes")))).as("x"))
+      .select(col("k"), col("x.kind").as("kind"),
+        col("x.bytes").as("bytes"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Theta set algebra from STORE BYTES ALONE: read the kind='theta'
+    * rows of a sketch store back, wrap each key's stored bytes, and
+    * return — per ordered key pair — the `numStdDev`-sigma lower/upper
+    * bounds of |A∩B|, |A∪B|, |A∖B|. Driver-side MODEL-STATE collect
+    * (~32 KB per key — the thetaPerKey precedent; the collect lives
+    * here, not in queries/, per PlanSpec's lint). Nothing but the
+    * store is touched: this is the "never rescan" leg of q92. */
+  def thetaOverlapBoundsFromStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, numStdDev: Int = 3)
+      : Seq[(String, String, Double, Double, Double, Double, Double,
+        Double)] = {
+    import org.apache.spark.sql.functions.col
+    val sks = spark.read.parquet(path)
+      .filter(col("kind") === "theta")
+      .select(col("k"), col("bytes"))
+      .collect()
+      .map(r => (r.getString(0),
+        org.apache.datasketches.theta.Sketches.wrapSketch(
+          Memory.wrap(r.getAs[Array[Byte]](1)))
+          : org.apache.datasketches.theta.Sketch))
+      .toSeq.sortBy(_._1)
+    for {
+      ((a, sa), i) <- sks.zipWithIndex
+      (b, sb) <- sks.drop(i + 1)
+    } yield {
+      val in = org.apache.datasketches.theta.SetOperation.builder()
+        .buildIntersection()
+      in.intersect(sa); in.intersect(sb)
+      val is = in.getResult()
+      val un = org.apache.datasketches.theta.SetOperation.builder()
+        .buildUnion()
+      un.union(sa); un.union(sb)
+      val us = un.getResult()
+      val ab = org.apache.datasketches.theta.SetOperation.builder()
+        .buildANotB().aNotB(sa, sb)
+      (a, b, is.getLowerBound(numStdDev), is.getUpperBound(numStdDev),
+        us.getLowerBound(numStdDev), us.getUpperBound(numStdDev),
+        ab.getLowerBound(numStdDev), ab.getUpperBound(numStdDev))
+    }
+  }
+
+  /** VarOpt weighted-sampling buffer (Cohen et al., "Stream sampling
+    * for variance-optimal estimation of subset sums", SODA 2009 — the
+    * Datasketches sampling family): same serialization seam as the
+    * other buffers. VarOpt's RANDOM part is which LIGHT items survive
+    * the R region; the threshold τ and the heavy set H = {w > τ} are
+    * deterministic functions of the weight multiset, and the sum of
+    * adjusted weights is always EXACTLY the total stream weight — the
+    * structurally-true surfaces q93 gates. */
+  final class VarOptBuf(
+      @transient var sk: org.apache.datasketches.sampling
+        .VarOptItemsSketch[java.lang.Long])
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      val b = sk.toByteArray(
+        new org.apache.datasketches.common.ArrayOfLongsSerDe())
+      out.writeInt(b.length)
+      out.write(b)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      sk = org.apache.datasketches.sampling.VarOptItemsSketch
+        .heapify(Memory.wrap(b),
+          new org.apache.datasketches.common.ArrayOfLongsSerDe())
+    }
+  }
+
+  /** VarOpt(k) weighted-sampling aggregator over (item, weight) rows:
+    * update per row map-side, VarOptItemsUnion merge at the partial/
+    * final boundary (mergeability per the Datasketches union; variance
+    * optimality is preserved under merge). finish() returns the
+    * sketch's compact bytes — the persistable audit-subset artifact. */
+  final class VarOptLongs(k: Int)
+      extends Aggregator[(Long, Double), VarOptBuf, Array[Byte]] {
+    private def serde =
+      new org.apache.datasketches.common.ArrayOfLongsSerDe()
+    override def zero: VarOptBuf = new VarOptBuf(
+      org.apache.datasketches.sampling.VarOptItemsSketch
+        .newInstance[java.lang.Long](k))
+    override def reduce(b: VarOptBuf, x: (Long, Double)): VarOptBuf = {
+      b.sk.update(java.lang.Long.valueOf(x._1), x._2); b
+    }
+    override def merge(a: VarOptBuf, b: VarOptBuf): VarOptBuf = {
+      val u = org.apache.datasketches.sampling.VarOptItemsUnion
+        .newInstance[java.lang.Long](k)
+      u.update(a.sk); u.update(b.sk)
+      a.sk = u.getResult; a
+    }
+    override def finish(r: VarOptBuf): Array[Byte] =
+      r.sk.toByteArray(serde)
+    override def bufferEncoder: Encoder[VarOptBuf] =
+      Encoders.javaSerialization[VarOptBuf]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Corpus-wide VarOpt(k) sample, collected as driver-side MODEL
+    * STATE (k items + adjusted weights — the freqSketch precedent; the
+    * collect lives here per PlanSpec's driver-materialization lint).
+    * Returns (item, adjustedWeight) pairs. */
+  def varoptSample(df: org.apache.spark.sql.DataFrame,
+      item: org.apache.spark.sql.Column,
+      weight: org.apache.spark.sql.Column, k: Int)
+      : Seq[(Long, Double)] = {
+    import org.apache.spark.sql.functions.udaf
+    val vo = udaf(new VarOptLongs(k),
+      ExpressionEncoder[(Long, Double)]())
+    val bytes = df.agg(vo(item, weight).as("sk"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val sk = org.apache.datasketches.sampling.VarOptItemsSketch
+      .heapify(Memory.wrap(bytes),
+        new org.apache.datasketches.common.ArrayOfLongsSerDe())
+    val it = sk.getSketchSamples.iterator()
+    val out = Seq.newBuilder[(Long, Double)]
+    while (it.hasNext) {
+      val ws = it.next()
+      out += ((ws.getItem.longValue, ws.getWeight))
+    }
+    out.result()
+  }
+
   /** Corpus-wide frequent-items sketch, collected as driver-side MODEL
     * STATE (a single ≤maxMapSize-entry summary — the k-means/PQ
     * precedent; the collect lives here, not in queries/, per

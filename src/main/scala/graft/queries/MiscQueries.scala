@@ -1715,6 +1715,172 @@ object MiscQueries {
           (coalesce(col("est"), lit(0L)) > 0 || col("n") <= lit(maxErr))
             .as("no_false_negative"))
         .orderBy(col("n").desc, col("token"))
+    },
+
+    // ---------------------------------------------------------------
+    // q92 — SKETCH-STORE ROUND TRIP: the "never rescan" claim of the
+    // mergeable-summary family (q59 HLL, q72 KLL, q83 theta, q86
+    // frequencies) proven as a correctness row, not a comment. The
+    // audience-overlap question — how many distinct users does each
+    // event type share with each other type — is answered in three
+    // steps: (1) ONE partial/final aggregation pass builds a per-type
+    // sketch TABLE (theta over user ids, KLL over event values,
+    // frequencies over user ids — SketchOps.writeSketchStore) and
+    // PERSISTS it as parquet (the m12 sink-relay precedent applied to
+    // sketch bytes); (2) the theta set algebra (∩, ∪, ∖ with 3-σ
+    // bounds) runs from the STORED BYTES ALONE — nothing re-reads the
+    // events table (SketchOps.thetaOverlapBoundsFromStore, a
+    // model-state collect of ~32 KB per type); (3) the exact legs
+    // (distinct users per type, pair intersections via ONE user-keyed
+    // equi-join on the staged distinct frame) gate value-for-value,
+    // and the sketch answers enter as q83-style structurally-true
+    // bracket flags. At the gate SF the per-type user sets are < 4096
+    // keys so the sketches are exact and the flags cannot flake; the
+    // stored-vs-in-session byte identity and the 8-shard merge
+    // contract are pinned in Round10AdditionsSpec / ThetaSketchSpec.
+    // At 100 TB: per-ingest-batch stores merge associatively, and any
+    // later cross-batch question costs a metadata-sized read.
+    Q(
+      "q92_sketch_store_roundtrip",
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+        |ns AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM u GROUP BY 1),
+        |pr AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.n AS n_a, b.n AS n_b
+        |  FROM ns a JOIN ns b ON a.event_type < b.event_type),
+        |iv AS (
+        |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_inter
+        |  FROM u x JOIN u y ON x.user_id = y.user_id
+        |    AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT pr.type_a, pr.type_b, pr.n_a, pr.n_b,
+        |  COALESCE(iv.n_inter, 0) AS n_inter,
+        |  pr.n_a + pr.n_b - COALESCE(iv.n_inter, 0) AS n_union,
+        |  pr.n_a - COALESCE(iv.n_inter, 0) AS n_anotb,
+        |  CAST(TRUE AS BOOLEAN) AS inter_in_bounds,
+        |  CAST(TRUE AS BOOLEAN) AS union_in_bounds,
+        |  CAST(TRUE AS BOOLEAN) AS anotb_in_bounds
+        |FROM pr LEFT JOIN iv
+        |  ON iv.type_a = pr.type_a AND iv.type_b = pr.type_b
+        |ORDER BY pr.type_a, pr.type_b""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.{SketchOps, Stage}
+      val ev = Tables(s, dir, "events")
+      val store = graft.TempRoots.create("graft-skstore") +
+        "/sketch_store"
+      SketchOps.writeSketchStore(ev, col("event_type"),
+        col("user_id"), col("value"), col("user_id"), store)
+      // everything below this line that touches sketches reads the
+      // STORE, not the corpus
+      val boundsDf = broadcast(s.createDataFrame(
+          SketchOps.thetaOverlapBoundsFromStore(s, store, 3))
+        .toDF("type_a", "type_b", "i_lb", "i_ub", "u_lb", "u_ub",
+          "a_lb", "a_ub"))
+      // exact legs: staged distinct frame feeds per-type totals and
+      // both sides of the pair intersection equi-join
+      val u = Stage.stage(
+        ev.select(col("event_type"), col("user_id")).distinct())
+      val ns = u.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val pairs = u.as("a")
+        .join(u.as("b"), col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).cast("long").as("n_inter"))
+      boundsDf
+        .join(broadcast(ns.select(col("event_type").as("type_a"),
+          col("n").as("n_a"))), Seq("type_a"))
+        .join(broadcast(ns.select(col("event_type").as("type_b"),
+          col("n").as("n_b"))), Seq("type_b"))
+        .join(pairs, Seq("type_a", "type_b"), "left_outer")
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+          (col("n_a") + col("n_b") -
+            coalesce(col("n_inter"), lit(0L))).as("n_union"),
+          (col("n_a") - coalesce(col("n_inter"), lit(0L)))
+            .as("n_anotb"),
+          col("i_lb"), col("i_ub"), col("u_lb"), col("u_ub"),
+          col("a_lb"), col("a_ub"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_inter"), col("n_union"), col("n_anotb"),
+          (col("n_inter").cast("double") >= col("i_lb") &&
+            col("n_inter").cast("double") <= col("i_ub"))
+            .as("inter_in_bounds"),
+          (col("n_union").cast("double") >= col("u_lb") &&
+            col("n_union").cast("double") <= col("u_ub"))
+            .as("union_in_bounds"),
+          (col("n_anotb").cast("double") >= col("a_lb") &&
+            col("n_anotb").cast("double") <= col("a_ub"))
+            .as("anotb_in_bounds"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+
+    // ---------------------------------------------------------------
+    // q93 — VarOpt WEIGHTED SAMPLING (Cohen et al., SODA 2009): the
+    // missing leg of the mergeable-summary family — p35 moments, q59
+    // HLL distinct, q72 KLL quantiles, q83 theta sets, q86 heavy
+    // hitters, and now the variance-optimal weighted SAMPLE a 100 TB
+    // mixture pipeline keeps per ingest batch for audit subsets
+    // (inspect k documents whose inclusion probability tracks token
+    // mass, and estimate any subset's weight from the sample without
+    // rescanning). p18/p19 draw exact weighted samples with a full
+    // corpus shuffle per draw; VarOpt is ONE partial/final aggregation
+    // pass into ~k items of state, mergeable across shards. The
+    // sample CONTENTS are randomized (which light items survive the R
+    // region), so — q72/q86's discipline — the gate carries only
+    // structurally-true surfaces: the threshold τ and the heavy set
+    // {w > τ} are deterministic in the weight multiset, the sum of
+    // adjusted weights is exactly the total stream weight (the VarOpt
+    // invariant; flagged at 1e-9 relative for float-sum slack),
+    // adjusted weights never fall below true weights (H keeps w, R
+    // lifts to τ ≥ w), sample size is exactly min(k, n), and every
+    // sampled id joins back to a real document. Corpus-side work: the
+    // sketch pass plus one broadcast join of the k-row sample for the
+    // membership/weight checks; the 8-shard merge and the planted
+    // heavy-item determinism are pinned in Round10AdditionsSpec.
+    Q(
+      "q93_varopt_sample",
+      """SELECT CAST(64 AS BIGINT) AS k,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_weight,
+        |  CAST(least(64, count(*)) AS BIGINT) AS sample_size,
+        |  CAST(TRUE AS BOOLEAN) AS est_total_ok,
+        |  CAST(TRUE AS BOOLEAN) AS adjusted_weights_ok,
+        |  CAST(TRUE AS BOOLEAN) AS items_are_docs
+        |FROM documents""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.SketchOps
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val sample = SketchOps.varoptSample(docs, col("doc_id"),
+        col("n_chars").cast("double"), 64)
+      // the sample is already driver-side model state (~k rows): its
+      // size and adjusted-weight total enter as literals; the
+      // membership + weight-floor checks ride ONE broadcast inner
+      // join of the k-row sample against the corpus (an unmatched
+      // sample id simply doesn't join, failing the count equality)
+      val nSample = sample.length.toLong
+      val estTotal = sample.map(_._2).sum
+      val sampleDf = broadcast(s.createDataFrame(sample)
+        .toDF("doc_id", "adj_w"))
+      val checks = docs.join(sampleDf, Seq("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_matched"),
+          sum(when(col("adj_w") >=
+              col("n_chars").cast("double") - lit(1e-6), 1L)
+            .otherwise(0L)).cast("long").as("n_w_ok"))
+      val exact = docs.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_weight"))
+      exact.crossJoin(broadcast(checks))
+        .select(lit(64L).as("k"), col("n_docs"), col("total_weight"),
+          lit(nSample).as("sample_size"),
+          (abs(lit(estTotal) - col("total_weight").cast("double"))
+            <= lit(1e-9) * col("total_weight").cast("double"))
+            .as("est_total_ok"),
+          (col("n_w_ok") === lit(nSample)).as("adjusted_weights_ok"),
+          (col("n_matched") === lit(nSample)).as("items_are_docs"))
     }
   )
 }

@@ -37,7 +37,7 @@ class DeterminismSpec extends SparkSpec {
     "q61_shapley_attribution", // integer algebra + one display division
     "q69_auc_roc",           // integer rank-sum + two display divisions
     "q70_ks_separation",     // integer CDF gaps + argmax fold
-    "q71_psi_drift",         // exact decimal ratios + banded ln terms
+    "q71_psi_drift",         // pinned fixed-point log, all-BIGINT (r10)
     "q73_cusum_changepoint", // BIGINT-cents fold + display divisions
     "p37_token_gini",        // global-rank integer sums
     "t27_pmi_collocations",  // rounded-ln ranking + top-k ties
@@ -60,7 +60,8 @@ class DeterminismSpec extends SparkSpec {
     "s13_mmr_rerank",        // unrounded pure-IEEE MMR scores (r9)
     "t02_quality_score",     // exact-BIGINT rational rounding (r9)
     "t12_readability",       // exact-BIGINT rational rounding (r9)
-    "q84_source_lang_independence", // decimal chi2 term sum + one sqrt
+    "q84_source_lang_independence", // split floor-ratio terms, exact
+                             // BIGINT chi2, integer-compare band (r10)
     "q85_quality_length_spearman",  // exact rank moments + IEEE rho
     "d24_winnowing",         // string-min fingerprints + one division
     "q86_frequent_tokens",   // exact counts; MG flags hold under ANY
@@ -68,10 +69,14 @@ class DeterminismSpec extends SparkSpec {
     "q87_isotonic_calibration", // minimax over exact-long ratios
     "s24_dbscan",            // exact-IEEE eps compares + min labels
     "q88_adamic_adar",       // rounded-ln terms in DECIMAL + top-k ties
-    "q89_robust_location",   // exact rank cuts + three display divisions
+    "q89_robust_location",   // exact rank cuts + exact DECIMAL means (r10)
     "t28_jsd_drift",         // rounded-ln terms in DECIMAL per side
     "q90_anova_length_by_source", // rounded per-group terms + F algebra
-    "q91_markov_removal"     // BIGINT micro-units + one display division
+    "q91_markov_removal",    // BIGINT micro-units + one display division
+    "q92_sketch_store_roundtrip", // theta store bytes are order-free;
+                             // exact counts + 3-sigma bound flags (r10)
+    "q93_varopt_sample"      // randomized contents, but gated surface
+                             // is exact totals + structural flags (r10)
   )
 
   test("float-heavy queries are bit-identical across shuffle parallelism") {

@@ -913,7 +913,8 @@ class PlanSpec extends SparkSpec {
       "q83_theta_source_overlap", "q85_quality_length_spearman",
       "d24_winnowing", "q86_frequent_tokens",
       "q87_isotonic_calibration", "s24_dbscan", "q89_robust_location",
-      "t28_jsd_drift", "q91_markov_removal", "p40_quantile_normalize")
+      "t28_jsd_drift", "q91_markov_removal", "p40_quantile_normalize",
+      "q92_sketch_store_roundtrip")
     QueryRegistry.all
       .filterNot(q => isStreamLoop(q.name) || checkpoints.contains(q.name))
       .foreach { q =>
