@@ -3341,6 +3341,348 @@ object AnalyticsQueries {
             (col("p_base_micro") - col("p_micro")).cast("double")
               / col("p_base_micro")).as("removal_effect"))
         .orderBy(col("channel"))
+    },
+
+    // ---------------------------------------------------------------
+    // q94 — Mann–Whitney U rank-sum test (Mann & Whitney 1947): does
+    // document LENGTH for lang='en' stochastically dominate the rest —
+    // the DISTRIBUTION-FREE two-group comparison to q78's z-test
+    // (which assumes the mean is the story) and q90's ANOVA (which
+    // assumes within-group normality). Everything that gates rides
+    // exact BIGINTs: mid-ranks double as 2×-integers (a tie run of
+    // n_v values whose predecessors number cb has 2·midrank = 2·cb +
+    // n_v + 1), the rank sum R₁, U₁ = R₁ − n₁(n₁+1)/2, its null mean
+    // 2μ = n₁n₂, and the tie-correction Σ(t³−t) are all integer
+    // algebra off ONE (value → count, group-count) partial agg. The
+    // global value order comes from EquiDepth.withGlobalRank (range
+    // exchange + per-partition ranks — never a single-task window);
+    // min-rank per value then falls out of a groupBy. The z-score is
+    // display-only shared-order double algebra (int casts, fixed
+    // div/mul order, IEEE-exact sqrt) rounded to 6, NULL-guarded for
+    // degenerate one-group/no-variance inputs (the q90 rule). Int64
+    // width: n³ in the tie term caps n at ~2e6 distinct tied rows per
+    // shard — at 100 TB run the test per ingest batch or lift the
+    // moment columns to DECIMAL(38,0) (the q90 guard).
+    Q(
+      "q94_mann_whitney",
+      """WITH v AS (
+        |  SELECT n_chars AS x,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g1
+        |  FROM documents),
+        |bv AS (
+        |  SELECT x, CAST(count(*) AS BIGINT) AS n_v,
+        |    CAST(sum(g1) AS BIGINT) AS n1_v
+        |  FROM v GROUP BY x),
+        |rk AS (
+        |  SELECT x, n_v, n1_v,
+        |    COALESCE(CAST(sum(n_v) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cb
+        |  FROM bv),
+        |a AS (
+        |  SELECT CAST(sum(n1_v) AS BIGINT) AS n1,
+        |    CAST(sum(n_v - n1_v) AS BIGINT) AS n2,
+        |    CAST(sum(n1_v * (2 * cb + n_v + 1)) AS BIGINT) AS r1_2x,
+        |    CAST(sum(n_v * n_v * n_v - n_v) AS BIGINT) AS tie_sum
+        |  FROM rk),
+        |b AS (
+        |  SELECT n1, n2, r1_2x, tie_sum,
+        |    r1_2x - n1 * (n1 + 1) AS u1_2x, n1 * n2 AS mu_2x,
+        |    n1 + n2 AS n
+        |  FROM a)
+        |SELECT n1, n2, r1_2x, u1_2x, mu_2x, tie_sum,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND n > 1
+        |      AND (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0e0)
+        |        * ((CAST(n AS DOUBLE) + 1.0e0)
+        |          - CAST(tie_sum AS DOUBLE)
+        |            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0)))
+        |        > 0.0e0 THEN
+        |    round((CAST(u1_2x - mu_2x AS DOUBLE) / 2.0e0)
+        |      / sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0e0)
+        |        * ((CAST(n AS DOUBLE) + 1.0e0)
+        |          - CAST(tie_sum AS DOUBLE)
+        |            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0)))),
+        |      6) END AS z
+        |FROM b""".stripMargin
+    ) { (s, dir) =>
+      val v = Tables(s, dir, "documents")
+        .select(col("n_chars").as("x"), col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("g1"))
+      // exact global rank over (x, doc_id) — parallel range exchange,
+      // never a single-task window; min rank per value = cb + 1
+      val ranked = graft.operators.EquiDepth.withGlobalRank(v,
+        Seq(col("x"), col("doc_id")), "r", "nt")
+      val bv = ranked.groupBy(col("x"))
+        .agg(count(lit(1)).cast("long").as("n_v"),
+          sum(col("g1")).cast("long").as("n1_v"),
+          min(col("r")).cast("long").as("min_r"))
+      val a = bv.agg(
+        sum(col("n1_v")).cast("long").as("n1"),
+        sum(col("n_v") - col("n1_v")).cast("long").as("n2"),
+        // 2·midrank = 2·cb + n_v + 1 = 2·(min_r − 1) + n_v + 1
+        sum(col("n1_v") * (lit(2L) * (col("min_r") - 1L) + col("n_v") + 1L))
+          .cast("long").as("r1_2x"),
+        sum(col("n_v") * col("n_v") * col("n_v") - col("n_v"))
+          .cast("long").as("tie_sum"))
+      a.select(col("n1"), col("n2"), col("r1_2x"), col("tie_sum"),
+          expr("r1_2x - n1 * (n1 + 1)").as("u1_2x"),
+          expr("n1 * n2").as("mu_2x"),
+          expr("n1 + n2").as("n"))
+        .select(col("n1"), col("n2"), col("r1_2x"), col("u1_2x"),
+          col("mu_2x"), col("tie_sum"),
+          expr("""CASE WHEN n1 > 0 AND n2 > 0 AND n > 1
+              AND (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0e0)
+                * ((CAST(n AS DOUBLE) + 1.0e0)
+                  - CAST(tie_sum AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0)))
+                > 0.0e0 THEN
+            round((CAST(u1_2x - mu_2x AS DOUBLE) / 2.0e0)
+              / sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0e0)
+                * ((CAST(n AS DOUBLE) + 1.0e0)
+                  - CAST(tie_sum AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0)))),
+              6) END""").as("z"))
+    },
+
+    // ---------------------------------------------------------------
+    // q95 — Page's SEQUENTIAL CUSUM chart (Page 1954) over the daily
+    // event count: the ONLINE drift alarm that complements q73's
+    // retrospective changepoint (argmax |S'_k| localizes ONE break
+    // after the fact; this emits a per-day monitoring statistic with
+    // self-resetting clamp and an alarm flag — the chart a pipeline
+    // monitor evaluates each new ingest day) and q71/t28's
+    // distribution-level drift scores. The clamped recursion
+    // S_d = max(0, S_{d−1} + (x_d − μ)) never needs a sequential
+    // loop: with prefix sums P_d of the deviations, S_d = P_d −
+    // min(0, min_{j≤d} P_j) (and the downward side mirrors with the
+    // running max) — both pure prefix statistics. Deviations are
+    // integerized at ×n_days (inc_d = nd·x_d − s, so μ = s/nd needs
+    // no division) and every gated column is exact BIGINT; the alarm
+    // threshold "5 mean-days of cumulative excess" is the exact
+    // integer comparison cusum > 5·s in the same units. Shape at
+    // 100 TB: the corpus contributes ONE partial-agg'd pass onto the
+    // day key; the day domain is bounded by retention, so the prefix
+    // fold runs on a single collected array (the EquiDepth offsets
+    // pattern — O(D²) slice-folds on dimension-sized D, never a
+    // single-task window over row data; for a multi-year retention
+    // swap in EquiDepth prefix ranks, same arithmetic). Int64 width:
+    // nd·x_d caps at ~9e18 — a retention of 3650 days bounds daily
+    // volume at ~2.5e15 events before the lift to DECIMAL(38,0).
+    Q(
+      "q95_cusum_drift",
+      """WITH dd AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS d,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(x) AS BIGINT) AS s,
+        |        CAST(count(*) AS BIGINT) AS nd FROM dd),
+        |p AS (
+        |  SELECT d, x, t.s,
+        |    CAST(sum(t.nd * x) OVER (ORDER BY d) AS BIGINT)
+        |      - CAST(row_number() OVER (ORDER BY d) AS BIGINT) * t.s
+        |      AS pp
+        |  FROM dd CROSS JOIN t),
+        |c AS (
+        |  SELECT d, x, s, pp,
+        |    least(CAST(0 AS BIGINT), CAST(min(pp) OVER (ORDER BY d)
+        |      AS BIGINT)) AS mn,
+        |    greatest(CAST(0 AS BIGINT), CAST(max(pp) OVER (ORDER BY d)
+        |      AS BIGINT)) AS mx
+        |  FROM p)
+        |SELECT d, x, pp, pp - mn AS cusum_up, mx - pp AS cusum_dn,
+        |  (pp - mn) > 5 * s AS alarm_up,
+        |  (mx - pp) > 5 * s AS alarm_dn
+        |FROM c ORDER BY d""".stripMargin
+    ) { (s, dir) =>
+      val daily = Tables(s, dir, "events")
+        .groupBy(expr("unix_millis(ts) DIV 86400000").as("d"))
+        .agg(count(lit(1)).cast("long").as("x"))
+      val one = daily.agg(
+        array_sort(collect_list(struct(col("d"), col("x")))).as("a"),
+        sum(col("x")).cast("long").as("s"),
+        count(lit(1)).cast("long").as("nd"))
+      one
+        .select(col("s"), expr(
+          """transform(a, (e, i) -> struct(e.d AS d, e.x AS x,
+            |  nd * aggregate(slice(a, 1, i + 1), 0L,
+            |    (acc, y) -> acc + y.x)
+            |  - CAST(i + 1 AS BIGINT) * s AS pp))""".stripMargin)
+          .as("pa"))
+        .select(col("s"), expr(
+          """transform(pa, (e, i) -> struct(e.d AS d, e.x AS x,
+            |  e.pp AS pp,
+            |  least(0L, aggregate(slice(pa, 1, i + 1),
+            |    9223372036854775807L,
+            |    (acc, y) -> least(acc, y.pp))) AS mn,
+            |  greatest(0L, aggregate(slice(pa, 1, i + 1),
+            |    -9223372036854775808L,
+            |    (acc, y) -> greatest(acc, y.pp))) AS mx))"""
+            .stripMargin).as("ca"))
+        .select(col("s"), explode(col("ca")).as("e"))
+        .select(col("e.d").as("d"), col("e.x").as("x"),
+          col("e.pp").as("pp"),
+          (col("e.pp") - col("e.mn")).as("cusum_up"),
+          (col("e.mx") - col("e.pp")).as("cusum_dn"),
+          ((col("e.pp") - col("e.mn")) > lit(5L) * col("s"))
+            .as("alarm_up"),
+          ((col("e.mx") - col("e.pp")) > lit(5L) * col("s"))
+            .as("alarm_dn"))
+        .orderBy(col("d"))
+    },
+
+    // ---------------------------------------------------------------
+    // q96 — Gini concentration of source contribution: ONE number for
+    // "how skewed is the corpus mixture" — the audit a mixture
+    // designer (p02/p16/p24) tracks release-over-release, where q90
+    // answers "do sources differ" and this answers "how unequal is
+    // the mass". With per-source char mass x₍ᵢ₎ sorted ascending and
+    // 1-based index i: G = (2Σi·x᎑ᵢ − (n+1)Σx) / (n Σx) — entirely
+    // integer off ONE per-source partial agg (sources are a bounded
+    // vocabulary), so the gated surface is exact: numerator,
+    // denominator, and the e9 fixed-point quotient via the q89 split
+    // floor-division (no IEEE double anywhere). Ties in x commute
+    // inside Σi·x so the (x, source) sort is total and deterministic.
+    // The fold runs on a single collected array of |sources| structs
+    // (the EquiDepth offsets pattern); at 100 TB the per-source agg
+    // is the only corpus-scale pass. Int64 width: the e9 scale-up
+    // needs n·Σx < 9.2e9·10⁷-safe splits — documented lift to
+    // DECIMAL(38,0) beyond ~9e11 total chars (shard per batch).
+    Q(
+      "q96_gini_concentration",
+      """WITH g AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS xs
+        |  FROM documents GROUP BY source),
+        |r AS (
+        |  SELECT xs,
+        |    CAST(row_number() OVER (ORDER BY xs, source) AS BIGINT)
+        |      AS i
+        |  FROM g),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xs) AS BIGINT) AS tot,
+        |    CAST(sum(i * xs) AS BIGINT) AS wsum,
+        |    CAST(max(xs) AS BIGINT) AS mx
+        |  FROM r),
+        |b AS (
+        |  SELECT n, tot, 2 * wsum - (n + 1) * tot AS g_num,
+        |    n * tot AS g_den, mx
+        |  FROM a)
+        |SELECT n, tot, g_num, g_den,
+        |  CAST(CAST((g_num // g_den) * 1000000000
+        |      + ((g_num % g_den) * 1000000000) // g_den
+        |      AS DECIMAL(20,0))
+        |    * CAST(0.000000001 AS DECIMAL(9,9)) AS DECIMAL(20,9))
+        |    AS gini,
+        |  CAST(CAST((mx // tot) * 1000000000
+        |      + ((mx % tot) * 1000000000) // tot AS DECIMAL(20,0))
+        |    * CAST(0.000000001 AS DECIMAL(9,9)) AS DECIMAL(20,9))
+        |    AS top1_share
+        |FROM b""".stripMargin
+    ) { (s, dir) =>
+      val g = Tables(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(col("n_chars")).cast("long").as("xs"))
+      // sorted (xs, source) array: |sources| structs, one row
+      val one = g.agg(
+        array_sort(collect_list(struct(col("xs"), col("source"))))
+          .as("a"))
+      one
+        .select(
+          expr("CAST(size(a) AS BIGINT)").as("n"),
+          expr("aggregate(a, 0L, (acc, y) -> acc + y.xs)").as("tot"),
+          expr("""aggregate(transform(a,
+            |  (e, i) -> CAST(i + 1 AS BIGINT) * e.xs),
+            |  0L, (acc, y) -> acc + y)""".stripMargin).as("wsum"),
+          expr("aggregate(a, 0L, (acc, y) -> greatest(acc, y.xs))")
+            .as("mx"))
+        .select(col("n"), col("tot"),
+          expr("2 * wsum - (n + 1) * tot").as("g_num"),
+          expr("n * tot").as("g_den"), col("mx"))
+        .select(col("n"), col("tot"), col("g_num"), col("g_den"),
+          expr("""CAST(CAST((g_num div g_den) * 1000000000
+              + ((g_num % g_den) * 1000000000) div g_den
+              AS DECIMAL(20,0))
+            * CAST(0.000000001 AS DECIMAL(9,9)) AS DECIMAL(20,9))""")
+            .as("gini"),
+          expr("""CAST(CAST((mx div tot) * 1000000000
+              + ((mx % tot) * 1000000000) div tot AS DECIMAL(20,0))
+            * CAST(0.000000001 AS DECIMAL(9,9)) AS DECIMAL(20,9))""")
+            .as("top1_share"))
+    },
+
+    // ---------------------------------------------------------------
+    // q97 — autocorrelation function of the daily event count at lags
+    // 1–7: the seasonality DETECTOR feeding q74's decomposition (which
+    // assumes a period) and q95's CUSUM (whose false-alarm rate a
+    // strong weekly cycle inflates) — "is there structure at lag k".
+    // Deviations are integerized at ×n_days (y_t = nd·x_t − s, so no
+    // mean division), and the ×nd² scale CANCELS in r_k =
+    // Σ y_t·y_{t−k} / Σ y_t² — numerator, denominator, pair counts
+    // are exact BIGINT; the quotient rides the q89 e9 split
+    // floor-division with the SIGN carried separately (Spark's `div`
+    // truncates toward zero while DuckDB's `//` floors, so the split
+    // is only engine-identical on non-negative operands — abs(num)
+    // keeps it there, and the sign re-attaches as an exact DECIMAL
+    // multiply). Lag-k pairing is a self equi-join of the bounded
+    // per-day table on d−k (a missing retention day is an honest
+    // series gap); the corpus contributes ONE partial-agg'd pass onto
+    // the day key. Int64 width: Σy² < 2⁶³ needs nd·max|dev| < ~3e9
+    // √-style headroom and the e9 split needs den < 9.2e9 — beyond
+    // that lift to DECIMAL(38,0) (the q90 guard).
+    Q(
+      "q97_acf",
+      """WITH dd AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS d,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(x) AS BIGINT) AS s,
+        |        CAST(count(*) AS BIGINT) AS nd FROM dd),
+        |y AS (SELECT d, nd * x - s AS y FROM dd CROSS JOIN t),
+        |dn AS (SELECT CAST(sum(y * y) AS BIGINT) AS den FROM y),
+        |ks AS (SELECT unnest(generate_series(1, 7)) AS k),
+        |pr AS (
+        |  SELECT ks.k, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(c.y * p.y) AS BIGINT) AS num
+        |  FROM ks JOIN y c ON true JOIN y p ON p.d = c.d - ks.k
+        |  GROUP BY ks.k),
+        |b AS (SELECT k, n_pairs, num, dn.den FROM pr CROSS JOIN dn)
+        |SELECT k, n_pairs, num, den,
+        |  CASE WHEN den > 0 THEN CAST(
+        |    CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END AS DECIMAL(2,0))
+        |    * CAST(CAST((abs(num) // den) * 1000000000
+        |        + ((abs(num) % den) * 1000000000) // den
+        |        AS DECIMAL(20,0))
+        |      * CAST(0.000000001 AS DECIMAL(9,9)) AS DECIMAL(20,9))
+        |    AS DECIMAL(22,9)) END AS acf
+        |FROM b ORDER BY k""".stripMargin
+    ) { (s, dir) =>
+      val daily = Tables(s, dir, "events")
+        .groupBy(expr("unix_millis(ts) DIV 86400000").as("d"))
+        .agg(count(lit(1)).cast("long").as("x"))
+      val t = daily.agg(sum(col("x")).cast("long").as("s"),
+        count(lit(1)).cast("long").as("nd"))
+      val y = graft.operators.Stage.stage(
+        daily.crossJoin(broadcast(t))
+          .select(col("d"), (col("nd") * col("x") - col("s")).as("y")))
+      val dn = y.agg(sum(col("y") * col("y")).cast("long").as("den"))
+      val ks = y.select(
+        explode(sequence(lit(1L), lit(7L))).as("k"),
+        col("d"), col("y"))
+      val pr = ks.as("c")
+        .join(y.as("p"), col("p.d") === col("c.d") - col("c.k"))
+        .groupBy(col("c.k").as("k"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          sum(col("c.y") * col("p.y")).cast("long").as("num"))
+      pr.crossJoin(broadcast(dn))
+        .select(col("k"), col("n_pairs"), col("num"), col("den"),
+          expr("""CASE WHEN den > 0 THEN CAST(
+            CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END AS DECIMAL(2,0))
+            * CAST(CAST((abs(num) div den) * 1000000000
+                + ((abs(num) % den) * 1000000000) div den
+                AS DECIMAL(20,0))
+              * CAST(0.000000001 AS DECIMAL(9,9)) AS DECIMAL(20,9))
+            AS DECIMAL(22,9)) END""").as("acf"))
+        .orderBy(col("k"))
     }
   )
 

@@ -1644,6 +1644,173 @@ object DedupQueries {
             (col("n_fp_a") + col("n_fp_b") - col("n_shared")))
             .as("fp_jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---------------------------------------------------------------
+    // d25 — capture–recapture dedup completeness (Chapman 1951, the
+    // bias-corrected Lincoln–Petersen estimator; applied to corpus
+    // linkage audits as in Winkler's record-linkage surveys): every
+    // near-dup catcher is a SAMPLER of the unknown true-pair
+    // population, so two INDEPENDENT catchers estimate what BOTH
+    // missed — the question d18/d19 (tuning one family's dial) cannot
+    // answer. Catcher A = d02's MinHash-band candidates confirmed at
+    // shingle-Jaccard ≥ 0.5; catcher B = d03's SimHash bands at
+    // hamming ≤ 6 — different features (3-gram sets vs weighted
+    // unigram bit votes) and different blocking, the independence the
+    // estimator assumes (documented assumption, as for q86's 64-bit
+    // hashes). N̂ = (n₁+1)(n₂+1)/(m+1) − 1 with n₁, n₂ the per-catcher
+    // pair counts and m the overlap — all exact BIGINTs off one
+    // full-outer join of the two pair sets on the (lo, hi) pair key;
+    // coverage = caught/N̂ rides the q89 e9 split floor-division, so
+    // the gated surface carries no IEEE double. At 100 TB both
+    // catchers stay band-key equi-joins (d02/d03's argument), the
+    // pair-set join is keyed on pair ids, and the output is one row.
+    Q(
+      "d25_capture_recapture",
+      s"""WITH $corpusSql,
+        |toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM corpus),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM toks),
+        |hs AS (SELECT doc_id, sh,
+        |  list_transform(sh, x -> md5('a:' || x)) AS hs0,
+        |  list_transform(sh, x -> md5('b:' || x)) AS hs1 FROM sh),
+        |sig AS (SELECT doc_id, sh,
+        |  list_min(list_transform(hs0, h -> substr(h, 1, 8))) AS mh0,
+        |  list_min(list_transform(hs0, h -> substr(h, 9, 8))) AS mh1,
+        |  list_min(list_transform(hs0, h -> substr(h, 17, 8))) AS mh2,
+        |  list_min(list_transform(hs0, h -> substr(h, 25, 8))) AS mh3,
+        |  list_min(list_transform(hs1, h -> substr(h, 1, 8))) AS mh4,
+        |  list_min(list_transform(hs1, h -> substr(h, 9, 8))) AS mh5,
+        |  list_min(list_transform(hs1, h -> substr(h, 17, 8))) AS mh6,
+        |  list_min(list_transform(hs1, h -> substr(h, 25, 8))) AS mh7
+        |  FROM hs),
+        |mbands AS (SELECT doc_id, unnest([
+        |    md5(concat_ws('|', '0', mh0, mh1)),
+        |    md5(concat_ws('|', '1', mh2, mh3)),
+        |    md5(concat_ws('|', '2', mh4, mh5)),
+        |    md5(concat_ws('|', '3', mh6, mh7))]) AS band_key FROM sig),
+        |mcand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM mbands a JOIN mbands b
+        |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |pa AS (SELECT a_id, b_id
+        |  FROM mcand JOIN sh sa ON sa.doc_id = a_id
+        |    JOIN sh sb ON sb.doc_id = b_id
+        |  WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |    / len(list_distinct(sa.sh || sb.sh)), 6) >= 0.5),
+        |w AS (SELECT doc_id, md5('0:' || w) AS h0, md5('1:' || w) AS h1 FROM (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |  FROM corpus)),
+        |votes AS (SELECT doc_id, b,
+        |    sum(CASE WHEN substr(CASE WHEN b < 32 THEN h0 ELSE h1 END, (b % 32) + 1, 1)
+        |      IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS v
+        |  FROM w CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bits
+        |  GROUP BY doc_id, b),
+        |sigs AS (SELECT doc_id,
+        |    string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+        |  FROM votes GROUP BY doc_id),
+        |sbands AS (SELECT doc_id, simhash,
+        |    unnest([ '0' || substr(simhash, 1, 16), '1' || substr(simhash, 17, 16),
+        |             '2' || substr(simhash, 33, 16), '3' || substr(simhash, 49, 16)]) AS band
+        |  FROM sigs),
+        |scand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    a.simhash AS a_sig, b.simhash AS b_sig
+        |  FROM sbands a JOIN sbands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |pb AS (SELECT a_id, b_id FROM scand
+        |  WHERE list_aggregate(list_transform(generate_series(1, 64),
+        |    i -> CASE WHEN substr(a_sig, i, 1) <> substr(b_sig, i, 1) THEN 1 ELSE 0 END),
+        |    'sum') <= 6),
+        |j AS (
+        |  SELECT CASE WHEN pa.a_id IS NOT NULL THEN 1 ELSE 0 END AS ina,
+        |    CASE WHEN pb.a_id IS NOT NULL THEN 1 ELSE 0 END AS inb
+        |  FROM pa FULL OUTER JOIN pb
+        |    ON pa.a_id = pb.a_id AND pa.b_id = pb.b_id),
+        |a AS (
+        |  SELECT CAST(sum(ina) AS BIGINT) AS n1,
+        |    CAST(sum(inb) AS BIGINT) AS n2,
+        |    CAST(sum(ina * inb) AS BIGINT) AS m,
+        |    CAST(count(*) AS BIGINT) AS caught_union
+        |  FROM j),
+        |b AS (SELECT n1, n2, m, caught_union,
+        |  (n1 + 1) * (n2 + 1) // (m + 1) - 1 AS n_hat FROM a)
+        |SELECT n1, n2, m, caught_union, n_hat,
+        |  greatest(CAST(0 AS BIGINT), n_hat - caught_union)
+        |    AS est_uncaught,
+        |  CASE WHEN n_hat > 0 THEN
+        |    CAST(CAST((caught_union // n_hat) * 1000000000
+        |      + ((caught_union % n_hat) * 1000000000) // n_hat
+        |      AS DECIMAL(20,0))
+        |    * CAST(0.000000001 AS DECIMAL(9,9)) AS DECIMAL(20,9))
+        |  END AS coverage
+        |FROM b""".stripMargin
+    ) { (s, dir) =>
+      val corpus = corpusWithNearDups(Tables(s, dir, "documents"))
+      // catcher A — d02's pipeline shape (see d02 for the staging
+      // rationale); the confirm filter mirrors the oracle's round-6
+      val sh = corpus.withColumn("ws", DedupOps.words(col("text")))
+        .select(col("doc_id"),
+          array_distinct(DedupOps.shingles(col("ws"), 3)).as("sh"))
+      val sig = sh.select(col("doc_id") +: col("sh") +:
+        DedupOps.minhashSignature(col("sh")): _*)
+        .transform(Stage.stage)
+      val bandKeys = (0 until 4).map(b =>
+        DedupOps.bandKey(b, Seq(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))))
+      val mbands = sig.select(col("doc_id"), col("sh"),
+        explode(array(bandKeys: _*)).as("band_key"))
+      val mcand = mbands.as("a")
+        .join(mbands.as("b"),
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(first(col("a.sh")).as("a_sh"), first(col("b.sh")).as("b_sh"))
+      val jac = round(
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+        size(array_distinct(concat(col("a_sh"), col("b_sh")))), 6)
+      val pa = mcand.filter(jac >= 0.5).select(col("a_id"), col("b_id"))
+      // catcher B — d03's pipeline shape (int-decoded bands, xor+popcount)
+      val sigs = DedupOps.simhash64(corpus, "doc_id", "text")
+        .select(col("doc_id") +: col("simhash") +: (0 until 4).map(b =>
+          conv(substring(col("simhash"), b * 16 + 1, 16), 2, 10)
+            .cast("long").as(s"w$b")): _*)
+        .transform(Stage.stage)
+      val sbands = sigs.select(col("doc_id") +:
+        (0 until 4).map(b => col(s"w$b")) :+
+        explode(array((0 until 4).map(b =>
+          concat(lit(b.toString),
+            substring(col("simhash"), b * 16 + 1, 16))): _*))
+          .as("band"): _*)
+      val ham = (0 until 4).map { b =>
+        bit_count(col(s"a.w$b").bitwiseXOR(col(s"b.w$b")))
+      }.reduce(_ + _)
+      val pb = sbands.as("a")
+        .join(sbands.as("b"),
+          col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          ham.cast("long").as("hamming"))
+        .filter(col("hamming") <= 6)
+        .select(col("a_id"), col("b_id"))
+        .distinct()
+      val j = pa.withColumn("ina", lit(1))
+        .join(pb.withColumn("inb", lit(1)), Seq("a_id", "b_id"),
+          "full_outer")
+        .select(coalesce(col("ina"), lit(0)).as("ina"),
+          coalesce(col("inb"), lit(0)).as("inb"))
+      j.agg(sum(col("ina")).cast("long").as("n1"),
+          sum(col("inb")).cast("long").as("n2"),
+          sum(col("ina") * col("inb")).cast("long").as("m"),
+          count(lit(1)).cast("long").as("caught_union"))
+        .select(col("n1"), col("n2"), col("m"), col("caught_union"),
+          expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1").as("n_hat"))
+        .select(col("n1"), col("n2"), col("m"), col("caught_union"),
+          col("n_hat"),
+          greatest(lit(0L), col("n_hat") - col("caught_union"))
+            .as("est_uncaught"),
+          expr("""CASE WHEN n_hat > 0 THEN
+            CAST(CAST((caught_union div n_hat) * 1000000000
+              + ((caught_union % n_hat) * 1000000000) div n_hat
+              AS DECIMAL(20,0))
+            * CAST(0.000000001 AS DECIMAL(9,9)) AS DECIMAL(20,9))
+          END""").as("coverage"))
     }
   )
 

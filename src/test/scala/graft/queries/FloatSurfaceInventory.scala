@@ -272,6 +272,7 @@ object FloatSurfaceInventory {
         " degenerates"),
     ("q91_markov_removal", "removal_effect") -> ("ieee",
       "exact micro-unit BIGINTs -> one IEEE division, NULL-guarded"),
+    ("q94_mann_whitney", "z") -> moments,
     // --- similarity / ANN --------------------------------------------
     ("s01_ann_bruteforce", "cos") -> cosFold,
     ("s02_ann_lsh", "cos") -> cosFold,
