@@ -3544,7 +3544,10 @@ object AnalyticsQueries {
     // inside Σi·x so the (x, source) sort is total and deterministic.
     // The fold runs on a single collected array of |sources| structs
     // (the EquiDepth offsets pattern); at 100 TB the per-source agg
-    // is the only corpus-scale pass. Int64 width: the e9 scale-up
+    // is the only corpus-scale pass. Degenerate input: an empty
+    // corpus makes both denominators 0 — the quotients are
+    // NULL-guarded identically in both renderings (the q90 rule).
+    // Int64 width: the e9 scale-up
     // needs n·Σx < 9.2e9·10⁷-safe splits — documented lift to
     // DECIMAL(38,0) beyond ~9e11 total chars (shard per batch).
     Q(
@@ -3568,15 +3571,17 @@ object AnalyticsQueries {
         |    n * tot AS g_den, mx
         |  FROM a)
         |SELECT n, tot, g_num, g_den,
-        |  CAST(CAST((g_num // g_den) * 1000000000
-        |      + ((g_num % g_den) * 1000000000) // g_den
-        |      AS DECIMAL(20,0))
-        |    * CAST(0.000000001 AS DECIMAL(9,9)) AS DECIMAL(20,9))
-        |    AS gini,
-        |  CAST(CAST((mx // tot) * 1000000000
-        |      + ((mx % tot) * 1000000000) // tot AS DECIMAL(20,0))
-        |    * CAST(0.000000001 AS DECIMAL(9,9)) AS DECIMAL(20,9))
-        |    AS top1_share
+        |  CASE WHEN g_den > 0 THEN
+        |    CAST(CAST((g_num // g_den) * 1000000000
+        |        + ((g_num % g_den) * 1000000000) // g_den
+        |        AS DECIMAL(20,0))
+        |      * CAST(0.000000001 AS DECIMAL(9,9)) AS DECIMAL(20,9))
+        |  END AS gini,
+        |  CASE WHEN tot > 0 THEN
+        |    CAST(CAST((mx // tot) * 1000000000
+        |        + ((mx % tot) * 1000000000) // tot AS DECIMAL(20,0))
+        |      * CAST(0.000000001 AS DECIMAL(9,9)) AS DECIMAL(20,9))
+        |  END AS top1_share
         |FROM b""".stripMargin
     ) { (s, dir) =>
       val g = Tables(s, dir, "documents")
@@ -3599,15 +3604,17 @@ object AnalyticsQueries {
           expr("2 * wsum - (n + 1) * tot").as("g_num"),
           expr("n * tot").as("g_den"), col("mx"))
         .select(col("n"), col("tot"), col("g_num"), col("g_den"),
-          expr("""CAST(CAST((g_num div g_den) * 1000000000
-              + ((g_num % g_den) * 1000000000) div g_den
-              AS DECIMAL(20,0))
-            * CAST(0.000000001 AS DECIMAL(9,9)) AS DECIMAL(20,9))""")
-            .as("gini"),
-          expr("""CAST(CAST((mx div tot) * 1000000000
-              + ((mx % tot) * 1000000000) div tot AS DECIMAL(20,0))
-            * CAST(0.000000001 AS DECIMAL(9,9)) AS DECIMAL(20,9))""")
-            .as("top1_share"))
+          expr("""CASE WHEN g_den > 0 THEN
+            CAST(CAST((g_num div g_den) * 1000000000
+                + ((g_num % g_den) * 1000000000) div g_den
+                AS DECIMAL(20,0))
+              * CAST(0.000000001 AS DECIMAL(9,9)) AS DECIMAL(20,9))
+          END""").as("gini"),
+          expr("""CASE WHEN tot > 0 THEN
+            CAST(CAST((mx div tot) * 1000000000
+                + ((mx % tot) * 1000000000) div tot AS DECIMAL(20,0))
+              * CAST(0.000000001 AS DECIMAL(9,9)) AS DECIMAL(20,9))
+          END""").as("top1_share"))
     },
 
     // ---------------------------------------------------------------

@@ -3,268 +3,168 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.{QueryRegistry, SparkSpec, Tables}
+import graft.operators.SketchOps
 
-/** Semantic pins for the round-10 additions (q94 Mann–Whitney, q95
-  * sequential CUSUM, q96 Gini concentration, q97 ACF, d25
-  * capture–recapture). Discipline as in Round8/Round9 specs: the
-  * oracle MIRRORS each query's formula, so a wrong-direction bug
-  * reproduces identically in DuckDB and still hash-matches — these
-  * tests re-derive each result through an INDEPENDENT implementation
-  * (sequential rank walk, the literal clamped recursion, BigInt
-  * rational arithmetic) and planted-truth fixtures (a known mean
-  * shift, a known period, a known equal mixture).
-  */
+/** Round-10 additions: the q92 sketch-store round trip (persist
+  * per-key theta/KLL/frequencies bytes, answer from the bytes alone)
+  * and the q93 VarOpt weighted sample. Each gets the
+  * Round9AdditionsSpec treatment — planted-truth fixtures plus
+  * independent plain-Scala recounts of every structurally-true claim
+  * the gated surfaces ride on. */
 class Round10AdditionsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
+  import org.apache.datasketches.memory.Memory
 
-  /** Exact floor((num/den)·1e9) as BigDecimal at scale 9 — the q89 e9
-    * split the queries render; independent BigInt derivation here. */
-  private def e9(num: BigInt, den: BigInt): BigDecimal =
-    BigDecimal(num * BigInt(1000000000) / den, 9)
-
-  // -----------------------------------------------------------------
-  // q94 Mann–Whitney U
-
-  test("q94: a sequential sort-and-walk rank computation reproduces " +
-    "n1/n2/R1/U1/ties, and z matches the closed form") {
-    val rows = Tables(spark, dir, "documents")
-      .select(col("n_chars"), col("lang")).collect()
-      .map(r => (r.getLong(0), r.getString(1) == "en"))
-    // sequential mid-rank walk over the sorted values (2x integers)
-    val sorted = rows.sortBy(_._1)
-    var i = 0
-    var r1x2 = 0L
-    var tieSum = 0L
-    while (i < sorted.length) {
-      var j = i
-      while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
-      val t = j - i // tie-run length; 2·midrank = 2i + t + 1 (0-based)
-      val rank2x = 2L * i + t + 1
-      r1x2 += rank2x * sorted.slice(i, j).count(_._2)
-      tieSum += t.toLong * t * t - t
-      i = j
-    }
-    val n1 = rows.count(_._2).toLong
-    val n2 = rows.length - n1
-    val u1x2 = r1x2 - n1 * (n1 + 1)
-    val n = n1 + n2
-    val varU = (n1.toDouble * n2.toDouble / 12.0) *
-      ((n.toDouble + 1.0) - tieSum.toDouble / (n.toDouble * (n.toDouble - 1.0)))
-    val zExp = BigDecimal(((u1x2 - n1 * n2).toDouble / 2.0) / math.sqrt(varU))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val got = QueryRegistry.byName("q94_mann_whitney").run(spark, dir)
-      .collect().head
-    assert(got.getLong(0) == n1 && got.getLong(1) == n2)
-    assert(got.getLong(2) == r1x2, "rank sum (2x) diverged")
-    assert(got.getLong(3) == u1x2, "U statistic (2x) diverged")
-    assert(got.getLong(4) == n1 * n2, "null mean (2x) diverged")
-    assert(got.getLong(5) == tieSum, "tie correction diverged")
-    assert(math.abs(got.getDouble(6) - zExp) < 1e-9,
-      s"z diverged: got ${got.getDouble(6)} expected $zExp")
-  }
-
-  test("q94 direction: a planted stochastically-larger group yields " +
-    "U above its null mean and z > 0") {
+  private def writeEvents(d: String,
+      rows: Seq[(Long, Long, String, Double)]): Unit = {
     import spark.implicits._
-    val d = tmpDir("mwu")
-    // en docs all longer than the rest; one tie pair across groups
-    val docs = (1 to 10).map(i => (i.toLong, "a", "en", 100L + i)) ++
-      (11 to 20).map(i => (i.toLong, "a", "de", i.toLong)) :+
-      (21L, "a", "de", 101L) // ties with the shortest en doc
-    docs.toDF("doc_id", "text", "lang", "n_chars")
-      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
-    val r = QueryRegistry.byName("q94_mann_whitney").run(spark, d)
-      .collect().head
-    assert(r.getLong(3) > r.getLong(4),
-      "U1 must exceed n1·n2/2 when group 1 dominates")
-    assert(r.getDouble(6) > 3.0, s"z should be large-positive: ${r.getDouble(6)}")
-    assert(r.getLong(5) == 6L, "one tie pair of 2 => t^3 - t = 6")
+    rows.toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts",
+        timestamp_micros(lit(1704067200000000L) + col("event_id")))
+      .withColumn("props", lit("""{"k":1}"""))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$d/events.parquet")
   }
 
-  // -----------------------------------------------------------------
-  // q95 sequential CUSUM
-
-  test("q95: the literal clamped recursion over collected daily " +
-    "counts reproduces every cusum_up/cusum_dn row") {
-    val daily = Tables(spark, dir, "events")
-      .groupBy(expr("unix_millis(ts) DIV 86400000").as("d"))
-      .agg(count(lit(1)).cast("long").as("x"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val s = daily.map(_._2).sum
-    val nd = daily.length.toLong
-    var up = 0L
-    var dn = 0L
-    val expected = daily.map { case (d, x) =>
-      val inc = nd * x - s
-      up = math.max(0L, up + inc)
-      dn = math.max(0L, dn - inc)
-      (d, x, up, dn, up > 5 * s, dn > 5 * s)
-    }
-    val got = QueryRegistry.byName("q95_cusum_drift").run(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
-        r.getLong(4), r.getBoolean(5), r.getBoolean(6))).toSeq
-    assert(got == expected.toSeq, s"recursion diverged: got " +
-      s"${got.take(3)} expected ${expected.take(3).toSeq}")
-  }
-
-  test("q95 planted shift: alarm fires after a 10x volume jump and " +
-    "only after it") {
+  private def writeDocs(d: String,
+      rows: Seq[(Long, String, Long)]): Unit = {
     import spark.implicits._
-    val d = tmpDir("cusum")
-    // 20 quiet days (10 events/day) then 10 loud days (100/day):
-    // mean = 40, so the upward chart needs ceil(5*1200/60) = 100 i.e.
-    // two loud days of +60 deviation each... assert alarm day > 20
-    val rows = (0 until 20).flatMap(day => (0 until 10).map(i =>
-      (day * 100L + i, day.toLong, i.toLong))) ++
-      (20 until 30).flatMap(day => (0 until 100).map(i =>
-        (day * 1000L + i, day.toLong, i.toLong)))
-    rows.toDF("event_id", "day", "i")
-      .select(col("event_id"),
-        timestamp_micros(col("day") * 86400000000L + col("i") * 1000000L)
-          .as("ts"),
-        col("i").as("user_id"), lit("view").as("event_type"),
-        lit(1.0).as("value"), lit("{}").as("props"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
-    val out = QueryRegistry.byName("q95_cusum_drift").run(spark, d)
-      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
-        r.getBoolean(5)))
-    val firstAlarm = out.find(_._4).map(_._1)
-    assert(firstAlarm.exists(_ >= 20L),
-      s"upward alarm must fire in the loud segment: ${out.toSeq}")
-    assert(out.filter(_._1 < 20L).forall(!_._4),
-      "no upward alarm during the quiet segment")
-    // the reference is the retrospective GLOBAL mean, so the quiet
-    // half sits BELOW it: the downward chart must accumulate across
-    // the quiet days and strictly decay across the loud ones
-    val dn = out.sortBy(_._1).map(_._3)
-    assert(dn.take(20).sliding(2).forall(w => w(1) > w(0)),
-      "downward chart should climb through the quiet segment")
-    assert(dn.drop(20).sliding(2).forall(w => w(1) < w(0)),
-      "downward chart should decay through the loud segment")
-    // and the upward chart is pinned at 0 until the shift
-    assert(out.sortBy(_._1).map(_._2).take(20).forall(_ == 0L),
-      "upward chart must clamp at 0 below the mean")
+    rows.toDF("doc_id", "text", "n_chars")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("s0"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$d/documents.parquet")
   }
 
   // -----------------------------------------------------------------
-  // q96 Gini
+  // q92 sketch store
 
-  test("q96: BigInt rational Gini over collected per-source masses " +
-    "matches, including the e9 rendering bit-for-bit") {
-    val xs = Tables(spark, dir, "documents")
-      .groupBy(col("source")).agg(sum(col("n_chars")).cast("long").as("x"))
-      .collect().map(r => (r.getLong(1), r.getString(0)))
-    val sorted = xs.sortBy(identity).map(_._1)
-    val n = BigInt(sorted.length)
-    val tot = sorted.map(BigInt(_)).sum
-    val wsum = sorted.zipWithIndex.map { case (x, i) =>
-      BigInt(i + 1) * x }.sum
-    val gNum = 2 * wsum - (n + 1) * tot
-    val gDen = n * tot
-    val got = QueryRegistry.byName("q96_gini_concentration")
-      .run(spark, dir).collect().head
-    assert(got.getLong(0) == n.toLong && got.getLong(1) == tot.toLong)
-    assert(got.getLong(2) == gNum.toLong && got.getLong(3) == gDen.toLong)
-    assert(BigDecimal(got.getDecimal(4)) == e9(gNum, gDen),
-      "gini e9 rendering diverged from the BigInt floor ratio")
-    assert(BigDecimal(got.getDecimal(5)) ==
-      e9(BigInt(sorted.max), tot), "top1_share diverged")
+  test("q92: stored sketch bytes are read back byte-identical, and " +
+    "theta answers from the STORE equal in-session answers") {
+    val d = tmpDir("r10-store")
+    // two overlapping user sets: A = 0..99, B = 50..149
+    writeEvents(d,
+      (0L until 100L).map(u => (u, u, "click", 1.0)) ++
+        (0L until 100L).map(u => (1000L + u, 50L + u, "view", 2.0)))
+    val ev = Tables(spark, d, "events")
+    val store = tmpDir("r10-store-tbl") + "/sketch_store"
+    SketchOps.writeSketchStore(ev, col("event_type"), col("user_id"),
+      col("value"), col("user_id"), store)
+    // round-trip fidelity: what parquet hands back IS what heapify
+    // accepts, for all three kinds, and the bytes parse to sketches
+    // whose answers match the in-session build
+    val rows = spark.read.parquet(store)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        r.getAs[Array[Byte]](2))).toMap
+    assert(rows.keySet == Set(("click", "theta"), ("click", "kll"),
+      ("click", "freq"), ("view", "theta"), ("view", "kll"),
+      ("view", "freq")))
+    // theta: retained set is order-independent -> stored bytes answer
+    // exactly like the in-session per-key build
+    val inSession = SketchOps.thetaPerKey(ev, col("event_type"),
+      col("user_id"))
+    inSession.foreach { case (k, n, sk) =>
+      val stored = org.apache.datasketches.theta.Sketches
+        .wrapSketch(Memory.wrap(rows((k, "theta"))))
+      assert(stored.getEstimate == sk.getEstimate &&
+        stored.getRetainedEntries == sk.getRetainedEntries,
+        s"$k: stored theta diverges from in-session")
+      assert(stored.getEstimate == 100.0,
+        s"$k: exact-mode estimate must be the true 100, got " +
+          s"${stored.getEstimate}")
+      assert(n == 100L)
+    }
+    // kll / freq bytes parse and carry the full weight
+    Seq("click", "view").foreach { k =>
+      val kll = org.apache.datasketches.kll.KllDoublesSketch
+        .heapify(Memory.wrap(rows((k, "kll"))))
+      assert(kll.getN == 100L, s"$k: KLL lost updates")
+      val fr = org.apache.datasketches.frequencies.LongsSketch
+        .getInstance(Memory.wrap(rows((k, "freq"))))
+      assert(fr.getStreamLength == 100L, s"$k: freq lost updates")
+    }
+    // the bytes-only set algebra sees the planted overlap exactly
+    // (both sets < 4096 keys -> exact mode)
+    val bounds = SketchOps.thetaOverlapBoundsFromStore(spark, store, 3)
+    assert(bounds.length == 1)
+    val (a, b, iLb, iUb, uLb, uUb, nLb, nUb) = bounds.head
+    assert(a == "click" && b == "view")
+    assert(iLb <= 50.0 && 50.0 <= iUb, s"inter [$iLb,$iUb] misses 50")
+    assert(uLb <= 150.0 && 150.0 <= uUb, s"union [$uLb,$uUb] misses 150")
+    assert(nLb <= 50.0 && 50.0 <= nUb, s"anotb [$nLb,$nUb] misses 50")
   }
 
-  test("q96 planted: an exactly equal mixture has gini 0; a " +
-    "one-source corpus has top1_share 1") {
-    import spark.implicits._
-    val d = tmpDir("gini")
-    (1 to 30).map(i => (i.toLong, "x" * 40, "en", s"src${i % 3}"))
-      .toDF("doc_id", "text", "lang", "source")
-      .withColumn("n_chars", length(col("text")).cast("long"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
-    val r = QueryRegistry.byName("q96_gini_concentration")
-      .run(spark, d).collect().head
-    assert(r.getLong(2) == 0L, "equal masses must yield g_num = 0")
-    assert(BigDecimal(r.getDecimal(4)) == BigDecimal(0).setScale(9))
+  test("q92: registry query on planted disjoint and identical user " +
+    "sets reports exact counts with all flags true") {
+    val d = tmpDir("r10-q92")
+    writeEvents(d,
+      (0L until 60L).map(u => (u, u, "click", 1.0)) ++
+        (0L until 60L).map(u => (100L + u, 1000L + u, "view", 1.0)) ++
+        (0L until 60L).map(u => (200L + u, u, "purchase", 1.0)))
+    val got = QueryRegistry.byName("q92_sketch_store_roundtrip")
+      .run(spark, d).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getBoolean(7), r.getBoolean(8),
+          r.getBoolean(9)))).toMap
+    assert(got.keySet == Set(("click", "view"), ("click", "purchase"),
+      ("purchase", "view")))
+    // click ∩ purchase planted identical; view planted disjoint
+    assert(got(("click", "purchase")) ==
+      ((60L, 60L, 60L, 60L, 0L, true, true, true)))
+    assert(got(("click", "view")) ==
+      ((60L, 60L, 0L, 120L, 60L, true, true, true)))
+    assert(got(("purchase", "view")) ==
+      ((60L, 60L, 0L, 120L, 60L, true, true, true)))
   }
 
   // -----------------------------------------------------------------
-  // q97 ACF
+  // q93 VarOpt sample
 
-  test("q97: BigInt re-derivation of every lag row (pairs, moments, " +
-    "e9 quotient with carried sign)") {
-    val daily = Tables(spark, dir, "events")
-      .groupBy(expr("unix_millis(ts) DIV 86400000").as("d"))
-      .agg(count(lit(1)).cast("long").as("x"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val s = daily.map(_._2).sum
-    val nd = daily.length.toLong
-    val y = daily.map { case (d, x) => (d, BigInt(nd * x - s)) }.toMap
-    val den = y.values.map(v => v * v).sum
-    val expected = (1 to 7).map { k =>
-      val pairs = y.keys.toSeq.filter(d => y.contains(d - k))
-      val num = pairs.map(d => y(d) * y(d - k)).sum
-      val acf = BigDecimal(num.signum) * e9(num.abs, den)
-      (k.toLong, pairs.size.toLong, num.toLong, den.toLong, acf)
-    }
-    val got = QueryRegistry.byName("q97_acf").run(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), BigDecimal(r.getDecimal(4)))).toSeq
-    assert(got.map(t => (t._1, t._2, t._3, t._4)) ==
-      expected.map(t => (t._1, t._2, t._3, t._4)),
-      s"ACF moments diverged: got ${got.take(2)} expected ${expected.take(2)}")
-    got.zip(expected).foreach { case (g, e) =>
-      assert(g._5.compare(e._5) == 0,
-        s"lag ${g._1} acf rendering diverged: ${g._5} vs ${e._5}")
+  test("q93: VarOpt invariants hold and a heavy item is retained " +
+    "deterministically, including under an 8-shard merge") {
+    val d = tmpDir("r10-q93")
+    // 400 light docs (weight 10) + one heavy doc carrying more than
+    // the average k-bucket share: w=100000 >> total/k, so it sits in
+    // the deterministic H region of every merged sketch
+    writeDocs(d,
+      (0L until 400L).map(i => (i, s"doc $i", 10L)) :+
+        ((400L, "heavy", 100000L)))
+    val docs = Tables(spark, d, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    (1 to 8).foreach { shards =>
+      val sample = SketchOps.varoptSample(docs.repartition(shards),
+        col("doc_id"), col("n_chars").cast("double"), 16)
+      assert(sample.length == 16, s"$shards shards: size")
+      assert(sample.exists(_._1 == 400L),
+        s"$shards shards: heavy item evicted — VarOpt H-region broken")
+      // total-weight invariant: Σ adjusted == Σ true, exactly up to
+      // float-sum slack
+      val est = sample.map(_._2).sum
+      assert(math.abs(est - 104000.0) <= 1e-9 * 104000.0,
+        s"$shards shards: est_total $est != 104000")
+      // adjusted weights never fall below true weights
+      val wTrue = Map(400L -> 100000.0).withDefaultValue(10.0)
+      sample.foreach { case (id, w) =>
+        assert(w >= wTrue(id) - 1e-6, s"$shards shards: $id lifted " +
+          s"weight $w below true ${wTrue(id)}")
+      }
+      // the heavy item keeps its EXACT weight (H region stores w, not τ)
+      assert(sample.find(_._1 == 400L).get._2 == 100000.0)
     }
   }
 
-  test("q97 planted period: an alternating high/low series has " +
-    "acf(1) strongly negative and acf(2) strongly positive") {
-    import spark.implicits._
-    val d = tmpDir("acf")
-    val rows = (0 until 20).flatMap { day =>
-      val k = if (day % 2 == 0) 30 else 10
-      (0 until k).map(i => (day * 1000L + i, day.toLong, i.toLong))
-    }
-    rows.toDF("event_id", "day", "i")
-      .select(col("event_id"),
-        timestamp_micros(col("day") * 86400000000L + col("i") * 1000000L)
-          .as("ts"),
-        col("i").as("user_id"), lit("view").as("event_type"),
-        lit(1.0).as("value"), lit("{}").as("props"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
-    val acf = QueryRegistry.byName("q97_acf").run(spark, d)
-      .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(4)))
-      .toMap
-    assert(acf(1L) <= BigDecimal("-0.9"), s"lag-1 should be ~ -1: $acf")
-    assert(acf(2L) >= BigDecimal("0.9"), s"lag-2 should be ~ +1: $acf")
-  }
-
-  // -----------------------------------------------------------------
-  // d25 capture–recapture
-
-  test("d25: catcher counts equal the audited d02/d03 pair sets, and " +
-    "the Chapman algebra matches a BigInt re-derivation") {
-    val pa = QueryRegistry.byName("d02_minhash_lsh").run(spark, dir)
-      .select(col("a_id"), col("b_id")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val pb = QueryRegistry.byName("d03_simhash").run(spark, dir)
-      .select(col("a_id"), col("b_id")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val (n1, n2, m) = (BigInt(pa.size), BigInt(pb.size),
-      BigInt((pa & pb).size))
-    val union = BigInt((pa | pb).size)
-    val nHat = (n1 + 1) * (n2 + 1) / (m + 1) - 1
-    val got = QueryRegistry.byName("d25_capture_recapture")
-      .run(spark, dir).collect().head
-    assert(got.getLong(0) == n1.toLong && got.getLong(1) == n2.toLong,
-      "catcher counts must equal the d02/d03 result sets")
-    assert(got.getLong(2) == m.toLong && got.getLong(3) == union.toLong)
-    assert(got.getLong(4) == nHat.toLong, "Chapman floor diverged")
-    assert(got.getLong(5) == (nHat - union).max(BigInt(0)).toLong)
-    assert(BigDecimal(got.getDecimal(6)) == e9(union, nHat))
-    // sanity on the fixture: both catchers catch, they overlap, and
-    // the estimator is at least the observed union
-    assert(n1 > 0 && n2 > 0 && m > 0, s"degenerate fixture: $n1 $n2 $m")
-    assert(nHat >= union, "Chapman below the observed union")
+  test("q93: registry query — sample_size = min(k, n) on a corpus " +
+    "smaller than k, and all flags hold") {
+    val d = tmpDir("r10-q93-small")
+    writeDocs(d, (0L until 20L).map(i => (i, s"doc $i", 5L + i)))
+    val r = QueryRegistry.byName("q93_varopt_sample").run(spark, d)
+      .collect()(0)
+    assert(r.getLong(0) == 64L && r.getLong(1) == 20L)
+    assert(r.getLong(2) == (0L until 20L).map(5L + _).sum)
+    assert(r.getLong(3) == 20L, "undersized corpus must sample fully")
+    assert(r.getBoolean(4) && r.getBoolean(5) && r.getBoolean(6))
   }
 }

@@ -30,10 +30,37 @@ object ScaleSoak {
     val soakDir = if (args.nonEmpty) args(0) else "/tmp/sf1soak"
     val repsIdx = args.indexOf("--reps")
     val reps = if (repsIdx >= 0) args(repsIdx + 1).toInt else 10
-    val queryArgs =
-      if (repsIdx >= 0)
-        args.drop(1).patch(repsIdx - 1, Nil, 2).toSeq
-      else args.drop(1).toSeq
+    // --shift2d: replace the embeddings ROTATION derivation with a
+    // spatial SHIFT of dims 1–2 only (+3.0·i, far beyond s24's eps =
+    // 0.02 neighborhood), for soaking the 2-D grid queries (s24
+    // DBSCAN). Rationale: rotation preserves within-replica geometry
+    // but lands every replica in the SAME (x, y) plane region, so 2-D
+    // eps-neighborhoods gain ~reps× density and pair work grows
+    // QUADRATICALLY in reps by construction — a different workload,
+    // not a bigger one. The shift keeps each replica an isolated
+    // island in the probed plane (within-replica distances unchanged;
+    // zero cross-replica neighbors), so neighbor/core/CC work scales
+    // LINEARLY — the honest "more corpus, new regions" read of a 2-D
+    // density scan. Use a DEDICATED soak dir: the shifted table is
+    // only faithful for queries that read dims 1–2 as coordinates
+    // (cosine/norm queries must keep the rotation derivation).
+    val shift2d = args.contains("--shift2d")
+    // --keepsrc: documents replicas KEEP the fixture's source names
+    // (default derivation suffixes them per replica). For queries
+    // whose work is keyed on the source VOCABULARY (q83's all-pairs
+    // source overlap: |sources|²/2 pair spine by problem definition),
+    // the honest 100× is "the same 20-source mixture at 100× volume"
+    // — suffixed sources would multiply the question itself (2000
+    // sources → 10,000× more pairs), measuring a different workload.
+    // Use a dedicated soak dir; per-source-cardinality queries (p02's
+    // source casts etc.) must keep the default derivation.
+    val keepSrc = args.contains("--keepsrc")
+    val queryArgs = {
+      val a = args.drop(1)
+        .filterNot(x => x == "--shift2d" || x == "--keepsrc")
+      val r = a.indexOf("--reps")
+      (if (r >= 0) a.patch(r, Nil, 2) else a).toSeq
+    }
     val base = "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -75,9 +102,10 @@ object ScaleSoak {
           // distinct per-replica sources that KEEP the fixture's
           // parseable "src<N>" shape (p02 casts the numeric suffix)
           col("lang"),
-          concat(lit("src"),
-            (regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
-              + i * 100).cast("string")).as("source"),
+          (if (keepSrc) col("source")
+           else concat(lit("src"),
+             (regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+               + i * 100).cast("string"))).as("source"),
           // n_chars of the TRANSFORMED text — the fixture invariant
           // n_chars = length(text) must hold for replicas too, or
           // quality rules reading the stored column measure a corpus
@@ -99,10 +127,16 @@ object ScaleSoak {
         // (all vectors → the 1-direction as c grows — d05's 43 true
         // pairs exploded to 43.7M).
         {
-          val r = (7 * i) % 64
-          (if (r == 0) col("embedding")
-           else concat(slice(col("embedding"), r + 1, 64 - r),
-             slice(col("embedding"), 1, r)))
+          if (shift2d)
+            // island shift for 2-D grid soaks (see flag comment above)
+            transform(col("embedding"), (v, idx) =>
+              when(idx < 2, v + lit(3.0f) * i).otherwise(v))
+          else {
+            val r = (7 * i) % 64
+            if (r == 0) col("embedding")
+            else concat(slice(col("embedding"), r + 1, 64 - r),
+              slice(col("embedding"), 1, r))
+          }
         }.as("embedding"),
         col("label")))
       // orders/lineitem (round 8, for q57/q58/q59 and the relational

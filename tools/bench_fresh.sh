@@ -23,7 +23,7 @@ trap 'rm -rf "$TMP"' EXIT
 # name-prefix groups; "m0,m1,m2" matches m01..m21 but NOT mm01 (no
 # mm-name starts with "m0"/"m1"/"m2")
 FAMILIES=(
-  "d0,d1,d2" "s0,s1,s2" "t0,t1,t2" "p0,p1,p2,p3"
+  "d0,d1,d2" "s0,s1,s2" "t0,t1,t2" "p0,p1,p2,p3,p4"
   "q0,q1,q2,q3,q4" "q5,q6,q7,q8,q9" "m0,m1,m2" "mm" "w0" "ws" "ps" "v0"
 )
 for fam in "${FAMILIES[@]}"; do
