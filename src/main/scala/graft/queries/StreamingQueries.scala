@@ -1748,6 +1748,90 @@ object StreamingQueries {
         .agg(sum(col("c_n")).cast("long").as("n_cur"),
           sum(col("term")).cast("double").as("psi"))
         .orderBy(col("day"))
+    },
+
+    // ---------------------------------------------------------------
+    // ws12 — STREAMING sequential CUSUM: q95's Page chart running
+    // against the live message stream — where ws11 watches the score
+    // DISTRIBUTION drift, this watches VOLUME: "on which ingest day
+    // did throughput shift, cumulatively by how much". Per-day counts
+    // come from 1-day watermarked tumbling windows consumed through
+    // the `pulsarlike` source under ws01's two-pass sentinel
+    // choreography (the oracle counts only on-time event_id % 3 <> 0
+    // deliveries; the late replay drops at the window operator, so a
+    // replay can never masquerade as a volume spike — exactly the
+    // false-alarm a takedown/backfill day would otherwise mint). The
+    // chart composes AFTER landing with q95's exact integer algebra:
+    // deviations ×n_days, clamped recursion as prefix-sum minus
+    // running-min (and the mirrored downward side), alarm = the exact
+    // comparison cusum > 5·s — zero doubles anywhere. 100 TB: stream
+    // state is ONE counter per open day window; the post-landing fold
+    // runs on the bounded retention-day table (q95's argument).
+    Q(
+      "ws12_stream_cusum",
+      """WITH dd AS (
+        |  SELECT make_timestamp((epoch_ms(ts) // 86400000)
+        |      * 86400000 * 1000) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE event_id % 3 <> 0 GROUP BY 1),
+        |t AS (SELECT CAST(sum(x) AS BIGINT) AS s,
+        |        CAST(count(*) AS BIGINT) AS nd FROM dd),
+        |p AS (
+        |  SELECT day, x, t.s,
+        |    CAST(sum(t.nd * x) OVER (ORDER BY day) AS BIGINT)
+        |      - CAST(row_number() OVER (ORDER BY day) AS BIGINT) * t.s
+        |      AS pp
+        |  FROM dd CROSS JOIN t),
+        |c AS (
+        |  SELECT day, x, s, pp,
+        |    least(CAST(0 AS BIGINT), CAST(min(pp) OVER (ORDER BY day)
+        |      AS BIGINT)) AS mn,
+        |    greatest(CAST(0 AS BIGINT), CAST(max(pp) OVER (ORDER BY day)
+        |      AS BIGINT)) AS mx
+        |  FROM p)
+        |SELECT day, x, pp, pp - mn AS cusum_up, mx - pp AS cusum_dn,
+        |  (pp - mn) > 5 * s AS alarm_up,
+        |  (mx - pp) > 5 * s AS alarm_dn
+        |FROM c ORDER BY day""".stripMargin
+    ) { (s, dir) =>
+      // the sentinel's 2035 window never finalizes, so it never lands
+      val landed = StreamingWindowGate.run(s, dir, "graft-wcusum",
+        df => df
+          .groupBy(window(col("event_time"), "1 day"))
+          .agg(count(lit(1)).cast("long").as("x"))
+          .select(col("window.start").as("day"), col("x")),
+        Seq("day"))
+      val one = landed.agg(
+        array_sort(collect_list(struct(col("day"), col("x")))).as("a"),
+        sum(col("x")).cast("long").as("s"),
+        count(lit(1)).cast("long").as("nd"))
+      one
+        .select(col("s"), expr(
+          """transform(a, (e, i) -> struct(e.day AS day, e.x AS x,
+            |  nd * aggregate(slice(a, 1, i + 1), 0L,
+            |    (acc, y) -> acc + y.x)
+            |  - CAST(i + 1 AS BIGINT) * s AS pp))""".stripMargin)
+          .as("pa"))
+        .select(col("s"), expr(
+          """transform(pa, (e, i) -> struct(e.day AS day, e.x AS x,
+            |  e.pp AS pp,
+            |  least(0L, aggregate(slice(pa, 1, i + 1),
+            |    9223372036854775807L,
+            |    (acc, y) -> least(acc, y.pp))) AS mn,
+            |  greatest(0L, aggregate(slice(pa, 1, i + 1),
+            |    -9223372036854775808L,
+            |    (acc, y) -> greatest(acc, y.pp))) AS mx))"""
+            .stripMargin).as("ca"))
+        .select(col("s"), explode(col("ca")).as("e"))
+        .select(col("e.day").as("day"), col("e.x").as("x"),
+          col("e.pp").as("pp"),
+          (col("e.pp") - col("e.mn")).as("cusum_up"),
+          (col("e.mx") - col("e.pp")).as("cusum_dn"),
+          ((col("e.pp") - col("e.mn")) > lit(5L) * col("s"))
+            .as("alarm_up"),
+          ((col("e.mx") - col("e.pp")) > lit(5L) * col("s"))
+            .as("alarm_dn"))
+        .orderBy(col("day"))
     }
   )
 }

@@ -240,6 +240,36 @@ class Round10MonitoringSpec extends SparkSpec {
   }
 
   // -----------------------------------------------------------------
+  // ws12 streaming CUSUM
+
+  test("ws12: landed day counts are the ON-TIME subset (late replay " +
+    "dropped) and the chart equals the literal recursion over them") {
+    val onTime = Tables(spark, dir, "events")
+      .filter(col("event_id") % 3 =!= 0)
+      .groupBy(expr("unix_millis(ts) DIV 86400000").as("d"))
+      .agg(count(lit(1)).cast("long").as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val all = Tables(spark, dir, "events").count()
+    val s = onTime.map(_._2).sum
+    assert(s < all, "fixture must carry a late (%3 == 0) subset")
+    val nd = onTime.length.toLong
+    var up = 0L
+    var dn = 0L
+    val expected = onTime.map { case (d, x) =>
+      val inc = nd * x - s
+      up = math.max(0L, up + inc)
+      dn = math.max(0L, dn - inc)
+      (d * 86400000L, x, up, dn)
+    }
+    val got = QueryRegistry.byName("ws12_stream_cusum").run(spark, dir)
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected.toSeq,
+      s"stream chart diverged: got ${got.take(3)} expected " +
+        s"${expected.take(3).toSeq}")
+  }
+
+  // -----------------------------------------------------------------
   // d25 capture–recapture
 
   test("d25: catcher counts equal the audited d02/d03 pair sets, and " +
