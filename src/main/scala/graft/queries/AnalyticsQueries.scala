@@ -3618,6 +3618,124 @@ object AnalyticsQueries {
     },
 
     // ---------------------------------------------------------------
+    // q98 — Kruskal–Wallis H (Kruskal & Wallis 1952): the k-group
+    // rank test completing the group-comparison ladder — q90 answers
+    // "do source MEANS differ" assuming within-group normality, q94
+    // compares TWO groups distribution-free, this asks "does document
+    // length differ across ALL languages" with no distributional
+    // assumption. Same exact machinery as q94: global mid-ranks as
+    // 2×-integers off EquiDepth ranks (2·midrank = 2·(min_rank−1) +
+    // n_v + 1), per-group rank sums R_g(2×) and the tie term Σ(t³−t)
+    // all exact BIGINT off one (value, lang) partial agg. H =
+    // [12/(n(n+1))]·Σ R_g²/n_g − 3(n+1), tie-corrected by
+    // 1 − Σ(t³−t)/(n³−n): the cross-group sum rides per-group
+    // round(·,6)→DECIMAL terms summed ORDER-FREE (q90's ssw_dec
+    // discipline — never an order-dependent double accumulation),
+    // and the remaining algebra is display-only shared-order doubles
+    // (int casts, fixed mul/div order, round-6), NULL-guarded for
+    // the k ≤ 1 / all-tied degenerates. Per-group rows carry the
+    // shared statistics (q90's report shape). Int64 width: R_g(2×)²
+    // ≤ 4n⁴ caps a shard at ~38k rows before the DECIMAL(38,0) lift;
+    // the tie term ≤ n³ — the q94 guard (shard per ingest batch).
+    Q(
+      "q98_kruskal_wallis",
+      """WITH v AS (SELECT n_chars AS x, lang FROM documents),
+        |bv AS (
+        |  SELECT x, lang, CAST(count(*) AS BIGINT) AS n_vg
+        |  FROM v GROUP BY x, lang),
+        |tv AS (
+        |  SELECT x, CAST(sum(n_vg) AS BIGINT) AS n_v FROM bv
+        |  GROUP BY x),
+        |rk AS (
+        |  SELECT x, n_v,
+        |    COALESCE(CAST(sum(n_v) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cb
+        |  FROM tv),
+        |g AS (
+        |  SELECT bv.lang, CAST(sum(bv.n_vg) AS BIGINT) AS n_g,
+        |    CAST(sum(bv.n_vg * (2 * rk.cb + rk.n_v + 1)) AS BIGINT)
+        |      AS r_g_2x
+        |  FROM bv JOIN rk ON rk.x = bv.x GROUP BY bv.lang),
+        |t AS (
+        |  SELECT CAST(sum(n_g) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    sum(CAST(round(CAST(r_g_2x * r_g_2x AS DOUBLE)
+        |      / CAST(n_g AS DOUBLE), 6) AS DECIMAL(38,6))) AS rr_dec
+        |  FROM g),
+        |ties AS (
+        |  SELECT CAST(sum(n_v * n_v * n_v - n_v) AS BIGINT) AS tie_sum
+        |  FROM tv),
+        |h AS (
+        |  SELECT t.n, t.k, ties.tie_sum,
+        |    CASE WHEN t.n > 1 THEN
+        |      (3.0e0 / (CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE)
+        |          + 1.0e0)))
+        |        * CAST(t.rr_dec AS DOUBLE)
+        |      - 3.0e0 * (CAST(t.n AS DOUBLE) + 1.0e0) END AS h_raw,
+        |    CASE WHEN t.n > 1 THEN
+        |      1.0e0 - CAST(ties.tie_sum AS DOUBLE)
+        |        / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)
+        |          * CAST(t.n AS DOUBLE) - CAST(t.n AS DOUBLE))
+        |      END AS tie_adj
+        |  FROM t CROSS JOIN ties)
+        |SELECT g.lang, g.n_g, g.r_g_2x, h.n, h.k, h.tie_sum,
+        |  CASE WHEN h.k > 1 AND h.tie_adj > 0.0e0 THEN
+        |    round(h.h_raw / h.tie_adj, 6) END AS h_stat
+        |FROM g CROSS JOIN h ORDER BY g.lang""".stripMargin
+    ) { (s, dir) =>
+      val v = Tables(s, dir, "documents")
+        .select(col("n_chars").as("x"), col("doc_id"), col("lang"))
+      val ranked = graft.operators.EquiDepth.withGlobalRank(v,
+        Seq(col("x"), col("doc_id")), "r", "nt")
+      // ONE ranked pass feeds the per-(value, lang) agg; min rank per
+      // value recovers cb = min_r − 1 exactly as q94
+      val bv = graft.operators.Stage.stage(ranked
+        .groupBy(col("x"), col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_vg"),
+          min(col("r")).cast("long").as("min_rg")))
+      val tv = bv.groupBy(col("x"))
+        .agg(sum(col("n_vg")).cast("long").as("n_v"),
+          min(col("min_rg")).cast("long").as("min_r"))
+      val g = bv.join(tv.select(col("x"), col("n_v"), col("min_r")),
+          Seq("x"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_vg")).cast("long").as("n_g"),
+          sum(col("n_vg") * (lit(2L) * (col("min_r") - 1L)
+            + col("n_v") + 1L)).cast("long").as("r_g_2x"))
+        .transform(graft.operators.Stage.stage)
+      val t = g.agg(sum(col("n_g")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("k"),
+        // per-group round-6 DECIMAL terms summed order-free (the q90
+        // ssw_dec discipline) — never an order-dependent double sum;
+        // r² stays exact int64 (≤ 4n⁴, the width note above)
+        sum(round((col("r_g_2x") * col("r_g_2x")).cast("double")
+            / col("n_g").cast("double"), 6).cast("decimal(38,6)"))
+          .as("rr_dec"))
+      val ties = tv.agg(
+        sum(col("n_v") * col("n_v") * col("n_v") - col("n_v"))
+          .cast("long").as("tie_sum"))
+      val h = t.crossJoin(ties)
+        .select(col("n"), col("k"), col("tie_sum"),
+          expr("""CASE WHEN n > 1 THEN
+            (3.0e0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0e0)))
+              * CAST(rr_dec AS DOUBLE)
+              - 3.0e0 * (CAST(n AS DOUBLE) + 1.0e0) END""")
+            .as("h_raw"),
+          expr("""CASE WHEN n > 1 THEN
+            1.0e0 - CAST(tie_sum AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) END""")
+            .as("tie_adj"))
+      g.crossJoin(broadcast(h))
+        .select(col("lang"), col("n_g"), col("r_g_2x"),
+          col("n"), col("k"), col("tie_sum"),
+          expr("""CASE WHEN k > 1 AND tie_adj > 0.0e0 THEN
+            round(h_raw / tie_adj, 6) END""").as("h_stat"))
+        .orderBy(col("lang"))
+    },
+
+    // ---------------------------------------------------------------
     // q97 — autocorrelation function of the daily event count at lags
     // 1–7: the seasonality DETECTOR feeding q74's decomposition (which
     // assumes a period) and q95's CUSUM (whose false-alarm rate a

@@ -83,6 +83,80 @@ class Round10MonitoringSpec extends SparkSpec {
   }
 
   // -----------------------------------------------------------------
+  // q98 Kruskal–Wallis
+
+  test("q98: the sequential rank walk reproduces per-group rank sums " +
+    "and H matches the closed form") {
+    val rows = Tables(spark, dir, "documents")
+      .select(col("n_chars"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sorted = rows.sortBy(_._1)
+    var i = 0
+    var tieSum = 0L
+    val rg = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+      val t = j - i
+      val rank2x = 2L * i + t + 1
+      sorted.slice(i, j).foreach { case (_, g) => rg(g) += rank2x }
+      tieSum += t.toLong * t * t - t
+      i = j
+    }
+    val n = sorted.length.toLong
+    val ng = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    // the same order-free round-6 decimal term sum the query gates
+    val rrDec = ng.keys.toSeq.sorted.map { g =>
+      BigDecimal((rg(g).toDouble * rg(g).toDouble) / ng(g).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    val hRaw = (3.0 / (n.toDouble * (n.toDouble + 1.0))) *
+      rrDec.toDouble - 3.0 * (n.toDouble + 1.0)
+    val tieAdj = 1.0 - tieSum.toDouble /
+      (n.toDouble * n.toDouble * n.toDouble - n.toDouble)
+    val hExp = BigDecimal(hRaw / tieAdj)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = QueryRegistry.byName("q98_kruskal_wallis").run(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(5), r.getDouble(6)))
+    got.foreach { case (lang, gN, gR, ts, hs) =>
+      assert(gN == ng(lang) && gR == rg(lang),
+        s"$lang rank sum diverged: ($gN, $gR) vs (${ng(lang)}, ${rg(lang)})")
+      assert(ts == tieSum)
+      assert(math.abs(hs - hExp) < 1e-9, s"H diverged: $hs vs $hExp")
+    }
+    assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq)
+  }
+
+  test("q98 planted: fully separated groups maximize H; an all-tied " +
+    "corpus NULLs it (tie_adj = 0 degenerate)") {
+    import spark.implicits._
+    val d = tmpDir("kw")
+    // three languages on disjoint length levels -> H = k - 1 = ... for
+    // fully separated groups H approaches n-based max; assert strongly
+    // positive and ties only within groups
+    ((1 to 10).map(i => (i.toLong, "a", "en", 100L + i)) ++
+      (11 to 20).map(i => (i.toLong, "a", "de", 200L + i)) ++
+      (21 to 30).map(i => (i.toLong, "a", "fr", 300L + i)))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val h = QueryRegistry.byName("q98_kruskal_wallis").run(spark, d)
+      .collect().head.getDouble(6)
+    // df = k-1 = 2; fully separated ranks give H near its maximum
+    // (n-1)·... for 3 equal groups of 10: H = 25.8+ — assert > 20
+    assert(h > 20.0, s"separated groups should give large H: $h")
+    val d2 = tmpDir("kw2")
+    (1 to 12).map(i => (i.toLong, "a", s"l${i % 3}", 7L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val r2 = QueryRegistry.byName("q98_kruskal_wallis").run(spark, d2)
+      .collect().head
+    assert(r2.isNullAt(6), "all-tied corpus must NULL the statistic")
+  }
+
+  // -----------------------------------------------------------------
   // q95 sequential CUSUM
 
   test("q95: the literal clamped recursion over collected daily " +
