@@ -3628,15 +3628,19 @@ object AnalyticsQueries {
     // n_v + 1), per-group rank sums R_g(2×) and the tie term Σ(t³−t)
     // all exact BIGINT off one (value, lang) partial agg. H =
     // [12/(n(n+1))]·Σ R_g²/n_g − 3(n+1), tie-corrected by
-    // 1 − Σ(t³−t)/(n³−n): the cross-group sum rides per-group
-    // round(·,6)→DECIMAL terms summed ORDER-FREE (q90's ssw_dec
-    // discipline — never an order-dependent double accumulation),
-    // and the remaining algebra is display-only shared-order doubles
-    // (int casts, fixed mul/div order, round-6), NULL-guarded for
+    // 1 − Σ(t³−t)/(n³−n): the cross-group sum rides EXACT e6
+    // fixed-point terms — R² div n_g through the q89 split floor
+    // division, summed as BIGINT (a round-6 double term at this
+    // magnitude would sit inside ulp of its own .5 boundary —
+    // RoundTieSpec flagged exactly that on the first draft) — and H
+    // itself gates RAW off the exact sum through a fixed shared
+    // order of correctly-rounded ops (q90's f_stat precedent: int
+    // casts, one fixed mul/div sequence, no libm), NULL-guarded for
     // the k ≤ 1 / all-tied degenerates. Per-group rows carry the
-    // shared statistics (q90's report shape). Int64 width: R_g(2×)²
-    // ≤ 4n⁴ caps a shard at ~38k rows before the DECIMAL(38,0) lift;
-    // the tie term ≤ n³ — the q94 guard (shard per ingest batch).
+    // shared statistics (q90's report shape). Int64 width:
+    // Σ R²(2×)/n_g ≤ 4n³ at e6 scale caps a shard at ~13k rows
+    // before the DECIMAL(38,0) lift; the tie term ≤ n³ — the q94
+    // guard (shard per ingest batch).
     Q(
       "q98_kruskal_wallis",
       """WITH v AS (SELECT n_chars AS x, lang FROM documents),
@@ -3660,8 +3664,9 @@ object AnalyticsQueries {
         |t AS (
         |  SELECT CAST(sum(n_g) AS BIGINT) AS n,
         |    CAST(count(*) AS BIGINT) AS k,
-        |    sum(CAST(round(CAST(r_g_2x * r_g_2x AS DOUBLE)
-        |      / CAST(n_g AS DOUBLE), 6) AS DECIMAL(38,6))) AS rr_dec
+        |    CAST(sum((r_g_2x * r_g_2x // n_g) * 1000000
+        |      + ((r_g_2x * r_g_2x % n_g) * 1000000) // n_g
+        |      ) AS BIGINT) AS rr_e6
         |  FROM g),
         |ties AS (
         |  SELECT CAST(sum(n_v * n_v * n_v - n_v) AS BIGINT) AS tie_sum
@@ -3669,9 +3674,9 @@ object AnalyticsQueries {
         |h AS (
         |  SELECT t.n, t.k, ties.tie_sum,
         |    CASE WHEN t.n > 1 THEN
-        |      (3.0e0 / (CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE)
-        |          + 1.0e0)))
-        |        * CAST(t.rr_dec AS DOUBLE)
+        |      (3.0e0 * (CAST(t.rr_e6 AS DOUBLE) / 1000000.0e0))
+        |        / (CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE)
+        |          + 1.0e0))
         |      - 3.0e0 * (CAST(t.n AS DOUBLE) + 1.0e0) END AS h_raw,
         |    CASE WHEN t.n > 1 THEN
         |      1.0e0 - CAST(ties.tie_sum AS DOUBLE)
@@ -3681,7 +3686,7 @@ object AnalyticsQueries {
         |  FROM t CROSS JOIN ties)
         |SELECT g.lang, g.n_g, g.r_g_2x, h.n, h.k, h.tie_sum,
         |  CASE WHEN h.k > 1 AND h.tie_adj > 0.0e0 THEN
-        |    round(h.h_raw / h.tie_adj, 6) END AS h_stat
+        |    h.h_raw / h.tie_adj END AS h_stat
         |FROM g CROSS JOIN h ORDER BY g.lang""".stripMargin
     ) { (s, dir) =>
       val v = Tables(s, dir, "documents")
@@ -3706,20 +3711,19 @@ object AnalyticsQueries {
         .transform(graft.operators.Stage.stage)
       val t = g.agg(sum(col("n_g")).cast("long").as("n"),
         count(lit(1)).cast("long").as("k"),
-        // per-group round-6 DECIMAL terms summed order-free (the q90
-        // ssw_dec discipline) — never an order-dependent double sum;
-        // r² stays exact int64 (≤ 4n⁴, the width note above)
-        sum(round((col("r_g_2x") * col("r_g_2x")).cast("double")
-            / col("n_g").cast("double"), 6).cast("decimal(38,6)"))
-          .as("rr_dec"))
+        // exact e6 fixed-point R²/n_g via the q89 split floor
+        // division, summed as BIGINT — no double term anywhere
+        sum(expr("""(r_g_2x * r_g_2x div n_g) * 1000000
+            + ((r_g_2x * r_g_2x % n_g) * 1000000) div n_g"""))
+          .cast("long").as("rr_e6"))
       val ties = tv.agg(
         sum(col("n_v") * col("n_v") * col("n_v") - col("n_v"))
           .cast("long").as("tie_sum"))
       val h = t.crossJoin(ties)
         .select(col("n"), col("k"), col("tie_sum"),
           expr("""CASE WHEN n > 1 THEN
-            (3.0e0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0e0)))
-              * CAST(rr_dec AS DOUBLE)
+            (3.0e0 * (CAST(rr_e6 AS DOUBLE) / 1000000.0e0))
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0e0))
               - 3.0e0 * (CAST(n AS DOUBLE) + 1.0e0) END""")
             .as("h_raw"),
           expr("""CASE WHEN n > 1 THEN
@@ -3731,7 +3735,7 @@ object AnalyticsQueries {
         .select(col("lang"), col("n_g"), col("r_g_2x"),
           col("n"), col("k"), col("tie_sum"),
           expr("""CASE WHEN k > 1 AND tie_adj > 0.0e0 THEN
-            round(h_raw / tie_adj, 6) END""").as("h_stat"))
+            h_raw / tie_adj END""").as("h_stat"))
         .orderBy(col("lang"))
     },
 

@@ -274,8 +274,8 @@ object FloatSurfaceInventory {
       "exact micro-unit BIGINTs -> one IEEE division, NULL-guarded"),
     ("q94_mann_whitney", "z") -> moments,
     ("q98_kruskal_wallis", "h_stat") -> ("ieee",
-      "order-free round-6 DECIMAL rank-square sum -> fixed-order" +
-        " double ratio algebra, NULL-guarded degenerates"),
+      "exact e6 fixed-point rank-square sum -> fixed-order double" +
+        " ratio algebra (no libm), NULL-guarded degenerates"),
     // --- similarity / ANN --------------------------------------------
     ("s01_ann_bruteforce", "cos") -> cosFold,
     ("s02_ann_lsh", "cos") -> cosFold,

@@ -106,17 +106,18 @@ class Round10MonitoringSpec extends SparkSpec {
     }
     val n = sorted.length.toLong
     val ng = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
-    // the same order-free round-6 decimal term sum the query gates
-    val rrDec = ng.keys.toSeq.sorted.map { g =>
-      BigDecimal((rg(g).toDouble * rg(g).toDouble) / ng(g).toDouble)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // the same exact e6 fixed-point term sum the query gates, via
+    // BigInt floor division (no double enters until the final algebra)
+    val rrE6 = ng.keys.toSeq.sorted.map { g =>
+      val r2 = BigInt(rg(g)) * BigInt(rg(g))
+      val d = BigInt(ng(g))
+      (r2 / d) * 1000000 + ((r2 % d) * 1000000) / d
     }.sum
-    val hRaw = (3.0 / (n.toDouble * (n.toDouble + 1.0))) *
-      rrDec.toDouble - 3.0 * (n.toDouble + 1.0)
+    val hRaw = (3.0 * (rrE6.toDouble / 1000000.0)) /
+      (n.toDouble * (n.toDouble + 1.0)) - 3.0 * (n.toDouble + 1.0)
     val tieAdj = 1.0 - tieSum.toDouble /
       (n.toDouble * n.toDouble * n.toDouble - n.toDouble)
-    val hExp = BigDecimal(hRaw / tieAdj)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val hExp = hRaw / tieAdj
     val got = QueryRegistry.byName("q98_kruskal_wallis").run(spark, dir)
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
