@@ -3547,9 +3547,12 @@ object AnalyticsQueries {
     // is the only corpus-scale pass. Degenerate input: an empty
     // corpus makes both denominators 0 — the quotients are
     // NULL-guarded identically in both renderings (the q90 rule).
-    // Int64 width: the e9 scale-up
-    // needs n·Σx < 9.2e9·10⁷-safe splits — documented lift to
-    // DECIMAL(38,0) beyond ~9e11 total chars (shard per batch).
+    // Int64 width: the e9 rendering is a TWO-STAGE split (×10⁵ then
+    // ×10⁴ on the remainder — floor(r·10⁹/d) = q₁·10⁴ +
+    // floor((r·10⁵ mod d)·10⁴/d) exactly), so it holds to
+    // n·Σchars < 9.2e13 (the single-stage form raised a loud ANSI
+    // overflow at the 100× soak's 5e11 denominator); beyond that,
+    // DECIMAL(38,0) in the same shape (shard per batch).
     Q(
       "q96_gini_concentration",
       """WITH g AS (
@@ -3573,13 +3576,16 @@ object AnalyticsQueries {
         |SELECT n, tot, g_num, g_den,
         |  CASE WHEN g_den > 0 THEN
         |    CAST(CAST((g_num // g_den) * 1000000000
-        |        + ((g_num % g_den) * 1000000000) // g_den
+        |        + ((g_num % g_den) * 100000 // g_den) * 10000
+        |        + (((g_num % g_den) * 100000) % g_den) * 10000 // g_den
         |        AS DECIMAL(20,0))
         |      * CAST(0.000000001 AS DECIMAL(9,9)) AS DECIMAL(20,9))
         |  END AS gini,
         |  CASE WHEN tot > 0 THEN
         |    CAST(CAST((mx // tot) * 1000000000
-        |        + ((mx % tot) * 1000000000) // tot AS DECIMAL(20,0))
+        |        + ((mx % tot) * 100000 // tot) * 10000
+        |        + (((mx % tot) * 100000) % tot) * 10000 // tot
+        |        AS DECIMAL(20,0))
         |      * CAST(0.000000001 AS DECIMAL(9,9)) AS DECIMAL(20,9))
         |  END AS top1_share
         |FROM b""".stripMargin
@@ -3606,13 +3612,17 @@ object AnalyticsQueries {
         .select(col("n"), col("tot"), col("g_num"), col("g_den"),
           expr("""CASE WHEN g_den > 0 THEN
             CAST(CAST((g_num div g_den) * 1000000000
-                + ((g_num % g_den) * 1000000000) div g_den
+                + (((g_num % g_den) * 100000) div g_den) * 10000
+                + (((g_num % g_den) * 100000) % g_den) * 10000
+                  div g_den
                 AS DECIMAL(20,0))
               * CAST(0.000000001 AS DECIMAL(9,9)) AS DECIMAL(20,9))
           END""").as("gini"),
           expr("""CASE WHEN tot > 0 THEN
             CAST(CAST((mx div tot) * 1000000000
-                + ((mx % tot) * 1000000000) div tot AS DECIMAL(20,0))
+                + (((mx % tot) * 100000) div tot) * 10000
+                + (((mx % tot) * 100000) % tot) * 10000 div tot
+                AS DECIMAL(20,0))
               * CAST(0.000000001 AS DECIMAL(9,9)) AS DECIMAL(20,9))
           END""").as("top1_share"))
     },
@@ -3640,7 +3650,8 @@ object AnalyticsQueries {
     // shared statistics (q90's report shape). Int64 width:
     // Σ R²(2×)/n_g ≤ 4n³ at e6 scale caps a shard at ~13k rows
     // before the DECIMAL(38,0) lift; the tie term ≤ n³ — the q94
-    // guard (shard per ingest batch).
+    // guard (shard per ingest batch; past the cap ANSI mode raises
+    // loudly rather than corrupting, measured at the 100× soak).
     Q(
       "q98_kruskal_wallis",
       """WITH v AS (SELECT n_chars AS x, lang FROM documents),
@@ -3756,8 +3767,11 @@ object AnalyticsQueries {
     // per-day table on d−k (a missing retention day is an honest
     // series gap); the corpus contributes ONE partial-agg'd pass onto
     // the day key. Int64 width: Σy² < 2⁶³ needs nd·max|dev| < ~3e9
-    // √-style headroom and the e9 split needs den < 9.2e9 — beyond
-    // that lift to DECIMAL(38,0) (the q90 guard).
+    // √-style headroom, and the e9 rendering is the TWO-STAGE split
+    // (×10⁵ then ×10⁴, q96's identity) so it holds to den < 9.2e13
+    // (the 100× soak's 6e13 denominator overflowed the single-stage
+    // form with a loud ANSI raise) — beyond that lift to
+    // DECIMAL(38,0) (the q90 guard).
     Q(
       "q97_acf",
       """WITH dd AS (
@@ -3779,7 +3793,8 @@ object AnalyticsQueries {
         |  CASE WHEN den > 0 THEN CAST(
         |    CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END AS DECIMAL(2,0))
         |    * CAST(CAST((abs(num) // den) * 1000000000
-        |        + ((abs(num) % den) * 1000000000) // den
+        |        + ((abs(num) % den) * 100000 // den) * 10000
+        |        + (((abs(num) % den) * 100000) % den) * 10000 // den
         |        AS DECIMAL(20,0))
         |      * CAST(0.000000001 AS DECIMAL(9,9)) AS DECIMAL(20,9))
         |    AS DECIMAL(22,9)) END AS acf
@@ -3807,7 +3822,8 @@ object AnalyticsQueries {
           expr("""CASE WHEN den > 0 THEN CAST(
             CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END AS DECIMAL(2,0))
             * CAST(CAST((abs(num) div den) * 1000000000
-                + ((abs(num) % den) * 1000000000) div den
+                + (((abs(num) % den) * 100000) div den) * 10000
+                + (((abs(num) % den) * 100000) % den) * 10000 div den
                 AS DECIMAL(20,0))
               * CAST(0.000000001 AS DECIMAL(9,9)) AS DECIMAL(20,9))
             AS DECIMAL(22,9)) END""").as("acf"))
