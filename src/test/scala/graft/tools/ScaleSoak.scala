@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * scale them quadratically and measure a different workload). Soak
   * input only — oracle queries always run on driver-generated data.
   *
-  * Usage: Test/runMain graft.ScaleSoak [genDir [--reps N] [queryName...]]
+  * Usage: Test/runMain graft.ScaleSoak [genDir [--reps N]
+  *   [--keepsrc] [--shift2d] [queryName...]]
   * Runs the given queries (default: the 6 most expensive) at sf0.1 and
   * at the N× derivative (default 10), reports wall times, the N×/1×
   * ratio per query (flat per-row cost ⇒ ratio ≈ N of the data-bound
