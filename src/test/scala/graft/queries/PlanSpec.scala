@@ -125,6 +125,44 @@ class PlanSpec extends SparkSpec {
     assert(!q88.contains("CartesianProduct"), q88)
   }
 
+  test("round-10 additions: rank tests ride the range exchange; " +
+    "capture-recapture keys on band joins; the ACF lag join stays " +
+    "an equi-join") {
+    // q94/q98: the rank pass itself sits behind EquiDepth's REQUIRED
+    // stage (the checkpoint truncates the visible plan), and its
+    // range-exchange shape is pinned at the operator level by the
+    // q43 EquiDepth test above — here we pin that nothing downstream
+    // of the staged ranks degrades to a cartesian
+    Seq("q94_mann_whitney", "q98_kruskal_wallis").foreach { n =>
+      val p = planOf(n)
+      assert(!p.contains("CartesianProduct"), s"$n:\n$p")
+    }
+    // d25: BOTH catchers must enumerate pairs via band-key equi-join
+    // NODES (d02/d03's shapes) — never a corpus-vs-corpus cartesian;
+    // the pair-set reconciliation is a FullOuter join on the pair key
+    val d25 = planOf("d25_capture_recapture")
+    assert(
+      """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*band_key"""
+        .r.findFirstIn(d25).isDefined,
+      s"d25: no equi-join keyed on the minhash band_key:\n$d25")
+    assert(
+      """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*band#"""
+        .r.findFirstIn(d25).isDefined,
+      s"d25: no equi-join keyed on the simhash band:\n$d25")
+    assert(d25.contains("FullOuter"), s"d25: pair reconciliation " +
+      s"must be a full-outer join on the (a_id, b_id) key:\n$d25")
+    assert(!d25.contains("CartesianProduct"), d25)
+    // q97: the lag-k pairing must plan as an EQUI-join on the d−k
+    // arithmetic key against the bounded day table — a theta-join
+    // fallback would turn the 7-lag spine into a nested-loop scan
+    val q97 = planOf("q97_acf")
+    assert(
+      """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"""
+        .r.findFirstIn(q97).isDefined,
+      s"q97: lag pairing lost its equi-join node:\n$q97")
+    assert(!q97.contains("CartesianProduct"), q97)
+  }
+
   test("q30: lateral top-k decorrelates to ONE join with group-limit pruning") {
     // the correlated LATERAL subquery must become a single equi-join
     // feeding a rank filter — never a per-outer-row rescan of customer
