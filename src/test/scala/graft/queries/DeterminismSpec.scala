@@ -69,7 +69,7 @@ class DeterminismSpec extends SparkSpec {
     "q87_isotonic_calibration", // minimax over exact-long ratios
     "s24_dbscan",            // exact-IEEE eps compares + min labels
     "q88_adamic_adar",       // rounded-ln terms in DECIMAL + top-k ties
-    "q89_robust_location",   // exact rank cuts + exact DECIMAL means (r10)
+    "q89_robust_location",   // exact rank cuts + BIGINT e9 means (r11)
     "t28_jsd_drift",         // rounded-ln terms in DECIMAL per side
     "q90_anova_length_by_source", // rounded per-group terms + F algebra
     "q91_markov_removal",    // BIGINT micro-units + one display division

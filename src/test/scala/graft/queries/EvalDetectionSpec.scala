@@ -103,13 +103,13 @@ class EvalDetectionSpec extends SparkSpec {
     writeTable(drift, "events", clickRows(
       (1L to 200L).map(i => (i, i, i % 100, false, true)) ++
         (201L to 400L).map(i => (i, i, 95L, false, false))))
-    // the gated surface carries exact DECIMAL(18,9) probabilities and
-    // bands (q71's round-9 hardening); the numeric PSI for the
-    // separation claim is recomputed here from those exact decimals
+    // the gated surface carries exact BIGINT e9 probabilities and
+    // bands (q71's round-11 decimal purge); the numeric PSI for the
+    // separation claim is recomputed here from those exact integers
     def psiOf(rows: Array[org.apache.spark.sql.Row]): Double =
       rows.map { r =>
         val (pr, pc) =
-          (r.getDecimal(3).doubleValue, r.getDecimal(4).doubleValue)
+          (r.getLong(3) / 1e9, r.getLong(4) / 1e9)
         (pr - pc) * math.log(pr / pc)
       }.sum
     val driftRows = QueryRegistry.byName("q71_psi_drift")

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryRegistry, SparkSpec}
-import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, StructType}
+import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, FloatType, StructType}
 
 /** Gated-surface float audit (VERDICT round-9 task #2). The driver's
   * oracle hash gate compares Spark output against DuckDB byte-for-byte,
@@ -41,6 +41,17 @@ import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, StructType}
   * rot. The retro-test plants the pre-fix q89 surface (raw decimal-sum
   * →double ÷ bigint means, no round() anywhere) and asserts the audit
   * flags it — the case the Round-node lint demonstrably missed.
+  *
+  * ROUND 11 (VERDICT r10 task #2): any DecimalType column in gated
+  * output fails UNCONDITIONALLY — no inventory class can whitelist it.
+  * The round-10 judge forensics settled the empirical record: across
+  * 278 gated queries, the 6 red rows were exactly the 6 whose output
+  * schema carried a DecimalType column, and all 225 inventoried double
+  * columns passed (doubles NEVER failed the driver's oracle env;
+  * decimals ALWAYS did — whatever decimal canonicalization that env
+  * applies does not round-trip). Exact fixed-point values ship as raw
+  * BIGINT e9/e6 columns instead; the whitelist stays empty until a
+  * deliberately decimal-bearing probe query survives a driver round.
   */
 class FloatSurfaceSpec extends SparkSpec {
 
@@ -54,13 +65,22 @@ class FloatSurfaceSpec extends SparkSpec {
   private def audit(name: String, schema: StructType): Seq[String] = {
     def isFloat(dt: DataType): Boolean =
       dt == DoubleType || dt == FloatType
+    val decimalProblems = schema.fields.toSeq.collect {
+      case f if f.dataType.isInstanceOf[DecimalType] =>
+        s"$name.${f.name}: DecimalType (${f.dataType.simpleString}) in" +
+          " gated output — the driver's oracle env hash-fails every" +
+          " decimal-bearing surface (judge forensics r10: 6/6 red vs" +
+          " 0/272 green); ship the exact BIGINT fixed-point column" +
+          " (x_e9/x_e6/cents) instead"
+    }
+    decimalProblems ++
     schema.fields.filter(f => isFloat(f.dataType)).toSeq.flatMap { f =>
       FloatSurfaceInventory.inventory.get((name, f.name)) match {
         case None =>
           Seq(s"$name.${f.name}: UNCLASSIFIED ${f.dataType.simpleString}" +
             " column in gated output — add a FloatSurfaceInventory entry" +
             " (SharedIeee chain / Banded bandCol / Transcendental why)" +
-            " or render it DECIMAL")
+            " or render it as an exact BIGINT fixed-point column")
         case Some(("banded", bandCol)) =>
           if (!schema.fieldNames.contains(bandCol))
             Seq(s"$name.${f.name}: Banded entry names companion column" +
@@ -110,5 +130,19 @@ class FloatSurfaceSpec extends SparkSpec {
     val flagged = audit("q89_prefix_shape", df.schema)
     assert(flagged.exists(_.contains("UNCLASSIFIED")),
       s"audit must flag the raw double mean, got: $flagged")
+  }
+
+  test("retro-flag: a planted DecimalType column is caught with no " +
+    "whitelist escape — the class the double-only audit shipped to red") {
+    import org.apache.spark.sql.functions._
+    // the exact round-10 red construct: BIGINT e9 rescaled to decimal
+    val df = spark.range(10)
+      .agg(sum(col("id")).cast("long").as("v_e9"))
+      .select((col("v_e9").cast("decimal(20,0)")
+        * lit("0.000000001").cast("decimal(9,9)"))
+        .cast("decimal(20,9)").as("v"))
+    val flagged = audit("q71_decimal_shape", df.schema)
+    assert(flagged.exists(_.contains("DecimalType")),
+      s"audit must flag the decimal rescale, got: $flagged")
   }
 }

@@ -18,10 +18,11 @@ class Round10MonitoringSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  /** Exact floor((num/den)·1e9) as BigDecimal at scale 9 — the q89 e9
-    * split the queries render; independent BigInt derivation here. */
-  private def e9(num: BigInt, den: BigInt): BigDecimal =
-    BigDecimal(num * BigInt(1000000000) / den, 9)
+  /** Exact floor((num/den)·1e9) as a raw Long — the two-stage e9
+    * split the queries render (round 11: BIGINT on the gated surface,
+    * no decimal); independent BigInt derivation here. */
+  private def e9L(num: BigInt, den: BigInt): Long =
+    (num * BigInt(1000000000) / den).toLong
 
   // -----------------------------------------------------------------
   // q94 Mann–Whitney U
@@ -241,10 +242,10 @@ class Round10MonitoringSpec extends SparkSpec {
       .run(spark, dir).collect().head
     assert(got.getLong(0) == n.toLong && got.getLong(1) == tot.toLong)
     assert(got.getLong(2) == gNum.toLong && got.getLong(3) == gDen.toLong)
-    assert(BigDecimal(got.getDecimal(4)) == e9(gNum, gDen),
+    assert(got.getLong(4) == e9L(gNum, gDen),
       "gini e9 rendering diverged from the BigInt floor ratio")
-    assert(BigDecimal(got.getDecimal(5)) ==
-      e9(BigInt(sorted.max), tot), "top1_share diverged")
+    assert(got.getLong(5) ==
+      e9L(BigInt(sorted.max), tot), "top1_share diverged")
   }
 
   test("q96 planted: an exactly equal mixture has gini 0; a " +
@@ -258,7 +259,7 @@ class Round10MonitoringSpec extends SparkSpec {
     val r = QueryRegistry.byName("q96_gini_concentration")
       .run(spark, d).collect().head
     assert(r.getLong(2) == 0L, "equal masses must yield g_num = 0")
-    assert(BigDecimal(r.getDecimal(4)) == BigDecimal(0).setScale(9))
+    assert(r.getLong(4) == 0L, "zero numerator must render gini_e9 = 0")
   }
 
   // -----------------------------------------------------------------
@@ -277,19 +278,14 @@ class Round10MonitoringSpec extends SparkSpec {
     val expected = (1 to 7).map { k =>
       val pairs = y.keys.toSeq.filter(d => y.contains(d - k))
       val num = pairs.map(d => y(d) * y(d - k)).sum
-      val acf = BigDecimal(num.signum) * e9(num.abs, den)
+      val acf = num.signum.toLong * e9L(num.abs, den)
       (k.toLong, pairs.size.toLong, num.toLong, den.toLong, acf)
     }
     val got = QueryRegistry.byName("q97_acf").run(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), BigDecimal(r.getDecimal(4)))).toSeq
-    assert(got.map(t => (t._1, t._2, t._3, t._4)) ==
-      expected.map(t => (t._1, t._2, t._3, t._4)),
-      s"ACF moments diverged: got ${got.take(2)} expected ${expected.take(2)}")
-    got.zip(expected).foreach { case (g, e) =>
-      assert(g._5.compare(e._5) == 0,
-        s"lag ${g._1} acf rendering diverged: ${g._5} vs ${e._5}")
-    }
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected,
+      s"ACF diverged: got ${got.take(2)} expected ${expected.take(2)}")
   }
 
   test("q97 planted period: an alternating high/low series has " +
@@ -308,10 +304,10 @@ class Round10MonitoringSpec extends SparkSpec {
         lit(1.0).as("value"), lit("{}").as("props"))
       .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
     val acf = QueryRegistry.byName("q97_acf").run(spark, d)
-      .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(4)))
+      .collect().map(r => r.getLong(0) -> r.getLong(4))
       .toMap
-    assert(acf(1L) <= BigDecimal("-0.9"), s"lag-1 should be ~ -1: $acf")
-    assert(acf(2L) >= BigDecimal("0.9"), s"lag-2 should be ~ +1: $acf")
+    assert(acf(1L) <= -900000000L, s"lag-1 should be ~ -1e9: $acf")
+    assert(acf(2L) >= 900000000L, s"lag-2 should be ~ +1e9: $acf")
   }
 
   // -----------------------------------------------------------------
@@ -366,7 +362,7 @@ class Round10MonitoringSpec extends SparkSpec {
     assert(got.getLong(2) == m.toLong && got.getLong(3) == union.toLong)
     assert(got.getLong(4) == nHat.toLong, "Chapman floor diverged")
     assert(got.getLong(5) == (nHat - union).max(BigInt(0)).toLong)
-    assert(BigDecimal(got.getDecimal(6)) == e9(union, nHat))
+    assert(got.getLong(6) == e9L(union, nHat))
     // sanity on the fixture: both catchers catch, they overlap, and
     // the estimator is at least the observed union
     assert(n1 > 0 && n2 > 0 && m > 0, s"degenerate fixture: $n1 $n2 $m")

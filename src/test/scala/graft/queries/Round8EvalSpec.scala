@@ -112,12 +112,12 @@ class Round8EvalSpec extends SparkSpec {
       (math.min(9L, k / 10), us < cutUs)
     }
     val (rt, ct) = (binned.count(_._2) + 10L, binned.count(!_._2) + 10L)
-    // the round-10 gated surface: exact floor-ratio DECIMAL(18,9)
-    // probabilities and bands decided on the PINNED e9 fixed-point
-    // log (see q71's Scaladoc) — replicated here in plain Long math
-    def dec9(num: Long, den: Long): java.math.BigDecimal =
-      new java.math.BigDecimal(
-        java.math.BigInteger.valueOf(num * 1000000000L / den), 9)
+    // the round-11 gated surface: exact floor-ratio BIGINT e9
+    // probabilities (p_ref_e9/p_cur_e9 — no DecimalType, the class
+    // the driver's oracle env hash-fails) and bands decided on the
+    // PINNED e9 fixed-point log (see q71's Scaladoc) — replicated
+    // here in plain Long math
+    def e9(num: Long, den: Long): Long = num * 1000000000L / den
     def lnE9(v0: Long): Long = {
       val v = math.max(v0, 1L)
       val k = (0 to 30).find(i => v * (1L << i) >= 500000000L &&
@@ -149,7 +149,7 @@ class Round8EvalSpec extends SparkSpec {
         if (termE9 < 100000L) "negligible"
         else if (termE9 < 10000000L) "minor"
         else "major"
-      (b, r1 - 1, c1 - 1, dec9(r1, rt), dec9(c1, ct), termE9, band)
+      (b, r1 - 1, c1 - 1, e9(r1, rt), e9(c1, ct), termE9, band)
     }
     val psiE9 = expected.map(_._6).sum
     val psiBand =
@@ -159,7 +159,7 @@ class Round8EvalSpec extends SparkSpec {
     val got = QueryRegistry.byName("q71_psi_drift").run(spark, dir)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getDecimal(3), r.getDecimal(4), r.getString(5),
+        r.getLong(3), r.getLong(4), r.getString(5),
         r.getString(6)))
     assert(got.map(x => (x._1, x._2, x._3, x._4, x._5, x._6)).toSeq
       == expected.map(x => (x._1, x._2, x._3, x._4, x._5, x._7)),

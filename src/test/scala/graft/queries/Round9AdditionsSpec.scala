@@ -320,13 +320,12 @@ class Round9AdditionsSpec extends SparkSpec {
     val kept = rows.slice(k.toInt, (n - k).toInt).map(_._1)
     val vLo = rows(k.toInt)._1
     val vHi = rows((n - k).toInt - 1)._1
-    // the round-10 gated surface: exact cent sums, then the split
-    // integer division (c div n)·1e7 + ((c mod n)·1e7) div n rendered
-    // as DECIMAL(20,9) — replicated here in plain Long math
-    def e9(cents: Long, den: Long): java.math.BigDecimal =
-      new java.math.BigDecimal(java.math.BigInteger.valueOf(
-        (cents / den) * 10000000L + ((cents % den) * 10000000L) / den),
-        9)
+    // the round-11 gated surface: exact cent sums, then the split
+    // integer division (c div n)·1e7 + ((c mod n)·1e7) div n shipped
+    // as a raw BIGINT e9 (no DecimalType — the class the driver's
+    // oracle env hash-fails) — replicated here in plain Long math
+    def e9(cents: Long, den: Long): Long =
+      (cents / den) * 10000000L + ((cents % den) * 10000000L) / den
     val sAllC = (rows.map(_._1).sum * 100).toLongExact
     val sKeptC = (kept.sum * 100).toLongExact
     val wC = sKeptC + k * (vLo * 100).toLongExact +
@@ -337,20 +336,19 @@ class Round9AdditionsSpec extends SparkSpec {
     val g = QueryRegistry.byName("q89_robust_location").run(spark, dir)
       .collect()(0)
     assert(g.getLong(0) == n && g.getLong(1) == k)
-    assert(BigDecimal(g.getDecimal(2)) == vLo
-      && BigDecimal(g.getDecimal(3)) == vHi)
-    assert(g.getDecimal(4).compareTo(mean) == 0,
-      s"mean ${g.getDecimal(4)} != $mean")
-    assert(g.getDecimal(5).compareTo(trimmed) == 0)
-    assert(g.getDecimal(6).compareTo(winsor) == 0)
+    assert(g.getLong(2) == (vLo * 100).toLongExact
+      && g.getLong(3) == (vHi * 100).toLongExact)
+    assert(g.getLong(4) == mean, s"mean ${g.getLong(4)} != $mean")
+    assert(g.getLong(5) == trimmed)
+    assert(g.getLong(6) == winsor)
     // semantic anchor: the pinned-scale means sit within 1e-9 of the
     // real-valued BigDecimal quotients
-    assert((BigDecimal(mean) - rows.map(_._1).sum / n).abs < 1e-9)
-    assert((BigDecimal(trimmed) - kept.sum / (n - 2 * k)).abs < 1e-9)
+    assert((BigDecimal(mean, 9) - rows.map(_._1).sum / n).abs < 1e-9)
+    assert((BigDecimal(trimmed, 9) - kept.sum / (n - 2 * k)).abs < 1e-9)
     // robustness direction on this fixture: the trimmed mean must
     // differ from the raw mean (tails exist), and sit between the cuts
-    assert(trimmed.compareTo(mean) != 0)
-    assert(BigDecimal(trimmed) >= vLo && BigDecimal(trimmed) <= vHi)
+    assert(trimmed != mean)
+    assert(BigDecimal(trimmed, 9) >= vLo && BigDecimal(trimmed, 9) <= vHi)
   }
 
   // -----------------------------------------------------------------

@@ -50,8 +50,7 @@ class Round9EvalSpec extends SparkSpec {
           diff.toDouble * diff / (n.toDouble * r * c)) < 1e-6 + 1e-9,
           s"split floor ratio off at ($s,$l)")
         val expE9 = r * c * 1000000000L / n
-        (s, l, ob, new java.math.BigDecimal(
-          java.math.BigInteger.valueOf(expE9), 9), te6)
+        (s, l, ob, expE9, te6)
       }
     val chi2E6 = cells.map(_._5).sum
     val m1 = math.min(rT.size, cT.size).toLong - 1L
@@ -60,19 +59,14 @@ class Round9EvalSpec extends SparkSpec {
       if (chi2E6 < n * m1 * 10000L) "negligible"
       else if (chi2E6 < n * m1 * 90000L) "weak"
       else "strong"
-    def dec(e: Long, scale: Int): java.math.BigDecimal =
-      new java.math.BigDecimal(java.math.BigInteger.valueOf(e), scale)
     val got = QueryRegistry.byName("q84_source_lang_independence")
       .run(spark, dir).collect()
     assert(got.length == cells.length)
     got.zip(cells).foreach { case (g, e) =>
       assert((g.getString(0), g.getString(1), g.getLong(2),
-        g.getDecimal(3), g.getDecimal(4).stripTrailingZeros,
-        g.getDecimal(5).stripTrailingZeros,
-        g.getDecimal(6).stripTrailingZeros, g.getString(7)) ==
-        (e._1, e._2, e._3, e._4, dec(e._5, 6).stripTrailingZeros,
-          dec(chi2E6, 6).stripTrailingZeros,
-          dec(v2E9, 9).stripTrailingZeros, band),
+        g.getLong(3), g.getLong(4),
+        g.getLong(5), g.getLong(6), g.getString(7)) ==
+        (e._1, e._2, e._3, e._4, e._5, chi2E6, v2E9, band),
         s"cell mismatch: got $g expected $e (chi2_e6=$chi2E6 " +
           s"v2_e9=$v2E9 band=$band)")
     }
@@ -88,10 +82,9 @@ class Round9EvalSpec extends SparkSpec {
       .byName("q84_source_lang_independence").run(spark, dep).collect()
     assert(depRows.forall(_.getString(7) == "strong"),
       s"dependency not flagged: ${depRows.head}")
-    assert(depRows.head.getDecimal(6).compareTo(
-        java.math.BigDecimal.ONE) == 0,
-      s"deterministic mapping must score V² = 1, got " +
-        s"${depRows.head.getDecimal(6)}")
+    assert(depRows.head.getLong(6) == 1000000000L,
+      s"deterministic mapping must score V²_e9 = 1e9, got " +
+        s"${depRows.head.getLong(6)}")
     val ind = tmpDir("r9-ind")
     // perfectly balanced grid: every (source, lang) cell equal
     writeDocs(ind, (0L until 200L).map(i =>
@@ -100,7 +93,7 @@ class Round9EvalSpec extends SparkSpec {
       .byName("q84_source_lang_independence").run(spark, ind).collect()
     assert(indRows.forall(_.getString(7) == "negligible"),
       s"balanced grid flagged: ${indRows.head}")
-    assert(indRows.head.getDecimal(5).signum == 0,
+    assert(indRows.head.getLong(5) == 0L,
       "exact balance has chi2 0")
   }
 
