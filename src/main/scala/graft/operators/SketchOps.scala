@@ -260,6 +260,59 @@ object SketchOps {
     }
   }
 
+  /** Quantile answers from STORE BYTES ALONE: read the kind='kll'
+    * rows of a sketch store back, heapify each key's bytes, and
+    * return (key, q, estimate) for every requested quantile —
+    * INCLUSIVE search criteria, matching KllQuantiles/q72. Nothing
+    * but the store is touched: this is the quantile leg of the
+    * "never rescan" contract q92 opened (VERDICT r10 task #5).
+    * Driver-side MODEL-STATE collect (~few KB per key — the
+    * thetaOverlapBoundsFromStore precedent; the collect lives here,
+    * not in queries/, per PlanSpec's lint). */
+  def kllQuantilesFromStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, qs: Seq[Double]): Seq[(String, Double, Double)] = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(path)
+      .filter(col("kind") === "kll")
+      .select(col("k"), col("bytes"))
+      .collect()
+      .flatMap { r =>
+        val sk = KllDoublesSketch.heapify(
+          Memory.wrap(r.getAs[Array[Byte]](1)))
+        qs.map(q => (r.getString(0), q,
+          sk.getQuantile(q, QuantileSearchCriteria.INCLUSIVE)))
+      }.toSeq.sortBy(t => (t._1, t._2))
+  }
+
+  /** Heavy-hitter answers from STORE BYTES ALONE: read the
+    * kind='freq' rows back and return, per key, the NO_FALSE_NEGATIVES
+    * frequent-item rows (key, item, est, lb, ub) plus each key's
+    * maxError — the two structurally-true guarantees (true count ≤ ub;
+    * every item with true count > maxError is retained) hold for every
+    * purge/merge order, which is what q92c gates (q86's discipline).
+    * Same model-state collect seam as kllQuantilesFromStore. */
+  def freqEstimatesFromStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Seq[(String, Long, Long, Long, Long)],
+        Seq[(String, Long)]) = {
+    import org.apache.spark.sql.functions.col
+    val sks = spark.read.parquet(path)
+      .filter(col("kind") === "freq")
+      .select(col("k"), col("bytes"))
+      .collect()
+      .map(r => (r.getString(0),
+        org.apache.datasketches.frequencies.LongsSketch.getInstance(
+          Memory.wrap(r.getAs[Array[Byte]](1)))))
+      .toSeq.sortBy(_._1)
+    val rows = sks.flatMap { case (k, sk) =>
+      sk.getFrequentItems(0L,
+          org.apache.datasketches.frequencies.ErrorType
+            .NO_FALSE_NEGATIVES)
+        .map(e => (k, e.getItem.longValue, e.getEstimate,
+          e.getLowerBound, e.getUpperBound)).toSeq
+    }
+    (rows, sks.map { case (k, sk) => (k, sk.getMaximumError) })
+  }
+
   /** VarOpt weighted-sampling buffer (Cohen et al., "Stream sampling
     * for variance-optimal estimation of subset sums", SODA 2009 — the
     * Datasketches sampling family): same serialization seam as the

@@ -1819,6 +1819,172 @@ object MiscQueries {
     },
 
     // ---------------------------------------------------------------
+    // q92b — QUANTILES FROM THE STORE ALONE: q92 proved the theta leg
+    // of the sketch store answers from stored bytes; this closes the
+    // KLL leg (VERDICT r10 task #5) — "what is each event type's
+    // median / p90 value" answered by heapifying the PERSISTED kll
+    // bytes (SketchOps.kllQuantilesFromStore), never re-reading the
+    // events table for the sketch side. Gate follows q72's
+    // discipline exactly: the HASHED columns are the exact per-type
+    // quantile values (per-type rank window — the type vocabulary is
+    // bounded, so the partition-key exchange is balanced across ≤
+    // |types| groups; the SCALE answer path at 100 TB is the store
+    // itself, the exact leg is the audit) at the integer ceiling
+    // rank ⌈qn·n/qd⌉ (q75: float ceil can round off a binary
+    // representation), and the store's estimate enters ONLY through
+    // the within_rank_eps flag — exact values at ranks (q ∓ 2ε)·n
+    // bracket it iff its rank error is within the doubled
+    // 99%-confidence bound for k=200 (doubled so a tail draw cannot
+    // flip a gated boolean; KLL compaction is randomized). The store
+    // build is the same ONE partial/final aggregation pass q92
+    // documents; cross-batch stores merge associatively.
+    Q(
+      "q92b_store_quantiles",
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS r,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n
+        |  FROM events),
+        |qs AS (SELECT * FROM (VALUES (0.25, 1, 4), (0.5, 1, 2),
+        |    (0.9, 9, 10)) AS v(q, qn, qd))
+        |SELECT event_type, CAST(q AS DOUBLE) AS q, n, value,
+        |  CAST(TRUE AS BOOLEAN) AS within_rank_eps
+        |FROM qs JOIN r ON r.r = GREATEST(1, (qn * n + qd - 1) // qd)
+        |ORDER BY event_type, q""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.SketchOps
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir, "events")
+      val store = graft.TempRoots.create("graft-skstore-b") +
+        "/sketch_store"
+      SketchOps.writeSketchStore(ev, col("event_type"),
+        col("user_id"), col("value"), col("user_id"), store)
+      // the sketch side below reads ONLY the store
+      val quantiles = Seq(0.25, 0.5, 0.9)
+      val eps2 = 2.0 * org.apache.datasketches.kll.KllSketch
+        .getNormalizedRankError(200, false)
+      val est = broadcast(s.createDataFrame(
+          SketchOps.kllQuantilesFromStore(s, store, quantiles))
+        .toDF("event_type", "q", "estq"))
+      // exact side: per-type ranks + the 9-row (type, q, role) spine
+      val ns = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_rows"))
+      val ratio = Seq((0.25, 1L, 4L), (0.5, 1L, 2L), (0.9, 9L, 10L))
+      val spine = ns
+        .select(col("event_type"), col("n_rows"),
+          explode(typedLit(ratio)).as("qi"))
+        .select(col("event_type"), col("qi._1").as("q"),
+          col("qi._2").as("qn"), col("qi._3").as("qd"), col("n_rows"))
+        .select(col("event_type"), col("q"), col("n_rows"),
+          explode(array(
+            struct(lit("target").as("role"),
+              greatest(lit(1L),
+                expr("(qn * n_rows + qd - 1) div qd")).as("rk")),
+            struct(lit("lo").as("role"),
+              greatest(lit(1L), ceil((col("q") - lit(eps2))
+                * col("n_rows")).cast("long")).as("rk")),
+            struct(lit("hi").as("role"),
+              least(col("n_rows"), ceil((col("q") + lit(eps2))
+                * col("n_rows")).cast("long")).as("rk")))).as("x"))
+        .select(col("event_type"), col("q"), col("n_rows"),
+          col("x.role").as("role"), col("x.rk").as("rk"))
+      val byType = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      val ranked = ev.select(col("event_type"), col("value"),
+          col("event_id"))
+        .withColumn("r", row_number().over(byType))
+      ranked
+        .join(broadcast(spine),
+          col("r") === col("rk") &&
+          ranked("event_type") === spine("event_type"))
+        .groupBy(ranked("event_type").as("event_type"), col("q"))
+        .agg(max(col("n_rows")).as("n"),
+          max(when(col("role") === "target", col("value")))
+            .as("value"),
+          max(when(col("role") === "lo", col("value"))).as("v_lo"),
+          max(when(col("role") === "hi", col("value"))).as("v_hi"))
+        .join(est, Seq("event_type", "q"))
+        .select(col("event_type"), col("q"), col("n"), col("value"),
+          (col("estq") >= col("v_lo") && col("estq") <= col("v_hi"))
+            .as("within_rank_eps"))
+        .orderBy(col("event_type"), col("q"))
+    },
+
+    // ---------------------------------------------------------------
+    // q92c — HEAVY HITTERS FROM THE STORE ALONE: the frequencies leg
+    // of the q92 store contract (VERDICT r10 task #5) — "which users
+    // dominate each event type" answered from the PERSISTED freq
+    // bytes (SketchOps.freqEstimatesFromStore), never re-reading the
+    // events table for the sketch side. Gate is q86's discipline:
+    // the exact per-type top-5 users (count, total-order tie-break on
+    // user_id) are gated value-for-value, and the store's estimates
+    // enter through the two STRUCTURALLY-TRUE flags — `in_bounds`
+    // (true count ≤ stored ub, falling back to the store's maxError
+    // for untracked users) and `no_false_negative` (a user the store
+    // dropped is provably ≤ maxError) — which hold for EVERY purge
+    // and merge order, so the oracle renders them as literal TRUE.
+    // User ids are native 64-bit keys (no hashing), so unlike q86 no
+    // collision caveat applies and both bracket halves are sound; the
+    // forced-purge and 8-shard-merge contracts are pinned in
+    // FreqSketchSpec. At 100 TB: the per-type summary is ~16 KB of
+    // model state per ingest batch, merged associatively — top-user
+    // monitoring without rescanning (Agarwal et al., PODS 2012).
+    Q(
+      "q92c_store_heavy_users",
+      """WITH c AS (
+        |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, user_id, n,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY n DESC, user_id) AS rk
+        |  FROM c)
+        |SELECT event_type, user_id, n,
+        |  CAST(TRUE AS BOOLEAN) AS in_bounds,
+        |  CAST(TRUE AS BOOLEAN) AS no_false_negative
+        |FROM r WHERE rk <= 5
+        |ORDER BY event_type, user_id""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.SketchOps
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir, "events")
+      val store = graft.TempRoots.create("graft-skstore-c") +
+        "/sketch_store"
+      SketchOps.writeSketchStore(ev, col("event_type"),
+        col("user_id"), col("value"), col("user_id"), store)
+      // the sketch side below reads ONLY the store. estDf is bounded
+      // at maxMapSize(1024)·|types| rows by Misra-Gries state, but it
+      // RAMPS toward that cap as the corpus grows (below saturation
+      // every distinct user is tracked), so no forced broadcast hint:
+      // the local relation stays under the size-based auto-broadcast
+      // threshold at every scale and AQE picks the strategy.
+      val (estRows, errRows) = SketchOps.freqEstimatesFromStore(s, store)
+      val estDf = s.createDataFrame(estRows)
+        .toDF("event_type", "user_id", "est", "lb", "ub")
+      val errDf = broadcast(s.createDataFrame(errRows)
+        .toDF("event_type", "max_err"))
+      // exact side: per-(type, user) counts, top-5 per type (the
+      // rank-filter shape RewriteRankFilterToGroupTopK turns into the
+      // GroupTopK physical op — no full per-type sort materializes)
+      val counts = ev.groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val byType = Window.partitionBy(col("event_type"))
+        .orderBy(col("n").desc, col("user_id"))
+      counts.withColumn("rk", row_number().over(byType))
+        .filter(col("rk") <= 5).drop("rk")
+        .join(estDf, Seq("event_type", "user_id"), "left_outer")
+        .join(errDf, Seq("event_type"))
+        .select(col("event_type"), col("user_id"), col("n"),
+          (col("n") <= coalesce(col("ub"), col("max_err")))
+            .as("in_bounds"),
+          (coalesce(col("est"), lit(0L)) > 0 ||
+            col("n") <= col("max_err")).as("no_false_negative"))
+        .orderBy(col("event_type"), col("user_id"))
+    },
+
+    // ---------------------------------------------------------------
     // q93 — VarOpt WEIGHTED SAMPLING (Cohen et al., SODA 2009): the
     // missing leg of the mergeable-summary family — p35 moments, q59
     // HLL distinct, q72 KLL quantiles, q83 theta sets, q86 heavy

@@ -348,6 +348,11 @@ object FloatSurfaceInventory {
     ("ws11_stream_psi", "psi") -> libm,
     // --- kll quantile ---------------------------------------------------
     ("q72_kll_quantile_merge", "q") -> pass,
-    ("q72_kll_quantile_merge", "value") -> pass
+    ("q72_kll_quantile_merge", "value") -> pass,
+    // --- sketch-store answers (q92b: exact order statistics at integer
+    // ceiling ranks + a literal quantile label; the KLL estimate enters
+    // only through the within_rank_eps flag) -----------------------------
+    ("q92b_store_quantiles", "q") -> pass,
+    ("q92b_store_quantiles", "value") -> pass
   )
 }
