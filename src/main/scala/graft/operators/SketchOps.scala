@@ -313,6 +313,87 @@ object SketchOps {
     (rows, sks.map { case (k, sk) => (k, sk.getMaximumError) })
   }
 
+  /** Per-micro-batch STREAMING maintenance of the theta leg of the
+    * sketch store (ws13; VERDICT r10 task #6): aggregate ONE batch's
+    * rows into per-key theta sketches (distributed partial/final
+    * agg — only the ~32 KB-per-key bytes reach the driver), union
+    * them with the bytes already in the store, and atomically replace
+    * the store (write to a `.tmp` sibling, then swap — a crash
+    * mid-write leaves the previous store intact). Correctness under
+    * at-least-once replay is STRUCTURAL: theta union is a set union
+    * of retained hash values, so re-merging a replayed batch is a
+    * no-op — the final store equals the sketch of the delivered
+    * message SET no matter how foreachBatch retries interleave, which
+    * is exactly why a distinct-count summary is the right first
+    * continuously-maintained store leg. At 100 TB: per-batch work is
+    * one bounded-key aggregation; store I/O is model-state-sized and
+    * independent of corpus size. */
+  def mergeThetaIntoStore(batch: org.apache.spark.sql.DataFrame,
+      key: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column, path: String): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, udaf}
+    val theta = udaf(new ThetaDistinct(12), Encoders.scalaLong)
+    val fresh = batch.groupBy(key.as("k"))
+      .agg(theta(value).as("bytes"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+    if (fresh.isEmpty) return
+    val spark = batch.sparkSession
+    val fs = new java.io.File(path)
+    val existing: Map[String, Array[Byte]] =
+      if (fs.exists())
+        spark.read.parquet(path)
+          .filter(col("kind") === "theta")
+          .collect()
+          .map(r => (r.getString(0), r.getAs[Array[Byte]](2)))
+          .toMap
+      else Map.empty
+    val merged = (existing.keySet ++ fresh.map(_._1)).toSeq.sorted
+      .map { k =>
+        val u = org.apache.datasketches.theta.SetOperation.builder()
+          .buildUnion()
+        existing.get(k).foreach(b => u.union(
+          org.apache.datasketches.theta.Sketches.wrapSketch(
+            Memory.wrap(b))))
+        fresh.toMap.get(k).foreach(b => u.union(
+          org.apache.datasketches.theta.Sketches.wrapSketch(
+            Memory.wrap(b))))
+        (k, "theta", u.getResult().toByteArray)
+      }
+    val tmp = path + ".tmp"
+    spark.createDataFrame(merged).toDF("k", "kind", "bytes")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    // swap: drop the old store, move the fresh one into place (local
+    // FS rename; object stores would version by batch id instead)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (fs.exists()) rm(fs)
+    require(new java.io.File(tmp).renameTo(fs),
+      s"sketch-store swap failed: $tmp -> $path")
+  }
+
+  /** Distinct-count answers from STORE BYTES ALONE: per stored key the
+    * theta estimate with `numStdDev`-sigma bounds — the question ws13
+    * gates after its streaming merges land. Same model-state collect
+    * seam as thetaOverlapBoundsFromStore. */
+  def thetaEstimatesFromStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, numStdDev: Int = 3)
+      : Seq[(String, Double, Double, Double)] = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(path)
+      .filter(col("kind") === "theta")
+      .select(col("k"), col("bytes"))
+      .collect()
+      .map { r =>
+        val sk = org.apache.datasketches.theta.Sketches.wrapSketch(
+          Memory.wrap(r.getAs[Array[Byte]](1)))
+        (r.getString(0), sk.getEstimate,
+          sk.getLowerBound(numStdDev), sk.getUpperBound(numStdDev))
+      }.toSeq.sortBy(_._1)
+  }
+
   /** VarOpt weighted-sampling buffer (Cohen et al., "Stream sampling
     * for variance-optimal estimation of subset sums", SODA 2009 — the
     * Datasketches sampling family): same serialization seam as the

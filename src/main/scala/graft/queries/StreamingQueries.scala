@@ -1832,8 +1832,115 @@ object StreamingQueries {
           ((col("e.mx") - col("e.pp")) > lit(5L) * col("s"))
             .as("alarm_dn"))
         .orderBy(col("day"))
+    },
+
+    // ---------------------------------------------------------------
+    // ws13 — STREAMING SKETCH-STORE MAINTENANCE: q92's batch store
+    // turned into the continuously-maintained summary table the
+    // 100 TB ingest story assumes (VERDICT r10 task #6). The events
+    // topic is consumed through the `pulsarlike` source in MULTIPLE
+    // admission-controlled micro-batches (batchingMaxMessages forces
+    // the split at the gate SF); each foreachBatch aggregates ONE
+    // batch's per-type theta sketches distributed-side and
+    // associatively unions them into the persistent store
+    // (SketchOps.mergeThetaIntoStore — tmp-write + swap, so a crash
+    // leaves the previous store readable). Exactly-once for the
+    // store is STRUCTURAL, not transactional: theta union is set
+    // union of retained hash values, so an at-least-once foreachBatch
+    // replay re-merges to the identical store — the property that
+    // makes distinct-count the right first continuously-maintained
+    // leg. The per-type user key is the message KEY (A3's routing
+    // key); the event-type group key is the m02 content-type dispatch
+    // with the text/plain fallback recovered as the payload's first
+    // token. Gate follows q59/q83's sketch pattern: the exact
+    // distinct-user counts (one corpus distinct + bounded-key agg)
+    // gate value-for-value and the STORE's answers enter through the
+    // 3-sigma in_bounds flag — structurally true at the gate SF
+    // (< 4096 users/type = theta exact mode) and deterministic at any
+    // SF (the retained set is a pure function of the input set).
+    // Restart-resume (offsets recovered from the checkpoint, only new
+    // messages merged) is pinned in Round11AdditionsSpec.
+    Q(
+      "ws13_stream_sketch_store",
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(TRUE AS BOOLEAN) AS in_bounds
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val root = graft.TempRoots.create("graft-wsketch")
+      val ckpt = graft.TempRoots.create("graft-wsketch-ckpt")
+      val store = graft.TempRoots.create("graft-wsketch-store") +
+        "/sketch_store"
+      // fresh topic, no watermark sentinels: this gate has no
+      // event-time state, so the two-pass choreography is unnecessary
+      // and sentinel users must not enter the sketch
+      TopicStore.publish(s,
+        MessageOps.fromEvents(Tables(s, dir, "events")), root,
+        "events", 4)
+      StreamSketchGate.pass(s, root, ckpt, store, 25000L)
+      // the sketch side below reads ONLY the store (bounded |types|
+      // rows of model state)
+      val est = broadcast(s.createDataFrame(
+          graft.operators.SketchOps.thetaEstimatesFromStore(s, store, 3))
+        .toDF("event_type", "est", "lb", "ub"))
+      Tables(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_users"))
+        .join(est, Seq("event_type"))
+        .select(col("event_type"), col("n_users"),
+          (col("n_users").cast("double") >= col("lb") &&
+            col("n_users").cast("double") <= col("ub"))
+            .as("in_bounds"))
+        .orderBy(col("event_type"))
     }
   )
+}
+
+/** ws13's streaming store-maintenance harness: one AvailableNow pass
+  * over the topic at `root`, resuming from `ckpt`'s committed offsets
+  * (a second call with the same checkpoint processes only messages
+  * published since — the restart-resume contract), merging each
+  * micro-batch's per-type theta sketches into the store at
+  * `storePath`. Returns the number of merge batches run this pass. */
+private[queries] object StreamSketchGate {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  def pass(s: SparkSession, root: String, ckpt: String,
+      storePath: String, maxPerBatch: Long): Long = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    StreamHarness.withShufflePartitions(s, "8") {
+      val raw = s.readStream.format("pulsarlike")
+        .option("path", root)
+        .option("serviceUrl", "pulsar://local")
+        .option("topicNames", "events")
+        .option("subscriptionInitialPosition", "Earliest")
+        .option("batchingMaxMessages", maxPerBatch.toString)
+        .load()
+      val parsed = MessageOps
+        .contentTypeDispatch(raw, MessageOps.payloadSchema)
+        .select(
+          coalesce(col("parsed.event_type"),
+            split_part(col("value_str"), lit(" "), lit(1)))
+            .as("event_type"),
+          expr("try_cast(key AS BIGINT)").as("user_id"))
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      val q = parsed.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          graft.operators.SketchOps.mergeThetaIntoStore(df,
+            col("event_type"), col("user_id"), storePath)
+          batches.incrementAndGet()
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    batches.get()
+  }
 }
 
 /** Shared w05-w08 machinery — stream-stream interval join through

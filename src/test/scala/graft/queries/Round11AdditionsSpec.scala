@@ -157,4 +157,94 @@ class Round11AdditionsSpec extends SparkSpec {
     assert(got.exists(_ == ((7L, 50L, true, true))),
       s"dominant user missing from the gated top-5: ${got.toSeq}")
   }
+
+  // -----------------------------------------------------------------
+  // ws13 streaming sketch maintenance
+
+  test("ws13 registry: planted per-type user sets are answered " +
+    "exactly from the streamed store with flags true") {
+    val d = tmpDir("r11-ws13")
+    // click: users 0..79; view: users 40..99 (overlap is irrelevant —
+    // the store keys per type); every content-type mode exercised
+    writeEvents(d,
+      (0L until 80L).map(u => (u, u, "click", 1.0)) ++
+        (0L until 60L).map(u => (1000L + u, 40L + u, "view", 2.0)))
+    val got = QueryRegistry.byName("ws13_stream_sketch_store")
+      .run(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == Seq(("click", 80L, true), ("view", 60L, true)),
+      s"streamed store answers diverged: $got")
+  }
+
+  test("ws13 multi-batch: a small admission cap forces several merge " +
+    "batches and the associatively-merged store still answers exactly") {
+    import graft.operators.MessageOps
+    import graft.sources.TopicStore
+    val d = tmpDir("r11-ws13-mb")
+    writeEvents(d, (0L until 100L).map(u => (u, u, "click", 1.0)))
+    val root = tmpDir("r11-ws13-mb-topic")
+    val ckpt = tmpDir("r11-ws13-mb-ckpt")
+    val store = tmpDir("r11-ws13-mb-store") + "/sketch_store"
+    TopicStore.publish(spark,
+      MessageOps.fromEvents(Tables(spark, d, "events")), root,
+      "events", 4)
+    val batches = StreamSketchGate.pass(spark, root, ckpt, store, 30L)
+    assert(batches > 1,
+      s"cap 30 over 100 messages must split into several batches, got $batches")
+    val est = SketchOps.thetaEstimatesFromStore(spark, store, 3)
+    assert(est.map(t => (t._1, t._2)) == Seq(("click", 100.0)),
+      s"exact-mode streamed estimate must be 100: $est")
+  }
+
+  test("ws13 restart-resume: a second pass on the same checkpoint " +
+    "merges ONLY newly published messages into the store") {
+    import graft.operators.MessageOps
+    import graft.sources.TopicStore
+    val d1 = tmpDir("r11-ws13-rr1")
+    val d2 = tmpDir("r11-ws13-rr2")
+    writeEvents(d1, (0L until 100L).map(u => (u, u, "click", 1.0)))
+    writeEvents(d2,
+      (0L until 50L).map(u => (500L + u, 1000L + u, "click", 1.0)))
+    val root = tmpDir("r11-ws13-rr-topic")
+    val ckpt = tmpDir("r11-ws13-rr-ckpt")
+    val store = tmpDir("r11-ws13-rr-store") + "/sketch_store"
+    TopicStore.publish(spark,
+      MessageOps.fromEvents(Tables(spark, d1, "events")), root,
+      "events", 4)
+    val b1 = StreamSketchGate.pass(spark, root, ckpt, store, 60L)
+    assert(b1 == 2, s"pass 1: 100 messages under cap 60 = 2 batches, got $b1")
+    val mid = SketchOps.thetaEstimatesFromStore(spark, store, 3)
+    assert(mid.map(t => (t._1, t._2)) == Seq(("click", 100.0)),
+      s"store after pass 1 must cover exactly the first publish: $mid")
+    // restart: publish 50 MORE users, resume from the same checkpoint
+    TopicStore.publish(spark,
+      MessageOps.fromEvents(Tables(spark, d2, "events")), root,
+      "events", 4)
+    val b2 = StreamSketchGate.pass(spark, root, ckpt, store, 60L)
+    assert(b2 == 1, "pass 2 must resume from committed offsets and " +
+      s"process ONLY the 50 new messages (1 batch under cap 60), got $b2")
+    val fin = SketchOps.thetaEstimatesFromStore(spark, store, 3)
+    assert(fin.map(t => (t._1, t._2)) == Seq(("click", 150.0)),
+      s"resumed store must cover the union of both publishes: $fin")
+  }
+
+  test("ws13 replay idempotency: re-merging an already-merged batch " +
+    "leaves the store answers unchanged (at-least-once is safe)") {
+    import org.apache.spark.sql.functions.col
+    val d = tmpDir("r11-ws13-idem")
+    writeEvents(d, (0L until 100L).map(u => (u, u, "click", 1.0)))
+    val store = tmpDir("r11-ws13-idem-store") + "/sketch_store"
+    val batch = Tables(spark, d, "events")
+      .select(col("event_type"), col("user_id"))
+    SketchOps.mergeThetaIntoStore(batch, col("event_type"),
+      col("user_id"), store)
+    val once = SketchOps.thetaEstimatesFromStore(spark, store, 3)
+    // the replay: same rows merged again (a foreachBatch retry)
+    SketchOps.mergeThetaIntoStore(batch, col("event_type"),
+      col("user_id"), store)
+    val twice = SketchOps.thetaEstimatesFromStore(spark, store, 3)
+    assert(once == twice && once.map(t => (t._1, t._2)) ==
+      Seq(("click", 100.0)),
+      s"theta union must be idempotent under replay: $once vs $twice")
+  }
 }
