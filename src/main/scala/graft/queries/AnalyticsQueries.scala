@@ -3459,6 +3459,10 @@ object AnalyticsQueries {
     // swap in EquiDepth prefix ranks, same arithmetic). Int64 width:
     // nd·x_d caps at ~9e18 — a retention of 3650 days bounds daily
     // volume at ~2.5e15 events before the lift to DECIMAL(38,0).
+    // Fixture invariant (ADVICE r10): the day key rides Spark's
+    // truncating unix_millis DIV 86400000 against DuckDB's flooring
+    // epoch_ms // 86400000 — identical only for ts ≥ epoch; the
+    // events fixture is all-2024 (same caveat recorded at q97/ws12).
     Q(
       "q95_cusum_drift",
       """WITH dd AS (

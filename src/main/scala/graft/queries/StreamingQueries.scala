@@ -1761,7 +1761,10 @@ object StreamingQueries {
     // deliveries; the late replay drops at the window operator, so a
     // replay can never masquerade as a volume spike — exactly the
     // false-alarm a takedown/backfill day would otherwise mint). The
-    // chart composes AFTER landing with q95's exact integer algebra:
+    // oracle's epoch_ms // 86400000 day key floors where Spark's
+    // window() truncates — identical only for ts ≥ epoch, the q95/q97
+    // fixture invariant (ADVICE r10; the events fixture is all-2024).
+    // The chart composes AFTER landing with q95's exact integer algebra:
     // deviations ×n_days, clamped recursion as prefix-sum minus
     // running-min (and the mirrored downward side), alarm = the exact
     // comparison cusum > 5·s — zero doubles anywhere. 100 TB: stream
