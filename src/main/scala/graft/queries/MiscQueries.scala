@@ -1826,10 +1826,12 @@ object MiscQueries {
     // bytes (SketchOps.kllQuantilesFromStore), never re-reading the
     // events table for the sketch side. Gate follows q72's
     // discipline exactly: the HASHED columns are the exact per-type
-    // quantile values (per-type rank window — the type vocabulary is
-    // bounded, so the partition-key exchange is balanced across ≤
-    // |types| groups; the SCALE answer path at 100 TB is the store
-    // itself, the exact leg is the audit) at the integer ceiling
+    // quantile values — per-type ranks from EquiDepth's range
+    // exchange over the composite (type, value, id) order minus
+    // bounded per-type offsets, never a type-partitioned window (a
+    // bounded-vocab partition key is one task per type at 100 TB);
+    // the SCALE answer path at 100 TB is the store itself, the
+    // exact leg is the audit — at the integer ceiling
     // rank ⌈qn·n/qd⌉ (q75: float ceil can round off a binary
     // representation), and the store's estimate enters ONLY through
     // the within_rank_eps flag — exact values at ranks (q ∓ 2ε)·n
@@ -1855,7 +1857,6 @@ object MiscQueries {
         |ORDER BY event_type, q""".stripMargin
     ) { (s, dir) =>
       import graft.operators.SketchOps
-      import org.apache.spark.sql.expressions.Window
       val ev = Tables(s, dir, "events")
       val store = graft.TempRoots.create("graft-skstore-b") +
         "/sketch_store"
@@ -1890,11 +1891,29 @@ object MiscQueries {
                 * col("n_rows")).cast("long")).as("rk")))).as("x"))
         .select(col("event_type"), col("q"), col("n_rows"),
           col("x.role").as("role"), col("x.rk").as("rk"))
-      val byType = Window.partitionBy(col("event_type"))
-        .orderBy(col("value"), col("event_id"))
-      val ranked = ev.select(col("event_type"), col("value"),
-          col("event_id"))
-        .withColumn("r", row_number().over(byType))
+      // per-type ranks WITHOUT a type-partitioned window: a
+      // bounded-vocab partition key is ONE task per type at 100 TB
+      // (the q43 lesson, per-group form). EquiDepth range-ranks the
+      // composite (event_type, value, event_id) total order — range
+      // exchange + pid-local window at ANY cardinality — and the
+      // per-type rank is gr − offset(type), offsets a bounded fold
+      // over the per-type counts (type names sort identically in
+      // both engines; the composite order groups each type's rows
+      // contiguously, so the subtraction is exact).
+      val ranked0 = graft.operators.EquiDepth.withGlobalRank(
+        ev.select(col("event_type"), col("value"), col("event_id")),
+        Seq(col("event_type"), col("value"), col("event_id")),
+        "gr", "gtot")
+      val offs = ns.agg(array_sort(collect_list(
+          struct(col("event_type"), col("n_rows")))).as("a"))
+        .select(explode(expr(
+          """transform(a, (x, i) -> struct(x.event_type AS event_type,
+            |  aggregate(slice(a, 1, i), 0L, (acc, y) -> acc + y.n_rows)
+            |  AS off))""".stripMargin)).as("o"))
+        .select(col("o.event_type").as("event_type"),
+          col("o.off").as("off"))
+      val ranked = ranked0.join(broadcast(offs), Seq("event_type"))
+        .withColumn("r", col("gr") - col("off"))
       ranked
         .join(broadcast(spine),
           col("r") === col("rk") &&

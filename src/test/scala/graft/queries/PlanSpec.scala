@@ -953,7 +953,8 @@ class PlanSpec extends SparkSpec {
       "q87_isotonic_calibration", "s24_dbscan", "q89_robust_location",
       "t28_jsd_drift", "q91_markov_removal", "p40_quantile_normalize",
       "q92_sketch_store_roundtrip", "q94_mann_whitney",
-      "q97_acf", "d25_capture_recapture", "q98_kruskal_wallis")
+      "q97_acf", "d25_capture_recapture", "q98_kruskal_wallis",
+      "q92b_store_quantiles")
     QueryRegistry.all
       .filterNot(q => isStreamLoop(q.name) || checkpoints.contains(q.name))
       .foreach { q =>
