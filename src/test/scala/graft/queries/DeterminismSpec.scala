@@ -75,8 +75,17 @@ class DeterminismSpec extends SparkSpec {
     "q91_markov_removal",    // BIGINT micro-units + one display division
     "q92_sketch_store_roundtrip", // theta store bytes are order-free;
                              // exact counts + 3-sigma bound flags (r10)
-    "q93_varopt_sample"      // randomized contents, but gated surface
+    "q93_varopt_sample",     // randomized contents, but gated surface
                              // is exact totals + structural flags (r10)
+    "q92b_store_quantiles",  // exact ceiling-rank order stats; the
+                             // KLL estimate enters only via a flag
+                             // with a doubled rank-eps bracket (r11)
+    "q92c_store_heavy_users", // freq purge order varies with
+                             // partitioning, but gated columns are
+                             // exact and flags structurally true (r11)
+    "ws13_stream_sketch_store" // theta retained set is a pure
+                             // function of the input set; exact
+                             // counts + 3-sigma flag (r11)
   )
 
   test("float-heavy queries are bit-identical across shuffle parallelism") {
