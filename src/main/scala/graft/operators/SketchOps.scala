@@ -191,29 +191,37 @@ object SketchOps {
   }
 
   /** Persist per-key mergeable-summary artifacts as a parquet STORE at
-    * `path`: one row per (key, kind) with kind ∈ {theta, kll, freq} —
-    * the summary table a 100 TB pipeline keeps per ingest batch so any
-    * later distinct/quantile/heavy-hitter question is answered from
-    * stored bytes without rescanning (Agarwal et al., PODS 2012). All
-    * three sketches build in ONE partial/final aggregation pass over
-    * the input. */
+    * `path`: one row per (key, kind) with kind ∈ {theta, kll, freq,
+    * varopt} — the summary table a 100 TB pipeline keeps per ingest
+    * batch so any later distinct/quantile/heavy-hitter/audit-sample
+    * question is answered from stored bytes without rescanning
+    * (Agarwal et al., PODS 2012; Cohen et al., SODA 2009 for the
+    * sample leg). All four sketches build in ONE partial/final
+    * aggregation pass over the input. */
   def writeSketchStore(df: org.apache.spark.sql.DataFrame,
       key: org.apache.spark.sql.Column,
       thetaVal: org.apache.spark.sql.Column,
       kllVal: org.apache.spark.sql.Column,
-      freqVal: org.apache.spark.sql.Column, path: String): Unit = {
+      freqVal: org.apache.spark.sql.Column,
+      varoptItem: org.apache.spark.sql.Column,
+      varoptWeight: org.apache.spark.sql.Column, path: String,
+      varoptK: Int = 64): Unit = {
     import org.apache.spark.sql.functions.{array, col, explode, lit,
       struct, udaf}
     val theta = udaf(new ThetaDistinct(12), Encoders.scalaLong)
     val kll = udaf(new KllBytes(200), Encoders.scalaDouble)
     val freq = udaf(new FreqLongs(1024), Encoders.scalaLong)
+    val vo = udaf(new VarOptLongs(varoptK),
+      ExpressionEncoder[(Long, Double)]())
     df.groupBy(key.as("k"))
       .agg(theta(thetaVal).as("t"), kll(kllVal.cast("double")).as("q"),
-        freq(freqVal).as("f"))
+        freq(freqVal).as("f"),
+        vo(varoptItem, varoptWeight.cast("double")).as("v"))
       .select(col("k"), explode(array(
         struct(lit("theta").as("kind"), col("t").as("bytes")),
         struct(lit("kll").as("kind"), col("q").as("bytes")),
-        struct(lit("freq").as("kind"), col("f").as("bytes")))).as("x"))
+        struct(lit("freq").as("kind"), col("f").as("bytes")),
+        struct(lit("varopt").as("kind"), col("v").as("bytes")))).as("x"))
       .select(col("k"), col("x.kind").as("kind"),
         col("x.bytes").as("bytes"))
       .write.mode("overwrite").parquet(path)
@@ -311,6 +319,47 @@ object SketchOps {
           e.getLowerBound, e.getUpperBound)).toSeq
     }
     (rows, sks.map { case (k, sk) => (k, sk.getMaximumError) })
+  }
+
+  /** Audit-sample answers from STORE BYTES ALONE: read the
+    * kind='varopt' rows back and return, per key, the sampled
+    * (item, adjustedWeight) rows plus each key's (sampleSize,
+    * adjustedTotal). The sample CONTENTS are randomized (which light
+    * items survive the R region), but three surfaces are structural
+    * in the weight multiset — sample size is exactly min(k, n), the
+    * adjusted-weight total is exactly the total stream weight (the
+    * VarOpt invariant, up to float-sum slack), and adjusted weights
+    * never fall below true weights — which is what q92d gates (q93's
+    * discipline, answered from persisted bytes instead of a live
+    * aggregation). Same model-state collect seam as
+    * kllQuantilesFromStore (≤ k items per key). */
+  def varoptFromStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Seq[(String, Long, Double)],
+        Seq[(String, Long, Double)]) = {
+    import org.apache.spark.sql.functions.col
+    val serde = new org.apache.datasketches.common.ArrayOfLongsSerDe()
+    val sks = spark.read.parquet(path)
+      .filter(col("kind") === "varopt")
+      .select(col("k"), col("bytes"))
+      .collect()
+      .map(r => (r.getString(0),
+        org.apache.datasketches.sampling.VarOptItemsSketch
+          .heapify(Memory.wrap(r.getAs[Array[Byte]](1)), serde)))
+      .toSeq.sortBy(_._1)
+    val rows = Seq.newBuilder[(String, Long, Double)]
+    val totals = sks.map { case (k, sk) =>
+      val it = sk.getSketchSamples.iterator()
+      var total = 0.0
+      var n = 0L
+      while (it.hasNext) {
+        val ws = it.next()
+        rows += ((k, ws.getItem.longValue, ws.getWeight))
+        total += ws.getWeight
+        n += 1L
+      }
+      (k, n, total)
+    }
+    (rows.result().sortBy(t => (t._1, t._2)), totals)
   }
 
   /** Per-micro-batch STREAMING maintenance of the theta leg of the

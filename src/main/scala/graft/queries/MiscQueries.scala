@@ -1771,7 +1771,9 @@ object MiscQueries {
       val store = graft.TempRoots.create("graft-skstore") +
         "/sketch_store"
       SketchOps.writeSketchStore(ev, col("event_type"),
-        col("user_id"), col("value"), col("user_id"), store)
+        col("user_id"), col("value"), col("user_id"), col("event_id"),
+        greatest(lit(1L), round(col("value") * 100).cast("long")),
+        store)
       // everything below this line that touches sketches reads the
       // STORE, not the corpus
       val boundsDf = broadcast(s.createDataFrame(
@@ -1861,7 +1863,9 @@ object MiscQueries {
       val store = graft.TempRoots.create("graft-skstore-b") +
         "/sketch_store"
       SketchOps.writeSketchStore(ev, col("event_type"),
-        col("user_id"), col("value"), col("user_id"), store)
+        col("user_id"), col("value"), col("user_id"), col("event_id"),
+        greatest(lit(1L), round(col("value") * 100).cast("long")),
+        store)
       // the sketch side below reads ONLY the store
       val quantiles = Seq(0.25, 0.5, 0.9)
       val eps2 = 2.0 * org.apache.datasketches.kll.KllSketch
@@ -1972,7 +1976,9 @@ object MiscQueries {
       val store = graft.TempRoots.create("graft-skstore-c") +
         "/sketch_store"
       SketchOps.writeSketchStore(ev, col("event_type"),
-        col("user_id"), col("value"), col("user_id"), store)
+        col("user_id"), col("value"), col("user_id"), col("event_id"),
+        greatest(lit(1L), round(col("value") * 100).cast("long")),
+        store)
       // the sketch side below reads ONLY the store. estDf is bounded
       // at maxMapSize(1024)·|types| rows by Misra-Gries state, but it
       // RAMPS toward that cap as the corpus grows (below saturation
@@ -2001,6 +2007,87 @@ object MiscQueries {
           (coalesce(col("est"), lit(0L)) > 0 ||
             col("n") <= col("max_err")).as("no_false_negative"))
         .orderBy(col("event_type"), col("user_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // q92d — AUDIT SAMPLE FROM THE STORE ALONE: the fourth and last
+    // leg of the q92 sketch store. q93 proved the VarOpt aggregation
+    // (Cohen et al., SODA 2009) live; q92d persists a per-type
+    // VarOpt(64) sample of event ids weighted by integer payload mass
+    // (greatest(1, round(value·100)) — positive, integer-valued, so
+    // every weight sum is an exact BIGINT in both engines) in the SAME
+    // one-pass store build as theta/KLL/freq, then answers the audit
+    // question from stored bytes alone: "hand me ≤ k events per type
+    // whose inclusion probability tracks their value mass, with
+    // adjusted weights that estimate any subset's total unbiasedly."
+    // Sample CONTENTS are randomized (which light items survive the R
+    // region), so — q93's discipline — the gate carries only
+    // structurally-true surfaces: sample size is exactly min(k, n),
+    // the adjusted-weight total is exactly the per-type total weight
+    // (the VarOpt invariant; 1e-9 relative flag for float-sum slack),
+    // adjusted weights never fall below true weights (H keeps w, R
+    // lifts to τ ≥ w), and every sampled id joins back to a real
+    // event of its type. Corpus-side work: the store build plus one
+    // join of the ≤ k·|types|-row sample (hard-bounded by the k=64
+    // constant, so the broadcast hint is safe at every scale) for the
+    // membership/weight-floor checks.
+    Q(
+      "q92d_store_varopt",
+      """SELECT event_type, CAST(64 AS BIGINT) AS k,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(GREATEST(1, CAST(round(value * 100) AS BIGINT)))
+        |    AS BIGINT) AS total_weight,
+        |  CAST(least(64, count(*)) AS BIGINT) AS sample_size,
+        |  CAST(TRUE AS BOOLEAN) AS est_total_ok,
+        |  CAST(TRUE AS BOOLEAN) AS adjusted_weights_ok,
+        |  CAST(TRUE AS BOOLEAN) AS items_are_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.SketchOps
+      val ev = Tables(s, dir, "events")
+      val store = graft.TempRoots.create("graft-skstore-d") +
+        "/sketch_store"
+      SketchOps.writeSketchStore(ev, col("event_type"),
+        col("user_id"), col("value"), col("user_id"), col("event_id"),
+        greatest(lit(1L), round(col("value") * 100).cast("long")),
+        store)
+      // the sketch side below reads ONLY the store
+      val (sampleRows, totals) = SketchOps.varoptFromStore(s, store)
+      val sampleDf = broadcast(s.createDataFrame(sampleRows)
+        .toDF("event_type", "event_id", "adj_w"))
+      val totalsDf = broadcast(s.createDataFrame(totals)
+        .toDF("event_type", "sample_size", "adj_total"))
+      // exact legs: per-type counts and exact-integer weight totals,
+      // plus the membership/weight-floor checks riding ONE inner join
+      // of the ≤ 64·|types|-row sample (an unmatched sampled id simply
+      // doesn't join, failing the count equality)
+      val w = greatest(lit(1L), round(col("value") * 100).cast("long"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(w).cast("long").as("total_weight"))
+      val checks = ev
+        .select(col("event_type"), col("event_id"), w.as("true_w"))
+        .join(sampleDf, Seq("event_type", "event_id"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_matched"),
+          sum(when(col("adj_w") >=
+              col("true_w").cast("double") - lit(1e-6), 1L)
+            .otherwise(0L)).cast("long").as("n_w_ok"))
+      // the gated sample_size is the STORE's own count — VarOpt
+      // retains exactly min(k, n), which is what the oracle pins
+      exact
+        .join(broadcast(checks), Seq("event_type"), "left_outer")
+        .join(totalsDf, Seq("event_type"))
+        .select(col("event_type"), lit(64L).as("k"), col("n"),
+          col("total_weight"), col("sample_size"),
+          (abs(col("adj_total") - col("total_weight").cast("double"))
+            <= lit(1e-9) * col("total_weight").cast("double"))
+            .as("est_total_ok"),
+          (coalesce(col("n_w_ok"), lit(0L)) === col("sample_size"))
+            .as("adjusted_weights_ok"),
+          (coalesce(col("n_matched"), lit(0L)) === col("sample_size"))
+            .as("items_are_events"))
+        .orderBy(col("event_type"))
     },
 
     // ---------------------------------------------------------------

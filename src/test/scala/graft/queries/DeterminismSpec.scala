@@ -83,9 +83,13 @@ class DeterminismSpec extends SparkSpec {
     "q92c_store_heavy_users", // freq purge order varies with
                              // partitioning, but gated columns are
                              // exact and flags structurally true (r11)
-    "ws13_stream_sketch_store" // theta retained set is a pure
+    "ws13_stream_sketch_store", // theta retained set is a pure
                              // function of the input set; exact
                              // counts + 3-sigma flag (r11)
+    "q92d_store_varopt"      // sample contents randomized, but gated
+                             // columns are exact BIGINTs and flags
+                             // structurally true (min(k,n) size,
+                             // invariant total, weight floor) (r11)
   )
 
   test("float-heavy queries are bit-identical across shuffle parallelism") {

@@ -954,7 +954,7 @@ class PlanSpec extends SparkSpec {
       "t28_jsd_drift", "q91_markov_removal", "p40_quantile_normalize",
       "q92_sketch_store_roundtrip", "q94_mann_whitney",
       "q97_acf", "d25_capture_recapture", "q98_kruskal_wallis",
-      "q92b_store_quantiles")
+      "q92b_store_quantiles", "q92d_store_varopt")
     QueryRegistry.all
       .filterNot(q => isStreamLoop(q.name) || checkpoints.contains(q.name))
       .foreach { q =>

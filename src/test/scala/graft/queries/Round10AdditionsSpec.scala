@@ -50,17 +50,18 @@ class Round10AdditionsSpec extends SparkSpec {
     val ev = Tables(spark, d, "events")
     val store = tmpDir("r10-store-tbl") + "/sketch_store"
     SketchOps.writeSketchStore(ev, col("event_type"), col("user_id"),
-      col("value"), col("user_id"), store)
+      col("value"), col("user_id"), col("event_id"),
+      greatest(lit(1L), round(col("value") * 100).cast("long")), store)
     // round-trip fidelity: what parquet hands back IS what heapify
-    // accepts, for all three kinds, and the bytes parse to sketches
+    // accepts, for all four kinds, and the bytes parse to sketches
     // whose answers match the in-session build
     val rows = spark.read.parquet(store)
       .collect()
       .map(r => ((r.getString(0), r.getString(1)),
         r.getAs[Array[Byte]](2))).toMap
     assert(rows.keySet == Set(("click", "theta"), ("click", "kll"),
-      ("click", "freq"), ("view", "theta"), ("view", "kll"),
-      ("view", "freq")))
+      ("click", "freq"), ("click", "varopt"), ("view", "theta"),
+      ("view", "kll"), ("view", "freq"), ("view", "varopt")))
     // theta: retained set is order-independent -> stored bytes answer
     // exactly like the in-session per-key build
     val inSession = SketchOps.thetaPerKey(ev, col("event_type"),
@@ -84,6 +85,10 @@ class Round10AdditionsSpec extends SparkSpec {
       val fr = org.apache.datasketches.frequencies.LongsSketch
         .getInstance(Memory.wrap(rows((k, "freq"))))
       assert(fr.getStreamLength == 100L, s"$k: freq lost updates")
+      val vo = org.apache.datasketches.sampling.VarOptItemsSketch
+        .heapify(Memory.wrap(rows((k, "varopt"))),
+          new org.apache.datasketches.common.ArrayOfLongsSerDe())
+      assert(vo.getN == 100L, s"$k: varopt lost updates")
     }
     // the bytes-only set algebra sees the planted overlap exactly
     // (both sets < 4096 keys -> exact mode)

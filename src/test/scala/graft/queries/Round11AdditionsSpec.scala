@@ -5,12 +5,13 @@ import org.apache.spark.sql.functions._
 import graft.{QueryRegistry, SparkSpec, Tables}
 import graft.operators.SketchOps
 
-/** Round-11 additions: the q92b/q92c from-store answer legs that
+/** Round-11 additions: the q92b/q92c/q92d from-store answer legs that
   * complete the q92 sketch-store contract (VERDICT r10 task #5 — a
-  * quantile and a heavy-hitter question answered from persisted bytes
-  * alone). Discipline as in Round10AdditionsSpec: planted-truth
-  * fixtures plus independent plain-Scala recounts of the exact gated
-  * surfaces and direct byte-level checks of the store answers. */
+  * quantile, a heavy-hitter, and an audit-sample question answered
+  * from persisted bytes alone). Discipline as in Round10AdditionsSpec:
+  * planted-truth fixtures plus independent plain-Scala recounts of the
+  * exact gated surfaces and direct byte-level checks of the store
+  * answers. */
 class Round11AdditionsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
@@ -90,7 +91,8 @@ class Round11AdditionsSpec extends SparkSpec {
     val store = tmpDir("r11-q92b-tbl") + "/sketch_store"
     SketchOps.writeSketchStore(Tables(spark, d, "events"),
       col("event_type"), col("user_id"), col("value"), col("user_id"),
-      store)
+      col("event_id"),
+      greatest(lit(1L), round(col("value") * 100).cast("long")), store)
     // 100 updates < the k=200 buffer: the sketch has never compacted,
     // so the INCLUSIVE quantile is the exact order statistic
     val ans = SketchOps.kllQuantilesFromStore(spark, store,
@@ -141,7 +143,8 @@ class Round11AdditionsSpec extends SparkSpec {
     val store = tmpDir("r11-q92c-tbl") + "/sketch_store"
     SketchOps.writeSketchStore(Tables(spark, d, "events"),
       col("event_type"), col("user_id"), col("value"), col("user_id"),
-      store)
+      col("event_id"),
+      greatest(lit(1L), round(col("value") * 100).cast("long")), store)
     val (rows, errs) = SketchOps.freqEstimatesFromStore(spark, store)
     assert(errs == Seq(("click", 0L)),
       s"exact mode expected (no purges), got maxError $errs")
@@ -226,6 +229,80 @@ class Round11AdditionsSpec extends SparkSpec {
     val fin = SketchOps.thetaEstimatesFromStore(spark, store, 3)
     assert(fin.map(t => (t._1, t._2)) == Seq(("click", 150.0)),
       s"resumed store must cover the union of both publishes: $fin")
+  }
+
+  // -----------------------------------------------------------------
+  // q92d audit sample from the store
+
+  test("q92d: per-type counts and exact integer weight totals match a " +
+    "plain-Scala recount; sample sizes are min(k, n); all flags true") {
+    val rows = Tables(spark, dir, "events")
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val expected = rows.groupBy(_._1).view.mapValues { vs =>
+      val n = vs.length.toLong
+      val w = vs.map(v => math.max(1L, math.round(v._2 * 100))).sum
+      (n, w, math.min(64L, n))
+    }.toMap
+    val got = QueryRegistry.byName("q92d_store_varopt")
+      .run(spark, dir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val t = r.getString(0)
+      val (n, w, ss) = expected(t)
+      assert(r.getLong(1) == 64L)
+      assert(r.getLong(2) == n && r.getLong(3) == w &&
+        r.getLong(4) == ss,
+        s"$t: got (${r.getLong(2)}, ${r.getLong(3)}, ${r.getLong(4)})" +
+          s" want ($n, $w, $ss)")
+      assert(r.getBoolean(5) && r.getBoolean(6) && r.getBoolean(7),
+        s"$t: a structurally-true VarOpt flag came back false")
+    }
+  }
+
+  test("q92d planted exact mode: n <= k keeps EVERY item with its true " +
+    "weight, answered from bytes written by a different pass") {
+    val d = tmpDir("r11-q92d")
+    // 50 click events, weights = round(value*100) = 100·i
+    writeEvents(d, (1L to 50L).map(i => (i, i, "click", i.toDouble)))
+    val store = tmpDir("r11-q92d-tbl") + "/sketch_store"
+    SketchOps.writeSketchStore(Tables(spark, d, "events"),
+      col("event_type"), col("user_id"), col("value"), col("user_id"),
+      col("event_id"),
+      greatest(lit(1L), round(col("value") * 100).cast("long")), store)
+    val (sample, totals) = SketchOps.varoptFromStore(spark, store)
+    // under-capacity: the sample IS the input, adjusted weight == true
+    // weight exactly (no R region exists yet)
+    assert(totals == Seq(("click", 50L, (1 to 50).map(_ * 100.0).sum)),
+      s"exact-mode totals diverged: $totals")
+    assert(sample == (1L to 50L).map(i => ("click", i, i * 100.0)),
+      s"exact-mode sample must be the full weighted input: $sample")
+    // and the registry query gates it green
+    val got = QueryRegistry.byName("q92d_store_varopt")
+      .run(spark, d).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(2) == 50L && r.getLong(3) == 127500L &&
+      r.getLong(4) == 50L, s"planted q92d exact legs diverged: $r")
+    assert(r.getBoolean(5) && r.getBoolean(6) && r.getBoolean(7),
+      s"planted q92d flags diverged: $r")
+  }
+
+  test("q92d over-capacity: k < n still satisfies min(k,n) size, the " +
+    "invariant total, and the weight floor (randomized contents)") {
+    val d = tmpDir("r11-q92d-oc")
+    writeEvents(d, (1L to 300L).map(i =>
+      (i, i, "click", (1 + (i % 17)).toDouble)))
+    val got = QueryRegistry.byName("q92d_store_varopt")
+      .run(spark, d).collect()
+    assert(got.length == 1)
+    val r = got.head
+    val totalW = (1L to 300L).map(i => (1 + (i % 17)) * 100L).sum
+    assert(r.getLong(2) == 300L && r.getLong(3) == totalW &&
+      r.getLong(4) == 64L,
+      s"over-capacity exact legs diverged: $r")
+    assert(r.getBoolean(5) && r.getBoolean(6) && r.getBoolean(7),
+      s"a VarOpt invariant failed over capacity: $r")
   }
 
   test("ws13 replay idempotency: re-merging an already-merged batch " +
