@@ -423,6 +423,60 @@ object SketchOps {
       s"sketch-store swap failed: $tmp -> $path")
   }
 
+  /** Exactly-once STREAMING maintenance for the NON-idempotent sketch
+    * legs (ws14). Theta union is a set union, so ws13's merge-in-place
+    * is replay-safe by algebra; KLL (and freq/VarOpt) MERGES
+    * DOUBLE-COUNT a replayed batch. The classical fix is the
+    * idempotent-overwrite pattern: foreachBatch's batchId is
+    * deterministic under retry (Structured Streaming replays the SAME
+    * batch id from the checkpointed offset log), so each batch writes
+    * its per-key sketch shard to `shardRoot/batch=<batchId>` with
+    * overwrite — a crash-and-replay REPLACES the shard instead of
+    * re-merging it, and the store's answer is a pure function of the
+    * committed offset ranges. The shard build is one distributed
+    * partial/final aggregation; nothing reaches the driver on the
+    * write path. Readers merge shards at read time (KLL merge is
+    * associative and order-free). At 100 TB the shard count grows
+    * with batches, not data — a compactor that folds shards older
+    * than N into a checkpoint shard (same overwrite discipline,
+    * keyed by the max folded batch id) bounds it; the gate SFs stay
+    * well under any such threshold. */
+  def writeKllShard(batch: org.apache.spark.sql.DataFrame,
+      key: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column, shardRoot: String,
+      batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.udaf
+    val kll = udaf(new KllBytes(200), Encoders.scalaDouble)
+    batch.groupBy(key.as("k"))
+      .agg(kll(value.cast("double")).as("bytes"))
+      .write.mode("overwrite")
+      .parquet(s"$shardRoot/batch=$batchId")
+  }
+
+  /** Quantile answers from the batch-id-SHARDED store alone: read
+    * every `batch=*` shard under `shardRoot`, merge each key's KLL
+    * sketches (associative, order-free — the mergeability that makes
+    * per-batch shards a valid decomposition of the corpus sketch),
+    * and return (key, q, estimate) per requested quantile. Driver-side
+    * MODEL-STATE collect: |batches|·|keys| rows of ~KB sketch bytes
+    * (the kllQuantilesFromStore seam, one extra bounded dimension). */
+  def kllQuantilesFromShardedStore(
+      spark: org.apache.spark.sql.SparkSession, shardRoot: String,
+      qs: Seq[Double]): Seq[(String, Double, Double)] = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(shardRoot)
+      .select(col("k"), col("bytes"))
+      .collect()
+      .groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      .flatMap { case (k, rows) =>
+        val m = KllDoublesSketch.newHeapInstance(200)
+        rows.foreach(r => m.merge(KllDoublesSketch.heapify(
+          Memory.wrap(r.getAs[Array[Byte]](1)))))
+        qs.map(q => (k, q,
+          m.getQuantile(q, QuantileSearchCriteria.INCLUSIVE)))
+      }.sortBy(t => (t._1, t._2))
+  }
+
   /** Distinct-count answers from STORE BYTES ALONE: per stored key the
     * theta estimate with `numStdDev`-sigma bounds — the question ws13
     * gates after its streaming merges land. Same model-state collect

@@ -1897,8 +1897,112 @@ object StreamingQueries {
             col("n_users").cast("double") <= col("ub"))
             .as("in_bounds"))
         .orderBy(col("event_type"))
+    },
+
+    // ---------------------------------------------------------------
+    // ws14 — EXACTLY-ONCE MAINTENANCE OF A NON-IDEMPOTENT LEG: ws13's
+    // theta leg is replay-safe by ALGEBRA (set union re-merges to the
+    // same store); the KLL quantile leg is not — merging a replayed
+    // batch double-counts its updates. ws14 closes that half of the
+    // streaming-store story with the idempotent-overwrite pattern:
+    // foreachBatch's batchId is deterministic under retry (Structured
+    // Streaming replays the SAME id from the checkpointed offset
+    // log), so each micro-batch writes its per-type KLL shard to
+    // store/batch=<id> with overwrite — a crash-and-replay REPLACES
+    // the shard, and the merged answer is a pure function of the
+    // committed offset ranges (replay-overwrite and restart-resume
+    // pinned in Round11AdditionsSpec). The value column is recovered
+    // across ALL five payload modes (JSON/XML/CSV parse via m02
+    // dispatch; the text/plain fallback's second token — double→
+    // string→double round-trips exactly in Spark). Gate is q92b's
+    // ceiling-rank discipline via the shared QuantileRankGate: exact
+    // per-type order statistics gate value-for-value, the sharded
+    // store's merged estimate enters only through the doubled
+    // rank-eps bracket flag (KLL merge preserves the k=200 bound).
+    Q(
+      "ws14_stream_kll_shards",
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS r,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n
+        |  FROM events),
+        |qs AS (SELECT * FROM (VALUES (0.25, 1, 4), (0.5, 1, 2),
+        |    (0.9, 9, 10)) AS v(q, qn, qd))
+        |SELECT event_type, CAST(q AS DOUBLE) AS q, n, value,
+        |  CAST(TRUE AS BOOLEAN) AS within_rank_eps
+        |FROM qs JOIN r ON r.r = GREATEST(1, (qn * n + qd - 1) // qd)
+        |ORDER BY event_type, q""".stripMargin
+    ) { (s, dir) =>
+      val root = graft.TempRoots.create("graft-wkll")
+      val ckpt = graft.TempRoots.create("graft-wkll-ckpt")
+      val shards = graft.TempRoots.create("graft-wkll-store") +
+        "/kll_shards"
+      TopicStore.publish(s,
+        MessageOps.fromEvents(Tables(s, dir, "events")), root,
+        "events", 4)
+      StreamKllShardGate.pass(s, root, ckpt, shards, 25000L)
+      // the sketch side below reads ONLY the sharded store
+      val eps2 = 2.0 * org.apache.datasketches.kll.KllSketch
+        .getNormalizedRankError(200, false)
+      val est = broadcast(s.createDataFrame(
+          graft.operators.SketchOps.kllQuantilesFromShardedStore(
+            s, shards, Seq(0.25, 0.5, 0.9)))
+        .toDF("event_type", "q", "estq"))
+      QuantileRankGate.gate(Tables(s, dir, "events"), est, eps2)
     }
   )
+}
+
+/** ws14's streaming shard-maintenance harness: one AvailableNow pass
+  * over the topic at `root`, resuming from `ckpt`'s committed offsets,
+  * writing each micro-batch's per-type KLL sketch shard to
+  * `shardRoot/batch=<batchId>` (idempotent overwrite — the
+  * exactly-once seam for non-idempotent sketch merges). Returns the
+  * batch ids written this pass. */
+private[queries] object StreamKllShardGate {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  def pass(s: SparkSession, root: String, ckpt: String,
+      shardRoot: String, maxPerBatch: Long): Seq[Long] = {
+    val batchIds =
+      java.util.Collections.synchronizedList(
+        new java.util.ArrayList[Long]())
+    StreamHarness.withShufflePartitions(s, "8") {
+      val raw = s.readStream.format("pulsarlike")
+        .option("path", root)
+        .option("serviceUrl", "pulsar://local")
+        .option("topicNames", "events")
+        .option("subscriptionInitialPosition", "Earliest")
+        .option("batchingMaxMessages", maxPerBatch.toString)
+        .load()
+      val parsed = MessageOps
+        .contentTypeDispatch(raw, MessageOps.payloadSchema)
+        .select(
+          coalesce(col("parsed.event_type"),
+            split_part(col("value_str"), lit(" "), lit(1)))
+            .as("event_type"),
+          coalesce(col("parsed.value").cast("double"),
+            expr("try_cast(split_part(value_str, ' ', 2) AS DOUBLE)"))
+            .as("value"))
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+      val q = parsed.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, bid: Long) =>
+          graft.operators.SketchOps.writeKllShard(df,
+            col("event_type"), col("value"), shardRoot, bid)
+          batchIds.add(bid)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    import scala.jdk.CollectionConverters._
+    batchIds.asScala.toSeq
+  }
 }
 
 /** ws13's streaming store-maintenance harness: one AvailableNow pass

@@ -86,10 +86,13 @@ class DeterminismSpec extends SparkSpec {
     "ws13_stream_sketch_store", // theta retained set is a pure
                              // function of the input set; exact
                              // counts + 3-sigma flag (r11)
-    "q92d_store_varopt"      // sample contents randomized, but gated
+    "q92d_store_varopt",     // sample contents randomized, but gated
                              // columns are exact BIGINTs and flags
                              // structurally true (min(k,n) size,
                              // invariant total, weight floor) (r11)
+    "ws14_stream_kll_shards" // exact ceiling-rank order stats; the
+                             // merged shard estimate enters only via
+                             // the doubled rank-eps flag (r11)
   )
 
   test("float-heavy queries are bit-identical across shuffle parallelism") {

@@ -353,6 +353,10 @@ object FloatSurfaceInventory {
     // ceiling ranks + a literal quantile label; the KLL estimate enters
     // only through the within_rank_eps flag) -----------------------------
     ("q92b_store_quantiles", "q") -> pass,
-    ("q92b_store_quantiles", "value") -> pass
+    ("q92b_store_quantiles", "value") -> pass,
+    // ws14: q92b's surface driven against the stream-maintained
+    // batch-id-sharded store (same shared QuantileRankGate assembly)
+    ("ws14_stream_kll_shards", "q") -> pass,
+    ("ws14_stream_kll_shards", "value") -> pass
   )
 }

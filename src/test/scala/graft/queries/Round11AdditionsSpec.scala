@@ -305,6 +305,109 @@ class Round11AdditionsSpec extends SparkSpec {
       s"a VarOpt invariant failed over capacity: $r")
   }
 
+  // -----------------------------------------------------------------
+  // ws14 exactly-once KLL shards
+
+  test("ws14 registry planted: a known uniform ladder is answered " +
+    "exactly from the stream-maintained sharded store, flags true") {
+    val d = tmpDir("r11-ws14")
+    writeEvents(d,
+      (1L to 100L).map(i => (i, i, "click", i.toDouble)) ++
+        (1L to 40L).map(i => (1000L + i, i, "view", i.toDouble)))
+    val got = QueryRegistry.byName("ws14_stream_kll_shards")
+      .run(spark, d).collect()
+      .map(r => ((r.getString(0), r.getDouble(1)),
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got(("click", 0.25)) == ((100L, 25.0, true)))
+    assert(got(("click", 0.5)) == ((100L, 50.0, true)))
+    assert(got(("click", 0.9)) == ((100L, 90.0, true)))
+    assert(got(("view", 0.25)) == ((40L, 10.0, true)))
+    assert(got(("view", 0.5)) == ((40L, 20.0, true)))
+    assert(got(("view", 0.9)) == ((40L, 36.0, true)))
+  }
+
+  test("ws14 multi-batch: small admission caps split the pass into " +
+    "several shards whose merge answers exactly (uncompacted mode)") {
+    import graft.operators.MessageOps
+    import graft.sources.TopicStore
+    val d = tmpDir("r11-ws14-mb")
+    writeEvents(d, (1L to 100L).map(i => (i, i, "click", i.toDouble)))
+    val root = tmpDir("r11-ws14-mb-topic")
+    val ckpt = tmpDir("r11-ws14-mb-ckpt")
+    val shards = tmpDir("r11-ws14-mb-store") + "/kll_shards"
+    TopicStore.publish(spark,
+      MessageOps.fromEvents(Tables(spark, d, "events")), root,
+      "events", 4)
+    val bids = StreamKllShardGate.pass(spark, root, ckpt, shards, 30L)
+    assert(bids.length > 1,
+      s"cap 30 over 100 messages must split into several shards: $bids")
+    // 100 total updates < k=200: the MERGED sketch is uncompacted, so
+    // INCLUSIVE quantiles are the exact order statistics
+    val ans = SketchOps.kllQuantilesFromShardedStore(spark, shards,
+      Seq(0.25, 0.5, 0.9)).map(t => (t._2, t._3)).toMap
+    assert(ans(0.25) == 25.0 && ans(0.5) == 50.0 && ans(0.9) == 90.0,
+      s"sharded-store exact-mode answers diverged: $ans")
+  }
+
+  test("ws14 replay idempotency: rewriting the SAME batch id replaces " +
+    "its shard — answers and shard count unchanged (exactly-once)") {
+    import org.apache.spark.sql.functions.col
+    val d = tmpDir("r11-ws14-idem")
+    writeEvents(d, (1L to 100L).map(i => (i, i, "click", i.toDouble)))
+    val shards = tmpDir("r11-ws14-idem-store") + "/kll_shards"
+    val batch = Tables(spark, d, "events")
+      .select(col("event_type"), col("value"))
+    SketchOps.writeKllShard(batch, col("event_type"), col("value"),
+      shards, 0L)
+    val once = SketchOps.kllQuantilesFromShardedStore(spark, shards,
+      Seq(0.5))
+    // the replay: the same deterministic batch id retried after a
+    // crash-before-commit — an overwrite, NOT a second merge
+    SketchOps.writeKllShard(batch, col("event_type"), col("value"),
+      shards, 0L)
+    val twice = SketchOps.kllQuantilesFromShardedStore(spark, shards,
+      Seq(0.5))
+    assert(once == twice && once.map(t => (t._1, t._3)) ==
+      Seq(("click", 50.0)),
+      s"batch-id overwrite must be idempotent: $once vs $twice")
+    val dirs = new java.io.File(shards).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq
+    assert(dirs == Seq("batch=0"),
+      s"a replayed batch must not mint a new shard: $dirs")
+  }
+
+  test("ws14 restart-resume: a second pass on the same checkpoint " +
+    "writes only NEW batch ids and the merge covers both publishes") {
+    import graft.operators.MessageOps
+    import graft.sources.TopicStore
+    val d1 = tmpDir("r11-ws14-rr1")
+    val d2 = tmpDir("r11-ws14-rr2")
+    // pass 1: values 1..80; pass 2: values 81..100 (disjoint ids)
+    writeEvents(d1, (1L to 80L).map(i => (i, i, "click", i.toDouble)))
+    writeEvents(d2, (81L to 100L).map(i =>
+      (i, i, "click", i.toDouble)))
+    val root = tmpDir("r11-ws14-rr-topic")
+    val ckpt = tmpDir("r11-ws14-rr-ckpt")
+    val shards = tmpDir("r11-ws14-rr-store") + "/kll_shards"
+    TopicStore.publish(spark,
+      MessageOps.fromEvents(Tables(spark, d1, "events")), root,
+      "events", 4)
+    val b1 = StreamKllShardGate.pass(spark, root, ckpt, shards, 50L)
+    assert(b1.length == 2,
+      s"pass 1: 80 messages under cap 50 = 2 shards, got $b1")
+    TopicStore.publish(spark,
+      MessageOps.fromEvents(Tables(spark, d2, "events")), root,
+      "events", 4)
+    val b2 = StreamKllShardGate.pass(spark, root, ckpt, shards, 50L)
+    assert(b2.length == 1 && b2.forall(i => !b1.contains(i)),
+      s"pass 2 must resume and write ONLY new shard ids: $b1 then $b2")
+    val ans = SketchOps.kllQuantilesFromShardedStore(spark, shards,
+      Seq(0.5, 0.9)).map(t => (t._2, t._3)).toMap
+    // 100 total updates across 3 shards < k=200 -> exact order stats
+    assert(ans(0.5) == 50.0 && ans(0.9) == 90.0,
+      s"resumed sharded store must cover both publishes: $ans")
+  }
+
   test("ws13 replay idempotency: re-merging an already-merged batch " +
     "leaves the store answers unchanged (at-least-once is safe)") {
     import org.apache.spark.sql.functions.col
