@@ -437,10 +437,9 @@ object SketchOps {
     * partial/final aggregation; nothing reaches the driver on the
     * write path. Readers merge shards at read time (KLL merge is
     * associative and order-free). At 100 TB the shard count grows
-    * with batches, not data — a compactor that folds shards older
-    * than N into a checkpoint shard (same overwrite discipline,
-    * keyed by the max folded batch id) bounds it; the gate SFs stay
-    * well under any such threshold. */
+    * with batches, not data — [[compactKllShards]] folds shards older
+    * than the newest N into a checkpoint shard, bounding the store at
+    * N+1 shards forever. */
   def writeKllShard(batch: org.apache.spark.sql.DataFrame,
       key: org.apache.spark.sql.Column,
       value: org.apache.spark.sql.Column, shardRoot: String,
@@ -451,6 +450,79 @@ object SketchOps {
       .agg(kll(value.cast("double")).as("bytes"))
       .write.mode("overwrite")
       .parquet(s"$shardRoot/batch=$batchId")
+  }
+
+  /** Shard COMPACTION for the batch-id-sharded store: fold every shard
+    * except the newest `keepLast` into one checkpoint shard keyed by
+    * the largest folded batch id (KLL merge is associative, so the
+    * checkpoint answers exactly like the shards it replaces), bounding
+    * store size by keepLast+1 regardless of how many batches have ever
+    * run — the piece that keeps ws14's store model-state-sized at
+    * 100 TB ingest volumes. Crash-safe by the same tmp+swap discipline
+    * as mergeThetaIntoStore: the ENTIRE new store (checkpoint + kept
+    * shards) is built at a `.tmp` sibling and renamed into place in
+    * one move, so a crash at any point leaves either the old store or
+    * the new one — never a double-counting mix. (The store is
+    * model-state-sized — KBs per shard — so the whole-store rewrite is
+    * cheap.) Runs between stream passes: the overwrite-by-batch-id
+    * write path stays untouched, and a replayed batch id older than
+    * the checkpoint cannot occur because compaction only folds
+    * batches already committed to the offset log. Idempotent:
+    * re-compacting folds the previous checkpoint into the next. */
+  def compactKllShards(spark: org.apache.spark.sql.SparkSession,
+      shardRoot: String, keepLast: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val rootDir = new java.io.File(shardRoot)
+    if (!rootDir.exists()) return
+    val ids = rootDir.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName.stripPrefix("batch=").toLong)
+      .sorted.toSeq
+    if (ids.length <= keepLast + 1) return
+    val fold = ids.dropRight(keepLast)
+    val keep = ids.takeRight(keepLast)
+    // fold: per-key merged bytes across the folded shards (model
+    // state: |fold|·|keys| rows of ~KB sketches)
+    val merged = fold
+      .map(id => spark.read.parquet(s"$shardRoot/batch=$id"))
+      .reduce(_ unionByName _)
+      .select(col("k"), col("bytes"))
+      .collect()
+      .groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      .map { case (k, rows) =>
+        val m = KllDoublesSketch.newHeapInstance(200)
+        rows.foreach(r => m.merge(KllDoublesSketch.heapify(
+          Memory.wrap(r.getAs[Array[Byte]](1)))))
+        (k, m.toByteArray)
+      }
+    val tmp = shardRoot + ".tmp"
+    val tmpDir = new java.io.File(tmp)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (tmpDir.exists()) rm(tmpDir)
+    spark.createDataFrame(merged).toDF("k", "bytes")
+      .coalesce(1).write.parquet(s"$tmp/batch=${fold.max}")
+    keep.foreach { id =>
+      // kept shards move byte-identically into the new store
+      java.nio.file.Files.walk(
+          java.nio.file.Paths.get(s"$shardRoot/batch=$id"))
+        .sorted()
+        .forEach { p =>
+          val rel = java.nio.file.Paths.get(s"$shardRoot/batch=$id")
+            .relativize(p)
+          val dst = java.nio.file.Paths.get(s"$tmp/batch=$id")
+            .resolve(rel)
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(dst)
+          else java.nio.file.Files.copy(p, dst)
+          ()
+        }
+    }
+    rm(rootDir)
+    require(tmpDir.renameTo(rootDir),
+      s"kll-shard compaction swap failed: $tmp -> $shardRoot")
   }
 
   /** Quantile answers from the batch-id-SHARDED store alone: read

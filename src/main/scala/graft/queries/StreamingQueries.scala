@@ -1919,6 +1919,10 @@ object StreamingQueries {
     // per-type order statistics gate value-for-value, the sharded
     // store's merged estimate enters only through the doubled
     // rank-eps bracket flag (KLL merge preserves the k=200 bound).
+    // Shard growth is bounded by SketchOps.compactKllShards (fold all
+    // but the newest N shards into a checkpoint shard, tmp+swap
+    // crash-safe); the gate itself compacts to checkpoint+1 before
+    // answering, so multi-batch SFs prove the fold preserves answers.
     Q(
       "ws14_stream_kll_shards",
       """WITH r AS (
@@ -1943,6 +1947,11 @@ object StreamingQueries {
         MessageOps.fromEvents(Tables(s, dir, "events")), root,
         "events", 4)
       StreamKllShardGate.pass(s, root, ckpt, shards, 25000L)
+      // compact to checkpoint+1 BEFORE answering: the gated row rides
+      // the compacted store wherever the pass split into multiple
+      // batches (sf0.1), proving the fold preserves answers; a no-op
+      // at single-batch SFs
+      graft.operators.SketchOps.compactKllShards(s, shards, 1)
       // the sketch side below reads ONLY the sharded store
       val eps2 = 2.0 * org.apache.datasketches.kll.KllSketch
         .getNormalizedRankError(200, false)

@@ -376,6 +376,51 @@ class Round11AdditionsSpec extends SparkSpec {
       s"a replayed batch must not mint a new shard: $dirs")
   }
 
+  test("ws14 compaction: folding old shards into a checkpoint shard " +
+    "preserves answers, bounds the store, and is idempotent") {
+    import org.apache.spark.sql.functions.col
+    val d = tmpDir("r11-ws14-cpt")
+    writeEvents(d, (1L to 100L).map(i => (i, i, "click", i.toDouble)))
+    val shards = tmpDir("r11-ws14-cpt-store") + "/kll_shards"
+    val ev = Tables(spark, d, "events")
+    // five shards of 20 values each (batch ids 0..4)
+    (0L until 5L).foreach { b =>
+      SketchOps.writeKllShard(
+        ev.filter(col("event_id") > b * 20 &&
+          col("event_id") <= (b + 1) * 20)
+          .select(col("event_type"), col("value")),
+        col("event_type"), col("value"), shards, b)
+    }
+    def dirs() = new java.io.File(shards).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName)
+      .sorted.toSeq
+    val before = SketchOps.kllQuantilesFromShardedStore(spark, shards,
+      Seq(0.25, 0.5, 0.9))
+    assert(dirs() == Seq("batch=0", "batch=1", "batch=2", "batch=3",
+      "batch=4"))
+    SketchOps.compactKllShards(spark, shards, 2)
+    // batches 0..2 folded into checkpoint batch=2; 3 and 4 kept
+    assert(dirs() == Seq("batch=2", "batch=3", "batch=4"),
+      s"compaction must bound the store at keepLast+1: ${dirs()}")
+    val after = SketchOps.kllQuantilesFromShardedStore(spark, shards,
+      Seq(0.25, 0.5, 0.9))
+    // 100 total updates < k=200: both stores are exact, so the fold
+    // must preserve answers EXACTLY (KLL merge associativity)
+    assert(before == after,
+      s"compaction changed store answers: $before vs $after")
+    assert(after.map(t => (t._2, t._3)).toMap ==
+      Map(0.25 -> 25.0, 0.5 -> 50.0, 0.9 -> 90.0))
+    // idempotent re-compaction folds the previous checkpoint forward
+    SketchOps.compactKllShards(spark, shards, 1)
+    assert(dirs() == Seq("batch=3", "batch=4"),
+      s"re-compaction must fold the old checkpoint too: ${dirs()}")
+    assert(SketchOps.kllQuantilesFromShardedStore(spark, shards,
+      Seq(0.25, 0.5, 0.9)) == before)
+    // keepLast >= shard count is a no-op
+    SketchOps.compactKllShards(spark, shards, 5)
+    assert(dirs() == Seq("batch=3", "batch=4"))
+  }
+
   test("ws14 restart-resume: a second pass on the same checkpoint " +
     "writes only NEW batch ids and the merge covers both publishes") {
     import graft.operators.MessageOps
