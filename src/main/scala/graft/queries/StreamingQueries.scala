@@ -1875,12 +1875,11 @@ object StreamingQueries {
       val ckpt = graft.TempRoots.create("graft-wsketch-ckpt")
       val store = graft.TempRoots.create("graft-wsketch-store") +
         "/sketch_store"
-      // fresh topic, no watermark sentinels: this gate has no
-      // event-time state, so the two-pass choreography is unnecessary
-      // and sentinel users must not enter the sketch
-      TopicStore.publish(s,
-        MessageOps.fromEvents(Tables(s, dir, "events")), root,
-        "events", 4)
+      // sentinel-free topic (this gate has no event-time state, and
+      // sentinel users must not enter the sketch), published once per
+      // fixture dir and copied per query — the SharedEventsTopic shave
+      SharedEventsTopic.copyInto(SharedEventsTopic.basePlain(s, dir),
+        root)
       StreamSketchGate.pass(s, root, ckpt, store, 25000L)
       // the sketch side below reads ONLY the store (bounded |types|
       // rows of model state)
@@ -1943,9 +1942,9 @@ object StreamingQueries {
       val ckpt = graft.TempRoots.create("graft-wkll-ckpt")
       val shards = graft.TempRoots.create("graft-wkll-store") +
         "/kll_shards"
-      TopicStore.publish(s,
-        MessageOps.fromEvents(Tables(s, dir, "events")), root,
-        "events", 4)
+      // sentinel-free shared topic copy (ws13's rationale)
+      SharedEventsTopic.copyInto(SharedEventsTopic.basePlain(s, dir),
+        root)
       StreamKllShardGate.pass(s, root, ckpt, shards, 25000L)
       // compact to checkpoint+1 BEFORE answering: the gated row rides
       // the compacted store wherever the pass split into multiple
@@ -2125,6 +2124,21 @@ private[queries] object SharedEventsTopic {
           .withColumn("publish_time", lit(sentinelTs))
           .withColumn("event_time", lit(sentinelTs)),
         root, "events", 4)
+      root
+    })
+  }
+
+  /** Root holding a published-once PLAIN `events` topic — no watermark
+    * sentinels (the sketch-store gates ws13/ws14 have no event-time
+    * state, and sentinel users/values must not enter the sketches).
+    * Same shave rationale as `base`: topic CONTENT is identical across
+    * the consumers, so publish once per (session, fixture dir) and
+    * hand each query a byte-identical filesystem copy. */
+  def basePlain(s: SparkSession, dir: String): String = synchronized {
+    cache.getOrElseUpdate("plain:" + dir, {
+      val root = graft.TempRoots.create("graft-plain-base")
+      TopicStore.publish(s,
+        MessageOps.fromEvents(Tables(s, dir, "events")), root, "events", 4)
       root
     })
   }
