@@ -85,6 +85,15 @@ object Bench {
       // files of dead stages): force a periodic driver GC so the
       // ContextCleaner actually runs during a long shared-JVM bench
       .config("spark.cleaner.periodicGC.interval", "1min")
+      // Spark 4.1's checkpoint file-checksum writes a sibling .checksum
+      // file for EVERY offset/commit/state file — doubling the tiny-file
+      // count of every micro-batch (8 state partitions x ~3 files x
+      // N batches x 2 passes per gate). The stream gates here run on
+      // one-shot throwaway checkpoints where corruption detection buys
+      // nothing; a deployment with durable checkpoints can re-enable it.
+      // Correctness-neutral (pure I/O integrity feature); measured ~5-12%
+      // off the stateful streaming gates (OPTIMIZATION_r11.md).
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: touch every table + exercise codegen/shuffle machinery

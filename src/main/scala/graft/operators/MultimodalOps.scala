@@ -36,9 +36,12 @@ object MultimodalOps {
       n_bytes: Long, brightness: Long, phash: String)
 
   /** Deterministic fixture: wrap each document's text bytes as an image
-    * payload with metadata derived from stable columns. */
+    * payload with metadata derived from stable columns. Par.fan'd (here
+    * and in the other payload builders below): every consumer runs a
+    * per-row codec pass, and the one-file fixture scan would otherwise
+    * run it single-task (guide §2.5; identity at real scan widths). */
   def imagesFromDocuments(docs: DataFrame): DataFrame =
-    docs.select(
+    Par.fan(docs).select(
       col("doc_id").as("image_id"),
       col("text").cast("binary").as("data"),
       (col("n_chars") % 32 + 1).cast("int").as("width"),
@@ -345,7 +348,7 @@ object MultimodalOps {
     * real plumbing — binary concat, array<binary> literal dispatch —
     * is what scales). */
   def mixedPayloads(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    Par.fan(docs).select(col("doc_id"),
       concat(
         element_at(typedLit(magics.map(_._2)),
           (pmod(col("doc_id"), lit(5)) + 1).cast("int")),
@@ -388,7 +391,7 @@ object MultimodalOps {
       : DataFrame = {
     val w = lit(16) + pmod(col("doc_id") * wMul, lit(1000))
     val h = lit(16) + pmod(col("doc_id") * hMul, lit(777))
-    docs.select(col("doc_id"), concat(
+    Par.fan(docs).select(col("doc_id"), concat(
       typedLit(magics.head._2),                  // \x89PNG\r\n\x1a\n
       u32be(lit(13)),
       typedLit("IHDR".getBytes("US-ASCII")),

@@ -21,13 +21,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object DedupQueries {
 
-  /** documents + near-dup copies (first word dropped) of every 10th doc. */
+  /** documents + near-dup copies (first word dropped) of every 10th doc.
+    * Par.fan'd: every consumer explodes shingles / hashes n-grams over
+    * this corpus, and the one-file fixture scan would otherwise run
+    * that per-row compute as a single task (guide §2.5; identity at
+    * real scan parallelism). */
   private[queries] def corpusWithNearDups(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
     val dups = docs.filter(col("doc_id") % 10 === 0)
       .select(Q.plantedId(col("doc_id"), 100000).as("doc_id"),
         expr("substr(text, instr(text, ' ') + 1)").as("text"))
-    base.unionByName(dups)
+    graft.operators.Par.fan(base.unionByName(dups))
   }
 
   private[queries] val corpusSql =
@@ -532,11 +536,18 @@ object DedupQueries {
       // instead of intersect + distinct-union. The pair join shuffles
       // both sides on the (source, band) blocking key (equi-join) — at
       // 100 TB this stays a partitioned join; nothing is broadcast.
-      toks
+      // Par.fanBy on the join keys: the pair stage's shuffled BYTES are
+      // tiny (AQE would coalesce it to one task) but its per-pair
+      // array-intersect work is the query's dominant cost — pin the
+      // pair work across cores; both sides carry the same key layout
+      // so the join adds no further exchange (guide §2.5)
+      graft.operators.Par.fanBy(toks
         .withColumn("probe",
-          explode(array(col("band") - 1, col("band"), col("band") + 1)))
+          explode(array(col("band") - 1, col("band"), col("band") + 1))),
+          col("source"), col("probe"))
         .as("a")
-        .join(toks.as("b"),
+        .join(graft.operators.Par.fanBy(toks, col("source"), col("band"))
+            .as("b"),
           col("a.source") === col("b.source") &&
           col("a.probe") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id"))

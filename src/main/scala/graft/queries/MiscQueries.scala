@@ -1584,7 +1584,11 @@ object MiscQueries {
       // consumers (sketch agg, per-source totals, both pair-join
       // sides) would otherwise each re-run the explode+distinct
       // (measured 11.1 s → staged 4.4 s fresh at sf0.1)
-      val ks = graft.operators.Stage.stage(Tables(s, dir, "documents")
+      // Par.fan: the 3-gram explode+hash below is the 6.3 s single-task
+      // stage of the round-10 bench (unsplittable one-file scan); fan
+      // the 5 000 base rows across cores first (guide §2.5)
+      val ks = graft.operators.Stage.stage(
+        graft.operators.Par.fan(Tables(s, dir, "documents"))
         .select(col("source"),
           explode(DedupOps.shingles(DedupOps.words(col("text")), 3))
             .as("g"))
@@ -2089,33 +2093,30 @@ object MiscQueries {
   )
 }
 
-/** The q92-family sketch store, built ONCE per (session, fixture dir)
-  * and answered many times — which is the actual store contract (a
-  * 100 TB pipeline maintains the summary table per ingest batch and
-  * answers every later question from it; rebuilding it per QUESTION
-  * was an artifact of query isolation, the same choreography-constant
-  * class the SharedEventsTopic shave removed in round 9). All four
-  * legs (theta/KLL/freq/varopt) build in the ONE aggregation pass
-  * writeSketchStore documents; q92/q92b/q92c/q92d each read only
-  * their kind. Correctness is cache-safe: every gated surface derived
-  * from the store is either exact (gated value-for-value against the
-  * corpus) or a structurally-true flag that holds for ANY build of
-  * the store, so answering four questions from one build is exactly
-  * as gated as four builds. */
+/** The q92-family sketch store: ONE aggregation pass builds all four
+  * legs (theta/KLL/freq/varopt); q92/q92b/q92c/q92d each read only
+  * their kind. One shared definition so the four queries stay on the
+  * identical store schema.
+  *
+  * Built FRESH on every call: a per-(session, dir) memo would let a
+  * bench rep (or a sibling q92 query in the same JVM) answer from a
+  * store an earlier invocation computed, i.e. the reported time would
+  * no longer cover computing from the parquet inputs. In a deployed
+  * pipeline the store IS maintained once per ingest batch and answered
+  * many times — but the bench contract times the full
+  * maintain-then-answer path per invocation, so each call pays the
+  * build. */
 private[queries] object SharedSketchStore {
   import org.apache.spark.sql.SparkSession
-  private val cache = scala.collection.mutable.HashMap.empty[String, String]
 
-  def path(s: SparkSession, dir: String): String = synchronized {
-    cache.getOrElseUpdate(dir, {
-      val store = graft.TempRoots.create("graft-skstore-shared") +
-        "/sketch_store"
-      graft.operators.SketchOps.writeSketchStore(
-        Tables(s, dir, "events"), col("event_type"),
-        col("user_id"), col("value"), col("user_id"), col("event_id"),
-        greatest(lit(1L), round(col("value") * 100).cast("long")),
-        store)
-      store
-    })
+  def path(s: SparkSession, dir: String): String = {
+    val store = graft.TempRoots.create("graft-skstore-shared") +
+      "/sketch_store"
+    graft.operators.SketchOps.writeSketchStore(
+      Tables(s, dir, "events"), col("event_type"),
+      col("user_id"), col("value"), col("user_id"), col("event_id"),
+      greatest(lit(1L), round(col("value") * 100).cast("long")),
+      store)
+    store
   }
 }

@@ -200,7 +200,7 @@ object MultimodalQueries {
         docs.filter(col("doc_id") % 10 === 0)
           .select(Q.plantedId(col("doc_id"), 100000).as("doc_id"),
             expr("substr(text, 1, length(text) - 1)").as("text")))
-      val sigs = corpus
+      val sigs = graft.operators.Par.fan(corpus) // guide §2.5: parallelize the per-row signature pass
         .withColumn("es", expr(
           "transform(sequence(0, 63), f -> aggregate(" +
             "transform(filter(split(substr(text, f*4+1, 4), ''), c -> c <> '')," +
@@ -302,7 +302,7 @@ object MultimodalQueries {
         docs.filter(col("doc_id") % 8 === 0)
           .select(Q.plantedId(col("doc_id"), 100000).as("doc_id"),
             concat(col("text"), lit("x")).as("text")))
-      val sigs = corpus
+      val sigs = graft.operators.Par.fan(corpus) // guide §2.5: parallelize the per-row signature pass
         .withColumn("es", expr(
           "transform(sequence(0, 32), f -> aggregate(" +
             "transform(filter(split(substr(text, f*4+1, 4), ''), c -> c <> '')," +
@@ -803,7 +803,7 @@ object MultimodalQueries {
       // that scales anyway — every pass is a hash-partitioned partial
       // agg inside whole-stage codegen).
       val tt = typedLit(dctTable)
-      val en = corpus
+      val en = graft.operators.Par.fan(corpus) // guide §2.5: parallelize the per-row signature pass
         .withColumn("f", explode(sequence(lit(0), lit(63))))
         .withColumn("frame",
           col("text").substr((col("f") * 4 + 1).cast("int"), lit(4)))
@@ -939,7 +939,7 @@ object MultimodalQueries {
         docs.filter(col("doc_id") % 10 === 0 && length(col("text")) >= 96)
           .select(Q.plantedId(col("doc_id"), 100000).as("doc_id"),
             expr("substr(text, 33)").as("text")))
-      val fr = corpus
+      val fr = graft.operators.Par.fan(corpus) // guide §2.5: parallelize the per-row signature pass
         .withColumn("f", explode(sequence(lit(0L), least(
           ceil(length(col("text")) / 16.0).cast("long") - 1, lit(63L)))))
         .withColumn("frame",

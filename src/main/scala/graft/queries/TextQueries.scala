@@ -1325,7 +1325,7 @@ object TextQueries {
         |ORDER BY st.source""".stripMargin
     ) { (s, dir) =>
       import graft.operators.Stage
-      val sc = Tables(s, dir, "documents")
+      val sc = graft.operators.Par.fan(Tables(s, dir, "documents"))
         .filter(length(col("text")) >= 3)
         .select(col("source"),
           explode(TextOps.charNgrams(col("text"), 3)).as("g"))
@@ -1903,7 +1903,7 @@ object TextQueries {
         |ORDER BY st.source""".stripMargin
     ) { (s, dir) =>
       import graft.operators.Stage
-      val sc = Tables(s, dir, "documents")
+      val sc = graft.operators.Par.fan(Tables(s, dir, "documents"))
         .filter(length(col("text")) >= 3)
         .select(col("source"),
           explode(TextOps.charNgrams(col("text"), 3)).as("g"))
@@ -1961,7 +1961,10 @@ object TextQueries {
     * don't re-explode the corpus. */
   private def langPredictions(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val tri = docs.select(col("doc_id"), col("lang"),
+    // fan the unsplittable single-file scan across cores BEFORE the
+    // trigram explode + per-trigram hashing (guide §2.5; Par.fan is the
+    // identity once the scan parallelizes itself at real scale)
+    val tri = graft.operators.Par.fan(docs).select(col("doc_id"), col("lang"),
       explode(TextOps.charNgrams(col("text"), 3)).as("g"))
     val docCounts = tri.groupBy(col("doc_id"), col("lang"), col("g"))
       .agg(count(lit(1)).as("dc"))
