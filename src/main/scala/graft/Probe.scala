@@ -55,20 +55,31 @@ object Probe {
         val reps = rest.head.toInt
         resolve(rest.tail).foreach { name =>
           val fn = SparkEntry.queries(name)
-          val times = (1 to reps).map { _ =>
+          // (rep duration, rep succeeded) — failed reps are excluded
+          // from the median so a fast-failing query can't print a
+          // misleadingly fast number (ADVICE r11)
+          val runs = (1 to reps).map { _ =>
             val t0 = System.nanoTime()
-            try {
-              val df = fn(spark, sfDir)
-              if (noop) df.write.format("noop").mode("overwrite").save()
-              else df.count()
-            } catch { case e: Throwable => println(s"[probe] $name ERR $e") }
+            val ok =
+              try {
+                val df = fn(spark, sfDir)
+                if (noop) df.write.format("noop").mode("overwrite").save()
+                else df.count()
+                true
+              } catch {
+                case e: Throwable => println(s"[probe] $name ERR $e"); false
+              }
             val dt = (System.nanoTime() - t0) / 1e9
             cleanup(spark)
-            dt
+            (dt, ok)
           }
-          val med = Bench.median(times)
-          println(f"[probe] $name%-32s med=$med%7.3f  reps=" +
-            times.map(t => f"$t%.3f").mkString(","))
+          val med = Bench.median(runs.collect { case (t, true) => t })
+          val failed = runs.count(!_._2)
+          val failNote = if (failed > 0) s"  FAILED=$failed/$reps" else ""
+          println(f"[probe] $name%-32s med=$med%7.3f$failNote  reps=" +
+            runs.map { case (t, ok) =>
+              f"$t%.3f" + (if (ok) "" else "!")
+            }.mkString(","))
         }
       case "jobs" :: names =>
         // one run per query with a job-level breakdown: which Spark jobs
@@ -79,7 +90,7 @@ object Probe {
           .empty[(Int, Long, Long, Int, String)]
         val starts = scala.collection.mutable.HashMap
           .empty[Int, (Long, Int, String)]
-        spark.sparkContext.addSparkListener(
+        val listener =
           new org.apache.spark.scheduler.SparkListener {
             override def onJobStart(
                 j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
@@ -97,14 +108,21 @@ object Probe {
                   rows += ((j.jobId, t0, j.time - t0, nTasks, desc))
                 }
               }
-          })
+          }
+        spark.sparkContext.addSparkListener(listener)
         resolve(names).foreach { name =>
-          lock.synchronized(rows.clear())
+          // drain the async listener bus BEFORE clearing, so a late
+          // JobEnd from the previous query can't be attributed to this
+          // one (ADVICE r11)
+          org.apache.spark.sql.graft.ColumnBridge
+            .drainListenerBus(spark.sparkContext)
+          lock.synchronized { rows.clear(); starts.clear() }
           val t0 = System.nanoTime()
           try SparkEntry.queries(name)(spark, sfDir).count()
           catch { case e: Throwable => println(s"[probe] $name ERR $e") }
           val dt = (System.nanoTime() - t0) / 1e9
-          Thread.sleep(200)
+          org.apache.spark.sql.graft.ColumnBridge
+            .drainListenerBus(spark.sparkContext)
           lock.synchronized {
             println(f"[jobs] $name total=$dt%.3f s, ${rows.size} jobs")
             rows.sortBy(_._2).foreach { case (id, _, ms, nTasks, desc) =>
@@ -113,6 +131,7 @@ object Probe {
           }
           cleanup(spark)
         }
+        spark.sparkContext.removeSparkListener(listener)
       case other =>
         println(s"usage: explain <outDir> <q...> | time [--noop] <reps> <q...> | jobs <q...>; got $other")
     }

@@ -31,13 +31,25 @@ import org.apache.spark.sql.DataFrame
   * own placement and never sit under a fan call).
   */
 object Par {
-  def fan(df: DataFrame): DataFrame = {
+  /** The shared scale guard: true when the optimizer's size estimate
+    * says the input cannot reach core-count parallelism on its own
+    * (est. partitions = sizeInBytes / maxPartitionBytes < cores).
+    * NOTE the estimate runs the analyzer+optimizer over the subtree at
+    * CONSTRUCTION time — cheap for the scan-adjacent inputs fan/fanBy
+    * are meant for, but a plan with several chained fans re-optimizes
+    * overlapping prefixes; guard once per input where helpers chain. */
+  private def needsFan(df: DataFrame): Boolean = {
     val spark = df.sparkSession
     val cores = spark.sparkContext.defaultParallelism
     val maxPB = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
     val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (size < maxPB * cores) df.repartition(cores) else df
+    size < maxPB * cores
   }
+
+  def fan(df: DataFrame): DataFrame =
+    if (needsFan(df))
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else df
 
   /** Key-preserving variant of [[fan]] for compute-heavy JOIN stages
     * whose shuffled bytes are tiny: AQE's partition coalescing is
@@ -53,11 +65,9 @@ object Par {
     * estimated size says the scan/shuffle is already parallel passes
     * through untouched, so big-data plans keep AQE's byte-based
     * sizing. */
-  def fanBy(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
-    val spark = df.sparkSession
-    val cores = spark.sparkContext.defaultParallelism
-    val maxPB = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
-    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (size < maxPB * cores) df.repartition(cores, keys: _*) else df
-  }
+  def fanBy(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame =
+    if (needsFan(df))
+      df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, keys: _*)
+    else df
 }

@@ -26,4 +26,11 @@ object ColumnBridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Block until the async listener bus has delivered every queued
+    * event (`SparkContext.listenerBus` is `private[spark]`) — lets a
+    * measurement listener read a complete job log instead of racing a
+    * fixed sleep against event delivery. */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }
