@@ -79,7 +79,16 @@ object MessageOps {
       .when(mode === 2, xmlPayload)
       .when(mode === 3, csvPayload)
       .otherwise(concat(col("event_type"), lit(" "), col("value").cast("string")))
-    events.select(
+    // Par.fan BELOW the payload projection (round 12): every publish
+    // leg feeds a one-file fixture scan into this select, so the
+    // JSON/XML/CSV body construction + get_json_object ran as ONE task
+    // ahead of the store's partition-routing exchange (0.3-0.9 s
+    // single-task jobs on each gate's publish legs in the round-12 job
+    // profile). Fanning the raw event rows first moves only the base
+    // bytes once and builds payloads on all cores; the store's
+    // per-partition (publish_time, message_id) sort makes the published
+    // bytes byte-identical. Size-guarded: identity at production scale.
+    graft.operators.Par.fan(events).select(
       lit("events").as("topic"),
       concat(lit("0:"), col("event_id"), lit(":0:0")).as("message_id"),
       col("user_id").cast("string").as("key"),

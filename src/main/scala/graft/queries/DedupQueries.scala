@@ -390,17 +390,27 @@ object DedupQueries {
         .transform(Stage.stage)
       val bandKeys = (0 until 4).map(b =>
         DedupOps.bandKey(b, Seq(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))))
-      val bands = sig.select(col("doc_id"), col("sh"),
+      // Band join on KEYS ONLY (round 12, guide §8 "decide with small
+      // rows"): the old shape carried each doc's ~52-string shingle
+      // array through the 4-way band explode on BOTH join sides (~10×
+      // the array bytes through the exchanges). sig is STAGED, so
+      // attaching the arrays back to the deduped candidate pairs is two
+      // cheap equi-joins against checkpointed blocks — the arrays now
+      // cross an exchange once per side instead of 4×, and the band
+      // exchange itself shrinks to (doc_id, band_key).
+      val bands = sig.select(col("doc_id"),
         explode(array(bandKeys: _*)).as("band_key"))
-      // Carry the shingle arrays through the band join (groupBy dedups
-      // multi-band hits) — the signature subtree is computed once per
-      // side, not re-joined (Spark has no CTE materialization to reuse).
-      val cand = bands.as("a")
+      val candIds = bands.as("a")
         .join(bands.as("b"),
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(first(col("a.sh")).as("a_sh"), first(col("b.sh")).as("b_sh"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val cand = candIds
+        .join(sig.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
+          Seq("a_id"))
+        .join(sig.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+          Seq("b_id"))
       val jac = round(
         size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
         size(array_distinct(concat(col("a_sh"), col("b_sh")))), 6)
@@ -1789,15 +1799,22 @@ object DedupQueries {
         .transform(Stage.stage)
       val bandKeys = (0 until 4).map(b =>
         DedupOps.bandKey(b, Seq(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))))
-      val mbands = sig.select(col("doc_id"), col("sh"),
+      // keys-only band join + array attach from the staged sig —
+      // d02's round-12 shape (see d02 for the shuffle-bytes argument)
+      val mbands = sig.select(col("doc_id"),
         explode(array(bandKeys: _*)).as("band_key"))
       val mcand = mbands.as("a")
         .join(mbands.as("b"),
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(first(col("a.sh")).as("a_sh"), first(col("b.sh")).as("b_sh"))
-      val pa = mcand.filter(
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val pa = mcand
+        .join(sig.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
+          Seq("a_id"))
+        .join(sig.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+          Seq("b_id"))
+        .filter(
           lit(2) * size(array_intersect(col("a_sh"), col("b_sh"))) >=
           size(array_distinct(concat(col("a_sh"), col("b_sh")))))
         .select(col("a_id"), col("b_id"))

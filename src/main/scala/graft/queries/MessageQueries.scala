@@ -295,18 +295,25 @@ object MessageQueries {
       val ckpt = root + "/ckpt"
       graft.sources.TopicStore.publish(s,
         MessageOps.fromEvents(Tables(s, dir, "events")), root, "hop-in", 4)
+      // several epochs per pass, so the replayed epoch is a real
+      // mid-stream batch, not the whole topic — but a FIXED cap turns
+      // into O(n/cap) trigger rounds at bigger fixtures (25 epochs and
+      // ~4 s of pure per-epoch ceremony at sf0.1; round-8 had already
+      // shaved 2000→4000). Size the cap to ~4 epochs at ANY fixture
+      // scale, floored at the round-8 value so sf0.01 keeps its 3
+      // epochs — d20's documented admission-sizing pattern. Epoch
+      // boundaries don't change the relayed row set (the gate orders
+      // by message_id), only how many ceremonies deliver it.
+      val hopInLines = (0 until 4).map(p =>
+        graft.sources.TopicStore.partitionMeta(root, "hop-in", p)._1).sum
+      val epochCap = math.max(4000L, hopInLines / 4 + 1)
       def runPass(): Unit = {
         val q = s.readStream.format("pulsarlike")
           .option("path", root)
           .option("serviceUrl", "pulsar://local")
           .option("topicNames", "hop-in")
           .option("subscriptionInitialPosition", "Earliest")
-          // several epochs per pass, so the replayed epoch is a real
-          // mid-stream batch, not the whole topic: 4000 gives 3 epochs
-          // at sf0.01 and 25 at sf0.1 (2000 doubled the epoch count —
-          // and per-epoch trigger ceremony, not data, dominates this
-          // query's wall time; round-8 choreography shave)
-          .option("batchingMaxMessages", "4000")
+          .option("batchingMaxMessages", epochCap.toString)
           .load()
           // the transform leg: drop text/plain (pushed to the source scan)
           .filter(col("content_type") =!= "text/plain")
@@ -316,7 +323,7 @@ object MessageQueries {
           .option("serviceUrl", "pulsar://local")
           .option("topicNames", "hop-out")
           .option("enableTransaction", "true")
-          .option("batchingMaxMessages", "4000")
+          .option("batchingMaxMessages", epochCap.toString)
           .option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
@@ -365,6 +372,17 @@ object MessageQueries {
       val outDir = root + "/landed"
       graft.sources.TopicStore.publish(s,
         MessageOps.fromEvents(Tables(s, dir, "events")), root, "hop-in", 4)
+      // m14 proves TOPOLOGY (source → sink → fresh subscription);
+      // multi-epoch cursor advance is m06/m13/ps01's business, so the
+      // admission limit only needs to keep the run multi-epoch. The
+      // round-8 shave fixed it at 20000 (5 epochs/leg at sf0.1, still
+      // per-epoch-ceremony-bound); round 12 sizes it to ~3 epochs/leg
+      // at ANY fixture scale (d20's admission-sizing pattern), floored
+      // at the round-8 value — epoch boundaries don't change the gated
+      // row set (ordered by message_id), only the ceremony count.
+      val hopInLines = (0 until 4).map(p =>
+        graft.sources.TopicStore.partitionMeta(root, "hop-in", p)._1).sum
+      val legCap = math.max(20000L, hopInLines / 3 + 1)
       // leg 1: subscription "sub-relay" consumes hop-in, produces hop-out
       val relay = s.readStream.format("pulsarlike")
         .option("path", root)
@@ -372,14 +390,7 @@ object MessageQueries {
         .option("topicNames", "hop-in")
         .option("subscriptionName", "sub-relay")
         .option("subscriptionInitialPosition", "Earliest")
-        // m14 proves TOPOLOGY (source → sink → fresh subscription);
-        // multi-epoch cursor advance is m06/m13/ps01's business, so the
-        // admission limit here only needs to keep the bench-scale run
-        // multi-epoch (5 epochs/leg at sf0.1). 4000 made 25 epochs/leg
-        // whose per-epoch trigger ceremony, not data volume, was the
-        // whole wall time (round-8 choreography shave: 10.3 s → under
-        // the 6 s target, gated rows unchanged)
-        .option("batchingMaxMessages", "20000")
+        .option("batchingMaxMessages", legCap.toString)
         .load()
         .writeStream
         .format("pulsarlike")
@@ -387,7 +398,7 @@ object MessageQueries {
         .option("serviceUrl", "pulsar://local")
         .option("topicNames", "hop-out")
         .option("enableTransaction", "true")
-        .option("batchingMaxMessages", "20000")
+        .option("batchingMaxMessages", legCap.toString)
         .option("checkpointLocation", ckptRelay)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -399,7 +410,7 @@ object MessageQueries {
         .option("topicNames", "hop-out")
         .option("subscriptionName", "sub-down")
         .option("subscriptionInitialPosition", "Earliest")
-        .option("batchingMaxMessages", "20000")
+        .option("batchingMaxMessages", legCap.toString)
         .load()
         .writeStream
         .option("checkpointLocation", ckptDown)

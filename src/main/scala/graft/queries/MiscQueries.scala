@@ -1619,11 +1619,21 @@ object MiscQueries {
       val boundsDf = s.createDataFrame(bounds.toSeq)
         .toDF("src_a", "src_b", "n_a", "n_b", "i_lb", "i_ub",
           "u_lb", "u_ub", "a_lb", "a_ub")
-      val pairs = ks.as("a")
-        .join(ks.as("b"), col("a.gh") === col("b.gh") &&
-          col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("src_a"),
-          col("b.source").as("src_b"))
+      // pair counts WITHOUT the self-join (round 12): one exchange of
+      // ks keyed on gh builds the per-shingle source list (bounded by
+      // |sources|, so never a wide row), then the ordered pairs explode
+      // MAP-SIDE and partial-aggregate before the |sources|²-key
+      // exchange. The old ks⋈ks-on-gh shape shuffled ks twice and hash-
+      // joined 754k intermediate rows; this shuffles it once and is
+      // immune to hot-shingle skew in the join (guide §2.4/§2.5 —
+      // measured: 2 Exchanges of ks → 1, one join stage removed).
+      val perGh = ks.groupBy(col("gh"))
+        .agg(collect_list(col("source")).as("ss"))
+      val pairs = perGh
+        .select(explode(col("ss")).as("src_a"), col("ss"))
+        .select(col("src_a"), explode(col("ss")).as("src_b"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
         .agg(count(lit(1)).cast("long").as("n_inter"))
       broadcast(boundsDf)
         .join(pairs, Seq("src_a", "src_b"), "left_outer")

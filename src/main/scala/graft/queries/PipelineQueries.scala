@@ -239,32 +239,12 @@ object PipelineQueries {
       val edges = Stage.stage(fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst"))))
 
-      var lab: DataFrame = ids.select(col("id"), col("id").as("lab"))
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 20) {
-        // lab'(v) = min(lab(v), lab(u) over neighbors u)
-        val viaEdges = edges
-          .join(lab, col("src") === col("id"))
-          .select(col("dst").as("id"), col("lab"))
-        val prop = lab.unionByName(viaEdges)
-          .groupBy(col("id")).agg(min(col("lab")).as("lab"))
-        // pointer jump: lab''(v) = lab'(lab'(v)) — every label is a
-        // node id, so the lookup is an equi-join against prop itself.
-        // Superseded generations are dereferenced on rebind below; the
-        // ContextCleaner reclaims their checkpoint blocks, so live
-        // storage stays O(one generation)
-        val next = Stage.stage(prop
-          .join(prop.select(col("id").as("lid"), col("lab").as("llab")),
-            col("lab") === col("lid"))
-          .select(col("id"), col("llab").as("lab")))
-        converged = next.as("n")
-          .join(lab.as("o"), col("n.id") === col("o.id"))
-          .filter(col("n.lab") =!= col("o.lab"))
-          .limit(1).count() == 0
-        lab = next
-        rounds += 1
-      }
+      // shared fixpoint loop (operators/MinLabel): min-label
+      // propagation + pointer jump per round, sum-based convergence
+      // probe (round-12: one scalar agg per round instead of a
+      // join-back + limit(1).count against the previous generation)
+      val lab = graft.operators.MinLabel.fixpoint(
+        ids.select(col("id"), col("id").as("lab")), edges)
       lab.groupBy(col("lab").as("cluster_id"))
         .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_id"))
         .orderBy(col("cluster_id"))

@@ -1944,26 +1944,13 @@ object SimilarityQueries {
       val ce = stage(nbr
         .join(core.select(col("id").as("aid")), Seq("aid"), "left_semi")
         .join(core.select(col("id").as("bid")), Seq("bid"), "left_semi"))
-      // min-label CC with pointer jumping over the CORE graph (p06)
-      var lab = core.select(col("id"), col("id").as("lab"))
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 20) {
-        val viaEdges = ce.join(lab, col("aid") === col("id"))
-          .select(col("bid").as("id"), col("lab"))
-        val prop = lab.unionByName(viaEdges)
-          .groupBy(col("id")).agg(min(col("lab")).as("lab"))
-        val next = stage(prop
-          .join(prop.select(col("id").as("lid"), col("lab").as("llab")),
-            col("lab") === col("lid"))
-          .select(col("id"), col("llab").as("lab")))
-        converged = next.as("n")
-          .join(lab.as("o"), col("n.id") === col("o.id"))
-          .filter(col("n.lab") =!= col("o.lab"))
-          .limit(1).count() == 0
-        lab = next
-        rounds += 1
-      }
+      // min-label CC with pointer jumping over the CORE graph (p06's
+      // loop, shared via operators/MinLabel; round-12: sum-based
+      // convergence probe — one scalar agg per round instead of a
+      // join-back + limit(1).count)
+      val lab = graft.operators.MinLabel.fixpoint(
+        core.select(col("id"), col("id").as("lab")),
+        ce.select(col("aid").as("src"), col("bid").as("dst")))
       val bor = nbr
         .join(core.select(col("id").as("aid")), Seq("aid"), "left_anti")
         .join(lab.select(col("id").as("bid"), col("lab")), Seq("bid"))

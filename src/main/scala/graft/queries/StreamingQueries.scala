@@ -1599,8 +1599,22 @@ object StreamingQueries {
           .option("subscriptionInitialPosition", "Earliest")
           .option("batchingMaxMessages", batchCap.toString)
           .load()
-        val ws = q0.select(col("key").cast("long").as("doc_id"),
-          DedupOps.words(col("value_str")).as("ws"))
+        // the topic is ONE partition by the ordering contract above, so
+        // each micro-batch's source stage is a single task — and the
+        // per-doc minhash pipeline below (3-gram explode, 8 md5 mins)
+        // would run its entire 30× compute blowup on one core before
+        // the groupByKey exchange (round-12 job profile: 1.5-2 s of the
+        // ~2 s batch job). Fan the raw (doc_id, text) rows across cores
+        // FIRST — the same §2.5 unsplittable-input repair as Par.fan;
+        // per-row results are placement-independent and the stateful
+        // flag is order-independent within a batch by the group min.
+        // At production scale the same gate would still read an
+        // intentionally-1-partition ordered log, so the fan is the
+        // correct shape there too, moving raw rows once before the
+        // blowup (guide §2.3/§2.5).
+        val ws = q0.repartition(s.sparkContext.defaultParallelism)
+          .select(col("key").cast("long").as("doc_id"),
+            DedupOps.words(col("value_str")).as("ws"))
         val sh = ws.select(col("doc_id"),
           array_distinct(DedupOps.shingles(col("ws"), 3)).as("sh"))
         val sig = sh.select(col("doc_id") +:
