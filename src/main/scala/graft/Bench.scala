@@ -94,6 +94,18 @@ object Bench {
       // Correctness-neutral (pure I/O integrity feature); measured ~5-12%
       // off the stateful streaming gates (OPTIMIZATION_r11.md).
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // Hadoop's default `file:` filesystem is ChecksumFileSystem: every
+      // task output file gets a sibling .crc written on write and
+      // VERIFIED on read-back. The stream gates' foreachBatch landings
+      // are write-once scratch handoffs on local disk, re-read once in
+      // the same process — the checksum layer doubles their tiny-file
+      // count and re-hashes every byte both ways (round-12 A/B:
+      // ws10 7.3→3.7 s, ws05 3.9→2.5 s, ws04 7.4→5.8 s). Same class as
+      // the streaming checkpoint-checksum disable above: local-scratch
+      // I/O integrity, not results; HDFS/S3 deployments never use this
+      // FS and keep their own integrity layers.
+      .config("spark.hadoop.fs.file.impl",
+        "graft.hadoop.NoChecksumLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: touch every table + exercise codegen/shuffle machinery

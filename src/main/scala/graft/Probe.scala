@@ -31,6 +31,11 @@ object Probe {
       // (env knob so a before/after A/B can restore the old default)
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
         sys.env.getOrElse("SPARK_GRAFT_PROBE_CHECKSUM", "false"))
+      // A/B knob for the Hadoop local-FS checksum layer; default
+      // matches Bench (raw — see Bench.scala)
+      .config("spark.hadoop.fs.file.impl",
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_FILE_IMPL",
+          "graft.hadoop.NoChecksumLocalFileSystem"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.names.foreach { t =>

@@ -19,6 +19,10 @@ object Verify {
       // checkpoints (see Bench.scala) — keeps the verified config
       // identical to the benched one
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // raw local FS, matching Bench (see Bench.scala — the verified
+      // config stays identical to the benched one)
+      .config("spark.hadoop.fs.file.impl",
+        "graft.hadoop.NoChecksumLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1056,8 +1056,15 @@ object MiscQueries {
           col("a.okey") === col("b.okey") && col("a.pkey") < col("b.pkey"))
         .select(col("a.pkey").as("p1"), col("b.pkey").as("p2"))
         .distinct()
+      // staged PRE-PARTITIONED on src (round 12, guide §2.4): the
+      // localCheckpoint preserves outputPartitioning, so the 3 sweeps'
+      // equi-joins on src AND the degree aggregation all reuse this one
+      // exchange instead of re-shuffling the 2×|edges| table per sweep
+      // (plan: 4 Exchanges of edges → 1; the bucketed-table pattern,
+      // persisted in executor blocks instead of files)
       val edges = prs.select(col("p1").as("src"), col("p2").as("dst"))
         .unionByName(prs.select(col("p2").as("src"), col("p1").as("dst")))
+        .repartition(col("src"))
         .transform(Stage.stage)
       val deg = edges.groupBy(col("src").as("p"))
         .agg(count(lit(1)).cast("long").as("deg"))

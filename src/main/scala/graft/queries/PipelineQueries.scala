@@ -236,8 +236,12 @@ object PipelineQueries {
         .filter(col("src") % 23 === 0)
         .join(ids.select(col("id").as("dst")), col("dst") === col("src") + 5)
       val fwd = chain.unionByName(cross)
+      // staged pre-partitioned on src (q39's round-12 pattern): every
+      // MinLabel round joins edges on src — the checkpoint-preserved
+      // partitioning replaces a per-round shuffle of the edge table
       val edges = Stage.stage(fwd.unionByName(
-        fwd.select(col("dst").as("src"), col("src").as("dst"))))
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src")))
 
       // shared fixpoint loop (operators/MinLabel): min-label
       // propagation + pointer jump per round, sum-based convergence

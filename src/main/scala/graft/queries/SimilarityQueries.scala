@@ -1933,17 +1933,24 @@ object SimilarityQueries {
       // exact eps-graph: each ordered pair found exactly once (b lives
       // in ONE cell; a probes that cell once) — directed both ways by
       // symmetry of the construction
+      // nbr and ce staged PRE-PARTITIONED on their dominant join/agg key
+      // (q39's round-12 pattern): the checkpoint-preserved partitioning
+      // feeds core's aggregation, ce's aid-side semi-join, bor's anti-
+      // join, and every MinLabel round's src-join without re-shuffling
+      // the edge table
       val nbr = stage(probes
         .join(cells, col("px") === col("cx") && col("py") === col("cy"))
         .filter(col("aid") =!= col("id") &&
           ((col("ax") - col("x")) * (col("ax") - col("x")) +
             (col("ay") - col("y")) * (col("ay") - col("y"))) <= eps * eps)
-        .select(col("aid"), col("id").as("bid")))
+        .select(col("aid"), col("id").as("bid"))
+        .repartition(col("aid")))
       val core = stage(nbr.groupBy(col("aid")).agg(count(lit(1)).as("nn"))
         .filter(col("nn") >= 3).select(col("aid").as("id")))
       val ce = stage(nbr
         .join(core.select(col("id").as("aid")), Seq("aid"), "left_semi")
-        .join(core.select(col("id").as("bid")), Seq("bid"), "left_semi"))
+        .join(core.select(col("id").as("bid")), Seq("bid"), "left_semi")
+        .repartition(col("aid")))
       // min-label CC with pointer jumping over the CORE graph (p06's
       // loop, shared via operators/MinLabel; round-12: sum-based
       // convergence probe — one scalar agg per round instead of a
