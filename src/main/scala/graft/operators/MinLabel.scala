@@ -69,7 +69,10 @@ object MinLabel {
       // composed lazily it recomputes per consumer, staged it pays a
       // second localCheckpoint action per round; both lost more to
       // per-action overhead than the halved round count saved.)
-      val next = Stage.stage(prop
+      // stageExact: generations keep their partitioning and exact
+      // (tiny) stats, so the next round's joins against them are
+      // planned with the truth — measured p06 2.6 → 1.9 s (round 12)
+      val next = Stage.stageExact(prop
         .join(prop.select(col("id").as("lid"), col("lab").as("llab")),
           col("lab") === col("lid"))
         .select(col("id"), col("llab").as("lab")))

@@ -76,6 +76,30 @@ object Stage {
     }
   }
 
+  /** Like [[stage]], but the materialized frame KEEPS its final
+    * outputPartitioning/ordering and carries EXACT statistics (row
+    * count from the materializing pass, bytes from the persisted
+    * blocks) — `Dataset.localCheckpoint` reports UnknownPartitioning
+    * and default (huge) stats because it captures the unfinalized
+    * adaptive plan (ColumnBridge.localCheckpointKeepingLayout has the
+    * mechanics). Consumers that re-aggregate or re-join on the staged
+    * key skip their exchange, and joins against the frame are planned
+    * with the truth instead of stats-blind.
+    *
+    * OPT-IN per call site, not the default: the exact stats also let
+    * the planner pick shuffled-hash/broadcast where AQE's runtime
+    * coalescing was previously winning — measured round 12, it helps
+    * iterative loops (p06 −26%) and hurts q39's sweep joins (+30%).
+    * Use where an A/B shows it pays. `none` upgrades like
+    * [[stageRequired]] — callers choose this variant because
+    * consumers DEPEND on the preserved layout for their plan shape. */
+  def stageExact(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get("spark.graft.checkpoint", "local") match {
+      case "reliable" => stage(df)
+      case _ => register(org.apache.spark.sql.graft.ColumnBridge
+        .localCheckpointKeepingLayout(df))
+    }
+
   /** Like [[stage]], but the materialization is LOAD-BEARING for
     * correctness, not a performance trade — e.g. pinning a
     * `spark_partition_id()` assignment that two consumers must agree

@@ -1056,12 +1056,15 @@ object MiscQueries {
           col("a.okey") === col("b.okey") && col("a.pkey") < col("b.pkey"))
         .select(col("a.pkey").as("p1"), col("b.pkey").as("p2"))
         .distinct()
-      // staged PRE-PARTITIONED on src (round 12, guide §2.4): the
-      // localCheckpoint preserves outputPartitioning, so the 3 sweeps'
-      // equi-joins on src AND the degree aggregation all reuse this one
-      // exchange instead of re-shuffling the 2×|edges| table per sweep
-      // (plan: 4 Exchanges of edges → 1; the bucketed-table pattern,
-      // persisted in executor blocks instead of files)
+      // staged grouped-by-src (round 12): a plain localCheckpoint does
+      // NOT carry outputPartitioning (it captures the unfinalized
+      // adaptive plan — see Stage.stageExact), so the sweeps still
+      // exchange; the repartition makes each src's edges contiguous in
+      // the checkpointed blocks, which measured a small but repeatable
+      // win on the sweep shuffles (2.9-3.6 s vs 3.6-3.8 s same-window).
+      // stageExact (honored partitioning + exact stats) was tried and
+      // REVERTED here: the exact stats flipped the sweep joins away
+      // from AQE's coalesced plan and cost +30% (4.4-4.7 s).
       val edges = prs.select(col("p1").as("src"), col("p2").as("dst"))
         .unionByName(prs.select(col("p2").as("src"), col("p1").as("dst")))
         .repartition(col("src"))

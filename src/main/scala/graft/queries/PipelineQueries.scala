@@ -239,7 +239,7 @@ object PipelineQueries {
       // staged pre-partitioned on src (q39's round-12 pattern): every
       // MinLabel round joins edges on src — the checkpoint-preserved
       // partitioning replaces a per-round shuffle of the edge table
-      val edges = Stage.stage(fwd.unionByName(
+      val edges = Stage.stageExact(fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
         .repartition(col("src")))
 
@@ -490,7 +490,11 @@ object PipelineQueries {
     ) { (s, dir) =>
       def slot(j: Int, g: org.apache.spark.sql.Column) =
         substring(md5(concat(lit(s"$j:"), g)), 1, 4)
-      val grams = Tables(s, dir, "documents")
+      // Par.fan: the broadcast-semi-join chain below is deliberately
+      // zero-shuffle, which also means the WHOLE 13-gram explode +
+      // 3×md5 pipeline ran inside the one-file scan's single task
+      // (round-12 job profile: 1.1 s / 1 task); fan the raw docs first
+      val grams = graft.operators.Par.fan(Tables(s, dir, "documents"))
         .withColumn("w", DedupOps.words(col("text")))
         .select(col("doc_id"),
           explode(DedupOps.shingles(col("w"), 13)).as("g"))

@@ -1912,7 +1912,7 @@ object SimilarityQueries {
         |  LEFT JOIN bor ON p.id = bor.id
         |ORDER BY vec_id""".stripMargin
     ) { (s, dir) =>
-      import graft.operators.Stage.stage
+      import graft.operators.Stage
       val eps = lit(0.02)
       val pts = Tables(s, dir, "embeddings").select(
         col("vec_id").as("id"),
@@ -1938,16 +1938,16 @@ object SimilarityQueries {
       // feeds core's aggregation, ce's aid-side semi-join, bor's anti-
       // join, and every MinLabel round's src-join without re-shuffling
       // the edge table
-      val nbr = stage(probes
+      val nbr = Stage.stageExact(probes
         .join(cells, col("px") === col("cx") && col("py") === col("cy"))
         .filter(col("aid") =!= col("id") &&
           ((col("ax") - col("x")) * (col("ax") - col("x")) +
             (col("ay") - col("y")) * (col("ay") - col("y"))) <= eps * eps)
         .select(col("aid"), col("id").as("bid"))
         .repartition(col("aid")))
-      val core = stage(nbr.groupBy(col("aid")).agg(count(lit(1)).as("nn"))
+      val core = Stage.stageExact(nbr.groupBy(col("aid")).agg(count(lit(1)).as("nn"))
         .filter(col("nn") >= 3).select(col("aid").as("id")))
-      val ce = stage(nbr
+      val ce = Stage.stageExact(nbr
         .join(core.select(col("id").as("aid")), Seq("aid"), "left_semi")
         .join(core.select(col("id").as("bid")), Seq("bid"), "left_semi")
         .repartition(col("aid")))
